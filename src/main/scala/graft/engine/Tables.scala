@@ -1,0 +1,133 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Explicit-schema loaders for the driver-generated fixture tables
+  * (`/root/testdata/sf*`; see FIXTURES.md §1).
+  *
+  * Mirrors the reference's explicit-typing philosophy: never trust schema
+  * inference for correctness-bearing columns (reference `Preprocessing.py:20`,
+  * `Preprocessing.py:103-116` loads string-first and casts explicitly).
+  * Parquet already carries types, so here "explicit" means the schema is
+  * declared and asserted — a silent upstream type change fails fast instead of
+  * propagating.
+  *
+  * Scale note: plain `spark.read.parquet` keeps the scan columnar and lets
+  * Catalyst push filters/column pruning into the parquet reader; at 100 TB the
+  * same loader works unchanged over a partitioned directory tree (Spark plans
+  * one task per row-group split).
+  */
+object Tables {
+
+  // Fixture parquet stores naive (not UTC-adjusted) timestamps; Spark 4
+  // surfaces those as TIMESTAMP_NTZ, which matches DuckDB's TIMESTAMP for
+  // oracle parity. The session timezone is pinned to UTC anyway.
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampNTZType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampNTZType),
+    StructField("o_orderpriority", StringType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private val schemas: Map[String, StructType] = Map(
+    "lineitem" -> lineitemSchema, "orders" -> ordersSchema,
+    "customer" -> customerSchema, "supplier" -> supplierSchema,
+    "part" -> partSchema, "nation" -> nationSchema, "region" -> regionSchema,
+    "events" -> eventsSchema, "documents" -> documentsSchema,
+    "embeddings" -> embeddingsSchema)
+
+  /** Load a fixture table with its declared schema asserted against the
+    * parquet footer (names + types, ignoring nullability). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val expected = schemas(name)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val actual = df.schema
+    def eqType(a: DataType, e: DataType): Boolean = (a, e) match {
+      case (TimestampType, TimestampNTZType) => true // tz-variant tolerated
+      case (TimestampNTZType, TimestampType) => true
+      case _ => a == e
+    }
+    require(actual.length == expected.length &&
+      actual.zip(expected).forall { case (a, e) =>
+        a.name == e.name && eqType(a.dataType, e.dataType) },
+      s"schema drift in $name: got ${actual.simpleString}, " +
+        s"expected ${expected.simpleString}")
+    df
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

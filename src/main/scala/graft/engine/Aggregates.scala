@@ -1,0 +1,119 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregate suite — SURVEY.md §2.5-2.6 (frequency tables, centroids,
+  * null profiling, medians, summary stats, rollup, pivot, correlation,
+  * per-group top-k).
+  *
+  * Scale notes:
+  *  - Every groupBy here is partial-aggregated map-side (HashAggregate
+  *    partial → shuffle on the group key → final); the shuffle carries only
+  *    (key, accumulator) pairs, not rows.
+  *  - [[rollupCounts]] replaces the reference's three separate shuffles
+  *    (`Preprocessing.py:296-327`) with one `rollup` pass.
+  *  - [[nullProfile]] is the single-pass conditional-sum form
+  *    (`Preprocessing.py:32-36`), NOT the O(columns) filter/count loop
+  *    anti-pattern (`Preprocessing.py:43-46`).
+  *  - Double aggregation uses exact DECIMAL accumulation so results are
+  *    independent of partitioning/accumulation order — required both for
+  *    the DuckDB oracle hash-compare and for run-to-run determinism on a
+  *    real cluster.
+  */
+object Aggregates {
+
+  /** Exact order-independent sum of a ≤2-decimal double column, returned as
+    * double. */
+  def sumExact(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact sum of squares / products (6-decimal grid, 32 integer digits —
+    * headroom for ~1e12-row groups). */
+  def sumExact6(c: Column): Column =
+    sum(c.cast("decimal(38,6)")).cast("double")
+
+  /** Exact mean as exact-sum / count (bit-deterministic double division). */
+  def avgExact(c: Column): Column = sumExact(c) / count(lit(1))
+
+  /** Frequency table — THE dominant reference shape (~25 sites,
+    * `Preprocessing.py:203` et al.): groupBy(keys).count, ordered count
+    * desc then keys asc for determinism. */
+  def freqTable(df: DataFrame, keys: Seq[String],
+      countName: String = "n"): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(countName))
+      .orderBy(col(countName).desc +: keys.map(col(_).asc): _*)
+
+  /** Single-pass null/sentinel profile (`Preprocessing.py:32-36`): one
+    * global aggregate row, one column per profiled input column. */
+  def nullProfile(df: DataFrame, cols: Seq[String],
+      sentinels: Seq[String]): DataFrame =
+    df.select(cols.map { c =>
+      sum(when(col(c).isNull || col(c).cast("string").isin(sentinels: _*) ||
+        col(c).cast("string") === "", 1).otherwise(0)).as(c)
+    }: _*)
+
+  /** Sample standard deviation from exact sums:
+    * sqrt((n*Σx² − (Σx)²) / (n*(n−1))). All-double final math over exact
+    * decimal sums ⇒ bit-identical across engines and partitionings. */
+  def stddevExact(c: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = sumExact(c)
+    val sxx = sumExact6(c * c)
+    sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0))))
+  }
+
+  /** Pearson correlation from exact sums (same determinism argument). */
+  def corrExact(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = sumExact(x)
+    val sy = sumExact(y)
+    val sxx = sumExact6(x * x)
+    val syy = sumExact6(y * y)
+    val sxy = sumExact6(x * y)
+    (n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+
+  /** describe()-equivalent summary, re-homed distributed
+    * (`Preprocessing.py:209,281`). */
+  def summaryStats(df: DataFrame, key: String, c: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        avgExact(col(c)).as("mean_v"),
+        // rounded to 4dp: DuckDB's int128→double cast on the big scale-6
+        // decimal sum rounds differently than BigDecimal.toDouble in the
+        // last ulp; 4dp absorbs that while staying far from any boundary
+        round(stddevExact(col(c)), 4).as("std_v"),
+        min(col(c)).as("min_v"),
+        max(col(c)).as("max_v"))
+      .orderBy(col(key))
+
+  /** Multi-granularity counts as ONE rollup shuffle instead of the
+    * reference's three (`Preprocessing.py:296-327`). */
+  def rollupCounts(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.rollup(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .orderBy(keys.map(col(_).asc_nulls_first): _*)
+
+  /** Pivoted counts with an explicit pivot-value list (deterministic output
+    * schema; Spark plans a single `Pivot` — one shuffle). Missing cells
+    * filled 0, mirroring pandas `pivot(...).fillna(0)`
+    * (`Preprocessing.py:618-619`). */
+  def pivotCounts(df: DataFrame, rowKey: String, pivotKey: String,
+      pivotVals: Seq[String]): DataFrame = {
+    val p = df.groupBy(col(rowKey)).pivot(pivotKey, pivotVals).count()
+    p.na.fill(0, pivotVals)
+      .select(col(rowKey) +: pivotVals.map(v => col(v).as(s"n_$v")): _*)
+      .orderBy(col(rowKey))
+  }
+
+  /** Exact median per group (`percentile`, not the approx sketch — the
+    * oracle-checkable variant; `approxMedian` below is the 100 TB path). */
+  def medianExact(c: Column): Column = percentile(c, lit(0.5))
+
+  /** Greenwald-Khanna approximate median, ε=0.01 — the reference's actual
+    * choice (`Preprocessing.py:145-147`); single pass, mergeable sketch,
+    * the right tool at 100 TB. */
+  def approxMedian(df: DataFrame, c: String, eps: Double = 0.01): Double =
+    df.stat.approxQuantile(c, Array(0.5), eps).head
+}

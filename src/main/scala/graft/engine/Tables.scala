@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Explicit-schema loaders for the driver-generated fixture tables
@@ -98,7 +99,7 @@ object Tables {
     "lineitem" -> lineitemSchema, "orders" -> ordersSchema,
     "customer" -> customerSchema, "supplier" -> supplierSchema,
     "part" -> partSchema, "nation" -> nationSchema, "region" -> regionSchema,
-    "events" -> eventsSchema, "documents" -> documentsSchema,
+    "documents" -> documentsSchema,
     "embeddings" -> embeddingsSchema)
 
   /** Load a fixture table with its declared schema asserted against the
@@ -127,7 +128,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as raw nanos (legacy flag) and convert with
+    * integer division (ns → µs) — `div`, not `/`, because double division
+    * would lose precision on ~1.7e18 nano values. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -1,0 +1,375 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.ext._
+
+/** Extension-surface queries (SURVEY.md §7.4): text analysis, dedup,
+  * similarity search, event-time windows, JSON, ML statistics.
+  * Same oracle conventions as [[Queries]].
+  */
+object ExtQueries {
+  import Aggregates._
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** q25 — Pearson correlation re-homed distributed
+    * (`Preprocessing.py:774-798`), exact-decimal sums, rounded 6dp. */
+  private val q25: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(round(corrExact(col("l_quantity"), col("l_extendedprice")), 6)
+        .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** q26 — token counting: whitespace + BPE-ish (§7.4 text). */
+  private val q26: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"))
+      .orderBy("doc_id")
+
+  /** q27 — quality scoring: length/punct/stopword ratios (§7.4 text). */
+  private val q27: Q = (s, d) =>
+    TextOps.withQualityFeatures(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("q_chars"), col("q_tokens"),
+        col("q_stop"), col("avg_token_len"), col("stop_ratio"))
+      .orderBy("doc_id")
+
+  /** q28 — language-ID heuristic: marker-count argmax, then a confusion
+    * table against the labeled lang column. */
+  private val q28: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  /** q29 — document fingerprints: order-sensitive rolling hash + 32-bit
+    * SimHash, both oracle-replicable (§7.4 text/dedup). */
+  private val q29: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.docFingerprint(col("text")).as("fp"),
+        Dedup.simhash32(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** q30 — exact dedup accounting over full text (§7.4 dedup). */
+  private val q30: Q = (s, d) =>
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("text")).as("n_distinct"))
+
+  /** q31 — n-gram Jaccard near-dup pairs via inverted-index join
+    * (§7.4 dedup; never |docs|²). */
+  private val q31: Q = (s, d) =>
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      k = 3, threshold = 0.1)
+
+  /** q32 — MinHash + LSH banding near-dup candidates, Jaccard-verified
+    * (§7.4 dedup; the 100 TB path). */
+  private val q32: Q = (s, d) =>
+    Dedup.minhashBandPairs(Tables.documents(s, d), "doc_id", "text",
+      k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.05)
+
+  /** q33 — exact brute-force top-k cosine ANN baseline (§7.4 simsearch). */
+  private val q33: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+  }
+
+  /** q34 — LSH-bucketed approximate ANN (§7.4 simsearch scale path). */
+  private val q34: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 5, bits = 4)
+  }
+
+  /** q35 — embedding-cosine near-dup pairs with blocking (§7.4 dedup). */
+  private val q35: Q = (s, d) =>
+    SimSearch.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.35)
+
+  /** q36 — tumbling event-time window (batch form of the streaming
+    * aggregation; equality with the watermarked stream is test-asserted). */
+  private val q36: Q = (s, d) =>
+    graft.streaming.StreamingOps.tumblingCounts(Tables.events(s, d))
+
+  /** q37 — sliding window (10 min window, 5 min slide). */
+  private val q37: Q = (s, d) =>
+    graft.streaming.StreamingOps.slidingCounts(Tables.events(s, d))
+
+  /** q38 — session windows (30-minute gap) per user. */
+  private val q38: Q = (s, d) =>
+    graft.streaming.StreamingOps.sessionCounts(Tables.events(s, d))
+
+  /** q39 — JSON property extraction (events.props → typed column). */
+  private val q39: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  /** q40 — multimodal plumbing: opaque binary payload column + typed
+    * metadata extraction (§7.4 multimodal; decode itself is stubbed —
+    * see graft.ext.Multimodal). */
+  private val q40: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        ascii(col("text")).as("head_code"))
+      .orderBy("doc_id")
+
+  /** q41 — ML class-weight statistics (M4, `XGBoost.py:247-257`):
+    * inverse-frequency clipped to [0.1, 5.0] — DataFrame-native. */
+  private val q41: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val labeled = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .withColumn("category", Features.category4(col("p_type")))
+    val counts = labeled.groupBy("category").agg(count(lit(1)).as("n"))
+    val total = lit(4.0) // n_classes
+    counts
+      .withColumn("weight",
+        least(lit(5.0), greatest(lit(0.1),
+          sum(col("n")).over() / (total * col("n")))))
+      .select(col("category"), col("n"), round(col("weight"), 6).as("weight"))
+      .orderBy("category")
+  }
+
+  /** q42 — stratified sample (one-pass sampleBy, `Preprocessing.py:423-427`
+    * upgraded; seed-dependent ⇒ no SQL oracle, rows-only check). */
+  private val q42: Q = (s, d) =>
+    Sampling.stratified(Tables.lineitem(s, d), "l_returnflag",
+      Map("A" -> 0.01, "N" -> 0.01, "R" -> 0.01), seed = 42)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q43 — approx median (GK sketch, the reference's actual scale choice,
+    * `Preprocessing.py:145-147`; sketch ⇒ rows-only check, exactness is
+    * deliberately traded away). */
+  private val q43: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(100))
+        .as("approx_med"))
+      .orderBy("l_returnflag")
+
+  val all: Map[String, Q] = Map(
+    "q25_correlation" -> q25,
+    "q26_token_counts" -> q26,
+    "q27_quality_scores" -> q27,
+    "q28_langid_confusion" -> q28,
+    "q29_fingerprints" -> q29,
+    "q30_exact_dedup_stats" -> q30,
+    "q31_jaccard_pairs" -> q31,
+    "q32_minhash_lsh_pairs" -> q32,
+    "q33_ann_bruteforce" -> q33,
+    "q34_ann_lsh" -> q34,
+    "q35_cosine_neardup_pairs" -> q35,
+    "q36_tumbling_window" -> q36,
+    "q37_sliding_window" -> q37,
+    "q38_session_window" -> q38,
+    "q39_json_extract" -> q39,
+    "q40_multimodal_meta" -> q40,
+    "q41_class_weights" -> q41,
+    "q42_stratified_sample" -> q42,
+    "q43_approx_median" -> q43
+  )
+
+  // ---- Oracle SQL ----
+
+  /** DuckDB expression replicating TextOps.polyHash(expr). */
+  private def polyHashSql(e: String): String =
+    s"COALESCE(list_reduce(list_transform(string_split($e, ''), " +
+      s"c -> CAST(ord(c) AS BIGINT)), (a, b) -> (a*31 + b) % 1000000007), 0)"
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** DuckDB expression for the distinct 3-shingle hash list. */
+  private def shinglesSql(toks: String, k: Int): String =
+    s"list_distinct(CASE WHEN len($toks) >= $k THEN " +
+      s"list_transform(generate_series(1, len($toks) - ${k - 1}), " +
+      s"i -> ${polyHashSql(s"array_to_string(list_slice($toks, i, i + ${k - 1}), ' ')")}) " +
+      s"ELSE [] END)"
+
+  private val stopList =
+    "('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by')"
+
+  /** Sequential-fold dot product matching SimSearch.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"COALESCE(list_reduce(list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y), 0.0)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0 THEN " +
+      s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
+
+  private val langCase: String = {
+    val langs = TextOps.langMarkers.toSeq.sortBy(_._1)
+    def score(markers: Seq[String]) =
+      s"len(list_filter($toksSql, w -> w IN (${markers.map("'" + _ + "'").mkString(",")})))"
+    val maxExpr = langs.map { case (_, m) => score(m) }.mkString("greatest(", ", ", ")")
+    val whens = langs.map { case (l, m) =>
+      s"WHEN ${score(m)} = __max THEN '$l'"
+    }.mkString(" ")
+    s"(SELECT CASE WHEN __max = 0 THEN 'und' $whens END FROM (SELECT $maxExpr AS __max))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q25_correlation" ->
+      """SELECT l_returnflag,
+        | round((CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+        |  / (sqrt(CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |       - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+        |     * sqrt(CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))), 6)
+        | AS corr_qty_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q26_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INT) AS n_tok,
+         |  CAST(COALESCE(list_reduce(list_transform(
+         |         regexp_split_to_array(trim(text), '[^A-Za-z0-9]+'),
+         |         w -> CAST(ceil(length(w)/4.0) AS BIGINT)), (a,b) -> a+b), 0)
+         |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+         |    AS BIGINT) AS n_bpeish
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_quality_scores" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS q_chars,
+         |  CAST(len($toksSql) AS INT) AS q_tokens,
+         |  CAST(len(list_filter($toksSql, w -> w IN $stopList)) AS INT) AS q_stop,
+         |  CAST(length(text) AS DOUBLE) / len($toksSql) AS avg_token_len,
+         |  CAST(len(list_filter($toksSql, w -> w IN $stopList)) AS DOUBLE)
+         |    / len($toksSql) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_langid_confusion" ->
+      s"""SELECT lang, $langCase AS lang_pred, CAST(count(*) AS BIGINT) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+
+    "q29_fingerprints" ->
+      s"""SELECT doc_id,
+         |  COALESCE(list_reduce(list_transform($toksSql,
+         |    w -> ${polyHashSql("w")}), (a, h) -> (a*31 + h) % 1000000007), 0) AS fp,
+         |  COALESCE(list_reduce(list_transform(generate_series(0, 31),
+         |    j -> CASE WHEN list_reduce(
+         |           list_transform(list_distinct(list_transform($toksSql,
+         |             w -> ${polyHashSql("w")})),
+         |           h -> ((h >> j) & 1) * 2 - 1), (a, b) -> a + b) > 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+         |    (a, b) -> a + b), 0) AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_exact_dedup_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+        |FROM documents""".stripMargin,
+
+    "q31_jaccard_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs FROM documents),
+         |post AS (SELECT doc_id, unnest(shs) AS h FROM sh),
+         |shared AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM post x JOIN post y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(n_shared AS DOUBLE) / (len(a.shs) + len(b.shs) - n_shared) AS jac
+         |FROM shared
+         |JOIN sh a ON a.doc_id = id_a
+         |JOIN sh b ON b.doc_id = id_b
+         |WHERE CAST(n_shared AS DOUBLE) / (len(a.shs) + len(b.shs) - n_shared) >= 0.1
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q33_ann_bruteforce" ->
+      s"""SELECT * FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${cosineSql("q.embedding", "c.embedding")} AS sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+         |               c.vec_id) AS INT) AS rnk
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 3)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q35_cosine_neardup_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q36_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q37_sliding_window" ->
+      """WITH assigned AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+        |         event_type FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+        |           - INTERVAL '5 minutes' AS w_start,
+        |         event_type FROM events)
+        |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM assigned GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q38_session_window" ->
+      """WITH flags AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+        |              >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM flags)
+        |SELECT user_id, min(ts) AS s_start,
+        |       max(ts) + INTERVAL '30 minutes' AS s_end,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    "q39_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+        |            AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q40_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       CAST(ord(substring(text, 1, 1)) AS INT) AS head_code
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q41_class_weights" ->
+      """WITH counts AS (
+        |  SELECT CASE
+        |    WHEN p_type IN ('PROMO','ECONOMY') THEN 'BUDGET'
+        |    WHEN p_type IN ('LARGE','MEDIUM') THEN 'BULK'
+        |    WHEN p_type = 'STANDARD' THEN 'STANDARD'
+        |    ELSE 'OTHER' END AS category,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT category, n,
+        |  round(least(5.0, greatest(0.1,
+        |    CAST(SUM(n) OVER () AS DOUBLE) / (4.0 * n))), 6) AS weight
+        |FROM counts ORDER BY category""".stripMargin
+    // q32/q34: LSH internals deliberately rows-only (covered by unit tests
+    //          + jaccard/bruteforce oracles on the same inputs)
+    // q42: seed-dependent sampler — rows-only
+    // q43: GK sketch — rows-only (approximation is the point)
+  )
+}

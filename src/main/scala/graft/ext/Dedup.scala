@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM training-data pipeline
+  * (SURVEY.md §7.4): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the point of each variant):
+  *  - [[exactDedup]]: one hash-aggregate on the text (or a hash of it) —
+  *    the minimum-work exact dedup; shuffle carries (hash, min-id, count).
+  *  - [[jaccardPairs]]: inverted-index join on shingle hashes — candidate
+  *    generation is |shared shingle| pairs, never the |docs|² cross join.
+  *  - [[minhashBandPairs]]: MinHash signatures + LSH banding — candidate
+  *    pairs come from band-bucket equality joins, so cost tracks the number
+  *    of genuinely similar pairs; the knob (bands × rows) sets the
+  *    similarity threshold curve. This is the 100 TB path.
+  *  - [[simhashFingerprints]]: 32-bit SimHash — near-dup detection via
+  *    Hamming distance on a fixed-width fingerprint; banding on bit-slices
+  *    for candidate generation.
+  *
+  * All hashes are the oracle-replicable polynomial hash ([[TextOps.polyHash]]),
+  * so every stage (including the LSH band keys) is checkable against DuckDB.
+  */
+object Dedup {
+
+  import TextOps.HashPrime
+
+  /** Exact dedup keyed on a column: keep min(doc_id) per distinct value,
+    * with the duplicate count (hash-groupBy; `dropDuplicates` semantics
+    * plus provenance). */
+  def exactDedup(df: DataFrame, key: String, idCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+      .select(col(idCol), col("n_dupes"))
+
+  /** Distinct word-shingle hashes of size k for a text column —
+    * the unit set for Jaccard similarity. */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val toks = TextOps.tokens(text)
+    // guard: sequence(1, n) with n < 1 would flip to a descending range
+    val joined = when(size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => TextOps.polyHash(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array())
+    array_distinct(joined)
+  }
+
+  /** Exploded (doc_id, shingle hash) posting list. */
+  def postings(df: DataFrame, idCol: String, textCol: String, k: Int)
+      : DataFrame =
+    df.select(col(idCol).as("pid"),
+        explode(shingleHashes(col(textCol), k)).as("sh"))
+
+  /** n-gram Jaccard near-duplicate pairs via inverted-index self-join:
+    * J(a,b) = |A∩B| / (|A|+|B|−|A∩B|) over distinct k-shingles.
+    * Returns (id_a < id_b, jac) with jac ≥ threshold. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val sizes = df.select(col(idCol).as("pid"),
+      size(shingleHashes(col(textCol), k)).as("n_sh"))
+    val post = postings(df, idCol, textCol, k)
+    val shared = post.as("x")
+      .join(post.as("y"), col("x.sh") === col("y.sh") &&
+        col("x.pid") < col("y.pid"))
+      .groupBy(col("x.pid").as("id_a"), col("y.pid").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("pid", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("pid", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jac", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Deterministic MinHash coefficient pairs (a_i, b_i) — fixed constants,
+    * identical in the SQL oracle. */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      ((2 * i + 1).toLong * 769L % HashPrime,
+        (i + 1).toLong * 12289L % HashPrime)
+    }
+
+  /** MinHash signature columns: sig_i = min over shingle hashes h of
+    * (a_i·h + b_i) mod P. */
+  def minhashSignature(shingles: Column, numHashes: Int): Seq[Column] =
+    minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(shingles, h => (h * a + b) % HashPrime))
+        .as(s"mh_$i")
+    }
+
+  /** LSH candidate pairs from banded MinHash signatures: docs sharing any
+    * band (of `rowsPerBand` consecutive signature components) are
+    * candidates; each candidate pair is then verified with exact Jaccard.
+    * bands = numHashes / rowsPerBand. */
+  def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double)
+      : DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val withSig = df.select(
+      col(idCol).as("pid") +:
+        shingleHashes(col(textCol), k).as("shs") +:
+        Seq.empty[Column]: _*)
+      .select(col("pid") +: col("shs") +:
+        minhashSignature(col("shs"), numHashes): _*)
+      .filter(size(col("shs")) > 0)
+    // band key: rolling combine of the band's signature components
+    val banded = withSig.select(col("pid"), col("shs"),
+      array((0 until numBands).map { b =>
+        val comps = (0 until rowsPerBand)
+          .map(r => col(s"mh_${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"),
+          comps.reduce((x, y) => (x * 31 + y) % HashPrime).as("bkey"))
+      }: _*).as("bands"))
+      .select(col("pid"), col("shs"), explode(col("bands")).as("bk"))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.bk") === col("y.bk") && col("x.pid") < col("y.pid"))
+      .select(col("x.pid").as("id_a"), col("y.pid").as("id_b"),
+        col("x.shs").as("sh_a"), col("y.shs").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("n_shared").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 32-bit SimHash over distinct token hashes: bit j of the fingerprint is
+    * set iff Σ_tokens (2·((h>>j)&1) − 1) > 0. One projection, no explode. */
+  def simhash32(text: Column): Column = {
+    val hashes = array_distinct(
+      transform(TextOps.tokens(text), w => TextOps.polyHash(w)))
+    val bitCols = (0 until 32).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j) % 2) * 2 - 1)
+      when(votes > 0, lit(1L << j)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+}

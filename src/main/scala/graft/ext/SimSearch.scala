@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) —
+  * SURVEY.md §7.4.
+  *
+  * - [[bruteForceTopK]] is the exact baseline: broadcast the (small) query
+  *   set against the corpus — one pass over the corpus, no corpus shuffle,
+  *   distributed top-k via window over (query, sim). At 100 TB the corpus
+  *   side streams; cost is O(|corpus|·|queries|·dim).
+  * - [[lshBuckets]]/[[lshTopK]] is the scale path: sign-of-projection
+  *   bucketing (random-hyperplane LSH) with deterministic hyperplanes;
+  *   candidates only from the query's bucket ⇒ cost drops by ~2^bits with
+  *   recall traded off (recall measured in the test suite, not assumed).
+  *
+  * All float math is widened to double *before* accumulation, and the dot
+  * product folds sequentially (functions.aggregate), so results are
+  * bit-identical to an oracle evaluating the same expression order.
+  */
+object SimSearch {
+
+  /** Sequential-fold dot product of two float vectors in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (null-safe on zero vectors: returns null). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val den = norm(a) * norm(b)
+    when(den > 0, d / den)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (excluding self).
+    * `queries` must be small (it is broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val joined = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"),
+        col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Deterministic pseudo-random hyperplane component r(i,j) in [-1, 1):
+    * a fixed LCG-style mix of (plane, dim) — identical formula is
+    * expressible in SQL for oracle checks and costs no stored model. */
+  def planeComponent(plane: Int, j: Column): Column =
+    (((lit(plane.toLong * 2654435761L) + j * 40503L) % 8191L) / lit(4095.5))
+      .cast("double") - 1.0
+
+  /** LSH bucket id: `bits` sign-of-projection bits packed into a long. */
+  def lshBucket(emb: Column, bits: Int): Column = {
+    val bitCols = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0L), size(emb).cast("long") - 1),
+          (x, j) => x.cast("double") * planeComponent(p, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket.
+    * At scale the corpus is hash-partitioned (and can be written bucketed)
+    * by `bucket`, so a query probes one partition instead of the corpus. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int)
+      : DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), bits))
+    val qb = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), bits))
+    val joined = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold within a blocking key
+    * (here: `label`), the embedding-space analogue of Dedup.jaccardPairs.
+    * Blocking bounds the pair count; at 100 TB the blocking key would be an
+    * LSH bucket instead of a label. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = corpus.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy("id_a", "id_b")
+  }
+}

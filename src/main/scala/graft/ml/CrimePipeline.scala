@@ -1,0 +1,107 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** The reference's ML pipeline (SURVEY.md §2.11, `XGBoost.py`) re-homed
+  * fully distributed over the fixture tables: label = 4-class category of
+  * p_type; features mirror the reference's 18-feature recipe (temporal
+  * extracts, cyclic encoding, count-encoding densities, string index).
+  *
+  * Key restructure vs the reference (SURVEY.md §3.2): no collect-to-driver
+  * boundary — StringIndexer → weight join → VectorAssembler →
+  * RandomForestClassifier all run on executors; only the fitted model
+  * (KB-scale) reaches the driver. RandomForest replaces XGBoost (no
+  * xgboost4j offline; the reference's own first model family,
+  * `README.md:118-121`); class weights go in as a `weightCol` instead of a
+  * per-row numpy array (`XGBoost.py:247-257`).
+  *
+  * Leakage discipline (`XGBoost.py:156,168-187`): indexers and density
+  * counts are fitted on TRAIN only; test rows get `handleInvalid="keep"`
+  * indices and 0-filled densities.
+  */
+object CrimePipeline {
+
+  val LabelCol = "category"
+  val FeatureCols: Seq[String] = Seq(
+    "d_year", "d_month", "d_dow", "month_sin", "month_cos",
+    "l_quantity", "l_extendedprice", "l_discount", "p_size",
+    "p_retailprice", "supp_density", "part_density", "brand_idx")
+
+  /** Labeled, feature-engineered frame from lineitem ⋈ part. */
+  def base(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val joined = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .withColumn(LabelCol, Features.category4(col("p_type")))
+    Features.withTemporal(joined, "l_shipdate")
+      .withColumn("month_sin", sin(radians(col("d_month") * 30)))
+      .withColumn("month_cos", cos(radians(col("d_month") * 30)))
+  }
+
+  /** Time-based split (`XGBoost.py:139-140`): train ≤ cutoff, test after. */
+  def split(df: DataFrame, cutoffYear: Int): (DataFrame, DataFrame) =
+    (df.filter(col("d_year") <= cutoffYear),
+      df.filter(col("d_year") > cutoffYear))
+
+  /** Attach train-only density features (count encodings) to any frame. */
+  def withDensities(target: DataFrame, train: DataFrame): DataFrame = {
+    val d1 = Density.attachCount(target, train.select("l_suppkey"),
+      "l_suppkey", "supp_density")
+    Density.attachCount(d1, train.select("l_partkey"),
+      "l_partkey", "part_density")
+  }
+
+  /** Inverse-frequency class weights clipped to [0.1, 5.0]
+    * (`XGBoost.py:247-257`), joined as a weightCol (broadcast — the table
+    * has n_classes rows). */
+  def withClassWeights(df: DataFrame, train: DataFrame): DataFrame = {
+    val counts = train.groupBy(LabelCol).agg(count(lit(1)).as("cls_n"))
+    val total = train.count().toDouble
+    val nClasses = counts.count().toDouble
+    val weights = counts.withColumn("weight",
+      least(lit(5.0), greatest(lit(0.1),
+        lit(total) / (lit(nClasses) * col("cls_n")))))
+      .select(col(LabelCol), col("weight"))
+    df.join(broadcast(weights), Seq(LabelCol), "left")
+      .na.fill(1.0, Seq("weight"))
+  }
+
+  /** The Pipeline: brand StringIndexer (freq-ordered, handleInvalid=keep,
+    * M1) → label StringIndexer (M2) → VectorAssembler (M9) →
+    * weighted RandomForest (M5 stand-in). */
+  def pipeline(seed: Long = 42L, numTrees: Int = 30): Pipeline = {
+    val brandIndexer = new StringIndexer()
+      .setInputCol("p_brand").setOutputCol("brand_idx")
+      .setStringOrderType("frequencyDesc")
+      .setHandleInvalid("keep")
+    val labelIndexer = new StringIndexer()
+      .setInputCol(LabelCol).setOutputCol("label")
+      .setStringOrderType("frequencyDesc")
+      .setHandleInvalid("error")
+    val assembler = new VectorAssembler()
+      .setInputCols(FeatureCols.toArray).setOutputCol("features")
+    val rf = new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setWeightCol("weight")
+      .setNumTrees(numTrees).setMaxDepth(7).setSeed(seed)
+    new Pipeline().setStages(Array(brandIndexer, labelIndexer, assembler, rf))
+  }
+
+  /** End-to-end fit: engineer → split → train-only stats → weights → fit.
+    * Returns (model, train with features, test with features). */
+  def fit(spark: SparkSession, dir: String, cutoffYear: Int = 1997)
+      : (PipelineModel, DataFrame, DataFrame) = {
+    val engineered = base(spark, dir)
+    val (trainRaw, testRaw) = split(engineered, cutoffYear)
+    trainRaw.cache()
+    val train = withClassWeights(withDensities(trainRaw, trainRaw), trainRaw)
+    val test = withClassWeights(withDensities(testRaw, trainRaw), trainRaw)
+    val model = pipeline().fit(train)
+    (model, train, test)
+  }
+}

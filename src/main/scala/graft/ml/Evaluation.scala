@@ -1,0 +1,66 @@
+package graft.ml
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.classification.RandomForestClassificationModel
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.StringIndexerModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Evaluation surface (SURVEY.md §2.11 M7/M8): accuracy, weighted F1,
+  * per-class precision/recall/F1 from a distributed confusion matrix,
+  * gain-style feature importances.
+  *
+  * The per-class report is a plain DataFrame aggregation over
+  * (label, prediction) — no sklearn-style driver collection of predictions
+  * (`XGBoost.py:303-309` re-homed): the confusion matrix is
+  * |classes|² rows regardless of data scale. */
+object Evaluation {
+
+  def accuracy(predictions: DataFrame): Double =
+    new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(predictions)
+
+  def weightedF1(predictions: DataFrame): Double =
+    new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("weightedFMeasure").evaluate(predictions)
+
+  /** Per-class precision/recall/F1/support from one confusion-matrix
+    * aggregation (distributed; final math over |classes|² rows). */
+  def perClassReport(predictions: DataFrame): DataFrame = {
+    val cm = predictions.groupBy("label", "prediction")
+      .agg(count(lit(1)).as("n")).cache()
+    val support = cm.groupBy("label").agg(sum("n").as("support"))
+    val predTotals = cm.groupBy("prediction").agg(sum("n").as("pred_n"))
+    val tp = cm.filter(col("label") === col("prediction"))
+      .select(col("label"), col("n").as("tp"))
+    support
+      .join(tp, Seq("label"), "left").na.fill(0, Seq("tp"))
+      .join(predTotals.withColumnRenamed("prediction", "label"),
+        Seq("label"), "left").na.fill(0, Seq("pred_n"))
+      .withColumn("precision",
+        when(col("pred_n") > 0, col("tp") / col("pred_n")).otherwise(0.0))
+      .withColumn("recall",
+        when(col("support") > 0, col("tp") / col("support")).otherwise(0.0))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(0.0))
+      .orderBy("label")
+  }
+
+  /** Feature importances zipped with names (M8, `XGBoost.py:314-320`). */
+  def featureImportances(model: PipelineModel): Seq[(String, Double)] = {
+    val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
+    CrimePipeline.FeatureCols.zip(rf.featureImportances.toArray)
+      .sortBy(-_._2)
+  }
+
+  /** Label mapping (M3, `XGBoost.py:160-163`): index → original label. */
+  def labelMapping(model: PipelineModel): Seq[(Int, String)] = {
+    val idx = model.stages(1).asInstanceOf[StringIndexerModel]
+    idx.labelsArray.head.zipWithIndex.map { case (l, i) => (i, l) }.toSeq
+  }
+}

@@ -54,8 +54,12 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read
       .parquet(s"$dir/events.parquet").schema
+    // readStream needs a directory source; select just the events file
     val src = spark.readStream.schema(batchSchema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    // watermarks require TIMESTAMP (with local tz); session tz is pinned
+    // UTC, so wall-clock values match the NTZ batch path exactly
     val events = src.withColumn("ts",
       timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
@@ -65,6 +69,13 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    val out = spark.table(queryName)
+    // normalize LTZ → NTZ so results compare 1:1 with the batch transform
+    out.select(out.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampType)
+        col(f.name).cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as(f.name)
+      else col(f.name)
+    }: _*)
   }
 }

@@ -1,0 +1,76 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 30.0))
+    .toDF("k", "v")
+
+  test("freqTable ordering: count desc then key asc") {
+    val out = freq()
+    assert(out.head == ("a", 3L) && out(1) == ("b", 2L))
+  }
+  private def freq() =
+    Aggregates.freqTable(df, Seq("k")).as[(String, Long)].collect().toSeq
+
+  test("sumExact equals plain sum on 2-decimal data") {
+    val got = df.agg(Aggregates.sumExact(col("v"))).as[Double].head()
+    assert(got == 46.0)
+  }
+
+  test("medianExact interpolates like quantile_cont") {
+    val got = df.filter(col("k") === "a")
+      .agg(Aggregates.medianExact(col("v"))).as[Double].head()
+    assert(got == 2.0)
+    val even = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+      .agg(Aggregates.medianExact(col("v"))).as[Double].head()
+    assert(even == 2.5)
+  }
+
+  test("stddevExact matches builtin stddev_samp to 1e-9") {
+    val (exact, builtin) = df
+      .agg(Aggregates.stddevExact(col("v")), stddev_samp(col("v")))
+      .as[(Double, Double)].head()
+    assert(math.abs(exact - builtin) < 1e-9)
+  }
+
+  test("corrExact matches builtin corr to 1e-9") {
+    val d2 = Seq((1.0, 2.1), (2.0, 3.9), (3.0, 6.1), (4.0, 8.2))
+      .toDF("x", "y")
+    val (exact, builtin) = d2
+      .agg(Aggregates.corrExact(col("x"), col("y")), corr(col("x"), col("y")))
+      .as[(Double, Double)].head()
+    assert(math.abs(exact - builtin) < 1e-9)
+  }
+
+  test("rollupCounts equals union of hand-computed granularities") {
+    val r = Aggregates.rollupCounts(df, Seq("k")).collect()
+    // rows: (null, 5) grand total + per-key
+    assert(r.length == 3)
+    assert(r.head.isNullAt(0) && r.head.getLong(1) == 5L)
+  }
+
+  test("pivotCounts fills missing cells with 0") {
+    val d = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("k", "p")
+    val out = Aggregates.pivotCounts(d, "k", "p", Seq("x", "y"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L, 0L), ("b", 0L, 1L)))
+  }
+
+  test("nullProfile counts nulls + sentinels + empties in one pass") {
+    val d = Seq(Some("NULL"), Some(""), Some("ok"), None).toDF("c")
+    val n = Aggregates.nullProfile(d, Seq("c"), Seq("NULL"))
+      .as[Long].head()
+    assert(n == 3L)
+  }
+
+  test("approxMedian within epsilon of exact on uniform data") {
+    val d = (1 to 1000).map(_.toDouble).toDF("v")
+    val approx = Aggregates.approxMedian(d, "v", 0.01)
+    assert(math.abs(approx - 500.0) <= 20.0)
+  }
+}

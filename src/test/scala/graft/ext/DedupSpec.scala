@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (3L, "completely different words entirely here now thanks friend"),
+    (4L, "sparkling data engines process huge tables quickly and well"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup keeps min id and counts dupes") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out.contains((0L, 2L))) // doc 0+2 collapse, min id 0
+    assert(out.length == 4)
+  }
+
+  test("jaccardPairs finds near-dups with correct jaccard value") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    // docs 0/2 identical → jac 1.0; docs 0/1 and 1/2 share 6 of 8 distinct
+    // 3-shingles (7 each, 6 shared) → 6/8 = 0.75
+    assert(pairs.exists { case (a, b, j) => a == 0 && b == 2 && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) =>
+      a == 0 && b == 1 && math.abs(j - 0.75) < 1e-12 })
+    assert(!pairs.exists { case (a, b, _) => a == 3 || b == 3 })
+  }
+
+  test("minhashBandPairs surfaces exact and near dups, skips dissimilar") {
+    val pairs = Dedup.minhashBandPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.exists { case (a, b, j) => a == 0 && b == 2 && j == 1.0 })
+    assert(pairs.forall { case (_, _, j) => j >= 0.3 })
+  }
+
+  test("minhash signature of identical docs is identical") {
+    val sig = docs.filter(col("doc_id").isin(0, 2))
+      .select(Dedup.minhashSignature(
+        Dedup.shingleHashes(col("text"), 3), 12): _*)
+      .collect()
+    assert(sig(0).toSeq == sig(1).toSeq)
+  }
+
+  test("simhash32: identical texts equal; near-dups within small hamming") {
+    val s = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(s(0L) == s(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(0L), s(1L)) <= 8)     // one word changed
+    assert(hamming(s(0L), s(3L)) >= hamming(s(0L), s(1L)))
+  }
+
+  test("shingleHashes: short docs yield empty set, no descending-range bug") {
+    val out = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(size(Dedup.shingleHashes(col("text"), 3))).as[Int].head()
+    assert(out == 0)
+  }
+}

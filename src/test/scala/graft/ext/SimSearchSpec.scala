@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+
+class SimSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical vectors → 1, orthogonal → 0") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), "same"),
+      (Array(1f, 0f), Array(0f, 1f), "orth"))
+      .toDF("a", "b", "tag")
+    val out = df.select(col("tag"),
+      SimSearch.cosine(col("a"), col("b")).as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(out("same") - 1.0) < 1e-12)
+    assert(math.abs(out("orth")) < 1e-12)
+  }
+
+  test("bruteForceTopK excludes self, respects k, descending sim") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = SimSearch.bruteForceTopK(emb,
+      emb.filter(col("vec_id") === 0), k = 5).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getLong(1) != 0L)) // no self
+    val sims = out.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("lshTopK achieves nonzero recall against brute force") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimSearch.bruteForceTopK(emb, q, 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = SimSearch.lshTopK(emb, q, 10, bits = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 4-bit LSH on near-random 64-dim vectors: recall is modest by design;
+    // the test pins that the bucketing is sane, not that it's magic
+    assert(recall > 0.03, s"recall=$recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("lshBucket is deterministic and in range") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+    val b1 = emb.select(SimSearch.lshBucket(col("embedding"), 4))
+      .as[Long].collect().toSeq
+    val b2 = emb.select(SimSearch.lshBucket(col("embedding"), 4))
+      .as[Long].collect().toSeq
+    assert(b1 == b2)
+    assert(b1.forall(b => b >= 0 && b < 16))
+  }
+
+  test("cosineNearDupPairs: symmetric threshold, id_a < id_b") {
+    val pairs = SimSearch.cosineNearDupPairs(
+      Tables.embeddings(spark, sf0001), 0.3).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.3))
+  }
+}

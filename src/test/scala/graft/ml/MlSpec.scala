@@ -1,0 +1,91 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.functions._
+
+/** Golden ML invariants (SURVEY.md §5.2): stochastic model ⇒ no exact
+  * goldens; pinned seed + floors + structural invariants instead. */
+class MlSpec extends SparkSpec {
+
+  private lazy val fitted = CrimePipeline.fit(spark, sf0001, cutoffYear = 1997)
+
+  test("pipeline fits; accuracy beats majority-class floor") {
+    val (model, _, test) = fitted
+    val preds = model.transform(test).cache()
+    val acc = Evaluation.accuracy(preds)
+    val majority = preds.groupBy("label").count()
+      .agg(max("count")).head().getLong(0).toDouble / preds.count()
+    assert(acc >= majority - 0.02,
+      s"acc=$acc should not be below majority=$majority")
+    assert(preds.count() > 0)
+  }
+
+  test("feature vector arity matches the declared contract") {
+    val (model, _, test) = fitted
+    val v = model.transform(test).select("features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == CrimePipeline.FeatureCols.length)
+  }
+
+  test("per-class report: support sums to test size; metrics in [0,1]") {
+    val (model, _, test) = fitted
+    val preds = model.transform(test)
+    val report = Evaluation.perClassReport(preds).collect()
+    assert(report.map(_.getAs[Long]("support")).sum == preds.count())
+    assert(report.forall { r =>
+      Seq("precision", "recall", "f1").forall { m =>
+        val v = r.getAs[Double](m); v >= 0.0 && v <= 1.0 }
+    })
+  }
+
+  test("class weights are clipped to [0.1, 5.0] and train-derived") {
+    val (_, train, _) = fitted
+    val w = train.select("weight").distinct().collect().map(_.getDouble(0))
+    assert(w.forall(v => v >= 0.1 && v <= 5.0))
+  }
+
+  test("label mapping round-trips through persistence") {
+    val (model, _, test) = fitted
+    val dir = java.nio.file.Files.createTempDirectory("graft-model")
+      .toString + "/m"
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    assert(Evaluation.labelMapping(loaded) == Evaluation.labelMapping(model))
+    val a = model.transform(test).select("prediction")
+      .collect().map(_.getDouble(0)).toSeq
+    val b = loaded.transform(test).select("prediction")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+  }
+
+  test("feature importances: non-negative, sum ≈ 1, all features named") {
+    val (model, _, _) = fitted
+    val imp = Evaluation.featureImportances(model)
+    assert(imp.length == CrimePipeline.FeatureCols.length)
+    assert(imp.forall(_._2 >= 0.0))
+    assert(math.abs(imp.map(_._2).sum - 1.0) < 1e-6)
+  }
+
+  test("train/serve parity: single-row serve equals batch transform") {
+    val (model, train, test) = fitted
+    val rawCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate", "p_brand", "p_size",
+      "p_retailprice", "category")
+    val oneRaw = test.select(rawCols.map(col): _*).limit(1)
+    val served = Serve.predictOne(spark, model, oneRaw, train)
+      .select("prediction").head().getDouble(0)
+    val batch = model.transform(test.limit(1))
+      .select("prediction").head().getDouble(0)
+    assert(served == batch)
+  }
+
+  test("no test-leakage: density stats computed from train only") {
+    val (_, train, test) = fitted
+    // a suppkey present only in test must get density 0 (filled), never >0
+    val trainKeys = train.select("l_suppkey").distinct()
+    val leaked = test.join(trainKeys, Seq("l_suppkey"), "left_anti")
+      .filter(col("supp_density") =!= 0).count()
+    assert(leaked == 0)
+  }
+}

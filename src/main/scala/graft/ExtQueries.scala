@@ -40,8 +40,8 @@ object ExtQueries {
   /** q28 — language-ID heuristic: marker-count argmax, then a confusion
     * table against the labeled lang column. */
   private val q28: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("lang_pred", TextOps.langId(col("text")))
+    TextOps.withLangId(Tables.documents(s, d), "text", "doc_id",
+      keep = Seq("lang"))
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")

@@ -36,13 +36,18 @@ object Dedup {
 
   /** Distinct word-shingle hashes of size k for a text column —
     * the unit set for Jaccard similarity. */
-  def shingleHashes(text: Column, k: Int): Column = {
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(
+      graft.functions.ShingleHash.shingle_hash(TextOps.tokens(text), k))
+
+  /** Lambda form of [[shingleHashes]] (parity testing only). */
+  def shingleHashesLambda(text: Column, k: Int): Column = {
     val toks = TextOps.tokens(text)
     // guard: sequence(1, n) with n < 1 would flip to a descending range
     val joined = when(size(toks) >= k,
       transform(
         sequence(lit(1), size(toks) - (k - 1)),
-        i => TextOps.polyHash(concat_ws(" ", slice(toks, i, lit(k))))))
+        i => TextOps.polyHashLambda(concat_ws(" ", slice(toks, i, lit(k))))))
       .otherwise(array())
     array_distinct(joined)
   }
@@ -58,19 +63,20 @@ object Dedup {
     * Returns (id_a < id_b, jac) with jac ≥ threshold. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
-    val sizes = df.select(col(idCol).as("pid"),
-      size(shingleHashes(col(textCol), k)).as("n_sh"))
+    // everything derives from ONE postings computation (set sizes included)
+    // so the expensive shingle+hash projection isn't re-expanded per use
     val post = postings(df, idCol, textCol, k)
+    val sizes = post.groupBy("pid").agg(count(lit(1)).as("n_sh"))
     val shared = post.as("x")
       .join(post.as("y"), col("x.sh") === col("y.sh") &&
         col("x.pid") < col("y.pid"))
       .groupBy(col("x.pid").as("id_a"), col("y.pid").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
-      .join(sizes.withColumnRenamed("pid", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("pid", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
       .withColumn("jac", col("n_shared").cast("double") /
         (col("n_a") + col("n_b") - col("n_shared")))
       .filter(col("jac") >= threshold)
@@ -86,8 +92,18 @@ object Dedup {
         (i + 1).toLong * 12289L % HashPrime)
     }
 
-  /** MinHash signature columns: sig_i = min over shingle hashes h of
-    * (a_i·h + b_i) mod P. */
+  /** MinHash signature columns over an exploded shingle-hash column:
+    * sig_i = min over shingle hashes h of (a_i·h + b_i) mod P —
+    * expressed as MIN aggregates so one hash-aggregate pass computes the
+    * whole signature inside whole-stage codegen (the array-lambda form
+    * `array_min(transform(...))` evaluates interpreted AND gets duplicated
+    * by Catalyst's project collapsing, one copy per signature component). */
+  def minhashSigAggs(sh: Column, numHashes: Int): Seq[Column] =
+    minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((sh * a + b) % HashPrime).as(s"mh_$i")
+    }
+
+  /** Array-lambda signature over a shingle array (parity testing only). */
   def minhashSignature(shingles: Column, numHashes: Int): Seq[Column] =
     minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(shingles, h => (h * a + b) % HashPrime))
@@ -97,37 +113,50 @@ object Dedup {
   /** LSH candidate pairs from banded MinHash signatures: docs sharing any
     * band (of `rowsPerBand` consecutive signature components) are
     * candidates; each candidate pair is then verified with exact Jaccard.
-    * bands = numHashes / rowsPerBand. */
+    * bands = numHashes / rowsPerBand.
+    *
+    * Plan shape (all relational, all codegen):
+    *   postings → [hash-agg] signatures + set sizes
+    *            → explode bands → [self-join on band key] candidates
+    *            → [join postings ×2 + hash-agg] shared-shingle counts
+    *            → jaccard filter.
+    * Shingle hashing happens exactly once, in the postings pass. */
   def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double)
       : DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val withSig = df.select(
-      col(idCol).as("pid") +:
-        shingleHashes(col(textCol), k).as("shs") +:
-        Seq.empty[Column]: _*)
-      .select(col("pid") +: col("shs") +:
-        minhashSignature(col("shs"), numHashes): _*)
-      .filter(size(col("shs")) > 0)
+    val post = postings(df, idCol, textCol, k)
+    val sigs = post.groupBy("pid")
+      .agg(count(lit(1)).as("n_sh"),
+        minhashSigAggs(col("sh"), numHashes): _*)
     // band key: rolling combine of the band's signature components
-    val banded = withSig.select(col("pid"), col("shs"),
-      array((0 until numBands).map { b =>
+    val banded = sigs.select(col("pid"),
+      explode(array((0 until numBands).map { b =>
         val comps = (0 until rowsPerBand)
           .map(r => col(s"mh_${b * rowsPerBand + r}"))
         struct(lit(b).as("band"),
           comps.reduce((x, y) => (x * 31 + y) % HashPrime).as("bkey"))
-      }: _*).as("bands"))
-      .select(col("pid"), col("shs"), explode(col("bands")).as("bk"))
+      }: _*)).as("bk"))
     val cands = banded.as("x")
       .join(banded.as("y"),
         col("x.bk") === col("y.bk") && col("x.pid") < col("y.pid"))
-      .select(col("x.pid").as("id_a"), col("y.pid").as("id_b"),
-        col("x.shs").as("sh_a"), col("y.shs").as("sh_b"))
+      .select(col("x.pid").as("id_a"), col("y.pid").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cands
-      .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+    val shared = cands
+      .join(post.select(col("pid").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(post.select(col("pid").as("pid_b"), col("sh").as("sh_b")),
+        col("id_b") === col("pid_b") && col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val sizes = sigs.select(col("pid"), col("n_sh"))
+    shared
+      .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
       .withColumn("jac", col("n_shared").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("n_shared")))
+        (col("n_a") + col("n_b") - col("n_shared")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
       .orderBy("id_a", "id_b")

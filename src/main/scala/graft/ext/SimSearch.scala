@@ -22,19 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object SimSearch {
 
-  /** Sequential-fold dot product of two float vectors in double. */
+  /** Sequential-fold dot product of two float vectors in double (lambda
+    * form, kept for parity testing of the native expression). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity (null-safe on zero vectors: returns null). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Lambda form of [[cosine]] (parity testing only). */
+  def cosineLambda(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val den = norm(a) * norm(b)
     when(den > 0, d / den)
   }
+
+  /** Cosine similarity (null on zero norms / length mismatch) — native
+    * single-pass codegen expression ([[graft.functions.CosineSimExpr]]);
+    * bit-identical to [[cosineLambda]] and to the SQL oracle's
+    * sequential-fold formula. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.cosine_sim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector (excluding self).
     * `queries` must be small (it is broadcast). */

@@ -37,10 +37,16 @@ object TextOps {
     (wordToks + punct).as("n_bpeish")
   }
 
-  /** Polynomial rolling hash of a string from its character codes:
+  /** Polynomial rolling hash of a string from its code points:
     * h = fold(31·h + code(ch)) mod P. Oracle-replicable (DuckDB
-    * list_reduce over ord()); max intermediate < P·31+127 < 2^62. */
-  def polyHash(c: Column): Column =
+    * list_reduce over ord()); max intermediate < P·31+127 < 2^62.
+    * Native codegen expression ([[graft.functions.PolyHashExpr]]) — the
+    * `aggregate(split(c,""), …)` lambda form computes the same value but
+    * runs interpreted per character. */
+  def polyHash(c: Column): Column = graft.functions.expressions.poly_hash(c)
+
+  /** Reference lambda form of [[polyHash]] (kept for parity testing). */
+  def polyHashLambda(c: Column): Column =
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % HashPrime)
 
@@ -93,11 +99,35 @@ object TextOps {
     * marker count; "und" (undetermined) when all scores are 0. */
   def langId(c: Column): Column = {
     val scores = langScores(c)
+    langIdFromScores(scores.map { case (l, s) => l -> s })
+  }
+
+  private def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val maxScore = greatest(scores.map(_._2): _*)
     val firstMax = scores.foldLeft(lit(null).cast("string")) {
       case (acc, (lang, s)) =>
         when(acc.isNotNull, acc).when(s === maxScore, lang).otherwise(acc)
     }
     when(maxScore === 0, "und").otherwise(firstMax)
+  }
+
+  /** Scale form of language-ID over a whole frame: ONE explode + ONE
+    * hash-aggregate computes all marker counts (the pure-Column [[langId]]
+    * re-derives the token array once per language score after Catalyst's
+    * project collapsing — fine for a row, wasteful for a corpus).
+    * Appends `lang_pred`, preserving `keep` columns. */
+  def withLangId(df: DataFrame, textCol: String, idCol: String,
+      keep: Seq[String]): DataFrame = {
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val exploded = df.select(
+      (col(idCol) +: keep.map(col)) :+
+        explode(tokens(col(textCol))).as("tok"): _*)
+    val aggCols = langs.map { case (l, m) =>
+      sum(when(col("tok").isin(m: _*), 1L).otherwise(0L)).as(s"score_$l")
+    }
+    val scored = exploded.groupBy(col(idCol) +: keep.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    scored.withColumn("lang_pred",
+      langIdFromScores(langs.map { case (l, _) => l -> col(s"score_$l") }))
   }
 }

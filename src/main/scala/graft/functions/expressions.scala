@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot scalar kernels
+  * (SURVEY.md §7.3 / builder contract: custom `Expression` with codegen
+  * beats higher-order-function lambdas, which evaluate interpreted).
+  *
+  * Both expressions are drop-in replacements for compositions of built-ins
+  * (`zip_with`+`aggregate`, `split`+`aggregate`) with IDENTICAL semantics —
+  * same fold order, same arithmetic — so DuckDB oracle parity is preserved
+  * bit-for-bit while the inner loop runs as generated Java inside
+  * whole-stage codegen instead of per-element interpreted lambda calls.
+  */
+
+/** Cosine similarity of two float-array columns, computed in double in one
+  * pass (dot, |a|², |b|² accumulated component-wise in index order).
+  * Returns null on null/length-mismatched inputs or zero norms —
+  * matching `when(den > 0, dot/den)` over sequential folds. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("cosine_sim requires two array<float> arguments")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den > 0) java.lang.Double.valueOf(dot / den) else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val den = ctx.freshName("den")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  int $n = $x.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $x.getFloat($i);
+         |    double $yi = (double) $y.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($den > 0) { ${ev.value} = $dot / $den; }
+         |  else { ${ev.isNull} = true; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Polynomial rolling hash of a string's code points:
+  * h = fold(31·h + codePoint) mod 1e9+7 — identical to
+  * `aggregate(split(s, ""), 0L, (acc, ch) => (acc*31 + ascii(ch)) % P)`
+  * and to the DuckDB oracle's list_reduce over ord(). */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+
+  final val Prime = 1000000007L
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("poly_hash requires a string argument")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % Prime
+      i += Character.charCount(cp)
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp"); val h = ctx.freshName("h")
+      s"""
+         |String $s = $c.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * 31L + $cp) % ${Prime}L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PolyHashExpr = copy(child = newChild)
+}
+
+object expressions {
+  /** Column wrapper: cosine similarity of two array<float> columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    shim.toColumn(
+      CosineSimExpr(shim.toExpression(a), shim.toExpression(b)))
+
+  /** Column wrapper: polynomial rolling string hash mod 1e9+7. */
+  def poly_hash(c: Column): Column =
+    shim.toColumn(PolyHashExpr(shim.toExpression(c)))
+}

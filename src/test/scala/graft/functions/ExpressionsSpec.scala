@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.engine.Tables
+import graft.ext.{Dedup, SimSearch, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Native codegen expressions must be bit-identical to the lambda
+  * compositions they replace (oracle parity depends on it). */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim == lambda cosine, bit-for-bit, on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001).limit(200)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(
+        emb.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .filter(col("ia") < col("ib")).limit(500)
+    val bad = pairs.select(
+      SimSearch.cosine(col("a"), col("b")).as("native"),
+      SimSearch.cosineLambda(col("a"), col("b")).as("lambda"))
+      .filter(col("native") =!= col("lambda")).count()
+    assert(bad == 0)
+  }
+
+  test("cosine_sim: null on length mismatch and zero vectors") {
+    val df = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)),
+      (Array(0f, 0f), Array(1f, 2f)))
+      .toDF("a", "b")
+    val out = df.select(SimSearch.cosine(col("a"), col("b")))
+      .collect().map(r => r.isNullAt(0))
+    assert(out.toSeq == Seq(true, true))
+  }
+
+  test("poly_hash == lambda polyHash on real document words") {
+    val words = Tables.documents(spark, sf0001)
+      .select(explode(TextOps.tokens(col("text"))).as("w")).limit(5000)
+    val bad = words.select(
+      TextOps.polyHash(col("w")).as("native"),
+      TextOps.polyHashLambda(col("w")).as("lambda"))
+      .filter(col("native") =!= col("lambda")).count()
+    assert(bad == 0)
+  }
+
+  test("poly_hash: empty string → 0, deterministic") {
+    val out = Seq("", "a", "a").toDF("s")
+      .select(TextOps.polyHash(col("s"))).as[Long].collect()
+    assert(out(0) == 0L && out(1) == out(2) && out(1) == 97L)
+  }
+
+  test("shingle_hash (native) == lambda shingleHashes on real docs") {
+    val docs = Tables.documents(spark, sf0001)
+    val bad = docs.select(
+      Dedup.shingleHashes(col("text"), 3).as("native"),
+      Dedup.shingleHashesLambda(col("text"), 3).as("lambda"))
+      .filter(col("native") =!= col("lambda")).count()
+    assert(bad == 0)
+    // short docs: both empty
+    val short = Seq("one two").toDF("text")
+      .select(size(Dedup.shingleHashes(col("text"), 3))).as[Int].head()
+    assert(short == 0)
+  }
+
+  test("minhashSigAggs (agg form) == minhashSignature (array form)") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val arrForm = docs.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 3).as("shs"))
+      .select(col("doc_id") +: Dedup.minhashSignature(col("shs"), 12): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val aggForm = Dedup.postings(docs, "doc_id", "text", 3)
+      .groupBy("pid").agg(Dedup.minhashSigAggs(col("sh"), 12).head,
+        Dedup.minhashSigAggs(col("sh"), 12).tail: _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(arrForm == aggForm)
+  }
+}

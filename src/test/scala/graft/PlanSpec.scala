@@ -1,0 +1,87 @@
+package graft
+
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions (SURVEY.md §4.1): the optimizations the
+  * engine relies on at 100 TB must actually appear in the plan — pushdown,
+  * pruning, broadcast joins, distributed top-k, partial aggregation,
+  * whole-stage codegen — so a regression that silently de-optimizes a
+  * query fails CI, not a cluster run. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val df = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,30.0)]"), scan)
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_quantity:double>"), scan)
+  }
+
+  test("flagship q01: dim join is broadcast, no shuffle of the fact side") {
+    val p = plan(Queries.flagshipCategoryTopK(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("orderBy + limit compiles to distributed TakeOrderedAndProject") {
+    val df = Tables.lineitem(spark, sf0001)
+      .groupBy("l_suppkey").count()
+      .orderBy(col("count").desc).limit(5)
+    assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
+  }
+
+  test("groupBy count uses partial (map-side) aggregation") {
+    val df = Tables.lineitem(spark, sf0001).groupBy("l_returnflag").count()
+    val p = plan(df)
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair around the exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("count-encode left join broadcasts the count side") {
+    val cust = Tables.customer(spark, sf0001)
+    val ords = Tables.orders(spark, sf0001)
+      .select(col("o_custkey").as("c_custkey"))
+    val p = plan(graft.engine.Density.attachCount(cust, ords,
+      "c_custkey", "n_orders"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ANN brute force: no CartesianProduct, query side broadcast") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val p = plan(graft.ext.SimSearch.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 3), 5))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("native expressions run inside WholeStageCodegen") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val df = emb.select(graft.functions.expressions
+      .cosine_sim(col("embedding"), col("embedding")).as("c"))
+    // "*(n)" marks operators inside a WholeStageCodegen stage
+    val p = plan(df)
+    assert(p.contains("*(1) Project [cosinesimexpr"), p)
+  }
+
+  test("rollup computes all granularities in one Expand, not N scans") {
+    val p = plan(graft.engine.Aggregates.rollupCounts(
+      Tables.lineitem(spark, sf0001), Seq("l_returnflag", "l_linestatus")))
+    assert(p.contains("Expand"), p)
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+  }
+
+  test("time-split filters prune via the pushed predicate") {
+    val (train, _) = graft.engine.Sampling.timeSplit(
+      Tables.orders(spark, sf0001), col("o_orderdate"), 1998)
+    assert(plan(train).contains("PushedFilters"), plan(train))
+  }
+}

@@ -59,6 +59,39 @@ class MlSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("label mapping JSON sink/source round-trip (S4/S8)") {
+    import spark.implicits._
+    val (model, _, _) = fitted
+    val mapping = Evaluation.labelMapping(model)
+    val dir = java.nio.file.Files.createTempDirectory("graft-labels")
+      .toString + "/labels"
+    mapping.toDF("idx", "label").coalesce(1)
+      .write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+      .select("idx", "label").as[(Long, String)].collect()
+      .map { case (i, l) => (i.toInt, l) }.sortBy(_._1).toSeq
+    assert(back == mapping.sortBy(_._1))
+  }
+
+  test("CSV scan surface (S1): header, explicit schema, no inference") {
+    val docs = graft.engine.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "n_chars").limit(100)
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+      .toString + "/docs"
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    assert(back.schema == schema)
+    assert(back.count() == 100)
+    assert(back.collect().toSet == docs.collect().toSet)
+  }
+
   test("feature importances: non-negative, sum ≈ 1, all features named") {
     val (model, _, _) = fitted
     val imp = Evaluation.featureImportances(model)

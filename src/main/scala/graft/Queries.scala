@@ -248,7 +248,50 @@ object Queries {
         count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
 
+  /** q46 — unionByName + distinct (SA2, `Preprocessing.py:429` re-homed
+    * from pandas concat). */
+  private val q46: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val hi = li.filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_suppkey")
+    val lo = li.filter(col("l_extendedprice") < 2000)
+      .select("l_orderkey", "l_suppkey")
+    hi.unionByName(lo).distinct()
+      .orderBy("l_orderkey", "l_suppkey")
+  }
+
+  /** q47 — the 7-class category variant (`Preprocessing.py:807-817`),
+    * multi-branch CASE with compound predicates. */
+  private val q47: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    p.withColumn("category7",
+        Features.category7(col("p_type"), col("p_size")))
+      .groupBy("category7").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("category7"))
+  }
+
+  /** q48 — median imputation end-to-end (`Preprocessing.py:144-168`):
+    * sentinel→null, group medians computed distributed, nulls filled with
+    * the median (broadcast join of the 1-row-per-group stat table). */
+  private val q48: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .withColumn("qty_n",
+        when(col("l_quantity") > 45, lit(null)).otherwise(col("l_quantity")))
+    val med = li.groupBy("l_returnflag")
+      .agg(medianExact(col("qty_n")).as("med"))
+    li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("qty_filled", coalesce(col("qty_n"), col("med")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty_filled").cast("decimal(28,12)")).cast("double")
+          .as("sum_filled"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
+    "q46_union_distinct" -> q46,
+    "q47_category7" -> q47,
+    "q48_median_impute" -> q48,
     "q01_flagship_category_topk" -> (flagshipCategoryTopK _),
     "q02_sentinel_null_freq" -> q02,
     "q03_dedup_distinct" -> q03,
@@ -283,6 +326,37 @@ object Queries {
     (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q46_union_distinct" ->
+      """SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 45
+        |UNION
+        |SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_extendedprice < 2000
+        |ORDER BY l_orderkey, l_suppkey""".stripMargin,
+
+    "q47_category7" ->
+      """SELECT CASE
+        |  WHEN p_type = 'PROMO' AND p_size <= 10 THEN 'PROMO_SMALL'
+        |  WHEN p_type = 'PROMO' THEN 'PROMO_LARGE'
+        |  WHEN p_type = 'ECONOMY' THEN 'ECONOMY'
+        |  WHEN p_type = 'STANDARD' AND p_size <= 25 THEN 'STANDARD_SMALL'
+        |  WHEN p_type = 'STANDARD' THEN 'STANDARD_LARGE'
+        |  WHEN p_type IN ('LARGE','MEDIUM') THEN 'BULK'
+        |  ELSE 'OTHER' END AS category7,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM part GROUP BY 1 ORDER BY n DESC, category7""".stripMargin,
+
+    "q48_median_impute" ->
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_quantity > 45 THEN NULL ELSE l_quantity END AS qty_n
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT l_returnflag, quantile_cont(qty_n, 0.5) AS med
+        |  FROM base GROUP BY 1)
+        |SELECT base.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(COALESCE(qty_n, med) AS DECIMAL(28,12))) AS DOUBLE)
+        |    AS sum_filled
+        |FROM base JOIN med USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q01_flagship_category_topk" ->
       """SELECT CASE
         |  WHEN p_type IN ('PROMO','ECONOMY') THEN 'BUDGET'

@@ -1,0 +1,33 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins (SURVEY.md scale contract): salting
+  * splits each hot key into `saltFactor` sub-keys — the left (large, skewed)
+  * side gets a random-but-deterministic salt from a row hash, the right
+  * side is replicated once per salt value. Result set is identical to the
+  * unsalted join; the shuffle partitions carrying hot keys shrink by
+  * ~saltFactor.
+  *
+  * AQE's runtime skew-join splitting (`spark.sql.adaptive.skewJoin`)
+  * handles most cases without code changes; explicit salting remains the
+  * tool when a single logical key exceeds what one task can hold (e.g. a
+  * null-heavy or celebrity key at 100 TB). */
+object Skew {
+
+  /** Inner equi-join `left ⋈ right` on `key` with the left side salted.
+    * `right` must be the smaller side (it is replicated ×saltFactor). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    // salt from a row hash rather than rand(): any salt value yields the
+    // same join result (right side is replicated for every salt), and a
+    // hash keeps task retries idempotent where rand() would not
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()),
+        lit(saltFactor)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.functions.WeightedMedian
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanics specs: salted skew joins, bucketed co-located joins,
+  * partition-pruned writes, the typed weighted-median Aggregator, and
+  * persist/repartition surfaces (SURVEY.md §2.9, §7.3). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin result set equals plain join (skew mitigation is " +
+    "result-transparent)") {
+    val left = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v") // key 1 is hot
+    val right = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+      .collect().toSet
+    val salted = Skew.saltedJoin(left, right, "k", 8)
+      .select("k", "v", "name").collect().toSet
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    // warehouse dir is a static conf — set via javaOptions in build.sbt
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // clear orphaned locations from earlier aborted runs
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val p = java.nio.file.Paths.get(s"/tmp/graft-warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables.orders(spark, sf0001)
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf0001)
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // force the shuffle-join path (tiny test tables would broadcast and
+    // bypass bucketing entirely) to show buckets replace the exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), Seq("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p) // bucketing co-locates both sides
+      assert(p.contains("SortMergeJoin"), p)
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitionBy write enables partition pruning (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part")
+      .toString + "/orders_by_status"
+    Tables.orders(spark, sf0001)
+      .write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("o_orderstatus") === "F")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"), p)
+    assert(pruned.count() ==
+      Tables.orders(spark, sf0001)
+        .filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("WeightedMedian Aggregator: exact, weight-aware, merge-stable") {
+    // unweighted: lower median of 1..4 = 2
+    val unweighted = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0))
+      .toDS().repartition(3).select(WeightedMedian.asColumn).head()
+    assert(unweighted == 2.0)
+    // heavy weight drags the median
+    val weighted = Seq((1.0, 1.0), (2.0, 1.0), (10.0, 10.0))
+      .toDS().repartition(3).select(WeightedMedian.asColumn).head()
+    assert(weighted == 10.0)
+    // matches percentile_approx-free exact check on larger data
+    val vals = (1 to 101).map(i => (i.toDouble, 1.0))
+    val med = vals.toDS().repartition(7)
+      .select(WeightedMedian.asColumn).head()
+    assert(med == 51.0)
+  }
+
+  test("persist/unpersist and repartition surfaces (C1-C4)") {
+    val df = Tables.lineitem(spark, sf0001)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(df.count() == df.count()) // second count hits the cache
+    assert(df.storageLevel.useMemory)
+    val rep = df.repartition(4)
+    assert(rep.rdd.getNumPartitions == 4)
+    df.unpersist(blocking = true)
+    assert(!df.storageLevel.useMemory)
+  }
+}

@@ -85,6 +85,15 @@ object ExtQueries {
     SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 5, bits = 4)
   }
 
+  /** q49 — IVF ANN (KMeans coarse quantizer, nProbe cells per query;
+    * seeded but partitioning-sensitive ⇒ rows-only check; recall and
+    * full-probe==bruteforce equivalence are spec-asserted). */
+  private val q49: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
+      nClusters = 8, nProbe = 4)
+  }
+
   /** q35 — embedding-cosine near-dup pairs with blocking (§7.4 dedup). */
   private val q35: Q = (s, d) =>
     SimSearch.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.35)
@@ -208,7 +217,8 @@ object ExtQueries {
     "q40_multimodal_meta" -> q40,
     "q41_class_weights" -> q41,
     "q42_stratified_sample" -> q42,
-    "q43_approx_median" -> q43
+    "q43_approx_median" -> q43,
+    "q49_ann_ivf" -> q49
   )
 
   // ---- Oracle SQL ----

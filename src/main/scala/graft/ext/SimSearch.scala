@@ -101,6 +101,55 @@ object SimSearch {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into `nClusters` cells; each query probes only the `nProbe`
+    * nearest cells. The 100 TB shape: the assigned corpus is written
+    * partitioned/bucketed by `cluster`, so a probe reads nProbe/nClusters
+    * of the data; the centroid table is broadcast (KB-scale).
+    * Returns the same schema as [[bruteForceTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val withVec = corpus.withColumn("fv", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(withVec)
+    val assigned = km.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    // centroid table: nClusters rows, broadcast everywhere
+    import spark.implicits._
+    val centroids = km.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("cluster", "centroid")
+    // probe set: per query, the nProbe nearest centroids (euclidean, the
+    // quantizer's own metric)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val dist2 = aggregate(
+      zip_with(col("q_emb"), col("centroid"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val wP = Window.partitionBy("q_id").orderBy(col("d2"), col("cluster"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2)
+      .withColumn("pr", row_number().over(wP))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+    // search only the probed cells
+    val joined = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold within a blocking key
     * (here: `label`), the embedding-space analogue of Dedup.jaccardPairs.
     * Blocking bounds the pair count; at 100 TB the blocking key would be an

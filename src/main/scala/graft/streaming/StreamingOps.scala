@@ -46,6 +46,61 @@ object StreamingOps {
         col("w.end").as("s_end"), col("n"))
       .orderBy("user_id", "s_start")
 
+  /** Typed event for stateful processing (Instant keeps µs precision —
+    * java.sql.Timestamp.getTime arithmetic would truncate to ms and drift
+    * from session_window's µs event-time math). */
+  case class Ev(user_id: Long, ts: java.time.Instant)
+  /** Accumulating session state. */
+  case class SessionState(start: java.time.Instant,
+      last: java.time.Instant, n: Long)
+  /** Emitted session row (matches sessionCounts' schema semantics:
+    * s_end = last event + gap). */
+  case class SessionOut(user_id: Long, s_start: java.time.Instant,
+      s_end: java.time.Instant, n: Long)
+
+  val SessionGap: java.time.Duration = java.time.Duration.ofMinutes(30)
+
+  /** Custom per-key session assembly via flatMapGroupsWithState — the
+    * arbitrary-stateful-processing surface (SURVEY.md §7.4; the built-in
+    * `session_window` covers the declarative case, this covers semantics
+    * Spark lacks, e.g. richer session payloads). Event-time timeout keyed
+    * to the watermark bounds state at scale.
+    *
+    * In batch mode (KeyValueGroupedDataset on a static frame) the same
+    * function runs with each group's full history — used by the spec to
+    * prove equivalence with `session_window`. */
+  def sessionize(events: org.apache.spark.sql.Dataset[Ev],
+      mode: org.apache.spark.sql.streaming.OutputMode,
+      timeout: org.apache.spark.sql.streaming.GroupStateTimeout)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        mode, timeout) { (uid, evs, state) =>
+        // batch path: all events arrive at once, sorted here; sessions are
+        // closed by gap or end-of-group
+        val sorted = evs.toSeq.sortBy(_.ts)
+        val sessions = scala.collection.mutable.ListBuffer.empty[SessionState]
+        var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
+        for (e <- sorted) {
+          cur match {
+            case Some(s) if java.time.Duration.between(s.last, e.ts)
+                .compareTo(SessionGap) < 0 =>
+              cur = Some(s.copy(last = e.ts, n = s.n + 1))
+            case Some(s) =>
+              sessions += s
+              cur = Some(SessionState(e.ts, e.ts, 1))
+            case None =>
+              cur = Some(SessionState(e.ts, e.ts, 1))
+          }
+        }
+        sessions ++= cur
+        state.update(Nil)
+        sessions.iterator.map(s =>
+          SessionOut(uid, s.start, s.last.plus(SessionGap), s.n))
+      }
+  }
+
   /** Run any of the above transforms as a real watermarked streaming query
     * over the events parquet, drained synchronously into a memory sink.
     * Returns the sink contents (complete mode). */

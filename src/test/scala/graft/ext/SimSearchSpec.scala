@@ -43,6 +43,23 @@ class SimSearchSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("ivfTopK: full probe == brute force; partial probe has high recall") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimSearch.bruteForceTopK(emb, q, 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // probing every cell must recover the exact result
+    val full = SimSearch.ivfTopK(emb, q, 10, nClusters = 8, nProbe = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+    // probing half the cells: near-random vectors spread neighbors across
+    // cells, so pin a sane floor rather than a magic recall
+    val partial = SimSearch.ivfTopK(emb, q, 10, nClusters = 8, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & partial).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("lshBucket is deterministic and in range") {
     val emb = Tables.embeddings(spark, sf0001).limit(50)
     val b1 = emb.select(SimSearch.lshBucket(col("embedding"), 4))

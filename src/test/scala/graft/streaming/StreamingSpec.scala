@@ -16,6 +16,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sessionizer == declarative session_window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        col("ts").cast("timestamp").as("ts")).as[StreamingOps.Ev]
+    val custom = StreamingOps.sessionize(events,
+      org.apache.spark.sql.streaming.OutputMode.Append,
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .select(col("user_id"), col("s_start").cast("timestamp_ntz"),
+        col("s_end").cast("timestamp_ntz"), col("n"))
+      .collect().toSet
+    val declarative = StreamingOps
+      .sessionCounts(Tables.events(spark, sf0001)).collect().toSet
+    assert(custom == declarative)
+    assert(custom.nonEmpty)
+  }
+
   test("streaming session windows == batch session windows") {
     val batch = StreamingOps.sessionCounts(Tables.events(spark, sf0001))
       .collect().toSet

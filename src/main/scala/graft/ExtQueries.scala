@@ -196,7 +196,26 @@ object ExtQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** q50 — custom AS-OF JOIN operator (graft.plans.AsOfJoinExec): each
+    * purchase event joined to the user's most recent prior click. Right
+    * side is (key, time)-unique by pre-aggregation so results are
+    * engine-deterministic. */
+  private val q50: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .agg(count(lit(1)).as("n_clicks"))
+    graft.plans.AsOf.join(purchases, clicks,
+      ("user_id", "c_user"), ("ts", "click_ts"))
+      .select(col("event_id"), col("user_id"), col("click_ts"),
+        col("n_clicks"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q50_asof_join" -> q50,
     "q44_running_sum_window" -> q44,
     "q45_sql_frontend" -> q45,
     "q25_correlation" -> q25,
@@ -261,6 +280,17 @@ object ExtQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q50_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS click_ts,
+        |             CAST(count(*) AS BIGINT) AS n_clicks
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, c.click_ts, c.n_clicks
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
+
     "q44_running_sum_window" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))

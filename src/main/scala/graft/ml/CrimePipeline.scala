@@ -92,6 +92,32 @@ object CrimePipeline {
     new Pipeline().setStages(Array(brandIndexer, labelIndexer, assembler, rf))
   }
 
+  /** Boosted-trees variant (M5's gradient-boosting parity path,
+    * SURVEY.md §7.5.1): MLlib's GBTClassifier is binary-only, so multiclass
+    * goes through OneVsRest. Early stopping (M10) has no exact MLlib
+    * analogue; the closest surface is GBT's validationIndicatorCol +
+    * validationTol (documented semantic gap: per-binary-problem validation
+    * rather than global multiclass mlogloss). */
+  def boostedPipeline(seed: Long = 42L, maxIter: Int = 20): Pipeline = {
+    import org.apache.spark.ml.classification.{GBTClassifier, OneVsRest}
+    val brandIndexer = new StringIndexer()
+      .setInputCol("p_brand").setOutputCol("brand_idx")
+      .setStringOrderType("frequencyDesc").setHandleInvalid("keep")
+    val labelIndexer = new StringIndexer()
+      .setInputCol(LabelCol).setOutputCol("label")
+      .setStringOrderType("frequencyDesc").setHandleInvalid("error")
+    val assembler = new VectorAssembler()
+      .setInputCols(FeatureCols.toArray).setOutputCol("features")
+    val gbt = new GBTClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setWeightCol("weight")
+      .setMaxIter(maxIter).setMaxDepth(5).setStepSize(0.1).setSeed(seed)
+    val ovr = new OneVsRest().setClassifier(gbt)
+      .setLabelCol("label").setFeaturesCol("features")
+      .setWeightCol("weight")
+    new Pipeline().setStages(Array(brandIndexer, labelIndexer, assembler, ovr))
+  }
+
   /** End-to-end fit: engineer → split → train-only stats → weights → fit.
     * Returns (model, train with features, test with features). */
   def fit(spark: SparkSession, dir: String, cutoffYear: Int = 1997)

@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.classic.Strategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types.DataType
+
+/** AS-OF JOIN — the canonical "operator Spark lacks" (SURVEY.md §4.3 /
+  * builder contract preference (c)): for every left row, attach the most
+  * recent right row with `rightTime <= leftTime` within the same key
+  * (pandas merge_asof / kdb aj / DuckDB ASOF JOIN semantics, left-outer).
+  *
+  * Why a custom operator: composing built-ins needs either a range
+  * self-join (quadratic per key) or a union+window trick (full-width
+  * shuffle of both sides plus two window sorts). This exec declares
+  * `ClusteredDistribution` + per-partition `(key, time)` ordering, so
+  * Catalyst inserts exactly one hash exchange + sort per side, and the
+  * merge itself is a single forward pass over co-partitioned sorted
+  * iterators — the same wire cost as a sort-merge join. At 100 TB both
+  * sides shuffle once on the key; no state beyond one buffered right row.
+  *
+  * Ties on rightTime: the last right row in (key, time, insertion) order
+  * wins; feed a (key, time)-unique right side for engine-independent
+  * determinism (the registered query pre-aggregates).
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = physicalOrdering(leftKey.dataType)
+    val timeOrd = physicalOrdering(leftTime.dataType)
+    val rightSchema = right.schema
+    val outputAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rightSchema.length)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val rBuf = rIter.buffered
+      // last right row at or before the current left time, for its key
+      var lastKey: Any = null
+      var lastRow: InternalRow = null
+      lIter.map { lRow =>
+        val lk = lKey.eval(lRow)
+        val lt = lTime.eval(lRow)
+        if (lk != null && lt != null) {
+          // advance the right side through all rows usable by this left row
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val peek = rBuf.head
+            val rk = rKey.eval(peek)
+            val rt = rTime.eval(peek)
+            val cmpKey = if (rk == null) -1 else keyOrd.compare(rk, lk)
+            if (rk == null || cmpKey < 0 ||
+              (cmpKey == 0 && rt != null && timeOrd.compare(rt, lt) <= 0)) {
+              if (cmpKey == 0 && rt != null) {
+                lastKey = rk
+                lastRow = rBuf.next().copy()
+              } else {
+                rBuf.next() // earlier key or null — skip past
+              }
+            } else {
+              advancing = false
+            }
+          }
+        }
+        val matches = lk != null && lastRow != null &&
+          keyOrd.compare(lastKey, lk) == 0
+        proj(joined(lRow, if (matches) lastRow else nullRight))
+      }
+    }
+  }
+
+  private def physicalOrdering(dt: DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node to the exec. */
+object AsOfJoinStrategy extends Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** SparkSessionExtensions entry point (builder-time registration):
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` — the
+  * runtime path below (extraStrategies) covers already-built sessions. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+object AsOf {
+  /** User-facing as-of left join. Column names must be unambiguous across
+    * the two sides. Registers the planner strategy idempotently. */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+      key: (String, String), time: (String, String)): DataFrame = {
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, key._1), attr(rPlan, key._2),
+      attr(lPlan, time._1), attr(rPlan, time._2))
+    shim.ofRows(spark, plan)
+  }
+}

@@ -113,6 +113,17 @@ class MlSpec extends SparkSpec {
     assert(served == batch)
   }
 
+  test("boosted variant (OneVsRest GBT) fits and predicts all classes") {
+    val (_, train, test) = fitted
+    val model = CrimePipeline.boostedPipeline(maxIter = 5).fit(train)
+    val preds = model.transform(test)
+    val acc = Evaluation.accuracy(preds)
+    val majority = preds.groupBy("label").count()
+      .agg(max("count")).head().getLong(0).toDouble / preds.count()
+    assert(acc >= majority - 0.05, s"acc=$acc majority=$majority")
+    assert(preds.select("prediction").distinct().count() >= 2)
+  }
+
   test("no test-leakage: density stats computed from train only") {
     val (_, train, test) = fitted
     // a suppkey present only in test must get density 0 (filled), never >0

@@ -1,0 +1,74 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.engine.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of semantics: latest right row with time <= left time, per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
+      (2L, 10L, "d"), (3L, 10L, "e"))
+      .toDF("k", "t", "tag").repartition(5) // scrambled on purpose
+    val right = Seq((1L, 4L, "r4"), (1L, 10L, "r10"), (1L, 15L, "r15"),
+      (2L, 11L, "r11"))
+      .toDF("k", "rt", "rv").repartition(3)
+    val out = AsOf.join(left, right, ("k", "k"), ("t", "rt"))
+      .select("tag", "rv").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(
+      "a" -> Some("r10"),  // t=10: right at 10 (ties included)
+      "b" -> Some("r15"),  // t=20: latest ≤ 20
+      "c" -> Some("r4"),   // t=5: only r4 qualifies
+      "d" -> None,         // k=2: right row is at 11 > 10
+      "e" -> None))        // k=3: no right rows
+  }
+
+  test("equivalent to the composed window formulation on real events") {
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val got = AsOf.join(purchases, clicks,
+      ("user_id", "c_user"), ("ts", "click_ts"))
+      .select(col("event_id"), col("click_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // reference formulation: join all prior clicks, keep the latest
+    val w = Window.partitionBy("event_id").orderBy(col("click_ts").desc)
+    val expected = purchases
+      .join(clicks, col("user_id") === col("c_user") &&
+        col("click_ts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("click_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got.size == purchases.count())
+    assert(got == expected)
+    assert(got.values.exists(_.isDefined))
+  }
+
+  test("plan: AsOfJoinExec with one exchange + sort per side") {
+    val ev = Tables.events(spark, sf0001)
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = AsOf.join(l, r, ("user_id", "cu"), ("ts", "cts"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), p) // exec prints as nodeName "AsOfJoin"
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert("Sort \\[".r.findAllIn(p).length == 2, p)
+  }
+
+  test("builder-time extension registration works (GraftExtensions)") {
+    val ext = new GraftExtensions
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    ext(e) // must not throw; strategy injection is exercised via AsOf.join
+    assert(true)
+  }
+}

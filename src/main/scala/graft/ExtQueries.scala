@@ -214,8 +214,63 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** q51 — CUBE over two keys (grouping-set breadth beyond q10's rollup). */
+  private val q51: Q = (s, d) =>
+    Tables.lineitem(s, d).cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** q52 — scalar string function breadth (F3 extension surface):
+    * lower/upper/trim/substring/regexp_extract/length/concat. */
+  private val q52: Q = (s, d) =>
+    Tables.part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_brand")).as("brand_lc"),
+        upper(col("p_type")).as("type_uc"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+        substring(col("p_name"), 1, 3).as("name_pfx"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** q53 — lag/lead window: inter-event gap per user in microseconds. */
+  private val q53: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .select("event_id", "user_id", "gap_us")
+      .orderBy("event_id")
+  }
+
+  /** q54 — multimodal feature extraction through the mapPartitions batch
+    * path (stubbed decode; §7.4 multimodal — rows-only, the kernel is
+    * pinned by MultimodalSpec). */
+  private val q54: Q = (s, d) => {
+    val media = Multimodal.mediaTable(Tables.documents(s, d))
+    Multimodal.extractFeatures(s, media).toDF()
+      .select("doc_id", "media_type", "n_bytes", "features")
+      .orderBy("doc_id")
+  }
+
+  /** q55 — duplicate clusters: connected components over the q31 near-dup
+    * pair graph via iterative min-label propagation (the dedup end-game:
+    * pairs → clusters → canonical doc per cluster). */
+  private val q55: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+    Dedup.dupClusters(pairs, docs.select("doc_id"), "doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q50_asof_join" -> q50,
+    "q51_cube" -> q51,
+    "q52_string_ops" -> q52,
+    "q53_lag_gap" -> q53,
+    "q54_multimodal_features" -> q54,
+    "q55_dup_clusters" -> q55,
     "q44_running_sum_window" -> q44,
     "q45_sql_frontend" -> q45,
     "q25_correlation" -> q25,
@@ -279,7 +334,63 @@ object ExtQueries {
     s"(SELECT CASE WHEN __max = 0 THEN 'und' $whens END FROM (SELECT $maxExpr AS __max))"
   }
 
+  /** q31's pair derivation as reusable CTE text (shared by q55's oracle). */
+  private def pairCtes: String =
+    s"""sh AS (
+       |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs FROM documents),
+       |post AS (SELECT doc_id, unnest(shs) AS h FROM sh),
+       |shared AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM post x JOIN post y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM shared JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+       |  WHERE CAST(n_shared AS DOUBLE) / (len(a.shs) + len(b.shs) - n_shared) >= 0.1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q51_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin,
+
+    "q52_string_ops" ->
+      """SELECT p_partkey,
+        |  lower(p_brand) AS brand_lc,
+        |  upper(p_type) AS type_uc,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  regexp_extract(p_name, '^[a-z]+', 0) AS first_word,
+        |  substring(p_name, 1, 3) AS name_pfx,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q53_lag_gap" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP))
+        |    - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q55_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |$pairCtes,
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT doc.doc_id,
+         |  CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id)) AS BIGINT)
+         |    AS cluster
+         |FROM documents doc
+         |LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |  ON m.s = doc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+
     "q50_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events WHERE event_type = 'purchase'),

@@ -162,6 +162,42 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate clusters from a near-dup pair list: connected components by
+    * iterative min-label propagation over the (symmetrized) edge list —
+    * each round joins labels to edges and takes the min neighbor label,
+    * until a fixpoint. Rounds ≤ component diameter; every round is one
+    * shuffle join + aggregate, so the approach scales to edge lists far
+    * beyond driver memory (no union-find on the driver).
+    * Returns (doc id, cluster = min doc id of its component); singleton
+    * docs keep their own id. */
+  def dupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String)
+      : DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("cluster")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      updated.count() // materialize before comparing
+      changed = updated.join(labels.withColumnRenamed("cluster", "old"),
+        Seq("id")).filter(col("cluster") =!= col("old")).count()
+      labels = updated
+      rounds += 1
+    }
+    labels.select(col("id").as(idCol), col("cluster")).orderBy(idCol)
+  }
+
   /** 32-bit SimHash over distinct token hashes: bit j of the fingerprint is
     * set iff Σ_tokens (2·((h>>j)&1) − 1) > 0. One projection, no explode. */
   def simhash32(text: Column): Column = {

@@ -57,6 +57,15 @@ class DedupSpec extends SparkSpec {
     assert(hamming(s(0L), s(3L)) >= hamming(s(0L), s(1L)))
   }
 
+  test("dupClusters: transitive near-dups collapse to min-id component") {
+    // 0~1 (near), 0=2 (exact) → {0,1,2} one cluster; 3, 4 singletons
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+    val clusters = Dedup.dupClusters(pairs, docs.select("doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(0L) == 0L && clusters(1L) == 0L && clusters(2L) == 0L)
+    assert(clusters(3L) == 3L && clusters(4L) == 4L)
+  }
+
   test("shingleHashes: short docs yield empty set, no descending-range bug") {
     val out = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(Dedup.shingleHashes(col("text"), 3))).as[Int].head()

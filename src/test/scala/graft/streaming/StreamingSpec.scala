@@ -34,6 +34,15 @@ class StreamingSpec extends SparkSpec {
     assert(custom.nonEmpty)
   }
 
+  test("streaming sliding counts == batch sliding counts") {
+    val batch = StreamingOps.slidingCounts(Tables.events(spark, sf0001))
+      .collect().toSet
+    val streamed = StreamingOps.runStreaming(spark, sf0001,
+      StreamingOps.slidingCounts, "t_sliding").collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming session windows == batch session windows") {
     val batch = StreamingOps.sessionCounts(Tables.events(spark, sf0001))
       .collect().toSet

@@ -192,10 +192,15 @@ object Dedup {
       updated.count() // materialize before comparing
       changed = updated.join(labels.withColumnRenamed("cluster", "old"),
         Seq("id")).filter(col("cluster") =!= col("old")).count()
+      if (rounds > 0) labels.unpersist() // drop the previous iteration
       labels = updated
       rounds += 1
     }
-    labels.select(col("id").as(idCol), col("cluster")).orderBy(idCol)
+    val out = labels.select(col("id").as(idCol), col("cluster"))
+      .orderBy(idCol).localCheckpoint(eager = true)
+    if (rounds > 0) labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** 32-bit SimHash over distinct token hashes: bit j of the fingerprint is

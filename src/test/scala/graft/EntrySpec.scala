@@ -1,0 +1,27 @@
+package graft
+
+/** Driver-contract smoke: the exact surface the driver exercises.
+  * Running every registered query at sf0.001 catches runtime breakage
+  * (schema drift, bad plans) in seconds, before the sf0.01 oracle gate. */
+class EntrySpec extends SparkSpec {
+
+  test("entry() returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a registered query; names are well-formed") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+    assert(qs.forall(_.matches("q\\d{2}_[a-z0-9_]+")), qs)
+  }
+
+  test("all registered queries execute at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sf0001).count(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -71,6 +71,38 @@ class ScaleSpec extends SparkSpec {
         .filter(col("o_orderstatus") === "F").count())
   }
 
+  test("dynamic partition pruning fires on partitioned fact ⋈ filtered dim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp")
+      .toString + "/li_by_rf"
+    Tables.lineitem(spark, sf0001)
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim filtered on a NON-join column: the prunable partition set is only
+    // known at runtime, so static filter propagation can't pre-empt DPP
+    val dim = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag").as("rf"), col("l_linestatus")).distinct()
+      .filter(col("l_linestatus") === "F")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join shape where DPP subqueries kick in
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
+      val joined = fact.join(dim, fact("l_returnflag") === dim("rf"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruningexpression"), p)
+      val expected = Tables.lineitem(spark, sf0001).as("x")
+        .join(dim, col("x.l_returnflag") === dim("rf")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "true")
+    }
+  }
+
   test("WeightedMedian Aggregator: exact, weight-aware, merge-stable") {
     // unweighted: lower median of 1..4 = 2
     val unweighted = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0))

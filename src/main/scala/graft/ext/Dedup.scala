@@ -63,9 +63,10 @@ object Dedup {
     * Returns (id_a < id_b, jac) with jac ≥ threshold. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
-    // everything derives from ONE postings computation (set sizes included)
-    // so the expensive shingle+hash projection isn't re-expanded per use
-    val post = postings(df, idCol, textCol, k)
+    // materialize postings once (localCheckpoint): DataFrame reuse is plan
+    // reuse, not computation reuse — without this, the shingle+hash pass
+    // runs once per consumer (both self-join sides + the sizes agg)
+    val post = postings(df, idCol, textCol, k).localCheckpoint(true)
     val sizes = post.groupBy("pid").agg(count(lit(1)).as("n_sh"))
     val shared = post.as("x")
       .join(post.as("y"), col("x.sh") === col("y.sh") &&
@@ -120,12 +121,13 @@ object Dedup {
     *            → explode bands → [self-join on band key] candidates
     *            → [join postings ×2 + hash-agg] shared-shingle counts
     *            → jaccard filter.
-    * Shingle hashing happens exactly once, in the postings pass. */
+    * Postings are materialized once (localCheckpoint) so the shingle-hash
+    * pass runs exactly once despite its four consumers. */
   def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double)
       : DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val post = postings(df, idCol, textCol, k)
+    val post = postings(df, idCol, textCol, k).localCheckpoint(true)
     val sigs = post.groupBy("pid")
       .agg(count(lit(1)).as("n_sh"),
         minhashSigAggs(col("sh"), numHashes): _*)
@@ -196,6 +198,11 @@ object Dedup {
       labels = updated
       rounds += 1
     }
+    // never return silently-wrong labels: a component with diameter > cap
+    // would still be mid-propagation
+    require(changed == 0,
+      s"dupClusters did not converge within $rounds rounds " +
+        s"($changed labels still changing)")
     val out = labels.select(col("id").as(idCol), col("cluster"))
       .orderBy(idCol).localCheckpoint(eager = true)
     if (rounds > 0) labels.unpersist()

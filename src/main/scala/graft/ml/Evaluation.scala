@@ -51,11 +51,24 @@ object Evaluation {
       .orderBy("label")
   }
 
-  /** Feature importances zipped with names (M8, `XGBoost.py:314-320`). */
+  /** Feature importances zipped with names (M8, `XGBoost.py:314-320`).
+    * For the OneVsRest boosted variant, importances are averaged over the
+    * per-class binary GBT models. */
   def featureImportances(model: PipelineModel): Seq[(String, Double)] = {
-    val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
-    CrimePipeline.FeatureCols.zip(rf.featureImportances.toArray)
-      .sortBy(-_._2)
+    import org.apache.spark.ml.classification.{GBTClassificationModel, OneVsRestModel}
+    val imp: Array[Double] = model.stages.last match {
+      case rf: RandomForestClassificationModel =>
+        rf.featureImportances.toArray
+      case ovr: OneVsRestModel =>
+        val per = ovr.models.collect {
+          case g: GBTClassificationModel => g.featureImportances.toArray
+        }
+        require(per.nonEmpty, "no tree models inside OneVsRest")
+        per.transpose.map(_.sum / per.length)
+      case other => throw new IllegalArgumentException(
+        s"unsupported final stage for importances: ${other.getClass}")
+    }
+    CrimePipeline.FeatureCols.zip(imp).sortBy(-_._2)
   }
 
   /** Label mapping (M3, `XGBoost.py:160-163`): index → original label. */

@@ -16,8 +16,15 @@ object Serve {
     * Returns (predicted label string, class probability vector). */
   def predictOne(spark: SparkSession, model: PipelineModel,
       raw: DataFrame, train: DataFrame): DataFrame = {
+    // derive the category column from raw features (never required as
+    // input): the fitted label indexer runs inside model.transform and
+    // needs its input column present, but serving must not demand ground
+    // truth — so it is re-derived from p_type through the SAME engine
+    // expression the training path uses (CrimePipeline.base)
+    val withLabelInput = raw.withColumn(CrimePipeline.LabelCol,
+      graft.engine.Features.category4(col("p_type")))
     val engineered = graft.engine.Features
-      .withTemporal(raw, "l_shipdate")
+      .withTemporal(withLabelInput, "l_shipdate")
       .withColumn("month_sin", sin(radians(col("d_month") * 30)))
       .withColumn("month_cos", cos(radians(col("d_month") * 30)))
     val withDens = CrimePipeline.withDensities(engineered, train)

@@ -88,14 +88,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val rk = rKey.eval(peek)
             val rt = rTime.eval(peek)
             val cmpKey = if (rk == null) -1 else keyOrd.compare(rk, lk)
-            if (rk == null || cmpKey < 0 ||
-              (cmpKey == 0 && rt != null && timeOrd.compare(rt, lt) <= 0)) {
-              if (cmpKey == 0 && rt != null) {
-                lastKey = rk
-                lastRow = rBuf.next().copy()
-              } else {
-                rBuf.next() // earlier key or null — skip past
-              }
+            if (rk == null || cmpKey < 0 || (cmpKey == 0 && rt == null)) {
+              // earlier key, null key, or null time (sorts first, can never
+              // match): consume so the scan can't stall on it
+              rBuf.next()
+            } else if (cmpKey == 0 && timeOrd.compare(rt, lt) <= 0) {
+              lastKey = rk
+              lastRow = rBuf.next().copy()
             } else {
               advancing = false
             }

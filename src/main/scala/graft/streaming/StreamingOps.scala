@@ -74,30 +74,53 @@ object StreamingOps {
       timeout: org.apache.spark.sql.streaming.GroupStateTimeout)
       : org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val statefulMode = timeout != GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         mode, timeout) { (uid, evs, state) =>
-        // batch path: all events arrive at once, sorted here; sessions are
-        // closed by gap or end-of-group
-        val sorted = evs.toSeq.sortBy(_.ts)
-        val sessions = scala.collection.mutable.ListBuffer.empty[SessionState]
-        var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
-        for (e <- sorted) {
-          cur match {
-            case Some(s) if java.time.Duration.between(s.last, e.ts)
-                .compareTo(SessionGap) < 0 =>
-              cur = Some(s.copy(last = e.ts, n = s.n + 1))
-            case Some(s) =>
-              sessions += s
-              cur = Some(SessionState(e.ts, e.ts, 1))
-            case None =>
-              cur = Some(SessionState(e.ts, e.ts, 1))
+        def out(s: SessionState) =
+          SessionOut(uid, s.start, s.last.plus(SessionGap), s.n)
+        if (state.hasTimedOut) {
+          // watermark passed the open session's end: close and emit it
+          val open = state.getOption.getOrElse(Nil)
+          state.remove()
+          open.iterator.map(out)
+        } else {
+          val sorted = evs.toSeq.sortBy(_.ts)
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionState]
+          var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
+          for (e <- sorted) {
+            cur match {
+              case Some(s) if java.time.Duration.between(s.last, e.ts)
+                  .compareTo(SessionGap) < 0 =>
+                cur = Some(s.copy(last = e.ts, n = s.n + 1))
+              case Some(s) =>
+                closed += s
+                cur = Some(SessionState(e.ts, e.ts, 1))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          if (statefulMode) {
+            // streaming: keep the open session in state and let the
+            // event-time timeout (watermark ≥ last + gap) close it; a
+            // later batch with in-gap events extends it instead
+            cur match {
+              case Some(s) =>
+                state.update(List(s))
+                state.setTimeoutTimestamp(
+                  s.last.plus(SessionGap).toEpochMilli)
+              case None => state.update(Nil)
+            }
+            closed.iterator.map(out)
+          } else {
+            // batch: single invocation per key — no timeout will ever
+            // fire, so the trailing open session is final and emitted now
+            state.update(Nil)
+            (closed ++ cur).iterator.map(out)
           }
         }
-        sessions ++= cur
-        state.update(Nil)
-        sessions.iterator.map(s =>
-          SessionOut(uid, s.start, s.last.plus(SessionGap), s.n))
       }
   }
 

@@ -102,9 +102,10 @@ class MlSpec extends SparkSpec {
 
   test("train/serve parity: single-row serve equals batch transform") {
     val (model, train, test) = fitted
+    // note: no label/category column — serving derives it from p_type
     val rawCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
       "l_extendedprice", "l_discount", "l_shipdate", "p_brand", "p_size",
-      "p_retailprice", "category")
+      "p_retailprice", "p_type")
     val oneRaw = test.select(rawCols.map(col): _*).limit(1)
     val served = Serve.predictOne(spark, model, oneRaw, train)
       .select("prediction").head().getDouble(0)
@@ -122,6 +123,10 @@ class MlSpec extends SparkSpec {
       .agg(max("count")).head().getLong(0).toDouble / preds.count()
     assert(acc >= majority - 0.05, s"acc=$acc majority=$majority")
     assert(preds.select("prediction").distinct().count() >= 2)
+    // importances must work for the OneVsRest(GBT) shape too (regression)
+    val imp = Evaluation.featureImportances(model)
+    assert(imp.length == CrimePipeline.FeatureCols.length)
+    assert(math.abs(imp.map(_._2).sum - 1.0) < 1e-6)
   }
 
   test("no test-leakage: density stats computed from train only") {

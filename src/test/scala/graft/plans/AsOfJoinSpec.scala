@@ -27,6 +27,18 @@ class AsOfJoinSpec extends SparkSpec {
       "e" -> None))        // k=3: no right rows
   }
 
+  test("null right-time rows are skipped, not stalled on (regression)") {
+    val left = Seq((1L, 10L, "a"), (1L, 3L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, Option.empty[Long], "rnull"),
+      (1L, Some(5L), "r5")).toDF("k", "rt", "rv")
+    val out = AsOf.join(left, right, ("k", "k"), ("t", "rt"))
+      .select("tag", "rv").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // the null-time row sorts first within the key; it must be consumed so
+    // r5 is still reachable for t=10, and never matched itself
+    assert(out == Map("a" -> Some("r5"), "b" -> None))
+  }
+
   test("equivalent to the composed window formulation on real events") {
     val ev = Tables.events(spark, sf0001)
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -16,6 +16,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("sessionize streaming: state merges across micro-batches, timeout " +
+    "closes the session") {
+    import spark.implicits._
+    def i(s: String) = java.time.Instant.parse(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    // three files → three micro-batches (maxFilesPerTrigger=1):
+    //  b1: user 1 events 10:00, 10:10         (open session in state)
+    //  b2: user 1 event 10:20 (merges!), user 99 at 20:00 (watermark push)
+    //  b3: user 99 at 20:30 → watermark 19:00 > 10:50 fires the timeout
+    val batches = Seq(
+      Seq(StreamingOps.Ev(1L, i("2024-01-01T10:00:00Z")),
+        StreamingOps.Ev(1L, i("2024-01-01T10:10:00Z"))),
+      Seq(StreamingOps.Ev(1L, i("2024-01-01T10:20:00Z")),
+        StreamingOps.Ev(99L, i("2024-01-01T20:00:00Z"))),
+      Seq(StreamingOps.Ev(99L, i("2024-01-01T20:30:00Z"))))
+    batches.foreach { b =>
+      b.toDS().coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct modification times → stable file order
+    }
+    val src = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .as[StreamingOps.Ev]
+    val q = StreamingOps.sessionize(src,
+      org.apache.spark.sql.streaming.OutputMode.Append,
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_sessionize_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("t_sessionize_stream")
+      .as[StreamingOps.SessionOut].collect()
+    // the cross-batch session: 3 events 10:00/10:10/10:20 merged into ONE
+    // session [10:00, 10:50), emitted when the watermark passed its end
+    val u1 = got.filter(_.user_id == 1L)
+    assert(u1.length == 1, got.mkString(", "))
+    assert(u1.head.n == 3)
+    assert(u1.head.s_start == i("2024-01-01T10:00:00Z"))
+    assert(u1.head.s_end == i("2024-01-01T10:50:00Z"))
+  }
+
   test("flatMapGroupsWithState sessionizer == declarative session_window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -131,10 +131,21 @@ object Tables {
   /** events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as raw nanos (legacy flag) and convert with
     * integer division (ns → µs) — `div`, not `/`, because double division
-    * would lose precision on ~1.7e18 nano values. */
+    * would lose precision on ~1.7e18 nano values.
+    *
+    * The nanosAsLong flag stays set for the session (restoring it would
+    * break later task-side reads of this DataFrame, which re-resolve the
+    * conf per query execution). Scope note: it only changes how
+    * TIMESTAMP(NANOS) parquet columns surface, and `events` is the only
+    * such table here. The raw schema is asserted so upstream drift fails
+    * fast like every other loader. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
+    val expectedRaw = "struct<event_id:bigint,ts:bigint,user_id:bigint," +
+      "event_type:string,value:double,props:string>"
+    require(raw.schema.simpleString == expectedRaw,
+      s"schema drift in events: got ${raw.schema.simpleString}")
     raw.withColumn("ts",
       timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
   }

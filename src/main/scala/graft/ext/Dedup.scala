@@ -180,6 +180,7 @@ object Dedup {
     var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var changed = 1L
     var rounds = 0
+    try {
     while (changed > 0 && rounds < 50) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
@@ -203,11 +204,12 @@ object Dedup {
     require(changed == 0,
       s"dupClusters did not converge within $rounds rounds " +
         s"($changed labels still changing)")
-    val out = labels.select(col("id").as(idCol), col("cluster"))
+    labels.select(col("id").as(idCol), col("cluster"))
       .orderBy(idCol).localCheckpoint(eager = true)
-    if (rounds > 0) labels.unpersist()
-    edges.unpersist()
-    out
+    } finally { // caches must not outlive the call, even on failure
+      if (rounds > 0) labels.unpersist()
+      edges.unpersist()
+    }
   }
 
   /** 32-bit SimHash over distinct token hashes: bit j of the fingerprint is

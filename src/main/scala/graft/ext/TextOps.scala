@@ -119,11 +119,16 @@ object TextOps {
   def withLangId(df: DataFrame, textCol: String, idCol: String,
       keep: Seq[String]): DataFrame = {
     val langs = langMarkers.toSeq.sortBy(_._1)
+    // explode_outer keeps null-text docs (explode would drop them); their
+    // single null token makes every score NULL (sum over all-null group),
+    // so lang_pred degrades to null exactly like the per-row langId()
     val exploded = df.select(
       (col(idCol) +: keep.map(col)) :+
-        explode(tokens(col(textCol))).as("tok"): _*)
+        explode_outer(tokens(col(textCol))).as("tok"): _*)
     val aggCols = langs.map { case (l, m) =>
-      sum(when(col("tok").isin(m: _*), 1L).otherwise(0L)).as(s"score_$l")
+      sum(when(col("tok").isNull, lit(null).cast("long"))
+        .otherwise(when(col("tok").isin(m: _*), 1L).otherwise(0L)))
+        .as(s"score_$l")
     }
     val scored = exploded.groupBy(col(idCol) +: keep.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)

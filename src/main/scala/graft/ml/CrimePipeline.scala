@@ -32,15 +32,23 @@ object CrimePipeline {
     "l_quantity", "l_extendedprice", "l_discount", "p_size",
     "p_retailprice", "supp_density", "part_density", "brand_idx")
 
+  /** The ONE feature block shared by training ([[base]]) and serving
+    * ([[Serve.predictOne]]) — a single definition is the train/serve-parity
+    * guarantee (the reference's riskiest flaw was this logic duplicated in
+    * a second language, `Stramlit_app.py:123-136`). */
+  def engineerFeatures(df: DataFrame): DataFrame =
+    Features.withTemporal(
+      df.withColumn(LabelCol, Features.category4(col("p_type"))),
+      "l_shipdate")
+      .withColumn("month_sin", sin(radians(col("d_month") * 30)))
+      .withColumn("month_cos", cos(radians(col("d_month") * 30)))
+
   /** Labeled, feature-engineered frame from lineitem ⋈ part. */
   def base(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
-    val joined = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .withColumn(LabelCol, Features.category4(col("p_type")))
-    Features.withTemporal(joined, "l_shipdate")
-      .withColumn("month_sin", sin(radians(col("d_month") * 30)))
-      .withColumn("month_cos", cos(radians(col("d_month") * 30)))
+    engineerFeatures(
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey")))
   }
 
   /** Time-based split (`XGBoost.py:139-140`): train ≤ cutoff, test after. */
@@ -125,9 +133,11 @@ object CrimePipeline {
     val engineered = base(spark, dir)
     val (trainRaw, testRaw) = split(engineered, cutoffYear)
     trainRaw.cache()
-    val train = withClassWeights(withDensities(trainRaw, trainRaw), trainRaw)
-    val test = withClassWeights(withDensities(testRaw, trainRaw), trainRaw)
-    val model = pipeline().fit(train)
-    (model, train, test)
+    try {
+      val train = withClassWeights(withDensities(trainRaw, trainRaw), trainRaw)
+      val test = withClassWeights(withDensities(testRaw, trainRaw), trainRaw)
+      val model = pipeline().fit(train)
+      (model, train, test)
+    } finally trainRaw.unpersist() // fitted stats are computed; don't pin
   }
 }

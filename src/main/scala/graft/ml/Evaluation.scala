@@ -36,10 +36,14 @@ object Evaluation {
     val predTotals = cm.groupBy("prediction").agg(sum("n").as("pred_n"))
     val tp = cm.filter(col("label") === col("prediction"))
       .select(col("label"), col("n").as("tp"))
-    support
-      .join(tp, Seq("label"), "left").na.fill(0, Seq("tp"))
+    // full outer: a class that is predicted but never a true label must
+    // still get a row (precision 0 over its false positives) — sklearn
+    // classification_report semantics
+    val report = support
       .join(predTotals.withColumnRenamed("prediction", "label"),
-        Seq("label"), "left").na.fill(0, Seq("pred_n"))
+        Seq("label"), "full_outer")
+      .na.fill(0, Seq("support", "pred_n"))
+      .join(tp, Seq("label"), "left").na.fill(0, Seq("tp"))
       .withColumn("precision",
         when(col("pred_n") > 0, col("tp") / col("pred_n")).otherwise(0.0))
       .withColumn("recall",
@@ -49,6 +53,9 @@ object Evaluation {
           lit(2.0) * col("precision") * col("recall") /
             (col("precision") + col("recall"))).otherwise(0.0))
       .orderBy("label")
+      .localCheckpoint(true)
+    cm.unpersist()
+    report
   }
 
   /** Feature importances zipped with names (M8, `XGBoost.py:314-320`).

@@ -16,17 +16,9 @@ object Serve {
     * Returns (predicted label string, class probability vector). */
   def predictOne(spark: SparkSession, model: PipelineModel,
       raw: DataFrame, train: DataFrame): DataFrame = {
-    // derive the category column from raw features (never required as
-    // input): the fitted label indexer runs inside model.transform and
-    // needs its input column present, but serving must not demand ground
-    // truth — so it is re-derived from p_type through the SAME engine
-    // expression the training path uses (CrimePipeline.base)
-    val withLabelInput = raw.withColumn(CrimePipeline.LabelCol,
-      graft.engine.Features.category4(col("p_type")))
-    val engineered = graft.engine.Features
-      .withTemporal(withLabelInput, "l_shipdate")
-      .withColumn("month_sin", sin(radians(col("d_month") * 30)))
-      .withColumn("month_cos", cos(radians(col("d_month") * 30)))
+    // the SAME shared feature block as training — including deriving the
+    // label-indexer input from p_type, so serving never needs ground truth
+    val engineered = CrimePipeline.engineerFeatures(raw)
     val withDens = CrimePipeline.withDensities(engineered, train)
       .withColumn("weight", lit(1.0))
     val labels = Evaluation.labelMapping(model).sortBy(_._1).map(_._2)

@@ -147,9 +147,15 @@ object AsOf {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
-    val plan = AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, key._1), attr(rPlan, key._2),
-      attr(lPlan, time._1), attr(rPlan, time._2))
+    val (lk, rk) = (attr(lPlan, key._1), attr(rPlan, key._2))
+    val (lt, rt) = (attr(lPlan, time._1), attr(rPlan, time._2))
+    // the exec builds its orderings from the LEFT types; mismatched sides
+    // would fail deep inside executor tasks — fail at plan time instead
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")
+    val plan = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt)
     shim.ofRows(spark, plan)
   }
 }

@@ -94,7 +94,14 @@ object StreamingOps {
             cur match {
               case Some(s) if java.time.Duration.between(s.last, e.ts)
                   .compareTo(SessionGap) < 0 =>
-                cur = Some(s.copy(last = e.ts, n = s.n + 1))
+                // min/max-merge: a late (watermark-admitted) event from an
+                // earlier micro-batch may precede the stored bounds; naive
+                // `last = e.ts` would move the session end backwards and
+                // fire its timeout early
+                cur = Some(SessionState(
+                  if (e.ts.isBefore(s.start)) e.ts else s.start,
+                  if (e.ts.isAfter(s.last)) e.ts else s.last,
+                  s.n + 1))
               case Some(s) =>
                 closed += s
                 cur = Some(SessionState(e.ts, e.ts, 1))

@@ -1,0 +1,84 @@
+package graft
+
+import graft.engine.{Aggregates, Cleaning}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => SCTest}
+
+/** Property-based invariants promised in SURVEY.md §5.2 (beyond the
+  * time-split property in FeaturesSpec). Small minSuccessfulTests keep
+  * Spark-job-per-case cost sane; generators are seeded by ScalaCheck. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+
+  test("dedup: |output| = |distinct input| ≤ |input|, and deterministic") {
+    val gen = Gen.listOfN(60, Gen.chooseNum(0, 9))
+    val prop = forAll(gen) { xs =>
+      val df = xs.toDF("v")
+      val d1 = Cleaning.dropDuplicatesAll(df).collect().map(_.getInt(0)).sorted
+      val d2 = Cleaning.dropDuplicatesAll(df).collect().map(_.getInt(0)).sorted
+      d1.length == xs.distinct.length && d1.length <= xs.length &&
+        d1.toSeq == d2.toSeq
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("top-k is a prefix of the full deterministic sort") {
+    val gen = Gen.listOfN(50, Gen.chooseNum(0, 6))
+    val prop = forAll(gen, Gen.chooseNum(1, 8)) { (xs, k) =>
+      val df = xs.toDF("v")
+      val full = Aggregates.freqTable(df, Seq("v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val topK = Aggregates.freqTable(df, Seq("v")).limit(k)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      topK == full.take(k)
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("jaccard pairs: values in (0,1], symmetric on id order, self-free") {
+    val word = Gen.oneOf("data", "spark", "row", "key", "scan", "fast")
+    val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+    val gen = Gen.listOfN(6, doc)
+    val prop = forAll(gen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pairs = graft.ext.Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.01)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      pairs.forall { case (a, b, j) => a < b && j > 0.0 && j <= 1.0 }
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("sentinel cleaning never changes non-sentinel values") {
+    val cell = Gen.oneOf(Gen.const("NULL"), Gen.const(""),
+      Gen.alphaNumStr.map(_.take(6)))
+    val gen = Gen.listOfN(40, cell)
+    val prop = forAll(gen) { xs =>
+      val cleaned = Cleaning.sentinelsToNull(xs.toDF("v"), Seq("v"),
+        Seq("NULL")).collect().map(r => Option(r.getString(0)))
+      xs.zip(cleaned).forall {
+        case (raw, out) if raw == "NULL" || raw.isEmpty => out.isEmpty
+        case (raw, out) => out.contains(raw)
+      }
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("weighted median lies within the value range and is weight-monotone") {
+    val pair = for {
+      v <- Gen.chooseNum(-50.0, 50.0)
+      w <- Gen.chooseNum(0.5, 5.0)
+    } yield (v, w)
+    val gen = Gen.nonEmptyListOf(pair).map(_.take(30))
+    val prop = forAll(gen) { vw =>
+      val med = vw.toDS().repartition(3)
+        .select(graft.functions.WeightedMedian.asColumn).head()
+      val vs = vw.map(_._1)
+      med >= vs.min && med <= vs.max && vs.contains(med)
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+}

@@ -264,7 +264,33 @@ object ExtQueries {
     Dedup.dupClusters(pairs, docs.select("doc_id"), "doc_id")
   }
 
+  /** q56 — mergeable HLL sketches (Datasketches, Spark 3.5+): per-type
+    * distinct-user sketches merged into a global estimate — THE 100 TB
+    * distinct-count pattern (sketches union across partitions/days without
+    * re-scanning; exact countDistinct is the small-scale oracle in tests).
+    * Sketch binaries are engine-specific ⇒ rows-only. */
+  private val q56: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val perType = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+    perType.select(
+        col("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_distinct"),
+        col("exact_distinct"))
+      .unionByName(
+        perType.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("approx_distinct"))
+          .withColumn("event_type", lit("__all__"))
+          .withColumn("exact_distinct",
+            lit(null).cast("long"))
+          .select("event_type", "approx_distinct", "exact_distinct"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q56_hll_distinct" -> q56,
     "q50_asof_join" -> q50,
     "q51_cube" -> q51,
     "q52_string_ops" -> q52,

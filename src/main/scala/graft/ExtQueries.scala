@@ -289,7 +289,32 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  /** q57 — TF-IDF vectors over documents (rows-only: hashed vector UDT;
+    * invariants pinned in TfIdfSpec). */
+  private val q57: Q = (s, d) => {
+    val (_, out) = TextOps.tfidf(Tables.documents(s, d), "text")
+    out.select(col("doc_id"), col("tfidf")).orderBy("doc_id")
+  }
+
+  /** q58 — spark.ml MinHashLSH near-dup pairs (rows-only: LSH internals;
+    * the hand-rolled oracle-checked formulation is q32). */
+  private val q58: Q = (s, d) =>
+    Dedup.minhashLshMl(Tables.documents(s, d), "doc_id", "text",
+      k = 3, numHashTables = 8, threshold = 0.3)
+
+  /** q59 — video-style frame sampling over binary payloads: tiling
+    * metadata is deterministic and oracle-checked. */
+  private val q59: Q = (s, d) =>
+    Multimodal.sampleFrames(
+      Multimodal.mediaTable(Tables.documents(s, d)),
+      frameBytes = 64, stride = 2)
+      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
+      .orderBy("doc_id", "frame_idx")
+
   val all: Map[String, Q] = Map(
+    "q57_tfidf" -> q57,
+    "q58_minhash_ml" -> q58,
+    "q59_frame_sample" -> q59,
     "q56_hll_distinct" -> q56,
     "q50_asof_join" -> q50,
     "q51_cube" -> q51,
@@ -376,6 +401,18 @@ object ExtQueries {
        |  WHERE CAST(n_shared AS DOUBLE) / (len(a.shs) + len(b.shs) - n_shared) >= 0.1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q59_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(i AS INT) AS frame_idx,
+        |  CAST(least(64, octet_length(encode(text)) - i * 64) AS INT)
+        |    AS frame_bytes
+        |FROM documents,
+        |  LATERAL unnest(generate_series(0,
+        |    CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) - 1))
+        |    AS t(i)
+        |WHERE i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "q51_cube" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)

@@ -164,6 +164,38 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** spark.ml MinHashLSH variant (SURVEY.md §7.4): shingle strings →
+    * binary HashingTF vectors → `MinHashLSH.approxSimilarityJoin`, which
+    * prunes candidate pairs via OR-amplified hash tables and returns
+    * Jaccard DISTANCE on the hashed sets. Complements [[minhashBandPairs]]
+    * (the hand-rolled, oracle-checkable formulation) with the MLlib
+    * surface a reference user would reach for first. */
+  def minhashLshMl(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashTables: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val toks = TextOps.tokens(col(textCol))
+    val shings = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array())
+    val prepared = df.select(col(idCol).as("pid"),
+        array_distinct(shings).as("shings"))
+      .filter(size(col("shings")) > 0)
+    val tf = new HashingTF().setInputCol("shings").setOutputCol("v")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val vectorized = tf.transform(prepared)
+    val mh = new MinHashLSH().setInputCol("v").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = mh.fit(vectorized)
+    model.approxSimilarityJoin(vectorized, vectorized,
+        1.0 - threshold, "dist")
+      .filter(col("datasetA.pid") < col("datasetB.pid"))
+      .select(col("datasetA.pid").as("id_a"),
+        col("datasetB.pid").as("id_b"),
+        (lit(1.0) - col("dist")).as("jac_approx"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Duplicate clusters from a near-dup pair list: connected components by
     * iterative min-label propagation over the (symmetrized) edge list —
     * each round joins labels to edges and takes the min neighbor label,

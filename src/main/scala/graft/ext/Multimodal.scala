@@ -53,6 +53,23 @@ object Multimodal {
     hist.map(_ / total)
   }
 
+  /** Frame-sampling plumbing (video-style): split the opaque payload into
+    * fixed-size byte frames, keep every `stride`-th frame, explode to one
+    * row per sampled frame. Pure Catalyst (SQL substring on binary), so
+    * the frame fan-out happens executor-side with no driver involvement —
+    * the shape a real frame-decoder would slot into. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int)
+      : DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val framed = media.withColumn("frames",
+      expr(s"transform(sequence(0, int(ceil(n_bytes / ${frameBytes}D)) - 1), " +
+        s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))"))
+    framed.select(col("doc_id"), col("media_type"),
+        posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % stride === 0)
+      .withColumn("frame_bytes", length(col("frame")))
+  }
+
   /** Partition-wise feature extraction: one "codec context" per partition
     * (the println-free stand-in for loading a native decoder), then a
     * streaming map over the partition's records. */

@@ -79,6 +79,28 @@ object TextOps {
         "stop_ratio" -> (col("q_stop").cast("double") / col("q_tokens"))))
   }
 
+  /** TF-IDF pipeline over `documents.text` (SURVEY.md §7.4 text):
+    * RegexTokenizer → StopWordsRemover → HashingTF → IDF. Returns the
+    * fitted PipelineModel and the transformed frame with a `tfidf` vector
+    * column. HashingTF keeps the feature space fixed-width (no vocabulary
+    * broadcast), which is the 100 TB-friendly choice; CountVectorizer is
+    * the exact-vocabulary alternative when the vocab fits. */
+  def tfidf(df: DataFrame, textCol: String, numFeatures: Int = 1 << 12)
+      : (org.apache.spark.ml.PipelineModel, DataFrame) = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer, StopWordsRemover}
+    val tok = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("toks").setPattern("\\s+")
+    val stop = new StopWordsRemover()
+      .setInputCol("toks").setOutputCol("toks_clean")
+      .setStopWords(stopwords.toArray)
+    val tf = new HashingTF().setInputCol("toks_clean")
+      .setOutputCol("tf").setNumFeatures(numFeatures)
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf")
+    val model = new Pipeline().setStages(Array(tok, stop, tf, idf)).fit(df)
+    (model, model.transform(df))
+  }
+
   /** Language-ID heuristic: marker-stopword hit counts per language,
     * argmax with deterministic tie-break on language code order.
     * (The fixture `documents.text` is synthetic English-ish for every

@@ -57,6 +57,20 @@ class DedupSpec extends SparkSpec {
     assert(hamming(s(0L), s(3L)) >= hamming(s(0L), s(1L)))
   }
 
+  test("minhashLshMl (spark.ml variant) recovers the exact near-dup pairs") {
+    val got = Dedup.minhashLshMl(docs, "doc_id", "text",
+      k = 3, numHashTables = 8, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    // must surface the exact dup (0,2) and the near dup (0,1)/(1,2)
+    assert(gotPairs.contains((0L, 2L)))
+    assert(gotPairs.contains((0L, 1L)))
+    assert(!gotPairs.exists { case (a, b) => a == 3L || b == 3L })
+    // approx jaccard on hashed sets ≈ exact (no collisions at this size)
+    val j02 = got.find(p => p._1 == 0L && p._2 == 2L).get._3
+    assert(math.abs(j02 - 1.0) < 1e-9)
+  }
+
   test("dupClusters: transitive near-dups collapse to min-id component") {
     // 0~1 (near), 0=2 (exact) → {0,1,2} one cluster; 3, 4 singletons
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)

@@ -23,6 +23,25 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f1.sum - 1.0f) < 1e-5)
   }
 
+  test("sampleFrames: frames tile the payload; stride samples correctly") {
+    val docs = Tables.documents(spark, sf0001).limit(10)
+    val media = Multimodal.mediaTable(docs)
+    val all = Multimodal.sampleFrames(media, frameBytes = 64, stride = 1)
+    // frames tile the payload exactly: byte totals and frame counts match
+    val bad = all.groupBy("doc_id")
+      .agg(sum("frame_bytes").as("total"), count(lit(1)).as("n_frames"))
+      .join(media, "doc_id")
+      .filter(col("total") =!= col("n_bytes") ||
+        col("n_frames") =!= ceil(col("n_bytes") / 64.0))
+      .count()
+    assert(bad == 0)
+    val sampled = Multimodal.sampleFrames(media, 64, stride = 2)
+    val idx = sampled.select("frame_idx").distinct()
+      .collect().map(_.getInt(0))
+    assert(idx.forall(_ % 2 == 0))
+    assert(sampled.count() < all.count())
+  }
+
   test("extractFeatures: mapPartitions path preserves rows and schema") {
     val docs = Tables.documents(spark, sf0001).limit(50)
     val out = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs))

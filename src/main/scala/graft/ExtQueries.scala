@@ -271,9 +271,12 @@ object ExtQueries {
     * Sketch binaries are engine-specific ⇒ rows-only. */
   private val q56: Q = (s, d) => {
     val ev = Tables.events(s, d)
+    // materialized once: both union branches consume it, and plan reuse
+    // would otherwise run the countDistinct expand/shuffle twice
     val perType = ev.groupBy("event_type")
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("exact_distinct"))
+      .localCheckpoint(true)
     perType.select(
         col("event_type"),
         hll_sketch_estimate(col("sk")).as("approx_distinct"),

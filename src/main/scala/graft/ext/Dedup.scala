@@ -40,17 +40,22 @@ object Dedup {
     array_distinct(
       graft.functions.ShingleHash.shingle_hash(TextOps.tokens(text), k))
 
-  /** Lambda form of [[shingleHashes]] (parity testing only). */
-  def shingleHashesLambda(text: Column, k: Int): Column = {
+  /** Guarded k-word shingle strings — the shared construction for the
+    * lambda parity form and the MLlib LSH variant. */
+  def shingleStrings(text: Column, k: Int): Column = {
     val toks = TextOps.tokens(text)
     // guard: sequence(1, n) with n < 1 would flip to a descending range
-    val joined = when(size(toks) >= k,
+    when(size(toks) >= k,
       transform(
         sequence(lit(1), size(toks) - (k - 1)),
-        i => TextOps.polyHashLambda(concat_ws(" ", slice(toks, i, lit(k))))))
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array())
-    array_distinct(joined)
   }
+
+  /** Lambda form of [[shingleHashes]] (parity testing only). */
+  def shingleHashesLambda(text: Column, k: Int): Column =
+    array_distinct(
+      transform(shingleStrings(text, k), s => TextOps.polyHashLambda(s)))
 
   /** Exploded (doc_id, shingle hash) posting list. */
   def postings(df: DataFrame, idCol: String, textCol: String, k: Int)
@@ -173,13 +178,8 @@ object Dedup {
   def minhashLshMl(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashTables: Int, threshold: Double): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-    val toks = TextOps.tokens(col(textCol))
-    val shings = when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(array())
     val prepared = df.select(col(idCol).as("pid"),
-        array_distinct(shings).as("shings"))
+        array_distinct(shingleStrings(col(textCol), k)).as("shings"))
       .filter(size(col("shings")) > 0)
     val tf = new HashingTF().setInputCol("shings").setOutputCol("v")
       .setNumFeatures(1 << 18).setBinary(true)

@@ -61,9 +61,13 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int)
       : DataFrame = {
     require(frameBytes > 0 && stride > 0)
+    // guard empty payloads: sequence(0, -1) flips to a descending range
+    // (same trap as Dedup.shingleHashes) and would emit a phantom frame
     val framed = media.withColumn("frames",
-      expr(s"transform(sequence(0, int(ceil(n_bytes / ${frameBytes}D)) - 1), " +
-        s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))"))
+      expr(s"CASE WHEN n_bytes > 0 THEN " +
+        s"transform(sequence(0, int(ceil(n_bytes / ${frameBytes}D)) - 1), " +
+        s"i -> substring(payload, i * $frameBytes + 1, $frameBytes)) " +
+        s"ELSE array() END"))
     framed.select(col("doc_id"), col("media_type"),
         posexplode(col("frames")).as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % stride === 0)

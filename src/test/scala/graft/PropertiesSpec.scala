@@ -73,11 +73,18 @@ class PropertiesSpec extends SparkSpec {
       w <- Gen.chooseNum(0.5, 5.0)
     } yield (v, w)
     val gen = Gen.nonEmptyListOf(pair).map(_.take(30))
-    val prop = forAll(gen) { vw =>
-      val med = vw.toDS().repartition(3)
+    def wm(vw: List[(Double, Double)]): Double =
+      vw.toDS().repartition(3)
         .select(graft.functions.WeightedMedian.asColumn).head()
+    val prop = forAll(gen) { vw =>
+      val med = wm(vw)
       val vs = vw.map(_._1)
-      med >= vs.min && med <= vs.max && vs.contains(med)
+      // monotone in weight: pumping the max value's weight can only move
+      // the median up (and enough weight pins it at the max)
+      val pumped = wm(vw.map { case (v, w) =>
+        if (v == vs.max) (v, w + 1000.0) else (v, w) })
+      med >= vs.min && med <= vs.max && vs.contains(med) &&
+        pumped >= med && pumped == vs.max
     }
     assert(SCTest.check(params, prop).passed)
   }

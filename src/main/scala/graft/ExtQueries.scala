@@ -314,7 +314,15 @@ object ExtQueries {
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
       .orderBy("doc_id", "frame_idx")
 
+  /** q60 — LSH-blocked embedding near-dup pairs (the 100 TB blocking form
+    * of q35); deterministic hyperplanes make even the LSH stage
+    * oracle-checkable. */
+  private val q60: Q = (s, d) =>
+    SimSearch.cosineNearDupPairsLsh(Tables.embeddings(s, d),
+      threshold = 0.25, bits = 2)
+
   val all: Map[String, Q] = Map(
+    "q60_cosine_neardup_lsh" -> q60,
     "q57_tfidf" -> q57,
     "q58_minhash_ml" -> q58,
     "q59_frame_sample" -> q59,
@@ -403,7 +411,29 @@ object ExtQueries {
        |  FROM shared JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
        |  WHERE CAST(n_shared AS DOUBLE) / (len(a.shs) + len(b.shs) - n_shared) >= 0.1)""".stripMargin
 
+  /** DuckDB replica of SimSearch.lshBucket for `bits` hyperplanes. */
+  private def lshBucketSql(emb: String, bits: Int): String =
+    (0 until bits).map { p =>
+      val proj = s"COALESCE(list_reduce(list_transform(" +
+        s"list_zip($emb, generate_series(0, len($emb) - 1)), " +
+        s"x -> CAST(x[1] AS DOUBLE) * " +
+        s"(((${p.toLong * 2654435761L} + x[2] * 40503) % 8191) / 4095.5 - 1.0)), " +
+        s"(a, b) -> a + b), 0.0)"
+      s"(CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
+    "q60_cosine_neardup_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |         ${lshBucketSql("embedding", 2)} AS bucket
+         |  FROM embeddings)
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |       ${cosineSql("x.embedding", "y.embedding")} AS sim
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${cosineSql("x.embedding", "y.embedding")} >= 0.25
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q59_frame_sample" ->
       """SELECT doc_id,
         |  CAST(i AS INT) AS frame_idx,

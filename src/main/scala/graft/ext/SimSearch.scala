@@ -150,10 +150,31 @@ object SimSearch {
       .orderBy("q_id", "rnk")
   }
 
+  /** LSH-blocked embedding near-dup pairs — the 100 TB form of
+    * [[cosineNearDupPairs]]: candidates are pairs sharing a
+    * random-hyperplane bucket, so the pair count scales with bucket
+    * occupancy (~n²/2^bits per bucket), not n². Recall follows the LSH
+    * collision curve: a pair at cosine θ shares all `bits` sign bits with
+    * probability (1 − acos(θ)/π)^bits; multi-probe or repeated tables
+    * raise it (measured, not assumed, in the spec). */
+  def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
+      bits: Int): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), bits).as("bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim", cosine(col("x.embedding"), col("y.embedding")))
+      .filter(col("sim") >= threshold)
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold within a blocking key
     * (here: `label`), the embedding-space analogue of Dedup.jaccardPairs.
-    * Blocking bounds the pair count; at 100 TB the blocking key would be an
-    * LSH bucket instead of a label. */
+    * Blocking bounds the pair count; at 100 TB the blocking key is an LSH
+    * bucket — see [[cosineNearDupPairsLsh]]. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("label"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))

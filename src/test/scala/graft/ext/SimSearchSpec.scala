@@ -70,6 +70,27 @@ class SimSearchSpec extends SparkSpec {
     assert(b1.forall(b => b >= 0 && b < 16))
   }
 
+  test("cosineNearDupPairsLsh: subset of brute-force pairs, bounded work") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    // brute-force truth at a low threshold (within-label blocking removed:
+    // compare against the unblocked pair set on a small corpus)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", SimSearch.cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = SimSearch.cosineNearDupPairsLsh(emb, 0.25, bits = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // no false positives (sim re-verified)
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      // 2-bit hyperplane LSH on cosine≥0.25 pairs: collision prob ≥
+      // (1 - acos(.25)/pi)^2 ≈ 0.33 — assert a loose floor
+      assert(recall > 0.1, s"recall=$recall of ${exact.size}")
+    }
+  }
+
   test("cosineNearDupPairs: symmetric threshold, id_a < id_b") {
     val pairs = SimSearch.cosineNearDupPairs(
       Tables.embeddings(spark, sf0001), 0.3).collect()

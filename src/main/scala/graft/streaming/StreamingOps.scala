@@ -131,6 +131,16 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup (§7.4 dedup × streaming): drop duplicate keys
+    * across micro-batches, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`) — the ingestion-time dedup stage of
+    * a training-data pipeline. At 100 TB/day the state store holds only
+    * keys inside the watermark horizon instead of growing forever. */
+  def streamingDedup(src: DataFrame, keys: Seq[String],
+      watermarkCol: String = "ts", delay: String = "1 hour"): DataFrame =
+    src.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Run any of the above transforms as a real watermarked streaming query
     * over the events parquet, drained synchronously into a memory sink.
     * Returns the sink contents (complete mode). */

@@ -87,6 +87,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streamingDedup drops cross-batch duplicate keys within watermark") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup")
+      .toString
+    // same doc_key 'a' appears in both micro-batches within the watermark
+    val batches = Seq(
+      Seq(("a", t("2024-01-01 10:00:00")), ("b", t("2024-01-01 10:01:00"))),
+      Seq(("a", t("2024-01-01 10:05:00")), ("c", t("2024-01-01 10:06:00"))))
+    batches.foreach { b =>
+      b.toDF("doc_key", "ts").coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    val src = spark.readStream.schema("doc_key STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingOps.streamingDedup(src, Seq("doc_key"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_sdedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val keys = spark.table("t_sdedup").select("doc_key")
+      .collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("a", "b", "c")) // second 'a' deduped
+  }
+
   test("streaming session windows == batch session windows") {
     val batch = StreamingOps.sessionCounts(Tables.events(spark, sf0001))
       .collect().toSet

@@ -29,7 +29,9 @@ def canon(rows, cols):
             elif hasattr(v, "isoformat"):
                 v = v.isoformat()
             elif isinstance(v, list):
-                v = tuple(round(float(x), 9) for x in v)
+                v = tuple(round(float(x), 9)
+                          if isinstance(x, (int, float)) else str(x)
+                          for x in v)
             rr.append(v)
         out.append(tuple(rr))
     return sorted(out, key=repr), [cols[i] for i in idx]

@@ -321,7 +321,79 @@ object ExtQueries {
     SimSearch.cosineNearDupPairsLsh(Tables.embeddings(s, d),
       threshold = 0.25, bits = 2)
 
+  /** q61 — grouping_id over rollup: distinguishes "null because subtotal"
+    * from "null data" (the correctness-bearing companion of q10). */
+  private val q61: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** q62 — rank-family windows: rank / dense_rank / percent_rank / ntile
+    * over per-supplier revenue. */
+  private val q62: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("revenue").desc, col("l_suppkey"))
+    Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(sumExact6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .select(col("l_suppkey"), col("revenue"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 9).as("prnk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("l_suppkey")
+  }
+
+  /** q63 — deterministic array aggregation: sorted collect_list /
+    * collect_set (Spark's collect order is nondeterministic — sort_array
+    * restores engine-independent results). */
+  private val q63: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 3)
+      .groupBy("l_suppkey")
+      .agg(sort_array(collect_set(col("l_returnflag"))).as("flags"),
+        sort_array(collect_list(col("l_linenumber"))).as("linenos"))
+      .select(col("l_suppkey"), col("flags"),
+        slice(col("linenos"), 1, 20).as("linenos_head"))
+      .orderBy("l_suppkey")
+
+  /** q64 — JSON → typed MapType: from_json over events.props, map_keys /
+    * element access (the F3/json extension surface beyond q39's
+    * get_json_object). */
+  private val q64: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)))
+      .select(col("event_id"),
+        size(map_keys(col("m"))).as("n_keys"),
+        col("m")("k").as("k_val"))
+      .orderBy("event_id")
+
+  /** q65 — date/time arithmetic: datediff, date_add, months_between,
+    * last_day, trunc (F1 breadth). */
+  private val q65: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_ref"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        round(months_between(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")), 6).as("months_to_ref"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        trunc(col("o_orderdate").cast("date"), "quarter").as("quarter_start"))
+      .orderBy("o_orderkey")
+
   val all: Map[String, Q] = Map(
+    "q61_grouping_id" -> q61,
+    "q62_rank_windows" -> q62,
+    "q63_sorted_collect" -> q63,
+    "q64_json_map" -> q64,
+    "q65_date_arithmetic" -> q65,
     "q60_cosine_neardup_lsh" -> q60,
     "q57_tfidf" -> q57,
     "q58_minhash_ml" -> q58,
@@ -358,6 +430,9 @@ object ExtQueries {
   )
 
   // ---- Oracle SQL ----
+
+  private def sumExact6Sql(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)"
 
   /** DuckDB expression replicating TextOps.polyHash(expr). */
   private def polyHashSql(e: String): String =
@@ -423,6 +498,51 @@ object ExtQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "q61_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q62_rank_windows" ->
+      s"""SELECT l_suppkey, revenue,
+         |  CAST(rank() OVER w AS INT) AS rnk,
+         |  CAST(dense_rank() OVER w AS INT) AS drnk,
+         |  round(percent_rank() OVER w, 9) AS prnk,
+         |  CAST(ntile(4) OVER w AS INT) AS quartile
+         |FROM (SELECT l_suppkey,
+         |        ${sumExact6Sql("l_extendedprice*(1-l_discount)")} AS revenue
+         |      FROM lineitem GROUP BY l_suppkey)
+         |WINDOW w AS (ORDER BY revenue DESC, l_suppkey)
+         |ORDER BY l_suppkey""".stripMargin,
+
+    "q63_sorted_collect" ->
+      """SELECT l_suppkey,
+        |  list_sort(list(DISTINCT l_returnflag)) AS flags,
+        |  list_slice(list_sort(list(l_linenumber)), 1, 20) AS linenos_head
+        |FROM lineitem WHERE l_suppkey <= 3
+        |GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
+
+    "q64_json_map" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q65_date_arithmetic" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |       AS INT) AS days_to_ref,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  round((2002 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
+        |    + CASE WHEN day(o_orderdate) = 1 THEN 0.0
+        |           ELSE (1 - day(o_orderdate)) / 31.0 END, 6)
+        |    AS months_to_ref,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q60_cosine_neardup_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding,

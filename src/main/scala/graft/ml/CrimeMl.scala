@@ -37,20 +37,13 @@ object CrimeMl {
       "Community Area", "Community_Crime_Count")
   }
 
-  /** Inverse-frequency class weights clipped to [0.1, 5.0]
-    * (`XGBoost.py:247-257`). */
-  def withWeights(df: DataFrame, train: DataFrame): DataFrame = {
-    val counts = train.groupBy("Crime_Category")
-      .agg(count(lit(1)).as("cls_n"))
-    val total = train.count().toDouble
-    val n = counts.count().toDouble
-    val w = counts.withColumn("weight",
-      least(lit(5.0), greatest(lit(0.1),
-        lit(total) / (lit(n) * col("cls_n")))))
-      .select(col("Crime_Category"), col("weight"))
-    df.join(broadcast(w), Seq("Crime_Category"), "left")
-      .na.fill(1.0, Seq("weight"))
-  }
+  /** Residual-null fill before assembly (`XGBoost.py:232-233`'s
+    * fillna(0) re-homed): Beat etc. can be null after cleaning (only
+    * District/coords are drop subsets; only Ward/Community Area are
+    * imputed), and VectorAssembler's default handleInvalid="error" would
+    * crash on them. */
+  def fillResidualNulls(df: DataFrame): DataFrame =
+    df.na.fill(0.0, FeatureCols.filterNot(_ == "Location_Index"))
 
   def pipeline(seed: Long = 42L): Pipeline = {
     val locIndexer = new StringIndexer()
@@ -76,8 +69,13 @@ object CrimeMl {
       : (PipelineModel, DataFrame, DataFrame) = {
     val (trainRaw, testRaw) =
       Sampling.timeSplit(prepared, col("ts"), cutoffYear)
-    val train = withWeights(withDensities(trainRaw, trainRaw), trainRaw)
-    val test = withWeights(withDensities(testRaw, trainRaw), trainRaw)
+    // one weight table for both splits (shared CrimePipeline logic)
+    val weights = CrimePipeline.classWeightTable(trainRaw, "Crime_Category")
+    def prep(df: DataFrame) = fillResidualNulls(
+      CrimePipeline.attachWeights(
+        withDensities(df, trainRaw), weights, "Crime_Category"))
+    val train = prep(trainRaw)
+    val test = prep(testRaw)
     val model = pipeline().fit(train)
     (model, train, test)
   }

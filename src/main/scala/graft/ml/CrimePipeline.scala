@@ -64,20 +64,27 @@ object CrimePipeline {
       "l_partkey", "part_density")
   }
 
-  /** Inverse-frequency class weights clipped to [0.1, 5.0]
-    * (`XGBoost.py:247-257`), joined as a weightCol (broadcast — the table
-    * has n_classes rows). */
-  def withClassWeights(df: DataFrame, train: DataFrame): DataFrame = {
-    val counts = train.groupBy(LabelCol).agg(count(lit(1)).as("cls_n"))
+  /** Inverse-frequency class-weight table clipped to [0.1, 5.0]
+    * (`XGBoost.py:247-257`): n_classes rows, computed ONCE per training
+    * run and broadcast to every consumer. */
+  def classWeightTable(train: DataFrame, labelCol: String): DataFrame = {
+    val counts = train.groupBy(labelCol).agg(count(lit(1)).as("cls_n"))
     val total = train.count().toDouble
     val nClasses = counts.count().toDouble
-    val weights = counts.withColumn("weight",
+    counts.withColumn("weight",
       least(lit(5.0), greatest(lit(0.1),
         lit(total) / (lit(nClasses) * col("cls_n")))))
-      .select(col(LabelCol), col("weight"))
-    df.join(broadcast(weights), Seq(LabelCol), "left")
-      .na.fill(1.0, Seq("weight"))
+      .select(col(labelCol), col("weight"))
   }
+
+  /** Attach a precomputed weight table as a weightCol (broadcast). */
+  def attachWeights(df: DataFrame, weights: DataFrame,
+      labelCol: String): DataFrame =
+    df.join(broadcast(weights), Seq(labelCol), "left")
+      .na.fill(1.0, Seq("weight"))
+
+  def withClassWeights(df: DataFrame, train: DataFrame): DataFrame =
+    attachWeights(df, classWeightTable(train, LabelCol), LabelCol)
 
   /** The Pipeline: brand StringIndexer (freq-ordered, handleInvalid=keep,
     * M1) → label StringIndexer (M2) → VectorAssembler (M9) →

@@ -34,13 +34,16 @@ object CrimeFixture {
       val date = f"$month%02d/$day%02d/$year $hour12%02d:${nextInt(60)}%02d:00 $ampm"
       val ward = if (i % 3 == 0) "NULL" else (1 + nextInt(50)).toString
       val comm = if (i % 3 == 1) "" else (1 + nextInt(77)).toString
+      // a few null Beats survive cleaning (not a drop subset, not imputed)
+      // and exercise the residual fillna(0) path (XGBoost.py:232-233)
+      val beat = if (i % 25 == 7) "NULL" else (100 + nextInt(25)).toString
       val arrest = Seq("True", "true", "False", "false")(nextInt(4))
       val lat = (41.6 + nextInt(500) / 1000.0).toString
       val lon = (-87.9 + nextInt(500) / 1000.0).toString
       rows += Row(
         id.toString, s"HN$id", date, s"0${nextInt(99)}XX W STREET", "0110",
         t, "DESC", Seq("STREET", "RESIDENCE", "APARTMENT")(nextInt(3)),
-        arrest, Seq("True", "false")(nextInt(2)), (100 + nextInt(25)).toString,
+        arrest, Seq("True", "false")(nextInt(2)), beat,
         (1 + nextInt(25)).toString, ward, comm, "08B",
         (1100000 + nextInt(90000)).toString, (1800000 + nextInt(90000)).toString,
         year.toString, date, lat, lon, s"($lat, $lon)")

@@ -13,6 +13,15 @@ class CrimeMlSpec extends SparkSpec {
   private lazy val prepared = CrimeEtl.prepare(CrimeFixture.raw(spark))
   private lazy val fitted = CrimeMl.fit(prepared, cutoffYear = 2003)
 
+  test("null Beats survive cleaning and are fill-0'd before assembly " +
+    "(XGBoost.py:232-233 residual fillna)") {
+    val nullBeats = prepared.filter(col("Beat").isNull).count()
+    assert(nullBeats > 0, "fixture must produce post-cleaning null Beats")
+    val (_, train, test) = fitted // would throw in VectorAssembler if unfilled
+    assert(train.filter(col("Beat").isNull).count() == 0)
+    assert(test.filter(col("Beat").isNull).count() == 0)
+  }
+
   test("18-feature contract: vector arity matches the reference exactly") {
     val (model, _, test) = fitted
     assert(CrimeMl.FeatureCols.length == 18) // XGBoost.py:195-202

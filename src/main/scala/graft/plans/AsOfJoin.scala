@@ -68,7 +68,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rightSchema = right.schema
     val outputAttrs = output
 
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // zipPartitions relies on EnsureRequirements co-partitioning both
+    // sides; fail with a diagnosable message if a future planner/AQE
+    // change breaks the alignment instead of a cryptic zip error
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"as-of join children not co-partitioned: " +
+        s"${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions}")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val nullRight = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(rightSchema.length)
       val joined = new JoinedRow

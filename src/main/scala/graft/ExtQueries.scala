@@ -388,7 +388,74 @@ object ExtQueries {
         trunc(col("o_orderdate").cast("date"), "quarter").as("quarter_start"))
       .orderBy("o_orderkey")
 
+  /** q66 — INTERSECT ALL / EXCEPT ALL (bag semantics, vs q21/q22's set
+    * semantics). */
+  private val q66: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val a = li.filter(col("l_discount") > 0.08).select("l_partkey")
+    val b = li.filter(col("l_quantity") > 40).select("l_partkey")
+    a.intersectAll(b)
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .orderBy("l_partkey")
+  }
+
+  /** q67 — array higher-order functions: filter / transform / exists /
+    * aggregate over token arrays (the lambda surface itself, distinct from
+    * the native-expression fast paths). */
+  private val q67: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => length(t) > 4)).as("n_long"),
+        exists(col("toks"), t => t === "spark").cast("int").as("has_spark"),
+        forall(col("toks"), t => length(t) > 0).cast("int").as("all_nonempty"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("total_chars"))
+      .orderBy("doc_id")
+
+  /** q68 — pivot with a non-count aggregate (exact-decimal sum per cell). */
+  private val q68: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sumExact(col("l_quantity")))
+      .na.fill(0.0, Seq("F", "O"))
+      .select(col("l_returnflag"), col("F").as("qty_F"),
+        col("O").as("qty_O"))
+      .orderBy("l_returnflag")
+
+  /** q69 — unpivot (wide → long), the inverse of q11/q68. */
+  private val q69: Q = (s, d) =>
+    Tables.part(s, d)
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail")),
+        "measure", "val")
+      .orderBy("p_partkey", "measure")
+
+  /** q70 — RANGE window frame (value-based, vs q44's ROWS frame): sum of
+    * quantities over all same-supplier rows within ±2 of this row's
+    * quantity. */
+  private val q70: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey").orderBy(col("l_quantity"))
+      .rangeBetween(-2, 2)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+          .cast("double").as("near_qty_sum"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
   val all: Map[String, Q] = Map(
+    "q66_intersect_all" -> q66,
+    "q67_array_lambdas" -> q67,
+    "q68_pivot_sum" -> q68,
+    "q69_unpivot" -> q69,
+    "q70_range_frame" -> q70,
     "q61_grouping_id" -> q61,
     "q62_rank_windows" -> q62,
     "q63_sorted_collect" -> q63,
@@ -498,6 +565,51 @@ object ExtQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "q66_intersect_all" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_discount > 0.08
+        |  INTERSECT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity > 40)
+        |GROUP BY 1 ORDER BY l_partkey""".stripMargin,
+
+    "q67_array_lambdas" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($toksSql, t -> length(t) > 4)) AS INT)
+         |    AS n_long,
+         |  CAST(CASE WHEN len(list_filter($toksSql, t -> t = 'spark')) > 0
+         |       THEN 1 ELSE 0 END AS INT) AS has_spark,
+         |  CAST(CASE WHEN len(list_filter($toksSql, t -> length(t) = 0)) = 0
+         |       THEN 1 ELSE 0 END AS INT) AS all_nonempty,
+         |  COALESCE(list_reduce(list_transform($toksSql,
+         |    t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b), 0)
+         |    AS total_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q68_pivot_sum" ->
+      """SELECT l_returnflag,
+        |  COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 0.0) AS qty_F,
+        |  COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 0.0) AS qty_O
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q69_unpivot" ->
+      """SELECT p_partkey, measure, val FROM (
+        |  SELECT p_partkey, 'size' AS measure,
+        |         CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retail', p_retailprice FROM part)
+        |ORDER BY p_partkey, measure""".stripMargin,
+
+    "q70_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_suppkey ORDER BY l_quantity
+        |          RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |    AS DOUBLE) AS near_qty_sum
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
     "q61_grouping_id" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid

@@ -388,15 +388,21 @@ object ExtQueries {
         trunc(col("o_orderdate").cast("date"), "quarter").as("quarter_start"))
       .orderBy("o_orderkey")
 
-  /** q66 — INTERSECT ALL / EXCEPT ALL (bag semantics, vs q21/q22's set
-    * semantics). */
+  /** q66 — INTERSECT ALL and EXCEPT ALL (bag semantics, vs q21/q22's set
+    * semantics): multiplicity-preserving counts for both legs, tagged. */
   private val q66: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val a = li.filter(col("l_discount") > 0.08).select("l_partkey")
     val b = li.filter(col("l_quantity") > 40).select("l_partkey")
-    a.intersectAll(b)
+    val both = a.intersectAll(b)
       .groupBy("l_partkey").agg(count(lit(1)).as("n"))
-      .orderBy("l_partkey")
+      .withColumn("leg", lit("both"))
+    val onlyA = a.exceptAll(b)
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .withColumn("leg", lit("only_a"))
+    both.unionByName(onlyA)
+      .select("leg", "l_partkey", "n")
+      .orderBy("leg", "l_partkey")
   }
 
   /** q67 — array higher-order functions: filter / transform / exists /
@@ -566,11 +572,18 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q66_intersect_all" ->
-      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM (
+      """SELECT 'both' AS leg, l_partkey, CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT l_partkey FROM lineitem WHERE l_discount > 0.08
         |  INTERSECT ALL
         |  SELECT l_partkey FROM lineitem WHERE l_quantity > 40)
-        |GROUP BY 1 ORDER BY l_partkey""".stripMargin,
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'only_a', l_partkey, CAST(count(*) AS BIGINT) FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_discount > 0.08
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity > 40)
+        |GROUP BY 2
+        |ORDER BY leg, l_partkey""".stripMargin,
 
     "q67_array_lambdas" ->
       s"""SELECT doc_id,

@@ -141,8 +141,11 @@ object CrimePipeline {
     val (trainRaw, testRaw) = split(engineered, cutoffYear)
     trainRaw.cache()
     try {
-      val train = withClassWeights(withDensities(trainRaw, trainRaw), trainRaw)
-      val test = withClassWeights(withDensities(testRaw, trainRaw), trainRaw)
+      val weights = classWeightTable(trainRaw, LabelCol) // computed ONCE
+      val train =
+        attachWeights(withDensities(trainRaw, trainRaw), weights, LabelCol)
+      val test =
+        attachWeights(withDensities(testRaw, trainRaw), weights, LabelCol)
       val model = pipeline().fit(train)
       (model, train, test)
     } finally trainRaw.unpersist() // fitted stats are computed; don't pin

@@ -456,7 +456,38 @@ object ExtQueries {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
+  /** q71 — TPC-H Q3 (shipping priority): the canonical 3-way
+    * join + date filters + top-k by revenue, exact-decimal aggregates. */
+  private val q71: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sumExact6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q72 — correlated/scalar subquery via the SQL frontend: orders above
+    * the exact global average price. */
+  private val q72: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM v_orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(*) FROM v_orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q71_tpch_q3" -> q71,
+    "q72_scalar_subquery" -> q72,
     "q66_intersect_all" -> q66,
     "q67_array_lambdas" -> q67,
     "q68_pivot_sum" -> q68,
@@ -571,6 +602,25 @@ object ExtQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "q71_tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${sumExact6Sql("l_extendedprice*(1-l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q72_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q66_intersect_all" ->
       """SELECT 'both' AS leg, l_partkey, CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT l_partkey FROM lineitem WHERE l_discount > 0.08

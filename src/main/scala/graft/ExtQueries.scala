@@ -485,7 +485,21 @@ object ExtQueries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q73 — int8 embedding quantization (4× storage at 100 TB): per-vector
+    * scale + code statistics, oracle-replicated bit-for-bit. */
+  private val q73: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .withColumn("qs", SimSearch.quantizeInt8(col("embedding")))
+      .select(col("vec_id"),
+        col("qs.scale").as("scale"),
+        aggregate(col("qs.q"), lit(0L),
+          (acc, x) => acc + x.cast("long")).as("sum_q"),
+        array_min(col("qs.q")).cast("int").as("min_q"),
+        array_max(col("qs.q")).cast("int").as("max_q"))
+      .orderBy("vec_id")
+
   val all: Map[String, Q] = Map(
+    "q73_quantize_int8" -> q73,
     "q71_tpch_q3" -> q71,
     "q72_scalar_subquery" -> q72,
     "q66_intersect_all" -> q66,
@@ -602,6 +616,27 @@ object ExtQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "q73_quantize_int8" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS m,
+        |    embedding
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id, CAST(m AS FLOAT) AS scale,
+        |    list_transform(embedding,
+        |      x -> CASE WHEN m > 0
+        |           THEN CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS INT)
+        |           ELSE 0 END) AS q
+        |  FROM qz)
+        |SELECT vec_id, scale,
+        |  CAST(list_reduce(list_transform(q, x -> CAST(x AS BIGINT)),
+        |    (a, b) -> a + b) AS BIGINT) AS sum_q,
+        |  CAST(list_min(q) AS INT) AS min_q,
+        |  CAST(list_max(q) AS INT) AS max_q
+        |FROM codes ORDER BY vec_id""".stripMargin,
+
     "q71_tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
          |  ${sumExact6Sql("l_extendedprice*(1-l_discount)")} AS revenue

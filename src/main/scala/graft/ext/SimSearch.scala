@@ -101,6 +101,24 @@ object SimSearch {
       .orderBy("q_id", "rnk")
   }
 
+  /** Symmetric int8 quantization of a float vector: q_i = round(x_i·127/m)
+    * with m = max|x| (per-vector scale). 4× storage/bandwidth reduction
+    * for 100 TB embedding corpora; reconstruction x̂_i = q_i·m/127.
+    * Pure Catalyst — quantized arrays write as parquet int8 columns. */
+  def quantizeInt8(emb: Column): Column = {
+    val m = array_max(transform(emb, x => abs(x.cast("double"))))
+    struct(
+      m.cast("float").as("scale"),
+      transform(emb, x =>
+        when(m > 0, round(x.cast("double") * 127.0 / m))
+          .otherwise(0.0).cast("tinyint")).as("q"))
+  }
+
+  /** Reconstruct a float vector from [[quantizeInt8]] output. */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs("q"), q =>
+      (q.cast("double") * qs("scale").cast("double") / 127.0).cast("float"))
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
     * corpus into `nClusters` cells; each query probes only the `nProbe`
     * nearest cells. The 100 TB shape: the assigned corpus is written

@@ -91,6 +91,27 @@ class SimSearchSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: 4x smaller, cosine preserved to 3 decimals") {
+    val emb = Tables.embeddings(spark, sf0001).limit(300)
+    val rt = emb.withColumn("qs", SimSearch.quantizeInt8(col("embedding")))
+      .withColumn("back", SimSearch.dequantizeInt8(col("qs")))
+      .withColumn("fidelity",
+        SimSearch.cosine(col("embedding"), col("back")))
+    val minFid = rt.agg(min("fidelity")).head().getDouble(0)
+    assert(minFid > 0.995, s"minFidelity=$minFid")
+    // quantized values genuinely fit int8
+    val bad = rt.select(explode(col("qs.q")).as("q"))
+      .filter(col("q") > 127 || col("q") < -127).count()
+    assert(bad == 0)
+    // zero vectors survive (scale 0 → all-zero reconstruction)
+    import spark.implicits._
+    val z = Seq(Array(0f, 0f)).toDF("embedding")
+      .withColumn("qs", SimSearch.quantizeInt8(col("embedding")))
+      .withColumn("back", SimSearch.dequantizeInt8(col("qs")))
+      .select("back").head().getSeq[Float](0)
+    assert(z.toSeq == Seq(0f, 0f))
+  }
+
   test("cosineNearDupPairs: symmetric threshold, id_a < id_b") {
     val pairs = SimSearch.cosineNearDupPairs(
       Tables.embeddings(spark, sf0001), 0.3).collect()

@@ -81,6 +81,44 @@ object SimSearch {
     bitCols.reduce(_ + _)
   }
 
+  /** Multi-table LSH ANN: `tables` independent hyperplane sets (table t
+    * uses planes t·bits … t·bits+bits−1); a corpus vector is a candidate
+    * if it shares ANY table's bucket with the query (OR-amplification:
+    * miss probability (1−p^bits)^tables). The recall/cost dial the
+    * single-table form lacks. */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int, tables: Int): DataFrame = {
+    def buckets(emb: Column): Column =
+      array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          ((0 until bits).map { b =>
+            val p = t * bits + b
+            val proj = aggregate(
+              zip_with(emb, sequence(lit(0L), size(emb).cast("long") - 1),
+                (x, j) => x.cast("double") * planeComponent(p, j)),
+              lit(0.0), (acc, v) => acc + v)
+            when(proj > 0, lit(1L << b)).otherwise(0L)
+          }.reduce(_ + _)).as("bk"))
+      }: _*)
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      explode(buckets(col("embedding"))).as("bucket"))
+    val qb = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
+      .select(col("q_id"), col("q_emb"),
+        explode(buckets(col("q_emb"))).as("bucket"))
+    val cands = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "q_emb", "vec_id", "embedding")
+      .dropDuplicates("q_id", "vec_id") // a pair may collide in >1 table
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    cands.withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * At scale the corpus is hash-partitioned (and can be written bucketed)
     * by `bucket`, so a query probes one partition instead of the corpus. */

@@ -43,6 +43,21 @@ class SimSearchSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("multi-table LSH: recall strictly improves over single-table") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimSearch.bruteForceTopK(emb, q, 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      (df.select("q_id", "n_id").as[(Long, Long)].collect().toSet & exact)
+        .size.toDouble / exact.size
+    val single = recallOf(SimSearch.lshTopK(emb, q, 10, bits = 4))
+    val multi = recallOf(SimSearch.lshTopKMulti(emb, q, 10,
+      bits = 4, tables = 4))
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > 0.25, s"multi=$multi") // OR-amplification floor
+  }
+
   test("ivfTopK: full probe == brute force; partial probe has high recall") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val q = emb.filter(col("vec_id") < 10)

@@ -498,7 +498,33 @@ object ExtQueries {
         array_max(col("qs.q")).cast("int").as("max_q"))
       .orderBy("vec_id")
 
+  /** q74 — multi-table OR-amplified LSH ANN (rows-only: recall measured in
+    * SimSearchSpec; single-table LSH is q34). */
+  private val q74: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    SimSearch.lshTopKMulti(emb, emb.filter(col("vec_id") < 3),
+      k = 5, bits = 4, tables = 4)
+  }
+
+  /** q75 — exact weighted median via the typed Aggregator (§7.3's one
+    * deliberate UDAF); oracle replicates the lower-weighted-median with
+    * range-frame cumulative weights. */
+  private val q75: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    li.select(col("l_returnflag"), col("l_quantity"),
+        (lit(1.0) + col("l_discount")).as("w"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.WeightedMedian.asColumn.name("wmed"))
+      .toDF("l_returnflag", "wmed")
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
+    "q74_ann_lsh_multi" -> q74,
+    "q75_weighted_median" -> q75,
     "q73_quantize_int8" -> q73,
     "q71_tpch_q3" -> q71,
     "q72_scalar_subquery" -> q72,
@@ -616,6 +642,17 @@ object ExtQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "q75_weighted_median" ->
+      """WITH cw AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    SUM(1.0 + l_discount) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity) AS cum_w,
+        |    SUM(1.0 + l_discount) OVER (PARTITION BY l_returnflag) AS tot_w
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MIN(l_quantity) FILTER (WHERE cum_w >= tot_w / 2.0) AS wmed
+        |FROM cw GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
     "q73_quantize_int8" ->
       """WITH qz AS (
         |  SELECT vec_id,

@@ -69,14 +69,18 @@ object SimSearch {
     (((lit(plane.toLong * 2654435761L) + j * 40503L) % 8191L) / lit(4095.5))
       .cast("double") - 1.0
 
-  /** LSH bucket id: `bits` sign-of-projection bits packed into a long. */
-  def lshBucket(emb: Column, bits: Int): Column = {
-    val bitCols = (0 until bits).map { p =>
+  /** LSH bucket id: `bits` sign-of-projection bits packed into a long.
+    * `planeOffset` selects an independent hyperplane set (table t uses
+    * offset t·bits) — the single helper serves both single- and
+    * multi-table paths so the hash formula lives in one place. */
+  def lshBucket(emb: Column, bits: Int, planeOffset: Int = 0): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val p = planeOffset + b
       val proj = aggregate(
         zip_with(emb, sequence(lit(0L), size(emb).cast("long") - 1),
           (x, j) => x.cast("double") * planeComponent(p, j)),
         lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
+      when(proj > 0, lit(1L << b)).otherwise(0L)
     }
     bitCols.reduce(_ + _)
   }
@@ -91,14 +95,7 @@ object SimSearch {
     def buckets(emb: Column): Column =
       array((0 until tables).map { t =>
         struct(lit(t).as("t"),
-          ((0 until bits).map { b =>
-            val p = t * bits + b
-            val proj = aggregate(
-              zip_with(emb, sequence(lit(0L), size(emb).cast("long") - 1),
-                (x, j) => x.cast("double") * planeComponent(p, j)),
-              lit(0.0), (acc, v) => acc + v)
-            when(proj > 0, lit(1L << b)).otherwise(0L)
-          }.reduce(_ + _)).as("bk"))
+          lshBucket(emb, bits, planeOffset = t * bits).as("bk"))
       }: _*)
     val cb = corpus.select(col("vec_id"), col("embedding"),
       explode(buckets(col("embedding"))).as("bucket"))

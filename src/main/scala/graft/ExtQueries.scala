@@ -46,8 +46,9 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
-  /** q29 — document fingerprints: order-sensitive rolling hash + 32-bit
-    * SimHash, both oracle-replicable (§7.4 text/dedup). */
+  /** q29 — document fingerprints: order-sensitive rolling hash + 30-bit
+    * SimHash (see [[graft.ext.Dedup.SimhashBits]]), both oracle-replicable
+    * (§7.4 text/dedup). */
   private val q29: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -62,10 +63,12 @@ object ExtQueries {
         countDistinct(col("text")).as("n_distinct"))
 
   /** q31 — n-gram Jaccard near-dup pairs via inverted-index join
-    * (§7.4 dedup; never |docs|²). */
+    * (§7.4 dedup; never |docs|², and the df-cap bounds the hot-shingle
+    * self-join quadratic — the cap is mirrored in the oracle, so the
+    * result stays hash-checked whether or not the cap binds). */
   private val q31: Q = (s, d) =>
     Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      k = 3, threshold = 0.1)
+      k = 3, threshold = 0.1, maxDf = 100)
 
   /** q32 — MinHash + LSH banding near-dup candidates, Jaccard-verified
     * (§7.4 dedup; the 100 TB path). */
@@ -246,13 +249,21 @@ object ExtQueries {
   }
 
   /** q54 — multimodal feature extraction through the mapPartitions batch
-    * path (stubbed decode; §7.4 multimodal — rows-only, the kernel is
-    * pinned by MultimodalSpec). */
+    * path (stubbed decode; §7.4 multimodal). The float histogram features
+    * are projected back to exact integer byte-bin counts
+    * (count = round(freq · n_bytes), exact because the float only ever
+    * encodes count/total), so the output is scalar-only AND the DuckDB
+    * oracle can recompute it byte-for-byte from the hex of the payload
+    * (bin index of a byte = its high hex nibble). */
   private val q54: Q = (s, d) => {
     val media = Multimodal.mediaTable(Tables.documents(s, d))
     Multimodal.extractFeatures(s, media).toDF()
-      .select("doc_id", "media_type", "n_bytes", "features")
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("bin", "freq")))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("bin"),
+        round(col("freq").cast("double") *
+          greatest(col("n_bytes"), lit(1)), 0).cast("long").as("n_in_bin"))
+      .orderBy("doc_id", "bin")
   }
 
   /** q55 — duplicate clusters: connected components over the q31 near-dup
@@ -260,7 +271,8 @@ object ExtQueries {
     * pairs → clusters → canonical doc per cluster). */
   private val q55: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1,
+      maxDf = 100)
     Dedup.dupClusters(pairs, docs.select("doc_id"), "doc_id")
   }
 
@@ -292,12 +304,14 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
-  /** q57 — TF-IDF vectors over documents (rows-only: hashed vector UDT;
-    * invariants pinned in TfIdfSpec). */
-  private val q57: Q = (s, d) => {
-    val (_, out) = TextOps.tfidf(Tables.documents(s, d), "text")
-    out.select(col("doc_id"), col("tfidf")).orderBy("doc_id")
-  }
+  /** q57 — TF-IDF over documents as exploded (doc_id, term_hash, tf, w)
+    * rows with the MLlib IDF formula, fully oracle-checked (the MLlib
+    * HashingTF+IDF pipeline variant lives in [[TextOps.tfidf]], invariants
+    * pinned in TfIdfSpec — its murmur3 hashing and vector UDT output are
+    * not oracle-replicable, this relational form is). */
+  private val q57: Q = (s, d) =>
+    TextOps.tfidfRelational(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id", "term_hash")
 
   /** q58 — spark.ml MinHashLSH near-dup pairs (rows-only: LSH internals;
     * the hand-rolled oracle-checked formulation is q32). */
@@ -316,10 +330,13 @@ object ExtQueries {
 
   /** q60 — LSH-blocked embedding near-dup pairs (the 100 TB blocking form
     * of q35); deterministic hyperplanes make even the LSH stage
-    * oracle-checkable. */
+    * oracle-checkable. bits=16 keeps expected bucket occupancy O(1) at
+    * this corpus size (2^16 buckets ≥ n) so the within-bucket all-pairs
+    * join stays bounded; 4 OR-amplified tables buy back the recall that
+    * 16 AND-ed bits alone would lose. */
   private val q60: Q = (s, d) =>
     SimSearch.cosineNearDupPairsLsh(Tables.embeddings(s, d),
-      threshold = 0.25, bits = 2)
+      threshold = 0.25, bits = 16, tables = 4)
 
   /** q61 — grouping_id over rollup: distinguishes "null because subtotal"
     * from "null data" (the correctness-bearing companion of q10). */
@@ -349,15 +366,19 @@ object ExtQueries {
 
   /** q63 — deterministic array aggregation: sorted collect_list /
     * collect_set (Spark's collect order is nondeterministic — sort_array
-    * restores engine-independent results). */
+    * restores engine-independent results). Output arrays are serialized
+    * with array_join so every result column is a sortable scalar — the
+    * driver's comparator cannot sort raw array columns. */
   private val q63: Q = (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_suppkey") <= 3)
       .groupBy("l_suppkey")
-      .agg(sort_array(collect_set(col("l_returnflag"))).as("flags"),
+      .agg(sort_array(collect_set(col("l_returnflag"))).as("flags_arr"),
         sort_array(collect_list(col("l_linenumber"))).as("linenos"))
-      .select(col("l_suppkey"), col("flags"),
-        slice(col("linenos"), 1, 20).as("linenos_head"))
+      .select(col("l_suppkey"),
+        array_join(col("flags_arr"), ",").as("flags"),
+        array_join(transform(slice(col("linenos"), 1, 20),
+          x => x.cast("string")), ",").as("linenos_head"))
       .orderBy("l_suppkey")
 
   /** q64 — JSON → typed MapType: from_json over events.props, map_keys /
@@ -498,8 +519,10 @@ object ExtQueries {
         array_max(col("qs.q")).cast("int").as("max_q"))
       .orderBy("vec_id")
 
-  /** q74 — multi-table OR-amplified LSH ANN (rows-only: recall measured in
-    * SimSearchSpec; single-table LSH is q34). */
+  /** q74 — multi-table OR-amplified LSH ANN (oracle-checked: deterministic
+    * hyperplanes make every table's bucket replicable in SQL; recall vs
+    * the exact baseline is additionally measured in SimSearchSpec;
+    * single-table LSH is q34). */
   private val q74: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     SimSearch.lshTopKMulti(emb, emb.filter(col("vec_id") < 3),
@@ -615,31 +638,106 @@ object ExtQueries {
     s"(SELECT CASE WHEN __max = 0 THEN 'und' $whens END FROM (SELECT $maxExpr AS __max))"
   }
 
-  /** q31's pair derivation as reusable CTE text (shared by q55's oracle). */
-  private def pairCtes: String =
+  /** q31's pair derivation as reusable CTE text (shared by q55's oracle):
+    * df-capped postings (mirroring Dedup.jaccardPairs' maxDf — shingles in
+    * more than `cap` docs leave the shingle universe, numerator AND
+    * denominator) → inverted-index self-join → Jaccard ≥ threshold. */
+  private def pairCtes(cap: Int, threshold: Double): String =
     s"""sh AS (
        |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs FROM documents),
-       |post AS (SELECT doc_id, unnest(shs) AS h FROM sh),
+       |post0 AS (SELECT doc_id, unnest(shs) AS h FROM sh),
+       |keep AS (SELECT h FROM post0 GROUP BY h HAVING count(*) <= $cap),
+       |post AS (SELECT p.doc_id, p.h FROM post0 p JOIN keep USING (h)),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+       |          FROM post GROUP BY 1),
        |shared AS (
        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
        |         CAST(count(*) AS BIGINT) AS n_shared
        |  FROM post x JOIN post y ON x.h = y.h AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT id_a, id_b
-       |  FROM shared JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
-       |  WHERE CAST(n_shared AS DOUBLE) / (len(a.shs) + len(b.shs) - n_shared) >= 0.1)""".stripMargin
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    CAST(n_shared AS DOUBLE) / (a.n_sh + b.n_sh - n_shared) AS jac
+       |  FROM shared JOIN sizes a ON a.doc_id = id_a
+       |              JOIN sizes b ON b.doc_id = id_b),
+       |pairs AS (SELECT id_a, id_b, jac FROM scored WHERE jac >= $threshold)""".stripMargin
 
-  /** DuckDB replica of SimSearch.lshBucket for `bits` hyperplanes. */
-  private def lshBucketSql(emb: String, bits: Int): String =
-    (0 until bits).map { p =>
+  /** DuckDB replica of SimSearch.lshBucket for `bits` hyperplanes starting
+    * at `planeOffset` (table t of a multi-table scheme uses offset
+    * t·bits, mirroring SimSearch.lshTopKMulti / cosineNearDupPairsLsh). */
+  private def lshBucketSql(emb: String, bits: Int,
+      planeOffset: Int = 0): String =
+    (0 until bits).map { b =>
+      val p = planeOffset + b
       val proj = s"COALESCE(list_reduce(list_transform(" +
         s"list_zip($emb, generate_series(0, len($emb) - 1)), " +
         s"x -> CAST(x[1] AS DOUBLE) * " +
         s"(((${p.toLong * 2654435761L} + x[2] * 40503) % 8191) / 4095.5 - 1.0)), " +
         s"(a, b) -> a + b), 0.0)"
-      s"(CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END)"
+      s"(CASE WHEN $proj > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Shared shape of the q34/q74 oracle: rank bucket-collision candidates
+    * by cosine, keep top-k per query. `candSql` must yield
+    * (q_id, q_emb, vec_id, embedding). */
+  private def annTopKSql(candSql: String, k: Int): String =
+    s"""SELECT q_id, n_id, sim, rnk FROM (
+       |  SELECT q_id, vec_id AS n_id,
+       |    ${cosineSql("q_emb", "embedding")} AS sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY ${cosineSql("q_emb", "embedding")} DESC, vec_id)
+       |      AS INT) AS rnk
+       |  FROM ($candSql))
+       |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  /** q32's oracle: MinHash signatures (same deterministic coefficient
+    * pairs as Dedup.minhashCoeffs), LSH banding with the identical rolling
+    * band-key fold, then exact-Jaccard verification of the candidates. */
+  private def minhashBandPairsSql(k: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): String = {
+    val P = graft.ext.TextOps.HashPrime
+    val sigExprs = Dedup.minhashCoeffs(numHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(shs, h -> (h * $a + $b) % $P)) AS mh_$i"
+    }.mkString(",\n  ")
+    val numBands = numHashes / rowsPerBand
+    val bandSelects = (0 until numBands).map { bnd =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"mh_${bnd * rowsPerBand + r}")
+        .reduce((x, y) => s"(($x) * 31 + $y) % $P")
+      s"SELECT pid, $bnd AS band, $key AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |  SELECT doc_id AS pid, ${shinglesSql(toksSql, k)} AS shs
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT pid, shs,
+       |  $sigExprs
+       |  FROM sh WHERE len(shs) > 0),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.pid AS id_a, y.pid AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.pid < y.pid)
+       |SELECT id_a, id_b, jac FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
+       |      AS jac
+       |  FROM cand JOIN sigs a ON a.pid = id_a JOIN sigs b ON b.pid = id_b)
+       |WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Multi-table bucket columns b0..b{tables-1} (table t uses plane
+    * offset t·bits) — shared by the q60 and q74 oracles. */
+  private def multiBucketCols(bits: Int, tables: Int): String =
+    (0 until tables)
+      .map(t => s"${lshBucketSql("embedding", bits, t * bits)} AS b$t")
+      .mkString(",\n    ")
+
+  private def anyBucketMatch(x: String, y: String, tables: Int): String =
+    (0 until tables).map(t => s"$x.b$t = $y.b$t").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
     "q75_weighted_median" ->
@@ -766,8 +864,10 @@ object ExtQueries {
 
     "q63_sorted_collect" ->
       """SELECT l_suppkey,
-        |  list_sort(list(DISTINCT l_returnflag)) AS flags,
-        |  list_slice(list_sort(list(l_linenumber)), 1, 20) AS linenos_head
+        |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',')
+        |    AS flags,
+        |  array_to_string(list_slice(list_sort(list(l_linenumber)), 1, 20),
+        |    ',') AS linenos_head
         |FROM lineitem WHERE l_suppkey <= 3
         |GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
 
@@ -793,13 +893,43 @@ object ExtQueries {
     "q60_cosine_neardup_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding,
-         |         ${lshBucketSql("embedding", 2)} AS bucket
+         |    ${multiBucketCols(bits = 16, tables = 4)}
          |  FROM embeddings)
-         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-         |       ${cosineSql("x.embedding", "y.embedding")} AS sim
-         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |WHERE ${cosineSql("x.embedding", "y.embedding")} >= 0.25
-         |ORDER BY id_a, id_b""".stripMargin,
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+         |    ${cosineSql("x.embedding", "y.embedding")} AS sim
+         |  FROM b x JOIN b y
+         |    ON x.vec_id < y.vec_id AND (${anyBucketMatch("x", "y", 4)}))
+         |WHERE sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_minhash_lsh_pairs" ->
+      minhashBandPairsSql(k = 3, numHashes = 12, rowsPerBand = 3,
+        threshold = 0.05),
+
+    "q34_ann_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${lshBucketSql("embedding", 4)}
+         |    AS bucket
+         |  FROM embeddings)
+         |${annTopKSql(
+            "SELECT q.q_id, q.q_emb, c.vec_id, c.embedding " +
+              "FROM b c JOIN (SELECT vec_id AS q_id, embedding AS q_emb, " +
+              "bucket FROM b WHERE vec_id < 3) q " +
+              "ON c.bucket = q.bucket AND c.vec_id <> q.q_id", 5)}"""
+        .stripMargin,
+
+    "q74_ann_lsh_multi" ->
+      s"""WITH cb AS (
+         |  SELECT vec_id, embedding,
+         |    ${multiBucketCols(bits = 4, tables = 4)}
+         |  FROM embeddings),
+         |qb AS (SELECT vec_id AS q_id, embedding AS q_emb, b0, b1, b2, b3
+         |       FROM cb WHERE vec_id < 3)
+         |${annTopKSql(
+            "SELECT DISTINCT q.q_id, q.q_emb, c.vec_id, c.embedding " +
+              "FROM cb c JOIN qb q ON (" +
+              anyBucketMatch("c", "q", 4) + ") AND c.vec_id <> q.q_id", 5)}"""
+        .stripMargin,
 
     "q59_frame_sample" ->
       """SELECT doc_id,
@@ -837,9 +967,43 @@ object ExtQueries {
         |            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q54_multimodal_features" ->
+      """WITH hx AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |    hex(encode(text)) AS h
+        |  FROM documents)
+        |SELECT doc_id, media_type, n_bytes, CAST(b.range AS INT) AS bin,
+        |  CAST(len(list_filter(generate_series(1, length(h) // 2),
+        |    i -> strpos('0123456789ABCDEF', substring(h, i * 2 - 1, 1)) - 1
+        |         = b.range)) AS BIGINT) AS n_in_bin
+        |FROM hx, range(0, 16) b
+        |ORDER BY doc_id, bin""".stripMargin,
+
+    "q57_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter($toksSql,
+         |      w -> length(w) > 0 AND w NOT IN $stopList)) AS tok
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, ${polyHashSql("tok")} % 4096 AS term_hash,
+         |         CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT term_hash, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |m AS (SELECT count(*) AS m FROM documents)
+         |SELECT doc_id, term_hash, tf,
+         |  round(tf * ln((m + 1.0) / (df + 1)), 6) AS w
+         |FROM tf JOIN dfq USING (term_hash) CROSS JOIN m
+         |ORDER BY doc_id, term_hash""".stripMargin,
+
     "q55_dup_clusters" ->
       s"""WITH RECURSIVE
-         |$pairCtes,
+         |${pairCtes(cap = 100, threshold = 0.1)},
          |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs),
          |reach(s, d) AS (
@@ -925,7 +1089,7 @@ object ExtQueries {
       s"""SELECT doc_id,
          |  COALESCE(list_reduce(list_transform($toksSql,
          |    w -> ${polyHashSql("w")}), (a, h) -> (a*31 + h) % 1000000007), 0) AS fp,
-         |  COALESCE(list_reduce(list_transform(generate_series(0, 31),
+         |  COALESCE(list_reduce(list_transform(generate_series(0, 29),
          |    j -> CASE WHEN list_reduce(
          |           list_transform(list_distinct(list_transform($toksSql,
          |             w -> ${polyHashSql("w")})),
@@ -940,20 +1104,8 @@ object ExtQueries {
         |FROM documents""".stripMargin,
 
     "q31_jaccard_pairs" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs FROM documents),
-         |post AS (SELECT doc_id, unnest(shs) AS h FROM sh),
-         |shared AS (
-         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-         |         CAST(count(*) AS BIGINT) AS n_shared
-         |  FROM post x JOIN post y ON x.h = y.h AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |  CAST(n_shared AS DOUBLE) / (len(a.shs) + len(b.shs) - n_shared) AS jac
-         |FROM shared
-         |JOIN sh a ON a.doc_id = id_a
-         |JOIN sh b ON b.doc_id = id_b
-         |WHERE CAST(n_shared AS DOUBLE) / (len(a.shs) + len(b.shs) - n_shared) >= 0.1
+      s"""WITH ${pairCtes(cap = 100, threshold = 0.1)}
+         |SELECT id_a, id_b, jac FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q33_ann_bruteforce" ->
@@ -1036,9 +1188,9 @@ object ExtQueries {
         |  round(least(5.0, greatest(0.1,
         |    CAST(SUM(n) OVER () AS DOUBLE) / (4.0 * n))), 6) AS weight
         |FROM counts ORDER BY category""".stripMargin
-    // q32/q34: LSH internals deliberately rows-only (covered by unit tests
-    //          + jaccard/bruteforce oracles on the same inputs)
-    // q42: seed-dependent sampler — rows-only
-    // q43: GK sketch — rows-only (approximation is the point)
+    // Rows-only by design (no oracle possible): q42 seed-dependent
+    // sampler; q43 GK sketch (approximation is the point); q49 KMeans
+    // partitioning-sensitive; q56 HLL sketch binaries; q58 MLlib
+    // MinHashLSH internals (the oracle-checked formulation is q32).
   )
 }

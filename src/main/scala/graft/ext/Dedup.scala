@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *    pairs come from band-bucket equality joins, so cost tracks the number
   *    of genuinely similar pairs; the knob (bands × rows) sets the
   *    similarity threshold curve. This is the 100 TB path.
-  *  - [[simhashFingerprints]]: 32-bit SimHash — near-dup detection via
+  *  - [[simhashFingerprints]]: 30-bit SimHash — near-dup detection via
   *    Hamming distance on a fixed-width fingerprint; banding on bit-slices
   *    for candidate generation.
   *
@@ -65,13 +65,31 @@ object Dedup {
 
   /** n-gram Jaccard near-duplicate pairs via inverted-index self-join:
     * J(a,b) = |A∩B| / (|A|+|B|−|A∩B|) over distinct k-shingles.
-    * Returns (id_a < id_b, jac) with jac ≥ threshold. */
+    * Returns (id_a < id_b, jac) with jac ≥ threshold.
+    *
+    * `maxDf` caps per-shingle document frequency: a shingle appearing in f
+    * docs contributes ~f²/2 candidate pairs to the posting-list self-join,
+    * so one natural-language hot shingle ("of the …") at corpus scale is
+    * the classic quadratic blowup. Shingles with df > maxDf are dropped
+    * from the shingle UNIVERSE (numerator AND denominator — the standard
+    * df-cap semantics), bounding the join at |postings|·maxDf/2 pairs.
+    * The bound and the semantics are spec-asserted (DedupSpec). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
+      k: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
     // materialize postings once (localCheckpoint): DataFrame reuse is plan
     // reuse, not computation reuse — without this, the shingle+hash pass
     // runs once per consumer (both self-join sides + the sizes agg)
-    val post = postings(df, idCol, textCol, k).localCheckpoint(true)
+    val post0 = postings(df, idCol, textCol, k).localCheckpoint(true)
+    val post =
+      if (maxDf == Int.MaxValue) post0
+      else {
+        // hot-shingle exclusion list: ≤ |postings|/maxDf rows by
+        // construction, so broadcasting the anti-join side is safe
+        val hot = post0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("sh")
+        post0.join(broadcast(hot), Seq("sh"), "left_anti")
+          .localCheckpoint(true)
+      }
     val sizes = post.groupBy("pid").agg(count(lit(1)).as("n_sh"))
     val shared = post.as("x")
       .join(post.as("y"), col("x.sh") === col("y.sh") &&
@@ -210,6 +228,7 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
     var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var cached: DataFrame = null
     var changed = 1L
     var rounds = 0
     try {
@@ -218,17 +237,20 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("cluster")).as("nmin"))
+      // carry (new, old) labels side by side so ONE cached pass both
+      // materializes the round and yields the convergence count — the
+      // separate count() + re-join recount was a second action per round
       val updated = labels
         .join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cluster"))
+            .as("newc"),
+          col("cluster").as("old"))
         .cache()
-      updated.count() // materialize before comparing
-      changed = updated.join(labels.withColumnRenamed("cluster", "old"),
-        Seq("id")).filter(col("cluster") =!= col("old")).count()
-      if (rounds > 0) labels.unpersist() // drop the previous iteration
-      labels = updated
+      changed = updated.filter(col("newc") =!= col("old")).count()
+      if (cached != null) cached.unpersist() // drop the previous iteration
+      cached = updated
+      labels = updated.select(col("id"), col("newc").as("cluster"))
       rounds += 1
     }
     // never return silently-wrong labels: a component with diameter > cap
@@ -239,17 +261,24 @@ object Dedup {
     labels.select(col("id").as(idCol), col("cluster"))
       .orderBy(idCol).localCheckpoint(eager = true)
     } finally { // caches must not outlive the call, even on failure
-      if (rounds > 0) labels.unpersist()
+      if (cached != null) cached.unpersist()
       edges.unpersist()
     }
   }
 
-  /** 32-bit SimHash over distinct token hashes: bit j of the fingerprint is
+  /** Fingerprint width of [[simhash32]]: token hashes are polynomial hashes
+    * mod 1e9+7 < 2^30, so only the low 30 bits carry entropy — iterating
+    * bits 30/31 would produce constant-zero fingerprint bits, making any
+    * Hamming bit-slice band over the top slice degenerate (everything
+    * collides). */
+  val SimhashBits = 30
+
+  /** 30-bit SimHash over distinct token hashes: bit j of the fingerprint is
     * set iff Σ_tokens (2·((h>>j)&1) − 1) > 0. One projection, no explode. */
   def simhash32(text: Column): Column = {
     val hashes = array_distinct(
       transform(TextOps.tokens(text), w => TextOps.polyHash(w)))
-    val bitCols = (0 until 32).map { j =>
+    val bitCols = (0 until SimhashBits).map { j =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j) % 2) * 2 - 1)
       when(votes > 0, lit(1L << j)).otherwise(0L)

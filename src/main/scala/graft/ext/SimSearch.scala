@@ -206,21 +206,35 @@ object SimSearch {
   /** LSH-blocked embedding near-dup pairs — the 100 TB form of
     * [[cosineNearDupPairs]]: candidates are pairs sharing a
     * random-hyperplane bucket, so the pair count scales with bucket
-    * occupancy (~n²/2^bits per bucket), not n². Recall follows the LSH
-    * collision curve: a pair at cosine θ shares all `bits` sign bits with
-    * probability (1 − acos(θ)/π)^bits; multi-probe or repeated tables
-    * raise it (measured, not assumed, in the spec). */
+    * occupancy (~n²/2^bits per bucket), not n². `bits` must therefore
+    * scale with the corpus (2^bits ≳ n keeps expected occupancy O(1);
+    * a too-small bits turns the within-bucket all-pairs join back into
+    * ~n²/2^bits with single-key shuffle skew — the spec asserts a
+    * max-occupancy bound). Recall follows the LSH collision curve: a pair
+    * at cosine θ shares all `bits` sign bits of one table with probability
+    * (1 − acos(θ)/π)^bits; `tables` independent hyperplane sets
+    * OR-amplify it to 1 − (1 − p^bits)^tables, the recall dial that makes
+    * high-bits configs usable (recall measured, not assumed, in the
+    * spec). */
   def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
-      bits: Int): DataFrame = {
+      bits: Int, tables: Int = 1): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), bits).as("bucket"))
-    b.as("x").join(b.as("y"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          lshBucket(col("embedding"), bits, planeOffset = t * bits)
+            .as("bk"))
+      }: _*)).as("bucket"))
+    // candidates first, sim once per DEDUPED pair: a pair colliding in
+    // several tables must not compute (or emit) its cosine more than once
+    val cand = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .withColumn("sim", cosine(col("x.embedding"), col("y.embedding")))
-      .filter(col("sim") >= threshold)
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        col("sim"))
+        col("x.embedding").as("emb_a"), col("y.embedding").as("emb_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy("id_a", "id_b")
   }
 

@@ -101,6 +101,37 @@ object TextOps {
     (model, model.transform(df))
   }
 
+  /** Relational TF-IDF (the oracle-checkable sibling of [[tfidf]]): terms
+    * are whitespace tokens minus stopwords, hashed into a fixed-width
+    * feature space with the oracle-replicable [[polyHash]] (mod
+    * `numFeatures` — collisions fold counts, exactly like HashingTF's
+    * murmur3 would, but deterministically across engines). Weight uses
+    * MLlib's IDF formula idf(t) = ln((m+1)/(df+1)) with m = total docs,
+    * rounded to 6dp so libm ulp differences cannot flip the hash compare.
+    *
+    * Output: one row per (doc, term bucket) — scalar columns only, so the
+    * result is driver-comparable; the sparse-vector form is a pivot away.
+    * Plan: explode → two hash-aggregates (tf, df) → broadcast scalar m —
+    * all shuffles keyed on the term bucket / doc id, no driver round-trip. */
+  def tfidfRelational(df: DataFrame, idCol: String, textCol: String,
+      numFeatures: Int = 1 << 12): DataFrame = {
+    val terms = df.select(col(idCol),
+        explode(filter(tokens(col(textCol)),
+          w => !w.isin(stopwords: _*) && length(w) > 0)).as("tok"))
+      .withColumn("term_hash", pmod(polyHash(col("tok")),
+        lit(numFeatures.toLong)))
+    val tf = terms.groupBy(col(idCol), col("term_hash"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term_hash")
+      .agg(count(lit(1)).as("df")) // tf is already 1 row per (doc, bucket)
+    val m = df.agg(count(lit(1)).as("m"))
+    tf.join(docFreq, Seq("term_hash"))
+      .crossJoin(broadcast(m))
+      .withColumn("w", round(col("tf") *
+        log((col("m") + 1).cast("double") / (col("df") + 1)), 6))
+      .select(col(idCol), col("term_hash"), col("tf"), col("w"))
+  }
+
   /** Language-ID heuristic: marker-stopword hit counts per language,
     * argmax with deterministic tie-break on language code order.
     * (The fixture `documents.text` is synthetic English-ish for every

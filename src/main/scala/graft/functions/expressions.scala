@@ -21,8 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Cosine similarity of two float-array columns, computed in double in one
   * pass (dot, |a|², |b|² accumulated component-wise in index order).
-  * Returns null on null/length-mismatched inputs or zero norms —
-  * matching `when(den > 0, dot/den)` over sequential folds. */
+  * Returns null on null/length-mismatched inputs, null elements, or zero
+  * norms — matching `when(den > 0, dot/den)` over sequential folds (which
+  * null-propagates through `acc + null`). */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -47,6 +48,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
     var i = 0
     val n = x.numElements()
     while (i < n) {
+      // null elements null-propagate, matching the zip_with+aggregate
+      // lambda form (acc + null = null) — getFloat on a null slot would
+      // otherwise read garbage and yield an arbitrary similarity
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -69,14 +74,20 @@ case class CosineSimExpr(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  int $n = $x.numElements();
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xi = (double) $x.getFloat($i);
-         |    double $yi = (double) $y.getFloat($i);
-         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      double $xi = (double) $x.getFloat($i);
+         |      double $yi = (double) $y.getFloat($i);
+         |      $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |    }
          |  }
-         |  double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($den > 0) { ${ev.value} = $dot / $den; }
-         |  else { ${ev.isNull} = true; }
+         |  if (!${ev.isNull}) {
+         |    double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($den > 0) { ${ev.value} = $dot / $den; }
+         |    else { ${ev.isNull} = true; }
+         |  }
          |}
        """.stripMargin
     })

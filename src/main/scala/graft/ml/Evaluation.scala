@@ -60,9 +60,13 @@ object Evaluation {
 
   /** Feature importances zipped with names (M8, `XGBoost.py:314-320`).
     * For the OneVsRest boosted variant, importances are averaged over the
-    * per-class binary GBT models. */
+    * per-class binary GBT models. Feature names come from the pipeline's
+    * own VectorAssembler stage (NOT a hardcoded list) so a model with a
+    * different feature recipe — e.g. CrimeMl's 18 columns — can never be
+    * silently mislabeled by zip truncation. */
   def featureImportances(model: PipelineModel): Seq[(String, Double)] = {
     import org.apache.spark.ml.classification.{GBTClassificationModel, OneVsRestModel}
+    import org.apache.spark.ml.feature.VectorAssembler
     val imp: Array[Double] = model.stages.last match {
       case rf: RandomForestClassificationModel =>
         rf.featureImportances.toArray
@@ -75,7 +79,14 @@ object Evaluation {
       case other => throw new IllegalArgumentException(
         s"unsupported final stage for importances: ${other.getClass}")
     }
-    CrimePipeline.FeatureCols.zip(imp).sortBy(-_._2)
+    val names = model.stages.collectFirst {
+      case va: VectorAssembler => va.getInputCols.toSeq
+    }.getOrElse(throw new IllegalArgumentException(
+      "pipeline has no VectorAssembler stage to read feature names from"))
+    require(names.length == imp.length,
+      s"feature name/importance arity mismatch: ${names.length} names " +
+        s"vs ${imp.length} importances")
+    names.zip(imp).sortBy(-_._2)
   }
 
   /** Label mapping (M3, `XGBoost.py:160-163`): index → original label. */

@@ -101,8 +101,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               // match): consume so the scan can't stall on it
               rBuf.next()
             } else if (cmpKey == 0 && timeOrd.compare(rt, lt) <= 0) {
-              lastKey = rk
+              // copy the row FIRST, then re-derive the key from the copy:
+              // for non-primitive key types (string/decimal/struct) eval
+              // returns a view into the iterator's reused UnsafeRow buffer,
+              // which is silently overwritten when the iterator advances
               lastRow = rBuf.next().copy()
+              lastKey = rKey.eval(lastRow)
             } else {
               advancing = false
             }

@@ -274,8 +274,18 @@ object Dedup {
   val SimhashBits = 30
 
   /** 30-bit SimHash over distinct token hashes: bit j of the fingerprint is
-    * set iff Σ_tokens (2·((h>>j)&1) − 1) > 0. One projection, no explode. */
-  def simhash32(text: Column): Column = {
+    * set iff Σ_tokens (2·((h>>j)&1) − 1) > 0. One projection, no explode —
+    * and one native codegen pass over the hash array
+    * ([[graft.functions.SimHashExpr]]; the per-bit lambda form below runs
+    * [[SimhashBits]] interpreted scans per row). */
+  def simhash32(text: Column): Column =
+    graft.functions.VectorHash.simhash(
+      array_distinct(
+        transform(TextOps.tokens(text), w => TextOps.polyHash(w))),
+      SimhashBits)
+
+  /** Per-bit lambda form of [[simhash32]] (parity testing only). */
+  def simhash32Lambda(text: Column): Column = {
     val hashes = array_distinct(
       transform(TextOps.tokens(text), w => TextOps.polyHash(w)))
     val bitCols = (0 until SimhashBits).map { j =>

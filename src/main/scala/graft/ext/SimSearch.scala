@@ -72,8 +72,15 @@ object SimSearch {
   /** LSH bucket id: `bits` sign-of-projection bits packed into a long.
     * `planeOffset` selects an independent hyperplane set (table t uses
     * offset t·bits) — the single helper serves both single- and
-    * multi-table paths so the hash formula lives in one place. */
-  def lshBucket(emb: Column, bits: Int, planeOffset: Int = 0): Column = {
+    * multi-table paths so the hash formula lives in one place. Native
+    * codegen single pass ([[graft.functions.LshBucketExpr]]); the lambda
+    * form below runs `bits` interpreted array scans per row. */
+  def lshBucket(emb: Column, bits: Int, planeOffset: Int = 0): Column =
+    graft.functions.VectorHash.lsh_bucket(emb, bits, planeOffset)
+
+  /** Per-bit lambda form of [[lshBucket]] (parity testing only). */
+  def lshBucketLambda(emb: Column, bits: Int, planeOffset: Int = 0)
+      : Column = {
     val bitCols = (0 until bits).map { b =>
       val p = planeOffset + b
       val proj = aggregate(

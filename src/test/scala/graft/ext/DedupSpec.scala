@@ -80,6 +80,43 @@ class DedupSpec extends SparkSpec {
     assert(clusters(3L) == 3L && clusters(4L) == 4L)
   }
 
+  test("jaccardPairs maxDf: hot shingle cannot create quadratic candidates") {
+    // adversarial: ONE shingle shared by all 40 docs — uncapped, the
+    // posting self-join emits all 780 pairs off that single hot key
+    val hot = (0 until 40)
+      .map(i => (i.toLong, s"hot shingle anchor u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val un = Dedup.jaccardPairs(hot, "doc_id", "text", 3, 0.01)
+    assert(un.count() == 40L * 39 / 2)
+    // df-capped: the df=40 shingle leaves the universe entirely → the
+    // remaining shingles are all unique → zero candidate pairs
+    val capped = Dedup.jaccardPairs(hot, "doc_id", "text", 3, 0.01,
+      maxDf = 10)
+    assert(capped.count() == 0)
+  }
+
+  test("jaccardPairs maxDf: dropped shingle leaves numerator AND denominator") {
+    val mix = (Seq(
+      (100L, "hot shingle anchor rare pair token"),
+      (101L, "hot shingle anchor rare pair token extra")) ++
+      (0 until 20).map(i => (i.toLong, s"hot shingle anchor u$i v$i w$i")))
+      .toDF("doc_id", "text")
+    // (100,101) share 4 of 4/5 shingles uncapped (jac 0.8); with the
+    // df=22 [hot shingle anchor] dropped: 3 shared of sizes 3/4 → 0.75
+    val out = Dedup.jaccardPairs(mix, "doc_id", "text", 3, 0.5, maxDf = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((100L, 101L, 0.75)))
+  }
+
+  test("simhash (native) == per-bit lambda form, bit-for-bit on real docs") {
+    val real = graft.engine.Tables.documents(spark, sf0001)
+    val bad = real.select(
+      Dedup.simhash32(col("text")).as("native"),
+      Dedup.simhash32Lambda(col("text")).as("lambda"))
+      .filter(col("native") =!= col("lambda")).count()
+    assert(bad == 0)
+  }
+
   test("shingleHashes: short docs yield empty set, no descending-range bug") {
     val out = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(Dedup.shingleHashes(col("text"), 3))).as[Int].head()

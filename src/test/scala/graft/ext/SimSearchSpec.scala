@@ -106,6 +106,54 @@ class SimSearchSpec extends SparkSpec {
     }
   }
 
+  test("lsh_bucket (native) == per-bit lambda form across plane offsets") {
+    val emb = Tables.embeddings(spark, sf0001)
+    for (off <- Seq(0, 16, 48)) {
+      val bad = emb.select(
+        SimSearch.lshBucket(col("embedding"), 16, off).as("native"),
+        SimSearch.lshBucketLambda(col("embedding"), 16, off).as("lambda"))
+        .filter(col("native") =!= col("lambda")).count()
+      assert(bad == 0, s"offset=$off")
+    }
+  }
+
+  test("q60 config (bits=16, 4 tables): occupancy bounded, planted " +
+      "near-dups recovered") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").cache()
+    val n = emb.count()
+    // occupancy: 2^16 buckets/table must keep the biggest bucket far from
+    // n — the within-bucket all-pairs join is then bounded (the bits=2
+    // scale-killer config had max occupancy ~n/4)
+    val maxOcc = (0 until 4).map { t =>
+      emb.groupBy(SimSearch.lshBucket(col("embedding"), 16, t * 16)
+          .as("b"))
+        .agg(count(lit(1)).as("cnt")).agg(max("cnt")).as[Long].head()
+    }.max
+    assert(maxOcc <= math.max(8L, n / 20),
+      s"max bucket occupancy $maxOcc of $n vectors")
+    // recall: plant a deterministically-perturbed near-dup of every vector
+    // (cosine ≈ 0.99+); OR-amplified 16-bit tables must recover nearly all
+    val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x + ((i % 3) - 1).cast("float") * lit(0.02f)).cast("float"))
+        .as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val pairs = SimSearch.cosineNearDupPairsLsh(corpus, threshold = 0.9,
+        bits = 16, tables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = emb.as("x")
+      .join(planted.as("y"), col("y.vec_id") === col("x.vec_id") + 100000)
+      .withColumn("sim", SimSearch.cosine(col("x.embedding"),
+        col("y.embedding")))
+      .filter(col("sim") >= 0.9)
+      .select(col("x.vec_id")).as[Long].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = truth.count(v => pairs.contains((v, v + 100000)))
+      .toDouble / truth.size
+    assert(recall >= 0.8, s"recall=$recall over ${truth.size} planted pairs")
+  }
+
   test("int8 quantization: 4x smaller, cosine preserved to 3 decimals") {
     val emb = Tables.embeddings(spark, sf0001).limit(300)
     val rt = emb.withColumn("qs", SimSearch.quantizeInt8(col("embedding")))

@@ -33,6 +33,15 @@ class ExpressionsSpec extends SparkSpec {
     assert(out.toSeq == Seq(true, true))
   }
 
+  test("cosine_sim: null ELEMENT → null, same as the lambda form") {
+    val df = spark.range(1).select(
+      array(lit(1f), lit(null).cast("float")).as("a"),
+      array(lit(1f), lit(2f)).as("b"))
+    val r = df.select(SimSearch.cosine(col("a"), col("b")).as("n"),
+      SimSearch.cosineLambda(col("a"), col("b")).as("l")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("poly_hash == lambda polyHash on real document words") {
     val words = Tables.documents(spark, sf0001)
       .select(explode(TextOps.tokens(col("text"))).as("w")).limit(5000)

@@ -64,6 +64,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.values.exists(_.isDefined))
   }
 
+  test("string keys across many key groups (buffered-key copy regression)") {
+    // non-primitive keys: rKey.eval on the sort iterator's reused buffer
+    // returned a VIEW — alternating matched/unmatched keys caught the old
+    // `lastKey` silently mutating under the buffered row
+    val keys = (0 until 26).map(i => ('a' + i).toChar.toString)
+    val left = keys.zipWithIndex.map { case (k, i) => (k, 10L, i.toLong) }
+      .toDF("k", "t", "lid").repartition(4)
+    val right = keys.zipWithIndex.flatMap { case (k, i) =>
+      // even keys: usable rows (latest at t=2 must win);
+      // odd keys: only a future row — must yield NO match even though the
+      // buffered row from the preceding key is still held
+      if (i % 2 == 0) Seq((k, 1L, s"$k-early"), (k, 2L, s"$k-late"))
+      else Seq((k, 99L, s"$k-future"))
+    }.toDF("rk", "rt", "rv").repartition(3)
+    val out = AsOf.join(left, right, ("k", "rk"), ("t", "rt"))
+      .select("k", "rv").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    keys.zipWithIndex.foreach { case (k, i) =>
+      if (i % 2 == 0) assert(out(k) == Some(s"$k-late"), s"key $k")
+      else assert(out(k).isEmpty, s"key $k")
+    }
+  }
+
   test("plan: AsOfJoinExec with one exchange + sort per side") {
     val ev = Tables.events(spark, sf0001)
     val l = ev.filter(col("event_type") === "purchase")

@@ -545,7 +545,37 @@ object ExtQueries {
       .orderBy("l_returnflag")
   }
 
+  /** q76 — CSV source scan (S1) over a crime-shaped file exercising the
+    * reference's full ingest surface in one query: explicit string-first
+    * schema, no inference (`Preprocessing.py:20,103-116`), stray embedded
+    * header drop (D4, `Preprocessing.py:70`), sentinel→null
+    * (`Preprocessing.py:60-64`), try-casts, and the 12-hour AM/PM
+    * timestamp parse (F1, `XGBoost.py:80`). The fixture CSV ships in the
+    * repo so the DuckDB oracle reads the exact same bytes. */
+  private val q76: Q = (s, _) => {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq("ID", "case_number", "date_str",
+      "primary_type", "arrest", "district", "latitude")
+      .map(StructField(_, StringType)))
+    val raw = s.read.option("header", "true").schema(schema)
+      .csv("/root/repo/fixtures/crime_sample.csv")
+    val cleaned = Cleaning.sentinelsToNull(
+      Cleaning.dropStrayHeader(raw, "ID"),
+      Seq("primary_type", "district", "latitude"), Seq("NULL"))
+    cleaned.select(
+        col("ID").cast("long").as("id"),
+        col("primary_type"),
+        (col("arrest") === "true").cast("int").as("arrest_i"),
+        col("district").try_cast("int").as("district"),
+        col("latitude").try_cast("double").as("latitude"),
+        Cleaning.tryParseTimestamp(col("date_str"), "MM/dd/yyyy hh:mm:ss a")
+          .cast("timestamp_ntz").as("ts"))
+      .withColumn("hr", hour(col("ts")))
+      .orderBy("id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q76_csv_scan" -> q76,
     "q74_ann_lsh_multi" -> q74,
     "q75_weighted_median" -> q75,
     "q73_quantize_int8" -> q73,
@@ -740,6 +770,22 @@ object ExtQueries {
     (0 until tables).map(t => s"$x.b$t = $y.b$t").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    "q76_csv_scan" ->
+      """SELECT CAST(ID AS BIGINT) AS id,
+        |  CASE WHEN "Primary Type" IN ('NULL', '') THEN NULL
+        |       ELSE "Primary Type" END AS primary_type,
+        |  CAST(Arrest = 'true' AS INT) AS arrest_i,
+        |  TRY_CAST(CASE WHEN District IN ('NULL', '') THEN NULL
+        |           ELSE District END AS INT) AS district,
+        |  TRY_CAST(CASE WHEN Latitude IN ('NULL', '') THEN NULL
+        |           ELSE Latitude END AS DOUBLE) AS latitude,
+        |  try_strptime(Date, '%m/%d/%Y %I:%M:%S %p') AS ts,
+        |  CAST(hour(try_strptime(Date, '%m/%d/%Y %I:%M:%S %p')) AS INT)
+        |    AS hr
+        |FROM read_csv('/root/repo/fixtures/crime_sample.csv',
+        |  header = true, all_varchar = true)
+        |WHERE ID <> 'ID'
+        |ORDER BY id""".stripMargin,
     "q75_weighted_median" ->
       """WITH cw AS (
         |  SELECT l_returnflag, l_quantity,

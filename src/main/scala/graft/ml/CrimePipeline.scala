@@ -109,11 +109,16 @@ object CrimePipeline {
 
   /** Boosted-trees variant (M5's gradient-boosting parity path,
     * SURVEY.md §7.5.1): MLlib's GBTClassifier is binary-only, so multiclass
-    * goes through OneVsRest. Early stopping (M10) has no exact MLlib
-    * analogue; the closest surface is GBT's validationIndicatorCol +
-    * validationTol (documented semantic gap: per-binary-problem validation
-    * rather than global multiclass mlogloss). */
-  def boostedPipeline(seed: Long = 42L, maxIter: Int = 20): Pipeline = {
+    * goes through OneVsRest. Early stopping (M10, `XGBoost.py:296`) has no
+    * exact MLlib analogue; the closest surface — exercised when
+    * `validationIndicatorCol` is set — is GBT's validationIndicatorCol +
+    * validationTol, which stops adding trees once validation-loss
+    * improvement drops below the tolerance (documented semantic gap:
+    * per-binary-problem validation rather than global multiclass
+    * mlogloss). */
+  def boostedPipeline(seed: Long = 42L, maxIter: Int = 20,
+      validationIndicatorCol: Option[String] = None,
+      validationTol: Double = 0.01): Pipeline = {
     import org.apache.spark.ml.classification.{GBTClassifier, OneVsRest}
     val brandIndexer = new StringIndexer()
       .setInputCol("p_brand").setOutputCol("brand_idx")
@@ -127,6 +132,10 @@ object CrimePipeline {
       .setLabelCol("label").setFeaturesCol("features")
       .setWeightCol("weight")
       .setMaxIter(maxIter).setMaxDepth(5).setStepSize(0.1).setSeed(seed)
+    validationIndicatorCol.foreach { c =>
+      // validationTol has no dedicated setter on GBTClassifier
+      gbt.setValidationIndicatorCol(c).set(gbt.validationTol, validationTol)
+    }
     val ovr = new OneVsRest().setClassifier(gbt)
       .setLabelCol("label").setFeaturesCol("features")
       .setWeightCol("weight")

@@ -141,6 +141,20 @@ object StreamingOps {
     src.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming NEAR-dup dedup: [[streamingDedup]] keyed on the SimHash
+    * fingerprint of the text instead of an exact key — documents whose
+    * token sets agree (reordered/re-whitespaced copies, boilerplate
+    * re-crawls) collapse at ingestion time even though their raw bytes
+    * differ. The fingerprint is a per-row projection (native codegen), so
+    * the only state is the watermark-bounded fingerprint store — the same
+    * scale envelope as exact streaming dedup. Batch equivalence:
+    * `dropDuplicates("simhash")` over the same frame (spec-asserted). */
+  def streamingNearDedup(src: DataFrame, textCol: String,
+      watermarkCol: String = "ts", delay: String = "1 hour"): DataFrame =
+    streamingDedup(
+      src.withColumn("simhash", graft.ext.Dedup.simhash32(col(textCol))),
+      Seq("simhash"), watermarkCol, delay)
+
   /** Run any of the above transforms as a real watermarked streaming query
     * over the events parquet, drained synchronously into a memory sink.
     * Returns the sink contents (complete mode). */

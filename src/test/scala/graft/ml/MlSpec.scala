@@ -129,6 +129,29 @@ class MlSpec extends SparkSpec {
     assert(math.abs(imp.map(_._2).sum - 1.0) < 1e-6)
   }
 
+  test("M10 surface: GBT validationIndicatorCol trains within budget " +
+      "and predicts") {
+    val (_, train, _) = fitted
+    // hold out the last train year as the per-binary-problem validation
+    // split — the closest MLlib analogue of the reference's early stopping
+    val withVal = train.withColumn("is_val", col("d_year") === 1997)
+    val model = CrimePipeline.boostedPipeline(maxIter = 5,
+      validationIndicatorCol = Some("is_val")).fit(withVal)
+    val ovr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.OneVsRestModel]
+    val trees = ovr.models.collect {
+      case g: org.apache.spark.ml.classification.GBTClassificationModel =>
+        g.getNumTrees
+    }
+    assert(trees.nonEmpty)
+    // validation stopping may end a binary problem before maxIter but can
+    // never exceed it
+    assert(trees.forall(t => t > 0 && t <= 5), trees.mkString(","))
+    val preds = model.transform(withVal.filter(col("is_val")))
+    assert(preds.count() > 0)
+    assert(preds.select("prediction").distinct().count() >= 2)
+  }
+
   test("no test-leakage: density stats computed from train only") {
     val (_, train, test) = fitted
     // a suppkey present only in test must get density 0 (filled), never >0

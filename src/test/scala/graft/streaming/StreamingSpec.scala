@@ -113,6 +113,45 @@ class StreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq("a", "b", "c")) // second 'a' deduped
   }
 
+  test("streamingNearDedup: reordered near-dup collapses across batches; " +
+      "== batch fingerprint dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sndedup")
+      .toString
+    // batch 2's doc 2 is a token-REORDERED copy of doc 1 (different raw
+    // bytes → exact-key dedup would keep it; same token set → same
+    // SimHash → near-dedup drops it); doc 3 is genuinely different
+    val batches = Seq(
+      Seq((1L, "the quick brown fox jumps high", t("2024-01-01 10:00:00"))),
+      Seq((2L, "jumps fox brown quick the high", t("2024-01-01 10:05:00")),
+        (3L, "completely different text entirely", t("2024-01-01 10:06:00"))))
+    batches.foreach { b =>
+      b.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    val src = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingOps.streamingNearDedup(src, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_sneardedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.table("t_sneardedup").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L)) // reordered copy deduped, new doc kept
+    // batch twin: first-arrival per fingerprint over the full frame
+    val batchIds = batches.flatten.toDF("doc_id", "text", "ts")
+      .withColumn("simhash", graft.ext.Dedup.simhash32(col("text")))
+      .groupBy("simhash").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(batchIds == ids)
+  }
+
   test("streaming session windows == batch session windows") {
     val batch = StreamingOps.sessionCounts(Tables.events(spark, sf0001))
       .collect().toSet

@@ -231,17 +231,19 @@ object SimSearch {
           lshBucket(col("embedding"), bits, planeOffset = t * bits)
             .as("bk"))
       }: _*)).as("bucket"))
-    // candidates first, sim once per DEDUPED pair: a pair colliding in
-    // several tables must not compute (or emit) its cosine more than once
-    val cand = b.as("x").join(b.as("y"),
+    // sim computed BEFORE the pair dedupe, filter BEFORE the shuffle: a
+    // pair colliding in k tables recomputes its (cheap, native) cosine k
+    // times, but the dedupe then shuffles only (id, id, sim) scalars that
+    // already passed the threshold — HashAggregate instead of the
+    // SortAggregate that carrying embedding arrays through dropDuplicates
+    // would force, and a map-side filter that drops almost every candidate
+    val scored = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        col("x.embedding").as("emb_a"), col("y.embedding").as("emb_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand.withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+    scored.dropDuplicates("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
 

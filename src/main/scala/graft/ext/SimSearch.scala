@@ -146,8 +146,15 @@ object SimSearch {
   /** Symmetric int8 quantization of a float vector: q_i = round(x_i·127/m)
     * with m = max|x| (per-vector scale). 4× storage/bandwidth reduction
     * for 100 TB embedding corpora; reconstruction x̂_i = q_i·m/127.
-    * Pure Catalyst — quantized arrays write as parquet int8 columns. */
-  def quantizeInt8(emb: Column): Column = {
+    * Native one-pass kernel ([[graft.functions.QuantizeInt8Expr]]) —
+    * quantized arrays write as parquet int8 columns; the lambda form below
+    * re-evaluates the array_max subtree per element (no let-binding in the
+    * Column DSL), O(dim²) interpreted. */
+  def quantizeInt8(emb: Column): Column =
+    graft.functions.QuantizeInt8.quantize_int8(emb)
+
+  /** Lambda form of [[quantizeInt8]] (parity testing only). */
+  def quantizeInt8Lambda(emb: Column): Column = {
     val m = array_max(transform(emb, x => abs(x.cast("double"))))
     struct(
       m.cast("float").as("scale"),

@@ -175,6 +175,28 @@ class SimSearchSpec extends SparkSpec {
     assert(z.toSeq == Seq(0f, 0f))
   }
 
+  test("quantize_int8 (native) == lambda form, incl. empty/null edges") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val bad = emb.select(
+      SimSearch.quantizeInt8(col("embedding")).as("n"),
+      SimSearch.quantizeInt8Lambda(col("embedding")).as("l"))
+      .filter(col("n.scale") =!= col("l.scale") ||
+        col("n.q") =!= col("l.q")).count()
+    assert(bad == 0)
+    // edges: empty array → null scale + empty codes; null element → null
+    // code under m>0; zero vector → scale 0, zero codes
+    val edges = Seq(1).toDF("i").select(
+      array().cast("array<float>").as("empty"),
+      array(lit(1f), lit(null).cast("float")).as("withnull"),
+      array(lit(0f), lit(0f)).as("zeros"))
+    for (c <- Seq("empty", "withnull", "zeros")) {
+      val r = edges.select(
+        SimSearch.quantizeInt8(col(c)).as("n"),
+        SimSearch.quantizeInt8Lambda(col(c)).as("l")).head()
+      assert(r.getStruct(0) == r.getStruct(1), s"col=$c: $r")
+    }
+  }
+
   test("cosineNearDupPairs: symmetric threshold, id_a < id_b") {
     val pairs = SimSearch.cosineNearDupPairs(
       Tables.embeddings(spark, sf0001), 0.3).collect()

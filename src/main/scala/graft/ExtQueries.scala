@@ -574,7 +574,21 @@ object ExtQueries {
       .orderBy("id")
   }
 
+  /** q77 — SimHash bit-slice banding near-dup pairs: pigeonhole-exact
+    * recall for Hamming ≤ slices−1 (see Dedup.simhashNearDupPairs),
+    * fully oracle-checked — fingerprint, slice keys, and Hamming verify
+    * all replicate in SQL. Registered over a bounded doc subset (the
+    * synthetic fixture's template docs share most tokens, so fingerprints
+    * collapse and the FULL corpus has ~5M Hamming≤3 pairs at sf0.1 —
+    * data-realistic for the operator, unhelpfully large for a hash-diffed
+    * result dump; q44/q70 bound their outputs the same way). */
+  private val q77: Q = (s, d) =>
+    Dedup.simhashNearDupPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 200),
+      "doc_id", "text", slices = 5, maxHamming = 3)
+
   val all: Map[String, Q] = Map(
+    "q77_simhash_neardup" -> q77,
     "q76_csv_scan" -> q76,
     "q74_ann_lsh_multi" -> q74,
     "q75_weighted_median" -> q75,
@@ -647,6 +661,17 @@ object ExtQueries {
 
   private val stopList =
     "('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by')"
+
+  /** DuckDB replica of Dedup.simhash32 (30-bit vote fold over distinct
+    * token hashes) — shared by the q29 and q77 oracles. */
+  private val simhashSql: String =
+    s"""COALESCE(list_reduce(list_transform(generate_series(0, 29),
+       |    j -> CASE WHEN list_reduce(
+       |           list_transform(list_distinct(list_transform($toksSql,
+       |             w -> ${polyHashSql("w")})),
+       |           h -> ((h >> j) & 1) * 2 - 1), (a, b) -> a + b) > 0
+       |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+       |    (a, b) -> a + b), 0)""".stripMargin
 
   /** Sequential-fold dot product matching SimSearch.dot. */
   private def dotSql(a: String, b: String): String =
@@ -1135,14 +1160,27 @@ object ExtQueries {
       s"""SELECT doc_id,
          |  COALESCE(list_reduce(list_transform($toksSql,
          |    w -> ${polyHashSql("w")}), (a, h) -> (a*31 + h) % 1000000007), 0) AS fp,
-         |  COALESCE(list_reduce(list_transform(generate_series(0, 29),
-         |    j -> CASE WHEN list_reduce(
-         |           list_transform(list_distinct(list_transform($toksSql,
-         |             w -> ${polyHashSql("w")})),
-         |           h -> ((h >> j) & 1) * 2 - 1), (a, b) -> a + b) > 0
-         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
-         |    (a, b) -> a + b), 0) AS simhash
+         |  $simhashSql AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q77_simhash_neardup" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id AS pid, $simhashSql AS fp FROM documents
+         |  WHERE doc_id < 200),
+         |banded AS (
+         |  SELECT pid, fp, t.range AS sl,
+         |         (fp >> (CAST(t.range AS INT) * 6)) & 63 AS sv
+         |  FROM fp, range(0, 5) t),
+         |cand AS (
+         |  SELECT DISTINCT x.pid AS id_a, y.pid AS id_b,
+         |         x.fp AS fa, y.fp AS fb
+         |  FROM banded x JOIN banded y
+         |    ON x.sl = y.sl AND x.sv = y.sv AND x.pid < y.pid)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT id_a, id_b,
+         |         CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q30_exact_dedup_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total,

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *    pairs come from band-bucket equality joins, so cost tracks the number
   *    of genuinely similar pairs; the knob (bands × rows) sets the
   *    similarity threshold curve. This is the 100 TB path.
-  *  - [[simhashFingerprints]]: 30-bit SimHash — near-dup detection via
-  *    Hamming distance on a fixed-width fingerprint; banding on bit-slices
-  *    for candidate generation.
+  *  - [[simhash32]] + [[simhashNearDupPairs]]: 30-bit SimHash — near-dup
+  *    detection via Hamming distance on a fixed-width fingerprint, with
+  *    bit-slice banding for candidate generation (pigeonhole-exact for
+  *    Hamming ≤ slices − 1).
   *
   * All hashes are the oracle-replicable polynomial hash ([[TextOps.polyHash]]),
   * so every stage (including the LSH band keys) is checkable against DuckDB.
@@ -221,7 +222,11 @@ object Dedup {
     * shuffle join + aggregate, so the approach scales to edge lists far
     * beyond driver memory (no union-find on the driver).
     * Returns (doc id, cluster = min doc id of its component); singleton
-    * docs keep their own id. */
+    * docs keep their own id. (Upgrade path for adversarially long chains
+    * at 100 TB: large-star/small-star or pointer-jumping cuts rounds from
+    * O(diameter) to O(log diameter) at one extra join per round — dup
+    * components in practice are shallow, so plain propagation is the
+    * cheaper default.) */
   def dupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String)
       : DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -283,6 +288,43 @@ object Dedup {
       array_distinct(
         transform(TextOps.tokens(text), w => TextOps.polyHash(w))),
       SimhashBits)
+
+  /** SimHash near-dup pairs via Hamming bit-slice banding: the
+    * [[SimhashBits]]-bit fingerprint splits into `slices` contiguous
+    * slices; docs sharing ANY slice value are candidates, then verified by
+    * exact Hamming distance ≤ `maxHamming`. By pigeonhole, a pair at
+    * Hamming d can differ in at most d slices, so for d ≤ slices − 1 at
+    * least one slice matches — recall is EXACT (not probabilistic) for
+    * `maxHamming < slices` (spec-asserted against the brute-force pair
+    * set). Candidate cost is per-slice-bucket occupancy, never |docs|²;
+    * the fingerprint is one native-codegen projection, the verify is a
+    * bit_count over scalars (filter runs map-side before the pair
+    * dedupe, mirroring the q60 shape). */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      slices: Int = 5, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < slices,
+      s"pigeonhole guarantee needs maxHamming < slices " +
+        s"($maxHamming >= $slices)")
+    require(SimhashBits % slices == 0,
+      s"$SimhashBits bits must split evenly into $slices slices")
+    val w = SimhashBits / slices
+    val mask = (1L << w) - 1
+    val fp = df.select(col(idCol).as("pid"),
+      simhash32(col(textCol)).as("fp"))
+    val banded = fp.select(col("pid"), col("fp"),
+      explode(array((0 until slices).map { sl =>
+        struct(lit(sl).as("sl"),
+          shiftright(col("fp"), sl * w).bitwiseAND(lit(mask)).as("sv"))
+      }: _*)).as("b"))
+    banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.pid") < col("y.pid"))
+      .select(col("x.pid").as("id_a"), col("y.pid").as("id_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
 
   /** Per-bit lambda form of [[simhash32]] (parity testing only). */
   def simhash32Lambda(text: Column): Column = {

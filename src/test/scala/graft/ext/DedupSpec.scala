@@ -117,6 +117,23 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("simhashNearDupPairs == brute-force Hamming pairs (pigeonhole-exact)") {
+    val real = graft.engine.Tables.documents(spark, sf0001)
+    val fp = real.select(col("doc_id"), Dedup.simhash32(col("text")).as("fp"))
+    val brute = fp.as("a").join(fp.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = Dedup.simhashNearDupPairs(real, "doc_id", "text",
+      slices = 5, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // maxHamming (3) < slices (5) ⇒ banding must lose NOTHING vs all-pairs
+    assert(banded == brute)
+  }
+
   test("shingleHashes: short docs yield empty set, no descending-range bug") {
     val out = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(Dedup.shingleHashes(col("text"), 3))).as[Int].head()

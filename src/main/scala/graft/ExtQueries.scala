@@ -587,7 +587,40 @@ object ExtQueries {
       Tables.documents(s, d).filter(col("doc_id") < 200),
       "doc_id", "text", slices = 5, maxHamming = 3)
 
+  /** q78 — token frequency top-k (the tokenizer-training / vocab-stats
+    * staple): explode → hash-aggregate with map-side partial counts →
+    * TakeOrdered. Fully tie-broken (count desc, token) so LIMIT is
+    * deterministic. */
+  private val q78: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(50)
+
+  /** q79 — bloom-pruned semi-join (the 100 TB join-pruning pattern): a
+    * KB-scale bloom sketch of the filtered key side broadcasts and prunes
+    * the fact rows BEFORE the exact semi-join verifies them, so the join
+    * shuffle carries ~selectivity × |fact| rows instead of all of them.
+    * Bloom false positives are removed by the verifying join ⇒ the result
+    * is EXACT and the oracle is a plain IN-subquery (sketch internals
+    * never reach the output). No false negatives is spec-asserted. */
+  private val q79: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val hot = Tables.part(s, d).filter(col("p_size") >= 45)
+      .select("p_partkey")
+    val bf = graft.functions.Bloom.bloomOf(hot, "p_partkey", 1000L, 8192L)
+    li.filter(graft.functions.Bloom.might_contain(bf, col("l_partkey")))
+      .join(hot, li("l_partkey") === hot("p_partkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sumExact(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
+    "q78_token_topk" -> q78,
+    "q79_bloom_semi_join" -> q79,
     "q77_simhash_neardup" -> q77,
     "q76_csv_scan" -> q76,
     "q74_ann_lsh_multi" -> q74,
@@ -1162,6 +1195,20 @@ object ExtQueries {
          |    w -> ${polyHashSql("w")}), (a, h) -> (a*31 + h) % 1000000007), 0) AS fp,
          |  $simhashSql AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q78_token_topk" ->
+      s"""SELECT tok, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |WHERE length(tok) > 0
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "q79_bloom_semi_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN
+        |  (SELECT p_partkey FROM part WHERE p_size >= 45)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q77_simhash_neardup" ->
       s"""WITH fp AS (

@@ -103,6 +103,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bloom semi-join pruning: no false negatives, real pruning, " +
+    "exact result") {
+    val keys = (1L to 100L).map(k => k * 7).toDF("k")
+    val facts = (1L to 5000L).map(v => (v, v % 1000)).toDF("fk", "payload")
+    val bf = graft.functions.Bloom.bloomOf(keys, "k", 1000L, 8192L)
+    val pruned = facts
+      .filter(graft.functions.Bloom.might_contain(bf, col("fk")))
+    val exact = facts.join(keys, col("fk") === col("k"), "left_semi")
+      .select("fk").as[Long].collect().toSet
+    val prunedKeys = pruned.select("fk").as[Long].collect().toSet
+    // the sketch may keep extra rows (false positives) but NEVER drops a
+    // true match — the verifying join then restores exactness
+    assert(exact.subsetOf(prunedKeys))
+    assert(prunedKeys.size < 5000, "bloom pruned nothing")
+    val verified = pruned.join(keys, col("fk") === col("k"), "left_semi")
+      .select("fk").as[Long].collect().toSet
+    assert(verified == exact)
+  }
+
   test("WeightedMedian Aggregator: exact, weight-aware, merge-stable") {
     // unweighted: lower median of 1..4 = 2
     val unweighted = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0))

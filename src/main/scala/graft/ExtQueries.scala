@@ -551,14 +551,19 @@ object ExtQueries {
     * header drop (D4, `Preprocessing.py:70`), sentinel→null
     * (`Preprocessing.py:60-64`), try-casts, and the 12-hour AM/PM
     * timestamp parse (F1, `XGBoost.py:80`). The fixture CSV ships in the
-    * repo so the DuckDB oracle reads the exact same bytes. */
+    * repo so the DuckDB oracle reads the exact same bytes; the Spark side
+    * honors SPARK_GRAFT_FIXTURES_DIR for non-standard checkouts (the
+    * oracle SQL is a static string, so it pins the driver's canonical
+    * /root/repo path). */
   private val q76: Q = (s, _) => {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val schema = StructType(Seq("ID", "case_number", "date_str",
       "primary_type", "arrest", "district", "latitude")
       .map(StructField(_, StringType)))
+    val fixturesDir = sys.env.getOrElse("SPARK_GRAFT_FIXTURES_DIR",
+      "/root/repo/fixtures")
     val raw = s.read.option("header", "true").schema(schema)
-      .csv("/root/repo/fixtures/crime_sample.csv")
+      .csv(s"$fixturesDir/crime_sample.csv")
     val cleaned = Cleaning.sentinelsToNull(
       Cleaning.dropStrayHeader(raw, "ID"),
       Seq("primary_type", "district", "latitude"), Seq("NULL"))

@@ -84,11 +84,14 @@ object Dedup {
     val post =
       if (maxDf == Int.MaxValue) post0
       else {
-        // hot-shingle exclusion list: ≤ |postings|/maxDf rows by
-        // construction, so broadcasting the anti-join side is safe
+        // hot-shingle exclusion list: ≤ |postings|/maxDf rows — usually
+        // tiny, but that bound still grows linearly with the corpus, so
+        // the anti-join is left unhinted: AQE broadcasts it when it is
+        // small and falls back to a shuffled anti-join when it is not
+        // (a forced broadcast() would OOM at the 100 TB target)
         val hot = post0.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select("sh")
-        post0.join(broadcast(hot), Seq("sh"), "left_anti")
+        post0.join(hot, Seq("sh"), "left_anti")
           .localCheckpoint(true)
       }
     val sizes = post.groupBy("pid").agg(count(lit(1)).as("n_sh"))

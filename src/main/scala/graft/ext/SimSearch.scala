@@ -92,6 +92,17 @@ object SimSearch {
     bitCols.reduce(_ + _)
   }
 
+  /** (table, bucket) struct array for `tables` independent hyperplane
+    * sets (table t uses planes t·bits … t·bits+bits−1) — the ONE place
+    * the multi-table bucket encoding lives; [[lshTopKMulti]],
+    * [[cosineNearDupPairsLsh]] and the SQL oracle's multiBucketCols all
+    * mirror it. */
+  def multiTableBuckets(emb: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        lshBucket(emb, bits, planeOffset = t * bits).as("bk"))
+    }: _*)
+
   /** Multi-table LSH ANN: `tables` independent hyperplane sets (table t
     * uses planes t·bits … t·bits+bits−1); a corpus vector is a candidate
     * if it shares ANY table's bucket with the query (OR-amplification:
@@ -99,17 +110,14 @@ object SimSearch {
     * single-table form lacks. */
   def lshTopKMulti(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int, tables: Int): DataFrame = {
-    def buckets(emb: Column): Column =
-      array((0 until tables).map { t =>
-        struct(lit(t).as("t"),
-          lshBucket(emb, bits, planeOffset = t * bits).as("bk"))
-      }: _*)
     val cb = corpus.select(col("vec_id"), col("embedding"),
-      explode(buckets(col("embedding"))).as("bucket"))
+      explode(multiTableBuckets(col("embedding"), bits, tables))
+        .as("bucket"))
     val qb = queries.select(col("vec_id").as("q_id"),
         col("embedding").as("q_emb"))
       .select(col("q_id"), col("q_emb"),
-        explode(buckets(col("q_emb"))).as("bucket"))
+        explode(multiTableBuckets(col("q_emb"), bits, tables))
+          .as("bucket"))
     val cands = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "q_emb", "vec_id", "embedding")
@@ -233,11 +241,8 @@ object SimSearch {
   def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
       bits: Int, tables: Int = 1): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"),
-          lshBucket(col("embedding"), bits, planeOffset = t * bits)
-            .as("bk"))
-      }: _*)).as("bucket"))
+      explode(multiTableBuckets(col("embedding"), bits, tables))
+        .as("bucket"))
     // sim computed BEFORE the pair dedupe, filter BEFORE the shuffle: a
     // pair colliding in k tables recomputes its (cheap, native) cosine k
     // times, but the dedupe then shuffles only (id, id, sim) scalars that

@@ -11,13 +11,18 @@ import org.apache.spark.sql.types._
 /** Hot loop for symmetric int8 quantization, shared by interpreted eval and
   * generated code (same pattern as [[ShingleHashUtil]]).
   *
-  * Semantics are EXACTLY the lambda composition
+  * Semantics for FINITE inputs are EXACTLY the lambda composition
   * `struct(m.cast(float), transform(emb, x =>
   * when(m > 0, round(x.cast(double)*127.0/m)).otherwise(0.0).cast(tinyint)))`
   * with `m = array_max(transform(emb, abs(x.cast(double))))` — including
   * its edge cases (empty/all-null array → null scale + 0/empty codes; null
   * element under m>0 → null code) and its exact HALF_UP rounding
   * (java BigDecimal, the same path Spark's `round` takes for doubles).
+  * On NaN/±Infinity elements the two deliberately diverge: under Spark 4's
+  * ANSI default the lambda's tinyint cast THROWS CAST_OVERFLOW, while this
+  * kernel stays total — NaN-greatest max (Spark comparison semantics),
+  * round passes NaN/Inf through, and the non-ANSI `toByte` maps the
+  * resulting NaN ratios to code 0 (golden-pinned in SimSearchSpec).
   * The lambda form evaluates the `array_max` subtree PER ELEMENT
   * (no let-binding in the Column DSL ⇒ O(dim²) interpreted work per row);
   * this kernel is one O(dim) pass. */
@@ -26,29 +31,39 @@ object QuantizeUtil {
   def quantize(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     // pass 1: m = max |x| over non-null elements (array_max skips nulls,
-    // yields null on empty/all-null input)
+    // yields null on empty/all-null input, and orders NaN ABOVE every
+    // number — Spark's nan-max semantics, not Java's)
     var m = 0.0
     var mSet = false
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val a = math.abs(arr.getFloat(i).toDouble)
-        if (!mSet || a > m) { m = a; mSet = true }
+        if (!mSet || java.lang.Double.isNaN(a) ||
+            (!java.lang.Double.isNaN(m) && a > m)) {
+          m = a; mSet = true
+        }
       }
       i += 1
     }
+    // Spark's `m > 0` predicate treats NaN as greater than any number
+    val mPositive = mSet && (java.lang.Double.isNaN(m) || m > 0)
     val q = new Array[Any](n)
     i = 0
     while (i < n) {
       q(i) =
-        if (!mSet || !(m > 0)) java.lang.Byte.valueOf(0: Byte)
+        if (!mPositive) java.lang.Byte.valueOf(0: Byte)
         else if (arr.isNullAt(i)) null
         else {
           val v = arr.getFloat(i).toDouble * 127.0 / m
-          // exact Spark round(double) semantics: BigDecimal HALF_UP
-          java.lang.Byte.valueOf(java.math.BigDecimal.valueOf(v)
-            .setScale(0, java.math.RoundingMode.HALF_UP)
-            .doubleValue().toByte)
+          // exact Spark round(double) semantics: NaN/Infinity pass through
+          // unrounded (BigDecimal.valueOf would throw), else HALF_UP
+          val r =
+            if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+            else java.math.BigDecimal.valueOf(v)
+              .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+          // Spark non-ANSI double→tinyint cast = Scala toByte
+          java.lang.Byte.valueOf(r.toByte)
         }
       i += 1
     }

@@ -70,7 +70,9 @@ object VectorHashUtil {
     var out = 0L
     var b = 0
     while (b < bits) {
-      if (acc(b) > 0) out |= 1L << b
+      // Spark's `proj > 0` (and DuckDB's) orders NaN above every number,
+      // so a NaN projection sets its bit — Java's `> 0` alone would not
+      if (acc(b) > 0 || java.lang.Double.isNaN(acc(b))) out |= 1L << b
       b += 1
     }
     out

@@ -197,6 +197,36 @@ class SimSearchSpec extends SparkSpec {
     }
   }
 
+  test("native kernels stay NaN/Infinity-safe (lambda parity where the " +
+      "lambda is total)") {
+    // Spark orders NaN above every number in comparisons and array_max;
+    // the native kernels must not fall into Java's NaN-is-false traps
+    val weird = Seq(
+      Array(1f, Float.NaN),
+      Array(Float.NaN, Float.NaN),
+      Array(Float.PositiveInfinity, 1f),
+      Array(Float.NegativeInfinity, 2f))
+      .toDF("embedding")
+    // lshBucket's lambda is pure comparisons — total, so exact parity holds
+    val lshBad = weird.select(
+      SimSearch.lshBucket(col("embedding"), 4).as("n"),
+      SimSearch.lshBucketLambda(col("embedding"), 4).as("l"))
+      .filter(col("n") =!= col("l")).count()
+    assert(lshBad == 0)
+    // the quantize LAMBDA throws under Spark 4's ANSI tinyint cast on
+    // NaN/Inf; the native kernel is deliberately total instead — pin its
+    // golden outputs (NaN-greatest max, pass-through round, toByte edges)
+    val rows = weird.select(
+        SimSearch.quantizeInt8(col("embedding")).as("q"))
+      .select(col("q.scale").as("scale"), col("q.q").as("codes"))
+      .collect()
+      .map(r => (r.getFloat(0), r.getSeq[Byte](1).toSeq))
+    assert(rows(0)._1.isNaN && rows(0)._2 == Seq[Byte](0, 0))
+    assert(rows(1)._1.isNaN && rows(1)._2 == Seq[Byte](0, 0))
+    assert(rows(2)._1.isPosInfinity && rows(2)._2 == Seq[Byte](0, 0))
+    assert(rows(3)._1.isPosInfinity && rows(3)._2 == Seq[Byte](0, 0))
+  }
+
   test("cosineNearDupPairs: symmetric threshold, id_a < id_b") {
     val pairs = SimSearch.cosineNearDupPairs(
       Tables.embeddings(spark, sf0001), 0.3).collect()

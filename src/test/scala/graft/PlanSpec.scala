@@ -79,6 +79,32 @@ class PlanSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(p).length == 1, p)
   }
 
+  test("bloom semi-join: might_contain filters the fact BEFORE the join") {
+    val li = Tables.lineitem(spark, sf0001)
+    val hot = Tables.part(spark, sf0001).filter(col("p_size") >= 45)
+      .select("p_partkey")
+    val bf = graft.functions.Bloom.bloomOf(hot, "p_partkey", 1000L, 8192L)
+    val pruned = li.filter(graft.functions.Bloom.might_contain(bf,
+        col("l_partkey")))
+      .join(hot, li("l_partkey") === hot("p_partkey"), "left_semi")
+    val p = plan(pruned)
+    // the probe must sit on the scan side, below the join
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("might_contain")
+    assert(probeIdx >= 0, p)
+    assert(joinIdx >= 0 && joinIdx < probeIdx,
+      s"probe not below the join:\n$p") // plan prints top-down
+  }
+
+  test("q60 pair dedupe is a hash aggregate over scalars, not a sort " +
+    "aggregate over arrays") {
+    val p = plan(graft.ext.SimSearch.cosineNearDupPairsLsh(
+      Tables.embeddings(spark, sf0001).select("vec_id", "embedding"),
+      threshold = 0.25, bits = 16, tables = 4))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("time-split filters prune via the pushed predicate") {
     val (train, _) = graft.engine.Sampling.timeSplit(
       Tables.orders(spark, sf0001), col("o_orderdate"), 1998)

@@ -136,12 +136,58 @@ object AsOfJoinStrategy extends Strategy {
   }
 }
 
+/** Optimizer rule (the `Rule[LogicalPlan]` leg of the custom-operator
+  * triple): Catalyst cannot push predicates through a binary node it does
+  * not know, so a filter above an as-of join would otherwise keep BOTH
+  * sides scanning fully — at 100 TB that is the difference between
+  * reading one key's partitions and reading the table.
+  *
+  * Two safe moves, both proved by the operator's semantics (output rows
+  * are exactly the left rows, and a match requires rightKey == leftKey):
+  *  1. any deterministic conjunct referencing only left attributes pushes
+  *     into the left child (1:1 left-row ↔ output-row);
+  *  2. a conjunct referencing ONLY the left join key additionally
+  *     transfers to the right child with leftKey→rightKey substituted —
+  *     right rows whose key fails the predicate can never be emitted.
+  * Pushed filters then reach the parquet scans' PushedFilters /
+  * partition pruning through the normal planning path. */
+object AsOfFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val rightPreds = (aj.leftKey, aj.rightKey) match {
+          case (lk: Attribute, rk: Attribute) =>
+            leftOnly.filter(_.references == AttributeSet(lk :: Nil))
+              .map(_.transform {
+                case a: Attribute if a.semanticEquals(lk) => rk
+              })
+          case _ => Nil
+        }
+        val newLeft = Filter(leftOnly.reduce(And), aj.left)
+        val newRight = rightPreds.reduceOption(And)
+          .map(Filter(_, aj.right)).getOrElse(aj.right)
+        val pushed = aj.copy(left = newLeft, right = newRight)
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** SparkSessionExtensions entry point (builder-time registration):
   * `SparkSession.builder().withExtensions(new GraftExtensions)` — the
   * runtime path below (extraStrategies) covers already-built sessions. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => AsOfFilterPushdown)
+  }
 }
 
 object AsOf {
@@ -153,6 +199,10 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(AsOfFilterPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfFilterPushdown
     }
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed

@@ -100,6 +100,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Sort \\[".r.findAllIn(p).length == 2, p)
   }
 
+  test("AsOfFilterPushdown: left-key filter reaches BOTH parquet scans; " +
+    "results unchanged") {
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val joined = AsOf.join(purchases, clicks,
+      ("user_id", "c_user"), ("ts", "click_ts"))
+    val someUser = purchases.select("user_id").head().getLong(0)
+    val filtered = joined.filter(col("user_id") === someUser)
+    val p = filtered.queryExecution.executedPlan.toString
+    // the key predicate must appear as a pushed scan filter on the left
+    // side AND (key-substituted) on the right side — without the rule,
+    // Catalyst cannot see through the custom node and both sides scan fully
+    assert(s"PushedFilters: \\[.*EqualTo\\(user_id,$someUser\\)".r
+      .findFirstIn(p).isDefined, p)
+    assert("EqualTo\\(user_id,".r.findAllIn(p).length >= 2, p)
+    // semantics: pushed == filter applied after an unpushed join
+    val unpushed = joined.collect()
+      .filter(r => r.getLong(1) == someUser).map(_.toString).sorted.toSeq
+    val pushed = filtered.collect().map(_.toString).sorted.toSeq
+    assert(pushed == unpushed)
+    assert(pushed.nonEmpty)
+  }
+
   test("builder-time extension registration works (GraftExtensions)") {
     val ext = new GraftExtensions
     val e = new org.apache.spark.sql.SparkSessionExtensions

@@ -14,6 +14,11 @@ object ExtQueries {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Shared by q76's query AND its oracle SQL: one resolution keeps the
+    * Spark read and the DuckDB read pointed at the same bytes. */
+  private val fixturesDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURES_DIR", "/root/repo/fixtures")
+
   /** q25 — Pearson correlation re-homed distributed
     * (`Preprocessing.py:774-798`), exact-decimal sums, rounded 6dp. */
   private val q25: Q = (s, d) =>
@@ -551,17 +556,14 @@ object ExtQueries {
     * header drop (D4, `Preprocessing.py:70`), sentinel→null
     * (`Preprocessing.py:60-64`), try-casts, and the 12-hour AM/PM
     * timestamp parse (F1, `XGBoost.py:80`). The fixture CSV ships in the
-    * repo so the DuckDB oracle reads the exact same bytes; the Spark side
-    * honors SPARK_GRAFT_FIXTURES_DIR for non-standard checkouts (the
-    * oracle SQL is a static string, so it pins the driver's canonical
-    * /root/repo path). */
+    * repo so the DuckDB oracle reads the exact same bytes; BOTH the Spark
+    * side and the oracle SQL (dumped at Verify time) resolve the path via
+    * SPARK_GRAFT_FIXTURES_DIR so non-standard checkouts stay consistent. */
   private val q76: Q = (s, _) => {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val schema = StructType(Seq("ID", "case_number", "date_str",
       "primary_type", "arrest", "district", "latitude")
       .map(StructField(_, StringType)))
-    val fixturesDir = sys.env.getOrElse("SPARK_GRAFT_FIXTURES_DIR",
-      "/root/repo/fixtures")
     val raw = s.read.option("header", "true").schema(schema)
       .csv(s"$fixturesDir/crime_sample.csv")
     val cleaned = Cleaning.sentinelsToNull(
@@ -834,21 +836,21 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q76_csv_scan" ->
-      """SELECT CAST(ID AS BIGINT) AS id,
-        |  CASE WHEN "Primary Type" IN ('NULL', '') THEN NULL
-        |       ELSE "Primary Type" END AS primary_type,
-        |  CAST(Arrest = 'true' AS INT) AS arrest_i,
-        |  TRY_CAST(CASE WHEN District IN ('NULL', '') THEN NULL
-        |           ELSE District END AS INT) AS district,
-        |  TRY_CAST(CASE WHEN Latitude IN ('NULL', '') THEN NULL
-        |           ELSE Latitude END AS DOUBLE) AS latitude,
-        |  try_strptime(Date, '%m/%d/%Y %I:%M:%S %p') AS ts,
-        |  CAST(hour(try_strptime(Date, '%m/%d/%Y %I:%M:%S %p')) AS INT)
-        |    AS hr
-        |FROM read_csv('/root/repo/fixtures/crime_sample.csv',
-        |  header = true, all_varchar = true)
-        |WHERE ID <> 'ID'
-        |ORDER BY id""".stripMargin,
+      s"""SELECT CAST(ID AS BIGINT) AS id,
+         |  CASE WHEN "Primary Type" IN ('NULL', '') THEN NULL
+         |       ELSE "Primary Type" END AS primary_type,
+         |  CAST(Arrest = 'true' AS INT) AS arrest_i,
+         |  TRY_CAST(CASE WHEN District IN ('NULL', '') THEN NULL
+         |           ELSE District END AS INT) AS district,
+         |  TRY_CAST(CASE WHEN Latitude IN ('NULL', '') THEN NULL
+         |           ELSE Latitude END AS DOUBLE) AS latitude,
+         |  try_strptime(Date, '%m/%d/%Y %I:%M:%S %p') AS ts,
+         |  CAST(hour(try_strptime(Date, '%m/%d/%Y %I:%M:%S %p')) AS INT)
+         |    AS hr
+         |FROM read_csv('$fixturesDir/crime_sample.csv',
+         |  header = true, all_varchar = true)
+         |WHERE ID <> 'ID'
+         |ORDER BY id""".stripMargin,
     "q75_weighted_median" ->
       """WITH cw AS (
         |  SELECT l_returnflag, l_quantity,

@@ -52,6 +52,47 @@ class PropertiesSpec extends SparkSpec {
     assert(SCTest.check(params, prop).passed)
   }
 
+  test("int8 quantize/dequantize: per-element error ≤ scale/254 + float ulp") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-100f, 100f))
+    val prop = forAll(vec) { xs =>
+      val df = Seq(xs.toArray).toDF("embedding")
+        .withColumn("qs", graft.ext.SimSearch.quantizeInt8(col("embedding")))
+        .withColumn("back", graft.ext.SimSearch.dequantizeInt8(col("qs")))
+      val r = df.select("embedding", "back", "qs.scale").head()
+      val (orig, back) = (r.getSeq[Float](0), r.getSeq[Float](1))
+      val scale = r.getFloat(2).toDouble
+      // symmetric quantization: worst case is half a step (scale/127/2)
+      // plus float representation slack
+      val bound = scale / 254.0 + math.max(scale, 1.0) * 1e-5
+      orig.zip(back).forall { case (o, b) => math.abs(o - b) <= bound }
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("simhash banding: equals brute-force Hamming pairs on random docs") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val doc = Gen.listOfN(6, word).map(_.mkString(" "))
+    val gen = Gen.listOfN(8, doc)
+    val prop = forAll(gen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val fp = df.select(col("doc_id"),
+        graft.ext.Dedup.simhash32(col("text")).as("fp"))
+      val brute = fp.as("a").join(fp.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .filter(_._3 <= 3).toSet
+      val banded = graft.ext.Dedup.simhashNearDupPairs(df, "doc_id", "text",
+          slices = 5, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      banded == brute
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
   test("sentinel cleaning never changes non-sentinel values") {
     val cell = Gen.oneOf(Gen.const("NULL"), Gen.const(""),
       Gen.alphaNumStr.map(_.take(6)))

@@ -17,7 +17,8 @@ object ExtQueries {
   /** Shared by q76's query AND its oracle SQL: one resolution keeps the
     * Spark read and the DuckDB read pointed at the same bytes. */
   private val fixturesDir: String =
-    sys.env.getOrElse("SPARK_GRAFT_FIXTURES_DIR", "/root/repo/fixtures")
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURES_DIR",
+      new java.io.File("fixtures").getAbsolutePath)
 
   /** q25 — Pearson correlation re-homed distributed
     * (`Preprocessing.py:774-798`), exact-decimal sums, rounded 6dp. */

@@ -25,7 +25,18 @@ object Bloom {
   /** Bloom sketch of `df(key)` as a scalar-subquery Column —
     * `might_contain` requires its sketch to be a constant or scalar
     * subquery (the exact shape Spark's own InjectRuntimeFilter builds), so
-    * the one-row aggregate is embedded as a subquery rather than joined. */
+    * the one-row aggregate is embedded as a subquery rather than joined.
+    *
+    * INVARIANT (load-bearing, do not regress): callers routinely pass the
+    * SAME DataFrame here and into the verifying join of the main plan
+    * (q79, ScaleSpec), so the subquery's plan shares expression IDs with
+    * the outer plan. That is legal only because the analyzer's
+    * DeduplicateRelations re-instances conflicting attribute IDs across
+    * subquery boundaries — a private behavior, not a public API. The
+    * ScaleSpec case "bloom sketch and verifying join over the SAME
+    * DataFrame" exists to catch a Spark upgrade changing this; if it ever
+    * breaks, switch to deriving the subquery from a freshly re-instanced
+    * copy of the plan instead of `agg.queryExecution.analyzed`. */
   def bloomOf(df: org.apache.spark.sql.DataFrame, key: String,
       estimatedItems: Long, numBits: Long): Column = {
     val agg = df.agg(bloom_agg(df(key), estimatedItems, numBits))

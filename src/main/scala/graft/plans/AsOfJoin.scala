@@ -159,8 +159,16 @@ object AsOfFilterPushdown
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, aj: AsOfJoinPlan) =>
-      val (leftOnly, rest) = splitConjunctivePredicates(cond).partition(p =>
-        p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      // Only the deterministic PREFIX of the conjunct list may move (same
+      // span(_.deterministic) contract as Spark's PushPredicateThroughNonJoin):
+      // a conjunct sitting after a non-deterministic one — e.g.
+      // `rand() < 0.5 AND key = 7` — must keep evaluating over the
+      // pre-filter row set, or the sample distribution changes.
+      val (detPrefix, tail) =
+        splitConjunctivePredicates(cond).span(_.deterministic)
+      val (leftOnly, detRest) = detPrefix.partition(p =>
+        p.references.subsetOf(aj.left.outputSet))
+      val rest = detRest ++ tail
       if (leftOnly.isEmpty) f
       else {
         val rightPreds = (aj.leftKey, aj.rightKey) match {

@@ -122,6 +122,26 @@ class ScaleSpec extends SparkSpec {
     assert(verified == exact)
   }
 
+  test("bloom sketch and verifying join over the SAME DataFrame: " +
+    "shared expression IDs across the subquery boundary stay legal") {
+    // Regression guard for the Bloom.bloomOf invariant: the sketch
+    // subquery embeds the analyzed plan of `keys` while the SAME `keys`
+    // instance is also the right side of the verifying semi-join, so both
+    // plans share attribute IDs and only analyzer deduplication keeps the
+    // query well-formed. If a Spark upgrade stops re-instancing them this
+    // test fails at analysis time.
+    val keys = (1L to 100L).map(k => k * 7).toDF("k")
+    val facts = (1L to 5000L).map(v => (v, v % 1000)).toDF("fk", "payload")
+    val bf = graft.functions.Bloom.bloomOf(keys, "k", 1000L, 8192L)
+    val verified = facts
+      .filter(graft.functions.Bloom.might_contain(bf, col("fk")))
+      .join(keys, col("fk") === col("k"), "left_semi")
+      .select("fk").as[Long].collect().toSet
+    val exact = facts.join(keys, col("fk") === col("k"), "left_semi")
+      .select("fk").as[Long].collect().toSet
+    assert(verified == exact)
+  }
+
   test("WeightedMedian Aggregator: exact, weight-aware, merge-stable") {
     // unweighted: lower median of 1..4 = 2
     val unweighted = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0))

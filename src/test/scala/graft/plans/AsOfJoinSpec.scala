@@ -126,6 +126,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(pushed.nonEmpty)
   }
 
+  test("AsOfFilterPushdown: deterministic conjunct AFTER a " +
+    "non-deterministic one stays above the join (span semantics)") {
+    // Same contract as Spark's PushPredicateThroughNonJoin: pushing
+    // `user_id = k` below `rand() < p AND user_id = k` would let rand()
+    // draw over a smaller row set and change sampling semantics. Only the
+    // deterministic PREFIX may move; here the prefix is empty.
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val joined = AsOf.join(purchases, clicks,
+      ("user_id", "c_user"), ("ts", "click_ts"))
+    val someUser = purchases.select("user_id").head().getLong(0)
+    // NB: a trivially-true guard like rand() < 2.0 won't do — Spark's own
+    // optimizer folds it to `true` (rand ∈ [0,1)) and the equality then
+    // legitimately becomes the deterministic prefix and pushes.
+    val filtered = joined
+      .filter(rand(7) < lit(0.5) && col("user_id") === someUser)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    // the key equality must NOT move below the join: no pushed EqualTo on
+    // either child, and the full conjunction stays in a Filter ABOVE the
+    // AsOfJoinPlan node
+    val joinIdx = opt.indexOf("AsOfJoinPlan")
+    assert(joinIdx >= 0, opt)
+    assert(!opt.substring(joinIdx).contains(s"= $someUser)"), opt)
+    val above = opt.substring(0, joinIdx)
+    assert(above.contains("rand(7)") && above.contains(s"= $someUser)"), opt)
+  }
+
   test("builder-time extension registration works (GraftExtensions)") {
     val ext = new GraftExtensions
     val e = new org.apache.spark.sql.SparkSessionExtensions

@@ -64,41 +64,49 @@ object Dedup {
     df.select(col(idCol).as("pid"),
         explode(shingleHashes(col(textCol), k)).as("sh"))
 
-  /** n-gram Jaccard near-duplicate pairs via inverted-index self-join:
+  /** n-gram Jaccard near-duplicate pairs via a grouped inverted index:
     * J(a,b) = |A∩B| / (|A|+|B|−|A∩B|) over distinct k-shingles.
     * Returns (id_a < id_b, jac) with jac ≥ threshold.
     *
     * `maxDf` caps per-shingle document frequency: a shingle appearing in f
-    * docs contributes ~f²/2 candidate pairs to the posting-list self-join,
-    * so one natural-language hot shingle ("of the …") at corpus scale is
-    * the classic quadratic blowup. Shingles with df > maxDf are dropped
-    * from the shingle UNIVERSE (numerator AND denominator — the standard
-    * df-cap semantics), bounding the join at |postings|·maxDf/2 pairs.
-    * The bound and the semantics are spec-asserted (DedupSpec). */
+    * docs contributes ~f²/2 candidate pairs, so one natural-language hot
+    * shingle ("of the …") at corpus scale is the classic quadratic blowup.
+    * Shingles with df > maxDf are dropped from the shingle UNIVERSE
+    * (numerator AND denominator — the standard df-cap semantics), bounding
+    * candidates at |postings|·maxDf/2 pairs. The bound and the semantics
+    * are spec-asserted (DedupSpec). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
-    // materialize postings once (localCheckpoint): DataFrame reuse is plan
-    // reuse, not computation reuse — without this, the shingle+hash pass
-    // runs once per consumer (both self-join sides + the sizes agg)
-    val post0 = postings(df, idCol, textCol, k).localCheckpoint(true)
-    val post =
-      if (maxDf == Int.MaxValue) post0
-      else {
-        // hot-shingle exclusion list: ≤ |postings|/maxDf rows — usually
-        // tiny, but that bound still grows linearly with the corpus, so
-        // the anti-join is left unhinted: AQE broadcasts it when it is
-        // small and falls back to a shuffled anti-join when it is not
-        // (a forced broadcast() would OOM at the 100 TB target)
-        val hot = post0.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("sh")
-        post0.join(hot, Seq("sh"), "left_anti")
-          .localCheckpoint(true)
-      }
-    val sizes = post.groupBy("pid").agg(count(lit(1)).as("n_sh"))
-    val shared = post.as("x")
-      .join(post.as("y"), col("x.sh") === col("y.sh") &&
-        col("x.pid") < col("y.pid"))
-      .groupBy(col("x.pid").as("id_a"), col("y.pid").as("id_b"))
+    // ONE shuffle builds the inverted index as grouped posting lists
+    // (sh → [pids]); the df-cap is then a size filter on the lists —
+    // no separate hot-shingle aggregate, no anti-join, and candidate
+    // pairs generate MAP-SIDE from each list instead of re-shuffling
+    // both sides of a posting self-join. A list is bounded by maxDf, so
+    // per-row memory is bounded at the 100 TB target whenever a cap is
+    // set (an uncapped run at corpus scale is quadratic regardless of
+    // strategy — callers must cap; spec'd in DedupSpec).
+    // localCheckpoint: DataFrame reuse is plan reuse, not computation
+    // reuse — without it the shingle+hash pass runs once per consumer
+    // (pair generation AND the sizes agg).
+    val grouped = postings(df, idCol, textCol, k)
+      .groupBy("sh").agg(sort_array(collect_list(col("pid"))).as("pids"))
+      .filter(size(col("pids")) <= maxDf)
+      .localCheckpoint(eager = true)
+    // df=1 shingles produce no pairs but DO count toward their doc's
+    // shingle-universe size (the Jaccard denominator)
+    val sizes = grouped.select(explode(col("pids")).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n_sh"))
+    // lists are sorted and per-shingle pids are distinct, so taking each
+    // element against only the elements AFTER it emits every unordered
+    // pair exactly once with id_a < id_b built in — Σf(f−1)/2 generated
+    // rows, no post-filter (an a<b filter over a full f×f cross would
+    // generate twice that)
+    val shared = grouped.filter(size(col("pids")) >= 2)
+      .select(col("pids"), posexplode(col("pids")))
+      .select(col("col").as("a"),
+        explode(slice(col("pids"), col("pos") + lit(2),
+          size(col("pids")))).as("b"))
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),

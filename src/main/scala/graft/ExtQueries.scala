@@ -626,7 +626,71 @@ object ExtQueries {
       .orderBy("l_returnflag")
   }
 
+  /** q80 — Gopher-style quality rule flags ([[PipelineOps.qualityFlags]]):
+    * the rule-based doc filter a pretraining build runs after scoring. */
+  private val q80: Q = (s, d) =>
+    PipelineOps.qualityFlags(Tables.documents(s, d), "text")
+      .orderBy("doc_id")
+
+  /** q81 — concat-then-chunk sequence packing into 512-token context
+    * windows, partitioned by lang ([[PipelineOps.packSequences]]). */
+  private val q81: Q = (s, d) =>
+    PipelineOps.packSequences(Tables.documents(s, d), "text", "lang", 512L)
+      .orderBy("lang", "doc_id")
+
+  /** q82 — temperature-0.5 source mixture weights
+    * ([[PipelineOps.mixtureWeights]]). */
+  private val q82: Q = (s, d) =>
+    PipelineOps.mixtureWeights(Tables.documents(s, d), "text", "source")
+
+  /** q83 — band (interval) join with NO equi-key, bucketed to an
+    * equi-join ([[graft.operators.BandJoin]]): lineitem unit price within
+    * ±0.05 of a part's retail price; aggregated per brand. The oracle is
+    * the plain BETWEEN non-equi join — the bucketing must be invisible in
+    * the result. */
+  private val q83: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .withColumn("unit_price", col("l_extendedprice") / col("l_quantity"))
+      .select("l_orderkey", "l_linenumber", "unit_price")
+    val p = Tables.part(s, d)
+      .withColumn("lo", col("p_retailprice") - 0.05)
+      .withColumn("hi", col("p_retailprice") + 0.05)
+      .select("p_partkey", "p_brand", "p_retailprice", "lo", "hi")
+    // two-level agg instead of count+countDistinct+sum in one: a mixed
+    // distinct/non-distinct agg Expands every joined row ×2; aggregating
+    // per (brand, partkey) first uses the same shuffles with no Expand,
+    // and the second level runs over |part| rows, not |pairs|
+    graft.operators.BandJoin.join(li, "unit_price", p, "lo", "hi", 0.1,
+        bloomPrune = false) // interval side broadcasts at any SF here —
+                            // the bloom pass only pays when the interval
+                            // side is too big to broadcast (see BandJoin)
+      .groupBy("p_brand", "p_partkey")
+      .agg(count(lit(1)).as("c"),
+        sum((col("unit_price") - col("p_retailprice"))
+          .cast("decimal(38,6)")).as("s"))
+      .groupBy("p_brand")
+      .agg(sum(col("c")).as("n_pairs"),
+        count(lit(1)).as("n_parts"),
+        round(sum(col("s")).cast("double"), 4).as("sum_diff"))
+      .orderBy("p_brand")
+  }
+
+  /** q84 — benchmark decontamination: 8-gram overlap of every corpus doc
+    * against a held-out benchmark slice (doc_id ≡ 0 mod 50)
+    * ([[PipelineOps.decontamination]]). */
+  private val q84: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    PipelineOps.decontamination(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), "text", 8)
+  }
+
   val all: Map[String, Q] = Map(
+    "q80_quality_rules" -> q80,
+    "q81_pack_sequences" -> q81,
+    "q82_mixture_weights" -> q82,
+    "q83_band_join" -> q83,
+    "q84_decontam" -> q84,
     "q78_token_topk" -> q78,
     "q79_bloom_semi_join" -> q79,
     "q77_simhash_neardup" -> q77,
@@ -836,6 +900,94 @@ object ExtQueries {
     (0 until tables).map(t => s"$x.b$t = $y.b$t").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    "q80_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_reduce(list_transform(toks,
+         |        w -> CAST(len(w) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+         |      / len(toks) AS mean_wlen,
+         |    CAST(len(list_filter(toks,
+         |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |      / len(toks) AS frac_alpha,
+         |    CAST(len(list_filter(toks, w -> w IN $stopList)) AS BIGINT)
+         |      AS n_stop
+         |  FROM t),
+         |f AS (
+         |  SELECT *,
+         |    CAST(n_words BETWEEN 10 AND 100000 AS BIGINT) AS f_len,
+         |    CAST(mean_wlen BETWEEN 3.0 AND 10.0 AS BIGINT) AS f_wlen,
+         |    CAST(frac_alpha > 0.8 AS BIGINT) AS f_alpha,
+         |    CAST(n_stop >= 2 AS BIGINT) AS f_stop
+         |  FROM m)
+         |SELECT doc_id, n_words, round(mean_wlen, 4) AS mean_wlen,
+         |  round(frac_alpha, 4) AS frac_alpha, n_stop,
+         |  f_len, f_wlen, f_alpha, f_stop,
+         |  f_len * f_wlen * f_alpha * f_stop AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q81_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+         |      AS BIGINT) AS end_off
+         |  FROM t)
+         |SELECT doc_id, lang, n_tok,
+         |  end_off - n_tok AS start_off, end_off,
+         |  CAST(floor((end_off - n_tok) / 512.0) AS BIGINT) AS first_chunk,
+         |  CAST(floor((end_off - 1) / 512.0)
+         |    - floor((end_off - n_tok) / 512.0) + 1 AS BIGINT) AS n_chunks,
+         |  CAST(floor((end_off - 1) / 512.0)
+         |    > floor((end_off - n_tok) / 512.0) AS BIGINT) AS crosses
+         |FROM o ORDER BY lang, doc_id""".stripMargin,
+
+    "q82_mixture_weights" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tok
+         |  FROM documents GROUP BY 1),
+         |s AS (
+         |  SELECT *,
+         |    CAST(n_tok AS DOUBLE) / CAST(SUM(n_tok) OVER () AS DOUBLE)
+         |      AS p,
+         |    round(sqrt(CAST(n_tok AS DOUBLE)
+         |      / CAST(SUM(n_tok) OVER () AS DOUBLE)), 6) AS w6
+         |  FROM per),
+         |n AS (
+         |  SELECT *, CAST(SUM(CAST(w6 AS DECIMAL(38,6))) OVER () AS DOUBLE)
+         |    AS sum_w
+         |  FROM s)
+         |SELECT source, n_docs, n_tok, round(p, 6) AS p_tok, w6 AS w_temp,
+         |  round(w6 / sum_w, 6) AS share,
+         |  CAST(floor(round(w6 / sum_w, 6) * 1000000) AS BIGINT)
+         |    AS planned_docs
+         |FROM n ORDER BY source""".stripMargin,
+
+    "q83_band_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_parts,
+        |  round(CAST(SUM(CAST(l_extendedprice / l_quantity - p_retailprice
+        |    AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_diff
+        |FROM lineitem JOIN part
+        |  ON l_extendedprice / l_quantity
+        |     BETWEEN p_retailprice - 0.05 AND p_retailprice + 0.05
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q84_decontam" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(${shinglesSql(toksSql, 8)}) AS g
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0)
+         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(b.g) AS BIGINT) AS n_hit,
+         |  round(CAST(count(b.g) AS DOUBLE) / count(*), 6) AS contam
+         |FROM corpus c LEFT JOIN bench b ON c.g = b.g
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q76_csv_scan" ->
       s"""SELECT CAST(ID AS BIGINT) AS id,
          |  CASE WHEN "Primary Type" IN ('NULL', '') THEN NULL

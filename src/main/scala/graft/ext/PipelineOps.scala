@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's surface:
+  * rule-based quality filtering, sequence packing, mixture weighting, and
+  * benchmark decontamination — the ops a 100 TB pretraining-data build
+  * runs after dedup ([[Dedup]]) and scoring ([[TextOps]]).
+  *
+  * All four are single-pass or single-shuffle per doc/group and
+  * deterministic end-to-end, so every one is DuckDB-oracle-checkable
+  * (q80–q82, q84).
+  */
+object PipelineOps {
+
+  /** Gopher-style heuristic quality rules (Rae et al. 2021, App. A1.1 —
+    * public paper; thresholds simplified): per-doc word count, mean word
+    * length, alphabetic-word fraction and stopword presence, each as a
+    * 0/1 flag plus the conjunction. One projection, no shuffle — at
+    * 100 TB this runs at scan speed and the `pass` column drives the
+    * downstream filter. */
+  def qualityFlags(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val sumWlen = aggregate(toks, lit(0L), (a, w) => a + length(w))
+    val meanWlen = sumWlen.cast("double") / nWords
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val fracAlpha = nAlpha.cast("double") / nWords
+    val nStop = TextOps.stopwordCount(col(textCol)).cast("long")
+    val fLen = (nWords >= 10 && nWords <= 100000).cast("long")
+    val fWlen = (meanWlen >= 3.0 && meanWlen <= 10.0).cast("long")
+    val fAlpha = (fracAlpha > 0.8).cast("long")
+    val fStop = (nStop >= 2L).cast("long")
+    df.select(col("doc_id"),
+      nWords.as("n_words"),
+      round(meanWlen, 4).as("mean_wlen"),
+      round(fracAlpha, 4).as("frac_alpha"),
+      nStop.as("n_stop"),
+      fLen.as("f_len"), fWlen.as("f_wlen"),
+      fAlpha.as("f_alpha"), fStop.as("f_stop"),
+      (fLen * fWlen * fAlpha * fStop).as("pass"))
+  }
+
+  /** Concat-then-chunk sequence packing: documents are laid out
+    * back-to-back in (partition, doc_id) order and cut into fixed
+    * `budget`-token chunks — the standard pretraining packing layout.
+    * Emits each doc's token offsets and the chunk ids it lands in
+    * (`n_chunks > 1` ⇔ the doc straddles a boundary and will be split).
+    * The running offset is one window cumsum per partition key: exact
+    * long arithmetic, one shuffle, no sequential driver loop — at 100 TB
+    * the partition key (here `lang`; in production a shard id) bounds
+    * every window to one executor's stream. */
+  def packSequences(df: DataFrame, textCol: String, partCol: String,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy("doc_id")
+    val nTok = TextOps.tokenCount(col(textCol)).cast("long")
+    df.select(col("doc_id"), col(partCol), nTok.as("n_tok"))
+      .withColumn("end_off", sum(col("n_tok")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+      .withColumn("first_chunk", floor(col("start_off") / budget.toDouble))
+      .withColumn("last_chunk", floor((col("end_off") - 1) / budget.toDouble))
+      .select(col("doc_id"), col(partCol), col("n_tok"),
+        col("start_off"), col("end_off"), col("first_chunk"),
+        (col("last_chunk") - col("first_chunk") + 1L).as("n_chunks"),
+        (col("last_chunk") > col("first_chunk")).cast("long").as("crosses"))
+  }
+
+  /** Temperature-weighted source mixture (temperature 0.5, i.e.
+    * w ∝ √p — √ because IEEE-754 sqrt is correctly rounded, so the
+    * weights are bit-identical across engines, unlike pow(p, α)):
+    * per-source token share p, weight w = √p, normalized sampling share,
+    * and planned docs per 1M-doc epoch. Normalization is deterministic:
+    * weights round to 6 dp, then sum EXACTLY as decimals — the usual
+    * double-sum order dependence never appears. One agg + one 20-row
+    * window; the doc-scan dominates at any scale. */
+  def mixtureWeights(df: DataFrame, textCol: String, srcCol: String)
+      : DataFrame = {
+    val per = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tok"))
+    val all = Window.partitionBy()
+    val p = col("n_tok").cast("double") /
+      sum(col("n_tok")).over(all).cast("double")
+    val w6 = round(sqrt(p), 6)
+    val sumW = sum(w6.cast("decimal(38,6)")).over(all).cast("double")
+    val share = round(w6 / sumW, 6)
+    per.select(col(srcCol), col("n_docs"), col("n_tok"),
+        round(p, 6).as("p_tok"), w6.as("w_temp"), share.as("share"),
+        floor(share * 1000000d).cast("long").as("planned_docs"))
+      .orderBy(srcCol)
+  }
+
+  /** Benchmark decontamination by k-gram overlap: every corpus doc is
+    * scored by the fraction of its distinct k-gram hashes that appear in
+    * the benchmark set (the standard train/test-leak check). The
+    * benchmark gram set is a distinct projection (small — AQE broadcasts
+    * the probe join); the corpus side is one explode + one aggregate. A
+    * benchmark gram set too large to broadcast still works: the join
+    * falls back to shuffle on the gram hash. */
+  def decontamination(corpus: DataFrame, bench: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(Dedup.shingleHashes(col(textCol), k)).as("g"))
+    val benchGrams = grams(bench).select("g").distinct()
+      .withColumn("hit", lit(1))
+    grams(corpus)
+      .join(benchGrams, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6)
+          .as("contam"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualityFlags: each rule fires on its own violation") {
+    val docs = Seq(
+      // 0: healthy doc — all rules pass
+      (0L, "the cat sat on the mat and then the dog ran off to town"),
+      // 1: too short (3 words)
+      (1L, "too short doc"),
+      // 2: mean word length out of range (all 1-char words, enough of them)
+      (2L, "a b c d e f g h i j k l m n o p the of"),
+      // 3: non-alpha words dominate
+      (3L, "111 222 333 444 555 666 777 888 999 000 the of 123 456 789"),
+      // 4: no stopwords
+      (4L, "giraffe elephant zebra lion tiger bear wolf fox deer moose"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.qualityFlags(docs, "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = out(i)
+    assert(row(0).getAs[Long]("pass") == 1L)
+    assert(row(1).getAs[Long]("f_len") == 0L)
+    assert(row(2).getAs[Long]("f_wlen") == 0L)
+    assert(row(3).getAs[Long]("f_alpha") == 0L)
+    assert(row(4).getAs[Long]("f_stop") == 0L)
+    // every violation kills the conjunction
+    (1 to 4).foreach(i => assert(row(i).getAs[Long]("pass") == 0L))
+  }
+
+  test("packSequences: offsets partition the token stream exactly") {
+    val docs = (0L until 40L)
+      .map(i => (i, ("w " * (i % 7 + 1).toInt).trim, s"p${i % 2}"))
+      .toDF("doc_id", "text", "lang")
+    val out = PipelineOps.packSequences(docs, "text", "lang", 10L)
+      .orderBy("lang", "doc_id").collect()
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      // contiguous: each doc starts where the previous ended; stream
+      // starts at offset 0
+      assert(rows.head.getAs[Long]("start_off") == 0L)
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_off") == a.getAs[Long]("end_off"))
+        case _ =>
+      }
+      rows.foreach { r =>
+        val span = r.getAs[Long]("end_off") - r.getAs[Long]("start_off")
+        assert(span == r.getAs[Long]("n_tok"))
+        // n_chunks covers the doc's span: a doc of t tokens touches at
+        // most ceil(t/budget)+1 chunks and at least ceil(t/budget)
+        val minChunks = (span + 9) / 10
+        assert(r.getAs[Long]("n_chunks") >= minChunks &&
+          r.getAs[Long]("n_chunks") <= minChunks + 1)
+        assert((r.getAs[Long]("crosses") == 1L) ==
+          (r.getAs[Long]("n_chunks") > 1L))
+      }
+    }
+  }
+
+  test("mixtureWeights: shares normalize to ~1 and upweight small sources") {
+    val docs = (0L until 100L)
+      .map(i => (i, "tok " * (if (i % 10 == 0) 5 else 50),
+        if (i % 10 == 0) "rare" else "common"))
+      .toDF("doc_id", "text", "source")
+    val out = PipelineOps.mixtureWeights(docs, "text", "source").collect()
+    val shares = out.map(r =>
+      r.getAs[String]("source") -> r.getAs[Double]("share")).toMap
+    assert(math.abs(shares.values.sum - 1.0) < 1e-4)
+    val p = out.map(r =>
+      r.getAs[String]("source") -> r.getAs[Double]("p_tok")).toMap
+    // temperature < 1 flattens: the rare source's sampling share exceeds
+    // its raw token share; the common source's drops
+    assert(shares("rare") > p("rare"))
+    assert(shares("common") < p("common"))
+  }
+
+  test("decontamination: overlap fraction is exact on known overlap") {
+    val bench = Seq((100L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 8 tokens, identical to benchmark doc -> its single 8-gram is contaminated
+      (0L, "one two three four five six seven eight"),
+      // no 8-gram in common
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.decontamination(corpus, bench, "text", 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_grams") == 1L)
+    assert(out(0).getAs[Long]("n_hit") == 1L)
+    assert(out(0).getAs[Double]("contam") == 1.0)
+    assert(out(1).getAs[Long]("n_hit") == 0L)
+    assert(out(1).getAs[Double]("contam") == 0.0)
+  }
+}

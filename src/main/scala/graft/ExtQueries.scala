@@ -685,7 +685,32 @@ object ExtQueries {
       docs.filter(col("doc_id") % 50 === 0), "text", 8)
   }
 
+  /** q85 — Gopher-style repetition signals
+    * ([[PipelineOps.repetitionStats]]): duplicate-token and top-bigram
+    * fractions per doc. */
+  private val q85: Q = (s, d) =>
+    PipelineOps.repetitionStats(Tables.documents(s, d), "text")
+
+  /** q86 — PII detection + redaction ([[PipelineOps.piiScrub]]). The
+    * synthetic corpus carries no PII, so a deterministic email / phone /
+    * IPv4 suffix derived from doc_id is appended first (identically in
+    * the oracle) — the regex extraction and layered redaction are what
+    * is under test. */
+  private val q86: Q = (s, d) => {
+    val docs = Tables.documents(s, d).withColumn("text",
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"),
+        lit(".org or +1-555-"),
+        lpad(col("doc_id").cast("string"), 4, "0"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1")))
+    PipelineOps.piiScrub(docs, "text").orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q85_repetition_stats" -> q85,
+    "q86_pii_scrub" -> q86,
     "q80_quality_rules" -> q80,
     "q81_pack_sequences" -> q81,
     "q82_mixture_weights" -> q82,
@@ -899,7 +924,65 @@ object ExtQueries {
   private def anyBucketMatch(x: String, y: String, tables: Int): String =
     (0 until tables).map(t => s"$x.b$t = $y.b$t").mkString(" OR ")
 
+  /** DuckDB bigram-hash list (order-preserving, duplicates kept —
+    * [[graft.functions.ShingleHash]] without the distinct wrap). */
+  private def bigramsSql(toks: String): String =
+    s"CASE WHEN len($toks) >= 2 THEN " +
+      s"list_transform(generate_series(1, len($toks) - 1), " +
+      s"i -> ${polyHashSql(s"array_to_string(list_slice($toks, i, i + 1), ' ')")}) " +
+      s"ELSE [] END"
+
   val oracles: Map[String, String] = Map(
+    "q85_repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |    unnest(${bigramsSql("toks")}) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |c AS (
+         |  SELECT doc_id, n_tok, n_distinct, bg,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM b GROUP BY 1, 2, 3, 4)
+         |SELECT doc_id, n_tok, n_distinct,
+         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tok, 6) AS dup_frac,
+         |  round(CAST(max(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         |    AS top_bigram_frac
+         |FROM c GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    "q86_pii_scrub" -> {
+      val email = PipelineOps.EmailRe
+      val phone = PipelineOps.PhoneRe
+      val ipv4 = PipelineOps.Ipv4Re
+      s"""WITH t AS (
+         |  SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |    || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org or +1-555-'
+         |    || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+         |    || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+         |    AS text
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1
+         |  FROM t),
+         |r2 AS (
+         |  SELECT *, regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2
+         |  FROM r)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '$phone')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_extract_all(t2, '$ipv4')) AS BIGINT) AS n_ips,
+         |  CAST(length(regexp_replace(t2, '$ipv4', '<IP>', 'g'))
+         |    AS BIGINT) AS redacted_len,
+         |  CAST(len(regexp_extract_all(text, '$email'))
+         |    + len(regexp_extract_all(t1, '$phone'))
+         |    + len(regexp_extract_all(t2, '$ipv4')) > 0 AS BIGINT)
+         |    AS has_pii
+         |FROM r2 ORDER BY doc_id""".stripMargin
+    },
+
     "q80_quality_rules" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |m AS (

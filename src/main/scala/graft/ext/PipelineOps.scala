@@ -92,6 +92,67 @@ object PipelineOps {
       .orderBy(srcCol)
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, App. A1.1):
+    * duplicate-token fraction (1 − distinct/total) and top-bigram
+    * fraction (most frequent 2-gram / all 2-grams) — the filters that
+    * catch boilerplate and degenerate generations. A per-row native
+    * kernel ([[graft.functions.ArrayTopCountExpr]]) computes the max
+    * bigram multiplicity in one hashmap pass, so the whole operator is a
+    * scan-speed projection — the naive formulation (explode every bigram
+    * → groupBy → max) shuffles the corpus's entire n-gram stream for a
+    * per-doc statistic. Docs with < 2 tokens have no bigrams and are
+    * dropped (nothing to measure). */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val bigrams = graft.functions.ShingleHash.shingle_hash(toks, 2)
+    df.select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(bigrams).cast("long").as("n_bigrams"),
+        graft.functions.expressions.array_top_count(bigrams)
+          .as("max_bigram"))
+      .filter(col("n_bigrams") >= 1)
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        round(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_tok"), 6)
+          .as("dup_frac"),
+        round(col("max_bigram").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Conservative character-class-only patterns (identical semantics in
+    * Java regex and RE2-style engines — no lookaround, no shorthand
+    * classes, so the DuckDB oracle matches byte-for-byte). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction: per-doc email/phone/IPv4 counts and the
+    * post-redaction length. Email replaces first (its domain could
+    * otherwise be bitten by the IPv4 pattern), then phone, then IP.
+    * Pure projection — scan-speed at any scale. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    val nE = regexp_count(t, lit(EmailRe))
+    val nP = regexp_count(regexp_replace(t, EmailRe, "<EMAIL>"),
+      lit(PhoneRe))
+    val nI = regexp_count(
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"), lit(Ipv4Re))
+    df.select(col("doc_id"),
+      nE.cast("long").as("n_emails"),
+      nP.cast("long").as("n_phones"),
+      nI.cast("long").as("n_ips"),
+      length(redacted).cast("long").as("redacted_len"),
+      (nE + nP + nI > 0).cast("long").as("has_pii"))
+  }
+
   /** Benchmark decontamination by k-gram overlap: every corpus doc is
     * scored by the fraction of its distinct k-gram hashes that appear in
     * the benchmark set (the standard train/test-leak check). The

@@ -149,6 +149,56 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
       : PolyHashExpr = copy(child = newChild)
 }
 
+/** Per-row helper for [[ArrayTopCountExpr]] — kept as a static method so
+  * generated code can call it (same pattern as ShingleHashUtil). */
+object ArrayTopCountUtil {
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val m = new java.util.HashMap[java.lang.Long, Array[Int]](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val v: java.lang.Long = arr.getLong(i)
+      var slot = m.get(v)
+      if (slot == null) { slot = Array(0); m.put(v, slot) }
+      slot(0) += 1
+      if (slot(0) > best) best = slot(0)
+      i += 1
+    }
+    best.toLong
+  }
+}
+
+/** Maximum element multiplicity of an array<long> — the per-row kernel
+  * behind repetition statistics (top-bigram fraction): O(n) with one
+  * hashmap per row, replacing an explode → groupBy → max that would
+  * shuffle every n-gram of the corpus. Equivalent (spec-asserted) to
+  * `array_max(transform(array_distinct(a), x -> size(filter(a, _ = x))))`,
+  * which evaluates interpreted AND is quadratic per row. */
+case class ArrayTopCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("array_top_count requires array<long>")
+    }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayTopCountUtil.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ArrayTopCountUtil.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ArrayTopCountExpr = copy(child = newChild)
+}
+
 object expressions {
   /** Column wrapper: cosine similarity of two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column =
@@ -158,4 +208,8 @@ object expressions {
   /** Column wrapper: polynomial rolling string hash mod 1e9+7. */
   def poly_hash(c: Column): Column =
     shim.toColumn(PolyHashExpr(shim.toExpression(c)))
+
+  /** Column wrapper: max element multiplicity of an array<long> column. */
+  def array_top_count(c: Column): Column =
+    shim.toColumn(ArrayTopCountExpr(shim.toExpression(c)))
 }

@@ -77,6 +77,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(shares("common") < p("common"))
   }
 
+  test("repetitionStats: exact fractions on a hand-counted doc") {
+    val docs = Seq(
+      (0L, "a a a a b"), // 5 tokens, 2 distinct; bigrams: aa aa aa ab
+      (1L, "w x y z"),   // all distinct, all bigrams unique
+      (2L, "solo"))      // < 2 tokens -> no bigrams -> dropped
+      .toDF("doc_id", "text")
+    val out = PipelineOps.repetitionStats(docs, "text").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_tok") == 5L)
+    assert(out(0).getAs[Long]("n_distinct") == 2L)
+    assert(out(0).getAs[Double]("dup_frac") == 0.6)
+    assert(out(0).getAs[Double]("top_bigram_frac") == 0.75)
+    assert(out(1).getAs[Double]("dup_frac") == 0.0)
+    assert(out(1).getAs[Double]("top_bigram_frac") ==
+      math.rint(1.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("piiScrub: counts and layered redaction") {
+    val docs = Seq(
+      (0L, "mail a.b@site.org and b@x.io call +1-555-1234 from 10.1.2.3"),
+      (1L, "nothing sensitive here at all"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.piiScrub(docs, "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 2L)
+    assert(out(0).getAs[Long]("n_phones") == 1L)
+    assert(out(0).getAs[Long]("n_ips") == 1L)
+    assert(out(0).getAs[Long]("has_pii") == 1L)
+    // redacted text: every match replaced by its placeholder
+    val expected = "mail <EMAIL> and <EMAIL> call <PHONE> from <IP>".length
+    assert(out(0).getAs[Long]("redacted_len") == expected.toLong)
+    assert(out(1).getAs[Long]("has_pii") == 0L)
+    assert(out(1).getAs[Long]("redacted_len") ==
+      "nothing sensitive here at all".length.toLong)
+  }
+
   test("decontamination: overlap fraction is exact on known overlap") {
     val bench = Seq((100L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")

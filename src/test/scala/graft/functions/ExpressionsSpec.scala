@@ -83,4 +83,30 @@ class ExpressionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(arrForm == aggForm)
   }
+
+  test("array_top_count == quadratic lambda form on real document bigrams") {
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    val bigrams = ShingleHash.shingle_hash(
+      graft.ext.TextOps.tokens(col("text")), 2)
+    val lambdaTop = coalesce(array_max(transform(array_distinct(bigrams),
+      x => size(filter(bigrams, y => y === x)))), lit(0)).cast("long")
+    val bad = docs.select(
+        graft.functions.expressions.array_top_count(bigrams).as("native"),
+        lambdaTop.as("lambda"))
+      .filter(col("native") =!= col("lambda")).count()
+    assert(bad == 0)
+  }
+
+  test("array_top_count: empty array → 0, uniform array → size") {
+    val out = Seq(
+      (Array.empty[Long], 0L),
+      (Array(7L, 7L, 7L), 3L),
+      (Array(1L, 2L, 3L), 1L),
+      (Array(5L, 1L, 5L, 2L, 5L, 1L), 3L))
+      .toDF("a", "expected")
+      .select(graft.functions.expressions.array_top_count(col("a"))
+        .as("got"), col("expected"))
+      .filter(col("got") =!= col("expected")).count()
+    assert(out == 0)
+  }
 }

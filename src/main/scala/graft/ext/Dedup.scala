@@ -233,13 +233,22 @@ object Dedup {
     * shuffle join + aggregate, so the approach scales to edge lists far
     * beyond driver memory (no union-find on the driver).
     * Returns (doc id, cluster = min doc id of its component); singleton
-    * docs keep their own id. (Upgrade path for adversarially long chains
-    * at 100 TB: large-star/small-star or pointer-jumping cuts rounds from
-    * O(diameter) to O(log diameter) at one extra join per round — dup
-    * components in practice are shallow, so plain propagation is the
-    * cheaper default.) */
+    * docs keep their own id.
+    *
+    * Each round combines neighbor-min propagation with POINTER JUMPING
+    * (label ← min(label, label(label))): chasing the label's label halves
+    * the remaining chain every round, so convergence is O(log diameter)
+    * rounds instead of O(diameter) — on an adversarial 100 TB near-dup
+    * chain that is ~40 rounds → ~7 (spec-asserted on a path graph). The
+    * extra |V|-row self-join per round is noise next to the edge join. */
   def dupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String)
-      : DataFrame = {
+      : DataFrame =
+    dupClustersWithRounds(pairs, allIds, idCol)._1
+
+  /** [[dupClusters]] + the number of rounds to fixpoint (exposed for the
+    * convergence-rate spec). */
+  private[ext] def dupClustersWithRounds(pairs: DataFrame,
+      allIds: DataFrame, idCol: String): (DataFrame, Int) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
@@ -253,16 +262,35 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("cluster")).as("nmin"))
-      // carry (new, old) labels side by side so ONE cached pass both
-      // materializes the round and yields the convergence count — the
-      // separate count() + re-join recount was a second action per round
-      val updated = labels
+      // mid = min(own label, neighbors' labels) — the propagation step.
+      // localCheckpoint, not cache: the jump step references this twice,
+      // so a cached-but-uncut lineage would DOUBLE the logical plan every
+      // round (exponential tree → OOM in plan handling by round ~8); the
+      // checkpoint materializes once AND truncates the plan to a flat
+      // scan. Blocks are freed asynchronously by the ContextCleaner once
+      // the round's reference drops.
+      val prelim = labels
         .join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("newc"),
+            .as("mid"),
           col("cluster").as("old"))
+        .localCheckpoint(eager = true)
+      // pointer jump: follow mid's own mid. label(v) always names a node
+      // in v's component (propagation only ever copies labels along
+      // edges), so the jump stays inside the component and labels remain
+      // monotonically non-increasing — same fixpoint, reached in
+      // logarithmically many rounds.
+      val updated = prelim.as("x")
+        .join(prelim.select(col("id").as("pid"), col("mid").as("pmid"))
+          .as("p"), col("x.mid") === col("p.pid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.mid"), coalesce(col("pmid"), col("x.mid")))
+            .as("newc"),
+          col("old"))
         .cache()
+      // carry (new, old) labels side by side so ONE cached pass both
+      // materializes the round and yields the convergence count
       changed = updated.filter(col("newc") =!= col("old")).count()
       if (cached != null) cached.unpersist() // drop the previous iteration
       cached = updated
@@ -274,8 +302,8 @@ object Dedup {
     require(changed == 0,
       s"dupClusters did not converge within $rounds rounds " +
         s"($changed labels still changing)")
-    labels.select(col("id").as(idCol), col("cluster"))
-      .orderBy(idCol).localCheckpoint(eager = true)
+    (labels.select(col("id").as(idCol), col("cluster"))
+      .orderBy(idCol).localCheckpoint(eager = true), rounds)
     } finally { // caches must not outlive the call, even on failure
       if (cached != null) cached.unpersist()
       edges.unpersist()

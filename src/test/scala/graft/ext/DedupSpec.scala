@@ -80,6 +80,23 @@ class DedupSpec extends SparkSpec {
     assert(clusters(3L) == 3L && clusters(4L) == 4L)
   }
 
+  test("dupClusters: pointer jumping converges in O(log diameter) rounds " +
+    "on an adversarial chain") {
+    // path graph 0-1-2-...-40: plain min-label propagation needs ~40
+    // rounds (one hop per round); with the label(label) jump each round
+    // halves the remaining chain — log2(40) ≈ 5.3, allow generous slack
+    val n = 40
+    val pairs = (0 until n)
+      .map(i => (i.toLong, (i + 1).toLong, 1.0))
+      .toDF("id_a", "id_b", "jac")
+    val ids = (0 to n).map(_.toLong).toDF("doc_id")
+    val (labels, rounds) =
+      Dedup.dupClustersWithRounds(pairs, ids, "doc_id")
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m.values.forall(_ == 0L), "chain must collapse to min id 0")
+    assert(rounds <= 10, s"expected O(log n) rounds, got $rounds")
+  }
+
   test("jaccardPairs maxDf: hot shingle cannot create quadratic candidates") {
     // adversarial: ONE shingle shared by all 40 docs — uncapped, the
     // posting self-join emits all 780 pairs off that single hot key

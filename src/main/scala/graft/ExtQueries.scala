@@ -708,7 +708,24 @@ object ExtQueries {
     PipelineOps.piiScrub(docs, "text").orderBy("doc_id")
   }
 
+  /** q87 — JSONL (newline-delimited JSON) scan with explicit schema: the
+    * canonical interchange format of LLM-data pipelines. Same
+    * fixture-resolution discipline as q76 (one path shared with the
+    * oracle); the schema is explicit, never inferred — at 100 TB schema
+    * inference is a full extra pass over the data. */
+  private val q87: Q = (s, _) => {
+    val docs = s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT")
+      .json(s"$fixturesDir/docs_sample.jsonl")
+    docs.select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q87_jsonl_scan" -> q87,
     "q85_repetition_stats" -> q85,
     "q86_pii_scrub" -> q86,
     "q80_quality_rules" -> q80,
@@ -933,6 +950,15 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q87_jsonl_scan" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tok, n_chars
+         |FROM read_json('$fixturesDir/docs_sample.jsonl',
+         |  format = 'newline_delimited',
+         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+         |             source: 'VARCHAR', n_chars: 'BIGINT'})
+         |ORDER BY doc_id""".stripMargin,
+
     "q85_repetition_stats" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |b AS (

@@ -87,6 +87,46 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("quality rules and PII scrub run unchanged on a stream (== batch)") {
+    // PipelineOps.qualityFlags / piiScrub are stateless projections, so
+    // the SAME code must work as an ingestion-time streaming filter with
+    // results identical to the batch run — the shape of a production
+    // ingest pipeline (filter at arrival, not in a nightly sweep).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-squal")
+      .toString
+    val rows = Seq(
+      (0L, "the cat sat on the mat and then the dog ran off to town"),
+      (1L, "short doc"),
+      (2L, "mail a.b@site.org call +1-555-1234 the end of the story here"))
+    rows.grouped(2).foreach { b =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    }
+    val batchDf = spark.read.schema("doc_id BIGINT, text STRING")
+      .parquet(dir)
+    val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    def run(name: String,
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Set[String] = {
+      val q = f(src).writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).collect().map(_.toString).toSet
+    }
+    val sq = run("t_squality",
+      df => graft.ext.PipelineOps.qualityFlags(df, "text"))
+    val bq = graft.ext.PipelineOps.qualityFlags(batchDf, "text")
+      .collect().map(_.toString).toSet
+    assert(sq == bq && bq.size == 3)
+    val sp = run("t_spii", df => graft.ext.PipelineOps.piiScrub(df, "text"))
+    val bp = graft.ext.PipelineOps.piiScrub(batchDf, "text")
+      .collect().map(_.toString).toSet
+    assert(sp == bp && bp.size == 3)
+  }
+
   test("streamingDedup drops cross-batch duplicate keys within watermark") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)

@@ -129,4 +129,41 @@ class PropertiesSpec extends SparkSpec {
     }
     assert(SCTest.check(params, prop).passed)
   }
+
+  test("array_top_count == Scala max-multiplicity on random arrays") {
+    val gen = Gen.listOf(Gen.chooseNum(-5L, 5L)) // narrow range → collisions
+    val prop = forAll(gen) { xs =>
+      val expected =
+        if (xs.isEmpty) 0L
+        else xs.groupBy(identity).values.map(_.size).max.toLong
+      val got = Seq(Tuple1(xs.toArray)).toDF("a")
+        .select(graft.functions.expressions.array_top_count(col("a")))
+        .head().getLong(0)
+      got == expected
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("band join == naive O(n·m) reference on random points/intervals") {
+    val ptsGen = Gen.listOfN(30, Gen.chooseNum(-50.0, 50.0))
+    val ivGen = Gen.listOfN(10,
+      Gen.zip(Gen.chooseNum(-50.0, 50.0), Gen.chooseNum(0.0, 20.0)))
+    val prop = forAll(ptsGen, ivGen) { (ps, ivs) =>
+      val points = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("pt_id", "v")
+      val intervals = ivs.zipWithIndex
+        .map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+        .toDF("iv_id", "lo", "hi")
+      val got = graft.operators.BandJoin
+        .join(points, "v", intervals, "lo", "hi", 7.0)
+        .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        ((lo, len), i) <- ivs.zipWithIndex
+        (v, j) <- ps.zipWithIndex
+        if v >= lo && v <= lo + len
+      } yield (i.toLong, j.toLong)).toSet
+      got == expected
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
 }

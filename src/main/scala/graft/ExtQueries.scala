@@ -724,7 +724,34 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** q88 — the end-to-end curation pipeline a pretraining build runs,
+    * composed from the engine's own operators: quality gate
+    * ([[PipelineOps.qualityFlags]]) → near-dup clusters over the
+    * survivors ([[Dedup.jaccardPairs]] + [[Dedup.dupClusters]]) →
+    * canonical doc per cluster (min id) → per-source survivor counts and
+    * token totals. One oracle checks the whole composition — the
+    * strongest integration signal the DuckDB gate can give. */
+  private val q88: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val kept = docs.join(
+      PipelineOps.qualityFlags(docs, "text")
+        .filter(col("pass") === 1L).select("doc_id"),
+      Seq("doc_id"))
+    val pairs = Dedup.jaccardPairs(kept, "doc_id", "text", 3, 0.1,
+      maxDf = 100)
+    val clusters = Dedup.dupClusters(pairs, kept.select("doc_id"),
+      "doc_id")
+    val canonical = clusters.filter(col("doc_id") === col("cluster"))
+      .select("doc_id")
+    docs.join(canonical, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tok"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q88_curation_pipeline" -> q88,
     "q87_jsonl_scan" -> q87,
     "q85_repetition_stats" -> q85,
     "q86_pii_scrub" -> q86,
@@ -844,9 +871,10 @@ object ExtQueries {
     * df-capped postings (mirroring Dedup.jaccardPairs' maxDf — shingles in
     * more than `cap` docs leave the shingle universe, numerator AND
     * denominator) → inverted-index self-join → Jaccard ≥ threshold. */
-  private def pairCtes(cap: Int, threshold: Double): String =
+  private def pairCtes(cap: Int, threshold: Double,
+      from: String = "documents"): String =
     s"""sh AS (
-       |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs FROM documents),
+       |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs FROM $from),
        |post0 AS (SELECT doc_id, unnest(shs) AS h FROM sh),
        |keep AS (SELECT h FROM post0 GROUP BY h HAVING count(*) <= $cap),
        |post AS (SELECT p.doc_id, p.h FROM post0 p JOIN keep USING (h)),
@@ -950,6 +978,40 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q88_curation_pipeline" ->
+      s"""WITH RECURSIVE
+         |qt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |qs AS (
+         |  SELECT doc_id, len(toks) AS n_words,
+         |    CAST(list_reduce(list_transform(toks,
+         |        w -> CAST(len(w) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+         |      / len(toks) AS mean_wlen,
+         |    CAST(len(list_filter(toks,
+         |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |      / len(toks) AS frac_alpha,
+         |    len(list_filter(toks, w -> w IN $stopList)) AS n_stop
+         |  FROM qt),
+         |kept AS (
+         |  SELECT d.* FROM documents d JOIN qs USING (doc_id)
+         |  WHERE qs.n_words BETWEEN 10 AND 100000
+         |    AND qs.mean_wlen BETWEEN 3.0 AND 10.0
+         |    AND qs.frac_alpha > 0.8 AND qs.n_stop >= 2),
+         |${pairCtes(cap = 100, threshold = 0.1, from = "kept")},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT k.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(regexp_split_to_array(trim(k.text), '\\s+')))
+         |    AS BIGINT) AS n_tok
+         |FROM kept k
+         |LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |  ON m.s = k.doc_id
+         |WHERE least(k.doc_id, COALESCE(m.mn, k.doc_id)) = k.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q87_jsonl_scan" ->
       s"""SELECT doc_id, lang,
          |  CAST(len($toksSql) AS BIGINT) AS n_tok, n_chars

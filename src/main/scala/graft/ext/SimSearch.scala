@@ -188,7 +188,10 @@ object SimSearch {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val withVec = corpus.withColumn("fv", array_to_vector(col("embedding")))
-    val km = new KMeans().setK(nClusters).setSeed(seed)
+    // a handful of Lloyd iterations is plenty for a QUANTIZER — recall is
+    // governed by nProbe, not centroid polish — so cap the fit cost
+    // explicitly rather than rely on tol-based early exit
+    val km = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("fv").setPredictionCol("cluster")
       .fit(withVec)
     val assigned = km.transform(withVec)

@@ -46,7 +46,10 @@ object Bench {
     def short(k: String): String = k.takeWhile(_ != '_')
     val collision = results.keys.groupBy(short).exists(_._2.size > 1)
     def keyOf(k: String): String = if (collision) k else short(k)
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"%.3f" uses the JVM default locale, and a comma
+    // decimal separator would corrupt the JSON line
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.values.count(_ < 0)

@@ -77,37 +77,58 @@ object Dedup {
     * are spec-asserted (DedupSpec). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
-    // ONE shuffle builds the inverted index as grouped posting lists
-    // (sh → [pids]); the df-cap is then a size filter on the lists —
-    // no separate hot-shingle aggregate, no anti-join, and candidate
-    // pairs generate MAP-SIDE from each list instead of re-shuffling
-    // both sides of a posting self-join. A list is bounded by maxDf, so
-    // per-row memory is bounded at the 100 TB target whenever a cap is
-    // set (an uncapped run at corpus scale is quadratic regardless of
-    // strategy — callers must cap; spec'd in DedupSpec).
+    // Capped path (the 100 TB path): ONE shuffle builds the inverted
+    // index as grouped posting lists (sh → [pids]); the df-cap is then a
+    // size filter on the lists — no separate hot-shingle aggregate, no
+    // anti-join — and candidate pairs generate MAP-SIDE from each list
+    // instead of re-shuffling both sides of a posting self-join. A list
+    // is bounded by maxDf, so per-row aggregation memory is bounded.
+    //
+    // Uncapped path: collect_list over an unbounded-df shingle would
+    // build one in-memory array per hot shingle inside a single
+    // aggregation buffer (cannot spill mid-key) — so WITHOUT a cap the
+    // classic posting self-join is used instead: same pair set, shuffles
+    // and spills row-at-a-time. (Uncapped at corpus scale is quadratic
+    // under any strategy — cap for real runs; spec'd in DedupSpec.)
+    //
     // localCheckpoint: DataFrame reuse is plan reuse, not computation
     // reuse — without it the shingle+hash pass runs once per consumer
     // (pair generation AND the sizes agg).
-    val grouped = postings(df, idCol, textCol, k)
-      .groupBy("sh").agg(sort_array(collect_list(col("pid"))).as("pids"))
-      .filter(size(col("pids")) <= maxDf)
-      .localCheckpoint(eager = true)
-    // df=1 shingles produce no pairs but DO count toward their doc's
-    // shingle-universe size (the Jaccard denominator)
-    val sizes = grouped.select(explode(col("pids")).as("pid"))
-      .groupBy("pid").agg(count(lit(1)).as("n_sh"))
-    // lists are sorted and per-shingle pids are distinct, so taking each
-    // element against only the elements AFTER it emits every unordered
-    // pair exactly once with id_a < id_b built in — Σf(f−1)/2 generated
-    // rows, no post-filter (an a<b filter over a full f×f cross would
-    // generate twice that)
-    val shared = grouped.filter(size(col("pids")) >= 2)
-      .select(col("pids"), posexplode(col("pids")))
-      .select(col("col").as("a"),
-        explode(slice(col("pids"), col("pos") + lit(2),
-          size(col("pids")))).as("b"))
-      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    val capped = maxDf != Int.MaxValue
+    val (sizes, shared) =
+      if (capped) {
+        val grouped = postings(df, idCol, textCol, k)
+          .groupBy("sh")
+          .agg(sort_array(collect_list(col("pid"))).as("pids"))
+          .filter(size(col("pids")) <= maxDf)
+          .localCheckpoint(eager = true)
+        // df=1 shingles produce no pairs but DO count toward their doc's
+        // shingle-universe size (the Jaccard denominator)
+        val sz = grouped.select(explode(col("pids")).as("pid"))
+          .groupBy("pid").agg(count(lit(1)).as("n_sh"))
+        // lists are sorted and per-shingle pids are distinct, so taking
+        // each element against only the elements AFTER it emits every
+        // unordered pair exactly once with id_a < id_b built in —
+        // Σf(f−1)/2 generated rows, no post-filter
+        val sh = grouped.filter(size(col("pids")) >= 2)
+          .select(col("pids"), posexplode(col("pids")))
+          .select(col("col").as("a"),
+            explode(slice(col("pids"), col("pos") + lit(2),
+              size(col("pids")))).as("b"))
+          .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        (sz, sh)
+      } else {
+        val post = postings(df, idCol, textCol, k)
+          .localCheckpoint(eager = true)
+        val sz = post.groupBy("pid").agg(count(lit(1)).as("n_sh"))
+        val sh = post.as("x")
+          .join(post.as("y"), col("x.sh") === col("y.sh") &&
+            col("x.pid") < col("y.pid"))
+          .groupBy(col("x.pid").as("id_a"), col("y.pid").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        (sz, sh)
+      }
     shared
       .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
         Seq("id_a"))

@@ -21,7 +21,8 @@ object PipelineOps {
     * 0/1 flag plus the conjunction. One projection, no shuffle — at
     * 100 TB this runs at scan speed and the `pass` column drives the
     * downstream filter. */
-  def qualityFlags(df: DataFrame, textCol: String): DataFrame = {
+  def qualityFlags(df: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val nWords = size(toks).cast("long")
     val sumWlen = aggregate(toks, lit(0L), (a, w) => a + length(w))
@@ -33,7 +34,7 @@ object PipelineOps {
     val fWlen = (meanWlen >= 3.0 && meanWlen <= 10.0).cast("long")
     val fAlpha = (fracAlpha > 0.8).cast("long")
     val fStop = (nStop >= 2L).cast("long")
-    df.select(col("doc_id"),
+    df.select(col(idCol),
       nWords.as("n_words"),
       round(meanWlen, 4).as("mean_wlen"),
       round(fracAlpha, 4).as("frac_alpha"),
@@ -53,15 +54,15 @@ object PipelineOps {
     * the partition key (here `lang`; in production a shard id) bounds
     * every window to one executor's stream. */
   def packSequences(df: DataFrame, textCol: String, partCol: String,
-      budget: Long): DataFrame = {
-    val w = Window.partitionBy(partCol).orderBy("doc_id")
+      budget: Long, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(idCol)
     val nTok = TextOps.tokenCount(col(textCol)).cast("long")
-    df.select(col("doc_id"), col(partCol), nTok.as("n_tok"))
+    df.select(col(idCol), col(partCol), nTok.as("n_tok"))
       .withColumn("end_off", sum(col("n_tok")).over(w))
       .withColumn("start_off", col("end_off") - col("n_tok"))
       .withColumn("first_chunk", floor(col("start_off") / budget.toDouble))
       .withColumn("last_chunk", floor((col("end_off") - 1) / budget.toDouble))
-      .select(col("doc_id"), col(partCol), col("n_tok"),
+      .select(col(idCol), col(partCol), col("n_tok"),
         col("start_off"), col("end_off"), col("first_chunk"),
         (col("last_chunk") - col("first_chunk") + 1L).as("n_chunks"),
         (col("last_chunk") > col("first_chunk")).cast("long").as("crosses"))
@@ -102,23 +103,24 @@ object PipelineOps {
     * → groupBy → max) shuffles the corpus's entire n-gram stream for a
     * per-doc statistic. Docs with < 2 tokens have no bigrams and are
     * dropped (nothing to measure). */
-  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+  def repetitionStats(df: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val bigrams = graft.functions.ShingleHash.shingle_hash(toks, 2)
-    df.select(col("doc_id"),
+    df.select(col(idCol),
         size(toks).cast("long").as("n_tok"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
         size(bigrams).cast("long").as("n_bigrams"),
         graft.functions.expressions.array_top_count(bigrams)
           .as("max_bigram"))
       .filter(col("n_bigrams") >= 1)
-      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+      .select(col(idCol), col("n_tok"), col("n_distinct"),
         round(lit(1.0) -
           col("n_distinct").cast("double") / col("n_tok"), 6)
           .as("dup_frac"),
         round(col("max_bigram").cast("double") / col("n_bigrams"), 6)
           .as("top_bigram_frac"))
-      .orderBy("doc_id")
+      .orderBy(idCol)
   }
 
   /** Conservative character-class-only patterns (identical semantics in
@@ -132,7 +134,8 @@ object PipelineOps {
     * post-redaction length. Email replaces first (its domain could
     * otherwise be bitten by the IPv4 pattern), then phone, then IP.
     * Pure projection — scan-speed at any scale. */
-  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+  def piiScrub(df: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
     val redacted = regexp_replace(
       regexp_replace(
@@ -145,7 +148,7 @@ object PipelineOps {
     val nI = regexp_count(
       regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"), lit(Ipv4Re))
-    df.select(col("doc_id"),
+    df.select(col(idCol),
       nE.cast("long").as("n_emails"),
       nP.cast("long").as("n_phones"),
       nI.cast("long").as("n_ips"),
@@ -161,18 +164,18 @@ object PipelineOps {
     * benchmark gram set too large to broadcast still works: the join
     * falls back to shuffle on the gram hash. */
   def decontamination(corpus: DataFrame, bench: DataFrame, textCol: String,
-      k: Int): DataFrame = {
-    def grams(df: DataFrame) = df.select(col("doc_id"),
+      k: Int, idCol: String = "doc_id"): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
       explode(Dedup.shingleHashes(col(textCol), k)).as("g"))
     val benchGrams = grams(bench).select("g").distinct()
       .withColumn("hit", lit(1))
     grams(corpus)
       .join(benchGrams, Seq("g"), "left")
-      .groupBy("doc_id")
+      .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
-      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+      .select(col(idCol), col("n_grams"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_grams"), 6)
           .as("contam"))
-      .orderBy("doc_id")
+      .orderBy(idCol)
   }
 }

@@ -159,11 +159,15 @@ object ArrayTopCountUtil {
     var best = 0
     var i = 0
     while (i < n) {
-      val v: java.lang.Long = arr.getLong(i)
-      var slot = m.get(v)
-      if (slot == null) { slot = Array(0); m.put(v, slot) }
-      slot(0) += 1
-      if (slot(0) > best) best = slot(0)
+      // null ELEMENTS are ignored, not read as 0 — getLong on a null
+      // slot would silently merge nulls with real zeros
+      if (!arr.isNullAt(i)) {
+        val v: java.lang.Long = arr.getLong(i)
+        var slot = m.get(v)
+        if (slot == null) { slot = Array(0); m.put(v, slot) }
+        slot(0) += 1
+        if (slot(0) > best) best = slot(0)
+      }
       i += 1
     }
     best.toLong
@@ -175,7 +179,8 @@ object ArrayTopCountUtil {
   * hashmap per row, replacing an explode → groupBy → max that would
   * shuffle every n-gram of the corpus. Equivalent (spec-asserted) to
   * `array_max(transform(array_distinct(a), x -> size(filter(a, _ = x))))`,
-  * which evaluates interpreted AND is quadratic per row. */
+  * which evaluates interpreted AND is quadratic per row. Null elements
+  * are ignored (not counted as a value). */
 case class ArrayTopCountExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -29,10 +29,19 @@ object BandJoin {
   /** Join `points` (value column `pointCol`) to `intervals` (columns
     * `loCol`, `hiCol`) where `pointCol ∈ [loCol, hiCol]`. Column names
     * must be unambiguous across the two sides. Intervals with
-    * `lo > hi` match nothing (BETWEEN semantics). */
+    * `lo > hi` match nothing (BETWEEN semantics).
+    *
+    * `bloomItems`/`bloomBits` size the prefilter sketch and MUST track
+    * the interval side's distinct-bucket count: an undersized sketch
+    * saturates (false-positive rate → 1) and the prefilter degrades to
+    * pure overhead — it also costs one extra scan+explode of the
+    * interval side (the scalar-subquery aggregate), so turn
+    * `bloomPrune` off when the interval side is broadcast-small (the
+    * join then prunes map-side for free). */
   def join(points: DataFrame, pointCol: String, intervals: DataFrame,
       loCol: String, hiCol: String, width: Double,
-      bloomPrune: Boolean = true): DataFrame = {
+      bloomPrune: Boolean = true, bloomItems: Long = 1000000L,
+      bloomBits: Long = 1L << 23): DataFrame = {
     require(width > 0, s"band width must be positive, got $width")
     val iv = intervals.filter(col(loCol) <= col(hiCol))
       .withColumn("__bucket", explode(sequence(
@@ -43,7 +52,7 @@ object BandJoin {
     val pts =
       if (bloomPrune) {
         val bf = graft.functions.Bloom.bloomOf(
-          iv.select("__bucket"), "__bucket", 1000000L, 1L << 23)
+          iv.select("__bucket"), "__bucket", bloomItems, bloomBits)
         pts0.filter(graft.functions.Bloom.might_contain(bf, col("__bucket")))
       } else pts0
     pts.join(iv, Seq("__bucket"))

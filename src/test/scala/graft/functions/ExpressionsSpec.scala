@@ -97,6 +97,14 @@ class ExpressionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("array_top_count: null elements are ignored, not counted as 0") {
+    val got = spark.sql(
+      "SELECT ARRAY(0L, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) AS a")
+      .select(graft.functions.expressions.array_top_count(col("a")))
+      .head().getLong(0)
+    assert(got == 1L) // one real 0; the two nulls must not merge with it
+  }
+
   test("array_top_count: empty array → 0, uniform array → size") {
     val out = Seq(
       (Array.empty[Long], 0L),

@@ -750,7 +750,16 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** q89 — deterministic per-source sample
+    * ([[PipelineOps.deterministicSample]]): the reproducible (and
+    * therefore oracle-checkable) counterpart of the seeded-RNG q42. */
+  private val q89: Q = (s, d) =>
+    PipelineOps.deterministicSample(Tables.documents(s, d), "doc_id",
+        "source", 5)
+      .orderBy("source", "rank")
+
   val all: Map[String, Q] = Map(
+    "q89_deterministic_sample" -> q89,
     "q88_curation_pipeline" -> q88,
     "q87_jsonl_scan" -> q87,
     "q85_repetition_stats" -> q85,
@@ -978,6 +987,19 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q89_deterministic_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY hh, doc_id) AS BIGINT) AS rank
+         |  FROM h)
+         |SELECT doc_id, source, rank FROM r WHERE rank <= 5
+         |ORDER BY source, rank""".stripMargin,
+
     "q88_curation_pipeline" ->
       s"""WITH RECURSIVE
          |qt AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -156,6 +156,26 @@ object PipelineOps {
       (nE + nP + nI > 0).cast("long").as("has_pii"))
   }
 
+  /** Deterministic per-group sampling: rank docs inside each group by a
+    * hash of their id (polyHash of the decimal string — replicable in
+    * any engine) and keep the first `perGroup`. Unlike seeded RNG
+    * sampling, the sample is a pure function of the data — reproducible
+    * across engines, retries, and partitionings, and therefore
+    * oracle-checkable (the reason real pipelines prefer hash-based
+    * systematic sampling for eval slices). One window per group; the
+    * hash is uniform enough that rank-k is an unbiased k-subset. */
+  def deterministicSample(df: DataFrame, idCol: String, groupCol: String,
+      perGroup: Int): DataFrame = {
+    val h = graft.functions.expressions.poly_hash(
+      col(idCol).cast("string"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perGroup)
+      .select(col(idCol), col(groupCol), col("rank"))
+  }
+
   /** Benchmark decontamination by k-gram overlap: every corpus doc is
     * scored by the fraction of its distinct k-gram hashes that appear in
     * the benchmark set (the standard train/test-leak check). The

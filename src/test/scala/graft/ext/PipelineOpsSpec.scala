@@ -112,6 +112,27 @@ class PipelineOpsSpec extends SparkSpec {
       "nothing sensitive here at all".length.toLong)
   }
 
+  test("deterministicSample: partitioning-invariant, exact group sizes") {
+    val docs = (0L until 100L).map(i => (i, s"g${i % 3}"))
+      .toDF("doc_id", "source")
+    def run(parts: Int) =
+      PipelineOps.deterministicSample(docs.repartition(parts), "doc_id",
+        "source", 7).collect().map(_.toString).toSet
+    // the sample is a pure function of the data — physical layout must
+    // not change it (the property seeded-RNG sampling cannot give)
+    assert(run(1) == run(13))
+    val out = PipelineOps.deterministicSample(docs, "doc_id", "source", 7)
+      .collect()
+    assert(out.groupBy(_.getAs[String]("source"))
+      .forall { case (_, rows) => rows.length == 7 })
+    // small group: capped at group size
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val t = PipelineOps.deterministicSample(tiny, "doc_id", "source", 7)
+      .collect()
+    assert(t.count(_.getAs[String]("source") == "a") == 2)
+    assert(t.count(_.getAs[String]("source") == "b") == 1)
+  }
+
   test("decontamination: overlap fraction is exact on known overlap") {
     val bench = Seq((100L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")

@@ -758,7 +758,81 @@ object ExtQueries {
         "source", 5)
       .orderBy("source", "rank")
 
+  /** q90 — exact heavy hitters via a Misra–Gries prefilter
+    * ([[graft.functions.MisraGriesAgg]]): pass 1 sketches the token
+    * stream into ≤ k=64 candidates (O(k) memory per partial, mergeable);
+    * pass 2 recounts ONLY the candidates (an `isin` literal filter —
+    * map-side, no join) and keeps true count ≥ n/40. Exact because the
+    * MG guarantee puts every item with frequency > n/(k+1) = n/65 in the
+    * candidate set, and n/40 > n/65. The candidate list and n come to
+    * the driver as one KB-scale row (same documented pattern as the
+    * KMeans centroids). At 100 TB the sketch pass replaces the full
+    * token-frequency shuffle of q78 with k counters per partition; k
+    * must exceed 1/θ for threshold θ·n (here 65 > 40). */
+  private val q90: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val row = toks.agg(
+      graft.functions.FreqItems.mg_candidates(col("tok"), 64).as("cands"),
+      count(lit(1)).as("n")).head()
+    val cands = row.getSeq[String](0)
+    val n = row.getLong(1)
+    toks.filter(col("tok").isin(cands: _*))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 40 >= lit(n))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  /** q91 — ORC sink + source round-trip: lineitem columns written as ORC
+    * to a scratch dir, read back, aggregated. The oracle aggregates the
+    * original parquet — so the check is that the ORC round-trip is
+    * bit-exact (longs and doubles both round-trip losslessly in ORC).
+    * Columnar-format breadth for S-rows beyond parquet/CSV/JSONL. */
+  private val q91: Q = (s, d) => {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_orc_" + new java.io.File(d).getName).getAbsolutePath
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sumExact(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q92 — hive-style partitioned sink + partition-pruned read-back:
+    * documents written `partitionBy("source")`, read back with a
+    * partition-key filter, so the scan lists ONE directory instead of
+    * reading-then-filtering (PartitionFilters in the plan; asserted in
+    * PlanSpec). THE layout decision for a curated-corpus sink at 100 TB:
+    * downstream per-source consumers touch only their slice. */
+  private val q92: Q = (s, d) => {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_part_" + new java.io.File(d).getName).getAbsolutePath
+    Tables.documents(s, d)
+      .write.mode("overwrite").partitionBy("source").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("source") === "src3")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** q93 — deterministic train/val/test split
+    * ([[PipelineOps.hashSplit]]): 98/1/1 by id-hash bucket; per
+    * (split, source) counts. The split that survives corpus rebuilds —
+    * see the operator's scaladoc. */
+  private val q93: Q = (s, d) =>
+    PipelineOps.hashSplit(Tables.documents(s, d), "doc_id")
+      .groupBy("split", "source").agg(count(lit(1)).as("n"))
+      .orderBy("split", "source")
+
   val all: Map[String, Q] = Map(
+    "q93_hash_split" -> q93,
+    "q92_partitioned_sink" -> q92,
+    "q91_orc_roundtrip" -> q91,
+    "q90_heavy_hitters" -> q90,
     "q89_deterministic_sample" -> q89,
     "q88_curation_pipeline" -> q88,
     "q87_jsonl_scan" -> q87,
@@ -987,6 +1061,37 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q90_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |t AS (SELECT count(*) AS n FROM toks)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |FROM toks, t GROUP BY tok, t.n
+         |HAVING count(*) * 40 >= t.n
+         |ORDER BY cnt DESC, tok""".stripMargin,
+
+    "q91_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q92_partitioned_sink" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source = 'src3'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q93_hash_split" ->
+      s"""WITH h AS (
+         |  SELECT source,
+         |    ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |  FROM documents)
+         |SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  source, CAST(count(*) AS BIGINT) AS n
+         |FROM h GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+
     "q89_deterministic_sample" ->
       s"""WITH h AS (
          |  SELECT doc_id, source,

@@ -176,6 +176,33 @@ object PipelineOps {
       .select(col(idCol), col(groupCol), col("rank"))
   }
 
+  /** Deterministic train/val/test assignment by id hash: bucket =
+    * polyHash(id) mod `buckets`, split = the first cut whose upper bound
+    * exceeds the bucket. A pure projection (no shuffle, no state), so at
+    * 100 TB it runs at scan speed; and because membership is a function
+    * of the id alone, the same doc lands in the same split across
+    * engines, reruns, and corpus versions — the property that keeps a
+    * held-out set held out when the corpus is rebuilt (seeded
+    * `randomSplit` re-deals on any lineage change). `cuts` are
+    * cumulative upper bounds; the last must equal `buckets`. */
+  def hashSplit(df: DataFrame, idCol: String,
+      cuts: Seq[(String, Int)] =
+        Seq("train" -> 98, "val" -> 99, "test" -> 100),
+      buckets: Int = 100): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == buckets,
+      s"last cut must equal buckets=$buckets, got $cuts")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be increasing, got $cuts")
+    val b = pmod(graft.functions.expressions.poly_hash(
+      col(idCol).cast("string")), lit(buckets.toLong))
+    val split = cuts.init
+      .foldLeft(Option.empty[Column]) { case (acc, (name, hi)) =>
+        Some(acc.fold(when(b < hi, name))(_.when(b < hi, name)))
+      }
+      .fold(lit(cuts.last._1))(_.otherwise(cuts.last._1))
+    df.withColumn("split", split)
+  }
+
   /** Benchmark decontamination by k-gram overlap: every corpus doc is
     * scored by the fraction of its distinct k-gram hashes that appear in
     * the benchmark set (the standard train/test-leak check). The

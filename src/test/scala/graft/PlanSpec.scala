@@ -110,4 +110,21 @@ class PlanSpec extends SparkSpec {
       Tables.orders(spark, sf0001), col("o_orderdate"), 1998)
     assert(plan(train).contains("PushedFilters"), plan(train))
   }
+
+  test("partitioned sink read-back prunes to the filtered partition") {
+    // the q92 shape: a partition-key equality must become a
+    // PartitionFilter (directory pruning), NOT a data filter
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_part_planspec").getAbsolutePath
+    Tables.documents(spark, sf0001)
+      .write.mode("overwrite").partitionBy("source").parquet(tmp)
+    val df = spark.read.parquet(tmp).filter(col("source") === "src3")
+      .groupBy("lang").count()
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s+", " ").matches(
+        "(?s).*PartitionFilters: \\[[^\\]]*src3[^\\]]*\\].*"), p)
+    // the key filter must not appear as a pushed DATA filter
+    assert(!p.contains("PushedFilters: [IsNotNull(source)"), p)
+  }
 }

@@ -133,6 +133,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(t.count(_.getAs[String]("source") == "b") == 1)
   }
 
+  test("hashSplit: total partition, deterministic, roughly proportional") {
+    val docs = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = PipelineOps.hashSplit(docs, "doc_id")
+    val bydoc = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bydoc.size == 2000) // every doc assigned exactly one split
+    // deterministic: a different physical layout gives the same mapping
+    val again = PipelineOps.hashSplit(docs.repartition(17), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == bydoc)
+    val n = bydoc.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 1800 && n.getOrElse("val", 0) > 0 &&
+      n.getOrElse("test", 0) > 0, n.toString)
+    // custom cuts: bounds are [0, hi) half-open and exhaustive
+    val halves = PipelineOps.hashSplit(docs, "doc_id",
+      cuts = Seq("a" -> 50, "b" -> 100))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(halves.values.sum == 2000 && halves.keySet == Set("a", "b"))
+  }
+
   test("decontamination: overlap fraction is exact on known overlap") {
     val bench = Seq((100L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")

@@ -828,7 +828,33 @@ object ExtQueries {
       .groupBy("split", "source").agg(count(lit(1)).as("n"))
       .orderBy("split", "source")
 
+  /** q94 — stream-static enrichment, batch twin
+    * ([[graft.streaming.StreamingOps.enrichWithDim]]): events left-join a
+    * broadcast customer-segment dimension; unmatched users keep a
+    * sentinel segment. StreamingSpec runs the SAME function on a real
+    * watermarked stream and asserts equality with this frame. */
+  private val q94: Q = (s, d) => {
+    val dim = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    graft.streaming.StreamingOps.enrichWithDim(
+        Tables.events(s, d), dim, "user_id", "c_custkey")
+      .groupBy(col("event_type"),
+        coalesce(col("c_mktsegment"), lit("unmatched")).as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "segment")
+  }
+
+  /** q95 — stream-stream interval join, batch twin
+    * ([[graft.streaming.StreamingOps.errorFollowUps]]): views by the same
+    * user within 30 minutes after an error, counted per user. */
+  private val q95: Q = (s, d) =>
+    graft.streaming.StreamingOps.errorFollowUps(Tables.events(s, d), 30)
+      .groupBy(col("err_user").as("user_id"))
+      .agg(count(lit(1)).as("n_views"))
+      .orderBy("user_id")
+
   val all: Map[String, Q] = Map(
+    "q95_stream_stream_join" -> q95,
+    "q94_stream_enrich" -> q94,
     "q93_hash_split" -> q93,
     "q92_partitioned_sink" -> q92,
     "q91_orc_roundtrip" -> q91,
@@ -1061,6 +1087,22 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q94_stream_enrich" ->
+      """SELECT e.event_type,
+        |  COALESCE(c.c_mktsegment, 'unmatched') AS segment,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY event_type, segment""".stripMargin,
+
+    "q95_stream_stream_join" ->
+      """WITH e AS (SELECT user_id, ts FROM events
+        |           WHERE event_type = 'error'),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_views
+        |FROM e JOIN v ON e.user_id = v.user_id
+        |  AND v.ts >= e.ts AND v.ts <= e.ts + INTERVAL 30 MINUTE
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+
     "q90_heavy_hitters" ->
       s"""WITH toks AS (
          |  SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)

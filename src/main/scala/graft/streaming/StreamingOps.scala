@@ -155,11 +155,47 @@ object StreamingOps {
       src.withColumn("simhash", graft.ext.Dedup.simhash32(col(textCol))),
       Seq("simhash"), watermarkCol, delay)
 
+  /** Stream-static enrichment: left-join the (unbounded) stream against a
+    * broadcast dimension snapshot — the ingestion-time lookup stage
+    * (user → segment, doc → license, …). Stateless: each micro-batch
+    * joins against the static side map-side, so no state store and no
+    * extra watermark requirement; identical code runs on a batch frame
+    * (spec-asserted stream == batch). At 100 TB/day the dimension must be
+    * broadcast-small — for a big dimension, pre-bucket both sides
+    * instead (see docs/SCALE.md). */
+  def enrichWithDim(src: DataFrame, dim: DataFrame, srcKey: String,
+      dimKey: String): DataFrame =
+    src.join(broadcast(dim), src(srcKey) === dim(dimKey), "left")
+
+  /** Stream-stream interval self-join: every `error` event matched to the
+    * same user's `view` events in the following `withinMinutes` minutes —
+    * the funnel/attribution shape. Both branches inherit the source
+    * watermark and the join carries an event-time bound, so each side's
+    * state store holds only rows inside watermark + interval (bounded),
+    * and matches emit eagerly (append mode). The equi-key (user) carries
+    * the shuffle; the time bound is a post-filter on the co-partitioned
+    * pairs — the same plan shape batch uses, so stream == batch
+    * (spec-asserted). */
+  def errorFollowUps(events: DataFrame, withinMinutes: Int): DataFrame = {
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("ts").as("view_ts"))
+    errs.join(views,
+      col("err_user") === col("view_user") &&
+        col("view_ts") >= col("err_ts") &&
+        col("view_ts") <= col("err_ts") +
+          expr(s"INTERVAL $withinMinutes MINUTES"))
+  }
+
   /** Run any of the above transforms as a real watermarked streaming query
     * over the events parquet, drained synchronously into a memory sink.
-    * Returns the sink contents (complete mode). */
+    * Returns the sink contents (`complete` mode for aggregations —
+    * stream-stream joins must pass `outputMode = "append"`). */
   def runStreaming(spark: SparkSession, dir: String,
-      transform: DataFrame => DataFrame, queryName: String): DataFrame = {
+      transform: DataFrame => DataFrame, queryName: String,
+      outputMode: String = "complete"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read
       .parquet(s"$dir/events.parquet").schema
@@ -173,7 +209,7 @@ object StreamingOps {
       timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
     val q = transform(events).writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -200,4 +200,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("stream-static enrichment join == batch (broadcast dim per batch)") {
+    import org.apache.spark.sql.functions._
+    val dim = Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_mktsegment")
+    def agg(ev: org.apache.spark.sql.DataFrame) =
+      StreamingOps.enrichWithDim(ev, dim, "user_id", "c_custkey")
+        .groupBy(col("event_type"),
+          coalesce(col("c_mktsegment"), lit("unmatched")).as("segment"))
+        .count()
+    val batch = agg(Tables.events(spark, sf0001)).collect().toSet
+    val streamed = StreamingOps.runStreaming(spark, sf0001,
+      agg, "t_enrich").collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("stream-stream interval self-join == batch (append mode, " +
+    "watermark-bounded state)") {
+    import org.apache.spark.sql.functions._
+    def pairs(ev: org.apache.spark.sql.DataFrame) =
+      StreamingOps.errorFollowUps(ev, 30)
+        .select("err_id", "err_user", "view_ts")
+    val batch = pairs(Tables.events(spark, sf0001)).collect().toSet
+    val streamed = StreamingOps.runStreaming(spark, sf0001,
+      pairs, "t_ss_join", outputMode = "append").collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }

@@ -852,7 +852,16 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_views"))
       .orderBy("user_id")
 
+  /** q96 — overlapping token-window chunking
+    * ([[PipelineOps.chunkTokens]]): 64-token chunks, 16-token overlap —
+    * the RAG-indexing / long-doc split stage. */
+  private val q96: Q = (s, d) =>
+    PipelineOps.chunkTokens(Tables.documents(s, d), "text", "doc_id",
+        chunkSize = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+
   val all: Map[String, Q] = Map(
+    "q96_chunk_tokens" -> q96,
     "q95_stream_stream_join" -> q95,
     "q94_stream_enrich" -> q94,
     "q93_hash_split" -> q93,
@@ -1087,6 +1096,20 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q96_chunk_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter($toksSql, w -> length(w) > 0) AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(st / 48 AS BIGINT) AS chunk_id,
+         |  CAST(len(list_slice(toks, st + 1, st + 64)) AS BIGINT) AS n_tok,
+         |  array_to_string(list_slice(toks, st + 1, st + 64), ' ')
+         |    AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q94_stream_enrich" ->
       """SELECT e.event_type,
         |  COALESCE(c.c_mktsegment, 'unmatched') AS segment,

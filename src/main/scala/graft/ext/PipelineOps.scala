@@ -203,6 +203,34 @@ object PipelineOps {
     df.withColumn("split", split)
   }
 
+  /** Overlapping token-window chunking (RAG indexing / long-document
+    * preprocessing): each doc explodes into windows of `chunkSize` tokens
+    * starting every `chunkSize - overlap` tokens, so consecutive chunks
+    * share `overlap` tokens and no token is lost (the final window may be
+    * short). Chunk identity = (doc, ordinal), deterministic. A single
+    * projection + explode — no shuffle, no state — so at 100 TB it runs
+    * at scan speed and the output streams straight into a partitioned
+    * sink; expansion factor ≈ 1 + overlap/(chunkSize−overlap). */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got overlap=$overlap size=$chunkSize")
+    val stride = chunkSize - overlap
+    val toks = filter(TextOps.tokens(col(textCol)), w => length(w) > 0)
+    df.withColumn("__toks", toks)
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        slice(col("__toks"), col("__start") + 1, lit(chunkSize))
+          .as("__chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_tok"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Benchmark decontamination by k-gram overlap: every corpus doc is
     * scored by the fraction of its distinct k-gram hashes that appear in
     * the benchmark set (the standard train/test-leak check). The

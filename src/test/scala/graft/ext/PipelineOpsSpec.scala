@@ -155,6 +155,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(halves.values.sum == 2000 && halves.keySet == Set("a", "b"))
   }
 
+  test("chunkTokens: full coverage, exact overlap, short tail, empty drop") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // shorter than chunk
+      (3L, "   ")                                     // no tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.chunkTokens(docs, "text", "doc_id",
+        chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // stride 3: starts 0,3,6,9 → chunks w1-4, w4-7, w7-10, w10
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq == Seq("a b c"))
+    assert(!out.exists(_._1 == 3L))
+    // every token of doc 1 appears in some chunk (no loss)
+    val covered = out.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("decontamination: overlap fraction is exact on known overlap") {
     val bench = Seq((100L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")

@@ -190,11 +190,48 @@ object AsOfFilterPushdown
 
 /** SparkSessionExtensions entry point (builder-time registration):
   * `SparkSession.builder().withExtensions(new GraftExtensions)` — the
-  * runtime path below (extraStrategies) covers already-built sessions. */
+  * runtime path below (extraStrategies) covers already-built sessions.
+  *
+  * Also registers the native kernels as SQL functions, so the engine's
+  * full surface is reachable from `spark.sql(...)`, not only the Column
+  * DSL — `SELECT poly_hash(s)`, `cosine_sim(a, b)`,
+  * `simhash(hashes, bits)`, `misra_gries(tok, k)`, …. Literal-int
+  * parameters (bits, k, …) are required foldable at registration. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.functions._
+
+  private def litInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: parameter must be a literal integer")
+    e.eval(null).asInstanceOf[Number].intValue()
+  }
+
+  private def fn(name: String, arity: Int)(
+      builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name expects $arity arguments")
+        builder(args)
+      })
+
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => AsOfFilterPushdown)
+    e.injectFunction(fn("poly_hash", 1)(a => PolyHashExpr(a.head)))
+    e.injectFunction(fn("cosine_sim", 2)(a => CosineSimExpr(a(0), a(1))))
+    e.injectFunction(fn("array_top_count", 1)(a => ArrayTopCountExpr(a.head)))
+    e.injectFunction(fn("quantize_int8", 1)(a => QuantizeInt8Expr(a.head)))
+    e.injectFunction(fn("shingle_hash", 2)(a =>
+      ShingleHashExpr(a.head, litInt(a(1), "shingle_hash"))))
+    e.injectFunction(fn("simhash", 2)(a =>
+      SimHashExpr(a.head, litInt(a(1), "simhash"))))
+    e.injectFunction(fn("lsh_bucket", 3)(a => LshBucketExpr(a.head,
+      litInt(a(1), "lsh_bucket"), litInt(a(2), "lsh_bucket"))))
+    e.injectFunction(fn("misra_gries", 2)(a =>
+      MisraGriesAgg(a.head, litInt(a(1), "misra_gries"))
+        .toAggregateExpression()))
   }
 }
 

@@ -162,4 +162,37 @@ class AsOfJoinSpec extends SparkSpec {
     ext(e) // must not throw; strategy injection is exercised via AsOf.join
     assert(true)
   }
+
+  test("kernels are SQL-callable in a withExtensions session") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    // getOrCreate honors withExtensions only when building a NEW session:
+    // clear the active/default handles (the shared SparkContext is reused)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s.sql(
+        "SELECT poly_hash('abc') AS h, cosine_sim(array(1.0f, 0.0f), " +
+          "array(1.0f, 0.0f)) AS c").head()
+      // polyHash('abc') = ((97*31+98)*31+99) mod 1e9+7
+      assert(r.getLong(0) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+      assert(r.getDouble(1) == 1.0)
+      val mg = s.sql(
+        "SELECT misra_gries(t, 4) FROM VALUES ('a'),('a'),('b') AS v(t)")
+        .head().getSeq[String](0).toSet
+      assert(mg == Set("a", "b"))
+      // literal-parameter validation surfaces as an analysis error
+      val err = intercept[Exception] {
+        s.sql("SELECT simhash(array(1L), rand())").head()
+      }
+      assert(err.getMessage.contains("literal"), err.getMessage)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
 }

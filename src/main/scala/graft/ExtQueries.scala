@@ -733,10 +733,15 @@ object ExtQueries {
     * strongest integration signal the DuckDB gate can give. */
   private val q88: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // lazy localCheckpoint: the survivor set feeds the pair pipeline, the
+    // cluster iteration's id universe AND the final join — without the
+    // checkpoint the scan+quality pipeline re-runs in each of those
+    // consumers (dupClusters is a driver-side loop, so they are separate
+    // jobs, not shared subtrees of one DAG)
     val kept = docs.join(
       PipelineOps.qualityFlags(docs, "text")
         .filter(col("pass") === 1L).select("doc_id"),
-      Seq("doc_id"))
+      Seq("doc_id")).localCheckpoint(eager = false)
     val pairs = Dedup.jaccardPairs(kept, "doc_id", "text", 3, 0.1,
       maxDf = 100)
     val clusters = Dedup.dupClusters(pairs, kept.select("doc_id"),

@@ -270,8 +270,15 @@ object Dedup {
     * convergence-rate spec). */
   private[ext] def dupClustersWithRounds(pairs: DataFrame,
       allIds: DataFrame, idCol: String): (DataFrame, Int) = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // symmetrize with ONE evaluation of the (possibly expensive) pairs
+    // pipeline: union(pairs, pairs.swapped) scans the upstream plan twice
+    // when the cache first materializes — explode duplicates each row
+    // map-side instead
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
     var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var cached: DataFrame = null

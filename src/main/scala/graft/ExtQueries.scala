@@ -865,7 +865,24 @@ object ExtQueries {
         chunkSize = 64, overlap = 16)
       .orderBy("doc_id", "chunk_id")
 
+  /** q97 — incremental corpus refresh ([[PipelineOps.upsert]]): a
+    * simulated recrawl batch (every 10th doc, negated n_chars as the
+    * update marker) upserted into the corpus; per-source totals prove
+    * replaced rows replaced and untouched rows untouched. */
+  private val q97: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val recrawl = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("n_chars", -col("n_chars"))
+    PipelineOps.upsert(docs, recrawl, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("n_chars") < 0, 1L).otherwise(0L)).as("n_updated"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q97_upsert_refresh" -> q97,
     "q96_chunk_tokens" -> q96,
     "q95_stream_stream_join" -> q95,
     "q94_stream_enrich" -> q94,
@@ -1101,6 +1118,19 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q97_upsert_refresh" ->
+      """WITH merged AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, source, -n_chars AS n_chars FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin,
+
     "q96_chunk_tokens" ->
       s"""WITH t AS (
          |  SELECT doc_id,

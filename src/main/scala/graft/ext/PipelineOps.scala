@@ -231,6 +231,19 @@ object PipelineOps {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** Key-based upsert (incremental corpus refresh): rows of `base` whose
+    * key appears in `updates` are replaced by the update row; everything
+    * else is kept. The anti-join shuffles on the key (or broadcasts when
+    * the update batch is small — the common recrawl case, picked
+    * automatically by the planner); the union adds no shuffle. This is
+    * the nightly-refresh primitive: yesterday's corpus + today's recrawl
+    * batch → new corpus, without rewriting unchanged rows' lineage.
+    * Schemas must match by name (`unionByName`). */
+  def upsert(base: DataFrame, updates: DataFrame, keyCol: String)
+      : DataFrame =
+    base.join(updates.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+
   /** Benchmark decontamination by k-gram overlap: every corpus doc is
     * scored by the fraction of its distinct k-gram hashes that appear in
     * the benchmark set (the standard train/test-leak check). The

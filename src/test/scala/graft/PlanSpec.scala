@@ -111,6 +111,15 @@ class PlanSpec extends SparkSpec {
     assert(plan(train).contains("PushedFilters"), plan(train))
   }
 
+  test("global orderBy is a distributed range-partitioned sort") {
+    // total order must come from RangePartitioning (sampled bounds,
+    // parallel sort), never a single-partition sort
+    val df = Tables.lineitem(spark, sf0001).orderBy("l_extendedprice")
+    val p = plan(df)
+    assert(p.contains("rangepartitioning(l_extendedprice"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("partitioned sink read-back prunes to the filtered partition") {
     // the q92 shape: a partition-key equality must become a
     // PartitionFilter (directory pruning), NOT a data filter

@@ -177,6 +177,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("upsert: updates replace, others kept, fresh keys inserted") {
+    val base = Seq((1L, "old1"), (2L, "old2"), (3L, "old3"))
+      .toDF("doc_id", "text")
+    val updates = Seq((2L, "new2"), (9L, "new9")).toDF("doc_id", "text")
+    val out = PipelineOps.upsert(base, updates, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "old1", 2L -> "new2", 3L -> "old3",
+      9L -> "new9"))
+  }
+
   test("decontamination: overlap fraction is exact on known overlap") {
     val bench = Seq((100L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")

@@ -794,9 +794,18 @@ object ExtQueries {
     * original parquet — so the check is that the ORC round-trip is
     * bit-exact (longs and doubles both round-trip losslessly in ORC).
     * Columnar-format breadth for S-rows beyond parquet/CSV/JSONL. */
+  /** Per-JVM scratch dir for sink round-trip queries: the pid suffix
+    * keeps concurrent processes (e.g. a Verify and a Bench on the same
+    * dataset) from overwrite-while-read races on a shared path; within
+    * one JVM the path is stable so warm-up and timed bench passes reuse
+    * it. Lives under target/ so `sbt clean` collects the litter. */
+  private def scratch(kind: String, d: String): String =
+    new java.io.File(s"target/scratch/graft_${kind}_" +
+      new java.io.File(d).getName + "_" +
+      ProcessHandle.current().pid()).getAbsolutePath
+
   private val q91: Q = (s, d) => {
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_orc_" + new java.io.File(d).getName).getAbsolutePath
+    val tmp = scratch("orc", d)
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_quantity", "l_returnflag")
       .write.mode("overwrite").orc(tmp)
@@ -813,8 +822,7 @@ object ExtQueries {
     * PlanSpec). THE layout decision for a curated-corpus sink at 100 TB:
     * downstream per-source consumers touch only their slice. */
   private val q92: Q = (s, d) => {
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_part_" + new java.io.File(d).getName).getAbsolutePath
+    val tmp = scratch("part", d)
     Tables.documents(s, d)
       .write.mode("overwrite").partitionBy("source").parquet(tmp)
     s.read.parquet(tmp)
@@ -1137,7 +1145,8 @@ object ExtQueries {
          |    list_filter($toksSql, w -> length(w) > 0) AS toks
          |  FROM documents),
          |s AS (
-         |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks) - 16, 1), 48)) AS st
          |  FROM t WHERE len(toks) > 0)
          |SELECT doc_id, CAST(st / 48 AS BIGINT) AS chunk_id,
          |  CAST(len(list_slice(toks, st + 1, st + 64)) AS BIGINT) AS n_tok,

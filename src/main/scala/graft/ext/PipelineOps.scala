@@ -191,8 +191,11 @@ object PipelineOps {
       buckets: Int = 100): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 == buckets,
       s"last cut must equal buckets=$buckets, got $cuts")
-    require(cuts.map(_._2) == cuts.map(_._2).sorted,
-      s"cuts must be increasing, got $cuts")
+    // strictly increasing: a duplicate bound would make its split
+    // unreachable (when-chain shadows it) with no error at assign time
+    require(cuts.map(_._2).sliding(2).forall(w =>
+      w.length < 2 || w(0) < w(1)),
+      s"cuts must be strictly increasing, got $cuts")
     val b = pmod(graft.functions.expressions.poly_hash(
       col(idCol).cast("string")), lit(buckets.toLong))
     val split = cuts.init
@@ -220,7 +223,13 @@ object PipelineOps {
     df.withColumn("__toks", toks)
       .filter(size(col("__toks")) > 0)
       .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+        // last start is capped at n − overlap − 1: a window starting at
+        // n − overlap or later lies entirely inside its predecessor
+        // (both clip at n), and a duplicate-content chunk would inflate
+        // a RAG index with repeat retrieval hits
+        explode(sequence(lit(0),
+          greatest(size(col("__toks")) - (overlap + 1), lit(0)),
+          lit(stride)))
           .as("__start"))
       .select(col(idCol),
         (col("__start") / stride).cast("long").as("chunk_id"),

@@ -204,7 +204,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
   private def litInt(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: parameter must be a literal integer")
-    e.eval(null).asInstanceOf[Number].intValue()
+    val v = e.eval(null)
+    require(v != null, s"$fn: literal parameter must not be null")
+    v.asInstanceOf[Number].intValue()
   }
 
   private def fn(name: String, arity: Int)(
@@ -229,9 +231,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       SimHashExpr(a.head, litInt(a(1), "simhash"))))
     e.injectFunction(fn("lsh_bucket", 3)(a => LshBucketExpr(a.head,
       litInt(a(1), "lsh_bucket"), litInt(a(2), "lsh_bucket"))))
+    // return the RAW AggregateFunction — the analyzer wraps it itself,
+    // which is what makes DISTINCT and FILTER (WHERE …) clauses resolve
     e.injectFunction(fn("misra_gries", 2)(a =>
-      MisraGriesAgg(a.head, litInt(a(1), "misra_gries"))
-        .toAggregateExpression()))
+      MisraGriesAgg(a.head, litInt(a(1), "misra_gries"))))
   }
 }
 

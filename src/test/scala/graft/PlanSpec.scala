@@ -123,17 +123,23 @@ class PlanSpec extends SparkSpec {
   test("partitioned sink read-back prunes to the filtered partition") {
     // the q92 shape: a partition-key equality must become a
     // PartitionFilter (directory pruning), NOT a data filter
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_part_planspec").getAbsolutePath
-    Tables.documents(spark, sf0001)
-      .write.mode("overwrite").partitionBy("source").parquet(tmp)
-    val df = spark.read.parquet(tmp).filter(col("source") === "src3")
-      .groupBy("lang").count()
-    val p = plan(df)
-    assert(p.contains("PartitionFilters") &&
-      p.replaceAll("\\s+", " ").matches(
-        "(?s).*PartitionFilters: \\[[^\\]]*src3[^\\]]*\\].*"), p)
-    // the key filter must not appear as a pushed DATA filter
-    assert(!p.contains("PushedFilters: [IsNotNull(source)"), p)
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_part_spec")
+    val tmp = tmpDir.toAbsolutePath.toString
+    try {
+      Tables.documents(spark, sf0001)
+        .write.mode("overwrite").partitionBy("source").parquet(tmp)
+      val df = spark.read.parquet(tmp).filter(col("source") === "src3")
+        .groupBy("lang").count()
+      val p = plan(df)
+      assert(p.contains("PartitionFilters") &&
+        p.replaceAll("\\s+", " ").matches(
+          "(?s).*PartitionFilters: \\[[^\\]]*src3[^\\]]*\\].*"), p)
+      // the key filter must not appear as a pushed DATA filter
+      assert(!p.contains("PushedFilters: [IsNotNull(source)"), p)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

@@ -166,10 +166,11 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3)))
       .sortBy(t => (t._1, t._2))
-    // stride 3: starts 0,3,6,9 → chunks w1-4, w4-7, w7-10, w10
+    // stride 3: starts 0,3,6 — a start ≥ n−overlap (9) would yield a
+    // chunk fully contained in its predecessor, so it must NOT appear
     assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq(
-      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
-    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(4L, 4L, 4L, 1L))
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(4L, 4L, 4L))
     assert(out.filter(_._1 == 2L).map(_._4).toSeq == Seq("a b c"))
     assert(!out.exists(_._1 == 3L))
     // every token of doc 1 appears in some chunk (no loss)

@@ -185,6 +185,17 @@ class AsOfJoinSpec extends SparkSpec {
         "SELECT misra_gries(t, 4) FROM VALUES ('a'),('a'),('b') AS v(t)")
         .head().getSeq[String](0).toSet
       assert(mg == Set("a", "b"))
+      // raw-AggregateFunction registration ⇒ DISTINCT and FILTER resolve
+      val mgFiltered = s.sql(
+        "SELECT misra_gries(t, 4) FILTER (WHERE t <> 'b') " +
+          "FROM VALUES ('a'),('a'),('b') AS v(t)")
+        .head().getSeq[String](0).toSet
+      assert(mgFiltered == Set("a"))
+      val mgDistinct = s.sql(
+        "SELECT misra_gries(DISTINCT t, 4) " +
+          "FROM VALUES ('a'),('a'),('b') AS v(t)")
+        .head().getSeq[String](0).toSet
+      assert(mgDistinct == Set("a", "b"))
       // literal-parameter validation surfaces as an analysis error
       val err = intercept[Exception] {
         s.sql("SELECT simhash(array(1L), rand())").head()

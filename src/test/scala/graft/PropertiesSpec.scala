@@ -166,4 +166,74 @@ class PropertiesSpec extends SparkSpec {
     }
     assert(SCTest.check(params, prop).passed)
   }
+
+  test("chunkTokens: all non-final chunks full, exact overlap, exact count") {
+    // invariant family proved by the start cap (start ≤ n − overlap − 1):
+    // every chunk but the last has exactly chunkSize tokens, consecutive
+    // chunks share exactly `overlap`, and the union re-concatenates to
+    // the doc — so n_chunks = ceil((n − overlap)/stride) for n > overlap
+    val gen = Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(2, 8),
+      Gen.chooseNum(0, 6))
+    val prop = forAll(gen) { case (n, size0, ov0) =>
+      val overlap = math.min(ov0, size0 - 1)
+      val stride = size0 - overlap
+      val toks = (1 to n).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.ext.PipelineOps
+        .chunkTokens(df, "text", "doc_id", size0, overlap)
+        .orderBy("chunk_id")
+        .collect().map(r => r.getString(3).split(" ").toSeq)
+      val expectedCount =
+        if (n <= overlap) 1
+        else math.ceil((n - overlap).toDouble / stride).toInt
+      val fullButLast =
+        chunks.dropRight(1).forall(_.length == size0)
+      val overlapsExact = chunks.sliding(2).forall {
+        case Array(a, b) => a.takeRight(overlap) == b.take(overlap)
+        case _ => true
+      }
+      val rebuilt = chunks.headOption.getOrElse(Seq.empty) ++
+        chunks.drop(1).flatMap(_.drop(overlap))
+      chunks.length == expectedCount && fullButLast && overlapsExact &&
+        rebuilt == toks
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("misra-gries: candidates ⊇ items with freq > n/(k+1), |c| ≤ k") {
+    val gen = Gen.zip(
+      Gen.listOfN(300, Gen.frequency(
+        (5, Gen.const("hot")), (2, Gen.const("warm")),
+        (10, Gen.chooseNum(0, 200).map(i => s"u$i")))),
+      Gen.chooseNum(2, 16))
+    val prop = forAll(gen) { case (xs, k) =>
+      val cands = xs.toDF("tok")
+        .repartition(5)
+        .agg(graft.functions.FreqItems.mg_candidates(col("tok"), k))
+        .head().getSeq[String](0).toSet
+      val freqs = xs.groupBy(identity).view.mapValues(_.size).toMap
+      val heavy = freqs.filter(_._2 > xs.length.toDouble / (k + 1)).keySet
+      heavy.subsetOf(cands) && cands.size <= k
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("upsert: |out| = |base ∪ updates by key|, updates win, idempotent") {
+    val gen = Gen.zip(
+      Gen.listOfN(20, Gen.chooseNum(0L, 15L)),
+      Gen.listOfN(8, Gen.chooseNum(0L, 20L)))
+    val prop = forAll(gen) { case (bks, uks) =>
+      val base = bks.distinct.map(k => (k, s"b$k")).toDF("doc_id", "text")
+      val ups = uks.distinct.map(k => (k, s"u$k")).toDF("doc_id", "text")
+      val out = graft.ext.PipelineOps.upsert(base, ups, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = bks.distinct.map(k => k -> s"b$k").toMap ++
+        uks.distinct.map(k => k -> s"u$k").toMap
+      val twice = graft.ext.PipelineOps.upsert(
+        graft.ext.PipelineOps.upsert(base, ups, "doc_id"), ups, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out == expected && twice == expected
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
 }

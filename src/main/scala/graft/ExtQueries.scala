@@ -889,7 +889,20 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** q98 — custom GROUP TOP-K physical operator
+    * ([[graft.plans.GroupTopK]]): top-3 orders by price per priority
+    * class via map-side bounded heaps (shuffle carries ≤ k rows per
+    * group per partition) — the scale contrast to q15's window
+    * formulation, which shuffles and sorts every row. */
+  private val q98: Q = (s, d) =>
+    graft.plans.GroupTopK.topK(Tables.orders(s, d),
+        Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey"))
+
   val all: Map[String, Q] = Map(
+    "q98_group_topk_operator" -> q98,
     "q97_upsert_refresh" -> q97,
     "q96_chunk_tokens" -> q96,
     "q95_stream_stream_join" -> q95,
@@ -1126,6 +1139,13 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q98_group_topk_operator" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""
+        .stripMargin,
+
     "q97_upsert_refresh" ->
       """WITH merged AS (
         |  SELECT doc_id, source, n_chars FROM documents

@@ -220,6 +220,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => GroupTopKStrategy)
     e.injectOptimizerRule(_ => AsOfFilterPushdown)
     e.injectFunction(fn("poly_hash", 1)(a => PolyHashExpr(a.head)))
     e.injectFunction(fn("cosine_sim", 2)(a => CosineSimExpr(a(0), a(1))))

@@ -901,7 +901,33 @@ object ExtQueries {
       .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
         col("o_orderkey"))
 
+  /** q99 — per-group z-score feature scaling from exact sums (the
+    * classic ML normalization, two-pass: KB-scale per-group stats
+    * broadcast back over the fact table; output thinned to every 100th
+    * order for the gate). */
+  private val q99: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val stats = li.groupBy("l_returnflag").agg(
+      avgExact(col("l_quantity")).as("mu"),
+      stddevExact(col("l_quantity")).as("sigma"))
+    li.join(broadcast(stats), Seq("l_returnflag"))
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round((col("l_quantity") - col("mu")) / col("sigma"), 6).as("z"))
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+  }
+
+  /** q100 — BM25 top-k retrieval ([[TextOps.bm25Scores]]): every doc
+    * scored against a fixed query, top 10. */
+  private val q100: Q = (s, d) =>
+    TextOps.bm25Scores(Tables.documents(s, d), "doc_id", "text",
+        Seq("join", "hash", "filter"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+
   val all: Map[String, Q] = Map(
+    "q100_bm25_topk" -> q100,
+    "q99_zscore_scaling" -> q99,
     "q98_group_topk_operator" -> q98,
     "q97_upsert_refresh" -> q97,
     "q96_chunk_tokens" -> q96,
@@ -1139,6 +1165,49 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q99_zscore_scaling" ->
+      """WITH st AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) AS mu,
+        |    sqrt((CAST(count(*) AS DOUBLE)
+        |        * CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6)))
+        |            AS DOUBLE)
+        |      - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |        * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+        |      / (CAST(count(*) AS DOUBLE)
+        |        * (CAST(count(*) AS DOUBLE) - 1.0))) AS sigma
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  round((l.l_quantity - st.mu) / st.sigma, 6) AS z
+        |FROM lineitem l JOIN st USING (l_returnflag)
+        |WHERE l.l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
+
+    "q100_bm25_topk" ->
+      s"""WITH toks AS (
+         |  SELECT did, tok FROM (
+         |    SELECT doc_id AS did, unnest($toksSql) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |dl AS (SELECT did, count(*) AS dl FROM toks GROUP BY did),
+         |corpus AS (SELECT count(*) AS n_docs,
+         |  CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT did, tok, count(*) AS tf FROM toks
+         |  WHERE tok IN ('join', 'hash', 'filter') GROUP BY did, tok),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |s AS (
+         |  SELECT tf.did,
+         |    ln((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)) AS s
+         |  FROM tf, dfreq, dl, corpus
+         |  WHERE tf.tok = dfreq.tok AND tf.did = dl.did)
+         |SELECT did AS doc_id,
+         |  round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+         |    AS bm25
+         |FROM s GROUP BY did
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
     "q98_group_topk_operator" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority

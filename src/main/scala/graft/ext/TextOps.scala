@@ -188,4 +188,44 @@ object TextOps {
     scored.withColumn("lang_pred",
       langIdFromScores(langs.map { case (l, _) => l -> col(s"score_$l") }))
   }
+
+  /** BM25 relevance of every document against a fixed query-term list
+    * (Robertson/Spärck Jones — the classic retrieval scorer; public
+    * formula, `ln((N−df+0.5)/(df+0.5)+1)` idf as in Lucene). Together
+    * with [[graft.ext.PipelineOps.chunkTokens]] and the ANN family this
+    * completes the RAG indexing loop: chunk → score/retrieve.
+    *
+    * Scale shape: term frequencies for QUERY TERMS ONLY leave the scan
+    * (`isin` literal filter map-side, like q90's recount), so the big
+    * shuffles carry |docs with a query term| rows, never the corpus's
+    * token stream; doc lengths are one count per doc; N and avgdl are a
+    * broadcast single row. Per-term scores are summed as 9-dp decimals —
+    * order-independent, so the result is partitioning-stable and
+    * oracle-checkable (the double math itself is deterministic; only the
+    * final SUM would otherwise depend on add order). */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(col(idCol).as("did"),
+      explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("tok"))
+    val dl = toks.groupBy("did").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy("did", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "did")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("did").as(idCol))
+      .agg(round(sum(round(col("s"), 9).cast("decimal(28,9)"))
+        .cast("double"), 6).as("bm25"))
+  }
 }

@@ -13,7 +13,7 @@ class EntrySpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracle without query: $orphans")
-    assert(qs.forall(_.matches("q\\d{2}_[a-z0-9_]+")), qs)
+    assert(qs.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), qs)
   }
 
   test("all registered queries execute at sf0.001") {

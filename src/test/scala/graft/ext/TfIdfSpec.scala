@@ -45,4 +45,29 @@ class TfIdfSpec extends SparkSpec {
       .map(_.getAs[Vector](0))
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
+
+  test("bm25: matches the closed-form formula on a hand-built corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25Scores(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // closed form: N=3, avgdl=3; df(a)=1, df(b)=2
+    val (k1, b) = (1.2, 0.75)
+    def idf(df: Int) = math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Int, dl: Int, df: Int) =
+      idf(df) * tf * (k1 + 1.0) /
+        (tf + k1 * (1.0 - b + b * dl / 3.0))
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6(r9(term(2, 3, 1)) + r9(term(1, 3, 2)))
+    val d2 = r6(r9(term(1, 2, 2)))
+    assert(got.keySet == Set(1L, 2L)) // doc 3 has no query term
+    assert(math.abs(got(1L) - d1) < 1e-9, s"${got(1L)} vs $d1")
+    assert(math.abs(got(2L) - d2) < 1e-9, s"${got(2L)} vs $d2")
+    // more matching terms and higher tf ⇒ higher score
+    assert(got(1L) > got(2L))
+  }
 }

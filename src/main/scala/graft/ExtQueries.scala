@@ -925,7 +925,73 @@ object ExtQueries {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(10)
 
+  /** q101 — EXACT Jaccard similarity join via prefix filtering
+    * ([[Dedup.prefixJaccardPairs]]): 4-shingle sets, J ≥ 0.8, rarest-
+    * first prefixes — no df-cap, no banding recall loss; the oracle is
+    * the exhaustive inverted-index join, so the prefix pruning must be
+    * invisible in the result. */
+  private val q101: Q = (s, d) =>
+    Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      k = 4, threshold = 0.8)
+
+  /** q102 — skew-salted join ([[graft.engine.Skew.saltedJoin]]): revenue
+    * per brand through the salted lineitem⋈part join — result identical
+    * to the unsalted join (the oracle is the plain join), hot partkeys
+    * split across `saltFactor` shuffle partitions. */
+  private val q102: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("partkey"), col("l_extendedprice"))
+    val pt = Tables.part(s, d)
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    Skew.saltedJoin(li, pt, "partkey", saltFactor = 4)
+      .groupBy("p_brand")
+      .agg(round(sumExact6(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  /** q103 — tokenizer-vocabulary coverage ([[TextOps.vocabCoverage]]):
+    * top-30 corpus tokens with cumulative occurrence share. */
+  private val q103: Q = (s, d) =>
+    TextOps.vocabCoverage(Tables.documents(s, d), "text", topK = 30)
+
+  /** q104 — bigram LM counts ([[TextOps.bigramCounts]]): top-20 corpus
+    * bigrams by occurrence, array-lambda construction (no per-doc
+    * window). */
+  private val q104: Q = (s, d) =>
+    TextOps.bigramCounts(Tables.documents(s, d), "text", topK = 20)
+
+  /** q105 — batch gap sessionization ([[PipelineOps.sessionize]]):
+    * 30-min-gap sessions per user with event count and duration; the
+    * oracle-checkable twin of the streaming session window (q38). */
+  private val q105: Q = (s, d) =>
+    PipelineOps.sessionize(Tables.events(s, d), "user_id", "ts",
+        "event_id", gapSeconds = 1800)
+      .orderBy("user_id", "session_seq")
+
+  /** q106 — per-label embedding centroids ([[SimSearch.groupCentroids]]):
+    * mean vector per label as (label, dim, value) rows — exact decimal
+    * sums, add-order independent. */
+  private val q106: Q = (s, d) =>
+    SimSearch.groupCentroids(Tables.embeddings(s, d), "label", "embedding")
+      .orderBy("label", "dim")
+
+  /** q107 — Tukey-fence outlier profile
+    * ([[graft.engine.Aggregates.iqrOutliers]]): exact Q1/Q3 + 1.5×IQR
+    * fence counts per returnflag. */
+  private val q107: Q = (s, d) =>
+    Aggregates.iqrOutliers(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice")
+      .orderBy("l_returnflag")
+
   val all: Map[String, Q] = Map(
+    "q101_prefix_jaccard" -> q101,
+    "q102_salted_join" -> q102,
+    "q103_vocab_coverage" -> q103,
+    "q104_bigram_topk" -> q104,
+    "q105_sessionize" -> q105,
+    "q106_embedding_centroids" -> q106,
+    "q107_iqr_outliers" -> q107,
     "q100_bm25_topk" -> q100,
     "q99_zscore_scaling" -> q99,
     "q98_group_topk_operator" -> q98,
@@ -1165,6 +1231,108 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q101_prefix_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (
+         |  SELECT doc_id, ${shinglesSql("toks", 4)} AS gs FROM t),
+         |d2 AS (SELECT doc_id, gs, len(gs) AS m FROM d WHERE len(gs) > 0),
+         |tok AS (SELECT doc_id, unnest(gs) AS g FROM d2),
+         |ov AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / (ma.m + mb.m - inter), 6) AS jac
+         |FROM ov
+         |JOIN d2 ma ON ov.id_a = ma.doc_id
+         |JOIN d2 mb ON ov.id_b = mb.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / (ma.m + mb.m - inter), 6)
+         |  >= 0.8
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q102_salted_join" ->
+      s"""SELECT p.p_brand,
+         |  round(${sumExact6Sql("l.l_extendedprice")}, 2) AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q103_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM freq),
+         |top AS (SELECT tok, n FROM freq ORDER BY n DESC, tok LIMIT 30)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT)
+         |    AS rank,
+         |  tok, n,
+         |  round(CAST(SUM(n) OVER (ORDER BY n DESC, tok
+         |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.n_total, 6)
+         |    AS cum_share
+         |FROM top, tot ORDER BY n DESC, tok""".stripMargin,
+
+    "q104_bigram_topk" ->
+      s"""WITH t AS (
+         |  SELECT list_filter($toksSql, w -> length(w) > 0) AS toks
+         |  FROM documents),
+         |b AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM t WHERE len(toks) >= 2)
+         |SELECT bigram, count(*) AS n FROM b
+         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q105_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800 * 1000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  count(*) AS n_events,
+        |  CAST(max(us) - min(us) AS BIGINT) AS dur_us
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q106_embedding_centroids" ->
+      """WITH e AS (
+        |  SELECT label, dim1 - 1 AS dim,
+        |    round(CAST(embedding[dim1] AS DOUBLE), 6) AS v
+        |  FROM (SELECT label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS dim1
+        |        FROM embeddings))
+        |SELECT label, CAST(dim AS INT) AS dim,
+        |  round(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+        |    AS centroid
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q107_iqr_outliers" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.25) AS q1,
+        |    quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
+        |  count(*) AS n,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice < f.q1 - (f.q3 - f.q1) * 1.5
+        |             OR l.l_extendedprice > f.q3 + (f.q3 - f.q1) * 1.5
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM lineitem l JOIN f USING (l_returnflag)
+        |GROUP BY 1, f.q1, f.q3 ORDER BY 1""".stripMargin,
+
     "q99_zscore_scaling" ->
       """WITH st AS (
         |  SELECT l_returnflag,

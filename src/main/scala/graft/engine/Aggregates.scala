@@ -116,4 +116,31 @@ object Aggregates {
     * the right tool at 100 TB. */
   def approxMedian(df: DataFrame, c: String, eps: Double = 0.01): Double =
     df.stat.approxQuantile(c, Array(0.5), eps).head
+
+  /** Per-group Tukey-fence outlier profile: exact Q1/Q3 (interpolated
+    * `percentile`, the quantile_cont-compatible form q13 proved), the IQR
+    * fences at 1.5×, and how many rows fall outside them — the standard
+    * numeric-column screen before a feature lands in training data.
+    *
+    * Two passes by construction (fences must be known before counting
+    * against them): pass 1 is a per-group percentile agg whose output is
+    * |groups| rows — broadcast back over the fact scan for pass 2's
+    * filtered count. Same shape as q99's z-score stats join; no window,
+    * no global sort. */
+  def iqrOutliers(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val v = col(valCol)
+    val fences = df.groupBy(groupCol).agg(
+      percentile(v, lit(0.25)).as("q1"),
+      percentile(v, lit(0.75)).as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    df.join(broadcast(fences), groupCol)
+      .groupBy(groupCol)
+      .agg(round(first(col("q1")), 6).as("q1"),
+        round(first(col("q3")), 6).as("q3"),
+        count(lit(1)).as("n"),
+        sum(when(v < col("lo") || v > col("hi"), 1).otherwise(0))
+          .as("n_outliers"))
+  }
 }

@@ -141,6 +141,66 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** EXACT Jaccard-join via prefix filtering (the third classic
+    * set-similarity strategy next to [[jaccardPairs]]'s df-capped inverted
+    * index and [[minhashLshPairs]]'s probabilistic banding): sort every
+    * doc's shingle set by a GLOBAL rarest-first total order (ascending
+    * document frequency, gram as tie-break), and index only each set's
+    * first `m − ⌈t·m⌉ + 1` grams. Two sets with J ≥ t must share a gram
+    * inside those prefixes (pigeonhole: J ≥ t forces overlap
+    * ≥ ⌈t·m⌉ of each side's m grams, so skipping the prefix would leave
+    * too few slots) — so joining on prefix grams loses no qualifying
+    * pair, and the exact Jaccard verify drops false candidates. No cap,
+    * no recall loss, and candidates come from RARE grams only: at t=0.8
+    * the index carries ~20% of the posting rows, the rarest-first order
+    * making them the lowest-df 20%.
+    *
+    * Scale shape: one df-aggregate (shuffle on gram), one per-doc
+    * sort_array aggregate (shuffle on doc — per-doc state bounded by the
+    * doc's token count, the same bound tfidf/chunking rely on), a
+    * prefix-gram self-join (shuffle on gram, quadratic only in per-PREFIX-
+    * gram frequency — bounded by construction, spec-asserted ≪ the full
+    * posting join), and an array_intersect verify against the two sorted
+    * sets. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sets = df.select(col(idCol).as("pid"),
+        shingleHashes(col(textCol), k).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val dfreq = sets.select(explode(col("gs")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("gdf"))
+    // rarest-first total order: (df, gram) structs sort lexicographically
+    val ordered = sets.select(col("pid"), explode(col("gs")).as("g"))
+      .join(dfreq, "g")
+      .groupBy("pid")
+      .agg(sort_array(collect_list(struct(col("gdf"), col("g")))).as("sg"))
+      .select(col("pid"),
+        transform(col("sg"), s => s.getField("g")).as("gs"),
+        size(col("sg")).as("m"))
+      .withColumn("plen",
+        col("m") - ceil(col("m") * threshold).cast("int") + 1)
+      .localCheckpoint(eager = true) // consumed 4×: both join sides, twice
+    val prefixes = ordered.select(col("pid"),
+      explode(slice(col("gs"), lit(1), col("plen"))).as("g"))
+    val cand = prefixes.select(col("g"), col("pid").as("id_a"))
+      .join(prefixes.select(col("g"), col("pid").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(ordered.select(col("pid").as("id_a"), col("gs").as("gs_a"),
+        col("m").as("m_a")), Seq("id_a"))
+      .join(ordered.select(col("pid").as("id_b"), col("gs").as("gs_b"),
+        col("m").as("m_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("m_a") + col("m_b") - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Deterministic MinHash coefficient pairs (a_i, b_i) — fixed constants,
     * identical in the SQL oracle. */
   def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =

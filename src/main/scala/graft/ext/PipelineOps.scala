@@ -275,4 +275,37 @@ object PipelineOps {
           .as("contam"))
       .orderBy(idCol)
   }
+
+  /** Batch gap-based sessionization: assign a per-user session sequence
+    * number (a new session starts when the gap to the previous event
+    * exceeds `gapSeconds`), then aggregate one row per session with its
+    * event count and wall duration. The batch twin of
+    * [[graft.streaming.StreamingOps.sessionCounts]]'s `session_window` —
+    * this formulation additionally yields a stable, oracle-checkable
+    * session ID (cumulative new-session flags).
+    *
+    * Scale shape: a single shuffle on `userCol` serves BOTH windows (lag
+    * and running sum share the partitioning and sort) and the final
+    * per-session aggregate is partial-aggregated on the same keys —
+    * `.explain` shows one Exchange. Per-user event streams sort within
+    * the partition; no global sort. Ties on `tsCol` are broken by
+    * `idCol` so retries and re-partitioning are deterministic. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(userCol)
+      .orderBy(col("__us"), col(idCol))
+    val prev = lag(col("__us"), 1).over(byUser)
+    events
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__new_s",
+        when(prev.isNull || col("__us") - prev > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("__new_s")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("__us")) - min(col("__us"))).as("dur_us"))
+  }
 }

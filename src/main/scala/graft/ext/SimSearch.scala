@@ -278,4 +278,24 @@ object SimSearch {
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Per-group embedding centroids as (group, dim, value) rows — the
+    * IVF-training / domain-signature primitive (mean vector per label,
+    * source, or cluster) in a relational, oracle-checkable shape.
+    *
+    * Scale shape: `posexplode` fans each vector out to `dim` rows, then a
+    * single hash-agg shuffle on (group, dim) — cardinality |groups|·dim,
+    * tiny — with map-side partial sums carrying the corpus scan. No
+    * vector ever crosses the wire whole, no driver collect (contrast the
+    * KMeans path in [[ivfIndex]], which collects centroids by design).
+    * Components are rounded to 6 dp BEFORE the exact decimal sum so the
+    * result is independent of float add order across partitions. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(round(
+        sum(round(col("v").cast("double"), 6).cast("decimal(28,6)"))
+          .cast("double") / count(lit(1)), 6).as("centroid"))
 }

@@ -228,4 +228,52 @@ object TextOps {
       .agg(round(sum(round(col("s"), 9).cast("decimal(28,9)"))
         .cast("double"), 6).as("bm25"))
   }
+
+  /** Tokenizer-vocabulary coverage: the `topK` most frequent corpus tokens
+    * with each token's cumulative share of ALL token occurrences — the
+    * standard diagnostic when sizing a tokenizer vocabulary ("how much of
+    * the corpus do the top V entries cover?").
+    *
+    * Scale shape: one hash-agg shuffle on the token (vocab-sized, ≪
+    * corpus), a TakeOrderedAndProject for the top-K, and the running share
+    * is a window over only those K rows (single partition of K rows —
+    * intentional and bounded; the corpus-sized token stream never sorts).
+    * The denominator is a broadcast scalar. */
+  def vocabCoverage(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df
+      .select(explode(filter(tokens(col(textCol)), w => length(w) > 0))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum(col("n")).as("n_total"))
+    val ord = Seq(col("n").desc, col("tok").asc)
+    freq.orderBy(ord: _*).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+      .withColumn("cum_share",
+        round(sum(col("n")).over(Window.orderBy(ord: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("n_total"), 6))
+      .select("rank", "tok", "n", "cum_share")
+  }
+
+  /** Per-document bigram list ("tok1 tok2" strings) built with array
+    * lambdas — no shuffle, no per-doc window: `slice` + indexed `transform`
+    * pairs each token with its successor inside the row. */
+  def bigrams(c: Column): Column = {
+    val toks = filter(tokens(c), w => length(w) > 0)
+    transform(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (t, i) => concat_ws(" ", t, element_at(toks, i + 2)))
+  }
+
+  /** Corpus bigram language-model stats: the `topK` most frequent bigrams
+    * plus, per bigram, the share of its total occurrences — the raw
+    * counts n-gram LM estimation and contamination screens start from.
+    * One explode + one hash-agg shuffle; top-K via TakeOrdered. */
+  def bigramCounts(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    df.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topK)
 }

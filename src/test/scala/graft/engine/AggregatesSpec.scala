@@ -73,4 +73,23 @@ class AggregatesSpec extends SparkSpec {
     val approx = Aggregates.approxMedian(d, "v", 0.01)
     assert(math.abs(approx - 500.0) <= 20.0)
   }
+
+  test("iqrOutliers: fences and counts match hand math; rows ON the " +
+    "fence are not outliers") {
+    // group g: 1..100 plus two plants → 102 values; interpolated
+    // q1 = v[25.25] = 25.25, q3 = v[75.75] = 75.75, iqr = 50.5 →
+    // fences [-50.5, 151.5]: plant -50.5 sits ON the fence (kept),
+    // plant 1000 is outside (the one outlier)
+    val d = ((1 to 100).map(v => ("g", v.toDouble)) ++
+      Seq(("g", -50.5), ("g", 1000.0), ("h", 5.0)))
+      .toDF("grp", "v")
+    val out = Aggregates.iqrOutliers(d, "grp", "v")
+      .orderBy("grp").collect()
+    val g = out(0)
+    assert(g.getAs[Double]("q1") == 25.25 && g.getAs[Double]("q3") == 75.75)
+    assert(g.getAs[Long]("n") == 102L)
+    assert(g.getAs[Long]("n_outliers") == 1L)
+    val h = out(1)
+    assert(h.getAs[Long]("n_outliers") == 0L) // single-row group: iqr 0
+  }
 }

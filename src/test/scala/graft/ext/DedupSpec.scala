@@ -156,4 +156,58 @@ class DedupSpec extends SparkSpec {
       .select(size(Dedup.shingleHashes(col("text"), 3))).as[Int].head()
     assert(out == 0)
   }
+
+  // deterministic corpus with planted near-dup families and noise docs
+  private lazy val prefixCorpus = {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector.tabulate(60)(i => s"w$i")
+    def doc() = Vector.fill(12)(vocab(rng.nextInt(vocab.size)))
+    val rows = (0 until 20).flatMap { fam =>
+      val base = doc()
+      val mutated = base.updated(rng.nextInt(base.size),
+        vocab(rng.nextInt(vocab.size)))
+      Seq((fam * 3L, base.mkString(" ")),
+        (fam * 3L + 1, mutated.mkString(" ")),
+        (fam * 3L + 2, doc().mkString(" ")))
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("prefixJaccardPairs == exhaustive inverted-index join (prefix " +
+    "filtering is lossless) at several thresholds") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = Dedup.jaccardPairs(prefixCorpus, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) =>
+          (a, b, BigDecimal(j).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) }.toSet
+      val pref = Dedup.prefixJaccardPairs(prefixCorpus, "doc_id", "text",
+        3, t).as[(Long, Long, Double)].collect().toSet
+      // rounding can admit pairs sitting just under t that round up to it;
+      // compare on the rounded-jac universe both paths share
+      assert(pref == exact.filter(_._3 >= t), s"threshold $t")
+    }
+  }
+
+  test("prefixJaccardPairs t=1.0 indexes ONE gram per doc and still " +
+    "finds exact duplicates") {
+    val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 1.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((0L, 2L, 1.0)))
+  }
+
+  test("prefix index carries a small fraction of the full posting list " +
+    "(the pruning is real)") {
+    val full = Dedup.postings(prefixCorpus, "doc_id", "text", 3).count()
+    // count prefix rows: reproduce the internal slice bound at t=0.8
+    val sets = prefixCorpus.select(col("doc_id").as("pid"),
+        Dedup.shingleHashes(col("text"), 3).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("pid"), size(col("gs")).as("m"))
+      .select((col("m") - ceil(col("m") * 0.8).cast("int") + 1)
+        .as("plen"))
+      .agg(sum(col("plen"))).as[Long].head()
+    assert(sets.toDouble / full < 0.45,
+      s"prefix rows $sets vs postings $full")
+  }
 }

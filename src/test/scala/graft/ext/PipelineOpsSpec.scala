@@ -205,4 +205,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_hit") == 0L)
     assert(out(1).getAs[Double]("contam") == 0.0)
   }
+
+  test("sessionize: gap splits sessions, ties break on id, duration from " +
+    "session bounds") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val events = Seq(
+      (1L, ts(0), 100L),  // u100 session 1: 10:00, 10:20
+      (2L, ts(20), 100L),
+      (3L, ts(55), 100L), // 35-min gap > 30 → session 2: 10:55
+      (4L, ts(0), 200L),  // u200: single event, duration 0
+      (5L, ts(10), 300L), // u300: tie on ts — event 5 then 6 by id
+      (6L, ts(10), 300L))
+      .toDF("event_id", "ts", "user_id")
+    val out = PipelineOps.sessionize(events, "user_id", "ts", "event_id",
+        gapSeconds = 1800)
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events", "dur_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (100L, 1L, 2L, 20L * 60 * 1000000),
+      (100L, 2L, 1L, 0L),
+      (200L, 1L, 1L, 0L),
+      (300L, 1L, 2L, 0L)))
+  }
+
+  test("sessionize plan: lag, running sum, and the session aggregate " +
+    "share ONE exchange on the user key") {
+    val events = graft.engine.Tables.events(spark, sf0001)
+    val plan = PipelineOps.sessionize(events, "user_id", "ts", "event_id",
+      1800).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
 }

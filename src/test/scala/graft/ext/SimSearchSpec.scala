@@ -233,4 +233,23 @@ class SimSearchSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(r => r.getDouble(2) >= 0.3))
   }
+
+  test("groupCentroids: hand-checked means, one row per (group, dim), " +
+    "add-order independent") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)),
+      (0, Array(3.0f, 6.0f)),
+      (1, Array(-1.5f, 0.5f)))
+      .toDF("label", "embedding")
+    val out = SimSearch.groupCentroids(df, "label", "embedding")
+      .orderBy("label", "dim")
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(out == Seq((0, 0, 2.0), (0, 1, 4.0), (1, 0, -1.5), (1, 1, 0.5)))
+    // repartitioning (different add order) must not move the result
+    val shuffled = SimSearch.groupCentroids(df.repartition(7), "label",
+      "embedding").orderBy("label", "dim")
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(shuffled == out)
+  }
 }

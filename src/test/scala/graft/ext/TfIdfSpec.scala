@@ -70,4 +70,35 @@ class TfIdfSpec extends SparkSpec {
     // more matching terms and higher tf ⇒ higher score
     assert(got(1L) > got(2L))
   }
+
+  test("vocabCoverage: rank order, counts, and cumulative share by hand") {
+    import spark.implicits._
+    // corpus tokens: a×4, b×2, c×1, d×1 (8 total)
+    val docs = Seq("a a b", "a b c", "a  d", "  ").toDF("text")
+    val out = TextOps.vocabCoverage(docs, "text", topK = 3)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1, "a", 4L, 0.5),
+      (2, "b", 2L, 0.75),
+      (3, "c", 1L, 0.875))) // tie c/d broken by token asc
+  }
+
+  test("bigrams: adjacency preserved, no cross-doc or wrap-around pairs; " +
+    "short docs yield none") {
+    import spark.implicits._
+    val out = Seq("x y z", "solo", "", "p q")
+      .toDF("text")
+      .select(TextOps.bigrams(col("text")).as("b"))
+      .as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("x y", "y z"), Seq(), Seq(), Seq("p q")))
+  }
+
+  test("bigramCounts: top-k by count desc then bigram asc") {
+    import spark.implicits._
+    val docs = Seq("m n m n", "m n o").toDF("text")
+    // "m n"×3, "n m"×1, "n o"×1
+    val out = TextOps.bigramCounts(docs, "text", topK = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("m n", 3L), ("n m", 1L)))
+  }
 }

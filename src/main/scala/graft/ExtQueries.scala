@@ -984,7 +984,48 @@ object ExtQueries {
         "l_extendedprice")
       .orderBy("l_returnflag")
 
+  /** q108 — duplicate-cluster canonicalization
+    * ([[Dedup.clusterRepresentatives]]): q55's clusters reduced to one
+    * representative each (longest doc, ties by min id) — the final step
+    * of the dedup pipeline (pairs → clusters → survivors). */
+  private val q108: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1,
+      maxDf = 100)
+    val clusters = Dedup.dupClusters(pairs, docs.select("doc_id"), "doc_id")
+    Dedup.clusterRepresentatives(clusters, docs, "doc_id", "n_chars")
+      .orderBy("cluster")
+  }
+
+  /** q109 — cross-source near-dup overlap matrix
+    * ([[PipelineOps.sourceOverlap]]): distinct SimHash fingerprints
+    * shared per source pair (this corpus has no verbatim cross-source
+    * dups — near-dup identity is the signal). */
+  private val q109: Q = (s, d) =>
+    PipelineOps.sourceOverlap(Tables.documents(s, d), "source",
+        Dedup.simhash32(col("text")))
+      .orderBy("source_a", "source_b")
+
+  /** q110 — token-budget selection ([[PipelineOps.budgetSelect]]):
+    * per-source longest-first document quota under a 10k-token budget. */
+  private val q110: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    PipelineOps.budgetSelect(docs, "source", "n_chars", "doc_id",
+        TextOps.tokenCount(col("text")), budget = 10000L)
+      .orderBy("source")
+  }
+
+  /** q111 — unigram entropy per document ([[TextOps.tokenEntropy]]):
+    * the token-diversity quality signal. */
+  private val q111: Q = (s, d) =>
+    TextOps.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
+    "q108_cluster_reps" -> q108,
+    "q109_source_overlap" -> q109,
+    "q110_budget_select" -> q110,
+    "q111_token_entropy" -> q111,
     "q101_prefix_jaccard" -> q101,
     "q102_salted_join" -> q102,
     "q103_vocab_coverage" -> q103,
@@ -1231,6 +1272,71 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q108_cluster_reps" ->
+      s"""WITH RECURSIVE
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |clus AS (
+         |  SELECT doc.doc_id,
+         |    CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id)) AS BIGINT)
+         |      AS cluster,
+         |    doc.n_chars
+         |  FROM documents doc
+         |  LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |    ON m.s = doc.doc_id),
+         |sel AS (
+         |  SELECT cluster, doc_id, n_chars,
+         |    max(n_chars) OVER (PARTITION BY cluster) AS mx
+         |  FROM clus)
+         |SELECT cluster,
+         |  CAST(min(CASE WHEN n_chars = mx THEN doc_id END) AS BIGINT)
+         |    AS rep_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(max(n_chars) AS BIGINT) AS max_score
+         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q109_source_overlap" ->
+      s"""WITH f AS (
+         |  SELECT DISTINCT source, $simhashSql AS fp FROM documents)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS n_shared
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q110_budget_select" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, n_chars,
+         |    CAST(len($toksSql) AS INT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tokens_used
+         |FROM c WHERE cum <= 10000 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q111_token_entropy" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt
+         |        GROUP BY 1)
+         |SELECT cnt.doc_id, max(tot.n) AS n_tok,
+         |  round(CAST(SUM(CAST(round((c / n) * ln(n / c), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+         |FROM cnt JOIN tot USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q101_prefix_jaccard" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents),

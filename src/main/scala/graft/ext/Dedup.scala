@@ -201,6 +201,24 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Canonical-document selection per duplicate cluster — the step after
+    * [[dupClusters]] in the dedup end-game (pairs → clusters → keep ONE
+    * doc per cluster): the representative is the highest-`scoreCol` doc,
+    * ties broken by smallest id, picked with a single min-of-struct
+    * aggregate ((−score, id) lexicographic) — deterministic under any
+    * partitioning, no window, no second shuffle beyond the cluster-key
+    * agg. `clusters` is (idCol, cluster) as produced by [[dupClusters]]. */
+  def clusterRepresentatives(clusters: DataFrame, docs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    clusters.join(docs.select(col(idCol), col(scoreCol)), idCol)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(scoreCol)).as("max_score"),
+        min(struct((-col(scoreCol)).as("neg"), col(idCol).as("id")))
+          .as("__best"))
+      .select(col("cluster"), col("__best.id").as("rep_id"),
+        col("n_docs"), col("max_score"))
+
   /** Deterministic MinHash coefficient pairs (a_i, b_i) — fixed constants,
     * identical in the SQL oracle. */
   def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =

@@ -276,6 +276,57 @@ object PipelineOps {
       .orderBy(idCol)
   }
 
+  /** Cross-source duplicate overlap matrix: for every source pair, how
+    * many distinct identity keys appear in BOTH — the corpus-mixing
+    * diagnostic (two crawls of the same sites inflate a naive mixture).
+    * `key` defines duplicate identity: the raw text column for verbatim
+    * overlap, [[Dedup.simhash32]] for near-dup overlap (re-whitespaced /
+    * lightly-edited re-crawls still collide), an LSH bucket for looser
+    * matching.
+    *
+    * Scale shape: distinct (source, key) first (one hash-agg — dedups
+    * within-source copies so a text appearing f times in each of two
+    * sources still counts once); the self-join then runs on the
+    * deduplicated key space, quadratic only in per-key SOURCE count
+    * (≤ |sources|, tiny by definition). Pass a fingerprint key — not raw
+    * text — at scale so the shuffle carries bytes, not documents. */
+  def sourceOverlap(df: DataFrame, srcCol: String, key: Column)
+      : DataFrame = {
+    val st = df.select(col(srcCol), key.as("__k")).distinct()
+    st.as("a").join(st.as("b"),
+        col("a.__k") === col("b.__k") &&
+        col(s"a.$srcCol") < col(s"b.$srcCol"))
+      .groupBy(col(s"a.$srcCol").as("source_a"),
+        col(s"b.$srcCol").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Token-budget document selection: per `srcCol` group, walk documents
+    * best-score-first (ties by id) and keep them until the group's
+    * cumulative token count would exceed `budget` — the quota step that
+    * turns mixture weights (q82) into an actual training-set cut.
+    * Returns one summary row per source (docs kept, tokens used).
+    *
+    * Scale shape: one shuffle on the source key serves the ranking
+    * window, the running token sum, and the final per-source aggregate;
+    * per-source streams sort within partitions (skew dial: a giant
+    * source is ordinary window skew — pre-aggregate per (source, score
+    * bucket) if one source dominates). */
+  def budgetSelect(df: DataFrame, srcCol: String, scoreCol: String,
+      idCol: String, tokens: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(srcCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(srcCol), col(scoreCol), col(idCol),
+        tokens.as("__n_tok"))
+      .withColumn("__cum", sum(col("__n_tok")).over(w))
+      .filter(col("__cum") <= budget)
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("__n_tok")).as("tokens_used"))
+  }
+
   /** Batch gap-based sessionization: assign a per-user session sequence
     * number (a new session starts when the gap to the previous event
     * exceeds `gapSeconds`), then aggregate one row per session with its

@@ -267,6 +267,30 @@ object TextOps {
       (t, i) => concat_ws(" ", t, element_at(toks, i + 2)))
   }
 
+  /** Per-document unigram entropy H = −Σ p·ln p over the doc's token
+    * distribution — the repetition/diversity quality signal (template
+    * spam and boilerplate sit near 0; varied prose near ln(n_tok)).
+    *
+    * Scale shape: explode → (doc, token) count → per-doc total → one
+    * more per-doc agg; every shuffle is keyed on the doc id, partial
+    * aggregation carries the token stream. Per-term contributions are
+    * rounded to 9 dp and summed as exact decimals so the result is
+    * add-order independent (the bm25 contract). */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol).as("did"),
+      explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("tok"))
+    val cnt = toks.groupBy("did", "tok").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("did").agg(sum(col("c")).as("n"))
+    cnt.join(tot, "did")
+      .withColumn("term",
+        (col("c") / col("n")) * log(col("n") / col("c")))
+      .groupBy(col("did").as(idCol))
+      .agg(max(col("n")).as("n_tok"),
+        round(sum(round(col("term"), 9).cast("decimal(28,9)"))
+          .cast("double"), 6).as("entropy"))
+  }
+
   /** Corpus bigram language-model stats: the `topK` most frequent bigrams
     * plus, per bigram, the share of its total occurrences — the raw
     * counts n-gram LM estimation and contamination screens start from.

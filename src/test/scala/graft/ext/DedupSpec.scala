@@ -196,6 +196,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Seq((0L, 2L, 1.0)))
   }
 
+  test("clusterRepresentatives: best score wins, ties break to min id, " +
+    "singletons represent themselves") {
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 4L))
+      .toDF("doc_id", "cluster")
+    val scored = Seq((0L, 10L), (1L, 30L), (2L, 30L), (3L, 5L), (4L, 7L))
+      .toDF("doc_id", "n_chars")
+    val out = Dedup.clusterRepresentatives(clusters, scored, "doc_id",
+        "n_chars").orderBy("cluster")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 0: docs 1 and 2 tie at 30 chars → rep 1 (min id)
+    assert(out == Seq((0L, 1L, 3L, 30L), (3L, 3L, 1L, 5L),
+      (4L, 4L, 1L, 7L)))
+  }
+
   test("prefix index carries a small fraction of the full posting list " +
     "(the pruning is real)") {
     val full = Dedup.postings(prefixCorpus, "doc_id", "text", 3).count()

@@ -206,6 +206,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("contam") == 0.0)
   }
 
+  test("sourceOverlap: counts distinct shared keys once, ignores " +
+    "within-source dups, ordered pairs only") {
+    val docs = Seq(
+      ("web", "shared one"), ("web", "shared one"), // within-source dup
+      ("web", "web only"),
+      ("books", "shared one"), ("books", "shared two"),
+      ("code", "shared two"), ("code", "shared one"))
+      .toDF("source", "text")
+    val out = PipelineOps.sourceOverlap(docs, "source", col("text"))
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("books", "code", 2L),  // both shared texts
+      ("books", "web", 1L),
+      ("code", "web", 1L)))
+  }
+
+  test("budgetSelect: best-score-first greedy fill stops at the budget, " +
+    "per source independently") {
+    val docs = Seq(
+      // source s1: scores 9,8,7 with 40/50/20 tokens; budget 90 → keep 9,8
+      ("s1", 1L, 9L, 40), ("s1", 2L, 8L, 50), ("s1", 3L, 7L, 20),
+      // source s2: single doc within budget
+      ("s2", 4L, 1L, 10))
+      .toDF("source", "doc_id", "score", "n_tok")
+    val out = PipelineOps.budgetSelect(docs, "source", "score", "doc_id",
+        col("n_tok"), budget = 90L)
+      .orderBy("source")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("s1", 2L, 90L), ("s2", 1L, 10L)))
+  }
+
   test("sessionize: gap splits sessions, ties break on id, duration from " +
     "session bounds") {
     import java.sql.Timestamp

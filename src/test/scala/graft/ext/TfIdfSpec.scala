@@ -93,6 +93,23 @@ class TfIdfSpec extends SparkSpec {
     assert(out == Seq(Seq("x y", "y z"), Seq(), Seq(), Seq("p q")))
   }
 
+  test("tokenEntropy: uniform doc hits ln(n), constant doc hits 0, " +
+    "skewed doc in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),     // uniform over 4 → ln 4
+      (2L, "x x x x"),     // single token → 0
+      (3L, "y y y z"))     // 3/4·ln(4/3) + 1/4·ln 4
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2) == Seq(4L, 4L, 4L))
+    assert(math.abs(out(0)._3 - math.log(4)) < 1e-6)
+    assert(out(1)._3 == 0.0)
+    val expected3 = 0.75 * math.log(4.0 / 3) + 0.25 * math.log(4.0)
+    assert(math.abs(out(2)._3 - expected3) < 1e-6)
+  }
+
   test("bigramCounts: top-k by count desc then bigram asc") {
     import spark.implicits._
     val docs = Seq("m n m n", "m n o").toDF("text")

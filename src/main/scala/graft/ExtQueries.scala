@@ -1021,7 +1021,49 @@ object ExtQueries {
     TextOps.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** q112 — fixed-width histogram ([[Aggregates.histogram]]): sparse
+    * 5000-wide bins over extended price. */
+  private val q112: Q = (s, d) =>
+    Aggregates.histogram(Tables.lineitem(s, d), "l_extendedprice", 5000.0)
+      .orderBy("bin")
+
+  /** q113 — winsorized mean ([[Aggregates.winsorizedMean]]): values
+    * clipped to exact [P5, P95] per returnflag, exact-decimal mean. */
+  private val q113: Q = (s, d) =>
+    Aggregates.winsorizedMean(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", 0.05, 0.95)
+      .orderBy("l_returnflag")
+
+  /** q114 — per-source quality deciles ([[PipelineOps.qualityDeciles]]):
+    * ntile(10) over (n_chars desc, doc_id) with per-bucket bounds. */
+  private val q114: Q = (s, d) =>
+    PipelineOps.qualityDeciles(Tables.documents(s, d), "source",
+        "n_chars", "doc_id", buckets = 10)
+      .orderBy("source", "decile")
+
+  /** q115 — corpus-driven stopword discovery
+    * ([[TextOps.stopwordDiscovery]]): tokens in ≥ 40% of documents. */
+  private val q115: Q = (s, d) =>
+    TextOps.stopwordDiscovery(Tables.documents(s, d), "doc_id", "text",
+        minDocFrac = 0.4)
+      .orderBy(col("df").desc, col("tok"))
+
+  /** q116 — normalization dedup uplift ([[TextOps.normalizeText]]): how
+    * many extra duplicates canonical text form exposes over verbatim
+    * matching (the case for fingerprinting normalized, not raw, text). */
+  private val q116: Q = (s, d) =>
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n_total"),
+      countDistinct(col("text")).as("n_raw_distinct"),
+      countDistinct(TextOps.normalizeText(col("text")))
+        .as("n_norm_distinct"))
+
   val all: Map[String, Q] = Map(
+    "q112_histogram" -> q112,
+    "q113_winsorized_mean" -> q113,
+    "q114_quality_deciles" -> q114,
+    "q115_stopword_discovery" -> q115,
+    "q116_normalized_dedup" -> q116,
     "q108_cluster_reps" -> q108,
     "q109_source_overlap" -> q109,
     "q110_budget_select" -> q110,
@@ -1272,6 +1314,60 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q112_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(CAST(floor(l_extendedprice / 5000.0) AS BIGINT) * 5000.0
+        |    AS DOUBLE) AS lo_edge
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q113_winsorized_mean" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(CAST(SUM(CAST(round(
+        |      greatest(f.lo, least(f.hi, l.l_extendedprice)), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS wins_mean,
+        |  count(*) AS n
+        |FROM lineitem l JOIN f USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q114_quality_deciles" ->
+      """WITH t AS (
+        |  SELECT source, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS decile
+        |  FROM documents)
+        |SELECT source, decile, count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_score,
+        |  CAST(max(n_chars) AS BIGINT) AS max_score
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q115_stopword_discovery" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1)
+         |SELECT tok, df,
+         |  round(CAST(df AS DOUBLE) / n.n_docs, 6) AS df_frac
+         |FROM dfreq, n
+         |WHERE round(CAST(df AS DOUBLE) / n.n_docs, 6) >= 0.4
+         |ORDER BY df DESC, tok""".stripMargin,
+
+    "q116_normalized_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_raw_distinct,
+        |  CAST(count(DISTINCT trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+        |    AS BIGINT) AS n_norm_distinct
+        |FROM documents""".stripMargin,
+
     "q108_cluster_reps" ->
       s"""WITH RECURSIVE
          |${pairCtes(cap = 100, threshold = 0.1)},

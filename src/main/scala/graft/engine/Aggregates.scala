@@ -117,6 +117,39 @@ object Aggregates {
   def approxMedian(df: DataFrame, c: String, eps: Double = 0.01): Double =
     df.stat.approxQuantile(c, Array(0.5), eps).head
 
+  /** Fixed-width histogram of a numeric column: bin = ⌊v / width⌋ —
+    * the distributed EDA primitive behind every profile chart (the
+    * reference draws these client-side from collected pandas frames;
+    * here the aggregate IS the operator and only |bins| rows leave).
+    * One hash-agg shuffle; empty bins are absent (sparse form). */
+  def histogram(df: DataFrame, valCol: String, width: Double): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
+    df.filter(col(valCol).isNotNull)
+      .groupBy(floor(col(valCol) / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge", col("bin") * width)
+  }
+
+  /** Winsorized mean per group: values clipped to the exact
+    * [pLo, pHi] interpolated percentiles, then an exact-decimal mean —
+    * the robust-mean alternative to dropping outliers (q107 counts
+    * them; this bounds their leverage). Same two-pass
+    * stats-then-broadcast shape as z-score scaling: the percentile
+    * frame is |groups| rows, the clip+mean pass rides the fact scan. */
+  def winsorizedMean(df: DataFrame, groupCol: String, valCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    val v = col(valCol)
+    val fences = df.groupBy(groupCol).agg(
+      percentile(v, lit(pLo)).as("lo"),
+      percentile(v, lit(pHi)).as("hi"))
+    df.join(broadcast(fences), groupCol)
+      .withColumn("clipped", greatest(col("lo"), least(col("hi"), v)))
+      .groupBy(groupCol)
+      .agg(round(sum(round(col("clipped"), 6).cast("decimal(28,6)"))
+          .cast("double") / count(lit(1)), 6).as("wins_mean"),
+        count(lit(1)).as("n"))
+  }
+
   /** Per-group Tukey-fence outlier profile: exact Q1/Q3 (interpolated
     * `percentile`, the quantile_cont-compatible form q13 proved), the IQR
     * fences at 1.5×, and how many rows fall outside them — the standard

@@ -301,6 +301,27 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-source quality deciles: ntile bucketing over a deterministic
+    * (score desc, id) order with per-bucket doc counts and score bounds —
+    * the curriculum/threshold-picking view of a quality score (which
+    * decile does the budget cut actually land in?).
+    *
+    * Scale shape: one shuffle on the source key for the ntile window and
+    * the (source, decile) aggregate; ntile needs the GROUP's row count,
+    * not a global sort. Full tie-break (id) keeps bucket boundaries
+    * replay-stable. */
+  def qualityDeciles(df: DataFrame, srcCol: String, scoreCol: String,
+      idCol: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(srcCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("decile", ntile(buckets).over(w))
+      .groupBy(col(srcCol), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(scoreCol)).as("min_score"),
+        max(col(scoreCol)).as("max_score"))
+  }
+
   /** Token-budget document selection: per `srcCol` group, walk documents
     * best-score-first (ties by id) and keep them until the group's
     * cumulative token count would exceed `budget` — the quota step that

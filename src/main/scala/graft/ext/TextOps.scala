@@ -267,6 +267,33 @@ object TextOps {
       (t, i) => concat_ws(" ", t, element_at(toks, i + 2)))
   }
 
+  /** Corpus-driven stopword discovery: tokens whose document frequency
+    * exceeds `minDocFrac` of the corpus — the data-derived replacement
+    * for a hand-curated stopword list (and the df side of the q31 df-cap
+    * argument made first-class). Distinct (doc, token) → token df →
+    * threshold against the broadcast corpus size; the shuffle output is
+    * vocab-sized. */
+  def stopwordDiscovery(df: DataFrame, idCol: String, textCol: String,
+      minDocFrac: Double): DataFrame = {
+    val docTok = df.select(col(idCol).as("did"),
+        explode(array_distinct(
+          filter(tokens(col(textCol)), w => length(w) > 0))).as("tok"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    docTok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("df_frac",
+        round(col("df").cast("double") / col("n_docs"), 6))
+      .filter(col("df_frac") >= minDocFrac)
+      .select("tok", "df", "df_frac")
+  }
+
+  /** Canonical text form for normalization-aware dedup: lowercase,
+    * strip everything outside [a-z0-9 space], collapse whitespace runs,
+    * trim — pure codegen string ops, scan-speed. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Per-document unigram entropy H = −Σ p·ln p over the doc's token
     * distribution — the repetition/diversity quality signal (template
     * spam and boilerplate sit near 0; varied prose near ln(n_tok)).

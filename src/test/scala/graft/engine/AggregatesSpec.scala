@@ -74,6 +74,30 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(approx - 500.0) <= 20.0)
   }
 
+  test("histogram: bin edges by hand, negatives floor toward -inf, " +
+    "nulls dropped, empty bins absent") {
+    val d = Seq(Some(0.0), Some(4.9), Some(5.0), Some(12.0), Some(-0.1),
+      None).toDF("v")
+    val out = Aggregates.histogram(d, "v", 5.0)
+      .orderBy("bin").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((-1L, 1L, -5.0), (0L, 2L, 0.0), (1L, 1L, 5.0),
+      (2L, 1L, 10.0)))
+  }
+
+  test("winsorizedMean: clipping bounds leverage; hand-checked values") {
+    // 1..10 per group: p05 = 1.45, p95 = 9.55; clip → mean of
+    // (1.45, 2..9, 9.55) = 55.0/10 → with outlier 1000 replaced by hi
+    val d = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 1000.0))
+      .toDF("grp", "v")
+    // sorted: 1..9, 1000; p05 = v[0.45] = 1.45; p95 = v[8.55] =
+    // 9 + 0.55*991 = 554.05 → clipped sum = 1.45+2+..+9+554.05
+    val expected = BigDecimal(1.45 + (2 to 9).sum + 554.05) / 10
+    val out = Aggregates.winsorizedMean(d, "grp", "v", 0.05, 0.95)
+      .as[(String, Double, Long)].collect().head
+    assert(math.abs(out._2 - expected.toDouble) < 1e-6)
+    assert(out._3 == 10L)
+  }
+
   test("iqrOutliers: fences and counts match hand math; rows ON the " +
     "fence are not outliers") {
     // group g: 1..100 plus two plants → 102 values; interpolated

@@ -223,6 +223,21 @@ class PipelineOpsSpec extends SparkSpec {
       ("code", "web", 1L)))
   }
 
+  test("qualityDeciles: ntile spreads remainder to early buckets, " +
+    "bounds track the score order") {
+    val docs = (1 to 7).map(i => ("s", i.toLong, 100L - i))
+      .toDF("source", "doc_id", "score")
+    val out = PipelineOps.qualityDeciles(docs, "source", "score",
+        "doc_id", buckets = 3)
+      .orderBy("decile")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    // 7 rows into 3 buckets → sizes 3,2,2; scores 99..93 descending
+    assert(out == Seq(
+      ("s", 1, 3L, 97L, 99L),
+      ("s", 2, 2L, 95L, 96L),
+      ("s", 3, 2L, 93L, 94L)))
+  }
+
   test("budgetSelect: best-score-first greedy fill stops at the budget, " +
     "per source independently") {
     val docs = Seq(

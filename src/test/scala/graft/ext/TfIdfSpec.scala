@@ -93,6 +93,27 @@ class TfIdfSpec extends SparkSpec {
     assert(out == Seq(Seq("x y", "y z"), Seq(), Seq(), Seq("p q")))
   }
 
+  test("stopwordDiscovery: df counts docs not occurrences; threshold " +
+    "is inclusive on the rounded fraction") {
+    import spark.implicits._
+    val docs = Seq((1L, "the the the cat"), (2L, "the dog"),
+      (3L, "a bird"), (4L, "the fish"), (5L, "worm"))
+      .toDF("doc_id", "text")
+    val out = TextOps.stopwordDiscovery(docs, "doc_id", "text", 0.6)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("the", 3L, 0.6))) // 3 of 5 docs, not 5 occurrences
+  }
+
+  test("normalizeText: case, punctuation, and whitespace runs collapse " +
+    "to one canonical form") {
+    import spark.implicits._
+    val out = Seq("  The QUICK,   brown-fox!! ", "the quick brown fox")
+      .toDF("text")
+      .select(TextOps.normalizeText(col("text")))
+      .as[String].collect().toSeq
+    assert(out == Seq("the quick brown fox", "the quick brown fox"))
+  }
+
   test("tokenEntropy: uniform doc hits ln(n), constant doc hits 0, " +
     "skewed doc in between") {
     import spark.implicits._

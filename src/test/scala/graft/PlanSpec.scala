@@ -142,4 +142,24 @@ class PlanSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("prefix-filter jaccard: every join is an equi-join (no " +
+    "nested-loop/cartesian), pair candidates hash-aggregate") {
+    val p = plan(graft.ext.Dedup.prefixJaccardPairs(
+      Tables.documents(spark, sf0001), "doc_id", "text", 4, 0.8))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("sourceOverlap: distinct runs BEFORE the self-join (the join " +
+    "input is the deduplicated key space)") {
+    val p = plan(graft.ext.PipelineOps.sourceOverlap(
+      Tables.documents(spark, sf0001), "source",
+      graft.ext.Dedup.simhash32(col("text"))))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // two distinct aggregates (one per join side) below the join
+    assert(p.split("HashAggregate").length - 1 >= 2, p)
+  }
 }

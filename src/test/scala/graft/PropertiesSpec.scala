@@ -236,4 +236,72 @@ class PropertiesSpec extends SparkSpec {
     }
     assert(SCTest.check(params, prop).passed)
   }
+
+  test("prefix-filter jaccard == exhaustive join on random corpora " +
+    "(losslessness is data-independent)") {
+    // small vocab forces heavy overlap; docs of 6-12 tokens, k=2
+    val docGen = Gen.chooseNum(6, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f", "g")))
+    val gen = Gen.listOfN(15, docGen)
+    val prop = forAll(gen, Gen.oneOf(0.4, 0.7)) { (docsToks, t) =>
+      val docs = docsToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def key(r: (Long, Long, Double)) = (r._1, r._2)
+      val exact = graft.ext.Dedup
+        .jaccardPairs(docs, "doc_id", "text", 2, t)
+        .as[(Long, Long, Double)].collect()
+        .filter(r => BigDecimal(r._3).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble >= t)
+        .map(key).toSet
+      val pref = graft.ext.Dedup
+        .prefixJaccardPairs(docs, "doc_id", "text", 2, t)
+        .as[(Long, Long, Double)].collect().map(key).toSet
+      pref == exact
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("tokenEntropy ∈ [0, ln(n_tok)]; 0 iff single distinct token") {
+    val docGen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z")))
+    val prop = forAll(Gen.listOfN(8, docGen)) { docsToks =>
+      val docs = docsToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val rows = graft.ext.TextOps.tokenEntropy(docs, "doc_id", "text")
+        .as[(Long, Long, Double)].collect()
+      rows.forall { case (id, n, h) =>
+        val distinct = docsToks(id.toInt).distinct.size
+        h >= 0.0 && h <= math.log(n.toDouble) + 1e-9 &&
+          ((h == 0.0) == (distinct == 1))
+      }
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("budgetSelect: per-source token sums never exceed the budget and " +
+    "equal the greedy reference") {
+    val rowGen = Gen.zip(Gen.oneOf("s1", "s2"), Gen.chooseNum(1, 40))
+    val prop = forAll(Gen.listOfN(12, rowGen), Gen.chooseNum(20L, 80L)) {
+      (rows, budget) =>
+        val docs = rows.zipWithIndex
+          .map { case ((s, tok), i) => (s, i.toLong, tok.toLong, tok) }
+          .toDF("source", "doc_id", "score", "n_tok")
+        val out = graft.ext.PipelineOps.budgetSelect(docs, "source",
+            "score", "doc_id", col("n_tok"), budget)
+          .as[(String, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        val expected = rows.zipWithIndex.groupBy(_._1._1).flatMap {
+          case (src, rs) =>
+            val ordered = rs.sortBy { case ((_, tok), i) => (-tok, i) }
+            val cums = ordered.scanLeft(0L)(_ + _._1._2).tail
+            val kept = ordered.zip(cums).takeWhile(_._2 <= budget)
+            if (kept.isEmpty) None
+            else Some(src -> (kept.size.toLong, kept.last._2))
+        }
+        out == expected
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
 }

@@ -19,9 +19,20 @@ object Bench {
     // noop sink: materializes EVERY output column (count() lets Catalyst
     // prune unreferenced projections, under-measuring projection-heavy
     // queries like string ops / casts / quantization)
+    //
+    // post-run cleanup: localCheckpoint-based operators (jaccard postings,
+    // dup clusters, prefix index, curation pipeline) pin RDD blocks that
+    // outlive their query — across 2×|queries| executions they accumulate
+    // until the whole JVM degrades into GC/spill (measured: ~3× uniform
+    // slowdown by the tail of the suite). A real pipeline runs one job per
+    // JVM; the bench must not charge query N for query N−1's blocks.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Unit =
+        : Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     // warm-up pass: codegen compilation, parquet footer caches, JIT — so
     // the recorded numbers reflect steady-state query cost
     SparkEntry.queries.foreach { case (_, fn) =>

@@ -257,14 +257,22 @@ object TextOps {
       .select("rank", "tok", "n", "cum_share")
   }
 
-  /** Per-document bigram list ("tok1 tok2" strings) built with array
-    * lambdas — no shuffle, no per-doc window: `slice` + indexed `transform`
-    * pairs each token with its successor inside the row. */
+  /** Per-document bigram list ("tok1 tok2" strings) — `zip_with` over the
+    * token array and its shift-by-one, no shuffle, no per-doc window.
+    *
+    * zip_with (not indexed transform + element_at) is load-bearing: a
+    * lambda body re-evaluates its subexpressions PER ELEMENT, and
+    * Catalyst's InferFiltersFromGenerate clones the whole generator
+    * expression into a pre-explode filter — an `element_at(split(text),
+    * i)` formulation therefore re-tokenizes the document for every bigram
+    * (O(len²) per row; measured ~4× on the corpus bench). zip_with's
+    * lambda touches only its element arguments, so every evaluation site
+    * stays O(len). */
   def bigrams(c: Column): Column = {
     val toks = filter(tokens(c), w => length(w) > 0)
-    transform(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      (t, i) => concat_ws(" ", t, element_at(toks, i + 2)))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
   }
 
   /** Corpus-driven stopword discovery: tokens whose document frequency

@@ -277,6 +277,23 @@ class PipelineOpsSpec extends SparkSpec {
       (300L, 1L, 2L, 0L)))
   }
 
+  test("sessionize == session_window on real events (same gap, same " +
+    "sessions): per-user session multisets agree") {
+    val events = graft.engine.Tables.events(spark, sf0001)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val batch = PipelineOps.sessionize(events, "user_id", "ts",
+        "event_id", 1800)
+      .select("user_id", "n_events")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val windowed = graft.streaming.StreamingOps.sessionCounts(events)
+      .select(col("user_id"), col("n").as("n_events"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    // same 30-min gap rule (events at EXACTLY the gap boundary could
+    // legally differ: session_window's end is exclusive, the lag rule's
+    // threshold is strict — the fixture has no such tie)
+    assert(batch == windowed)
+  }
+
   test("sessionize plan: lag, running sum, and the session aggregate " +
     "share ONE exchange on the user key") {
     val events = graft.engine.Tables.events(spark, sf0001)

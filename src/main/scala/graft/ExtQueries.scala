@@ -1058,7 +1058,35 @@ object ExtQueries {
       countDistinct(TextOps.normalizeText(col("text")))
         .as("n_norm_distinct"))
 
+  /** q117 — sparse TF-IDF dot-product top-k pairs
+    * ([[TextOps.sparseDotTopK]]): "more-like-this" retrieval via the
+    * inverted-index join, df-capped at 50, top 20 pairs. */
+  private val q117: Q = (s, d) =>
+    TextOps.sparseDotTopK(Tables.documents(s, d), "doc_id", "text",
+      numFeatures = 1 << 12, maxDf = 50, k = 20)
+
+  /** q118 — key-skew diagnostic ([[graft.engine.Skew.skewProfile]]):
+    * the 15 heaviest supplier keys on lineitem with skew factors. */
+  private val q118: Q = (s, d) =>
+    Skew.skewProfile(Tables.lineitem(s, d), "l_suppkey", topK = 15)
+
+  /** q119 — ordered funnel ([[EventOps.funnel]]): view → click →
+    * purchase with first-touch stage thresholds. */
+  private val q119: Q = (s, d) =>
+    EventOps.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
+      "view", "click", "purchase")
+
+  /** q120 — weekly cohort retention ([[EventOps.weeklyRetention]]):
+    * (cohort week × week offset) active-user matrix. */
+  private val q120: Q = (s, d) =>
+    EventOps.weeklyRetention(Tables.events(s, d), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
   val all: Map[String, Q] = Map(
+    "q117_sparse_dot_topk" -> q117,
+    "q118_skew_profile" -> q118,
+    "q119_funnel" -> q119,
+    "q120_retention" -> q120,
     "q112_histogram" -> q112,
     "q113_winsorized_mean" -> q113,
     "q114_quality_deciles" -> q114,
@@ -1314,6 +1342,76 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q117_sparse_dot_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter($toksSql,
+         |      w -> length(w) > 0 AND w NOT IN $stopList)) AS tok
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, ${polyHashSql("tok")} % 4096 AS term_hash,
+         |         CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT term_hash, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |m AS (SELECT count(*) AS m FROM documents),
+         |wgt AS (
+         |  SELECT doc_id, term_hash,
+         |    round(tf * ln((m + 1.0) / (df + 1)), 6) AS w
+         |  FROM tf JOIN dfq USING (term_hash) CROSS JOIN m
+         |  WHERE df <= 50)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(SUM(CAST(round(a.w * b.w, 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE), 6) AS dot
+         |FROM wgt a JOIN wgt b
+         |  ON a.term_hash = b.term_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY dot DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "q118_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem
+        |           GROUP BY 1),
+        |m AS (SELECT CAST(SUM(n) AS DOUBLE) / count(*) AS mean_n FROM c)
+        |SELECT l_suppkey, n, round(n / m.mean_n, 6) AS skew
+        |FROM c, m ORDER BY n DESC, l_suppkey LIMIT 15""".stripMargin,
+
+    "q119_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END)
+        |    AS t1
+        |  FROM events GROUP BY 1 HAVING t1 IS NOT NULL),
+        |t2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts >= t1.t1
+        |        THEN e.ts END) AS t2
+        |  FROM events e JOIN t1 USING (user_id)
+        |  GROUP BY 1 HAVING t2 IS NOT NULL),
+        |t3 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts >= t2.t2
+        |        THEN e.ts END) AS t3
+        |  FROM events e JOIN t2 USING (user_id)
+        |  GROUP BY 1 HAVING t3 IS NOT NULL)
+        |SELECT (SELECT count(*) FROM t1) AS n_stage1,
+        |  (SELECT count(*) FROM t2) AS n_stage2,
+        |  (SELECT count(*) FROM t3) AS n_stage3""".stripMargin,
+
+    "q120_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events)
+        |SELECT cohort.cohort_week,
+        |  CAST(date_diff('day', cohort.cohort_week, active.wk) / 7 AS INT)
+        |    AS week_offset,
+        |  count(*) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q112_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
         |  count(*) AS n,

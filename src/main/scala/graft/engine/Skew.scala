@@ -30,4 +30,20 @@ object Skew {
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Key-skew diagnostic: the `topK` heaviest keys with each key's count
+    * and its skew factor (count / mean count over all keys) — the number
+    * that decides whether a join needs [[saltedJoin]] or AQE's skew split
+    * suffices. One hash-agg on the key (|keys| rows out), a broadcast
+    * scalar for the mean, TakeOrdered for the top-K. */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val mean = counts.agg(
+      (sum(col("n")).cast("double") / count(lit(1))).as("mean_n"))
+    counts.crossJoin(broadcast(mean))
+      .withColumn("skew", round(col("n") / col("mean_n"), 6))
+      .select(col(keyCol), col("n"), col("skew"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topK)
+  }
 }

@@ -132,6 +132,34 @@ object TextOps {
       .select(col(idCol), col("term_hash"), col("tf"), col("w"))
   }
 
+  /** Sparse dot-product similarity join over TF-IDF weights — the
+    * "more-like-this" retrieval primitive: sim(a,b) = Σ w_a(t)·w_b(t)
+    * over shared terms, computed RELATIONALLY (inverted-index join on the
+    * term, never a dense |docs|² pass). The df-cap bounds the per-term
+    * join fan-out exactly as in [[graft.ext.Dedup.jaccardPairs]] —
+    * dropping ubiquitous terms is the sparse-similarity analogue of
+    * stopword removal and is mirrored in the oracle.
+    *
+    * Scale shape: postings shuffle on the term once; pair partial sums
+    * are 9-dp decimals (add-order independent, the bm25 contract); the
+    * global top-k goes through TakeOrdered, not a full sort. */
+  def sparseDotTopK(df: DataFrame, idCol: String, textCol: String,
+      numFeatures: Int, maxDf: Int, k: Int): DataFrame = {
+    val w = tfidfRelational(df, idCol, textCol, numFeatures)
+      .select(col(idCol).as("pid"), col("term_hash"), col("w"))
+    val keep = w.groupBy("term_hash").agg(count(lit(1)).as("tdf"))
+      .filter(col("tdf") <= maxDf).select("term_hash")
+    val p = w.join(keep, "term_hash").localCheckpoint(eager = true)
+    p.as("a").join(p.as("b"),
+        col("a.term_hash") === col("b.term_hash") &&
+        col("a.pid") < col("b.pid"))
+      .groupBy(col("a.pid").as("id_a"), col("b.pid").as("id_b"))
+      .agg(round(sum(round(col("a.w") * col("b.w"), 9)
+          .cast("decimal(28,9)")).cast("double"), 6).as("dot"))
+      .orderBy(col("dot").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
   /** Language-ID heuristic: marker-stopword hit counts per language,
     * argmax with deterministic tie-break on language code order.
     * (The fixture `documents.text` is synthetic English-ish for every

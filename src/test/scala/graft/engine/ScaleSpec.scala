@@ -168,4 +168,13 @@ class ScaleSpec extends SparkSpec {
     df.unpersist(blocking = true)
     assert(!df.storageLevel.useMemory)
   }
+
+  test("skewProfile: heaviest keys first, skew = count/mean by hand") {
+    // keys: a×6, b×2, c×1 → mean 3; skew(a)=2, ties broken by key
+    val d = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    val out = Skew.skewProfile(d, "k", topK = 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", 6L, 2.0), ("b", 2L, BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
 }

@@ -93,6 +93,29 @@ class TfIdfSpec extends SparkSpec {
     assert(out == Seq(Seq("x y", "y z"), Seq(), Seq(), Seq("p q")))
   }
 
+  test("sparseDotTopK: shared-term dot products by hand; df-cap drops " +
+    "ubiquitous terms from every pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta common"),
+      (2L, "alpha beta common"),
+      (3L, "gamma delta common"))
+      .toDF("doc_id", "text")
+    // maxDf=2 drops "common" (df 3); docs 1,2 share alpha+beta
+    val out = TextOps.sparseDotTopK(docs, "doc_id", "text",
+        numFeatures = 1 << 12, maxDf = 2, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    // w = 1·ln(4/3) for each shared term, both docs: dot = 2·w²
+    val w = BigDecimal(math.log(4.0 / 3)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val term = BigDecimal(w * w).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP)
+    val expected = (term + term).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.head._3 - expected) < 1e-9)
+  }
+
   test("stopwordDiscovery: df counts docs not occurrences; threshold " +
     "is inclusive on the rounded fraction") {
     import spark.implicits._

@@ -1082,7 +1082,30 @@ object ExtQueries {
     EventOps.weeklyRetention(Tables.events(s, d), "user_id", "ts")
       .orderBy("cohort_week", "week_offset")
 
+  /** q121 — vocabulary encoding ([[TextOps.vocabEncode]]): tokens → ids
+    * against the induced top-256 vocab, OOV → −1; every 50th doc. */
+  private val q121: Q = (s, d) =>
+    TextOps.vocabEncode(Tables.documents(s, d), "doc_id", "text",
+        vocabSize = 256)
+      .filter(col("doc_id") % 50 === 0)
+      .orderBy("doc_id", "pos")
+
+  /** q122 — Z-order layout key ([[graft.functions.ZOrder.zValue]]):
+    * Morton-interleaved (partkey, suppkey) sort key over a thinned
+    * lineitem sample — the multi-column data-skipping layout. */
+  private val q122: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 1024).as("zx"),
+        (col("l_suppkey") % 1024).as("zy"))
+      .withColumn("z", graft.functions.ZOrder
+        .zValue(col("zx"), col("zy"), bits = 10))
+      .orderBy("z", "l_orderkey", "l_linenumber")
+
   val all: Map[String, Q] = Map(
+    "q121_vocab_encode" -> q121,
+    "q122_zorder_key" -> q122,
     "q117_sparse_dot_topk" -> q117,
     "q118_skew_profile" -> q118,
     "q119_funnel" -> q119,
@@ -1342,6 +1365,41 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q121_vocab_encode" ->
+      s"""WITH tok AS (
+         |  SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |vocab AS (
+         |  SELECT tok,
+         |    CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT)
+         |      AS token_id
+         |  FROM (SELECT tok, count(*) AS n FROM tok GROUP BY 1
+         |        ORDER BY n DESC, tok LIMIT 256)),
+         |pt AS (
+         |  SELECT doc_id, dim1 - 1 AS pos, ftoks[dim1] AS tok
+         |  FROM (
+         |    SELECT doc_id, ftoks,
+         |      unnest(generate_series(1, len(ftoks))) AS dim1
+         |    FROM (SELECT doc_id,
+         |            list_filter($toksSql, w -> length(w) > 0) AS ftoks
+         |          FROM documents WHERE doc_id % 50 = 0)))
+         |SELECT pt.doc_id, CAST(pt.pos AS INT) AS pos,
+         |  COALESCE(v.token_id, -1) AS token_id
+         |FROM pt LEFT JOIN vocab v USING (tok)
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q122_zorder_key" ->
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_partkey % 1024 AS zx, l_suppkey % 1024 AS zy
+        |  FROM lineitem WHERE l_orderkey % 97 = 0)
+        |SELECT l_orderkey, l_linenumber, zx, zy,
+        |  CAST(COALESCE(list_reduce(list_transform(generate_series(0, 9),
+        |    i -> ((zx >> i) & 1) * power(2, 2*i)
+        |       + ((zy >> i) & 1) * power(2, 2*i + 1)),
+        |    (a, b) -> a + b), 0) AS BIGINT) AS z
+        |FROM t ORDER BY z, l_orderkey, l_linenumber""".stripMargin,
+
     "q117_sparse_dot_topk" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

@@ -132,6 +132,36 @@ object TextOps {
       .select(col(idCol), col("term_hash"), col("tf"), col("w"))
   }
 
+  /** Tokens → integer ids against a corpus-derived vocabulary — the
+    * encoding step after [[vocabCoverage]]-style induction: the vocab is
+    * the `vocabSize` most frequent tokens (freq desc, token asc; id =
+    * rank), everything else maps to `unkId`. Returns exploded
+    * (id, pos, token_id) rows.
+    *
+    * Scale shape: the vocab is induced with one token hash-agg +
+    * TakeOrdered (vocab ≪ corpus) and BROADCAST back — the corpus-sized
+    * token stream never shuffles to get its ids; the rank window runs
+    * over vocabSize rows only. Positions index the FILTERED token list
+    * (empties dropped before posexplode), mirrored in the oracle. */
+  def vocabEncode(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, unkId: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("n").desc, col("tok").asc)
+    val vocab = df
+      .select(explode(filter(tokens(col(textCol)), w => length(w) > 0))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(ord: _*).limit(vocabSize)
+      .withColumn("token_id", row_number().over(Window.orderBy(ord: _*)))
+      .select("tok", "token_id")
+    df.select(col(idCol),
+        posexplode(filter(tokens(col(textCol)), w => length(w) > 0))
+          .as(Seq("pos", "tok")))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token_id"), lit(unkId)).as("token_id"))
+  }
+
   /** Sparse dot-product similarity join over TF-IDF weights — the
     * "more-like-this" retrieval primitive: sim(a,b) = Σ w_a(t)·w_b(t)
     * over shared terms, computed RELATIONALLY (inverted-index join on the

@@ -93,6 +93,20 @@ class TfIdfSpec extends SparkSpec {
     assert(out == Seq(Seq("x y", "y z"), Seq(), Seq(), Seq("p q")))
   }
 
+  test("vocabEncode: rank ids by frequency then token, OOV maps to unk, " +
+    "positions index the filtered token list") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a  b rare"), (2L, "a b a"))
+      .toDF("doc_id", "text")
+    // freq: a×3, b×3 (tie → a first), rare×1; vocabSize 2 → rare is OOV
+    val out = TextOps.vocabEncode(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 2), (1L, 1, 1), (1L, 2, 2), (1L, 3, -1),
+      (2L, 0, 1), (2L, 1, 2), (2L, 2, 1)))
+  }
+
   test("sparseDotTopK: shared-term dot products by hand; df-cap drops " +
     "ubiquitous terms from every pair") {
     import spark.implicits._

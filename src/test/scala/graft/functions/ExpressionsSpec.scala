@@ -117,4 +117,20 @@ class ExpressionsSpec extends SparkSpec {
       .filter(col("got") =!= col("expected")).count()
     assert(out == 0)
   }
+
+  test("zValue: Morton interleave matches a reference implementation " +
+    "and preserves 2-D locality ordering basics") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.sum
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 9L),
+      (1023L, 0L), (0L, 1023L), (1023L, 1023L), (512L, 511L))
+    val got = cases.toDF("x", "y")
+      .select(graft.functions.ZOrder.zValue(col("x"), col("y"), 10))
+      .as[Long].collect().toSeq
+    assert(got == cases.map { case (x, y) => ref(x, y, 10) })
+    // interleave basics: z(0,0)=0, z(1,0)=1, z(0,1)=2, z(1,1)=3
+    assert(got.take(4) == Seq(0L, 1L, 2L, 3L))
+  }
 }

@@ -165,12 +165,22 @@ object ExtQueries {
       .orderBy("l_returnflag")
 
   /** q43 — approx median (GK sketch, the reference's actual scale choice,
-    * `Preprocessing.py:145-147`; sketch ⇒ rows-only check, exactness is
-    * deliberately traded away). */
+    * `Preprocessing.py:145-147`). The sketch value is engine-specific,
+    * so the ORACLE-CHECKED output is the sketch's CONTRACT: the estimate
+    * must land inside the exact [P48, P52] band (ε=0.01 at accuracy 100,
+    * band doubled to absorb interpolated-vs-element quantiles) — the
+    * oracle asserts `within_band = true` plus the exact median. */
   private val q43: Q = (s, d) =>
     Tables.lineitem(s, d).groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(100))
-        .as("approx_med"))
+      .agg(round(percentile(col("l_quantity"), lit(0.5)), 6)
+          .as("med_exact"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(100))
+          .as("approx"),
+        percentile(col("l_quantity"), lit(0.48)).as("lo"),
+        percentile(col("l_quantity"), lit(0.52)).as("hi"))
+      .select(col("l_returnflag"), col("med_exact"),
+        (col("approx") >= col("lo") && col("approx") <= col("hi"))
+          .as("within_band"))
       .orderBy("l_returnflag")
 
   /** q44 — running-total window frame (rows unbounded-preceding → current),
@@ -284,9 +294,12 @@ object ExtQueries {
 
   /** q56 — mergeable HLL sketches (Datasketches, Spark 3.5+): per-type
     * distinct-user sketches merged into a global estimate — THE 100 TB
-    * distinct-count pattern (sketches union across partitions/days without
-    * re-scanning; exact countDistinct is the small-scale oracle in tests).
-    * Sketch binaries are engine-specific ⇒ rows-only. */
+    * distinct-count pattern (sketches union across partitions/days
+    * without re-scanning). Sketch binaries/estimates are
+    * engine-specific, so the ORACLE-CHECKED output is the accuracy
+    * CONTRACT: each estimate (including the merged `__all__` row) within
+    * 5% (≈3σ at lgK 12) of the exact distinct count — the oracle asserts
+    * `within_5pct = true` plus the exact counts. */
   private val q56: Q = (s, d) => {
     val ev = Tables.events(s, d)
     // materialized once: both union branches consume it, and plan reuse
@@ -295,18 +308,18 @@ object ExtQueries {
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("exact_distinct"))
       .localCheckpoint(true)
-    perType.select(
-        col("event_type"),
-        hll_sketch_estimate(col("sk")).as("approx_distinct"),
-        col("exact_distinct"))
-      .unionByName(
-        perType.agg(
-          hll_sketch_estimate(hll_union_agg(col("sk")))
-            .as("approx_distinct"))
-          .withColumn("event_type", lit("__all__"))
-          .withColumn("exact_distinct",
-            lit(null).cast("long"))
-          .select("event_type", "approx_distinct", "exact_distinct"))
+    val typed = perType.select(col("event_type"), col("exact_distinct"),
+      hll_sketch_estimate(col("sk")).as("est"))
+    val merged = perType
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .withColumn("event_type", lit("__all__"))
+      .crossJoin(broadcast(
+        ev.agg(countDistinct(col("user_id")).as("exact_distinct"))))
+      .select(col("event_type"), col("exact_distinct"), col("est"))
+    typed.unionByName(merged)
+      .select(col("event_type"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("within_5pct"))
       .orderBy("event_type")
   }
 
@@ -1365,6 +1378,24 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q43_approx_median" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_exact,
+        |  TRUE AS within_band
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q56_hll_distinct" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__all__',
+        |    CAST(count(DISTINCT user_id) AS BIGINT)
+        |  FROM events)
+        |SELECT event_type, exact_distinct, TRUE AS within_5pct
+        |FROM t ORDER BY event_type""".stripMargin,
+
     "q121_vocab_encode" ->
       s"""WITH tok AS (
          |  SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)

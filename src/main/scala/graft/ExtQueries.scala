@@ -1116,7 +1116,29 @@ object ExtQueries {
         .zValue(col("zx"), col("zy"), bits = 10))
       .orderBy("z", "l_orderkey", "l_linenumber")
 
+  /** q123 — data-quality expectations report
+    * ([[graft.engine.Expectations]]): range/null checks in one lineitem
+    * pass, orderkey uniqueness, and both FK orphan checks. */
+  private val q123: Q = (s, d) => {
+    import Expectations._
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    report(Seq(
+      columnChecks(li, Seq(
+        Check("li_quantity_range",
+          col("l_quantity") < 1 || col("l_quantity") > 50),
+        Check("li_discount_range",
+          col("l_discount") < 0 || col("l_discount") > 0.1),
+        Check("li_shipdate_notnull", col("l_shipdate").isNull))),
+      uniqueCheck(ord, "ord_orderkey_unique", "o_orderkey"),
+      fkCheck(ord, "ord_custkey_fk", "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      fkCheck(li, "li_orderkey_fk", "l_orderkey", ord, "o_orderkey")))
+      .orderBy("check")
+  }
+
   val all: Map[String, Q] = Map(
+    "q123_expectations" -> q123,
     "q121_vocab_encode" -> q121,
     "q122_zorder_key" -> q122,
     "q117_sparse_dot_topk" -> q117,
@@ -1378,6 +1400,37 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q123_expectations" ->
+      """WITH r AS (
+        |  SELECT 'li_quantity_range' AS "check",
+        |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_discount_range',
+        |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |        THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_shipdate_notnull',
+        |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ord_orderkey_unique',
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'ord_custkey_fk', CAST(count(*) AS BIGINT)
+        |  FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'li_orderkey_fk', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT "check", n_violations, n_violations = 0 AS pass
+        |FROM r ORDER BY "check"""".stripMargin,
+
     "q43_approx_median" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS med_exact,

@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations: declarative checks evaluated as ordinary
+  * aggregates, one result row per check (name, violation count, pass) —
+  * the validation gate a production pipeline runs before data is allowed
+  * downstream.
+  *
+  * Scale shape: ALL column checks against one table share a single scan
+  * and a single 1-row aggregate (each check is a conditional sum — no
+  * per-check pass); uniqueness is one distinct-vs-count aggregate; FK
+  * orphan checks are left-anti joins that broadcast the parent when it
+  * fits and shuffle on the key otherwise. The report is a union of
+  * 1-row frames — constant output size at any corpus scale.
+  */
+object Expectations {
+
+  /** A named row-level violation predicate (true = row violates). */
+  final case class Check(name: String, violation: Column)
+
+  /** Evaluate row-level checks against `df` in ONE pass. */
+  def columnChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val aggs = checks.map(c =>
+      sum(when(c.violation, 1).otherwise(0)).cast("long").as(c.name))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(checks.map(c =>
+        struct(lit(c.name).as("check"), col(c.name).as("n_violations"))
+      ): _*)).as("r"))
+      .select(col("r.check"), col("r.n_violations"))
+  }
+
+  /** Duplicate-key count for a uniqueness expectation. */
+  def uniqueCheck(df: DataFrame, name: String, key: String): DataFrame =
+    df.agg((count(col(key)) - countDistinct(col(key)))
+        .cast("long").as("n_violations"))
+      .select(lit(name).as("check"), col("n_violations"))
+
+  /** Orphaned-foreign-key count (child rows with no parent). */
+  def fkCheck(child: DataFrame, name: String, key: String,
+      parent: DataFrame, pkey: String): DataFrame =
+    child.join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("check"), col("n_violations"))
+
+  /** Union per-check frames into the final report with pass flags. */
+  def report(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_.unionByName(_))
+      .withColumn("pass", col("n_violations") === 0)
+}

@@ -1137,7 +1137,20 @@ object ExtQueries {
       .orderBy("check")
   }
 
+  /** q124 — incremental rollup maintenance
+    * ([[graft.engine.Aggregates.dailyPartials]] → [[graft.engine.Aggregates.mergePartials]]):
+    * per-day mergeable partials re-aggregated to per-type totals; the
+    * oracle is the DIRECT aggregation of the raw rows, so the merge must
+    * be exactly lossless. */
+  private val q124: Q = (s, d) => {
+    val partials = Aggregates.dailyPartials(Tables.events(s, d), "ts",
+      "event_type", "value")
+    Aggregates.mergePartials(partials, "event_type")
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q124_incremental_rollup" -> q124,
     "q123_expectations" -> q123,
     "q121_vocab_encode" -> q121,
     "q122_zorder_key" -> q122,
@@ -1400,6 +1413,17 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q124_incremental_rollup" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+        |    AS sum_v,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_v,
+        |  min(value) AS min_v,
+        |  max(value) AS max_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q123_expectations" ->
       """WITH r AS (
         |  SELECT 'li_quantity_range' AS "check",

@@ -117,6 +117,34 @@ object Aggregates {
   def approxMedian(df: DataFrame, c: String, eps: Double = 0.01): Double =
     df.stat.approxQuantile(c, Array(0.5), eps).head
 
+  /** Incremental-rollup partials: per (day, `keyCol`) mergeable summary
+    * state (count, exact decimal sum, min, max) — the materialized-view
+    * pattern at 100 TB: the fact stream is aggregated ONCE per ingest
+    * batch into partials bounded by days × keys, and every later rollup
+    * query merges partials instead of re-scanning the corpus. */
+  def dailyPartials(df: DataFrame, tsCol: String, keyCol: String,
+      valCol: String): DataFrame =
+    df.groupBy(to_date(col(tsCol).cast("timestamp")).as("day"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(38,6)")).as("sum6"),
+        min(col(valCol)).as("min_v"),
+        max(col(valCol)).as("max_v"))
+
+  /** Merge [[dailyPartials]] state up to `keyCol` totals — count/sum add,
+    * min/max fold, avg derives from the merged exact sums, so the result
+    * is bit-identical to aggregating the raw rows directly (the merge
+    * correctness every incremental pipeline depends on; oracle-asserted
+    * against the direct form). */
+  def mergePartials(partials: DataFrame, keyCol: String): DataFrame =
+    partials.groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("sum6")).cast("double"), 6).as("sum_v"),
+        round(sum(col("sum6")).cast("double") / sum(col("n")), 6)
+          .as("avg_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
   /** Fixed-width histogram of a numeric column: bin = ⌊v / width⌋ —
     * the distributed EDA primitive behind every profile chart (the
     * reference draws these client-side from collected pandas frames;

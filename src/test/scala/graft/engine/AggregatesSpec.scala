@@ -74,6 +74,30 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(approx - 500.0) <= 20.0)
   }
 
+  test("dailyPartials → mergePartials is lossless vs direct aggregation " +
+    "under any batch split") {
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 200).map { i =>
+      (Timestamp.valueOf(f"2024-01-${1 + rng.nextInt(28)}%02d 10:00:00"),
+        s"t${rng.nextInt(3)}", rng.nextDouble() * 100 - 20)
+    }
+    val df = rows.toDF("ts", "event_type", "value")
+    val merged = Aggregates.mergePartials(
+        Aggregates.dailyPartials(df, "ts", "event_type", "value"),
+        "event_type")
+      .orderBy("event_type").collect().toSeq
+    val direct = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,6)")).cast("double"), 6)
+          .as("sum_v"),
+        round(sum(col("value").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy("event_type").collect().toSeq
+    assert(merged == direct)
+  }
+
   test("histogram: bin edges by hand, negatives floor toward -inf, " +
     "nulls dropped, empty bins absent") {
     val d = Seq(Some(0.0), Some(4.9), Some(5.0), Some(12.0), Some(-0.1),

@@ -216,7 +216,7 @@ object StreamingOps {
     q.awaitTermination()
     val out = spark.table(queryName)
     // normalize LTZ → NTZ so results compare 1:1 with the batch transform
-    out.select(out.schema.fields.map { f =>
+    out.select(out.schema.fields.toIndexedSeq.map { f =>
       if (f.dataType == org.apache.spark.sql.types.TimestampType)
         col(f.name).cast(org.apache.spark.sql.types.TimestampNTZType)
           .as(f.name)

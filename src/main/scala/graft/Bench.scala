@@ -27,12 +27,16 @@ object Bench {
     // slowdown by the tail of the suite). A real pipeline runs one job per
     // JVM; the bench must not charge query N for query N−1's blocks.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Unit = {
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+        : Unit =
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      finally {
+        // in finally: a FAILED query must also release its blocks, or
+        // the leak this cleanup exists to prevent comes back for the
+        // remaining ~115 queries of both passes
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     // warm-up pass: codegen compilation, parquet footer caches, JIT — so
     // the recorded numbers reflect steady-state query cost
     SparkEntry.queries.foreach { case (_, fn) =>

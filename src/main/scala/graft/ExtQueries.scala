@@ -1713,8 +1713,7 @@ object ExtQueries {
          |FROM ov
          |JOIN d2 ma ON ov.id_a = ma.doc_id
          |JOIN d2 mb ON ov.id_b = mb.doc_id
-         |WHERE round(CAST(inter AS DOUBLE) / (ma.m + mb.m - inter), 6)
-         |  >= 0.8
+         |WHERE CAST(inter AS DOUBLE) / (ma.m + mb.m - inter) >= 0.8
          |ORDER BY 1, 2""".stripMargin,
 
     "q102_salted_join" ->

@@ -164,9 +164,12 @@ object Aggregates {
     * them; this bounds their leverage). Same two-pass
     * stats-then-broadcast shape as z-score scaling: the percentile
     * frame is |groups| rows, the clip+mean pass rides the fact scan. */
-  def winsorizedMean(df: DataFrame, groupCol: String, valCol: String,
+  def winsorizedMean(df0: DataFrame, groupCol: String, valCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     val v = col(valCol)
+    // least/greatest SKIP nulls, so an unfiltered null value would clip
+    // to the upper fence and count toward n instead of being ignored
+    val df = df0.filter(v.isNotNull)
     val fences = df.groupBy(groupCol).agg(
       percentile(v, lit(pLo)).as("lo"),
       percentile(v, lit(pHi)).as("hi"))

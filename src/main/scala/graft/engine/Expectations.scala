@@ -23,8 +23,12 @@ object Expectations {
   /** Evaluate row-level checks against `df` in ONE pass. */
   def columnChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
+    // coalesce: sum over an EMPTY table is null, and a null violation
+    // count makes pass = (null === 0) = null — the gate would neither
+    // pass nor fail; an empty input must read as zero violations
     val aggs = checks.map(c =>
-      sum(when(c.violation, 1).otherwise(0)).cast("long").as(c.name))
+      coalesce(sum(when(c.violation, 1).otherwise(0)), lit(0))
+        .cast("long").as(c.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     wide.select(explode(array(checks.map(c =>
         struct(lit(c.name).as("check"), col(c.name).as("n_violations"))

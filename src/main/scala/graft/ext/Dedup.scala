@@ -194,10 +194,16 @@ object Dedup {
       .join(ordered.select(col("pid").as("id_b"), col("gs").as("gs_b"),
         col("m").as("m_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
-      .withColumn("jac", round(col("inter").cast("double") /
-        (col("m_a") + col("m_b") - col("inter")), 6))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+      // filter on the UNROUNDED ratio: the pigeonhole guarantee covers
+      // true J >= t only — a pair just below t that ROUNDS to t has no
+      // prefix-collision guarantee, so a rounded filter could admit it
+      // nondeterministically; round for output only (jaccardPairs
+      // filters unrounded too, and the oracle mirrors this)
+      .withColumn("jac_raw", col("inter").cast("double") /
+        (col("m_a") + col("m_b") - col("inter")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jac_raw"), 6).as("jac"))
       .orderBy("id_a", "id_b")
   }
 

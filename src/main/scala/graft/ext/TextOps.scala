@@ -114,7 +114,7 @@ object TextOps {
     * Plan: explode → two hash-aggregates (tf, df) → broadcast scalar m —
     * all shuffles keyed on the term bucket / doc id, no driver round-trip. */
   def tfidfRelational(df: DataFrame, idCol: String, textCol: String,
-      numFeatures: Int = 1 << 12): DataFrame = {
+      numFeatures: Int = 1 << 12, maxDf: Int = Int.MaxValue): DataFrame = {
     val terms = df.select(col(idCol),
         explode(filter(tokens(col(textCol)),
           w => !w.isin(stopwords: _*) && length(w) > 0)).as("tok"))
@@ -126,6 +126,9 @@ object TextOps {
       .agg(count(lit(1)).as("df")) // tf is already 1 row per (doc, bucket)
     val m = df.agg(count(lit(1)).as("m"))
     tf.join(docFreq, Seq("term_hash"))
+      // df-cap applied HERE so consumers (sparseDotTopK) don't pay a
+      // second corpus-wide df aggregate to rebuild what this join knows
+      .filter(col("df") <= maxDf)
       .crossJoin(broadcast(m))
       .withColumn("w", round(col("tf") *
         log((col("m") + 1).cast("double") / (col("df") + 1)), 6))
@@ -175,11 +178,9 @@ object TextOps {
     * global top-k goes through TakeOrdered, not a full sort. */
   def sparseDotTopK(df: DataFrame, idCol: String, textCol: String,
       numFeatures: Int, maxDf: Int, k: Int): DataFrame = {
-    val w = tfidfRelational(df, idCol, textCol, numFeatures)
+    val p = tfidfRelational(df, idCol, textCol, numFeatures, maxDf)
       .select(col(idCol).as("pid"), col("term_hash"), col("w"))
-    val keep = w.groupBy("term_hash").agg(count(lit(1)).as("tdf"))
-      .filter(col("tdf") <= maxDf).select("term_hash")
-    val p = w.join(keep, "term_hash").localCheckpoint(eager = true)
+      .localCheckpoint(eager = true)
     p.as("a").join(p.as("b"),
         col("a.term_hash") === col("b.term_hash") &&
         col("a.pid") < col("b.pid"))

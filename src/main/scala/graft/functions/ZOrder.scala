@@ -19,13 +19,18 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Morton key of `x`, `y` using their low `bits` bits each (caller
-    * clamps/normalizes; values must be non-negative). */
+    * clamps/normalizes; values must be non-negative). Inputs are cast to
+    * long BEFORE shifting: on an int column, bits ≥ 16 would shift past
+    * 31 (Java wraps shift counts mod 32) and overflow the sum — the key
+    * would silently collide across distant points. */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
     (0 until bits).map { i =>
-      val xb = shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i)
-      val yb = shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+      val xb = shiftleft(shiftright(xl, i).bitwiseAND(1L), 2 * i)
+      val yb = shiftleft(shiftright(yl, i).bitwiseAND(1L), 2 * i + 1)
       xb + yb
-    }.reduce(_ + _).cast("long")
+    }.reduce(_ + _)
   }
 }

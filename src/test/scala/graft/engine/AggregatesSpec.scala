@@ -122,6 +122,15 @@ class AggregatesSpec extends SparkSpec {
     assert(out._3 == 10L)
   }
 
+  test("winsorizedMean ignores null values entirely (no clip-to-fence, " +
+    "no count inflation)") {
+    val d = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      ("g", None)).toDF("grp", "v")
+    val out = Aggregates.winsorizedMean(d, "grp", "v", 0.0, 1.0)
+      .as[(String, Double, Long)].collect().head
+    assert(out == (("g", 2.0, 3L))) // plain mean of 1,2,3; null excluded
+  }
+
   test("iqrOutliers: fences and counts match hand math; rows ON the " +
     "fence are not outliers") {
     // group g: 1..100 plus two plants → 102 values; interpolated

@@ -34,6 +34,15 @@ class ExpectationsSpec extends SparkSpec {
     assert(clean == (("ok_fk", 0L, true)))
   }
 
+  test("columnChecks on an EMPTY table reports zero violations and " +
+    "passes — never NULL") {
+    val empty = Seq.empty[(Double, String)].toDF("qty", "tag")
+    val rep = report(Seq(columnChecks(empty, Seq(
+        Check("qty_range", col("qty") < 0)))))
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(rep == Seq(("qty_range", 0L, true)))
+  }
+
   test("columnChecks plan: all checks share ONE aggregate over one scan") {
     val d = Seq((1.0, "x")).toDF("qty", "tag")
     val plan = columnChecks(d, Seq(

@@ -133,4 +133,18 @@ class ExpressionsSpec extends SparkSpec {
     // interleave basics: z(0,0)=0, z(1,0)=1, z(0,1)=2, z(1,1)=3
     assert(got.take(4) == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("zValue: INT columns with bits >= 16 do not overflow 32-bit " +
+    "shift/add (inputs widen to long before shifting)") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.sum
+    val cases = Seq((65536, 0), (0, 65536), (1 << 19, 1 << 19), (3, 1 << 17))
+    val got = cases.toDF("x", "y") // IntegerType columns
+      .select(graft.functions.ZOrder.zValue(col("x"), col("y"), 20))
+      .as[Long].collect().toSeq
+    assert(got == cases.map { case (x, y) => ref(x.toLong, y.toLong, 20) })
+    assert(got.head == (1L << 32)) // would be 1 under int shift-wrap
+  }
 }

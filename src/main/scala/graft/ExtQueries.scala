@@ -1149,7 +1149,20 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  /** q125 — PageRank over the near-dup graph ([[GraphOps.pageRank]]):
+    * 5 iterations, d=0.85, on the q31 pair graph's edge subgraph —
+    * iterative relational graph analytics with a recursive-CTE oracle
+    * (per-iteration decimal sums keep both engines in lockstep). */
+  private val q125: Q = (s, d) => {
+    val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id",
+      "text", 3, 0.1, maxDf = 100)
+    GraphOps.pageRank(pairs, iterations = 5)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q125_pagerank" -> q125,
     "q124_incremental_rollup" -> q124,
     "q123_expectations" -> q123,
     "q121_vocab_encode" -> q121,
@@ -1413,6 +1426,29 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q125_pagerank" ->
+      s"""WITH RECURSIVE
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges
+         |        GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |pr(iter, id, rank) AS (
+         |  SELECT 0, deg.src, round(CAST(1.0 AS DOUBLE) / nn.n, 9)
+         |  FROM deg, nn
+         |  UNION ALL
+         |  SELECT pr.iter + 1, e.dst,
+         |    round((CAST(1.0 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+         |      + 0.85 * CAST(SUM(CAST(round(pr.rank / d2.deg, 12)
+         |          AS DECIMAL(28,12))) AS DOUBLE), 9)
+         |  FROM pr JOIN edges e ON pr.id = e.src
+         |          JOIN deg d2 ON d2.src = pr.id
+         |  WHERE pr.iter < 5
+         |  GROUP BY e.dst, pr.iter)
+         |SELECT id AS doc_id, rank FROM pr WHERE iter = 5
+         |ORDER BY doc_id""".stripMargin,
+
     "q124_incremental_rollup" ->
       """SELECT event_type,
         |  count(*) AS n_events,

@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relational edge lists — the companion
+  * to [[Dedup.dupClusters]]' connected components: joins + aggregates
+  * per round, no driver-side graph, no GraphX dependency.
+  */
+object GraphOps {
+
+  /** PageRank over an UNDIRECTED edge list (id_a, id_b), restricted to
+    * the subgraph of nodes with ≥ 1 edge (isolated nodes carry no
+    * structural signal and excluding them leaves no dangling mass to
+    * redistribute — which also keeps the SQL oracle to a single
+    * recursive self-reference). Fixed iteration count; damping `d`.
+    *
+    * Determinism contract (oracle-checkable): per-edge contributions are
+    * rounded to 12 dp and summed as exact decimals, and each new rank is
+    * rounded to 9 dp — every iteration's state is therefore identical
+    * under ANY partitioning or join order, in this engine or the oracle's.
+    *
+    * Scale shape: per round ONE join (ranks ⋈ edges on the source) and
+    * one hash-agg on the destination; ranks frame is |V| rows; per-round
+    * localCheckpoint keeps the iterative plan flat (the dupClusters
+    * discipline). Degrees compute once. At 100 TB the edge list shuffles
+    * once per round on the join key — the relational PageRank trade-off;
+    * for low round counts (5–10) this beats specialized-system handoff. */
+  def pageRank(pairs: DataFrame, iterations: Int, d: Double = 0.85)
+      : DataFrame = {
+    require(iterations >= 1, s"need >= 1 iteration, got $iterations")
+    // symmetrize via explode (ONE evaluation of the upstream pipeline)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .localCheckpoint(eager = true)
+    val degrees = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    val n = degrees.count() // |V| of the edge subgraph — KB-scale action
+    var ranks = degrees.select(col("src").as("id"),
+        round(lit(1.0 / n), 9).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(edges, ranks("id") === edges("src"))
+        .join(degrees, "src")
+        .select(col("dst"),
+          round(col("rank") / col("deg"), 12).cast("decimal(28,12)")
+            .as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).cast("double").as("inflow"))
+      // every subgraph node has deg >= 1 AND >= 1 in-edge (undirected),
+      // so the join keeps all |V| rows — no outer join needed
+      ranks = contribs
+        .select(col("dst").as("id"),
+          round(lit((1.0 - d) / n) + lit(d) * col("inflow"), 9)
+            .as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+}

@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: hand-computed chain 1-2-3 after one iteration; center " +
+    "dominates; mass conserved") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r1 = GraphOps.pageRank(pairs, iterations = 1)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    // deg: 1→1, 2→2, 3→1; init 1/3 each
+    // rank(1) = 0.15/3 + 0.85·(1/3)/2 ; rank(2) = 0.15/3 + 0.85·(1/3+1/3)
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val third = r9(1.0 / 3)
+    val end = r9((1.0 - 0.85) / 3 + 0.85 * r9(third / 2))
+    val mid = r9((1.0 - 0.85) / 3 + 0.85 * (r9(third) + r9(third)))
+    assert(r1 == Seq((1L, end), (2L, mid), (3L, end)))
+    assert(mid > end)
+    // total mass stays ~1 (no dangling nodes in the edge subgraph)
+    val total = r1.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-6)
+  }
+
+  test("pageRank on the real near-dup graph: converging, deterministic " +
+    "across partitionings, all ranks positive") {
+    val pairs = Dedup.jaccardPairs(
+      graft.engine.Tables.documents(spark, sf0001), "doc_id", "text",
+      3, 0.1, maxDf = 100)
+    val a = GraphOps.pageRank(pairs, iterations = 5)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    val b = GraphOps.pageRank(pairs.repartition(7), iterations = 5)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.forall(_._2 > 0))
+    assert(math.abs(a.map(_._2).sum - 1.0) < 1e-5)
+  }
+}

@@ -39,9 +39,13 @@ object GraphOps {
     val degrees = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = true)
     val n = degrees.count() // |V| of the edge subgraph — KB-scale action
+    // LAZY checkpoints for the rank frames: each intermediate is consumed
+    // exactly once (the next round's join), so an eager materialization
+    // job per round would double the job count for nothing; the
+    // checkpoint still cuts the lineage when the consumer runs
     var ranks = degrees.select(col("src").as("id"),
         round(lit(1.0 / n), 9).as("rank"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     for (_ <- 1 to iterations) {
       val contribs = ranks
         .join(edges, ranks("id") === edges("src"))
@@ -57,7 +61,7 @@ object GraphOps {
         .select(col("dst").as("id"),
           round(lit((1.0 - d) / n) + lit(d) * col("inflow"), 9)
             .as("rank"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
     ranks
   }

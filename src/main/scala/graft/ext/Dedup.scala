@@ -350,20 +350,28 @@ object Dedup {
       : DataFrame =
     dupClustersWithRounds(pairs, allIds, idCol)._1
 
-  /** [[dupClusters]] + the number of rounds to fixpoint (exposed for the
-    * convergence-rate spec). */
-  private[ext] def dupClustersWithRounds(pairs: DataFrame,
-      allIds: DataFrame, idCol: String): (DataFrame, Int) = {
-    // symmetrize with ONE evaluation of the (possibly expensive) pairs
-    // pipeline: union(pairs, pairs.swapped) scans the upstream plan twice
-    // when the cache first materializes — explode duplicates each row
-    // map-side instead
-    val edges = pairs
+  /** Symmetrize an (id_a, id_b) pair list into a (src, dst) edge list
+    * with ONE evaluation of the (possibly expensive) pairs pipeline:
+    * union(pairs, pairs.swapped) scans the upstream plan twice when the
+    * cache first materializes — explode duplicates each row map-side
+    * instead. `dedup` additionally collapses duplicate/self edges (keep
+    * it on unless the input is known unique with id_a < id_b — the
+    * shared invariant [[dupClusters]] and GraphOps.pageRank rely on). */
+  private[graft] def symmetrized(pairs: DataFrame,
+      dedup: Boolean = true): DataFrame = {
+    val e = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().cache()
+    if (dedup) e.distinct() else e
+  }
+
+  /** [[dupClusters]] + the number of rounds to fixpoint (exposed for the
+    * convergence-rate spec). */
+  private[ext] def dupClustersWithRounds(pairs: DataFrame,
+      allIds: DataFrame, idCol: String): (DataFrame, Int) = {
+    val edges = symmetrized(pairs).cache()
     var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var cached: DataFrame = null
     var changed = 1L

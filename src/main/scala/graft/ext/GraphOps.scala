@@ -29,14 +29,13 @@ object GraphOps {
   def pageRank(pairs: DataFrame, iterations: Int, d: Double = 0.85)
       : DataFrame = {
     require(iterations >= 1, s"need >= 1 iteration, got $iterations")
-    // symmetrize via explode (ONE evaluation of the upstream pipeline)
-    val edges = pairs
-      .select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst"))
+    val edges0 = Dedup.symmetrized(pairs)
       .localCheckpoint(eager = true)
-    val degrees = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val degrees = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+    // deg is loop-invariant: pre-join it onto the edge list ONCE so each
+    // round pays a single ranks⋈edges join, not an extra |V|-frame join
+    val edges = edges0.join(degrees, "src")
+      .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint(eager = true)
     val n = degrees.count() // |V| of the edge subgraph — KB-scale action
     // LAZY checkpoints for the rank frames: each intermediate is consumed
@@ -49,7 +48,6 @@ object GraphOps {
     for (_ <- 1 to iterations) {
       val contribs = ranks
         .join(edges, ranks("id") === edges("src"))
-        .join(degrees, "src")
         .select(col("dst"),
           round(col("rank") / col("deg"), 12).cast("decimal(28,12)")
             .as("c"))

@@ -15,9 +15,13 @@ class GraphOpsSpec extends SparkSpec {
     // rank(1) = 0.15/3 + 0.85·(1/3)/2 ; rank(2) = 0.15/3 + 0.85·(1/3+1/3)
     def r9(x: Double) = BigDecimal(x)
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // contributions round at 12 dp (the engine/oracle contract); only
+    // the final rank rounds at 9 dp
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
     val third = r9(1.0 / 3)
-    val end = r9((1.0 - 0.85) / 3 + 0.85 * r9(third / 2))
-    val mid = r9((1.0 - 0.85) / 3 + 0.85 * (r9(third) + r9(third)))
+    val end = r9((1.0 - 0.85) / 3 + 0.85 * r12(third / 2))
+    val mid = r9((1.0 - 0.85) / 3 + 0.85 * (r12(third) + r12(third)))
     assert(r1 == Seq((1L, end), (2L, mid), (3L, end)))
     assert(mid > end)
     // total mass stays ~1 (no dangling nodes in the edge subgraph)

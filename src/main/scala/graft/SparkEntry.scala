@@ -25,6 +25,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ ExtQueries.all
 
+  /** [[queries]] in ascending qNN order. Bench and Verify iterate in this
+    * order (a plain Map's order is hash-arbitrary) so the shared-scratch
+    * OWNER (q55) always runs before its consumers (q88/q108/q125) — the
+    * pair→cluster compute cost lands on the query documented as paying
+    * it, not on whichever consumer a hash order happened to run first. */
+  def orderedQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    queries.toSeq.sortBy { case (name, _) =>
+      name.drop(1).takeWhile(_.isDigit).toInt
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracles ++ ExtQueries.oracles

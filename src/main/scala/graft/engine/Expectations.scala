@@ -23,6 +23,15 @@ object Expectations {
   /** Evaluate row-level checks against `df` in ONE pass. */
   def columnChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
+    // check names become aggregate column names: duplicates would collide
+    // (ambiguous resolution / silently wrong counts), so reject them here
+    require(checks.map(_.name).distinct.size == checks.size,
+      "check names must be distinct: " +
+        checks.groupBy(_.name).filter(_._2.size > 1).keys.mkString(", "))
+    // backtick-quote when re-resolving: a name containing a dot would
+    // otherwise parse as a nested-field reference and fail resolution
+    def quoted(name: String): Column =
+      col("`" + name.replace("`", "``") + "`")
     // coalesce: sum over an EMPTY table is null, and a null violation
     // count makes pass = (null === 0) = null — the gate would neither
     // pass nor fail; an empty input must read as zero violations
@@ -31,7 +40,7 @@ object Expectations {
         .cast("long").as(c.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     wide.select(explode(array(checks.map(c =>
-        struct(lit(c.name).as("check"), col(c.name).as("n_violations"))
+        struct(lit(c.name).as("check"), quoted(c.name).as("n_violations"))
       ): _*)).as("r"))
       .select(col("r.check"), col("r.n_violations"))
   }

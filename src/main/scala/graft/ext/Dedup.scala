@@ -179,8 +179,15 @@ object Dedup {
       .select(col("pid"),
         transform(col("sg"), s => s.getField("g")).as("gs"),
         size(col("sg")).as("m"))
+      // ceil over a DOUBLE product can round UP past an exact integer
+      // boundary (0.55·20 → 11.000000000000002 → ceil 12), shortening the
+      // prefix by one gram and silently dropping a pair whose overlap is
+      // exactly t·m — the 1e-9 back-off keeps ceil exact there while never
+      // reaching the next-lower integer (t·m is a ratio of doc-sized ints,
+      // so true fractional parts are ≫ 1e-9); a too-LONG prefix only adds
+      // candidates, never loses one
       .withColumn("plen",
-        col("m") - ceil(col("m") * threshold).cast("int") + 1)
+        col("m") - ceil(col("m") * threshold - lit(1e-9)).cast("int") + 1)
       .localCheckpoint(eager = true) // consumed 4×: both join sides, twice
     val prefixes = ordered.select(col("pid"),
       explode(slice(col("gs"), lit(1), col("plen"))).as("g"))

@@ -88,9 +88,13 @@ object Bench {
         -1.0
       }
     }
-    val firstPass = SparkEntry.orderedQueries.map { case (name, fn) =>
-      (name, fn, timed(fn))
-    }
+    // dev-only subset knob (the driver never sets it): isolate queries for
+    // clean measurement without the full-suite wall cost
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val firstPass = SparkEntry.orderedQueries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => (name, fn, timed(fn)) }
     var reruns = 0
     val results: Seq[(String, Double)] = firstPass.map {
       case (name, fn, t) =>

@@ -882,7 +882,8 @@ object ExtQueries {
     * them from its stall re-run (a re-run of the owner would time the
     * cheap parquet read and silently drop the compute cost). */
   val sharedScratchConsumers: Set[String] = Set("q55_dup_clusters",
-    "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank")
+    "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank",
+    "q126_pagerank_directed")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -1223,7 +1224,22 @@ object ExtQueries {
       .select(col("id").as("doc_id"), col("rank"))
       .orderBy("doc_id")
 
+  /** q126 — DIRECTED PageRank with dangling-mass redistribution
+    * ([[GraphOps.pageRankDirected]]): the general form q125 deliberately
+    * avoids (its undirected ≥1-edge subgraph has no dangling mass). The
+    * near-dup pair list is read as a directed low→high-id edge list, so
+    * each component's max-id doc has no out-edges and the dangling
+    * redistribution path is exercised for real. The oracle unrolls the 5
+    * iterations as a CTE chain: each round's dangling aggregate is a
+    * SECOND reference to the previous iteration, which a single-reference
+    * recursive CTE cannot express. */
+  private val q126: Q = (s, d) =>
+    GraphOps.pageRankDirected(sharedPairs(s, d), iterations = 5)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
+    "q126_pagerank_directed" -> q126,
     "q125_pagerank" -> q125,
     "q124_incremental_rollup" -> q124,
     "q123_expectations" -> q123,
@@ -1402,6 +1418,33 @@ object ExtQueries {
        |              JOIN sizes b ON b.doc_id = id_b),
        |pairs AS (SELECT id_a, id_b, jac FROM scored WHERE jac >= $threshold)""".stripMargin
 
+  /** Unrolled per-iteration CTEs for the q126 directed-PageRank oracle:
+    * round i derives dm_i (dangling mass — 12-dp decimal sum of ranks
+    * with no out-edges), inf_i (per-dest 12-dp decimal contribution sum)
+    * and pr_i from pr_{i-1}, with the exact double-arithmetic shape of
+    * [[GraphOps.pageRankDirected]] so iterates match bit-for-bit. */
+  private def directedPrRounds(iters: Int): String =
+    (1 to iters).map { i =>
+      val p = s"pr${i - 1}"
+      s"""dm$i AS (
+         |  SELECT COALESCE(SUM(CAST(round(p.rank, 12) AS DECIMAL(28,12))),
+         |    CAST(0 AS DECIMAL(28,12))) AS dm
+         |  FROM $p p LEFT JOIN odeg o ON o.src = p.id
+         |  WHERE o.src IS NULL),
+         |inf$i AS (
+         |  SELECT e.dst AS id,
+         |    CAST(SUM(CAST(round(p.rank / e.deg, 12) AS DECIMAL(28,12)))
+         |      AS DOUBLE) AS inflow
+         |  FROM $p p JOIN de e ON p.id = e.src GROUP BY 1),
+         |pr$i AS (
+         |  SELECT n.id,
+         |    round((CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+         |      + 0.85 * (COALESCE(i.inflow, CAST(0.0 AS DOUBLE))
+         |        + CAST(d.dm AS DOUBLE) / nn.n), 9) AS rank
+         |  FROM nodes n CROSS JOIN nn CROSS JOIN dm$i d
+         |  LEFT JOIN inf$i i ON i.id = n.id)""".stripMargin
+    }.mkString(",\n")
+
   /** DuckDB replica of SimSearch.lshBucket for `bits` hyperplanes starting
     * at `planeOffset` (table t of a multi-table scheme uses offset
     * t·bits, mirroring SimSearch.lshTopKMulti / cosineNearDupPairsLsh). */
@@ -1488,6 +1531,21 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q126_pagerank_directed" ->
+      s"""WITH
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |de0 AS (SELECT DISTINCT id_a AS src, id_b AS dst FROM pairs),
+         |nodes AS (SELECT src AS id FROM de0 UNION SELECT dst FROM de0),
+         |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM de0
+         |         GROUP BY 1),
+         |de AS (SELECT d0.src, d0.dst, o.deg FROM de0 d0
+         |       JOIN odeg o ON o.src = d0.src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |pr0 AS (SELECT id, round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank
+         |        FROM nodes, nn),
+         |${directedPrRounds(5)}
+         |SELECT id AS doc_id, rank FROM pr5 ORDER BY doc_id""".stripMargin,
+
     "q125_pagerank" ->
       s"""WITH RECURSIVE
          |${pairCtes(cap = 100, threshold = 0.1)},

@@ -63,4 +63,73 @@ object GraphOps {
     }
     ranks
   }
+
+  /** General DIRECTED PageRank with dangling-mass redistribution over an
+    * (id_a → id_b) edge list — the form a real link-graph (or directed
+    * provenance/dedup-weighting graph) needs, where nodes without
+    * out-edges exist and their rank must not leak:
+    *
+    *   rank'(v) = (1−d)/N + d·( Σ_{u→v} rank(u)/outdeg(u) + D/N ),
+    *   D = Σ_{dangling u} rank(u),  N = |nodes incident to any edge|.
+    *
+    * Determinism contract (mirrors [[pageRank]], oracle-checkable):
+    * per-edge contributions AND the dangling mass D are rounded to 12 dp
+    * and summed as exact decimals; each new rank rounds to 9 dp — every
+    * iteration's state is identical under any partitioning/join order in
+    * this engine or the oracle's.
+    *
+    * Scale shape per round: ONE ranks⋈edges join + dest hash-agg (the
+    * inflow), one 1-row aggregate for D (computed distributed, carried by
+    * a broadcast crossJoin — never a driver action inside the loop), and
+    * one left join onto the |V|-row node frame so zero-inflow nodes keep
+    * their teleport+dangling share. outdeg pre-joins onto the edge list
+    * once (loop-invariant). */
+  def pageRankDirected(pairs: DataFrame, iterations: Int,
+      d: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"need >= 1 iteration, got $iterations")
+    val edges0 = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val nodes = edges0.select(col("src").as("id"))
+      .union(edges0.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val outdeg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = edges0.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint(eager = true)
+    val n = nodes.count() // |V| of the edge-incident graph — KB-scale
+    var ranks = nodes
+      .select(col("id"), round(lit(1.0 / n), 9).as("rank"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iterations) {
+      // dangling mass: rank held by nodes with no out-edges, as an exact
+      // 12-dp decimal sum (ranks are 9-dp, so the round is lossless and
+      // keeps the decimal sum engine-independent)
+      val dangling = ranks
+        .join(outdeg, ranks("id") === outdeg("src"), "left")
+        .agg(coalesce(
+          sum(when(col("src").isNull,
+            round(col("rank"), 12).cast("decimal(28,12)"))),
+          lit(0).cast("decimal(28,12)")).as("dm"))
+      val contribs = ranks
+        .join(edges, ranks("id") === edges("src"))
+        .select(col("dst"),
+          round(col("rank") / col("deg"), 12).cast("decimal(28,12)")
+            .as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).cast("double").as("inflow"))
+      ranks = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(nodes("id"),
+          round(lit((1.0 - d) / n) + lit(d) *
+              (coalesce(col("inflow"), lit(0.0)) +
+                col("dm").cast("double") / n), 9)
+            .as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
 }

@@ -29,6 +29,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-6)
   }
 
+  test("pageRankDirected: hand-computed chain 1→2→3 (node 3 dangling) " +
+    "after one iteration; dangling redistribution conserves mass") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r1 = GraphOps.pageRankDirected(pairs, iterations = 1)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=3, outdeg 1→1, 2→1; node 3 has no out-edges ⇒ D = its rank
+    val third = r9(1.0 / 3)
+    val dm = r12(third)
+    val base = (1.0 - 0.85) / 3
+    // node 1: no in-edges — teleport + dangling share only
+    val head = r9(base + 0.85 * (0.0 + dm / 3))
+    // nodes 2, 3: one unit-degree in-edge each
+    val tail = r9(base + 0.85 * (r12(third / 1) + dm / 3))
+    assert(r1 == Seq((1L, head), (2L, tail), (3L, tail)))
+    assert(head < tail)
+    // the point of dangling redistribution: total mass stays 1 even
+    // though node 3 has nowhere to send its rank
+    assert(math.abs(r1.map(_._2).sum - 1.0) < 1e-6)
+  }
+
+  test("pageRankDirected on the real near-dup graph: deterministic " +
+    "across partitionings, positive, mass-conserving") {
+    val pairs = Dedup.jaccardPairs(
+      graft.engine.Tables.documents(spark, sf0001), "doc_id", "text",
+      3, 0.1, maxDf = 100)
+    val a = GraphOps.pageRankDirected(pairs, iterations = 3)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    val b = GraphOps.pageRankDirected(pairs.repartition(7), iterations = 3)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.forall(_._2 > 0))
+    assert(math.abs(a.map(_._2).sum - 1.0) < 1e-5)
+  }
+
   test("pageRank on the real near-dup graph: converging, deterministic " +
     "across partitionings, all ranks positive") {
     val pairs = Dedup.jaccardPairs(

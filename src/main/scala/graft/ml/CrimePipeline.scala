@@ -142,6 +142,61 @@ object CrimePipeline {
     new Pipeline().setStages(Array(brandIndexer, labelIndexer, assembler, ovr))
   }
 
+  /** GLOBAL early stopping for the boosted variant (M10,
+    * `XGBoost.py:291-298`): the reference monitors one GLOBAL multiclass
+    * validation mlogloss per boosting round and keeps the best round;
+    * GBT's `validationIndicatorCol` (the other M10 surface, exercised in
+    * MlSpec) stops each OneVsRest binary problem independently. This
+    * measured analogue restores the global criterion:
+    *
+    *  1. fit OneVsRest(GBT) ONCE at `maxIter` trees;
+    *  2. per class c, score the validation rows with
+    *     `evaluateEachIteration` — the per-round binary validation loss
+    *     curve from a single trained model (no ladder retraining);
+    *  3. the global round-i criterion is Σ_c loss_c(i) — the OneVsRest
+    *     total validation objective (documented approximation: the sum of
+    *     binary logistic losses, not softmax mlogloss; the softmax
+    *     validation mlogloss of the PICKED model is reported via
+    *     [[Evaluation.ovrLogLoss]]);
+    *  4. pick the EARLIEST round minimizing the criterion (the
+    *     reference's best_iteration tie rule) and refit at that tree
+    *     count (MLlib models cannot be truncated in place).
+    *
+    * Returns (bestRound, global per-round validation curve, model fitted
+    * at bestRound). Cost: 2 fits + |classes| curve evaluations — vs the
+    * reference's 1 fit, the price of the OneVsRest decomposition. */
+  def globalEarlyStopping(train: DataFrame, validation: DataFrame,
+      maxIter: Int = 20, seed: Long = 42L)
+      : (Int, Seq[Double], PipelineModel) = {
+    import org.apache.spark.ml.classification.{GBTClassificationModel, OneVsRestModel}
+    val full = boostedPipeline(seed = seed, maxIter = maxIter).fit(train)
+    // featurize validation through every stage but the classifier
+    val featured = full.stages.init
+      .foldLeft(validation)((df, st) => st.transform(df))
+      .localCheckpoint(eager = true) // scored |classes| times
+    val ovr = full.stages.last.asInstanceOf[OneVsRestModel]
+    val curves = ovr.models.zipWithIndex.map { case (m, c) =>
+      val g = m.asInstanceOf[GBTClassificationModel]
+      // evaluateEachIteration resolves the model's OWN column params: the
+      // label col is OneVsRest's internal binarized name (mc2b$…), and the
+      // weight col rides along because the pipeline trains weighted
+      val binary = featured.select(
+        col(g.getFeaturesCol),
+        when(col("label") === c.toDouble, 1.0).otherwise(0.0)
+          .as(g.getLabelCol),
+        col(g.getWeightCol))
+      g.evaluateEachIteration(binary)
+    }
+    require(curves.forall(_.length == curves.head.length),
+      "per-class curves must align per boosting round")
+    val global = curves.transpose.map(_.sum).toSeq
+    val best = global.zipWithIndex.minBy { case (v, i) => (v, i) }._2 + 1
+    val model =
+      if (best == maxIter) full
+      else boostedPipeline(seed = seed, maxIter = best).fit(train)
+    (best, global, model)
+  }
+
   /** End-to-end fit: engineer → split → train-only stats → weights → fit.
     * Returns (model, train with features, test with features). */
   def fit(spark: SparkSession, dir: String, cutoffYear: Int = 1997)

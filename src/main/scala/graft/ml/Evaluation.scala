@@ -89,6 +89,43 @@ object Evaluation {
     names.zip(imp).sortBy(-_._2)
   }
 
+  /** Global multiclass validation log-loss for the OneVsRest(GBT) model
+    * (the metric `XGBoost.py:296` early-stops on): each binary model's
+    * positive-class probability, softmax-style normalized across classes
+    * into a softprob vector — the standard OneVsRest probability
+    * combination, mirroring multi:softprob's normalization — then
+    * −mean(log p_true) with the usual 1e-15 clip. Unweighted mean
+    * (the reference's eval_metric default). */
+  def ovrLogLoss(model: PipelineModel, data: DataFrame): Double = {
+    import org.apache.spark.ml.classification.{GBTClassificationModel, OneVsRestModel}
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.ml.param.ParamMap
+    val ovr = model.stages.last match {
+      case o: OneVsRestModel => o
+      case other => throw new IllegalArgumentException(
+        s"ovrLogLoss needs a OneVsRest final stage, got ${other.getClass}")
+    }
+    val featured = model.stages.init
+      .foldLeft(data)((df, st) => st.transform(df))
+    val scored = ovr.models.zipWithIndex.foldLeft(featured) {
+      case (df, (m, c)) =>
+        val g = m.copy(ParamMap.empty).asInstanceOf[GBTClassificationModel]
+          .setPredictionCol(s"__pred_$c")
+          .setRawPredictionCol(s"__raw_$c")
+          .setProbabilityCol(s"__prob_$c")
+        g.transform(df)
+    }
+    val k = ovr.models.length
+    val probs = array(
+      (0 until k).map(c => vector_to_array(col(s"__prob_$c"))(1)): _*)
+    scored.select(
+        (-log(greatest(
+          element_at(probs, col("label").cast("int") + 1) /
+            aggregate(probs, lit(0.0), (a, v) => a + v),
+          lit(1e-15)))).as("ll"))
+      .agg(avg(col("ll"))).head().getDouble(0)
+  }
+
   /** Label mapping (M3, `XGBoost.py:160-163`): index → original label. */
   def labelMapping(model: PipelineModel): Seq[(Int, String)] = {
     val idx = model.stages(1).asInstanceOf[StringIndexerModel]

@@ -152,6 +152,31 @@ class MlSpec extends SparkSpec {
     assert(preds.select("prediction").distinct().count() >= 2)
   }
 
+  test("M10 global early stopping: pick ≤ max, pick is the argmin of the " +
+      "global validation curve, curve strictly improves up to the pick") {
+    val (_, train, test) = fitted
+    val (best, curve, model) =
+      CrimePipeline.globalEarlyStopping(train, test, maxIter = 6)
+    assert(curve.length == 6)
+    assert(best >= 1 && best <= 6)
+    // the pick IS the global-criterion minimum…
+    assert(curve(best - 1) == curve.min)
+    // …and the earliest such round (no prior round ties or beats it) —
+    // the validation metric is non-increasing at the pick
+    assert(curve.take(best - 1).forall(_ > curve(best - 1)))
+    // the refitted model carries exactly `best` trees per binary problem
+    val ovr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.OneVsRestModel]
+    val trees = ovr.models.collect {
+      case g: org.apache.spark.ml.classification.GBTClassificationModel =>
+        g.getNumTrees
+    }
+    assert(trees.nonEmpty && trees.forall(_ == best), trees.mkString(","))
+    // the reported metric at the pick: global softmax mlogloss, finite
+    val mll = Evaluation.ovrLogLoss(model, test)
+    assert(mll > 0.0 && java.lang.Double.isFinite(mll), s"mlogloss=$mll")
+  }
+
   test("no test-leakage: density stats computed from train only") {
     val (_, train, test) = fitted
     // a suppkey present only in test must get density 0 (filled), never >0

@@ -1238,7 +1238,30 @@ object ExtQueries {
       .select(col("id").as("doc_id"), col("rank"))
       .orderBy("doc_id")
 
+  /** q127 — deterministic weighted sampling
+    * ([[PipelineOps.prioritySample]], Duffield–Lund–Thorup priority
+    * sampling): per source, the k=5 docs with the largest priority
+    * n_chars/u, u = hash-uniform(doc_id), plus the DLT threshold weight
+    * estimator — weighted selection with no RNG state and no
+    * transcendentals, so the full draw is IEEE-exact cross-engine and
+    * hash-checked; the weighted counterpart of q89. Runs through the
+    * GroupTopK custom operator (map-side bounded heaps). */
+  private val q127: Q = (s, d) =>
+    PipelineOps.prioritySample(Tables.documents(s, d), "source",
+        "doc_id", "n_chars", k = 5)
+      .orderBy("source", "rn")
+
+  /** q128 — corpus unigram-LM negative log-likelihood per token
+    * ([[TextOps.unigramNll]]): perplexity-style quality scoring in
+    * relational form — add-one-smoothed corpus unigram model broadcast
+    * back over the token stream, per-doc mean −ln p(token). */
+  private val q128: Q = (s, d) =>
+    TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
+    "q128_unigram_nll" -> q128,
+    "q127_priority_sample" -> q127,
     "q126_pagerank_directed" -> q126,
     "q125_pagerank" -> q125,
     "q124_incremental_rollup" -> q124,
@@ -1531,6 +1554,43 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q127_priority_sample" ->
+      s"""WITH b AS (
+         |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
+         |    CAST(n_chars AS DOUBLE) /
+         |      (CAST(${polyHashSql("CAST(doc_id AS VARCHAR)")} + 1
+         |        AS DOUBLE) / 1000000007.0) AS priority
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, w, priority,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY priority DESC, doc_id) AS BIGINT) AS rn
+         |  FROM b),
+         |t AS (SELECT source, priority AS tau FROM r WHERE rn = 6)
+         |SELECT r.source, r.doc_id, r.rn,
+         |  r.priority,
+         |  greatest(r.w, COALESCE(t.tau, 0.0)) AS w_est
+         |FROM r LEFT JOIN t USING (source)
+         |WHERE r.rn <= 5
+         |ORDER BY r.source, r.rn""".stripMargin,
+
+    "q128_unigram_nll" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ctot,
+         |               CAST(count(*) AS BIGINT) AS v FROM cnt),
+         |model AS (
+         |  SELECT tok, CAST(c + 1 AS DOUBLE) / (ctot + v) AS p
+         |  FROM cnt, tot)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  round(CAST(SUM(CAST(round(-ln(p), 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE) / count(*), 6) AS nll_per_tok
+         |FROM tok t JOIN model USING (tok)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q126_pagerank_directed" ->
       s"""WITH
          |${pairCtes(cap = 100, threshold = 0.1)},

@@ -176,6 +176,52 @@ object PipelineOps {
       .select(col(idCol), col(groupCol), col("rank"))
   }
 
+  /** Deterministic weighted sampling via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, JACM 2007 — public literature): item priority
+    * q = w/u with u = hash-uniform(id) ∈ (0,1]; the k largest priorities
+    * per group are the sample, and the (k+1)-th priority τ yields the
+    * unbiased DLT weight estimator max(w, τ) (its sum over the sample
+    * estimates the group's total weight). Hash-derived u ⇒ no RNG state:
+    * the draw reproduces across engines, reruns and partitionings — and a
+    * priority is ONE division (no ln/exp), so unlike exponential-clock
+    * A-ES sampling it is IEEE-exact cross-engine and fully
+    * oracle-checkable. The weighted counterpart of
+    * [[deterministicSample]].
+    *
+    * Scale shape: priorities are a scan-speed projection; selection runs
+    * through [[graft.plans.GroupTopK]] (map-side bounded heaps of k+1
+    * rows per group per partition — no per-group sort, no full-corpus
+    * window); the rank/τ pass then touches only |groups|·(k+1) rows. */
+  def prioritySample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (graft.functions.expressions.poly_hash(
+        col(idCol).cast("string")) + 1).cast("double") /
+      TextOps.HashPrime.toDouble
+    val base = df.select(col(groupCol), col(idCol),
+        col(weightCol).cast("double").as("__w"))
+      .withColumn("priority", col("__w") / u)
+    val top = graft.plans.GroupTopK.topK(base, Seq(groupCol), "priority",
+      idCol, k + 1)
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("priority").desc, col(idCol))
+    val ranked = top.withColumn("rn", row_number().over(w).cast("long"))
+    val tau = ranked.filter(col("rn") === k + 1)
+      .select(col(groupCol), col("priority").as("__tau"))
+    // outputs stay UNROUNDED: every value here is a chain of IEEE-exact
+    // scalar ops (casts, one or two divisions, max), so both engines
+    // produce bit-identical doubles — whereas a 6-dp round at priority
+    // magnitudes (~1e9, ULP ~5e-7) exposes the ENGINES' differing round
+    // implementations (BigDecimal-exact vs scaled-multiply), which was a
+    // measured 1-ulp hash mismatch
+    ranked.filter(col("rn") <= k)
+      .join(tau, Seq(groupCol), "left")
+      .select(col(groupCol), col(idCol), col("rn"),
+        col("priority"),
+        greatest(col("__w"), coalesce(col("__tau"), lit(0.0)))
+          .as("w_est"))
+  }
+
   /** Deterministic train/val/test assignment by id hash: bucket =
     * polyHash(id) mod `buckets`, split = the first cut whose upper bound
     * exceeds the bucket. A pure projection (no shuffle, no state), so at

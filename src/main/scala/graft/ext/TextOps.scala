@@ -385,6 +385,46 @@ object TextOps {
           .cast("double"), 6).as("entropy"))
   }
 
+  /** Corpus unigram-LM negative log-likelihood per token — the classic
+    * perplexity-style quality signal (high ⇒ unusual token mix), in its
+    * relational form: an add-one-smoothed unigram model
+    * p(t) = (c_t + 1)/(C + V) fitted on the corpus itself, then per doc
+    * nll = Σ −ln p(t_i) / n (nats/token; 2^·/e^· perplexity is a
+    * monotone function of it, so filtering thresholds translate).
+    *
+    * Determinism contract: per-token terms round to 9 dp and sum as
+    * exact decimals (the [[tokenEntropy]] discipline), so the score is
+    * partitioning-stable and SQL-oracle-replicable.
+    *
+    * Scale shape: ONE token hash-agg builds the model (V rows — MBs even
+    * at corpus scale), which broadcasts back over the token stream; the
+    * corpus never shuffles on the token (the vocab-encode discipline);
+    * the per-doc score is one hash-agg on the id. Tokenization runs
+    * twice (model pass + scoring pass) by choice: it is a scan-speed
+    * projection, and re-running it beats materializing the exploded
+    * token stream. */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol).as("did"),
+      explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("tok"))
+    // checkpoint the MODEL, not the token stream: counts are consumed
+    // twice (the totals aggregate and the scoring join)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val model = counts.crossJoin(broadcast(
+        counts.agg(sum(col("c")).as("ctot"), count(lit(1)).as("v"))))
+      .select(col("tok"),
+        ((col("c") + 1).cast("double") / (col("ctot") + col("v")))
+          .as("p"))
+    toks.join(broadcast(model), Seq("tok"))
+      .select(col("did"), round(-log(col("p")), 9).as("nll"))
+      .groupBy("did")
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("nll").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)), 6).as("nll_per_tok"))
+      .select(col("did").as(idCol), col("n_tok"), col("nll_per_tok"))
+  }
+
   /** Corpus bigram language-model stats: the `topK` most frequent bigrams
     * plus, per bigram, the share of its total occurrences — the raw
     * counts n-gram LM estimation and contamination screens start from.

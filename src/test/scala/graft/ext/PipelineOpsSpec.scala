@@ -6,6 +6,73 @@ import org.apache.spark.sql.functions._
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("prioritySample: hand-computed priorities, DLT threshold " +
+    "estimator, partitioning invariance") {
+    val docs = Seq(
+      ("g1", 10L, 100L), ("g1", 11L, 1L), ("g1", 12L, 50L),
+      ("g1", 13L, 7L), ("g2", 20L, 5L), ("g2", 21L, 5L))
+      .toDF("grp", "id", "w")
+    val out = PipelineOps.prioritySample(docs, "grp", "id", "w", k = 2)
+      .orderBy("grp", "rn").collect()
+    // mirror the formula exactly: u = (polyHash(id.toString)+1)/P,
+    // priority = w/u — same IEEE ops as the operator
+    val P = TextOps.HashPrime
+    def h(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    def pri(id: Long, w: Long): Double =
+      w.toDouble / ((h(id.toString) + 1).toDouble / P.toDouble)
+    val g1 = Seq(10L -> 100L, 11L -> 1L, 12L -> 50L, 13L -> 7L)
+      .map { case (i, w) => (i, pri(i, w)) }.sortBy { case (i, p) => (-p, i) }
+    val tau1 = g1(2)._2 // (k+1)-th priority
+    assert(out.length == 4) // 2 from g1, both of g2 (group smaller than k)
+    val r0 = out(0)
+    assert(r0.getAs[String]("grp") == "g1" &&
+      r0.getAs[Long]("id") == g1(0)._1 &&
+      r0.getAs[Double]("priority") == g1(0)._2)
+    // DLT estimator: max(w, τ) for sampled items when the group overflows k
+    val wOf = Map(10L -> 100L, 11L -> 1L, 12L -> 50L, 13L -> 7L)
+    Seq(out(0), out(1)).foreach { r =>
+      val expected = math.max(wOf(r.getAs[Long]("id")).toDouble, tau1)
+      assert(r.getAs[Double]("w_est") == expected)
+    }
+    // a group with ≤ k items has no threshold: w_est falls back to w
+    Seq(out(2), out(3)).foreach { r =>
+      assert(r.getAs[Double]("w_est") ==
+        wOf.getOrElse(r.getAs[Long]("id"), 5L).toDouble)
+    }
+    // layout must not change the draw (hash-derived, no RNG state)
+    val b = PipelineOps.prioritySample(docs.repartition(7), "grp", "id",
+      "w", k = 2).orderBy("grp", "rn").collect()
+    assert(out.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("prioritySample on the fixture: matches the full-sort window " +
+    "formulation (GroupTopK path parity)") {
+    val docs = graft.engine.Tables.documents(spark, sf0001)
+    val viaOp = PipelineOps.prioritySample(docs, "source", "doc_id",
+      "n_chars", k = 5).orderBy("source", "rn").collect()
+    // reference formulation: plain window over the same priorities
+    val u = (graft.functions.expressions.poly_hash(
+        col("doc_id").cast("string")) + 1).cast("double") /
+      TextOps.HashPrime.toDouble
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("priority").desc, col("doc_id"))
+    val ranked = docs.select(col("source"), col("doc_id"),
+        col("n_chars").cast("double").as("wv"))
+      .withColumn("priority", col("wv") / u)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(w).cast("long"))
+    val viaWindow = ranked.filter(col("rn") <= 5)
+      .select("source", "doc_id", "rn", "priority")
+      .orderBy("source", "rn").collect()
+    assert(viaOp.length == viaWindow.length)
+    viaOp.zip(viaWindow).foreach { case (a, b) =>
+      assert(a.getAs[String]("source") == b.getAs[String]("source"))
+      assert(a.getAs[Long]("doc_id") == b.getAs[Long]("doc_id"))
+      assert(a.getAs[Double]("priority") == b.getAs[Double]("priority"))
+    }
+  }
+
   test("qualityFlags: each rule fires on its own violation") {
     val docs = Seq(
       // 0: healthy doc — all rules pass

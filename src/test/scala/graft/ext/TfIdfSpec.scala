@@ -168,6 +168,31 @@ class TfIdfSpec extends SparkSpec {
     assert(math.abs(out(2)._3 - expected3) < 1e-6)
   }
 
+  test("unigramNll: add-one-smoothed model by hand; rarer token mix " +
+    "scores higher; partitioning-invariant") {
+    import spark.implicits._
+    // corpus: C = 5 tokens, V = 3 distinct → p(a)=3/8, p(b)=3/8, p(c)=2/8
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.unigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // mirror the operator exactly: 9-dp decimal terms, decimal sum,
+    // CAST to double, double-divide by n, 6-dp round
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pA = 3.0 / 8; val pB = 3.0 / 8; val pC = 2.0 / 8
+    val d1 = r6((r9(-math.log(pA)) + r9(-math.log(pA)) +
+      r9(-math.log(pB))).toDouble / 3)
+    val d2 = r6((r9(-math.log(pB)) + r9(-math.log(pC))).toDouble / 2)
+    assert(out == Seq((1L, 3L, d1), (2L, 2L, d2)))
+    // doc 2 carries the rarer token c → higher per-token surprise
+    assert(out(1)._3 > out(0)._3)
+    val b = TextOps.unigramNll(docs.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == b)
+  }
+
   test("bigramCounts: top-k by count desc then bigram asc") {
     import spark.implicits._
     val docs = Seq("m n m n", "m n o").toDF("text")

@@ -89,7 +89,15 @@ object PlanDump {
       "q126_pagerank_directed" ->
         ("directed PageRank with dangling mass (final round): ranks join " +
           "edges + dest agg, 1-row dangling aggregate broadcast via " +
-          "crossJoin, left join keeps zero-inflow nodes"))
+          "crossJoin, left join keeps zero-inflow nodes"),
+      "q127_priority_sample" ->
+        ("deterministic weighted sampling: scan-speed priority " +
+          "projection, GroupTopK bounded heaps (k+1), rank/threshold " +
+          "window only over the per-group survivors"),
+      "q128_unigram_nll" ->
+        ("unigram-LM scoring: token hash-agg builds the model, model " +
+          "broadcasts back over the token stream (no token shuffle), " +
+          "per-doc hash-agg"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

@@ -96,6 +96,29 @@ class PlanSpec extends SparkSpec {
       s"probe not below the join:\n$p") // plan prints top-down
   }
 
+  test("q127 priority sample runs through GroupTopK bounded heaps, " +
+    "not a full-corpus window sort") {
+    val p = plan(graft.ext.PipelineOps.prioritySample(
+      Tables.documents(spark, sf0001), "source", "doc_id", "n_chars", 5))
+    // selection = partial/final bounded heaps; the Window (printed ABOVE
+    // its child in the tree) only ranks the ≤ (k+1)-per-group survivors
+    // that GroupTopKFinal emits
+    assert(p.contains("GroupTopKPartial"), p)
+    assert(p.contains("GroupTopKFinal"), p)
+    val windowAt = p.indexOf("+- Window")
+    val finalAt = p.indexOf("GroupTopKFinal")
+    assert(windowAt >= 0 && finalAt > windowAt,
+      s"Window should consume GroupTopKFinal output\n$p")
+  }
+
+  test("q128 unigram scoring broadcasts the model back; the token " +
+    "stream never shuffles on the token") {
+    val p = plan(graft.ext.TextOps.unigramNll(
+      Tables.documents(spark, sf0001), "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q60 pair dedupe is a hash aggregate over scalars, not a sort " +
     "aggregate over arrays") {
     val p = plan(graft.ext.SimSearch.cosineNearDupPairsLsh(

@@ -17,6 +17,38 @@ class AggregatesSpec extends SparkSpec {
   private def freq() =
     Aggregates.freqTable(df, Seq("k")).as[(String, Long)].collect().toSeq
 
+  test("exactPercentiles == Catalyst percentile bit-for-bit across ps, " +
+    "including endpoints, duplicates, and a real column") {
+    val ps = Seq(0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
+    def check(data: org.apache.spark.sql.DataFrame, g: String, v: String)
+        : Unit = {
+      val mine = Aggregates.exactPercentiles(data, g, v, ps)
+        .orderBy(g).collect()
+      val stockAggs = ps.zipWithIndex.map { case (p, i) =>
+        percentile(col(v), lit(p)).as(s"p$i") }
+      val stock = data.filter(col(v).isNotNull).groupBy(g)
+        .agg(stockAggs.head, stockAggs.tail: _*).orderBy(g).collect()
+      assert(mine.length == stock.length)
+      mine.zip(stock).foreach { case (a, b) =>
+        assert(a.getString(0) == b.getString(0))
+        ps.indices.foreach { i =>
+          // EXACT double equality — the interpolation arithmetic must
+          // mirror Catalyst's or the SQL oracle hash-compare breaks
+          assert(a.getDouble(i + 1) == b.getDouble(i + 1),
+            s"group=${a.getString(0)} p=${ps(i)}: " +
+              s"${a.getDouble(i + 1)} != ${b.getDouble(i + 1)}")
+        }
+      }
+    }
+    // hand frame with duplicated values (rank intervals wider than 1)
+    check(Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 2.0), ("a", 7.0),
+      ("b", 10.0), ("b", 30.0), ("c", 5.0)).toDF("k", "v"), "k", "v")
+    // real fixture column
+    check(graft.engine.Tables.lineitem(spark, sf0001)
+      .select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice")
+  }
+
   test("sumExact equals plain sum on 2-decimal data") {
     val got = df.agg(Aggregates.sumExact(col("v"))).as[Double].head()
     assert(got == 46.0)

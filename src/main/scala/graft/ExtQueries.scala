@@ -1259,7 +1259,45 @@ object ExtQueries {
     TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** q129 — Count–Min sketch frequency estimates (the `count_min_sketch`
+    * aggregate + `org.apache.spark.util.sketch.CountMinSketch`): the
+    * FOURTH mergeable sketch family next to HLL (q56), GK (q43) and
+    * Misra–Gries (q90). Sketch binaries are engine-specific, so the
+    * ORACLE-CHECKED output is the CMS CONTRACT on the top-20 supplier
+    * keys: `never_under` — a Count–Min estimate can NEVER undercount
+    * (one-sided HARD guarantee, not probabilistic) — and `within_band` —
+    * overcount ≤ 3·ε·N (ε=1e-4, depth 7: 3× the ε·N bound puts the
+    * residual failure odds ≪ 1e-9). The ~1 MB sketch and 20 keys come to
+    * the driver as the q90 documented KB/MB-scale pattern; at 100 TB the
+    * sketch builds map-side and MERGES (counter addition), the same
+    * shuffle shape as the other sketch families (SketchSpec asserts
+    * merge-of-halves == sketch-of-whole). */
+  private val q129: Q = (s, d) => {
+    import s.implicits._
+    val eps = 0.0001
+    val li = Tables.lineitem(s, d)
+    val row = li.agg(
+      count_min_sketch(col("l_suppkey"), lit(eps), lit(0.999),
+        lit(42)).as("sk"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val slack = 3.0 * eps * row.getLong(1)
+    val exact = li.groupBy("l_suppkey").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("l_suppkey")).limit(20)
+      .localCheckpoint(eager = true) // consumed twice: key list + output
+    val ests = exact.select("l_suppkey").as[Long].collect().toSeq
+      .map(k => (k, cms.estimateCount(java.lang.Long.valueOf(k))))
+      .toDF("l_suppkey", "est")
+    exact.join(broadcast(ests), Seq("l_suppkey"))
+      .select(col("l_suppkey"), col("n_exact"),
+        (col("est") >= col("n_exact")).as("never_under"),
+        (col("est") <= col("n_exact") + slack).as("within_band"))
+      .orderBy(col("n_exact").desc, col("l_suppkey"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q129_countmin_freq" -> q129,
     "q128_unigram_nll" -> q128,
     "q127_priority_sample" -> q127,
     "q126_pagerank_directed" -> q126,
@@ -1554,6 +1592,12 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q129_countmin_freq" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS never_under, TRUE AS within_band
+        |FROM lineitem GROUP BY 1
+        |ORDER BY n_exact DESC, l_suppkey LIMIT 20""".stripMargin,
+
     "q127_priority_sample" ->
       s"""WITH b AS (
          |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,

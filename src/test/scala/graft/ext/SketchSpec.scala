@@ -24,6 +24,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("count-min: never underestimates any key; merge of half-sketches " +
+    "== sketch of the whole (counter addition, same seed)") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    def sketchOf(df: org.apache.spark.sql.DataFrame): CountMinSketch =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(
+        df.agg(count_min_sketch(col("l_suppkey"), lit(0.0001), lit(0.999),
+          lit(42)).as("sk")).head().getAs[Array[Byte]](0)))
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey")
+    val whole = sketchOf(li)
+    val a = sketchOf(li.filter(col("l_orderkey") % 2 === 0))
+    val b = sketchOf(li.filter(col("l_orderkey") % 2 =!= 0))
+    a.mergeInPlace(b)
+    val exact = li.groupBy("l_suppkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty)
+    exact.foreach { case (k, n) =>
+      val key = java.lang.Long.valueOf(k)
+      // the one-sided CMS guarantee is hard, not probabilistic
+      assert(whole.estimateCount(key) >= n,
+        s"suppkey $k: est ${whole.estimateCount(key)} < exact $n")
+      // same seed ⇒ same hash functions ⇒ counters add exactly
+      assert(a.estimateCount(key) == whole.estimateCount(key),
+        s"suppkey $k: merged != whole")
+    }
+  }
+
   test("sketch union == sketch of union (mergeability)") {
     val ev = Tables.events(spark, sf0001)
     val merged = ev.groupBy("event_type")

@@ -1259,6 +1259,51 @@ object ExtQueries {
     TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** q130 — bigram-LM document scoring ([[TextOps.bigramNll]]): the
+    * conditional-probability upgrade of q128 — add-one-smoothed
+    * p(w₂|w₁), per-doc mean −ln p over its bigrams (docs with ≥ 2
+    * tokens). */
+  private val q130: Q = (s, d) =>
+    TextOps.bigramNll(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** q131 — embedding near-dup CLUSTERS: connected components
+    * ([[Dedup.dupClusters]]) over the exact label-blocked cosine pair
+    * graph (q35) — the embedding-side dedup end-game mirroring q55's
+    * text-side clusters; recursive-CTE oracle. */
+  private val q131: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = SimSearch.cosineNearDupPairs(emb, threshold = 0.35)
+    Dedup.dupClusters(pairs, emb.select("vec_id"), "vec_id")
+  }
+
+  /** q132 — int8-quantized ANN: brute-force top-k over
+    * quantize→dequantize round-tripped vectors (q73's codec in the
+    * retrieval loop — the 4× storage/bandwidth configuration a 100 TB
+    * embedding store actually serves from). Quantized top-k sets can
+    * differ from full-precision at similarity ties, so the
+    * ORACLE-CHECKED output is the CONTRACT (the q49 pattern): per query,
+    * recall@5 vs the full-precision exact top-k of at least 4/5
+    * (measured: int8 keeps the top-5 set identical on this corpus;
+    * the floor leaves one boundary swap of headroom). */
+  private val q132: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 3)
+    def dq(frame: DataFrame): DataFrame = frame.select(col("vec_id"),
+      SimSearch.dequantizeInt8(
+        SimSearch.quantizeInt8(col("embedding"))).as("embedding"))
+    val approx = SimSearch.bruteForceTopK(dq(emb), dq(queries), k = 5)
+    SimSearch.bruteForceTopK(emb, queries, k = 5)
+      .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+        Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("k"),
+        (col("n_hit") >= 4).as("recall_ok"))
+      .orderBy("q_id")
+  }
+
   /** q129 — Count–Min sketch frequency estimates (the `count_min_sketch`
     * aggregate + `org.apache.spark.util.sketch.CountMinSketch`): the
     * FOURTH mergeable sketch family next to HLL (q56), GK (q43) and
@@ -1297,6 +1342,9 @@ object ExtQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q132_quantized_ann" -> q132,
+    "q131_embedding_clusters" -> q131,
+    "q130_bigram_nll" -> q130,
     "q129_countmin_freq" -> q129,
     "q128_unigram_nll" -> q128,
     "q127_priority_sample" -> q127,
@@ -1592,6 +1640,56 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q130_bigram_nll" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter($toksSql, w -> length(w) > 0)
+         |    AS toks
+         |  FROM documents),
+         |pr AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM tok WHERE len(toks) >= 2)),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+         |lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big
+         |        GROUP BY 1),
+         |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+         |        FROM (SELECT unnest(toks) AS t FROM tok)),
+         |model AS (
+         |  SELECT w1, w2, CAST(c12 + 1 AS DOUBLE) / (c1 + v) AS p
+         |  FROM big JOIN lft USING (w1), voc)
+         |SELECT p2.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(SUM(CAST(round(-ln(p), 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE) / count(*), 6) AS nll_per_bigram
+         |FROM pr p2 JOIN model USING (w1, w2)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q131_embedding_clusters" ->
+      s"""WITH RECURSIVE
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT em.vec_id,
+         |  CAST(least(em.vec_id, COALESCE(m.mn, em.vec_id)) AS BIGINT)
+         |    AS cluster
+         |FROM embeddings em
+         |LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |  ON m.s = em.vec_id
+         |ORDER BY em.vec_id""".stripMargin,
+
+    "q132_quantized_ann" ->
+      """SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS k,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 3 ORDER BY 1""".stripMargin,
+
     "q129_countmin_freq" ->
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_exact,
         |  TRUE AS never_under, TRUE AS within_band

@@ -425,6 +425,45 @@ object TextOps {
       .select(col("did").as(idCol), col("n_tok"), col("nll_per_tok"))
   }
 
+  /** Bigram-LM document scoring — the conditional upgrade of
+    * [[unigramNll]]: add-one-smoothed p(w₂|w₁) = (c₁₂+1)/(c₁+V) with
+    * c₁₂ = corpus bigram count, c₁ = occurrences of w₁ as a left
+    * context, V = corpus vocabulary; per doc (≥ 2 tokens),
+    * nll = Σ −ln p(w₂|w₁) / n_bigrams. Same 9-dp decimal-sum
+    * determinism contract as [[unigramNll]]/[[tokenEntropy]].
+    *
+    * Scale shape: the model is |distinct bigrams| rows — usually too big
+    * to broadcast at corpus scale, so scoring is an equi-join on
+    * (w₁, w₂): the bigram stream shuffles ONCE on the pair key (Catalyst
+    * picks broadcast when stats allow); the left-context and vocab
+    * tables derive from the model without re-scanning the corpus. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = filter(tokens(col(textCol)), w => length(w) > 0)
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val prs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = df.select(col(idCol).as("did"), explode(prs).as("pr"))
+      .select(col("did"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = true) // consumed twice: contexts + join
+    val left = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = df.select(explode(toks).as("tok")).agg(
+      countDistinct(col("tok")).as("v"))
+    val model = big.join(left, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        ((col("c12") + 1).cast("double") / (col("c1") + col("v")))
+          .as("p"))
+    pairs.join(model, Seq("w1", "w2"))
+      .select(col("did"), round(-log(col("p")), 9).as("nll"))
+      .groupBy("did")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)), 6).as("nll_per_bigram"))
+      .select(col("did").as(idCol), col("n_bigrams"),
+        col("nll_per_bigram"))
+  }
+
   /** Corpus bigram language-model stats: the `topK` most frequent bigrams
     * plus, per bigram, the share of its total occurrences — the raw
     * counts n-gram LM estimation and contamination screens start from.

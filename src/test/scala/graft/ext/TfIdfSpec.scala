@@ -193,6 +193,29 @@ class TfIdfSpec extends SparkSpec {
     assert(out == b)
   }
 
+  test("bigramNll: add-one conditional model by hand; short docs drop; " +
+    "partitioning-invariant") {
+    import spark.implicits._
+    // bigrams: d1 → (a,b),(b,a),(a,b); d2 → (b,a); d3 has none (1 token)
+    // c12: (a,b)=2, (b,a)=2; c1: a=2, b=2; V=3 (z still counts as vocab)
+    // p(b|a) = (2+1)/(2+3) = 0.6 = p(a|b)
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val term = r9(-math.log(0.6))
+    val d1 = r6((term + term + term).toDouble / 3)
+    val d2 = r6(term.toDouble / 1)
+    assert(out == Seq((1L, 3L, d1), (2L, 1L, d2)))
+    val b = TextOps.bigramNll(docs.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == b)
+  }
+
   test("bigramCounts: top-k by count desc then bigram asc") {
     import spark.implicits._
     val docs = Seq("m n m n", "m n o").toDF("text")

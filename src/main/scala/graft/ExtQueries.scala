@@ -1341,7 +1341,52 @@ object ExtQueries {
       .orderBy(col("n_exact").desc, col("l_suppkey"))
   }
 
+  /** q133 — exact fuzzy (edit-distance ≤ 1) self-join over supplier
+    * names ([[Dedup.editDistancePairs]], FastSS deletion-neighborhood
+    * blocking): the entity-resolution primitive — typo-level match with
+    * NO cross join and NO recall loss; the oracle replays it as the
+    * brute-force `levenshtein` theta-join, so the hash-match proves the
+    * neighborhood blocking is lossless on this corpus. */
+  private val q133: Q = (s, d) =>
+    Dedup.editDistancePairs(Tables.supplier(s, d), "s_suppkey", "s_name")
+      .orderBy("id_a", "id_b")
+
+  /** q134 — interval concurrency over per-user activity spans
+    * ([[EventOps.concurrency]]): running count of concurrently-active
+    * users at every boundary, computed as a DISTRIBUTED prefix sum
+    * (range partition → per-partition window → broadcast partition
+    * offsets) instead of the single-partition global window. */
+  private val q134: Q = (s, d) => {
+    val spans = Tables.events(s, d)
+      .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+      .groupBy("user_id")
+      .agg(min(col("__us")).as("s_us"), max(col("__us")).as("e_us"))
+    EventOps.concurrency(spans, "s_us", "e_us").orderBy("us")
+  }
+
+  /** q135 — first-order Markov transition matrix over event types
+    * ([[EventOps.transitionMatrix]]): per-user `lead` sequencing →
+    * (from, to) counts + conditional p(to | from) as an exact-long IEEE
+    * division. */
+  private val q135: Q = (s, d) =>
+    EventOps.transitionMatrix(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type")
+
+  /** q136 — per-source corpus drift ([[TextOps.sourceDrift]]):
+    * KL(source ‖ corpus) between add-one-smoothed unigram models over
+    * the shared vocabulary — the distribution-shift gate for a new
+    * source joining the training mix; 9-dp decimal term sums keep the
+    * `ln` cross-engine stable (the q128 contract). */
+  private val q136: Q = (s, d) =>
+    TextOps.sourceDrift(Tables.documents(s, d), "source", "text")
+      .orderBy("source")
+
   val all: Map[String, Q] = Map(
+    "q136_source_drift" -> q136,
+    "q135_transition_matrix" -> q135,
+    "q134_concurrency" -> q134,
+    "q133_fuzzy_join" -> q133,
     "q132_quantized_ann" -> q132,
     "q131_embedding_clusters" -> q131,
     "q130_bigram_nll" -> q130,
@@ -1640,6 +1685,71 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q133_fuzzy_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q134_concurrency" ->
+      """WITH spans AS (
+        |  SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS e_us
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT us, SUM(delta) AS delta FROM (
+        |    SELECT s_us AS us, 1 AS delta FROM spans
+        |    UNION ALL SELECT e_us, -1 FROM spans) x
+        |  GROUP BY 1)
+        |SELECT us, CAST(SUM(delta) OVER (ORDER BY us
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+        |FROM b ORDER BY us""".stripMargin,
+
+    "q135_transition_matrix" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS ntot
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.ntot AS DOUBLE) AS p
+        |FROM c JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin,
+
+    "q136_source_drift" ->
+      s"""WITH tok AS (
+         |  SELECT source AS src, tok FROM (
+         |    SELECT source, unnest($toksSql) AS tok FROM documents) x
+         |  WHERE length(tok) > 0),
+         |corpus AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |           FROM tok GROUP BY 1),
+         |ctot AS (SELECT CAST(SUM(c) AS BIGINT) AS ctot,
+         |                CAST(count(*) AS BIGINT) AS v FROM corpus),
+         |per_src AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS cs
+         |            FROM tok GROUP BY 1, 2),
+         |stot AS (SELECT src, CAST(SUM(cs) AS BIGINT) AS stot
+         |         FROM per_src GROUP BY 1),
+         |terms AS (
+         |  SELECT s.src, s.stot,
+         |    round(
+         |      (CAST(COALESCE(p.cs, 0) + 1 AS DOUBLE) / (s.stot + ctot.v))
+         |      * ln((CAST(COALESCE(p.cs, 0) + 1 AS DOUBLE)
+         |              / (s.stot + ctot.v))
+         |           / (CAST(corpus.c + 1 AS DOUBLE)
+         |              / (ctot.ctot + ctot.v))), 9) AS term
+         |  FROM corpus CROSS JOIN stot s CROSS JOIN ctot
+         |  LEFT JOIN per_src p ON p.src = s.src AND p.tok = corpus.tok)
+         |SELECT src AS source, stot AS n_tok,
+         |  round(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+         |    AS kl_nats
+         |FROM terms GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     "q130_bigram_nll" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter($toksSql, w -> length(w) > 0)

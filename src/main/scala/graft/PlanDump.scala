@@ -97,7 +97,15 @@ object PlanDump {
       "q128_unigram_nll" ->
         ("unigram-LM scoring: token hash-agg builds the model, model " +
           "broadcasts back over the token stream (no token shuffle), " +
-          "per-doc hash-agg"))
+          "per-doc hash-agg"),
+      "q133_fuzzy_join" ->
+        ("exact edit-distance join: deletion-variant explode, variant-key " +
+          "equi-join (no cross join), pair-key dedupe agg, scalar " +
+          "levenshtein verify"),
+      "q134_concurrency" ->
+        ("distributed prefix sum: boundary hash-agg, RANGE exchange, " +
+          "per-partition window (partitioned by pid — no single-" +
+          "partition global window), broadcast offset join"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

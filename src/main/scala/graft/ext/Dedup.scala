@@ -492,6 +492,51 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact edit-distance ≤ 1 self-join via deletion neighborhoods
+    * (FastSS / symmetric-delete blocking): every string emits itself plus
+    * each single-character-deletion variant as candidate keys; two strings
+    * within Levenshtein distance 1 ALWAYS share a key — equal strings
+    * share the string itself, an insert/delete pair shares the shorter
+    * string, and a substitution pair shares the deletion at the
+    * substituted position — so an equi-join on the variant key followed
+    * by a `levenshtein` verify is EXACT (no recall loss), with no cross
+    * join anywhere.
+    *
+    * Scale shape: key blowup is len+1 per string (linear, and
+    * `array_distinct` collapses repeated-character variants);
+    * candidates are Σ C(|bucket|, 2) over shared-key buckets — for
+    * name/title-length strings the buckets stay small, and a pathological
+    * hot variant would show up in the q118-style skew profile before it
+    * hurt (the df-cap/rarest-first tricks from [[jaccardPairs]] /
+    * [[prefixJaccardPairs]] apply unchanged if one ever does). Pair
+    * dedupe shuffles on the (id_a, id_b) key; the verify is a scalar
+    * `levenshtein` on the joined strings, map-side. Generalizing to
+    * d > 1 multiplies keys by C(len, d) — d = 1 is the production sweet
+    * spot for typo-level entity resolution.
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ 1. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String)
+      : DataFrame = {
+    val named = df.select(col(idCol).as("eid"), col(strCol).as("s"))
+    // the string itself + every single-deletion variant, deduplicated
+    val delVariants = transform(sequence(lit(1), length(col("s"))),
+      i => concat(col("s").substr(lit(1), i - 1),
+        col("s").substr(i + 1, length(col("s")))))
+    val keyed = named.select(col("eid"),
+      explode(array_distinct(concat(array(col("s")), delVariants)))
+        .as("vkey"))
+    val candidates = keyed.as("a").join(keyed.as("b"),
+        col("a.vkey") === col("b.vkey") && col("a.eid") < col("b.eid"))
+      .select(col("a.eid").as("id_a"), col("b.eid").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(named.select(col("eid").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(named.select(col("eid").as("id_b"), col("s").as("s_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .filter(col("dist") <= 1)
+  }
+
   /** Per-bit lambda form of [[simhash32]] (parity testing only). */
   def simhash32Lambda(text: Column): Column = {
     val hashes = array_distinct(

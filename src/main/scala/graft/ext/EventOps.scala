@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over the `events` table: ordered funnels and
@@ -64,5 +65,81 @@ object EventOps {
         (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
           .as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Interval concurrency via a DISTRIBUTED prefix sum: given intervals
+    * [start, end) as long columns, return one row per distinct boundary
+    * value with the number of intervals open after processing every
+    * boundary at that value (+1 at start, −1 at end; grouping boundaries
+    * by value first makes the result independent of any within-timestamp
+    * tie order, and gives half-open semantics — a zero-length interval
+    * nets to 0 and is never counted).
+    *
+    * The running sum is the textbook scalable scan, NOT a global
+    * single-partition window (the `WindowExec: No Partition Defined`
+    * anti-pattern, which serializes the whole boundary stream through one
+    * task): range-partition by boundary value, cumulative-sum WITHIN each
+    * partition (partitioned window — parallel), and bridge partitions by
+    * collecting one subtotal per partition to the driver (≤
+    * shuffle.partitions rows, the q90/q129 documented KB-scale pattern)
+    * and broadcasting exclusive prefix offsets back. Two shuffles total
+    * (boundary group-by, range partition); everything else is map-side.
+    * The ranged frame is lineage-truncated because both the subtotal pass
+    * and the output consume its partition ids, which must agree. */
+  def concurrency(intervals: DataFrame, startCol: String, endCol: String)
+      : DataFrame = {
+    val spark = intervals.sparkSession
+    val boundaries = intervals.select(col(startCol).as("us"),
+        lit(1L).as("delta"))
+      .unionByName(intervals.select(col(endCol).as("us"),
+        lit(-1L).as("delta")))
+      .groupBy("us").agg(sum(col("delta")).as("delta"))
+    val ranged = boundaries
+      .repartitionByRange(col("us"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true) // pid read by subtotals AND output
+    val subtotals = ranged.groupBy("__pid")
+      .agg(sum(col("delta")).as("ptot"))
+      .orderBy("__pid")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val offsets = subtotals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.init.zip(subtotals).map { case ((_, prefix), (pid, _)) =>
+      (pid, prefix)
+    } // exclusive prefix: sum of all earlier partitions' subtotals
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val inPart = Window.partitionBy("__pid").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), "__pid")
+      .select(col("us"),
+        (col("__off") + sum(col("delta")).over(inPart)).as("concurrent"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * one row per observed (from_type, to_type) with the transition count
+    * and the conditional probability p(to | from).
+    *
+    * One shuffle on the user key for the `lead` window (ordered by
+    * truncated-µs timestamp then event id — fully deterministic), one
+    * |types|²-bounded aggregate, and a broadcast join against the
+    * |types|-row per-source totals. n/ntot is an IEEE division of two
+    * exact longs, so the probability is bit-identical cross-engine. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol)
+      .orderBy(col("__us"), col(idCol))
+    val counts = events
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col(typeCol).as("from_type"), col("to_type"))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type")
+      .agg(sum(col("n")).as("ntot"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("ntot").cast("double")).as("p"))
   }
 }

@@ -425,6 +425,49 @@ object TextOps {
       .select(col("did").as(idCol), col("n_tok"), col("nll_per_tok"))
   }
 
+  /** Per-source corpus drift: KL(source ‖ corpus) between add-one-smoothed
+    * unigram distributions over the shared corpus vocabulary — the
+    * distribution-shift monitor a training-data pipeline runs when a new
+    * crawl/source lands (large KL = the source's token mix diverges from
+    * the corpus it's joining).
+    *
+    * p_s(tok) = (c_s+1)/(tot_s+V), q(tok) = (c+1)/(tot+V); KL is summed
+    * over the FULL vocabulary (tokens absent in a source contribute their
+    * smoothed mass), so the expansion frame is |vocab| × |sources| rows —
+    * distributed, never collected; per-source totals are a broadcast-sized
+    * dimension. Terms are rounded to 9 dp and summed as decimals (the
+    * [[unigramNll]] determinism contract), making the double-precision
+    * `ln` cross-engine stable. Shuffles: corpus counts, per-(source, tok)
+    * counts, and the vocab×sources expansion join — all on token or
+    * (source, token) keys; no driver loops.
+    *
+    * Returns (source, n_tok, kl_nats) — n_tok = source token count. */
+  def sourceDrift(df: DataFrame, sourceCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(sourceCol).as("src"),
+      explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("tok"))
+    // corpus model: consumed by the totals agg and the expansion join
+    val corpus = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val corpusTot = corpus.agg(sum(col("c")).as("ctot"),
+      count(lit(1)).as("v"))
+    val perSource = toks.groupBy("src", "tok").agg(count(lit(1)).as("cs"))
+    val sources = perSource.groupBy("src").agg(sum(col("cs")).as("stot"))
+    val expanded = corpus.crossJoin(broadcast(sources))
+      .join(perSource, Seq("src", "tok"), "left")
+      .na.fill(0L, Seq("cs"))
+      .crossJoin(broadcast(corpusTot))
+    val p = (col("cs") + 1).cast("double") / (col("stot") + col("v"))
+    val q = (col("c") + 1).cast("double") / (col("ctot") + col("v"))
+    expanded
+      .select(col("src"), col("stot"), round(p * log(p / q), 9).as("term"))
+      .groupBy("src", "stot")
+      .agg(round(sum(col("term").cast("decimal(28,9)")).cast("double"), 6)
+        .as("kl_nats"))
+      .select(col("src").as(sourceCol), col("stot").as("n_tok"),
+        col("kl_nats"))
+  }
+
   /** Bigram-LM document scoring — the conditional upgrade of
     * [[unigramNll]]: add-one-smoothed p(w₂|w₁) = (c₁₂+1)/(c₁+V) with
     * c₁₂ = corpus bigram count, c₁ = occurrences of w₁ as a left

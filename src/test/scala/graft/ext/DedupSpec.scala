@@ -224,4 +224,43 @@ class DedupSpec extends SparkSpec {
     assert(sets.toDouble / full < 0.45,
       s"prefix rows $sets vs postings $full")
   }
+
+  test("editDistancePairs == brute-force levenshtein pairs (deletion " +
+    "neighborhood is lossless: equal / delete / insert / substitute)") {
+    val names = Seq(
+      (1L, "karen"), (2L, "karen"),   // equal
+      (3L, "karn"),                   // deletion of 1
+      (4L, "karren"),                 // insertion into 1
+      (5L, "kared"),                  // substitution of 1's last char
+      (6L, "jklmn"),                  // far from everything
+      (7L, "aaren"))                  // substitution at position 1
+      .toDF("id", "name")
+    val out = Dedup.editDistancePairs(names, "id", "name")
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Int)].collect().toSeq
+    val brute = names.as("x").join(names.as("y"),
+        col("x.id") < col("y.id") &&
+          levenshtein(col("x.name"), col("y.name")) <= 1)
+      .select(col("x.id"), col("y.id"),
+        levenshtein(col("x.name"), col("y.name")).cast("int"))
+      .orderBy("x.id", "y.id")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == brute)
+    assert(out.contains((1L, 2L, 0)) && out.contains((1L, 3L, 1)) &&
+      out.contains((1L, 4L, 1)) && out.contains((1L, 5L, 1)) &&
+      out.contains((1L, 7L, 1)))
+    assert(!out.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("editDistancePairs: repeated-character variants deduplicate " +
+    "(len+1 keys is an upper bound, not the count)") {
+    val one = Seq((1L, "aaaa")).toDF("id", "name")
+    // "aaaa" → itself + one distinct deletion "aaa", not four
+    val keys = one.select(explode(array_distinct(concat(
+      array(col("name")),
+      transform(sequence(lit(1), length(col("name"))),
+        i => concat(col("name").substr(lit(1), i - 1),
+          col("name").substr(i + 1, length(col("name")))))))))
+    assert(keys.count() == 2)
+  }
 }

@@ -59,4 +59,70 @@ class EventOpsSpec extends SparkSpec {
       (w1, 0, 1L), (w1, 2, 1L),   // u1: week 0 and week +2 (once)
       (w2, 0, 1L), (w2, 1, 1L)))  // u2: consecutive weeks
   }
+
+  test("concurrency: hand-computed boundary counts, half-open " +
+    "[start, end), zero-length interval nets to zero") {
+    // [1,5) [3,7) [5,9): at 3 two open, at 5 one closes + one opens;
+    // [4,4) is zero-length and must never count
+    val intervals = Seq((1L, 5L), (3L, 7L), (5L, 9L), (4L, 4L))
+      .toDF("s", "e")
+    val out = EventOps.concurrency(intervals, "s", "e")
+      .orderBy("us").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (3L, 2L), (4L, 2L), (5L, 2L),
+      (7L, 1L), (9L, 0L)))
+  }
+
+  test("concurrency: distributed prefix sum == single global window " +
+    "on a larger frame, and the final boundary always nets to zero") {
+    val rnd = new scala.util.Random(7)
+    val intervals = Seq.tabulate(500) { i =>
+      val s = rnd.nextInt(10000).toLong
+      (s, s + 1 + rnd.nextInt(500))
+    }.toDF("s", "e").repartition(7) // arbitrary input partitioning
+    val out = EventOps.concurrency(intervals, "s", "e")
+      .orderBy("us").as[(Long, Long)].collect().toSeq
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val oracle = intervals.select(col("s").as("us"), lit(1L).as("d"))
+      .unionByName(intervals.select(col("e").as("us"), lit(-1L).as("d")))
+      .groupBy("us").agg(sum(col("d")).as("d"))
+      .select(col("us"), sum(col("d")).over(Window.orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("c"))
+      .orderBy("us").as[(Long, Long)].collect().toSeq
+    assert(out == oracle)
+    assert(out.last._2 == 0L) // every open interval eventually closes
+  }
+
+  test("transitionMatrix: hand-computed counts and conditional " +
+    "probabilities; per-from probabilities sum to 1") {
+    val events = Seq(
+      // u1: a -> b -> a -> c   u2: a -> b
+      (1L, 1L, "a", ts(1, 1)), (2L, 1L, "b", ts(1, 2)),
+      (3L, 1L, "a", ts(1, 3)), (4L, 1L, "c", ts(1, 4)),
+      (5L, 2L, "a", ts(2, 1)), (6L, 2L, "b", ts(2, 2)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.transitionMatrix(events, "user_id", "event_type",
+        "ts", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // from a: 2×b + 1×c of 3; from b: 1×a of 1 (u2's b is terminal)
+    assert(out == Seq(("a", "b", 2L, 2.0 / 3), ("a", "c", 1L, 1.0 / 3),
+      ("b", "a", 1L, 1.0)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
+    }
+  }
+
+  test("transitionMatrix: same-timestamp ties break on the id column") {
+    val t = ts(1, 1)
+    val events = Seq(
+      (10L, 1L, "a", t), (11L, 1L, "b", t), (12L, 1L, "c", t))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.transitionMatrix(events, "user_id", "event_type",
+        "ts", "event_id")
+      .orderBy("from_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", 1L, 1.0), ("b", "c", 1L, 1.0)))
+  }
 }

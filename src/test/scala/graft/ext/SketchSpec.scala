@@ -61,4 +61,21 @@ class SketchSpec extends SparkSpec {
       .head().getLong(0)
     assert(merged == direct)
   }
+
+  test("day-grain distinct partials: week estimates from unioned day " +
+    "sketches == estimates sketched directly from the raw week") {
+    import graft.engine.Aggregates
+    val ev = Tables.events(spark, sf0001)
+    val fromPartials = Aggregates.weeklyDistinctFromPartials(
+        Aggregates.dailyDistinctPartials(ev, "ts", "user_id"))
+      .orderBy("week").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val direct = ev
+      .groupBy(date_trunc("week", col("ts").cast("timestamp"))
+        .cast("date").as("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .orderBy("week").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(fromPartials.nonEmpty && fromPartials.sameElements(direct))
+  }
 }

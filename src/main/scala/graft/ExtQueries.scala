@@ -1405,7 +1405,18 @@ object ExtQueries {
       .orderBy("week")
   }
 
+  /** q138 — directional containment near-dup pairs
+    * ([[Dedup.containmentPairs]]): |A∩B|/|A| ≥ 0.6 over 3-shingles with
+    * the q31 df-cap — the asymmetric dedup signal that catches a
+    * document swallowed by a larger one (its Jaccard against the
+    * container stays low). Both qualifying directions emitted. */
+  private val q138: Q = (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, threshold = 0.6, maxDf = 100)
+      .orderBy("contained_id", "container_id")
+
   val all: Map[String, Q] = Map(
+    "q138_containment_pairs" -> q138,
     "q137_incremental_distinct" -> q137,
     "q136_source_drift" -> q136,
     "q135_transition_matrix" -> q135,
@@ -1575,8 +1586,10 @@ object ExtQueries {
     * df-capped postings (mirroring Dedup.jaccardPairs' maxDf — shingles in
     * more than `cap` docs leave the shingle universe, numerator AND
     * denominator) → inverted-index self-join → Jaccard ≥ threshold. */
-  private def pairCtes(cap: Int, threshold: Double,
-      from: String = "documents"): String =
+  /** df-capped shingle candidate CTEs through `sizes` + `shared` — the
+    * SQL twin of `Dedup.shingleCandidates`, shared by the q31-family
+    * Jaccard oracles ([[pairCtes]]) and the q138 containment oracle. */
+  private def candCtes(cap: Int, from: String = "documents"): String =
     s"""sh AS (
        |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs FROM $from),
        |post0 AS (SELECT doc_id, unnest(shs) AS h FROM sh),
@@ -1588,7 +1601,11 @@ object ExtQueries {
        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
        |         CAST(count(*) AS BIGINT) AS n_shared
        |  FROM post x JOIN post y ON x.h = y.h AND x.doc_id < y.doc_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def pairCtes(cap: Int, threshold: Double,
+      from: String = "documents"): String =
+    s"""${candCtes(cap, from)},
        |scored AS (
        |  SELECT id_a, id_b,
        |    CAST(n_shared AS DOUBLE) / (a.n_sh + b.n_sh - n_shared) AS jac
@@ -1709,6 +1726,21 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q138_containment_pairs" ->
+      s"""WITH
+         |${candCtes(cap = 100)},
+         |bd AS (
+         |  SELECT id_a AS contained_id, id_b AS container_id,
+         |         n_shared, a.n_sh AS n_c
+         |  FROM shared JOIN sizes a ON a.doc_id = id_a
+         |  UNION ALL
+         |  SELECT id_b, id_a, n_shared, b.n_sh
+         |  FROM shared JOIN sizes b ON b.doc_id = id_b)
+         |SELECT contained_id, container_id,
+         |  CAST(n_shared AS DOUBLE) / n_c AS containment
+         |FROM bd WHERE CAST(n_shared AS DOUBLE) / n_c >= 0.6
+         |ORDER BY 1, 2""".stripMargin,
+
     "q137_incremental_distinct" ->
       """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
         |    AS week,

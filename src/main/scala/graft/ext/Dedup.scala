@@ -77,6 +77,25 @@ object Dedup {
     * are spec-asserted (DedupSpec). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+    val (sizes, shared) = shingleCandidates(df, idCol, textCol, k, maxDf)
+    shared
+      .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .withColumn("jac", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Shingle-universe sizes and shared-shingle pair counts — the common
+    * candidate machinery behind [[jaccardPairs]] (symmetric) and
+    * [[containmentPairs]] (directional). Returns
+    * (sizes: (pid, n_sh), shared: (id_a < id_b, n_shared)). */
+  private def shingleCandidates(df: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDf: Int): (DataFrame, DataFrame) = {
     // Capped path (the 100 TB path): ONE shuffle builds the inverted
     // index as grouped posting lists (sh → [pids]); the df-cap is then a
     // size filter on the lists — no separate hot-shingle aggregate, no
@@ -129,16 +148,40 @@ object Dedup {
           .agg(count(lit(1)).as("n_shared"))
         (sz, sh)
       }
-    shared
+    (sizes, shared)
+  }
+
+  /** Directional containment near-dup pairs:
+    * C(A→B) = |A∩B| / |A| over distinct k-shingles — "how much of A is
+    * inside B". The asymmetric counterpart of [[jaccardPairs]]: a short
+    * quote, boilerplate block, or subset page scores near 1.0 against
+    * its container while its Jaccard stays low (the container's size
+    * inflates the union), so containment is the dedup signal that
+    * catches swallowed documents. Returns BOTH qualifying directions as
+    * (contained_id, container_id, containment ≥ threshold).
+    *
+    * Same candidate machinery, bounds, and df-cap semantics as
+    * [[jaccardPairs]] (the cap redefines the shingle universe for
+    * numerator AND denominator); exact over that universe for any
+    * threshold > 0, since a qualifying pair shares ≥ 1 surviving
+    * shingle. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0, "containment threshold must be positive")
+    val (sizes, shared) = shingleCandidates(df, idCol, textCol, k, maxDf)
+    val joined = shared
       .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
         Seq("id_a"))
       .join(sizes.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
         Seq("id_b"))
-      .withColumn("jac", col("n_shared").cast("double") /
-        (col("n_a") + col("n_b") - col("n_shared")))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
-      .orderBy("id_a", "id_b")
+      .localCheckpoint(eager = true) // consumed by both directions
+    val ab = joined.select(col("id_a").as("contained_id"),
+      col("id_b").as("container_id"),
+      (col("n_shared").cast("double") / col("n_a")).as("containment"))
+    val ba = joined.select(col("id_b").as("contained_id"),
+      col("id_a").as("container_id"),
+      (col("n_shared").cast("double") / col("n_b")).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= threshold)
   }
 
   /** EXACT Jaccard-join via prefix filtering (the third classic

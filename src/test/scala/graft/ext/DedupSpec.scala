@@ -32,6 +32,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => a == 3 || b == 3 })
   }
 
+  test("containmentPairs: swallowed doc scores 1.0 against its container " +
+      "while symmetric jaccard misses the pair") {
+    // doc 5 is a verbatim prefix of doc 0: its 3 shingles all live inside
+    // doc 0's 7, so C(5→0)=1.0 but J(5,0)=3/7 — the asymmetric signal.
+    val corpus = docs.unionByName(
+      Seq((5L, "the quick brown fox jumps")).toDF("doc_id", "text"))
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.contains((5L, 0L, 1.0)))
+    assert(out.contains((5L, 2L, 1.0)))
+    // direction matters: the container holds only 3/7 of its own shingles
+    // in the quote, so 0→5 stays below threshold
+    assert(!out.exists { case (a, b, _) => a == 0 && b == 5 })
+    // exact dups qualify in BOTH directions
+    assert(out.contains((0L, 2L, 1.0)) && out.contains((2L, 0L, 1.0)))
+    // and the symmetric metric would never have surfaced 5↔0 at 0.9
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(!jac.exists { case (a, b, _) => a == 5 || b == 5 })
+  }
+
   test("minhashBandPairs surfaces exact and near dups, skips dissimilar") {
     val pairs = Dedup.minhashBandPairs(docs, "doc_id", "text",
       k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.3)

@@ -1415,7 +1415,18 @@ object ExtQueries {
         k = 3, threshold = 0.6, maxDf = 100)
       .orderBy("contained_id", "container_id")
 
+  /** q139 — repeated-span coverage ([[Dedup.repeatedSpanCoverage]]):
+    * per-doc fraction of tokens inside an 8-gram shared with ≥ 1 other
+    * document — the span-level dedup filter signal (docs that are mostly
+    * cross-corpus boilerplate score high even when no single pairwise
+    * Jaccard does). */
+  private val q139: Q = (s, d) =>
+    Dedup.repeatedSpanCoverage(Tables.documents(s, d), "doc_id", "text",
+        n = 8, minDocs = 2)
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
+    "q139_repeated_spans" -> q139,
     "q138_containment_pairs" -> q138,
     "q137_incremental_distinct" -> q137,
     "q136_source_drift" -> q136,
@@ -1726,6 +1737,33 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q139_repeated_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |pos0 AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks) - 7)) AS s
+         |  FROM t WHERE len(toks) >= 8),
+         |occ AS (
+         |  SELECT doc_id, s,
+         |    ${polyHashSql("array_to_string(list_slice(toks, s, s + 7), ' ')")} AS gh
+         |  FROM pos0),
+         |rep AS (
+         |  SELECT gh FROM (
+         |    SELECT gh, count(DISTINCT doc_id) AS nd FROM occ GROUP BY 1)
+         |  WHERE nd >= 2),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT pos) AS covered FROM (
+         |    SELECT o.doc_id, unnest(generate_series(o.s, o.s + 7)) AS pos
+         |    FROM occ o JOIN rep USING (gh))
+         |  GROUP BY 1)
+         |SELECT t.doc_id, len(t.toks) AS n_toks,
+         |  COALESCE(cov.covered, 0) AS covered,
+         |  round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / len(t.toks), 6)
+         |    AS dup_frac
+         |FROM t LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "q138_containment_pairs" ->
       s"""WITH
          |${candCtes(cap = 100)},

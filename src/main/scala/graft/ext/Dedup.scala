@@ -580,6 +580,51 @@ object Dedup {
       .filter(col("dist") <= 1)
   }
 
+  /** Per-document repeated-span coverage: the fraction of a document's
+    * tokens lying inside at least one n-gram that also occurs in ≥
+    * `minDocs` OTHER distinct documents — the span-level cross-corpus
+    * duplication signal used to filter training data (a doc that is 80%
+    * boilerplate shared with other pages keeps a low Jaccard against any
+    * single one of them, but its span coverage is 0.8). Within-document
+    * repetition deliberately does not count (that is repetition profiling,
+    * a different signal).
+    *
+    * Returns (idCol, n_toks, covered, dup_frac) for EVERY input row
+    * (short docs: covered = 0).
+    *
+    * Scale shape: occurrences carry (id, start, 8-byte gram hash) — no
+    * gram strings ever shuffle (native [[graft.functions.ShingleHash]]
+    * rolling hash, O(chars + n·k)). Unlike pair-generating dedup there is
+    * NO quadratic term to cap: a boilerplate gram in f docs costs f
+    * occurrence rows through a membership semi-join, linear in corpus
+    * size, so no df-cap is needed. The position explode (×n) applies only
+    * to occurrences of qualifying grams. */
+  def repeatedSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val base = df.select(col(idCol),
+      graft.functions.ShingleHash.shingle_hash(toks, n).as("ghs"),
+      size(toks).as("n_toks"))
+    val occ = base
+      .select(col(idCol), posexplode(col("ghs")).as(Seq("s", "gh")))
+    // two-phase distinct-doc count: (gh, id) dedup is map-side partial,
+    // so the gh shuffle carries each doc's first occurrence only
+    val rep = occ.select(col("gh"), col(idCol)).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gh")
+    val covered = occ.join(rep, "gh")
+      .select(col(idCol),
+        explode(sequence(col("s"), col("s") + (n - 1))).as("pos"))
+      .groupBy(idCol).agg(countDistinct(col("pos")).as("covered"))
+    base.select(col(idCol), col("n_toks"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_toks"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        round(coalesce(col("covered"), lit(0L)).cast("double") /
+          col("n_toks"), 6).as("dup_frac"))
+  }
+
   /** Per-bit lambda form of [[simhash32]] (parity testing only). */
   def simhash32Lambda(text: Column): Column = {
     val hashes = array_distinct(

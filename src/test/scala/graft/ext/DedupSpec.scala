@@ -53,6 +53,26 @@ class DedupSpec extends SparkSpec {
     assert(!jac.exists { case (a, b, _) => a == 5 || b == 5 })
   }
 
+  test("repeatedSpanCoverage: cross-doc spans count, within-doc " +
+      "repetition and short docs do not") {
+    val corpus = Seq(
+      // A and B share the 8-gram alpha..theta (A at 0, B at 1)
+      (0L, "alpha beta gamma delta epsilon zeta eta theta ex1 ex2"),
+      (1L, "pre alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "tiny doc"),
+      // internal repeat of an 8-gram unique to this doc: no coverage
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanCoverage(corpus, "doc_id", "text", 8)
+      .orderBy("doc_id").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out(0) == ((0L, 10, 8L, 0.8)))
+    assert(out(1) == ((1L, 9, 8L, 0.888889)))
+    assert(out(2) == ((2L, 9, 0L, 0.0)))
+    assert(out(3) == ((3L, 2, 0L, 0.0)))
+    assert(out(4) == ((4L, 16, 0L, 0.0)))
+  }
+
   test("minhashBandPairs surfaces exact and near dups, skips dissimilar") {
     val pairs = Dedup.minhashBandPairs(docs, "doc_id", "text",
       k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.3)

@@ -1425,7 +1425,23 @@ object ExtQueries {
         n = 8, minDocs = 2)
       .orderBy("doc_id")
 
+  /** q140 — per-group OLS regression ([[Aggregates.olsSlope]] family):
+    * price-on-quantity fit per return flag from one pass of mergeable
+    * sufficient stats — slope, intercept, and r² share the deduped
+    * exact-decimal sums. */
+  private val q140: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(olsSlope(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("slope"),
+        round(olsIntercept(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("intercept"),
+        round(olsR2(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("r2"))
+      .orderBy("l_returnflag")
+
   val all: Map[String, Q] = Map(
+    "q140_group_ols" -> q140,
     "q139_repeated_spans" -> q139,
     "q138_containment_pairs" -> q138,
     "q137_incremental_distinct" -> q137,
@@ -1737,6 +1753,24 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q140_group_ols" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*sx) / n, 6)
+        |    AS intercept,
+        |  round(((n*sxy - sx*sy)*(n*sxy - sx*sy)) /
+        |        ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
     "q139_repeated_spans" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents),

@@ -74,6 +74,34 @@ object Aggregates {
       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
   }
 
+  /** Per-group OLS fit y = β₀ + β₁·x from one pass of mergeable
+    * sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) — the distributed
+    * regression shape: partials combine map-side, the shuffle carries six
+    * numbers per group regardless of group size, and the closed-form
+    * solve is driver-free final math on exact decimal sums (same
+    * determinism argument as [[corrExact]]; Catalyst dedups the shared
+    * aggregate children, so requesting all three of slope/intercept/r²
+    * still computes each sum once). */
+  def olsSlope(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    (n * sumExact6(x * y) - sumExact(x) * sumExact(y)) /
+      (n * sumExact6(x * x) - sumExact(x) * sumExact(x))
+  }
+
+  def olsIntercept(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    (sumExact(y) - olsSlope(x, y) * sumExact(x)) / n
+  }
+
+  /** Coefficient of determination r² (= corr² for simple OLS). */
+  def olsR2(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val cov = n * sumExact6(x * y) - sumExact(x) * sumExact(y)
+    (cov * cov) /
+      ((n * sumExact6(x * x) - sumExact(x) * sumExact(x)) *
+       (n * sumExact6(y * y) - sumExact(y) * sumExact(y)))
+  }
+
   /** describe()-equivalent summary, re-homed distributed
     * (`Preprocessing.py:209,281`). */
   def summaryStats(df: DataFrame, key: String, c: String): DataFrame =

@@ -163,6 +163,26 @@ class AggregatesSpec extends SparkSpec {
     assert(out == (("g", 2.0, 3L))) // plain mean of 1,2,3; null excluded
   }
 
+  test("olsSlope/Intercept/R2: noise-free line recovered exactly; " +
+    "off-line point drops r2 below 1") {
+    // y = 2x + 3 exactly → slope 2, intercept 3, r² 1 (all exact in
+    // decimal sums: inputs are small integers)
+    val line = (1 to 50).map(i => ("g", i.toDouble, 2.0 * i + 3))
+      .toDF("grp", "x", "y")
+    val fit = line.groupBy("grp").agg(
+      Aggregates.olsSlope(col("x"), col("y")).as("b1"),
+      Aggregates.olsIntercept(col("x"), col("y")).as("b0"),
+      Aggregates.olsR2(col("x"), col("y")).as("r2")).collect()(0)
+    assert(fit.getAs[Double]("b1") == 2.0)
+    assert(fit.getAs[Double]("b0") == 3.0)
+    assert(fit.getAs[Double]("r2") == 1.0)
+    // one off-line point: r² strictly below 1, slope perturbed
+    val noisy = line.unionByName(Seq(("g", 25.0, 500.0)).toDF("grp", "x", "y"))
+    val f2 = noisy.groupBy("grp").agg(
+      Aggregates.olsR2(col("x"), col("y")).as("r2")).collect()(0)
+    assert(f2.getAs[Double]("r2") < 1.0 && f2.getAs[Double]("r2") > 0.0)
+  }
+
   test("iqrOutliers: fences and counts match hand math; rows ON the " +
     "fence are not outliers") {
     // group g: 1..100 plus two plants → 102 values; interpolated

@@ -1440,7 +1440,25 @@ object ExtQueries {
           .as("r2"))
       .orderBy("l_returnflag")
 
+  /** q141 — Pareto frontier ([[PipelineOps.paretoFrontier]]): documents
+    * not dominated on (token count, lexical diversity) — multi-criteria
+    * curation selection via the algebraic bucketed prune, NOT an O(n²)
+    * self-join (the oracle IS the O(n²) definition, which is the point:
+    * same answer, scalable plan). */
+  private val q141: Q = (s, d) => {
+    val toks = TextOps.tokens(col("text"))
+    val m = Tables.documents(s, d).select(col("doc_id"),
+      size(toks).as("n_toks"),
+      (size(array_distinct(toks)).cast("double") / size(toks))
+        .as("diversity"))
+    PipelineOps.paretoFrontier(m, "n_toks", "diversity")
+      .select(col("doc_id"), col("n_toks"),
+        round(col("diversity"), 6).as("diversity"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q141_pareto_frontier" -> q141,
     "q140_group_ols" -> q140,
     "q139_repeated_spans" -> q139,
     "q138_containment_pairs" -> q138,
@@ -1753,6 +1771,17 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q141_pareto_frontier" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, len(toks) AS x,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS y
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |SELECT a.doc_id, a.x AS n_toks, round(a.y, 6) AS diversity
+         |FROM m a
+         |WHERE NOT EXISTS (SELECT 1 FROM m b
+         |  WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+         |ORDER BY a.doc_id""".stripMargin,
+
     "q140_group_ols" ->
       """WITH s AS (
         |  SELECT l_returnflag,

@@ -408,6 +408,49 @@ object PipelineOps {
     * `.explain` shows one Exchange. Per-user event streams sort within
     * the partition; no global sort. Ties on `tsCol` are broken by
     * `idCol` so retries and re-partitioning are deterministic. */
+  /** 2-D Pareto frontier (skyline): rows not dominated on the maximize
+    * pair (x, y) — a dominates b iff a.x ≥ b.x ∧ a.y ≥ b.y with at least
+    * one strict. The multi-criteria selection a curation pipeline uses
+    * when two quality signals must not be collapsed into one weighted
+    * score (e.g. length vs lexical diversity): the frontier is every
+    * trade-off point a rational weighting could pick.
+    *
+    * Distributed shape (NOT the O(n²) NOT-EXISTS self-join): dominance
+    * pruning is algebraic — pareto(A ∪ B) = pareto(pareto(A) ∪
+    * pareto(B)) — so the frontier reduces like an aggregate:
+    *   1. per distinct x keep only max y (groupBy with map-side combine:
+    *      same-x rows below the max are dominated);
+    *   2. LOCAL prune: within each of `buckets` hash buckets, a desc-x
+    *      running-max-y window kills coords whose y is covered by a
+    *      larger-x coord in the same bucket;
+    *   3. GLOBAL prune: same window over the ≤ buckets × |local
+    *      frontier| survivors in one partition — bounded rows, the
+    *      classic partial→final shape;
+    *   4. broadcast the coordinate frontier back onto the full relation
+    *      to recover every row carrying a frontier coordinate (equal
+    *      coords never dominate each other, so all such rows qualify).
+    * Shuffles: one keyed agg + two tiny window exchanges; the corpus
+    * itself is touched by exactly one agg and one broadcast-joined scan. */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String,
+      buckets: Int = 32): DataFrame = {
+    def prune(pts: DataFrame, bucket: Column): DataFrame = {
+      val w = Window.partitionBy("__b").orderBy(col("__x").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("__b", bucket)
+        .withColumn("__prev_max", max(col("__ymax")).over(w))
+        .filter(col("__prev_max").isNull ||
+          col("__prev_max") < col("__ymax"))
+        .select(col("__x"), col("__ymax"))
+    }
+    val coords = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .groupBy("__x").agg(max(col("__y")).as("__ymax"))
+    val local = prune(coords, pmod(xxhash64(col("__x")), lit(buckets)))
+    val frontier = prune(local, lit(0))
+      .withColumnRenamed("__ymax", "__y")
+    df.join(broadcast(frontier),
+      col(xCol) === col("__x") && col(yCol) === col("__y"), "leftsemi")
+  }
+
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -361,6 +361,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(batch == windowed)
   }
 
+  test("paretoFrontier: hand case — same-x dominated, duplicates kept, " +
+    "interior point dropped") {
+    val pts = Seq((1L, 1, 5.0), (2L, 2, 4.0), (3L, 3, 3.0),
+      (4L, 2, 2.0),  // dominated by (2,4) on y at same x
+      (5L, 0, 5.0),  // dominated by (1,5) on x at same y
+      (6L, 3, 3.0))  // exact duplicate of (3,3): both stay
+      .toDF("id", "x", "y")
+    val got = PipelineOps.paretoFrontier(pts, "x", "y", buckets = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 6L))
+  }
+
+  test("paretoFrontier == brute-force dominance on deterministic data, " +
+    "any bucket count") {
+    val pts = (0 until 400)
+      .map(i => (i.toLong, (i * 37) % 101, ((i * 53) % 97).toDouble))
+    val brute = pts.filter { case (_, ax, ay) =>
+      !pts.exists { case (_, bx, by) =>
+        bx >= ax && by >= ay && (bx > ax || by > ay) }
+    }.map(_._1).toSet
+    val df = pts.toDF("id", "x", "y")
+    for (b <- Seq(1, 7, 32)) {
+      val got = PipelineOps.paretoFrontier(df, "x", "y", buckets = b)
+        .select("id").as[Long].collect().toSet
+      assert(got == brute, s"buckets=$b")
+    }
+  }
+
   test("sessionize plan: lag, running sum, and the session aggregate " +
     "share ONE exchange on the user key") {
     val events = graft.engine.Tables.events(spark, sf0001)

@@ -1457,7 +1457,17 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** q142 — sorted-neighborhood linkage ([[Dedup.sortedNeighborhoodPairs]]):
+    * near-miss part names (edit distance 1–5) found by comparing only the
+    * 2 next sort neighbors within first-word blocks — linear candidate
+    * generation standing in for the quadratic all-pairs compare. */
+  private val q142: Q = (s, d) =>
+    Dedup.sortedNeighborhoodPairs(Tables.part(s, d), "p_partkey", "p_name",
+        element_at(split(col("p_name"), " "), 1), w = 3, maxDist = 5)
+      .orderBy("id_a", "id_b")
+
   val all: Map[String, Q] = Map(
+    "q142_sorted_neighborhood" -> q142,
     "q141_pareto_frontier" -> q141,
     "q140_group_ols" -> q140,
     "q139_repeated_spans" -> q139,
@@ -1771,6 +1781,19 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q142_sorted_neighborhood" ->
+      """WITH s AS (
+        |  SELECT p_partkey AS id, p_name AS k,
+        |    string_split(p_name, ' ')[1] AS blk FROM part),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY k, id)
+        |    AS rn FROM s)
+        |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.k, b.k) AS dist
+        |FROM r a JOIN r b
+        |  ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 2
+        |WHERE levenshtein(a.k, b.k) BETWEEN 1 AND 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q141_pareto_frontier" ->
       s"""WITH m AS (
          |  SELECT doc_id, len(toks) AS x,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for an LLM training-data pipeline
@@ -623,6 +624,42 @@ object Dedup {
         coalesce(col("covered"), lit(0L)).as("covered"),
         round(coalesce(col("covered"), lit(0L)).cast("double") /
           col("n_toks"), 6).as("dup_frac"))
+  }
+
+  /** Sorted-neighborhood record-linkage blocking: sort within blocks by
+    * the link key, compare each record to its next `w−1` sort neighbors
+    * only, keep pairs with edit distance in [1, maxDist] (distance-0
+    * pairs are exact-dedup's job, [[exactDedup]]). The classic SNM
+    * candidate generator: near-miss keys (typos, reorderings that leave
+    * the prefix intact) land adjacent in sort order, so the quadratic
+    * all-pairs compare collapses to a linear windowed one. Misses pairs
+    * whose keys sort far apart — the standard remedy is multi-pass SNM
+    * (union over different block/sort keys), which composes here as
+    * `pass1.unionByName(pass2).dropDuplicates`.
+    *
+    * Scale shape: the window is partitioned by `blockExpr` — a real
+    * shuffle-partitionable key, NOT a global sort — and all w−1 `lead`s
+    * share one window pass (one Exchange + sort). Output is ≤ n·(w−1)
+    * rows before the distance filter; nothing quadratic anywhere.
+    * Ordering ties break by id, so pair generation is deterministic
+    * under re-partitioning. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+      blockExpr: Column, w: Int, maxDist: Int): DataFrame = {
+    require(w >= 2, "window must cover at least one neighbor")
+    val win = Window.partitionBy("__blk").orderBy(col("__k"), col("__id"))
+    val base = df.select(col(idCol).as("__id"), col(keyCol).as("__k"),
+      blockExpr.as("__blk"))
+    val neighbors = (1 until w).map { i =>
+      struct(lead(col("__id"), i).over(win).as("id_b"),
+        lead(col("__k"), i).over(win).as("k_b")).as(s"__l$i")
+    }
+    base.select(col("__id") +: col("__k") +: neighbors: _*)
+      .select(col("__id").as("id_a"), col("__k").as("k_a"),
+        explode(array((1 until w).map(i => col(s"__l$i")): _*)).as("nb"))
+      .filter(col("nb.id_b").isNotNull)
+      .select(col("id_a"), col("nb.id_b").as("id_b"),
+        levenshtein(col("k_a"), col("nb.k_b")).as("dist"))
+      .filter(col("dist") >= 1 && col("dist") <= maxDist)
   }
 
   /** Per-bit lambda form of [[simhash32]] (parity testing only). */

@@ -73,6 +73,20 @@ class DedupSpec extends SparkSpec {
     assert(out(4) == ((4L, 16, 0L, 0.0)))
   }
 
+  test("sortedNeighborhoodPairs: window-of-3 neighbors within block, " +
+      "tie order by id, distance-0 pairs excluded") {
+    val recs = Seq((1L, "abc", "a"), (2L, "abd", "a"), (3L, "abe", "a"),
+      (4L, "abq", "a"), (5L, "abc", "a"), (9L, "solo", "b"))
+      .toDF("id", "k", "blk")
+    val out = Dedup.sortedNeighborhoodPairs(recs, "id", "k", col("blk"),
+        w = 3, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // sort within block a: abc(1), abc(5), abd(2), abe(3), abq(4);
+    // (1,5) is distance 0 (exact-dedup's job), everything else dist 1
+    assert(out == Set((1L, 2L, 1), (5L, 2L, 1), (5L, 3L, 1),
+      (2L, 3L, 1), (2L, 4L, 1), (3L, 4L, 1)))
+  }
+
   test("minhashBandPairs surfaces exact and near dups, skips dissimilar") {
     val pairs = Dedup.minhashBandPairs(docs, "doc_id", "text",
       k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.3)

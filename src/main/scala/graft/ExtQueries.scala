@@ -1466,7 +1466,16 @@ object ExtQueries {
         element_at(split(col("p_name"), " "), 1), w = 3, maxDist = 5)
       .orderBy("id_a", "id_b")
 
+  /** q143 — PMI co-occurrence ([[TextOps.pmiPairs]]): document-level
+    * pointwise mutual information over the df ≥ 20 / top-64 vocabulary,
+    * pairs co-occurring in ≥ 5 docs. */
+  private val q143: Q = (s, d) =>
+    TextOps.pmiPairs(Tables.documents(s, d), "doc_id", "text",
+        minDf = 20, vocabTop = 64, minCo = 5)
+      .orderBy("tok_a", "tok_b")
+
   val all: Map[String, Q] = Map(
+    "q143_pmi_pairs" -> q143,
     "q142_sorted_neighborhood" -> q142,
     "q141_pareto_frontier" -> q141,
     "q140_group_ols" -> q140,
@@ -1781,6 +1790,27 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q143_pmi_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+         |  FROM documents),
+         |dfs AS (SELECT tok, count(*) AS dft FROM toks GROUP BY 1),
+         |voc AS (SELECT tok, dft FROM dfs WHERE dft >= 20
+         |        ORDER BY dft DESC, tok LIMIT 64),
+         |vt AS (SELECT t.doc_id, t.tok, v.dft
+         |       FROM toks t JOIN voc v USING (tok)),
+         |pairs AS (
+         |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+         |    max(a.dft) AS df_a, max(b.dft) AS df_b, count(*) AS co
+         |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2),
+         |n AS (SELECT count(*) AS nd FROM documents)
+         |SELECT tok_a, tok_b, co,
+         |  round(ln(CAST(co AS DOUBLE) * nd /
+         |           (CAST(df_a AS DOUBLE) * df_b)), 6) AS pmi
+         |FROM pairs, n WHERE co >= 5
+         |ORDER BY tok_a, tok_b""".stripMargin,
+
     "q142_sorted_neighborhood" ->
       """WITH s AS (
         |  SELECT p_partkey AS id, p_name AS k,

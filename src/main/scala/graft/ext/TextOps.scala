@@ -507,6 +507,47 @@ object TextOps {
         col("nll_per_bigram"))
   }
 
+  /** Document-level PMI co-occurrence: for token pairs from a bounded
+    * vocabulary, pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with probabilities
+    * over documents (df / N, co-occurrence = both present) — the
+    * collocation / topic-association signal.
+    *
+    * The vocabulary is the quadratic-blowup guard: tokens with df ≥
+    * `minDf`, capped at the `vocabTop` highest-df (ties broken by token
+    * for determinism). Per doc, pair generation is over its vocab HITS
+    * only — ≤ C(vocabTop, 2) pairs worst case, map-side after the one
+    * doc-keyed shuffle (sorted hit array → index-pair transform; no
+    * self-join, no second shuffle of the corpus). The vocab broadcasts;
+    * doc count is a broadcast 1-row cross join, not a collect. */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long, vocabTop: Int, minCo: Long): DataFrame = {
+    val toks = df.select(col(idCol).as("pid"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("df_t"))
+      .filter(col("df_t") >= minDf)
+      .orderBy(col("df_t").desc, col("tok")).limit(vocabTop)
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val hits = toks.join(broadcast(vocab), "tok")
+      .groupBy("pid")
+      .agg(sort_array(collect_list(struct(col("tok"), col("df_t"))))
+        .as("vs"))
+      .filter(size(col("vs")) >= 2)
+    val pairs = hits.select(explode(flatten(
+      transform(sequence(lit(0), size(col("vs")) - 2), i =>
+        transform(sequence(i + 1, size(col("vs")) - 1), j =>
+          struct(element_at(col("vs"), i + 1).as("a"),
+            element_at(col("vs"), j + 1).as("b")))))).as("p"))
+    pairs
+      .groupBy(col("p.a.tok").as("tok_a"), col("p.b.tok").as("tok_b"),
+        col("p.a.df_t").as("df_a"), col("p.b.df_t").as("df_b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("co"),
+        round(log(col("co").cast("double") * col("n_docs") /
+          (col("df_a").cast("double") * col("df_b"))), 6).as("pmi"))
+  }
+
   /** Corpus bigram language-model stats: the `topK` most frequent bigrams
     * plus, per bigram, the share of its total occurrences — the raw
     * counts n-gram LM estimation and contamination screens start from.

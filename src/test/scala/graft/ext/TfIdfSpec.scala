@@ -260,4 +260,25 @@ class TfIdfSpec extends SparkSpec {
       .orderBy("source").as[(String, Long, Double)].collect().toSeq
     assert(out == b)
   }
+
+  test("pmiPairs: hand-computed pmi, pair order asc, vocab cap drops " +
+    "low-df tokens deterministically") {
+    import spark.implicits._
+    val corpus = Seq((1L, "x y"), (2L, "y x"), (3L, "x z"), (4L, "w"))
+      .toDF("doc_id", "text")
+    // df: x=3 y=2 z=1 w=1, N=4; co(x,y)=2, co(x,z)=1;
+    // pmi(x,y) = ln(2·4/(3·2)) = pmi(x,z) = ln(1·4/(3·1)) = ln(4/3)
+    val out = TextOps.pmiPairs(corpus, "doc_id", "text",
+        minDf = 1, vocabTop = 10, minCo = 1)
+      .orderBy("tok_a", "tok_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val ln43 = BigDecimal(math.log(4.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(("x", "y", 2L, ln43), ("x", "z", 1L, ln43)))
+    // vocab cap 2 keeps the top-df tokens x, y only → one pair
+    val capped = TextOps.pmiPairs(corpus, "doc_id", "text",
+        minDf = 1, vocabTop = 2, minCo = 1)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(capped == Seq(("x", "y", 2L, ln43)))
+  }
 }

@@ -1474,7 +1474,31 @@ object ExtQueries {
         minDf = 20, vocabTop = 64, minCo = 5)
       .orderBy("tok_a", "tok_b")
 
+  /** q144 — SCD type-2 history ([[EventOps.scd2]]): per-user change-only
+    * version rows over event_type with effective intervals and an open
+    * current version. */
+  private val q144: Q = (s, d) =>
+    EventOps.scd2(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy("user_id", "version")
+
+  /** q145 — chi-square independence ([[Aggregates.chiSquare]]):
+    * lang × source contingency over documents, zero cells included,
+    * exact-decimal term accumulation. */
+  private val q145: Q = (s, d) =>
+    chiSquare(Tables.documents(s, d), "lang", "source")
+
+  /** q146 — robust MAD outliers ([[Aggregates.madOutliers]]): per
+    * event_type exact median + MAD and modified-z(3.5) outlier counts
+    * over event values. */
+  private val q146: Q = (s, d) =>
+    madOutliers(Tables.events(s, d), "event_type", "value")
+      .orderBy("event_type")
+
   val all: Map[String, Q] = Map(
+    "q146_mad_outliers" -> q146,
+    "q145_chi_square" -> q145,
+    "q144_scd2_history" -> q144,
     "q143_pmi_pairs" -> q143,
     "q142_sorted_neighborhood" -> q142,
     "q141_pareto_frontier" -> q141,
@@ -1790,6 +1814,67 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q144_scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE prev_t IS NULL OR prev_t <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |  event_type, ts AS valid_from,
+        |  lead(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS is_current
+        |FROM ch ORDER BY user_id, version""".stripMargin,
+
+    "q145_chi_square" ->
+      """WITH obs AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) AS rt FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS nt FROM documents),
+        |grid AS (
+        |  SELECT r.lang, c.source, r.rt, c.ct,
+        |    COALESCE(obs.o, 0) AS o, n.nt
+        |  FROM r CROSS JOIN c CROSS JOIN n
+        |  LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source)
+        |SELECT
+        |  round(CAST(SUM(CAST(
+        |    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*ct/nt) *
+        |    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*ct/nt) /
+        |    (CAST(rt AS DOUBLE)*ct/nt) AS DECIMAL(38,12)))
+        |    AS DOUBLE), 6) AS chi2,
+        |  (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+        |    AS dof,
+        |  max(nt) AS n
+        |FROM grid""".stripMargin,
+
+    "q146_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, round(max(d.med), 6) AS med,
+        |  round(max(m.mad), 6) AS mad, count(*) AS n,
+        |  SUM(CASE WHEN m.mad > 0 AND
+        |        abs(0.6745*(d.value - d.med)/m.mad) > 3.5
+        |      THEN 1 ELSE 0 END) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q143_pmi_pairs" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok

@@ -275,6 +275,69 @@ object Aggregates {
     bracket.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Chi-square test of independence over a two-way contingency table:
+    * χ² = Σ_cells (O−E)²/E with E = rowTotal·colTotal/N, summed over the
+    * FULL observed-category grid (zero-count cells included — omitting
+    * them understates the statistic). Returns one row
+    * (chi2, dof, n).
+    *
+    * Scale shape: three partial-agg count passes (cells, row totals, col
+    * totals — each map-side combined); the grid is the |rows|×|cols|
+    * cross join of the two TINY marginal frames, never of the data.
+    * Terms sum through an exact decimal accumulator so the statistic is
+    * independent of partitioning / accumulation order. */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String)
+      : DataFrame = {
+    val obs = df.groupBy(rowCol, colCol).agg(count(lit(1)).as("__o"))
+    val rows = df.groupBy(rowCol).agg(count(lit(1)).as("__rt"))
+    val cols = df.groupBy(colCol).agg(count(lit(1)).as("__ct"))
+    val n = df.select(count(lit(1)).as("__n"))
+    val term = {
+      val e = col("__rt").cast("double") * col("__ct") / col("__n")
+      val o = coalesce(col("__o"), lit(0L)).cast("double")
+      (o - e) * (o - e) / e
+    }
+    broadcast(rows).crossJoin(broadcast(cols))
+      .join(obs, Seq(rowCol, colCol), "left")
+      .crossJoin(broadcast(n))
+      .agg(
+        round(sum(term.cast("decimal(38,12)")).cast("double"), 6)
+          .as("chi2"),
+        ((countDistinct(col(rowCol)) - 1) *
+          (countDistinct(col(colCol)) - 1)).as("dof"),
+        max(col("__n")).as("n"))
+  }
+
+  /** Robust outlier profile per group: exact median, exact MAD (median
+    * absolute deviation), and the count of |modified z| =
+    * |0.6745·(x−med)/MAD| > 3.5 — the standard robust alternative to
+    * mean/stddev fences when the metric itself is outlier-contaminated.
+    * Two [[exactPercentiles]] passes (MAD is inherently two-pass: the
+    * deviation needs the median first); the |groups|-row median frames
+    * broadcast back onto the scan, so the data shuffles only inside the
+    * memory-bounded percentile machinery. Groups with MAD 0 (over half
+    * the mass on one value) report 0 outliers rather than dividing by
+    * zero. */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val med = exactPercentiles(df, groupCol, valCol, Seq(0.5))
+      .select(col(groupCol), col("p0").as("__med"))
+    val dev = df.filter(col(valCol).isNotNull)
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__ad", abs(col(valCol) - col("__med")))
+    val mad = exactPercentiles(dev, groupCol, "__ad", Seq(0.5))
+      .select(col(groupCol), col("p0").as("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(round(max(col("__med")), 6).as("med"),
+        round(max(col("__mad")), 6).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("__mad") > 0 &&
+            abs(lit(0.6745) * (col(valCol) - col("__med")) /
+              col("__mad")) > 3.5, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   def winsorizedMean(df0: DataFrame, groupCol: String, valCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     val v = col(valCol)

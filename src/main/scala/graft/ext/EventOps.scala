@@ -142,4 +142,33 @@ object EventOps {
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast("double") / col("ntot").cast("double")).as("p"))
   }
+
+  /** Slowly-changing-dimension type-2 history build: collapse a per-key
+    * change stream to change-only version rows with effective-interval
+    * bounds — (key, version, attr, valid_from, valid_to, is_current),
+    * where a new version opens only when `attrCol` actually changes
+    * (consecutive equal values collapse into the earlier row's interval)
+    * and the current version has an open (null) `valid_to`. The classic
+    * warehouse dimension-load shape.
+    *
+    * Scale shape: one shuffle on `keyCol` serves all three windows (the
+    * change-detect lag, the version row_number, and the interval lead
+    * share partitioning and (ts, id) sort — `.explain` shows one
+    * Exchange). Ties on the timestamp break by `idCol`, so versioning is
+    * deterministic under replay and re-partitioning. Per-key state never
+    * materializes beyond the window sort — no per-key collect. */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      attrCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val changes = df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col("version"), col(attrCol),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

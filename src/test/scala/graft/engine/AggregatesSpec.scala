@@ -183,6 +183,40 @@ class AggregatesSpec extends SparkSpec {
     assert(f2.getAs[Double]("r2") < 1.0 && f2.getAs[Double]("r2") > 0.0)
   }
 
+  test("chiSquare: independent table scores 0, disjoint diagonal " +
+    "scores the hand value, zero cells counted") {
+    val indep = (Seq.fill(10)(("r1", "c1")) ++ Seq.fill(10)(("r1", "c2")) ++
+      Seq.fill(10)(("r2", "c1")) ++ Seq.fill(10)(("r2", "c2")))
+      .toDF("r", "c")
+    val i = Aggregates.chiSquare(indep, "r", "c").collect()(0)
+    assert(i.getAs[Double]("chi2") == 0.0)
+    assert(i.getAs[Long]("dof") == 1L && i.getAs[Long]("n") == 40L)
+    // diagonal-only 2×2: E = 5 per cell → χ² = 4 · (5²/5) = 20; the two
+    // zero cells contribute half of that — dropping them would halve it
+    val dep = (Seq.fill(10)(("r1", "c1")) ++ Seq.fill(10)(("r2", "c2")))
+      .toDF("r", "c")
+    val d = Aggregates.chiSquare(dep, "r", "c").collect()(0)
+    assert(d.getAs[Double]("chi2") == 20.0)
+    assert(d.getAs[Long]("dof") == 1L && d.getAs[Long]("n") == 20L)
+  }
+
+  test("madOutliers: hand median/MAD, single far point flagged, " +
+    "constant group reports MAD 0 and no outliers") {
+    val d = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 1000.0)) ++
+      Seq.fill(4)(("k", 7.0))
+    val out = Aggregates.madOutliers(d.toDF("grp", "v"), "grp", "v")
+      .orderBy("grp").collect()
+    val g = out(0)
+    // values 1..9,1000 → med 5.5; |v−med| sorted: .5 .5 1.5 1.5 2.5 2.5
+    // 3.5 3.5 4.5 994.5 → MAD 2.5; only 1000 exceeds modified-z 3.5
+    assert(g.getAs[Double]("med") == 5.5)
+    assert(g.getAs[Double]("mad") == 2.5)
+    assert(g.getAs[Long]("n_outliers") == 1L)
+    val k = out(1)
+    assert(k.getAs[Double]("mad") == 0.0 &&
+      k.getAs[Long]("n_outliers") == 0L)
+  }
+
   test("iqrOutliers: fences and counts match hand math; rows ON the " +
     "fence are not outliers") {
     // group g: 1..100 plus two plants → 102 values; interpolated

@@ -125,4 +125,28 @@ class EventOpsSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(out == Seq(("a", "b", 1L, 1.0), ("b", "c", 1L, 1.0)))
   }
+
+  test("scd2: consecutive equal attrs collapse, intervals chain, " +
+    "current version open; all windows share ONE exchange") {
+    import org.apache.spark.sql.functions.col
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 7L, "A"), (2L, ts(2), 7L, "A"),  // no-op change
+      (3L, ts(3), 7L, "B"), (4L, ts(4), 7L, "A"),
+      (9L, ts(5), 8L, "X"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val hist = EventOps.scd2(ev, "user_id", "ts", "event_id", "event_type")
+    val u7 = hist.filter(col("user_id") === 7)
+      .orderBy("version")
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSeq
+    assert(u7 == Seq(
+      (7L, 1, "A", ts(1), Some(ts(3)), false),
+      (7L, 2, "B", ts(3), Some(ts(4)), false),
+      (7L, 3, "A", ts(4), None, true)))
+    val u8 = hist.filter(col("user_id") === 8).collect()
+    assert(u8.length == 1 && u8(0).getAs[Boolean]("is_current"))
+    val plan = hist.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
 }

@@ -1495,7 +1495,15 @@ object ExtQueries {
     madOutliers(Tables.events(s, d), "event_type", "value")
       .orderBy("event_type")
 
+  /** q147 — embedding-dimension covariance ([[SimSearch.dimCovariance]]):
+    * upper-triangle sample covariance of the 64 dims in one pass via the
+    * pseudo-dimension outer-product explode. */
+  private val q147: Q = (s, d) =>
+    SimSearch.dimCovariance(Tables.embeddings(s, d), "embedding")
+      .orderBy("i", "j")
+
   val all: Map[String, Q] = Map(
+    "q147_dim_covariance" -> q147,
     "q146_mad_outliers" -> q146,
     "q145_chi_square" -> q145,
     "q144_scd2_history" -> q144,
@@ -1814,6 +1822,27 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q147_dim_covariance" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |pr AS (SELECT a.d AS i, b.d AS j FROM dims a
+        |       JOIN dims b ON a.d <= b.d),
+        |s AS (
+        |  SELECT p.i, p.j,
+        |    CAST(SUM(CAST(CAST(e.embedding[p.i] AS DOUBLE) *
+        |      CAST(e.embedding[p.j] AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(e.embedding[p.i] AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(CAST(e.embedding[p.j] AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM embeddings e CROSS JOIN pr p GROUP BY 1, 2)
+        |SELECT i - 1 AS i, j - 1 AS j,
+        |  -- + 0.0 canonicalizes IEEE -0.0 (round can produce it here but
+        |  -- not in Spark, whose round() normalizes the sign)
+        |  round((sxy - sx*sy/n) / (n - 1), 6) + 0.0 AS cov
+        |FROM s ORDER BY 1, 2""".stripMargin,
+
     "q144_scd2_history" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -290,6 +290,45 @@ object SimSearch {
     * KMeans path in [[ivfIndex]], which collects centroids by design).
     * Components are rounded to 6 dp BEFORE the exact decimal sum so the
     * result is independent of float add order across partitions. */
+  /** Covariance matrix of the embedding dimensions — the input PCA /
+    * whitening / drift monitoring start from, computed relationally in
+    * ONE pass. Returns (i, j, cov) for the upper triangle i ≤ j
+    * (0-based), sample covariance.
+    *
+    * The pseudo-dimension trick: prepend a constant 1.0 to each vector,
+    * then all of n (= Σ1·1), the marginal sums Σxᵢ (= Σ1·xᵢ), and the
+    * cross sums Σxᵢxⱼ fall out of ONE upper-triangle outer-product
+    * explode — one shuffle whose key space is (d+1)(d+2)/2 pairs, with
+    * map-side partial sums so the wire carries ~2k rows per partition,
+    * never the vectors. Final cov assembly is broadcast joins over the
+    * d-row marginal slice. Exact decimal accumulation ⇒ result
+    * independent of row/partition order. */
+  def dimCovariance(df: DataFrame, vecCol: String): DataFrame = {
+    val v = concat(array(lit(1.0d)),
+      transform(col(vecCol), x => x.cast("double")))
+    val pairs = df.select(explode(flatten(
+      transform(sequence(lit(0), size(v) - 1), i =>
+        transform(sequence(i, size(v) - 1), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(v, i + 1) * element_at(v, j + 1)).as("xy"))))))
+      .as("p"))
+    val sums = pairs
+      .groupBy(col("p.i").cast("long").as("i"),
+        col("p.j").cast("long").as("j"))
+      .agg(sum(col("p.xy").cast("decimal(38,12)")).cast("double").as("s"))
+    val n = sums.filter(col("i") === 0 && col("j") === 0)
+      .select(col("s").as("nn"))
+    val mi = sums.filter(col("i") === 0 && col("j") >= 1)
+      .select(col("j").as("i"), col("s").as("si"))
+    val mj = mi.select(col("i").as("j"), col("si").as("sj"))
+    sums.filter(col("i") >= 1)
+      .join(broadcast(mi), "i").join(broadcast(mj), "j")
+      .crossJoin(broadcast(n))
+      .select((col("i") - 1).as("i"), (col("j") - 1).as("j"),
+        round((col("s") - col("si") * col("sj") / col("nn")) /
+          (col("nn") - 1), 6).as("cov"))
+  }
+
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String)
       : DataFrame =
     df.select(col(groupCol),

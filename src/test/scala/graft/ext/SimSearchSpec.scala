@@ -252,4 +252,18 @@ class SimSearchSpec extends SparkSpec {
       .as[(Int, Int, Double)].collect().toSeq
     assert(shuffled == out)
   }
+
+  test("dimCovariance: hand 2-dim case, upper triangle only, " +
+    "partitioning-invariant") {
+    val vecs = Seq(Tuple1(Array(1.0f, 2.0f)), Tuple1(Array(3.0f, 4.0f)),
+      Tuple1(Array(5.0f, 6.0f))).toDF("embedding")
+    // both dims have values mean±2 step 2 → var 4; perfectly correlated
+    // → cov(0,1) = 4 as well
+    val out = SimSearch.dimCovariance(vecs, "embedding")
+      .orderBy("i", "j").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 0L, 4.0), (0L, 1L, 4.0), (1L, 1L, 4.0)))
+    val shuffled = SimSearch.dimCovariance(vecs.repartition(5), "embedding")
+      .orderBy("i", "j").as[(Long, Long, Double)].collect().toSeq
+    assert(shuffled == out)
+  }
 }

@@ -883,7 +883,7 @@ object ExtQueries {
     * cheap parquet read and silently drop the compute cost). */
   val sharedScratchConsumers: Set[String] = Set("q55_dup_clusters",
     "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank",
-    "q126_pagerank_directed")
+    "q126_pagerank_directed", "q148_triangle_census")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -1502,7 +1502,14 @@ object ExtQueries {
     SimSearch.dimCovariance(Tables.embeddings(s, d), "embedding")
       .orderBy("i", "j")
 
+  /** q148 — triangle census ([[GraphOps.triangleStats]]) of the shared
+    * near-dup pair graph: edges, wedges, triangles, global clustering
+    * coefficient via degree-oriented wedge join. */
+  private val q148: Q = (s, d) =>
+    GraphOps.triangleStats(sharedPairs(s, d), "id_a", "id_b")
+
   val all: Map[String, Q] = Map(
+    "q148_triangle_census" -> q148,
     "q147_dim_covariance" -> q147,
     "q146_mad_outliers" -> q146,
     "q145_chi_square" -> q145,
@@ -1822,6 +1829,26 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q148_triangle_census" ->
+      s"""WITH
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |e AS (SELECT DISTINCT least(id_a, id_b) AS a,
+         |        greatest(id_a, id_b) AS b
+         |      FROM pairs WHERE id_a <> id_b),
+         |deg AS (SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY 1),
+         |tri AS (
+         |  SELECT count(*) AS t
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |w AS (SELECT CAST(SUM((d*(d-1))//2) AS BIGINT) AS w FROM deg)
+         |SELECT (SELECT count(*) FROM e) AS n_edges, w.w AS n_wedges,
+         |  CAST(tri.t AS BIGINT) AS n_triangles,
+         |  round(CASE WHEN w.w > 0
+         |    THEN 3.0 * tri.t / w.w ELSE 0.0 END, 6) AS clustering
+         |FROM tri, w""".stripMargin,
+
     "q147_dim_covariance" ->
       """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
         |pr AS (SELECT a.d AS i, b.d AS j FROM dims a

@@ -80,4 +80,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(a.nonEmpty && a.forall(_._2 > 0))
     assert(math.abs(a.map(_._2).sum - 1.0) < 1e-5)
   }
+
+  test("triangleStats: K4 + star hand census; reversed/duplicate edges " +
+    "canonicalize; star hub generates no wedge pivots") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = Seq((10L, 11L), (10L, 12L), (13L, 10L), (12L, 10L)) // dup+rev
+    val edges = (k4 ++ star).toDF("id_a", "id_b")
+    val out = GraphOps.triangleStats(edges, "id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect()(0)
+    // K4: 6 edges, 12 wedges, 4 triangles; star: 3 edges, 3 wedges, 0
+    assert(out == ((9L, 15L, 4L, BigDecimal(12.0 / 15)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
 }

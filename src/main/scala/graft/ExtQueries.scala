@@ -1508,7 +1508,33 @@ object ExtQueries {
   private val q148: Q = (s, d) =>
     GraphOps.triangleStats(sharedPairs(s, d), "id_a", "id_b")
 
+  /** q149 — entity resolution end-to-end: sorted-neighborhood candidate
+    * pairs ([[Dedup.sortedNeighborhoodPairs]], the q142 generator) fed
+    * into pointer-jumping connected components ([[Dedup.dupClusters]]) —
+    * every part labeled with its min-id entity. */
+  private val q149: Q = (s, d) => {
+    val pairs = Dedup.sortedNeighborhoodPairs(Tables.part(s, d),
+      "p_partkey", "p_name", element_at(split(col("p_name"), " "), 1),
+      w = 3, maxDist = 5)
+    Dedup.dupClusters(pairs, Tables.part(s, d).select("p_partkey"),
+        "p_partkey")
+      .orderBy("p_partkey")
+  }
+
+  /** q150 — cross-source quantile normalization
+    * ([[PipelineOps.quantileNormalize]]): document length re-expressed
+    * as the global quantile at the doc's within-source percentile. */
+  private val q150: Q = (s, d) =>
+    PipelineOps.quantileNormalize(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("normalized"), 6).as("normalized"))
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
+    "q150_quantile_norm" -> q150,
+    "q149_entity_resolution" -> q149,
     "q148_triangle_census" -> q148,
     "q147_dim_covariance" -> q147,
     "q146_mad_outliers" -> q146,
@@ -1829,6 +1855,48 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q149_entity_resolution" ->
+      """WITH RECURSIVE
+        |sn AS (SELECT p_partkey AS id, p_name AS k,
+        |         string_split(p_name, ' ')[1] AS blk FROM part),
+        |rr AS (SELECT *, row_number() OVER
+        |         (PARTITION BY blk ORDER BY k, id) AS rn FROM sn),
+        |prs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM rr a JOIN rr b
+        |    ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 2
+        |  WHERE levenshtein(a.k, b.k) BETWEEN 1 AND 5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |          UNION SELECT id_b, id_a FROM prs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r2.src, e.dst FROM reach r2
+        |  JOIN edges e ON r2.dst = e.src)
+        |SELECT p.p_partkey,
+        |  CAST(least(p.p_partkey, COALESCE(m.mn, p.p_partkey)) AS BIGINT)
+        |    AS cluster
+        |FROM part p
+        |LEFT JOIN (SELECT src, MIN(dst) AS mn FROM reach GROUP BY src) m
+        |  ON m.src = p.p_partkey
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    "q150_quantile_norm" ->
+      """WITH grid AS (
+        |  SELECT unnest(generate_series(0, 100)) AS idx,
+        |    unnest(quantile_cont(n_chars,
+        |      list_transform(generate_series(0, 100), k -> k / 100.0)))
+        |      AS gv
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id, source, n_chars,
+        |    percent_rank() OVER
+        |      (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents)
+        |SELECT p.doc_id, p.source, p.n_chars, round(g.gv, 6) AS normalized
+        |FROM pr p JOIN grid g ON g.idx = CAST(floor(p.pr * 100) AS INT)
+        |ORDER BY p.doc_id""".stripMargin,
+
     "q148_triangle_census" ->
       s"""WITH
          |${pairCtes(cap = 100, threshold = 0.1)},

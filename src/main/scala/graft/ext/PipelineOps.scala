@@ -408,6 +408,36 @@ object PipelineOps {
     * `.explain` shows one Exchange. Per-user event streams sort within
     * the partition; no global sort. Ties on `tsCol` are broken by
     * `idCol` so retries and re-partitioning are deterministic. */
+  /** Cross-source quantile normalization: replace each row's value with
+    * the GLOBAL quantile at the row's within-group percentile — after
+    * normalization every group has the same value distribution (the
+    * global one), so a source whose quality scorer runs hot no longer
+    * dominates a score-thresholded selection. The batch analogue of
+    * microarray quantile normalization, grid-quantized for scale.
+    *
+    * Scale shape: the global distribution is summarized once into a
+    * (grid+1)-point exact-percentile table
+    * ([[graft.engine.Aggregates.exactPercentiles]] — memory-bounded, no
+    * sort of the full data) and broadcast; per-row work is one
+    * group-partitioned window (percent_rank, strict (value, id) order so
+    * ties are deterministic) plus a broadcast equi-join on the bucket
+    * index. Nothing global-sorts the corpus. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, grid: Int = 100): DataFrame = {
+    val ps = (0 to grid).map(_.toDouble / grid)
+    val pcts = graft.engine.Aggregates.exactPercentiles(
+      df.withColumn("__g", lit(1)), "__g", valCol, ps)
+    val gridTab = pcts.select(explode(array(ps.indices.map(i =>
+        struct(lit(i).as("__idx"), col(s"p$i").as("__gv"))): _*)).as("e"))
+      .select(col("e.__idx"), col("e.__gv"))
+    val w = Window.partitionBy(groupCol).orderBy(col(valCol), col(idCol))
+    df.withColumn("__pr", percent_rank().over(w))
+      .withColumn("__idx", floor(col("__pr") * grid).cast("int"))
+      .join(broadcast(gridTab), "__idx")
+      .drop("__idx", "__pr")
+      .withColumnRenamed("__gv", "normalized")
+  }
+
   /** 2-D Pareto frontier (skyline): rows not dominated on the maximize
     * pair (x, y) — a dominates b iff a.x ≥ b.x ∧ a.y ≥ b.y with at least
     * one strict. The multi-criteria selection a curation pipeline uses

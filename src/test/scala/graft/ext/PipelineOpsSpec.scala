@@ -361,6 +361,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(batch == windowed)
   }
 
+  test("quantileNormalize: shifted sources land on the SAME global " +
+    "grid values; hand-checked quantiles") {
+    val docs = ((1 to 5).map(v => (v.toLong, "A", v.toDouble)) ++
+      (1 to 5).map(v => (v + 10L, "B", 100.0 + v)))
+      .toDF("id", "src", "v")
+    val out = PipelineOps.quantileNormalize(docs, "src", "v", "id")
+      .select("src", "v", "normalized")
+      .as[(String, Double, Double)].collect().toSeq
+    // global sorted: 1..5,101..105; within-source percentiles 0,.25,.5,
+    // .75,1 → positions 0, 2.25, 4.5, 6.75, 9 → global quantiles
+    // 1, 3.25, 53, 102.75, 105 for BOTH sources
+    val expect = Seq(1.0, 3.25, 53.0, 102.75, 105.0)
+    for (s <- Seq("A", "B")) {
+      val got = out.filter(_._1 == s).sortBy(_._2).map(_._3)
+      assert(got == expect, s"source $s: $got")
+    }
+  }
+
   test("paretoFrontier: hand case — same-x dominated, duplicates kept, " +
     "interior point dropped") {
     val pts = Seq((1L, 1, 5.0), (2L, 2, 4.0), (3L, 3, 3.0),

@@ -1532,7 +1532,19 @@ object ExtQueries {
         round(col("normalized"), 6).as("normalized"))
       .orderBy("doc_id")
 
+  /** q151 — basket pair support/lift ([[PipelineOps.pairSupport]]):
+    * brand co-occurrence within orders, support ≥ 50. */
+  private val q151: Q = (s, d) => {
+    val basket = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(Tables.part(s, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+    PipelineOps.pairSupport(basket, "l_orderkey", "p_brand",
+        minSupport = 50)
+      .orderBy("item_a", "item_b")
+  }
+
   val all: Map[String, Q] = Map(
+    "q151_pair_support" -> q151,
     "q150_quantile_norm" -> q150,
     "q149_entity_resolution" -> q149,
     "q148_triangle_census" -> q148,
@@ -1855,6 +1867,24 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q151_pair_support" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, p.p_brand AS it
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |sup1 AS (SELECT it, count(*) AS s1 FROM b GROUP BY 1),
+        |n AS (SELECT count(DISTINCT bk) AS nb FROM b),
+        |pr AS (
+        |  SELECT a.it AS item_a, c.it AS item_b, count(*) AS support
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, support,
+        |  round(CAST(support AS DOUBLE) * nb /
+        |        (sa.s1 * CAST(sb.s1 AS DOUBLE)), 6) AS lift
+        |FROM pr JOIN sup1 sa ON sa.it = item_a
+        |        JOIN sup1 sb ON sb.it = item_b
+        |        CROSS JOIN n
+        |WHERE support >= 50 ORDER BY item_a, item_b""".stripMargin,
+
     "q149_entity_resolution" ->
       """WITH RECURSIVE
         |sn AS (SELECT p_partkey AS id, p_name AS k,

@@ -105,7 +105,35 @@ object PlanDump {
       "q134_concurrency" ->
         ("distributed prefix sum: boundary hash-agg, RANGE exchange, " +
           "per-partition window (partitioned by pid — no single-" +
-          "partition global window), broadcast offset join"))
+          "partition global window), broadcast offset join"),
+      "q139_repeated_spans" ->
+        ("repeated-span coverage: 8-byte gram hashes shuffle (never " +
+          "strings), membership semi-join is LINEAR in occurrences — " +
+          "no pair generation, no df-cap needed"),
+      "q141_pareto_frontier" ->
+        ("skyline WITHOUT the O(n²) self-join: per-x max agg, bucketed " +
+          "local running-max prune, tiny global pass, broadcast " +
+          "semi-join back onto the relation"),
+      "q142_sorted_neighborhood" ->
+        ("SNM linkage: both leads share ONE block-partitioned window " +
+          "exchange; candidates linear (n·(w−1)), levenshtein only on " +
+          "window neighbors"),
+      "q143_pmi_pairs" ->
+        ("PMI: broadcast top-V vocab bounds the blowup; pair generation " +
+          "map-side from per-doc sorted hit arrays after the one " +
+          "doc-keyed shuffle — no corpus self-join"),
+      "q147_dim_covariance" ->
+        ("covariance in one pass: pseudo-dimension outer-product " +
+          "explode, (d+1)(d+2)/2-key hash-agg with map-side partials, " +
+          "broadcast marginal assembly"),
+      "q148_triangle_census" ->
+        ("triangles: degree orientation bounds wedge fan-out by " +
+          "O(√|E|) per pivot (hub-proof); closing edge check is a " +
+          "leftsemi hash join; wedge total closed-form from degrees"),
+      "q150_quantile_norm" ->
+        ("quantile normalization: global distribution compressed to a " +
+          "101-point broadcast exact-percentile grid; per-row cost is " +
+          "one group window + a broadcast equi-join — no global sort"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

@@ -408,6 +408,45 @@ object PipelineOps {
     * `.explain` shows one Exchange. Per-user event streams sort within
     * the partition; no global sort. Ties on `tsCol` are broken by
     * `idCol` so retries and re-partitioning are deterministic. */
+  /** Market-basket pair support and lift: for item pairs co-present in a
+    * basket, support = co-basket count and lift = support·N /
+    * (sup(a)·sup(b)) — association-rule mining's first stage (lift is
+    * exp(PMI) over baskets; same candidate discipline as
+    * [[TextOps.pmiPairs]] but bounded by BASKET size, which is naturally
+    * small, instead of a vocab cap). Returns (item_a < item_b, support,
+    * lift) with support ≥ `minSupport`.
+    *
+    * Scale shape: one basket-keyed shuffle builds sorted per-basket item
+    * sets; pair generation is map-side from the arrays (≤ C(|basket|,2)
+    * per basket); the pair hash-agg shuffles pair keys with map-side
+    * partials. Item supports and the basket count broadcast back. */
+  def pairSupport(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val b = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+    val sup1 = b.groupBy("__it").agg(count(lit(1)).as("__s1"))
+    val nb = b.agg(countDistinct(col("__bk")).as("__nb"))
+    val baskets = b.groupBy("__bk")
+      .agg(sort_array(collect_set(col("__it"))).as("__its"))
+      .filter(size(col("__its")) >= 2)
+    val pairs = baskets.select(explode(flatten(
+      transform(sequence(lit(0), size(col("__its")) - 2), i =>
+        transform(sequence(i + 1, size(col("__its")) - 1), j =>
+          struct(element_at(col("__its"), i + 1).as("a"),
+            element_at(col("__its"), j + 1).as("b")))))).as("p"))
+    pairs.groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .join(broadcast(sup1.select(col("__it").as("item_a"),
+        col("__s1").as("__sa"))), "item_a")
+      .join(broadcast(sup1.select(col("__it").as("item_b"),
+        col("__s1").as("__sb"))), "item_b")
+      .crossJoin(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("support"),
+        round(col("support").cast("double") * col("__nb") /
+          (col("__sa") * col("__sb").cast("double")), 6).as("lift"))
+  }
+
   /** Cross-source quantile normalization: replace each row's value with
     * the GLOBAL quantile at the row's within-group percentile — after
     * normalization every group has the same value distribution (the

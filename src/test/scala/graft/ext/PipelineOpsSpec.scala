@@ -361,6 +361,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(batch == windowed)
   }
 
+  test("pairSupport: hand support and lift, duplicate item rows " +
+    "collapse, order asc within pair") {
+    val rows = Seq((1L, "x"), (1L, "y"), (1L, "x"), // dup x in basket 1
+      (2L, "y"), (2L, "x"), (3L, "x"), (3L, "z"), (4L, "y"))
+      .toDF("bk", "it")
+    // sup: x=3 y=3 z=1, baskets=4; co(x,y)=2 → lift 2·4/9;
+    // co(x,z)=1 → lift 1·4/3
+    val out = PipelineOps.pairSupport(rows, "bk", "it", minSupport = 1)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("x", "y", 2L, 0.888889), ("x", "z", 1L, 1.333333)))
+    // support floor: only the co=2 pair survives minSupport=2
+    val floored = PipelineOps.pairSupport(rows, "bk", "it", minSupport = 2)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(floored.map(t => (t._1, t._2)) == Seq(("x", "y")))
+  }
+
   test("quantileNormalize: shifted sources land on the SAME global " +
     "grid values; hand-checked quantiles") {
     val docs = ((1 to 5).map(v => (v.toLong, "A", v.toDouble)) ++

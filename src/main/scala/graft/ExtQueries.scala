@@ -1543,7 +1543,45 @@ object ExtQueries {
       .orderBy("item_a", "item_b")
   }
 
+  /** q152 — HLL set-intersection estimate via inclusion–exclusion:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) from three mergeable sketches —
+    * the audience-overlap / cross-source-membership estimate HLL alone
+    * cannot answer (sketches union but never intersect). Error compounds
+    * across the three estimates and scales with |A∪B|, NOT with the
+    * intersection — the classic caveat, pinned by the contract band
+    * |est−exact| ≤ 0.2·|A∪B| (each sketch is inside ±10 % at ≈6σ for
+    * lgK 12, q56's hard-band reasoning, so the sum of three errors stays
+    * under 0.2·union with margin). Exact recounts are the CONTRACT side:
+    * at scale only the sketch path runs. */
+  private val q152: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"))
+    val a = side("click")
+    val b = side("purchase")
+    val skA = a.agg(hll_sketch_agg(col("user_id")).as("ska"),
+      countDistinct(col("user_id")).as("exact_a"))
+    val skB = b.agg(hll_sketch_agg(col("user_id")).as("skb"),
+      countDistinct(col("user_id")).as("exact_b"))
+    val skU = a.unionByName(b).agg(
+      hll_sketch_agg(col("user_id")).as("sku"),
+      countDistinct(col("user_id")).as("exact_union"))
+    val inter = a.distinct()
+      .join(b.distinct(), Seq("user_id"), "leftsemi")
+      .agg(count(lit(1)).as("exact_inter"))
+    skA.crossJoin(broadcast(skB)).crossJoin(broadcast(skU))
+      .crossJoin(broadcast(inter))
+      .withColumn("est_inter",
+        hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb"))
+          - hll_sketch_estimate(col("sku")))
+      .select(col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_inter"),
+        (abs(col("est_inter") - col("exact_inter")) <=
+          lit(0.2) * col("exact_union")).as("within_band"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q152_hll_intersection" -> q152,
     "q151_pair_support" -> q151,
     "q150_quantile_norm" -> q150,
     "q149_entity_resolution" -> q149,
@@ -1867,6 +1905,21 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q152_hll_intersection" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT count(*) FROM a) AS exact_a,
+        |  (SELECT count(*) FROM b) AS exact_b,
+        |  (SELECT count(*) FROM
+        |    (SELECT user_id FROM a UNION SELECT user_id FROM b))
+        |    AS exact_union,
+        |  (SELECT count(*) FROM a
+        |   WHERE user_id IN (SELECT user_id FROM b)) AS exact_inter,
+        |  TRUE AS within_band""".stripMargin,
+
     "q151_pair_support" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey AS bk, p.p_brand AS it

@@ -78,4 +78,24 @@ class SketchSpec extends SparkSpec {
       .map(r => (r.getDate(0).toString, r.getLong(1)))
     assert(fromPartials.nonEmpty && fromPartials.sameElements(direct))
   }
+
+  test("hll inclusion-exclusion intersection: partial overlap estimated " +
+    "inside the 0.2-union band at estimation-mode cardinalities") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = (1 to 10000).map(_.toLong).toList.toDF("id")
+    val b = (5001 to 15000).map(_.toLong).toList.toDF("id")
+    val est = a.agg(hll_sketch_agg(col("id")).as("ska"))
+      .crossJoin(b.agg(hll_sketch_agg(col("id")).as("skb")))
+      .crossJoin(a.unionByName(b)
+        .agg(hll_sketch_agg(col("id")).as("sku")))
+      .select((hll_sketch_estimate(col("ska")) +
+        hll_sketch_estimate(col("skb")) -
+        hll_sketch_estimate(col("sku"))).as("est"))
+      .collect()(0).getLong(0)
+    // exact: |A∩B| = 5000, |A∪B| = 15000 — the band the q152 contract pins
+    assert(math.abs(est - 5000L) <= 0.2 * 15000, s"est=$est")
+    // and in practice far tighter: each sketch is within ~2% here
+    assert(math.abs(est - 5000L) <= 0.05 * 15000, s"est=$est")
+  }
 }

@@ -1580,7 +1580,15 @@ object ExtQueries {
           lit(0.2) * col("exact_union")).as("within_band"))
   }
 
+  /** q153 — CUSUM drift detection ([[EventOps.cusumDrift]]): per
+    * event_type daily means, windowed S − min(S) prefix form, 2σ alarm
+    * threshold. */
+  private val q153: Q = (s, d) =>
+    EventOps.cusumDrift(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy("event_type", "day")
+
   val all: Map[String, Q] = Map(
+    "q153_cusum_drift" -> q153,
     "q152_hll_intersection" -> q152,
     "q151_pair_support" -> q151,
     "q150_quantile_norm" -> q150,
@@ -1905,6 +1913,42 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q153_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*), 6) AS day_mean
+        |  FROM events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type,
+        |    round(CAST(SUM(CAST(day_mean AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*), 6) AS mu,
+        |    sqrt((CAST(count(*) AS DOUBLE)
+        |        * CAST(SUM(CAST(day_mean*day_mean AS DECIMAL(38,6)))
+        |            AS DOUBLE)
+        |      - CAST(SUM(CAST(day_mean AS DECIMAL(18,2))) AS DOUBLE)
+        |        * CAST(SUM(CAST(day_mean AS DECIMAL(18,2))) AS DOUBLE))
+        |      / (CAST(count(*) AS DOUBLE)
+        |        * (CAST(count(*) AS DOUBLE) - 1.0))) AS sd
+        |  FROM daily GROUP BY 1),
+        |ws AS (
+        |  SELECT d.event_type, d.day, d.day_mean, b.sd,
+        |    CAST(SUM(CAST(d.day_mean - b.mu AS DECIMAL(38,6))) OVER
+        |      (PARTITION BY d.event_type ORDER BY d.day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS s
+        |  FROM daily d JOIN base b USING (event_type)),
+        |c AS (
+        |  SELECT event_type, day, day_mean, sd,
+        |    round(s - least(MIN(s) OVER
+        |      (PARTITION BY event_type ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6)
+        |      AS cusum
+        |  FROM ws)
+        |SELECT event_type, day, day_mean, cusum,
+        |  cusum > 2.0 * sd AS alarm
+        |FROM c ORDER BY event_type, day""".stripMargin,
+
     "q152_hll_intersection" ->
       """WITH a AS (SELECT DISTINCT user_id FROM events
         |           WHERE event_type = 'click'),

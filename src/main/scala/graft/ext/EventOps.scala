@@ -143,6 +143,43 @@ object EventOps {
         (col("n").cast("double") / col("ntot").cast("double")).as("p"))
   }
 
+  /** CUSUM drift detection over a per-key daily metric: alarm when the
+    * cumulative sum of deviations from the key's baseline exceeds a
+    * threshold — the sequential change-point detector (catches slow
+    * drifts a per-day z-score never trips on).
+    *
+    * The recurrence CUSUM_t = max(0, CUSUM_{t-1} + x_t) is
+    * NON-associative — naively a sequential scan. The distributed form
+    * uses the prefix identity CUSUM_t = S_t − min(0, min_{j≤t} S_j)
+    * (S = running sum of deviations; the 0 is the empty prefix S₀,
+    * without which the first positive deviation would report 0): BOTH
+    * terms are plain windowed aggregates sharing one key-partitioned
+    * sort, so the whole detector is one exchange, no sequential pass,
+    * no state. Deviations
+    * accumulate through exact decimals ⇒ partitioning-invariant.
+    * Threshold = `hSigmas` × the key's deviation stddev (exact-sum
+    * form, deterministic). Returns (key, day, day_mean, cusum, alarm). */
+  def cusumDrift(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, hSigmas: Double = 2.0): DataFrame = {
+    import graft.engine.Aggregates.{sumExact6, stddevExact}
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(round(sumExact6(col(valCol)) / count(lit(1)), 6).as("day_mean"))
+    val base = daily.groupBy(keyCol)
+      .agg(round(sumExact6(col("day_mean")) / count(lit(1)), 6).as("__mu"),
+        stddevExact(col("day_mean")).as("__sd"))
+    val w = Window.partitionBy(keyCol).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(base), Seq(keyCol))
+      .withColumn("__s",
+        sum((col("day_mean") - col("__mu")).cast("decimal(38,6)")).over(w)
+          .cast("double"))
+      .withColumn("cusum", round(col("__s") -
+        least(min(col("__s")).over(w), lit(0.0)), 6))
+      .select(col(keyCol), col("day"), col("day_mean"), col("cusum"),
+        (col("cusum") > lit(hSigmas) * col("__sd")).as("alarm"))
+  }
+
   /** Slowly-changing-dimension type-2 history build: collapse a per-key
     * change stream to change-only version rows with effective-interval
     * bounds — (key, version, attr, valid_from, valid_to, is_current),

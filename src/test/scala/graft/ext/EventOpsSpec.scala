@@ -126,6 +126,30 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Seq(("a", "b", 1L, 1.0), ("b", "c", 1L, 1.0)))
   }
 
+  test("cusumDrift: windowed prefix form == sequential " +
+    "max(0, c+x) recurrence, including the first-day deviation") {
+    import org.apache.spark.sql.functions.col
+    // one event per (day, key): day_mean = value; mu = mean of values
+    val vals = Seq(11.0, 7.0, 12.0, 12.0, 9.0) // mu = 10.2
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(i + 1, 0), 1L, "t", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.cusumDrift(ev, "event_type", "ts", "value")
+      .orderBy("day").select("cusum").as[Double].collect().toSeq
+    // sequential reference: c_t = max(0, c_{t-1} + (v_t - mu))
+    val mu = BigDecimal(vals.sum / vals.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = vals.scanLeft(0.0) { (c, v) =>
+      math.max(0.0, c + (v - mu)) }.tail
+      .map(c => BigDecimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.zip(expect).forall { case (a, b) =>
+      math.abs(a - b) < 1e-9 }, s"got=$got expect=$expect")
+    // first day is ABOVE baseline → its cusum must be positive (the
+    // S₀=0 empty-prefix term; without it this reads 0)
+    assert(got.head > 0)
+  }
+
   test("scd2: consecutive equal attrs collapse, intervals chain, " +
     "current version open; all windows share ONE exchange") {
     import org.apache.spark.sql.functions.col

@@ -1587,7 +1587,36 @@ object ExtQueries {
     EventOps.cusumDrift(Tables.events(s, d), "event_type", "ts", "value")
       .orderBy("event_type", "day")
 
+  /** q154 — hybrid retrieval via reciprocal-rank fusion
+    * ([[SimSearch.rrfFuse]]): BM25 top-50 for the q100 query terms fused
+    * with cosine top-50 against vec 0's embedding (doc ids and vec ids
+    * share the 0..N key space), top-20 by RRF. The ranking windows run
+    * over retriever CANDIDATE sets (≤ 50 rows after the term filter /
+    * the scored slice), not the corpus — at scale the vector candidates
+    * come from the q33/q34 ANN operators and fusion cost is unchanged. */
+  private val q154: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextOps.bm25Scores(Tables.documents(s, d), "doc_id", "text",
+        Seq("join", "hash", "filter"))
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("r_lex") <= 50).select("doc_id", "r_lex")
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val vec = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        SimSearch.cosine(col("embedding"), col("qe")).as("cos"))
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("r_vec") <= 50).select("doc_id", "r_vec")
+    SimSearch.rrfFuse(lex, "r_lex", vec, "r_vec", "doc_id")
+      .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q154_rrf_hybrid" -> q154,
     "q153_cusum_drift" -> q153,
     "q152_hll_intersection" -> q152,
     "q151_pair_support" -> q151,
@@ -1754,6 +1783,33 @@ object ExtQueries {
     s"COALESCE(list_reduce(list_transform(list_zip($a, $b), " +
       s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y), 0.0)"
 
+  /** BM25 CTE chain ending in `lexall(doc_id, bm25)` — the SQL twin of
+    * `TextOps.bm25Scores` for the q100 query terms, shared by the q100
+    * and q154 oracles. */
+  private val bm25Ctes: String =
+    s"""toks AS (
+       |  SELECT did, tok FROM (
+       |    SELECT doc_id AS did, unnest($toksSql) AS tok FROM documents)
+       |  WHERE length(tok) > 0),
+       |dl AS (SELECT did, count(*) AS dl FROM toks GROUP BY did),
+       |corpus AS (SELECT count(*) AS n_docs,
+       |  CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT did, tok, count(*) AS tf FROM toks
+       |  WHERE tok IN ('join', 'hash', 'filter') GROUP BY did, tok),
+       |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |s AS (
+       |  SELECT tf.did,
+       |    ln((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+       |      * tf.tf * 2.2
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)) AS s
+       |  FROM tf, dfreq, dl, corpus
+       |  WHERE tf.tok = dfreq.tok AND tf.did = dl.did),
+       |lexall AS (
+       |  SELECT did AS doc_id,
+       |    round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+       |      AS bm25
+       |  FROM s GROUP BY did)""".stripMargin
+
   private def cosineSql(a: String, b: String): String =
     s"CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0 THEN " +
       s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
@@ -1913,6 +1969,35 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q154_rrf_hybrid" ->
+      s"""WITH $bm25Ctes,
+         |lextop AS (
+         |  SELECT doc_id, r_lex FROM (
+         |    SELECT doc_id, CAST(row_number() OVER
+         |      (ORDER BY bm25 DESC, doc_id) AS INT) AS r_lex
+         |    FROM lexall)
+         |  WHERE r_lex <= 50),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vecall AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    ${cosineSql("e.embedding", "qv.qe")} AS cos
+         |  FROM embeddings e, qv),
+         |vectop AS (
+         |  SELECT doc_id, r_vec FROM (
+         |    SELECT doc_id, CAST(row_number() OVER
+         |      (ORDER BY cos DESC, doc_id) AS INT) AS r_vec
+         |    FROM vecall)
+         |  WHERE r_vec <= 50),
+         |f AS (
+         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    l.r_lex, v.r_vec,
+         |    round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r_lex), 0.0) +
+         |          COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), 0.0), 9)
+         |      AS rrf
+         |  FROM lextop l FULL OUTER JOIN vectop v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, r_lex, r_vec, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
     "q153_cusum_drift" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
@@ -2851,27 +2936,8 @@ object ExtQueries {
         |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
 
     "q100_bm25_topk" ->
-      s"""WITH toks AS (
-         |  SELECT did, tok FROM (
-         |    SELECT doc_id AS did, unnest($toksSql) AS tok FROM documents)
-         |  WHERE length(tok) > 0),
-         |dl AS (SELECT did, count(*) AS dl FROM toks GROUP BY did),
-         |corpus AS (SELECT count(*) AS n_docs,
-         |  CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |tf AS (SELECT did, tok, count(*) AS tf FROM toks
-         |  WHERE tok IN ('join', 'hash', 'filter') GROUP BY did, tok),
-         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-         |s AS (
-         |  SELECT tf.did,
-         |    ln((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-         |      * tf.tf * 2.2
-         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)) AS s
-         |  FROM tf, dfreq, dl, corpus
-         |  WHERE tf.tok = dfreq.tok AND tf.did = dl.did)
-         |SELECT did AS doc_id,
-         |  round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
-         |    AS bm25
-         |FROM s GROUP BY did
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, bm25 FROM lexall
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     "q98_group_topk_operator" ->

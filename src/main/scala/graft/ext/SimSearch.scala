@@ -290,6 +290,24 @@ object SimSearch {
     * KMeans path in [[ivfIndex]], which collects centroids by design).
     * Components are rounded to 6 dp BEFORE the exact decimal sum so the
     * result is independent of float add order across partitions. */
+  /** Reciprocal-rank fusion of two ranked candidate lists:
+    * rrf(d) = Σ_lists 1/(k + rank_list(d)), the standard hybrid-search
+    * combiner (lexical BM25 + vector ANN) — rank-based, so the two
+    * scores need no calibration; a doc missing from one list simply
+    * contributes nothing from it. Inputs are (id, rank) candidate
+    * lists — BOUNDED (top-N per retriever), which is what makes fusion
+    * scale-free: the full-outer join and the top-K both run over ≤ 2N
+    * rows regardless of corpus size. k=60 is the published default. */
+  def rrfFuse(a: DataFrame, rankACol: String, b: DataFrame,
+      rankBCol: String, idCol: String, k: Int = 60, topK: Int = 20)
+      : DataFrame =
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k) + col(rankACol)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col(rankBCol)), lit(0.0)), 9))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+
   /** Covariance matrix of the embedding dimensions — the input PCA /
     * whitening / drift monitoring start from, computed relationally in
     * ONE pass. Returns (i, j, cov) for the upper triangle i ≤ j

@@ -253,6 +253,23 @@ class SimSearchSpec extends SparkSpec {
     assert(shuffled == out)
   }
 
+  test("rrfFuse: hand fusion — doc in both lists wins, one-list docs " +
+    "score their single reciprocal, topK truncates") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "ra")
+    val b = Seq((2L, 1), (3L, 2)).toDF("id", "rb")
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = SimSearch.rrfFuse(a, "ra", b, "rb", "id")
+      .select("id", "rrf").as[(Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (2L, r9(1.0 / 62 + 1.0 / 61)),
+      (1L, r9(1.0 / 61)),
+      (3L, r9(1.0 / 62))))
+    val top1 = SimSearch.rrfFuse(a, "ra", b, "rb", "id", topK = 1)
+      .select("id").as[Long].collect().toSeq
+    assert(top1 == Seq(2L))
+  }
+
   test("dimCovariance: hand 2-dim case, upper triangle only, " +
     "partitioning-invariant") {
     val vecs = Seq(Tuple1(Array(1.0f, 2.0f)), Tuple1(Array(3.0f, 4.0f)),

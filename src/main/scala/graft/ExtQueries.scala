@@ -1615,7 +1615,23 @@ object ExtQueries {
       .orderBy(col("rrf").desc, col("doc_id"))
   }
 
+  /** q155 — PSI drift ([[Aggregates.psi]]): value-distribution shift per
+    * event_type between the first and second half-month, binned by the
+    * baseline's exact deciles. */
+  private val q155: Q = (s, d) =>
+    psi(Tables.events(s, d), "event_type", "value",
+        to_date(col("ts")) < lit("2024-01-16").cast("date"))
+      .orderBy("event_type")
+
+  /** q156 — mutual information ([[Aggregates.mutualInformation]]):
+    * lang × source association strength in nats (the q145 χ² effect
+    * size). */
+  private val q156: Q = (s, d) =>
+    mutualInformation(Tables.documents(s, d), "lang", "source")
+
   val all: Map[String, Q] = Map(
+    "q156_mutual_information" -> q156,
+    "q155_psi_drift" -> q155,
     "q154_rrf_hybrid" -> q154,
     "q153_cusum_drift" -> q153,
     "q152_hll_intersection" -> q152,
@@ -1969,6 +1985,57 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q155_psi_drift" ->
+      """WITH evh AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(ts AS DATE) < DATE '2024-01-16' AS is_base
+        |  FROM events),
+        |cuts AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(0, 8)) AS ci,
+        |    unnest(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,
+        |                                 0.6,0.7,0.8,0.9])) AS c
+        |  FROM evh WHERE is_base GROUP BY event_type),
+        |binned AS (
+        |  SELECT e.event_id, e.event_type, e.is_base,
+        |    SUM(CASE WHEN e.value > c.c THEN 1 ELSE 0 END) AS bin
+        |  FROM evh e JOIN cuts c USING (event_type)
+        |  GROUP BY 1, 2, 3),
+        |counts AS (
+        |  SELECT event_type, bin,
+        |    SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS nc
+        |  FROM binned GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(nb) AS tb, SUM(nc) AS tc
+        |        FROM counts GROUP BY 1),
+        |terms AS (
+        |  SELECT c.event_type, c.nb, c.nc,
+        |    (c.nb + 0.5) / (t.tb + 5.0) AS p,
+        |    (c.nc + 0.5) / (t.tc + 5.0) AS q
+        |  FROM counts c JOIN tot t USING (event_type))
+        |SELECT event_type,
+        |  round(CAST(SUM(CAST((q - p) * ln(q / p) AS DECIMAL(38,12)))
+        |    AS DOUBLE), 6) AS psi,
+        |  CAST(SUM(nb) AS BIGINT) AS n_base,
+        |  CAST(SUM(nc) AS BIGINT) AS n_cur
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q156_mutual_information" ->
+      """WITH obs AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) AS rt FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS nt FROM documents)
+        |SELECT
+        |  round(CAST(SUM(CAST(
+        |    (CAST(o AS DOUBLE) / nt) *
+        |    ln(CAST(o AS DOUBLE) * nt /
+        |       (CAST(rt AS DOUBLE) * ct)) AS DECIMAL(38,12)))
+        |    AS DOUBLE), 6) AS mi_nats,
+        |  max(nt) AS n
+        |FROM obs JOIN r USING (lang) JOIN c USING (source)
+        |CROSS JOIN n""".stripMargin,
+
     "q154_rrf_hybrid" ->
       s"""WITH $bm25Ctes,
          |lextop AS (

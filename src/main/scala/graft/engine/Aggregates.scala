@@ -308,6 +308,70 @@ object Aggregates {
         max(col("__n")).as("n"))
   }
 
+  /** Population stability index per group: distribution shift of
+    * `valCol` between a baseline slice (`baseFlag` true) and the rest,
+    * binned by the BASELINE's own exact deciles —
+    * PSI = Σ_bins (q−p)·ln(q/p), the standard model-monitoring drift
+    * score (rule of thumb: > 0.1 drifting, > 0.25 shifted). Laplace
+    * smoothing (+0.5 per bin) keeps empty bins finite and symmetric:
+    * a bin empty on BOTH sides contributes exactly 0.
+    *
+    * Scale shape: bin edges come from the memory-bounded
+    * [[exactPercentiles]] over the baseline only and broadcast back; bin
+    * assignment is a scan-stage projection (no per-row join fan-out);
+    * one (group, bin) hash-agg with map-side partials; PSI terms sum
+    * through exact decimals. */
+  def psi(df: DataFrame, groupCol: String, valCol: String,
+      baseFlag: Column, bins: Int = 10): DataFrame = {
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val marked = df.select(col(groupCol),
+      col(valCol).cast("double").as("__v"), baseFlag.as("__b"))
+    val cuts = exactPercentiles(marked.filter(col("__b")), groupCol,
+      "__v", ps)
+    val binExpr = ps.indices.map(i =>
+      when(col("__v") > col(s"p$i"), 1).otherwise(0)).reduce(_ + _)
+    val counts = marked.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("__bin", binExpr)
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(sum(when(col("__b"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("nc"))
+    val tot = counts.groupBy(groupCol)
+      .agg(sum(col("nb")).as("tb"), sum(col("nc")).as("tc"))
+    val half = lit(bins * 0.5)
+    counts.join(broadcast(tot), Seq(groupCol))
+      .withColumn("__p", (col("nb") + 0.5) / (col("tb") + half))
+      .withColumn("__q", (col("nc") + 0.5) / (col("tc") + half))
+      .groupBy(groupCol)
+      .agg(round(sum(((col("__q") - col("__p")) *
+            log(col("__q") / col("__p"))).cast("decimal(38,12)"))
+          .cast("double"), 6).as("psi"),
+        sum(col("nb")).as("n_base"), sum(col("nc")).as("n_cur"))
+  }
+
+  /** Mutual information of two categorical columns (nats):
+    * MI = Σ_{o>0} (o/N)·ln(o·N/(rowTot·colTot)) — the effect-size
+    * companion to [[chiSquare]] (χ² says "dependent", MI says "by how
+    * many nats"). Zero cells contribute exactly 0 (lim x·ln x = 0), so
+    * only OBSERVED cells join — same three partial-agg passes as
+    * chiSquare, inner join instead of the full grid, exact-decimal term
+    * accumulation. Returns one row (mi_nats, n). */
+  def mutualInformation(df: DataFrame, rowCol: String, colCol: String)
+      : DataFrame = {
+    val obs = df.groupBy(rowCol, colCol).agg(count(lit(1)).as("__o"))
+    val rows = df.groupBy(rowCol).agg(count(lit(1)).as("__rt"))
+    val cols = df.groupBy(colCol).agg(count(lit(1)).as("__ct"))
+    val n = df.select(count(lit(1)).as("__n"))
+    val term = (col("__o").cast("double") / col("__n")) *
+      log(col("__o").cast("double") * col("__n") /
+        (col("__rt").cast("double") * col("__ct")))
+    obs.join(broadcast(rows), Seq(rowCol))
+      .join(broadcast(cols), Seq(colCol))
+      .crossJoin(broadcast(n))
+      .agg(round(sum(term.cast("decimal(38,12)")).cast("double"), 6)
+          .as("mi_nats"),
+        max(col("__n")).as("n"))
+  }
+
   /** Robust outlier profile per group: exact median, exact MAD (median
     * absolute deviation), and the count of |modified z| =
     * |0.6745·(x−med)/MAD| > 3.5 — the standard robust alternative to

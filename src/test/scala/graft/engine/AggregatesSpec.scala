@@ -200,6 +200,40 @@ class AggregatesSpec extends SparkSpec {
     assert(d.getAs[Long]("dof") == 1L && d.getAs[Long]("n") == 20L)
   }
 
+  test("psi: identical halves score 0, a full-shift scores far above " +
+    "the 0.25 alarm rule") {
+    val same = (1 to 100).flatMap(v =>
+      Seq(("g", v.toDouble, true), ("g", v.toDouble, false)))
+      .toDF("grp", "v", "base")
+    val s0 = Aggregates.psi(same, "grp", "v", col("base")).collect()(0)
+    assert(s0.getAs[Double]("psi") == 0.0)
+    assert(s0.getAs[Long]("n_base") == 100L &&
+      s0.getAs[Long]("n_cur") == 100L)
+    val shifted = ((1 to 100).map(v => ("g", v.toDouble, true)) ++
+      (1 to 100).map(v => ("g", v + 200.0, false)))
+      .toDF("grp", "v", "base")
+    val s1 = Aggregates.psi(shifted, "grp", "v", col("base")).collect()(0)
+    // everything lands in the top bin: maximal drift, smoothing finite
+    assert(s1.getAs[Double]("psi") > 0.25 &&
+      !s1.getAs[Double]("psi").isInfinite)
+  }
+
+  test("mutualInformation: independence scores 0, balanced diagonal " +
+    "scores ln 2") {
+    val indep = (Seq.fill(10)(("r1", "c1")) ++ Seq.fill(10)(("r1", "c2")) ++
+      Seq.fill(10)(("r2", "c1")) ++ Seq.fill(10)(("r2", "c2")))
+      .toDF("r", "c")
+    assert(Aggregates.mutualInformation(indep, "r", "c")
+      .collect()(0).getAs[Double]("mi_nats") == 0.0)
+    val dep = (Seq.fill(10)(("r1", "c1")) ++ Seq.fill(10)(("r2", "c2")))
+      .toDF("r", "c")
+    val mi = Aggregates.mutualInformation(dep, "r", "c")
+      .collect()(0).getAs[Double]("mi_nats")
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mi == ln2, s"mi=$mi")
+  }
+
   test("madOutliers: hand median/MAD, single far point flagged, " +
     "constant group reports MAD 0 and no outliers") {
     val d = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 1000.0)) ++

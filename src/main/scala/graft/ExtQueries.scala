@@ -1629,7 +1629,17 @@ object ExtQueries {
   private val q156: Q = (s, d) =>
     mutualInformation(Tables.documents(s, d), "lang", "source")
 
+  /** q157 — windowed exact distinct users
+    * ([[graft.streaming.StreamingOps.windowedDistinctUsers]], batch
+    * twin): the streaming chained-stateful dedup→count plan on static
+    * input; StreamingSpec pins stream == batch on closed windows. */
+  private val q157: Q = (s, d) =>
+    graft.streaming.StreamingOps
+      .windowedDistinctUsers(Tables.events(s, d), streaming = false)
+      .orderBy("w_start", "event_type")
+
   val all: Map[String, Q] = Map(
+    "q157_windowed_distinct" -> q157,
     "q156_mutual_information" -> q156,
     "q155_psi_drift" -> q155,
     "q154_rrf_hybrid" -> q154,
@@ -1985,6 +1995,12 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q157_windowed_distinct" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+        |    AS w_start,
+        |  event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q155_psi_drift" ->
       """WITH evh AS (
         |  SELECT event_id, event_type, value,

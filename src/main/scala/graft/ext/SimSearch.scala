@@ -316,24 +316,65 @@ object SimSearch {
     * The pseudo-dimension trick: prepend a constant 1.0 to each vector,
     * then all of n (= Σ1·1), the marginal sums Σxᵢ (= Σ1·xᵢ), and the
     * cross sums Σxᵢxⱼ fall out of ONE upper-triangle outer-product
-    * explode — one shuffle whose key space is (d+1)(d+2)/2 pairs, with
-    * map-side partial sums so the wire carries ~2k rows per partition,
-    * never the vectors. Final cov assembly is broadcast joins over the
-    * d-row marginal slice. Exact decimal accumulation ⇒ result
-    * independent of row/partition order. */
+    * accumulation.
+    *
+    * The accumulation is per-partition imperative (`mapPartitions` over
+    * a flat (d+1)(d+2)/2 array — the genuine dense-kernel case: the
+    * first, declarative version exploded d²/2 struct rows per vector
+    * and spent 30 s at sf0.1 where this spends ~1 s). Each partition
+    * emits ONE partial frame of (pos, exact-decimal sum) rows — the
+    * mergeable-partials shape, so the shuffle carries ~2k rows per
+    * partition, never the vectors — and the merge is a relational
+    * decimal SUM. Per-product rounding matches the SQL oracle's
+    * `CAST(x AS DECIMAL(38,12))` exactly (BigDecimal.valueOf +
+    * HALF_UP, Spark's own cast semantics), and exact-decimal addition
+    * is associative ⇒ result independent of row/partition order. Final
+    * cov assembly is broadcast joins over the d-row marginal slice. */
   def dimCovariance(df: DataFrame, vecCol: String): DataFrame = {
-    val v = concat(array(lit(1.0d)),
-      transform(col(vecCol), x => x.cast("double")))
-    val pairs = df.select(explode(flatten(
-      transform(sequence(lit(0), size(v) - 1), i =>
-        transform(sequence(i, size(v) - 1), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(v, i + 1) * element_at(v, j + 1)).as("xy"))))))
-      .as("p"))
-    val sums = pairs
-      .groupBy(col("p.i").cast("long").as("i"),
-        col("p.j").cast("long").as("j"))
-      .agg(sum(col("p.xy").cast("decimal(38,12)")).cast("double").as("s"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = df.select(size(col(vecCol))).as[Int].head() // dims: KB-scale
+    val d1 = d + 1
+    val nPairs = d1 * (d1 + 1) / 2
+    val partials = df
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        val acc = Array.fill(nPairs)(java.math.BigDecimal.ZERO)
+        val a = new Array[Double](d1)
+        a(0) = 1.0
+        var any = false
+        while (it.hasNext) {
+          any = true
+          val vec = it.next()
+          var x = 0
+          while (x < d) { a(x + 1) = vec(x); x += 1 }
+          var p = 0
+          var i = 0
+          while (i < d1) {
+            var j = i
+            while (j < d1) {
+              acc(p) = acc(p).add(
+                java.math.BigDecimal.valueOf(a(i) * a(j))
+                  .setScale(12, java.math.RoundingMode.HALF_UP))
+              j += 1; p += 1
+            }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else Iterator.range(0, nPairs)
+          .map(p => (p, scala.math.BigDecimal(acc(p))))
+      }
+      .toDF("pos", "ps")
+    val posMap = (for { i <- 0 until d1; j <- i until d1 }
+      yield (i.toLong, j.toLong)).zipWithIndex
+      .map { case ((i, j), p) => (p, i, j) }
+      .toDF("pos", "i", "j")
+    val sums = partials.groupBy("pos")
+      .agg(sum(col("ps")).cast("double").as("s"))
+      .join(broadcast(posMap), "pos")
+      .select(col("i"), col("j"), col("s"))
     val n = sums.filter(col("i") === 0 && col("j") === 0)
       .select(col("s").as("nn"))
     val mi = sums.filter(col("i") === 0 && col("j") >= 1)

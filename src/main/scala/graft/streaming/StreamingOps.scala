@@ -155,6 +155,33 @@ object StreamingOps {
       src.withColumn("simhash", graft.ext.Dedup.simhash32(col(textCol))),
       Seq("simhash"), watermarkCol, delay)
 
+  /** EXACT windowed distinct-user counts, streaming or batch. Streaming
+    * `count(DISTINCT …)` is unsupported directly — the classic exact
+    * workaround is CHAINED stateful operators: watermark-bounded
+    * dedup on (window, type, user) followed by a windowed count of the
+    * survivors (Spark's multi-stateful support; append mode). Each
+    * distinct user costs one state row per open window instead of an
+    * unbounded set per aggregate — the state envelope is
+    * |open windows| × |distinct users in them|, watermark-bounded.
+    * `streaming = false` runs the identical plan with plain
+    * `dropDuplicates` — the batch twin the spec and the q157 oracle
+    * check. (Mergeable-sketch variant: q137's HLL day partials.) */
+  def windowedDistinctUsers(events: DataFrame, streaming: Boolean)
+      : DataFrame = {
+    // drop ts after deriving the window: the window struct carries the
+    // event time, and a stream may have at most ONE event-time column
+    val w = events.withColumn("w", window(col("ts"), "10 minutes"))
+      .drop("ts")
+    val dd =
+      if (streaming)
+        w.dropDuplicatesWithinWatermark("w", "event_type", "user_id")
+      else w.dropDuplicates("w", "event_type", "user_id")
+    dd.groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n_users"))
+  }
+
   /** Stream-static enrichment: left-join the (unbounded) stream against a
     * broadcast dimension snapshot — the ingestion-time lookup stage
     * (user → segment, doc → license, …). Stateless: each micro-batch

@@ -217,6 +217,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("windowed exact distinct users: chained stateful dedup->count " +
+    "stream == batch on watermark-closed windows") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+    val batch = StreamingOps.windowedDistinctUsers(ev, streaming = false)
+      .collect().toSet
+    val streamed = StreamingOps.runStreaming(spark, sf0001,
+      StreamingOps.windowedDistinctUsers(_, streaming = true),
+      "t_wdistinct", outputMode = "append").collect().toSet
+    // append mode only emits windows the final watermark (max ts − 1 h)
+    // has passed; everything emitted must match batch exactly, and all
+    // batch windows closed at that watermark must have been emitted
+    val maxTs = ev.agg(max(col("ts"))).collect()(0)
+      .getAs[java.time.LocalDateTime](0)
+    val horizon = maxTs.minusMinutes(60 + 10) // delay + window length
+    assert(streamed.subsetOf(batch))
+    val closed = batch.filter(
+      _.getAs[java.time.LocalDateTime](0).isBefore(horizon))
+    assert(closed.nonEmpty && closed.subsetOf(streamed))
+  }
+
   test("stream-stream interval self-join == batch (append mode, " +
     "watermark-bounded state)") {
     import org.apache.spark.sql.functions._

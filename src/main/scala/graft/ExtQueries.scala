@@ -1638,7 +1638,66 @@ object ExtQueries {
       .windowedDistinctUsers(Tables.events(s, d), streaming = false)
       .orderBy("w_start", "event_type")
 
+  /** q158 — temporal point-in-time join: each purchase fact joined to
+    * the SCD2 version ([[EventOps.scd2]], q144) ACTIVE at the fact's
+    * timestamp via the custom backward [[graft.plans.AsOf]] operator —
+    * the feature-store correctness shape (no leakage from future
+    * versions, no interval BETWEEN cross join). */
+  private val q158: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hist = EventOps.scd2(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .select(col("user_id").as("h_user"), col("version"),
+        col("event_type").as("state"), col("valid_from"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOf.join(facts, hist, ("user_id", "h_user"),
+        ("ts", "valid_from"))
+      .select(col("event_id"), col("user_id"), col("version"),
+        col("state"), col("valid_from"))
+      .orderBy("event_id")
+  }
+
+  /** q159 — metric trend per group: OLS slope/r² ([[Aggregates.olsSlope]]
+    * family) of the daily mean value against the day index — "is this
+    * event type's value drifting, and how linearly" (the regression
+    * companion to q153's CUSUM alarm). */
+  private val q159: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sumExact6(col("value")) / count(lit(1)), 6)
+        .as("day_mean"))
+      .withColumn("x",
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          .cast("double"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(olsSlope(col("x"), col("day_mean")), 6).as("slope"),
+        round(olsIntercept(col("x"), col("day_mean")), 6).as("intercept"),
+        round(olsR2(col("x"), col("day_mean")), 6).as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** q160 — corpus novelty curve: users first seen per day and the
+    * cumulative distinct-user count — the growth/novelty profile (a
+    * shrinking n_new under flat volume means the corpus is re-crawling
+    * itself). One min-agg per user + one day-grain count + a window over
+    * |days| rows. */
+  private val q160: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = Tables.events(s, d)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+    firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
   val all: Map[String, Q] = Map(
+    "q160_novelty_curve" -> q160,
+    "q159_trend_slope" -> q159,
+    "q158_temporal_join" -> q158,
     "q157_windowed_distinct" -> q157,
     "q156_mutual_information" -> q156,
     "q155_psi_drift" -> q155,
@@ -1995,6 +2054,65 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q159_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*), 6) AS y,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*sx) / n, 6)
+        |    AS intercept,
+        |  round(((n*sxy - sx*sy)*(n*sxy - sx*sy)) /
+        |        ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q160_novelty_curve" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        |nn AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1)
+        |SELECT day, n_new,
+        |  SUM(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum_users
+        |FROM nn ORDER BY day""".stripMargin,
+
+    "q158_temporal_join" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE prev_t IS NULL OR prev_t <> event_type),
+        |v AS (
+        |  SELECT user_id AS h_user,
+        |    row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |    event_type AS state, ts AS valid_from
+        |  FROM ch),
+        |f AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, v.version, v.state, v.valid_from
+        |FROM f ASOF LEFT JOIN v
+        |  ON f.user_id = v.h_user
+        |  AND f.ts >= CAST(v.valid_from AS TIMESTAMP)
+        |ORDER BY event_id""".stripMargin,
+
     "q157_windowed_distinct" ->
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
         |    AS w_start,

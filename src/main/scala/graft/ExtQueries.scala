@@ -1694,7 +1694,40 @@ object ExtQueries {
       .orderBy("day")
   }
 
+  /** q161 — bucketed co-located join: orders and customer both written
+    * bucketBy(8, custkey) + sortBy, then sort-merge-joined WITHOUT any
+    * exchange on the join key (PlanSpec pins it absent; the residual
+    * per-bucket Sort is partition-local) — THE pre-partitioning
+    * pattern for a fact table joined on the same key query after query:
+    * at 100 TB you pay the layout shuffle once at ingest, then every
+    * downstream join is scan + merge. Tables materialize once per JVM
+    * (external tables in parquet scratch, q55-style); merge hints keep
+    * the demonstration an SMJ (broadcast would also be exchange-free but
+    * proves nothing about layout). */
+  private val q161: Q = (s, d) => {
+    val sfx = new java.io.File(d).getName.replace(".", "_")
+    val (to, tc) = (s"g_orders_b_$sfx", s"g_customer_b_$sfx")
+    synchronized {
+      if (!s.catalog.tableExists(to)) {
+        Tables.orders(s, d).write.bucketBy(8, "o_custkey")
+          .sortBy("o_custkey").option("path", scratch(s"bucket_o", d))
+          .mode("overwrite").format("parquet").saveAsTable(to)
+        Tables.customer(s, d).write.bucketBy(8, "c_custkey")
+          .sortBy("c_custkey").option("path", scratch(s"bucket_c", d))
+          .mode("overwrite").format("parquet").saveAsTable(tc)
+      }
+    }
+    s.table(to).hint("merge")
+      .join(s.table(tc).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sumExact(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, Q] = Map(
+    "q161_bucketed_join" -> q161,
     "q160_novelty_curve" -> q160,
     "q159_trend_slope" -> q159,
     "q158_temporal_join" -> q158,
@@ -2054,6 +2087,13 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q161_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q159_trend_slope" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -196,6 +196,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("levenshtein"), p) // verify stays in the plan
   }
 
+  test("bucketed join (q161): sort-merge join with NO exchange on the " +
+    "join key — the bucketBy layout carries the partitioning") {
+    val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)
+    // materialize so AQE finalizes the executed plan
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    // the only exchanges are the post-join aggregate's (mktsegment);
+    // NEITHER side shuffles on the join key — that is what bucketing buys
+    assert(!p.contains("Exchange hashpartitioning(o_custkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(c_custkey"), p)
+    assert(p.contains("Bucketed: true"), p)
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
+    // the residual per-bucket Sort is partition-local (sortBy guarantees
+    // per-file order only; multi-file buckets merge-sort locally)
+  }
+
   test("concurrency: the running sum is a PARTITIONED window over the " +
     "range-partitioned boundaries, not a single-partition global window") {
     import spark.implicits._

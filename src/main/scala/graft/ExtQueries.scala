@@ -1726,7 +1726,50 @@ object ExtQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** q162 — rolling 7-day active users: each (user, active-day) pair
+    * CONTRIBUTES to the 7 window-end days it falls in (a bounded ×7
+    * explode), then one distinct-count per window day — the standard
+    * exact rolling-distinct shape (the alternative is 7 self-joins or a
+    * 7-day window over per-day user SETS; both blow up at scale while
+    * the explode stays linear ×window). Tail windows beyond the last
+    * observed day are clipped against a broadcast max-day scalar. */
+  private val q162: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val mx = ud.agg(max(col("day")).as("mx"))
+    ud.select(explode(sequence(col("day"), date_add(col("day"), 6)))
+        .as("day7"), col("user_id"))
+      .crossJoin(broadcast(mx))
+      .filter(col("day7") <= col("mx"))
+      .groupBy("day7")
+      .agg(countDistinct(col("user_id")).as("mau7"))
+      .orderBy("day7")
+  }
+
+  /** q163 — conversion-lag percentiles: per converting user, the lag
+    * from first click to first subsequent purchase; p25/p50/p90 via the
+    * memory-bounded exact-percentile machinery
+    * ([[Aggregates.exactPercentiles]]). */
+  private val q163: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val firstBuy = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(firstClick), Seq("user_id"))
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id", "c_ts").agg(min(col("ts")).as("p_ts"))
+    val lags = firstBuy.select(lit("all").as("g"),
+      ((unix_micros(col("p_ts").cast("timestamp")) -
+        unix_micros(col("c_ts").cast("timestamp"))) / 1000000L)
+        .cast("double").as("lag_s"))
+    exactPercentiles(lags, "g", "lag_s", Seq(0.25, 0.5, 0.9))
+      .select(round(col("p0"), 6).as("p25"),
+        round(col("p1"), 6).as("p50"), round(col("p2"), 6).as("p90"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q163_conversion_lag" -> q163,
+    "q162_rolling_actives" -> q162,
     "q161_bucketed_join" -> q161,
     "q160_novelty_curve" -> q160,
     "q159_trend_slope" -> q159,
@@ -2087,6 +2130,37 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q162_rolling_actives" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |mx AS (SELECT max(day) AS mx FROM ud),
+        |c AS (
+        |  SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |      CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |    AS DATE) AS day7, user_id
+        |  FROM ud)
+        |SELECT day7, CAST(count(DISTINCT user_id) AS BIGINT) AS mau7
+        |FROM c, mx WHERE day7 <= mx.mx
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q163_conversion_lag" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS c_ts
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |fb AS (
+        |  SELECT e.user_id, fc.c_ts, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+        |  FROM events e JOIN fc USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) >= fc.c_ts
+        |  GROUP BY 1, 2),
+        |lags AS (
+        |  SELECT CAST(epoch_us(p_ts) - epoch_us(c_ts) AS DOUBLE)
+        |    / 1000000.0 AS lag_s FROM fb)
+        |SELECT round(quantile_cont(lag_s, 0.25), 6) AS p25,
+        |  round(quantile_cont(lag_s, 0.5), 6) AS p50,
+        |  round(quantile_cont(lag_s, 0.9), 6) AS p90
+        |FROM lags""".stripMargin,
+
     "q161_bucketed_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

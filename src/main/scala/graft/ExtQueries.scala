@@ -883,7 +883,7 @@ object ExtQueries {
     * cheap parquet read and silently drop the compute cost). */
   val sharedScratchConsumers: Set[String] = Set("q55_dup_clusters",
     "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank",
-    "q126_pagerank_directed", "q148_triangle_census")
+    "q126_pagerank_directed", "q148_triangle_census", "q165_kcore")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -1767,7 +1767,24 @@ object ExtQueries {
         round(col("p1"), 6).as("p50"), round(col("p2"), 6).as("p90"))
   }
 
+  /** q164 — EWMA smoothing ([[EventOps.ewma]]): daily mean value per
+    * event_type smoothed at α = 0.2 via the geometric prefix identity. */
+  private val q164: Q = (s, d) =>
+    EventOps.ewma(Tables.events(s, d), "event_type", "ts", "value",
+        alpha = 0.2)
+      .orderBy("event_type", "day")
+
+  /** q165 — 2-core of the near-dup graph ([[GraphOps.kcorePeel]], 4
+    * rounds over the shared pair scratch): the dense-template families
+    * that survive peeling, with their core degrees. */
+  private val q165: Q = (s, d) =>
+    GraphOps.kcorePeel(sharedPairs(s, d), "id_a", "id_b", k = 2,
+        rounds = 4)
+      .orderBy("id")
+
   val all: Map[String, Q] = Map(
+    "q165_kcore" -> q165,
+    "q164_ewma" -> q164,
     "q163_conversion_lag" -> q163,
     "q162_rolling_actives" -> q162,
     "q161_bucketed_join" -> q161,
@@ -2130,6 +2147,56 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q164_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*), 6) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+        |  FROM daily),
+        |u AS (
+        |  SELECT event_type, day, x, t,
+        |    x * power(0.8, -t) AS u FROM tt),
+        |su AS (
+        |  SELECT event_type, day, x, t,
+        |    CAST(SUM(CAST(CASE WHEN t > 1 THEN u * 0.2 ELSE u END
+        |      AS DECIMAL(38,12))) OVER
+        |      (PARTITION BY event_type ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS s
+        |  FROM u)
+        |SELECT event_type, day, x,
+        |  round(power(0.8, t) * s, 6) AS ewma
+        |FROM su ORDER BY event_type, day""".stripMargin,
+
+    "q165_kcore" -> {
+      // every CTE in the peel chain is MATERIALIZED: DuckDB inlines
+      // plain CTEs, and e_{i+1} references e_i three times — unmarked,
+      // the pair pipeline would re-expand 3^rounds times
+      def rnd(i: Int): String =
+        s"""d$i AS MATERIALIZED (SELECT v, count(*) AS n FROM (
+           |    SELECT a AS v FROM e$i UNION ALL SELECT b FROM e$i)
+           |  GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE n >= 2),
+           |e${i + 1} AS MATERIALIZED (
+           |  SELECT a, b FROM e$i
+           |  WHERE a IN (SELECT v FROM k$i)
+           |    AND b IN (SELECT v FROM k$i))""".stripMargin
+      s"""WITH
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(id_a, id_b) AS a,
+         |    greatest(id_a, id_b) AS b
+         |  FROM pairs WHERE id_a <> id_b),
+         |${(0 until 4).map(rnd).mkString(",\n")}
+         |SELECT v AS id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "q162_rolling_actives" ->
       """WITH ud AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

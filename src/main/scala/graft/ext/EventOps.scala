@@ -180,6 +180,38 @@ object EventOps {
         (col("cusum") > lit(hSigmas) * col("__sd")).as("alarm"))
   }
 
+  /** Exponentially-weighted moving average of a per-key daily metric:
+    * EWMA_t = α·x_t + (1−α)·EWMA_{t−1}, seeded EWMA_1 = x_1 — the
+    * smoothing companion to [[cusumDrift]]'s alarm.
+    *
+    * Like CUSUM, the recurrence is non-associative; the distributed form
+    * uses the geometric prefix identity: with r = 1−α and u_j = x_j·r^−j,
+    * EWMA_t = r^t · (u_1 + α·Σ_{j=2..t} u_j) — running sums over one
+    * key-partitioned sort, no sequential scan. The r^−j terms grow
+    * geometrically, so this form is for BOUNDED window lengths (r^−t
+    * must fit a double: t ≲ 300 days at α = 0.2 — document-dated daily
+    * series, not tick data; for unbounded series, chunk by month and
+    * carry the boundary EWMA). Deviation terms accumulate as exact
+    * decimals scaled at 12 dp ⇒ partitioning-invariant. */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, alpha: Double): DataFrame = {
+    import graft.engine.Aggregates.sumExact6
+    val r = 1.0 - alpha
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(round(sumExact6(col(valCol)) / count(lit(1)), 6).as("x"))
+    val w = Window.partitionBy(keyCol).orderBy(col("day"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__t", row_number().over(w))
+      .withColumn("__u", col("x") * pow(lit(r), -col("__t")))
+      .withColumn("__su",
+        sum(when(col("__t") > 1, col("__u") * alpha).otherwise(col("__u"))
+          .cast("decimal(38,12)")).over(wRun).cast("double"))
+      .select(col(keyCol), col("day"), col("x"),
+        round(pow(lit(r), col("__t")) * col("__su"), 6).as("ewma"))
+  }
+
   /** Slowly-changing-dimension type-2 history build: collapse a per-key
     * change stream to change-only version rows with effective-interval
     * bounds — (key, version, attr, valid_from, valid_to, is_current),

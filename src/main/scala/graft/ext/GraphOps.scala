@@ -133,6 +133,39 @@ object GraphOps {
     ranks
   }
 
+  /** Fixed-round k-core peeling of an undirected edge list: each round
+    * drops every node with degree < k and restricts edges to survivors;
+    * after `rounds` rounds, returns the surviving nodes with their
+    * degrees. The dense-community extractor for near-dup graphs (a
+    * template family survives 2-core peeling; a chain of incidental
+    * pairs does not). Fixed-round semantics (not run-to-fixpoint) keep
+    * the operator oracle-replicable by CTE unrolling and the cost
+    * envelope explicit: per round one degree agg + two semi-joins, all
+    * keyed on node ids; the edge frame only shrinks. Convergence for
+    * k-cores is typically a handful of rounds — callers needing the
+    * exact fixpoint iterate until the edge count stops changing (same
+    * discipline as dupClusters' pointer jumping). */
+  def kcorePeel(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val keep = edges.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= k).select("v")
+        .localCheckpoint(eager = true) // both semi-joins read it
+      edges = edges
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "leftsemi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "leftsemi")
+        .localCheckpoint(eager = true)
+    }
+    edges.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+  }
+
   /** Global triangle census of an undirected edge list: edge count,
     * wedge (length-2 path) count, triangle count, and the global
     * clustering coefficient 3·T/W — the graph-shape profile of a

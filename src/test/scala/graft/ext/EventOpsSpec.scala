@@ -150,6 +150,21 @@ class EventOpsSpec extends SparkSpec {
     assert(got.head > 0)
   }
 
+  test("ewma: geometric prefix form == sequential recurrence, " +
+    "seeded at the first value") {
+    val vals = Seq(10.0, 14.0, 6.0, 12.0, 8.0, 11.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(i + 1, 0), 1L, "t", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.ewma(ev, "event_type", "ts", "value", alpha = 0.2)
+      .orderBy("day").select("ewma").as[Double].collect().toSeq
+    val expect = vals.tail.scanLeft(vals.head) { (e, v) =>
+      0.2 * v + 0.8 * e }
+    assert(got.zip(expect).forall { case (a, b) =>
+      math.abs(a - b) < 1e-6 }, s"got=$got expect=$expect")
+    assert(got.head == vals.head) // EWMA_1 = x_1 exactly
+  }
+
   test("scd2: consecutive equal attrs collapse, intervals chain, " +
     "current version open; all windows share ONE exchange") {
     import org.apache.spark.sql.functions.col

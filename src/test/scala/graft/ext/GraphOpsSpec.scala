@@ -81,6 +81,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(a.map(_._2).sum - 1.0) < 1e-5)
   }
 
+  test("kcorePeel: triangle survives 2-core, pendant chain peels away " +
+    "over successive rounds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle: the 2-core
+      (3L, 4L), (4L, 5L), (5L, 6L))               // chain peels off
+      .toDF("id_a", "id_b")
+    val out = GraphOps.kcorePeel(edges, "id_a", "id_b", k = 2, rounds = 4)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // one round is NOT enough: only the leaf 6 and its edge go first —
+    // fixed-round semantics are well-defined pre-convergence
+    val r1 = GraphOps.kcorePeel(edges, "id_a", "id_b", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.contains(4L) && !r1.contains(6L))
+  }
+
   test("triangleStats: K4 + star hand census; reversed/duplicate edges " +
     "canonicalize; star hub generates no wedge pivots") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)

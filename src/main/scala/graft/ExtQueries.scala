@@ -1782,7 +1782,42 @@ object ExtQueries {
         rounds = 4)
       .orderBy("id")
 
+  /** q166 — Neyman-allocation stratified sample: per-stratum budget
+    * ∝ N_h·σ_h (optimal allocation for estimating the mean under a
+    * fixed total budget — high-variance strata get more draws), floor
+    * allocation with a 1-row floor, then the q89 deterministic
+    * hash-rank draw inside each stratum. Fully oracle-checkable: the
+    * allocation is closed-form over exact stats and the draw is
+    * poly-hash ranked, no RNG state anywhere. */
+  private val q166: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val st = ev.groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("nh"),
+        stddevExact(col("value")).as("sd"))
+    val tot = st.agg(
+      sum((col("nh") * col("sd")).cast("decimal(38,6)"))
+        .cast("double").as("t"))
+    val alloc = st.crossJoin(broadcast(tot))
+      .select(col("event_type"),
+        greatest(lit(1.0),
+          floor(lit(500) * (col("nh") * col("sd")) / col("t")))
+          .cast("long").as("alloc"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("__h"), col("event_id"))
+    ev.withColumn("__h",
+        graft.functions.expressions.poly_hash(
+          col("event_id").cast("string")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(alloc), "event_type")
+      .filter(col("rank") <= col("alloc"))
+      .select(col("event_id"), col("event_type"), col("rank"),
+        col("alloc"))
+      .orderBy("event_type", "rank")
+  }
+
   val all: Map[String, Q] = Map(
+    "q166_neyman_sample" -> q166,
     "q165_kcore" -> q165,
     "q164_ewma" -> q164,
     "q163_conversion_lag" -> q163,
@@ -2147,6 +2182,38 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q166_neyman_sample" ->
+      s"""WITH st AS (
+         |  SELECT event_type, CAST(count(*) AS DOUBLE) AS nh,
+         |    sqrt((CAST(count(*) AS DOUBLE)
+         |        * CAST(SUM(CAST(value*value AS DECIMAL(38,6)))
+         |            AS DOUBLE)
+         |      - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |        * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+         |      / (CAST(count(*) AS DOUBLE)
+         |        * (CAST(count(*) AS DOUBLE) - 1.0))) AS sd
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(CAST(nh*sd AS DECIMAL(38,6)))
+         |          AS DOUBLE) AS t FROM st),
+         |al AS (
+         |  SELECT event_type,
+         |    CAST(greatest(1, floor(500 * (nh*sd) / t)) AS BIGINT)
+         |      AS alloc
+         |  FROM st, tot),
+         |h AS (
+         |  SELECT event_id, event_type,
+         |    ${polyHashSql("CAST(event_id AS VARCHAR)")} AS hh
+         |  FROM events),
+         |r AS (
+         |  SELECT event_id, event_type,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY hh, event_id) AS BIGINT) AS rank
+         |  FROM h)
+         |SELECT r.event_id, r.event_type, r.rank, al.alloc
+         |FROM r JOIN al USING (event_type)
+         |WHERE r.rank <= al.alloc
+         |ORDER BY event_type, rank""".stripMargin,
+
     "q164_ewma" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

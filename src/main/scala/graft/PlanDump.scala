@@ -133,7 +133,22 @@ object PlanDump {
       "q150_quantile_norm" ->
         ("quantile normalization: global distribution compressed to a " +
           "101-point broadcast exact-percentile grid; per-row cost is " +
-          "one group window + a broadcast equi-join — no global sort"))
+          "one group window + a broadcast equi-join — no global sort"),
+      "q153_cusum_drift" ->
+        ("CUSUM: non-associative recurrence as S − min(0, running-min " +
+          "S) — two windowed aggregates on ONE key-partitioned sort, " +
+          "no sequential scan"),
+      "q158_temporal_join" ->
+        ("point-in-time join onto SCD2 history through the custom AsOf " +
+          "operator: one exchange + sort per side, no interval cross " +
+          "join"),
+      "q161_bucketed_join" ->
+        ("bucketed SMJ: both scans Bucketed: true, NO exchange on the " +
+          "join key — the pay-layout-once pattern"),
+      "q162_rolling_actives" ->
+        ("rolling 7-day distinct: bounded ×7 contribution explode + " +
+          "one distinct-count per window day — no self-joins, no " +
+          "set-valued windows"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

@@ -1816,7 +1816,56 @@ object ExtQueries {
       .orderBy("event_type", "rank")
   }
 
+  /** q167 — lead–lag cross-correlation: corr(clicks(t),
+    * purchases(t+lag)) for lags 0–3 days — "does click volume lead
+    * purchase volume, and by how much" (the time-series causality
+    * screen). A ×4 lag explode on the |days|-row daily frame, one
+    * day-keyed join, per-lag [[Aggregates.corrExact]]. */
+  private val q167: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val c = daily.filter(col("event_type") === "click")
+      .select(col("day"), col("n").as("x"))
+    val p = daily.filter(col("event_type") === "purchase")
+      .select(col("day").as("pday"), col("n").as("y"))
+    c.withColumn("lag", explode(array((0 to 3).map(lit): _*)))
+      .withColumn("pday", date_add(col("day"), col("lag")))
+      .join(p, "pday")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        round(corrExact(col("x"), col("y")), 6).as("xcorr"))
+      .orderBy("lag")
+  }
+
+  /** q168 — per-source dedup report: document counts, exact-duplicate
+    * share (texts collapsing under [[Dedup.exactDedup]] semantics), and
+    * near-dup cluster membership share (shared scratch clusters) — the
+    * one-page curation summary a source-quality review starts from. */
+  private val q168: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val csz = sharedClusters(s, d).groupBy("cluster")
+      .agg(count(lit(1)).as("csz"))
+    val clustered = sharedClusters(s, d)
+      .join(broadcast(csz.filter(col("csz") >= 2).select("cluster")),
+        "cluster")
+      .select(col("doc_id")).withColumn("__nd", lit(1L))
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    docs.withColumn("__rn", row_number().over(w))
+      .join(clustered, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L))
+          .as("n_exact_dropped"),
+        sum(coalesce(col("__nd"), lit(0L)))
+          .as("n_in_neardup_cluster"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q168_dedup_report" -> q168,
+    "q167_leadlag_corr" -> q167,
     "q166_neyman_sample" -> q166,
     "q165_kcore" -> q165,
     "q164_ewma" -> q164,
@@ -2182,6 +2231,61 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q167_leadlag_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT day, n AS x FROM daily WHERE event_type = 'click'),
+        |p AS (SELECT day AS pday, n AS y FROM daily
+        |      WHERE event_type = 'purchase'),
+        |l AS (SELECT unnest(generate_series(0, 3)) AS lag),
+        |j AS (
+        |  SELECT l.lag, c.x, p.y
+        |  FROM c CROSS JOIN l
+        |  JOIN p ON p.pday = c.day + CAST(l.lag AS INT))
+        |SELECT CAST(lag AS INT) AS lag,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  round((CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE)
+        |    - CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE))
+        |   / (sqrt(CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE)
+        |        - CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE))
+        |      * sqrt(CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE)
+        |        - CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE))), 6)
+        |    AS xcorr
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q168_dedup_report" ->
+      s"""WITH RECURSIVE
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |cl AS MATERIALIZED (
+         |  SELECT doc.doc_id,
+         |    CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id)) AS BIGINT)
+         |      AS cluster
+         |  FROM documents doc
+         |  LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |    ON m.s = doc.doc_id),
+         |csz AS MATERIALIZED (
+         |  SELECT cluster, count(*) AS csz FROM cl GROUP BY 1),
+         |nd AS MATERIALIZED (
+         |  SELECT cl.doc_id FROM cl JOIN csz USING (cluster)
+         |  WHERE csz >= 2),
+         |rn AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact_dropped,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM nd)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_in_neardup_cluster
+         |FROM rn GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q166_neyman_sample" ->
       s"""WITH st AS (
          |  SELECT event_type, CAST(count(*) AS DOUBLE) AS nh,

@@ -883,7 +883,8 @@ object ExtQueries {
     * cheap parquet read and silently drop the compute cost). */
   val sharedScratchConsumers: Set[String] = Set("q55_dup_clusters",
     "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank",
-    "q126_pagerank_directed", "q148_triangle_census", "q165_kcore")
+    "q126_pagerank_directed", "q148_triangle_census", "q165_kcore",
+    "q168_dedup_report")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)

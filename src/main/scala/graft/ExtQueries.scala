@@ -1864,7 +1864,73 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** q169 — Benford first-digit forensics: observed first-significant-
+    * digit distribution of order totals vs Benford's log10(1+1/d)
+    * expectation, with the χ² fit statistic — the synthetic-data /
+    * tampering screen. One scan-stage digit projection + a 9-key agg. */
+  private val q169: Q = (s, d) => {
+    val x = col("o_totalprice")
+    val counts = Tables.orders(s, d)
+      .select(floor(x / pow(lit(10.0), floor(log10(x))))
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("double").as("nn"))
+    val scored = counts.crossJoin(broadcast(tot))
+      .withColumn("p", log10(lit(1.0) + lit(1.0) / col("digit")))
+    val chi2 = scored.agg(round(
+      sum((((col("n") - col("nn") * col("p")) *
+            (col("n") - col("nn") * col("p"))) /
+          (col("nn") * col("p"))).cast("decimal(38,12)"))
+        .cast("double"), 6).as("chi2"))
+    scored.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("nn"), 6).as("share"),
+        round(col("p"), 6).as("benford_p"), col("chi2"))
+      .orderBy("digit")
+  }
+
+  /** q170 — calendar gap-fill with linear interpolation: the daily mean
+    * series per event_type with every 5th/10th/…-of-month day knocked
+    * out, reconstructed over the full per-type calendar — missing days
+    * interpolate between the IGNORE-NULLS last/first neighbors
+    * (endpoints clamp). The feature-pipeline regularization step before
+    * any fixed-stride model input. */
+  private val q170: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sumExact6(col("value")) / count(lit(1)), 6).as("v"))
+      .filter(dayofmonth(col("day")) % 5 =!= 0) // make gaps to fill
+    val cal = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wb = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cal.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(wf))
+      .withColumn("filled", round(
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            datediff(col("day"), col("pd")).cast("double") /
+            datediff(col("nd"), col("pd")).cast("double")), 6))
+      .select(col("event_type"), col("day"),
+        col("v").isNull.as("was_gap"), col("filled"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Map[String, Q] = Map(
+    "q170_gap_fill" -> q170,
+    "q169_benford" -> q169,
     "q168_dedup_report" -> q168,
     "q167_leadlag_corr" -> q167,
     "q166_neyman_sample" -> q166,
@@ -2232,6 +2298,66 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q169_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(floor(o_totalprice /
+        |    power(10.0, floor(log10(o_totalprice)))) AS INT) AS digit
+        |  FROM orders),
+        |counts AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM counts),
+        |scored AS (
+        |  SELECT digit, n, nn,
+        |    log10(1.0 + 1.0 / digit) AS p
+        |  FROM counts, tot),
+        |chi AS (
+        |  SELECT round(CAST(SUM(CAST(
+        |    ((n - nn*p) * (n - nn*p)) / (nn*p)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
+        |  FROM scored)
+        |SELECT digit, n, round(n / nn, 6) AS share,
+        |  round(p, 6) AS benford_p, chi.chi2
+        |FROM scored, chi ORDER BY digit""".stripMargin,
+
+    "q170_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |kept AS (SELECT * FROM daily WHERE dayofmonth(day) % 5 <> 0),
+        |cal AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |        FROM kept GROUP BY 1)),
+        |j AS (
+        |  SELECT c.event_type, c.day, k.v FROM cal c
+        |  LEFT JOIN kept k USING (event_type, day)),
+        |w AS (
+        |  SELECT event_type, day, v,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT event_type, day, v IS NULL AS was_gap,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) *
+        |      CAST(datediff('day', pd, day) AS DOUBLE) /
+        |      CAST(datediff('day', pd, nd) AS DOUBLE) END, 6) AS filled
+        |FROM w ORDER BY event_type, day""".stripMargin,
+
     "q167_leadlag_corr" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n

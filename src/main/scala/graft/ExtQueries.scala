@@ -1928,7 +1928,17 @@ object ExtQueries {
       .orderBy("event_type", "day")
   }
 
+  /** q171 — weighted quantiles ([[Aggregates.weightedQuantiles]]):
+    * quantity-weighted price quartiles/p90 per return flag. */
+  private val q171: Q = (s, d) =>
+    weightedQuantiles(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "l_quantity", Seq(0.25, 0.5, 0.9))
+      .select(col("l_returnflag"), col("wq0").as("wp25"),
+        col("wq1").as("wp50"), col("wq2").as("wp90"))
+      .orderBy("l_returnflag")
+
   val all: Map[String, Q] = Map(
+    "q171_weighted_quantiles" -> q171,
     "q170_gap_fill" -> q170,
     "q169_benford" -> q169,
     "q168_dedup_report" -> q168,
@@ -2298,6 +2308,25 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q171_weighted_quantiles" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+        |      (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS cw,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+        |      (PARTITION BY l_returnflag) AS DOUBLE) AS tw
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cw >= 0.25 * tw THEN l_extendedprice END)
+        |    AS wp25,
+        |  MIN(CASE WHEN cw >= 0.5 * tw THEN l_extendedprice END)
+        |    AS wp50,
+        |  MIN(CASE WHEN cw >= 0.9 * tw THEN l_extendedprice END)
+        |    AS wp90
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q169_benford" ->
       """WITH dg AS (
         |  SELECT CAST(floor(o_totalprice /

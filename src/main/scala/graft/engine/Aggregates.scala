@@ -402,6 +402,40 @@ object Aggregates {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Weighted lower quantiles per group: the smallest value whose
+    * RANGE-frame cumulative weight reaches p·W — weight-aware
+    * percentiles (token-weighted doc-length quantiles, spend-weighted
+    * price bands). The RANGE frame makes ties well-defined with NO
+    * tie-break column: equal values share one cumulative weight, so the
+    * result is partitioning- and input-order-invariant (and the weights
+    * accumulate as exact decimals). One key-partitioned sort serves the
+    * cumulative window, the group total, and the final min-when agg.
+    * Relational generalization of the q75 `WeightedMedian` UDAF — that
+    * one buffers distinct values per group; this one never holds a
+    * group in memory. */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      weightCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "need at least one quantile")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(valCol))
+      .rangeBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wall = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+    val cum = df
+      .withColumn("__cw",
+        sum(col(weightCol).cast("decimal(18,2)")).over(wr)
+          .cast("double"))
+      .withColumn("__tw",
+        sum(col(weightCol).cast("decimal(18,2)")).over(wall)
+          .cast("double"))
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cw") >= lit(p) * col("__tw"), col(valCol)))
+        .as(s"wq$i")
+    }
+    cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   def winsorizedMean(df0: DataFrame, groupCol: String, valCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     val v = col(valCol)

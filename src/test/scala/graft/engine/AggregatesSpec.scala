@@ -200,6 +200,25 @@ class AggregatesSpec extends SparkSpec {
     assert(d.getAs[Long]("dof") == 1L && d.getAs[Long]("n") == 20L)
   }
 
+  test("weightedQuantiles: heavy tail drags the weighted median; ties " +
+    "share one cumulative weight; uniform weights reduce to lower " +
+    "quantile") {
+    val d = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0),
+      ("g", 4.0, 7.0), // W=10: p25→cw≥2.5→3, p50→cw≥5→4
+      ("t", 1.0, 2.0), ("t", 1.0, 3.0), ("t", 2.0, 5.0))
+      .toDF("grp", "v", "w")
+    val out = Aggregates.weightedQuantiles(d, "grp", "v", "w",
+        Seq(0.25, 0.5)).orderBy("grp").collect()
+    assert(out(0).getAs[Double]("wq0") == 3.0)
+    assert(out(0).getAs[Double]("wq1") == 4.0)
+    // group t: value 1 carries cw 5 across BOTH tied rows → p50 = 1
+    assert(out(1).getAs[Double]("wq1") == 1.0)
+    val uni = Seq(("u", 1.0, 1.0), ("u", 2.0, 1.0), ("u", 3.0, 1.0),
+      ("u", 4.0, 1.0)).toDF("grp", "v", "w")
+    assert(Aggregates.weightedQuantiles(uni, "grp", "v", "w", Seq(0.5))
+      .collect()(0).getAs[Double]("wq0") == 2.0)
+  }
+
   test("psi: identical halves score 0, a full-shift scores far above " +
     "the 0.25 alarm rule") {
     val same = (1 to 100).flatMap(v =>

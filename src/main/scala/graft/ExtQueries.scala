@@ -884,7 +884,7 @@ object ExtQueries {
   val sharedScratchConsumers: Set[String] = Set("q55_dup_clusters",
     "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank",
     "q126_pagerank_directed", "q148_triangle_census", "q165_kcore",
-    "q168_dedup_report")
+    "q168_dedup_report", "q172_crosssource_flow")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -1937,7 +1937,26 @@ object ExtQueries {
         col("wq1").as("wp50"), col("wq2").as("wp90"))
       .orderBy("l_returnflag")
 
+  /** q172 — cross-source near-dup flow: near-dup pairs (shared scratch)
+    * whose endpoints live in DIFFERENT sources, counted per unordered
+    * source pair — "which feeds are re-publishing each other" (q109
+    * counts identity overlap; this counts similarity flow). */
+  private val q172: Q = (s, d) => {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    sharedPairs(s, d)
+      .join(src.select(col("doc_id").as("id_a"),
+        col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"),
+        col("source").as("src_b")), "id_b")
+      .filter(col("src_a") =!= col("src_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .groupBy("source_x", "source_y").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("source_x"), col("source_y"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q172_crosssource_flow" -> q172,
     "q171_weighted_quantiles" -> q171,
     "q170_gap_fill" -> q170,
     "q169_benford" -> q169,
@@ -2308,6 +2327,20 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q172_crosssource_flow" ->
+      s"""WITH
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |ss AS (
+         |  SELECT least(a.source, b.source) AS source_x,
+         |    greatest(a.source, b.source) AS source_y
+         |  FROM pairs p
+         |  JOIN documents a ON a.doc_id = p.id_a
+         |  JOIN documents b ON b.doc_id = p.id_b
+         |  WHERE a.source <> b.source)
+         |SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM ss GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, 1, 2""".stripMargin,
+
     "q171_weighted_quantiles" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_extendedprice,

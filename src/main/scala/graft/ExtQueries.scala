@@ -1955,7 +1955,27 @@ object ExtQueries {
       .orderBy(col("n_pairs").desc, col("source_x"), col("source_y"))
   }
 
+  /** q173 — Welch's t ([[Aggregates.welchT]]): finished-vs-open order
+    * value comparison per priority band — is the F slice priced
+    * differently, and with what confidence (t, Welch–Satterthwaite df).
+    * One shared scan; six numbers per group cross the shuffle. */
+  private val q173: Q = (s, d) =>
+    welchT(Tables.orders(s, d), "o_orderpriority", "o_totalprice",
+        col("o_orderstatus") === "F")
+      .orderBy("o_orderpriority")
+
+  /** q174 — Mann–Whitney U ([[Aggregates.mannWhitneyU]]): rank-sum test
+    * on the tie-heavy quantity column (integer-valued ⇒ the tie
+    * correction actually engages), even-vs-odd orderkey split per
+    * return flag — a null-effect fixture, so z should hover near 0. */
+  private val q174: Q = (s, d) =>
+    mannWhitneyU(Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+        col("l_orderkey") % 2 === 0)
+      .orderBy("l_returnflag")
+
   val all: Map[String, Q] = Map(
+    "q174_mann_whitney" -> q174,
+    "q173_welch_t" -> q173,
     "q172_crosssource_flow" -> q172,
     "q171_weighted_quantiles" -> q171,
     "q170_gap_fill" -> q170,
@@ -2327,6 +2347,71 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q173_welch_t" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |      AS DOUBLE) AS s1,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)) END)
+        |      AS DOUBLE) AS ss1,
+        |    CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS n2,
+        |    CAST(SUM(CASE WHEN o_orderstatus <> 'F'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |      AS DOUBLE) AS s2,
+        |    CAST(SUM(CASE WHEN o_orderstatus <> 'F'
+        |      THEN CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)) END)
+        |      AS DOUBLE) AS ss2
+        |  FROM orders GROUP BY 1),
+        |v AS (
+        |  SELECT o_orderpriority, n1, n2,
+        |    ((ss1 - s1*s1/n1) / (n1-1)) / n1 AS se1,
+        |    ((ss2 - s2*s2/n2) / (n2-1)) / n2 AS se2,
+        |    s1/n1 - s2/n2 AS md
+        |  FROM a)
+        |SELECT o_orderpriority, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2,
+        |  round(md / sqrt(se1 + se2), 6) AS t,
+        |  round((se1+se2)*(se1+se2) /
+        |    (se1*se1/(n1-1) + se2*se2/(n2-1)), 6) AS df
+        |FROM v ORDER BY 1""".stripMargin,
+
+    "q174_mann_whitney" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_quantity AS v,
+        |    (l_orderkey % 2 = 0) AS a,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |         - 1) / 2.0 AS ar
+        |  FROM lineitem),
+        |sums AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CASE WHEN a THEN CAST(ar AS DECIMAL(38,6)) END)
+        |      AS DOUBLE) AS r1
+        |  FROM r GROUP BY 1),
+        |ties AS (
+        |  SELECT g,
+        |    CAST(SUM(CAST(t*t*t - t AS DECIMAL(38,6))) AS DOUBLE) AS tsum
+        |  FROM (SELECT g, v, CAST(COUNT(*) AS DOUBLE) AS t
+        |        FROM r GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT g, n1, n - n1 AS n2,
+        |    r1 - n1 * (n1 + 1) / 2 AS u1,
+        |    n1 * (n - n1) / 2 AS mu,
+        |    n1 * (n - n1) / 12 * ((n + 1) - tsum / (n * (n - 1))) AS vr
+        |  FROM sums JOIN ties USING (g))
+        |SELECT g AS l_returnflag, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2, round(u1, 6) AS u1,
+        |  round((u1 - mu) / sqrt(vr), 6) AS z
+        |FROM f ORDER BY 1""".stripMargin,
+
     "q172_crosssource_flow" ->
       s"""WITH
          |${pairCtes(cap = 100, threshold = 0.1)},

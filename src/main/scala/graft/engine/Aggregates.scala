@@ -402,6 +402,83 @@ object Aggregates {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Welch's two-sample t statistic per group (unequal variances):
+    * t = (m₁−m₂)/√(v₁/n₁ + v₂/n₂) with the Welch–Satterthwaite degrees
+    * of freedom — the A/B comparison between the `aFlag` slice and the
+    * rest of each group. ONE pass: both samples' sufficient statistics
+    * are conditional exact-decimal sums in the same aggregate, so the
+    * scan is shared and the shuffle carries six numbers per group.
+    * Completes the association family: χ² (cat×cat), MI (effect size),
+    * r (num×num), t (num×2-group). */
+  def welchT(df: DataFrame, groupCol: String, valCol: String,
+      aFlag: Column): DataFrame = {
+    val x = col(valCol)
+    def side(c: Column) = (
+      sum(when(c, lit(1L)).otherwise(0L)).cast("double"),
+      sum(when(c, x).cast("decimal(18,2)")).cast("double"),
+      sum(when(c, x * x).cast("decimal(38,6)")).cast("double"))
+    val (n1, s1, ss1) = side(aFlag)
+    val (n2, s2, ss2) = side(!aFlag)
+    val agg = df.groupBy(groupCol).agg(n1.as("n1"), s1.as("s1"),
+      ss1.as("ss1"), n2.as("n2"), s2.as("s2"), ss2.as("ss2"))
+    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) /
+      (col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) /
+      (col("n2") - 1)
+    val se1 = v1 / col("n1")
+    val se2 = v2 / col("n2")
+    agg.select(col(groupCol), col("n1").cast("long").as("n1"),
+      col("n2").cast("long").as("n2"),
+      round((col("s1") / col("n1") - col("s2") / col("n2")) /
+        sqrt(se1 + se2), 6).as("t"),
+      round((se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)), 6)
+        .as("df"))
+  }
+
+  /** Mann–Whitney U (rank-sum) per group: the distribution-free
+    * two-sample test — robust where [[welchT]]'s mean comparison is
+    * outlier-dominated. Average ranks for ties (rank() min-rank +
+    * (tieSize−1)/2), U₁ from the A-slice rank sum, and the normal
+    * approximation z with the standard tie-corrected variance
+    * σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Scale shape: ONE key-partitioned sort serves both the rank window
+    * and the tie-count window; rank sums and tie terms are two hash-aggs
+    * over the same shuffle; everything downstream is |groups|-row
+    * algebra. Rank sums accumulate as exact decimals (average ranks are
+    * .5-granular) ⇒ partitioning-invariant. */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valCol: String,
+      aFlag: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__v"))
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol, "__v")
+    val ranked = df.select(col(groupCol), col(valCol).as("__v"),
+        aFlag.as("__a"))
+      .withColumn("__ar", rank().over(w) +
+        (count(lit(1)).over(tw) - 1) / 2.0)
+    val sums = ranked.groupBy(groupCol).agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).cast("double").as("n1"),
+      count(lit(1)).cast("double").as("n"),
+      sum(when(col("__a"), col("__ar")).cast("decimal(38,6)"))
+        .cast("double").as("r1"))
+    val ties = ranked.groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).cast("double").as("t"))
+      .groupBy(groupCol)
+      .agg(sum((col("t") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,6)")).cast("double").as("tsum"))
+    val n2 = col("n") - col("n1")
+    val u1 = col("r1") - col("n1") * (col("n1") + 1) / 2
+    val mu = col("n1") * n2 / 2
+    val v = col("n1") * n2 / 12 *
+      ((col("n") + 1) - col("tsum") / (col("n") * (col("n") - 1)))
+    sums.join(ties, Seq(groupCol))
+      .select(col(groupCol), col("n1").cast("long").as("n1"),
+        n2.cast("long").as("n2"), round(u1, 6).as("u1"),
+        round((u1 - mu) / sqrt(v), 6).as("z"))
+  }
+
   /** Weighted lower quantiles per group: the smallest value whose
     * RANGE-frame cumulative weight reaches p·W — weight-aware
     * percentiles (token-weighted doc-length quantiles, spend-weighted

@@ -200,6 +200,37 @@ class AggregatesSpec extends SparkSpec {
     assert(d.getAs[Long]("dof") == 1L && d.getAs[Long]("n") == 20L)
   }
 
+  test("welchT: hand t and Welch–Satterthwaite df on a two-group " +
+    "fixture") {
+    // A = {1,2,3}: n=3, mean 2, var 1; B = {4,6}: n=2, mean 5, var 2
+    // t = (2−5)/√(1/3 + 1) = −3√3/2; df = (4/3)²/((1/9)/2 + 1) = 32/19
+    val d = Seq(("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, true),
+      ("g", 4.0, false), ("g", 6.0, false)).toDF("grp", "v", "a")
+    val out = Aggregates.welchT(d, "grp", "v", col("a")).collect()(0)
+    assert(out.getAs[Long]("n1") == 3L && out.getAs[Long]("n2") == 2L)
+    assert(out.getAs[Double]("t") ==
+      BigDecimal(-3 * math.sqrt(3) / 2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getAs[Double]("df") ==
+      BigDecimal(32.0 / 19)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("mannWhitneyU: tied values share an average rank and the tie " +
+    "term corrects the variance") {
+    // A = {1,2}, B = {2,3}: ranks 1, 2.5, 2.5, 4 → R₁ = 3.5, U₁ = 0.5
+    // one tie group of 2 → tsum 6; σ² = (4/12)·(5 − 6/12) = 1.5
+    val d = Seq(("g", 1.0, true), ("g", 2.0, true),
+      ("g", 2.0, false), ("g", 3.0, false)).toDF("grp", "v", "a")
+    val out = Aggregates.mannWhitneyU(d, "grp", "v", col("a"))
+      .collect()(0)
+    assert(out.getAs[Long]("n1") == 2L && out.getAs[Long]("n2") == 2L)
+    assert(out.getAs[Double]("u1") == 0.5)
+    assert(out.getAs[Double]("z") ==
+      BigDecimal(-1.5 / math.sqrt(1.5))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("weightedQuantiles: heavy tail drags the weighted median; ties " +
     "share one cumulative weight; uniform weights reduce to lower " +
     "quantile") {

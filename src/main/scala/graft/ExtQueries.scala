@@ -1973,7 +1973,35 @@ object ExtQueries {
         col("l_orderkey") % 2 === 0)
       .orderBy("l_returnflag")
 
+  /** q175 — Spearman rank correlation ([[Aggregates.spearman]]):
+    * monotone association of quantity and price per return flag — the
+    * rank-based counterpart of q25's Pearson on the same columns. */
+  private val q175: Q = (s, d) =>
+    spearman(Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+        "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  /** q176 — two-sample KS ([[Aggregates.ksTwoSample]]): max ECDF gap
+    * between finished and open order values per priority band — the
+    * same comparison as q173's Welch t, but sensitive to any
+    * distributional difference, not just the mean. */
+  private val q176: Q = (s, d) =>
+    ksTwoSample(Tables.orders(s, d), "o_orderpriority", "o_totalprice",
+        col("o_orderstatus") === "F")
+      .orderBy("o_orderpriority")
+
+  /** q177 — Gini concentration ([[Aggregates.gini]]): how unequal are
+    * order values within each priority band — the inequality audit
+    * (budget-skew) counterpart of q118's frequency skew profile. */
+  private val q177: Q = (s, d) =>
+    gini(Tables.orders(s, d), "o_orderpriority", "o_totalprice",
+        "o_orderkey")
+      .orderBy("o_orderpriority")
+
   val all: Map[String, Q] = Map(
+    "q177_gini" -> q177,
+    "q176_ks_test" -> q176,
+    "q175_spearman" -> q175,
     "q174_mann_whitney" -> q174,
     "q173_welch_t" -> q173,
     "q172_crosssource_flow" -> q172,
@@ -2347,6 +2375,71 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q175_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |         - 1) / 2.0 AS rx,
+        |    rank() OVER (PARTITION BY l_returnflag
+        |                 ORDER BY l_extendedprice)
+        |      + (COUNT(*) OVER (PARTITION BY l_returnflag,
+        |                        l_extendedprice) - 1) / 2.0 AS ry
+        |  FROM lineitem)
+        |SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round((CAST(count(*) AS DOUBLE)
+        |      * CAST(SUM(CAST(rx*ry AS DECIMAL(38,6))) AS DOUBLE)
+        |    - CAST(SUM(CAST(rx AS DECIMAL(18,2))) AS DOUBLE)
+        |      * CAST(SUM(CAST(ry AS DECIMAL(18,2))) AS DOUBLE))
+        |   / (sqrt(CAST(count(*) AS DOUBLE)
+        |        * CAST(SUM(CAST(rx*rx AS DECIMAL(38,6))) AS DOUBLE)
+        |      - CAST(SUM(CAST(rx AS DECIMAL(18,2))) AS DOUBLE)
+        |        * CAST(SUM(CAST(rx AS DECIMAL(18,2))) AS DOUBLE))
+        |      * sqrt(CAST(count(*) AS DOUBLE)
+        |        * CAST(SUM(CAST(ry*ry AS DECIMAL(38,6))) AS DOUBLE)
+        |      - CAST(SUM(CAST(ry AS DECIMAL(18,2))) AS DOUBLE)
+        |        * CAST(SUM(CAST(ry AS DECIMAL(18,2))) AS DOUBLE))), 6)
+        |  AS rho
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q176_ks_test" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS v,
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS cb
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g,
+        |    SUM(ca) OVER (PARTITION BY g) AS na,
+        |    SUM(cb) OVER (PARTITION BY g) AS nb,
+        |    abs(CAST(SUM(ca) OVER (PARTITION BY g ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS DOUBLE)
+        |        / SUM(ca) OVER (PARTITION BY g)
+        |      - CAST(SUM(cb) OVER (PARTITION BY g ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS DOUBLE)
+        |        / SUM(cb) OVER (PARTITION BY g)) AS d
+        |  FROM cells)
+        |SELECT g AS o_orderpriority, CAST(MAX(na) AS BIGINT) AS n1,
+        |  CAST(MAX(nb) AS BIGINT) AS n2, round(MAX(d), 6) AS ks_d
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q177_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS i
+        |  FROM orders),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(i * v AS DECIMAL(38,6))) AS DOUBLE) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  round((2.0 * six - (n + 1) * sx) / (n * sx), 6) AS gini
+        |FROM a GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
     "q173_welch_t" ->
       """WITH a AS (
         |  SELECT o_orderpriority,

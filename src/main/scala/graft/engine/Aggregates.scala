@@ -479,6 +479,89 @@ object Aggregates {
         round((u1 - mu) / sqrt(v), 6).as("z"))
   }
 
+  /** Spearman rank correlation per group — [[corrExact]] applied to
+    * tie-averaged ranks (the exact tie-corrected form: Pearson on
+    * average ranks), the monotone-association counterpart of q25's
+    * linear Pearson. Both rank windows partition on the SAME group key,
+    * so the plan pays one exchange and two in-partition sorts; the
+    * correlation is then six exact-decimal numbers per group (average
+    * ranks are .5-granular ⇒ the decimal casts in [[corrExact]] stay
+    * exact and partitioning-invariant). */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wx = Window.partitionBy(groupCol).orderBy(col("__x"))
+    val tx = Window.partitionBy(groupCol, "__x")
+    val wy = Window.partitionBy(groupCol).orderBy(col("__y"))
+    val ty = Window.partitionBy(groupCol, "__y")
+    df.select(col(groupCol), col(xCol).as("__x"), col(yCol).as("__y"))
+      .withColumn("__rx", rank().over(wx) +
+        (count(lit(1)).over(tx) - 1) / 2.0)
+      .withColumn("__ry", rank().over(wy) +
+        (count(lit(1)).over(ty) - 1) / 2.0)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(corrExact(col("__rx"), col("__ry")), 6).as("rho"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group:
+    * D = max_v |F_A(v) − F_B(v)| over the pooled sample points — the
+    * distribution-free "are these two slices drawn from the same
+    * distribution at all" companion to [[welchT]] (mean shift) and
+    * [[mannWhitneyU]] (stochastic dominance): KS also sees pure
+    * shape/variance differences.
+    *
+    * Scale shape: one (group, value) hash-agg collapses the data to
+    * distinct sample points carrying both sides' counts, then ONE
+    * group-partitioned sort drives the running ECDFs; cumulative counts
+    * are exact longs, so D is deterministic. */
+  def ksTwoSample(df: DataFrame, groupCol: String, valCol: String,
+      aFlag: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .select(col(groupCol), col(valCol).as("__v"), aFlag.as("__a"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCol)
+    cells
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .withColumn("d", abs(
+        sum(col("ca")).over(w).cast("double") / col("na") -
+        sum(col("cb")).over(w).cast("double") / col("nb")))
+      .groupBy(groupCol)
+      .agg(max(col("na")).as("n1"), max(col("nb")).as("n2"),
+        round(max(col("d")), 6).as("ks_d"))
+  }
+
+  /** Gini coefficient per group via the sorted-rank identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) (x ascending, i = 1..n) —
+    * the inequality/concentration audit (order-value concentration,
+    * token-budget skew across sources). row_number over (value, unique
+    * id) keeps the pass deterministic; equal values contribute the same
+    * Σ i·x under any tie order, so the statistic itself is tie-invariant.
+    * One group-partitioned sort; Σx and Σ i·x accumulate as exact
+    * decimals (2-dp values ⇒ exact), so the shuffle carries three
+    * numbers per group past the sort. */
+  def gini(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__v"), col(idCol))
+    val g = df.select(col(groupCol), col(valCol).as("__v"), col(idCol))
+      .withColumn("__i", row_number().over(w))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("__v").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum((col("__i") * col("__v")).cast("decimal(38,6)"))
+          .cast("double").as("six"))
+    g.select(col(groupCol), col("n").cast("long").as("n"),
+      round((lit(2.0) * col("six") - (col("n") + 1) * col("sx")) /
+        (col("n") * col("sx")), 6).as("gini"))
+  }
+
   /** Weighted lower quantiles per group: the smallest value whose
     * RANGE-frame cumulative weight reaches p·W — weight-aware
     * percentiles (token-weighted doc-length quantiles, spend-weighted

@@ -231,6 +231,51 @@ class AggregatesSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("spearman: monotone nonlinear maps to 1, ties average (rho = " +
+    "3/sqrt(10) on the hand fixture)") {
+    val mono = Seq(("g", 1.0, 1.0), ("g", 2.0, 8.0), ("g", 3.0, 27.0),
+      ("g", 4.0, 64.0)).toDF("grp", "x", "y")
+    assert(Aggregates.spearman(mono, "grp", "x", "y")
+      .collect()(0).getAs[Double]("rho") == 1.0)
+    // x ranks 1, 2.5, 2.5, 4 vs y ranks 1..4 → 4.5/√(4.5·5) = 3/√10
+    val tied = Seq(("g", 1.0, 10.0), ("g", 2.0, 20.0), ("g", 2.0, 30.0),
+      ("g", 3.0, 40.0)).toDF("grp", "x", "y")
+    assert(Aggregates.spearman(tied, "grp", "x", "y")
+      .collect()(0).getAs[Double]("rho") ==
+      BigDecimal(3 / math.sqrt(10))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ksTwoSample: disjoint supports give D = 1, interleaved halves " +
+    "give the hand ECDF gap") {
+    val disj = Seq(("g", 1.0, true), ("g", 2.0, true),
+      ("g", 3.0, false), ("g", 4.0, false)).toDF("grp", "v", "a")
+    val d0 = Aggregates.ksTwoSample(disj, "grp", "v", col("a"))
+      .collect()(0)
+    assert(d0.getAs[Double]("ks_d") == 1.0)
+    assert(d0.getAs[Long]("n1") == 2L && d0.getAs[Long]("n2") == 2L)
+    // A = {1,3}, B = {2,4}: gaps .5, 0, .5, 0 → D = 0.5
+    val inter = Seq(("g", 1.0, true), ("g", 3.0, true),
+      ("g", 2.0, false), ("g", 4.0, false)).toDF("grp", "v", "a")
+    assert(Aggregates.ksTwoSample(inter, "grp", "v", col("a"))
+      .collect()(0).getAs[Double]("ks_d") == 0.5)
+  }
+
+  test("gini: uniform values score 0, single-holder concentration " +
+    "scores (n-1)/n, hand fixture 0.25") {
+    val d = (Seq.fill(4)(4.0).zipWithIndex.map { case (v, i) =>
+        ("u", v, i.toLong) } ++
+      Seq(("c", 0.0, 0L), ("c", 0.0, 1L), ("c", 0.0, 2L),
+        ("c", 10.0, 3L)) ++
+      Seq(("g", 1.0, 0L), ("g", 2.0, 1L), ("g", 3.0, 2L),
+        ("g", 4.0, 3L))).toDF("grp", "v", "id")
+    val out = Aggregates.gini(d, "grp", "v", "id").orderBy("grp")
+      .collect()
+    assert(out(0).getAs[Double]("gini") == 0.75)  // c: (n-1)/n
+    assert(out(1).getAs[Double]("gini") == 0.25)  // g: hand math
+    assert(out(2).getAs[Double]("gini") == 0.0)   // u: uniform
+  }
+
   test("weightedQuantiles: heavy tail drags the weighted median; ties " +
     "share one cumulative weight; uniform weights reduce to lower " +
     "quantile") {

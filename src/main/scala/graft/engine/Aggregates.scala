@@ -443,57 +443,58 @@ object Aggregates {
     * approximation z with the standard tie-corrected variance
     * σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))).
     *
-    * Scale shape: ONE key-partitioned sort serves both the rank window
-    * and the tie-count window; rank sums and tie terms are two hash-aggs
-    * over the same shuffle; everything downstream is |groups|-row
-    * algebra. Rank sums accumulate as exact decimals (average ranks are
-    * .5-granular) ⇒ partitioning-invariant. */
+    * Scale shape: ONE key-partitioned sort serves both the rank and the
+    * tie-peer count (a RANGE CURRENT ROW..CURRENT ROW frame on the same
+    * window spec — one WindowExec, no (group, value) exchange). The tie
+    * term needs no second aggregate either: every row in a tie group of
+    * size t carries peer count t, so Σ_rows (t²−1) = Σ_ties (t³−t) and
+    * the whole statistic is ONE hash-agg past the sort; everything
+    * downstream is |groups|-row algebra. Rank sums accumulate as exact
+    * decimals (average ranks are .5-granular) ⇒ partitioning-invariant. */
   def mannWhitneyU(df: DataFrame, groupCol: String, valCol: String,
       aFlag: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(col("__v"))
-    val tw = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol, "__v")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__v"))
+    val tw = w.rangeBetween(Window.currentRow, Window.currentRow)
     val ranked = df.select(col(groupCol), col(valCol).as("__v"),
         aFlag.as("__a"))
-      .withColumn("__ar", rank().over(w) +
-        (count(lit(1)).over(tw) - 1) / 2.0)
+      .withColumn("__t", count(lit(1)).over(tw))
+      .withColumn("__ar", rank().over(w) + (col("__t") - 1) / 2.0)
     val sums = ranked.groupBy(groupCol).agg(
       sum(when(col("__a"), 1L).otherwise(0L)).cast("double").as("n1"),
       count(lit(1)).cast("double").as("n"),
       sum(when(col("__a"), col("__ar")).cast("decimal(38,6)"))
-        .cast("double").as("r1"))
-    val ties = ranked.groupBy(col(groupCol), col("__v"))
-      .agg(count(lit(1)).cast("double").as("t"))
-      .groupBy(groupCol)
-      .agg(sum((col("t") * col("t") * col("t") - col("t"))
-        .cast("decimal(38,6)")).cast("double").as("tsum"))
+        .cast("double").as("r1"),
+      sum((col("__t") * col("__t") - 1).cast("decimal(38,6)"))
+        .cast("double").as("tsum"))
     val n2 = col("n") - col("n1")
     val u1 = col("r1") - col("n1") * (col("n1") + 1) / 2
     val mu = col("n1") * n2 / 2
     val v = col("n1") * n2 / 12 *
       ((col("n") + 1) - col("tsum") / (col("n") * (col("n") - 1)))
-    sums.join(ties, Seq(groupCol))
-      .select(col(groupCol), col("n1").cast("long").as("n1"),
-        n2.cast("long").as("n2"), round(u1, 6).as("u1"),
-        round((u1 - mu) / sqrt(v), 6).as("z"))
+    sums.select(col(groupCol), col("n1").cast("long").as("n1"),
+      n2.cast("long").as("n2"), round(u1, 6).as("u1"),
+      round((u1 - mu) / sqrt(v), 6).as("z"))
   }
 
   /** Spearman rank correlation per group — [[corrExact]] applied to
     * tie-averaged ranks (the exact tie-corrected form: Pearson on
     * average ranks), the monotone-association counterpart of q25's
-    * linear Pearson. Both rank windows partition on the SAME group key,
-    * so the plan pays one exchange and two in-partition sorts; the
-    * correlation is then six exact-decimal numbers per group (average
-    * ranks are .5-granular ⇒ the decimal casts in [[corrExact]] stay
-    * exact and partitioning-invariant). */
+    * linear Pearson. The tie count rides the SAME window spec as the
+    * rank (a RANGE CURRENT ROW..CURRENT ROW frame counts exactly the
+    * order-by peers), so each axis is one WindowExec and the whole
+    * statistic costs one group-key exchange plus two in-partition
+    * sorts — no (group, value) tie-partition exchange. The correlation
+    * is then six exact-decimal numbers per group (average ranks are
+    * .5-granular ⇒ the decimal casts in [[corrExact]] stay exact and
+    * partitioning-invariant). */
   def spearman(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wx = Window.partitionBy(groupCol).orderBy(col("__x"))
-    val tx = Window.partitionBy(groupCol, "__x")
+    val tx = wx.rangeBetween(Window.currentRow, Window.currentRow)
     val wy = Window.partitionBy(groupCol).orderBy(col("__y"))
-    val ty = Window.partitionBy(groupCol, "__y")
+    val ty = wy.rangeBetween(Window.currentRow, Window.currentRow)
     df.select(col(groupCol), col(xCol).as("__x"), col(yCol).as("__y"))
       .withColumn("__rx", rank().over(wx) +
         (count(lit(1)).over(tx) - 1) / 2.0)

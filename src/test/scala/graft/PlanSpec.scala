@@ -213,6 +213,22 @@ class PlanSpec extends SparkSpec {
     // per-file order only; multi-file buckets merge-sort locally)
   }
 
+  test("rank statistics (q174/q175): tie counts ride the rank's window " +
+    "spec — ONE group-key exchange, no (group, value) tie exchange") {
+    import spark.implicits._
+    val d = Seq(("g", 1.0, 2.0, true), ("g", 1.0, 3.0, false),
+      ("g", 2.0, 1.0, true)).toDF("grp", "x", "y", "a")
+    val pMwu = plan(graft.engine.Aggregates
+      .mannWhitneyU(d, "grp", "x", col("a")))
+    assert(pMwu.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, pMwu)
+    // spearman sorts twice (x-ranks, y-ranks) but exchanges once: the
+    // y-axis window reuses the group-hash partitioning
+    val pSp = plan(graft.engine.Aggregates.spearman(d, "grp", "x", "y"))
+    assert(pSp.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, pSp)
+  }
+
   test("concurrency: the running sum is a PARTITIONED window over the " +
     "range-partitioned boundaries, not a single-partition global window") {
     import spark.implicits._

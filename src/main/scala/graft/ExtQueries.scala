@@ -1998,7 +1998,28 @@ object ExtQueries {
         "o_orderkey")
       .orderBy("o_orderpriority")
 
+  /** q178 — daily-series autocorrelation ([[EventOps.acf]]): lag-1..7
+    * ACF of each event type's daily mean value — the serial-dependence
+    * diagnostic feeding seasonality detection and ARIMA order picking
+    * (the self-correlation counterpart of q167's lead-lag CROSS
+    * correlation between two series). */
+  private val q178: Q = (s, d) =>
+    EventOps.acf(Tables.events(s, d), "event_type", "ts", "value", 7)
+      .orderBy("event_type", "lag")
+
+  /** q179 — Kaplan–Meier survival ([[EventOps.kaplanMeier]]):
+    * time-to-first-purchase in days per acquisition cohort (the user's
+    * deterministic first event type), right-censored at last observed
+    * activity — the censoring-correct conversion curve a naive
+    * "converted by day t" fraction gets wrong. */
+  private val q179: Q = (s, d) =>
+    EventOps.kaplanMeier(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", "purchase")
+      .orderBy("cohort", "t")
+
   val all: Map[String, Q] = Map(
+    "q179_kaplan_meier" -> q179,
+    "q178_acf" -> q178,
     "q177_gini" -> q177,
     "q176_ks_test" -> q176,
     "q175_spearman" -> q175,
@@ -2439,6 +2460,92 @@ object ExtQueries {
         |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
         |  round((2.0 * six - (n + 1) * sx) / (n * sx), 6) AS gini
         |FROM a GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q178_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*), 6) AS x
+        |  FROM events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type,
+        |    round(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*), 6) AS mu
+        |  FROM daily GROUP BY 1),
+        |idx AS (
+        |  SELECT d.event_type,
+        |    CAST(x AS DECIMAL(12,6)) - CAST(mu AS DECIMAL(12,6)) AS dev,
+        |    row_number() OVER (PARTITION BY d.event_type ORDER BY day)
+        |      AS rn
+        |  FROM daily d JOIN base USING (event_type)),
+        |den AS (
+        |  -- VARCHAR bridge: DuckDB's direct DECIMAL(38,12)->DOUBLE cast
+        |  -- goes int128->double->/1e12 and misrounds once the scaled
+        |  -- coefficient exceeds 2^53; the string path is correctly
+        |  -- rounded, matching Spark's cast
+        |  SELECT event_type,
+        |    CAST(CAST(SUM(CAST(dev * dev AS DECIMAL(38,12))) AS VARCHAR)
+        |      AS DOUBLE) AS den
+        |  FROM idx GROUP BY 1),
+        |num AS (
+        |  SELECT a.event_type, l.lag,
+        |    CAST(CAST(SUM(CAST(a.dev * b.dev AS DECIMAL(38,12)))
+        |      AS VARCHAR) AS DOUBLE) AS num,
+        |    count(*) AS np
+        |  FROM idx a
+        |  CROSS JOIN generate_series(1, 7) AS l(lag)
+        |  JOIN idx b ON b.event_type = a.event_type
+        |    AND b.rn = a.rn - l.lag
+        |  GROUP BY 1, 2)
+        |SELECT n.event_type, CAST(n.lag AS INT) AS lag,
+        |  CAST(np AS BIGINT) AS n_pairs, num / den AS acf
+        |FROM num n JOIN den USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
+
+    "q179_kaplan_meier" ->
+      """WITH fst AS (
+        |  SELECT user_id, event_type AS cohort FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1),
+        |per AS (
+        |  SELECT user_id,
+        |    min(CAST(ts AS DATE)) AS d0,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS DATE) END) AS de,
+        |    max(CAST(ts AS DATE)) AS dl
+        |  FROM events GROUP BY 1),
+        |dur AS (
+        |  SELECT f.cohort,
+        |    CASE WHEN de IS NOT NULL THEN date_diff('day', d0, de)
+        |         ELSE date_diff('day', d0, dl) END AS t,
+        |    de IS NOT NULL AS ev
+        |  FROM per JOIN fst f USING (user_id)),
+        |byt AS (
+        |  SELECT cohort, t,
+        |    SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+        |    SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS c
+        |  FROM dur GROUP BY 1, 2),
+        |km AS (
+        |  SELECT cohort, t, d, c,
+        |    SUM(d + c) OVER (PARTITION BY cohort)
+        |      - COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM byt)
+        |SELECT cohort, CAST(t AS INT) AS t,
+        |  CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+        |  CAST(c AS BIGINT) AS c,
+        |  CASE WHEN MIN(n_risk - d) OVER (PARTITION BY cohort ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+        |    THEN 0.0
+        |    ELSE round(exp(SUM(CASE WHEN n_risk > d
+        |        THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk) END)
+        |      OVER (PARTITION BY cohort ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+        |  END AS survival
+        |FROM km ORDER BY cohort, t""".stripMargin,
 
     "q173_welch_t" ->
       """WITH a AS (

@@ -212,6 +212,105 @@ object EventOps {
         round(pow(lit(r), col("__t")) * col("__su"), 6).as("ewma"))
   }
 
+  /** Sample autocorrelation function (ACF) of a per-key daily metric at
+    * lags 1..`maxLag` — the standard serial-dependence diagnostic (the
+    * statsmodels/Box–Jenkins form: deviations from the SERIES mean and a
+    * common variance denominator, not per-lag Pearson), feeding
+    * seasonality detection and ARIMA order picking over telemetry.
+    *
+    * Scale shape: the daily roll-up is one hash-agg; all `maxLag` lag
+    * columns ride ONE key-partitioned sort (one WindowExec), and the
+    * numerators/denominator collapse in ONE hash-agg (2·maxLag+1
+    * aggregate columns) — the per-(key,lag) unpivot then runs on the
+    * |keys|-row frame, never on the series. Deviations are computed IN
+    * DECIMAL (x and mu live on the 6 dp grid, so the subtraction and
+    * the 12 dp products are exact — a double product rounds its last
+    * decimal digit differently across engines) and the final acf is a
+    * single IEEE division of two exact-decimal casts ⇒
+    * partitioning-invariant, bit-identical cross-engine. */
+  def acf(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    import graft.engine.Aggregates.sumExact6
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(round(sumExact6(col(valCol)) / count(lit(1)), 6).as("x"))
+    val base = daily.groupBy(keyCol)
+      .agg(round(sumExact6(col("x")) / count(lit(1)), 6).as("__mu"))
+    val w = Window.partitionBy(keyCol).orderBy(col("day"))
+    val lagged = daily.join(broadcast(base), Seq(keyCol))
+      .withColumn("__d",
+        col("x").cast("decimal(12,6)") - col("__mu").cast("decimal(12,6)"))
+      .select(col(keyCol) +: col("__d") +:
+        (1 to maxLag).map(k => lag(col("__d"), k).over(w).as(s"__l$k")): _*)
+    val aggs =
+      sum((col("__d") * col("__d")).cast("decimal(38,12)")).as("__den") +:
+      (1 to maxLag).flatMap { k => Seq(
+        sum((col("__d") * col(s"__l$k")).cast("decimal(38,12)"))
+          .as(s"__n$k"),
+        count(col(s"__l$k")).as(s"__c$k")) }
+    val sums = lagged.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = (1 to maxLag).map(k => s"$k, __n$k, __c$k")
+      .mkString(s"stack($maxLag, ", ", ", ") as (lag, __num, n_pairs)")
+    sums.select(col(keyCol), col("__den"), expr(stackExpr))
+      .select(col(keyCol), col("lag").cast("int").as("lag"), col("n_pairs"),
+        (col("__num").cast("double") / col("__den").cast("double"))
+          .as("acf"))
+  }
+
+  /** Kaplan–Meier survival curves per cohort: time-to-first-`eventType`
+    * (in days from each user's first event), right-censored at the
+    * user's last observed event, grouped by the user's acquisition
+    * channel (deterministic first event type). Returns one row per
+    * (cohort, day) with the at-risk count, deaths, censorings, and the
+    * product-limit survival estimate S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) —
+    * the standard censoring-correct estimator (a naive "fraction
+    * converted by day t" is biased when observation windows differ).
+    *
+    * Scale shape: one user-key hash-agg produces (duration, observed,
+    * cohort) per user; the per-(cohort, day) roll-up is
+    * |cohorts|·|days|-bounded; the risk-set and survival windows
+    * partition on the cohort (no global single-partition window).
+    * Deaths-before-censorings at equal t is the textbook convention:
+    * the risk set counts everyone with T ≥ t, via the strictly-before
+    * cumulative frame. S(t) is exp∘Σln over IEEE divisions of exact
+    * longs, rounded at 9 dp (the q128/q111 libm-parity precedent). */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, eventType: String): DataFrame = {
+    val per = events.groupBy(userCol).agg(
+      min(struct(col(tsCol), col(idCol), col(typeCol))).getField(typeCol)
+        .as("cohort"),
+      min(to_date(col(tsCol))).as("__d0"),
+      min(when(col(typeCol) === eventType, to_date(col(tsCol))))
+        .as("__de"),
+      max(to_date(col(tsCol))).as("__dl"))
+    val byT = per.select(col("cohort"),
+        when(col("__de").isNotNull, datediff(col("__de"), col("__d0")))
+          .otherwise(datediff(col("__dl"), col("__d0"))).as("t"),
+        col("__de").isNotNull.as("__ev"))
+      .groupBy("cohort", "t").agg(
+        sum(when(col("__ev"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("__ev"), 0L).otherwise(1L)).as("c"))
+    val wAll = Window.partitionBy("cohort")
+    val wBefore = Window.partitionBy("cohort").orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("cohort").orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wAll) -
+        coalesce(sum(col("d") + col("c")).over(wBefore), lit(0L)))
+      // the all-deaths terminal row needs an explicit zero branch:
+      // Spark log(0) is NULL while DuckDB ln(0) is -inf — a silent
+      // cross-engine divergence if left to the libm path
+      .withColumn("survival",
+        when(min(col("n_risk") - col("d")).over(wRun) === 0, lit(0.0))
+          .otherwise(round(exp(sum(
+            log((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double"))).over(wRun)), 9)))
+      .select(col("cohort"), col("t"), col("n_risk"), col("d"), col("c"),
+        col("survival"))
+  }
+
   /** Slowly-changing-dimension type-2 history build: collapse a per-key
     * change stream to change-only version rows with effective-interval
     * bounds — (key, version, attr, valid_from, valid_to, is_current),

@@ -165,6 +165,48 @@ class EventOpsSpec extends SparkSpec {
     assert(got.head == vals.head) // EWMA_1 = x_1 exactly
   }
 
+  test("acf: hand-computed lag-1/lag-2 autocorrelation with the common " +
+    "mean and variance denominator (not per-lag Pearson)") {
+    // one event per day → daily mean = value; mean 11 exactly
+    val vals = Seq(10.0, 12.0, 9.0, 14.0, 8.0, 13.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(i + 1, 0), 1L, "t", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.acf(ev, "event_type", "ts", "value", 2)
+      .orderBy("lag").as[(String, Int, Long, Double)].collect().toSeq
+    // devs = [-1,1,-2,3,-3,2], den = 28
+    // lag1: -1-2-6-9-6 = -24; lag2: 2+3+6+6 = 17
+    assert(got == Seq(("t", 1, 5L, -24.0 / 28), ("t", 2, 4L, 17.0 / 28)),
+      got.toString)
+  }
+
+  test("kaplanMeier: censored users stay in the risk set at their exit " +
+    "day; survival is the product-limit; all-deaths tail hits 0.0 " +
+    "(not null) despite Spark's log(0)=NULL") {
+    val ev = Seq(
+      // cohort "view": u1 death t=2, u2 censored t=4,
+      // u3 death t=0 (same-day purchase), u4 censored t=0
+      (1L, ts(1, 1), 1L, "view", 1.0), (2L, ts(3, 1), 1L, "purchase", 1.0),
+      (3L, ts(1, 1), 2L, "view", 1.0), (4L, ts(5, 1), 2L, "click", 1.0),
+      (5L, ts(1, 1), 3L, "view", 1.0), (6L, ts(1, 2), 3L, "purchase", 1.0),
+      (7L, ts(1, 1), 4L, "view", 1.0),
+      // cohort "error": single user dies at t=1 → terminal S = 0
+      (8L, ts(1, 1), 5L, "error", 1.0), (9L, ts(2, 1), 5L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.kaplanMeier(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .orderBy("cohort", "t")
+      .as[(String, Int, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("error", 1, 1L, 1L, 0L, 0.0),
+      // t=0: risk 4 (censored-at-0 u4 still at risk), 1 death → S=.75
+      ("view", 0, 4L, 1L, 1L, 0.75),
+      // t=2: risk 2, 1 death → S = .75 * .5
+      ("view", 2, 2L, 1L, 0L, 0.375),
+      // t=4: censor only — S unchanged
+      ("view", 4, 1L, 0L, 1L, 0.375)), got.toString)
+  }
+
   test("scd2: consecutive equal attrs collapse, intervals chain, " +
     "current version open; all windows share ONE exchange") {
     import org.apache.spark.sql.functions.col

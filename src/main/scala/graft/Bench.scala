@@ -3,11 +3,16 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
   /** q58 runs MLlib MinHashLSH purely as a stock-library comparison point
-    * for the hand-rolled relational LSH (q32, ~16× faster); it is timed and
-    * reported, but under its own key so the headline engine total tracks
-    * engine queries. It gets no warm-up and no stall re-run — at ~15 s a
-    * run it would otherwise dominate the wall budget. */
+    * for the hand-rolled relational LSH (q32, ~16× faster). It is NOT an
+    * engine query and its cost is host-sensitive (13–33 s typical, 80.6 s
+    * on the round-4 driver host — half the round's bench budget and the
+    * same failure mode that cost round 3 its artifact to rc=124), so the
+    * bench skips it unless SPARK_GRAFT_MLLIB_BENCH is set (dev-only; the
+    * driver never sets it). When run it reports under its own
+    * mllib_comparison_sec key, exempt from warm-up and stall re-runs, so
+    * the headline engine total is unaffected either way. */
   private val ComparisonQueries = Set("q58_minhash_ml")
+  private val RunComparison = sys.env.contains("SPARK_GRAFT_MLLIB_BENCH")
 
   /** Queries reading the once-per-JVM shared near-dup scratch tables
     * (ExtQueries.sharedPairs/sharedClusters). In qNN execution order the
@@ -94,6 +99,8 @@ object Bench {
       .map(_.split(",").toSet)
     val firstPass = SparkEntry.orderedQueries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        RunComparison || !ComparisonQueries.contains(name) }
       .map { case (name, fn) => (name, fn, timed(fn)) }
     var reruns = 0
     val results: Seq[(String, Double)] = firstPass.map {
@@ -131,9 +138,14 @@ object Bench {
     // "value" stays the engine-query total (the BASELINE.md anchor);
     // total_sec is the inclusive wall total so round-over-round consumers
     // comparing against pre-split totals aren't misled by q58's move to
-    // mllib_comparison_sec. Printed IMMEDIATELY after the timed pass —
-    // nothing may write to stdout after this line.
-    println(s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$qs,"mllib_comparison_sec":${fmt(comparison)},"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"sf":"$sfDir"}""")
+    // mllib_comparison_sec — the key is ABSENT (not 0) when the comparison
+    // is gated off, so nobody reads "free" for "skipped". Printed
+    // IMMEDIATELY after the timed pass — nothing may write to stdout after
+    // this line.
+    val comparisonField =
+      if (RunComparison) s""""mllib_comparison_sec":${fmt(comparison)},"""
+      else ""
+    println(s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$qs,$comparisonField"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

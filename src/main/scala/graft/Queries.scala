@@ -121,10 +121,15 @@ object Queries {
 
   /** q13 — exact median per group (oracle-checkable variant of the
     * reference's approxQuantile imputation statistic,
-    * `Preprocessing.py:145-160`). */
+    * `Preprocessing.py:145-160`). Uses the memory-bounded
+    * [[Aggregates.exactPercentiles]] (count-agg + rank-bracket
+    * interpolation) — bit-identical to the buffering `percentile()` but no
+    * per-group value multiset ever sits in one aggregation buffer, so a
+    * hot group can't overflow an executor at 100 TB. */
   private val q13: Q = (s, d) =>
-    Tables.lineitem(s, d).groupBy("l_returnflag")
-      .agg(medianExact(col("l_quantity")).as("med_qty"))
+    Aggregates.exactPercentiles(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", Seq(0.5))
+      .select(col("l_returnflag"), col("p0").as("med_qty"))
       .orderBy("l_returnflag")
 
   /** q14 — describe() re-homed: count/mean/std/min/max per group
@@ -272,13 +277,16 @@ object Queries {
 
   /** q48 — median imputation end-to-end (`Preprocessing.py:144-168`):
     * sentinel→null, group medians computed distributed, nulls filled with
-    * the median (broadcast join of the 1-row-per-group stat table). */
+    * the median (broadcast join of the 1-row-per-group stat table). The
+    * median uses the memory-bounded [[Aggregates.exactPercentiles]] — same
+    * rationale as q13. */
   private val q48: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
       .withColumn("qty_n",
         when(col("l_quantity") > 45, lit(null)).otherwise(col("l_quantity")))
-    val med = li.groupBy("l_returnflag")
-      .agg(medianExact(col("qty_n")).as("med"))
+    val med = Aggregates.exactPercentiles(li, "l_returnflag", "qty_n",
+        Seq(0.5))
+      .select(col("l_returnflag"), col("p0").as("med"))
     li.join(broadcast(med), Seq("l_returnflag"))
       .withColumn("qty_filled", coalesce(col("qty_n"), col("med")))
       .groupBy("l_returnflag")

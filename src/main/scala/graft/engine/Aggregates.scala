@@ -135,8 +135,12 @@ object Aggregates {
       .orderBy(col(rowKey))
   }
 
-  /** Exact median per group (`percentile`, not the approx sketch — the
-    * oracle-checkable variant; `approxMedian` below is the 100 TB path). */
+  /** Exact median per group via Catalyst's buffering `percentile()` —
+    * kept ONLY as the spec-comparison kernel for [[exactPercentiles]]
+    * (AggregatesSpec asserts bit-identity). Not used by any registered
+    * query: the aggregate buffers the whole per-group value multiset in
+    * one aggregation buffer, which a hot group overflows at 100 TB —
+    * production paths (q13/q48/q107/q113…) use [[exactPercentiles]]. */
   def medianExact(c: Column): Column = percentile(c, lit(0.5))
 
   /** Greenwald-Khanna approximate median, ε=0.01 — the reference's actual

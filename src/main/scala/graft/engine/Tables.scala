@@ -104,21 +104,45 @@ object Tables {
 
   /** Load a fixture table with its declared schema asserted against the
     * parquet footer (names + types, ignoring nullability). */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val expected = schemas(name)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalize(name, schemas(name), spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Physical-encoding drifts a fixture regeneration may legitimately
+    * introduce without changing logical content: tz-variant timestamps,
+    * date-stored timestamps, and lossless numeric widenings. Anything else
+    * (renames, narrowings, reorderings) still fails fast. */
+  private def widens(a: DataType, e: DataType): Boolean = (a, e) match {
+    case (TimestampType, TimestampNTZType) => true // session tz pinned UTC,
+    case (TimestampNTZType, TimestampType) => true // so the cast is value-exact
+    case (DateType, TimestampNTZType) => true
+    case (DateType, TimestampType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Assert `df` against `expected` field-by-field. Exact match returns the
+    * scan untouched (no Project — filters/pruning reach the reader directly);
+    * a tolerated drift (see [[widens]]) is repaired with a normalizing cast so
+    * downstream code always sees the declared types; anything else throws. */
+  private[engine] def normalize(name: String, expected: StructType,
+      df: DataFrame): DataFrame = {
     val actual = df.schema
-    def eqType(a: DataType, e: DataType): Boolean = (a, e) match {
-      case (TimestampType, TimestampNTZType) => true // tz-variant tolerated
-      case (TimestampNTZType, TimestampType) => true
-      case _ => a == e
-    }
     require(actual.length == expected.length &&
-      actual.zip(expected).forall { case (a, e) =>
-        a.name == e.name && eqType(a.dataType, e.dataType) },
+      actual.map(_.name) == expected.map(_.name),
       s"schema drift in $name: got ${actual.simpleString}, " +
         s"expected ${expected.simpleString}")
-    df
+    val pairs = actual.zip(expected)
+    pairs.foreach { case (a, e) =>
+      require(a.dataType == e.dataType || widens(a.dataType, e.dataType),
+        s"schema drift in $name: field ${a.name} is " +
+          s"${a.dataType.simpleString}, expected ${e.dataType.simpleString}")
+    }
+    if (pairs.forall { case (a, e) => a.dataType == e.dataType }) df
+    else df.select(pairs.map { case (a, e) =>
+      if (a.dataType == e.dataType) col(a.name)
+      else col(a.name).cast(e.dataType).as(a.name)
+    }: _*)
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
@@ -128,26 +152,42 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy flag) and convert with
-    * integer division (ns → µs) — `div`, not `/`, because double division
-    * would lose precision on ~1.7e18 nano values.
+  /** events.ts has shipped under two physical encodings across fixture
+    * regenerations: parquet INT64 TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects unless the legacy nanosAsLong flag surfaces it as raw
+    * bigint — and TIMESTAMP(MICROS, isAdjustedToUTC=false), which surfaces
+    * directly as `timestamp_ntz` (the type [[eventsSchema]] declares). The
+    * loader must accept both, so it sets the flag (scope note: the flag ONLY
+    * changes how TIMESTAMP(NANOS) columns surface — micros files are
+    * untouched — and `events` is the only nanos-risk table here; it stays set
+    * for the session because task-side re-reads re-resolve the conf per
+    * execution) and branches on the observed `ts` type:
     *
-    * The nanosAsLong flag stays set for the session (restoring it would
-    * break later task-side reads of this DataFrame, which re-resolve the
-    * conf per query execution). Scope note: it only changes how
-    * TIMESTAMP(NANOS) parquet columns surface, and `events` is the only
-    * such table here. The raw schema is asserted so upstream drift fails
-    * fast like every other loader. */
+    *  - `timestamp_ntz`/`timestamp` → the plain asserted path, like every
+    *    other table ([[normalize]] handles tz-variant drift).
+    *  - `bigint` → legacy nanos: convert with integer division (ns → µs) —
+    *    `div`, not `/`, because double division would lose precision on
+    *    ~1.7e18 nano values.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val expectedRaw = "struct<event_id:bigint,ts:bigint,user_id:bigint," +
-      "event_type:string,value:double,props:string>"
-    require(raw.schema.simpleString == expectedRaw,
-      s"schema drift in events: got ${raw.schema.simpleString}")
-    raw.withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    raw.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        normalize("events", eventsSchema, raw)
+      case Some(LongType) =>
+        val expectedRaw = "struct<event_id:bigint,ts:bigint,user_id:bigint," +
+          "event_type:string,value:double,props:string>"
+        require(raw.schema.simpleString == expectedRaw,
+          s"schema drift in events: got ${raw.schema.simpleString}")
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"schema drift in events: ts is $other, expected timestamp_ntz " +
+            s"(micros encoding) or bigint (legacy nanos encoding); " +
+            s"got ${raw.schema.simpleString}")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -231,10 +231,17 @@ object StreamingOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     // watermarks require TIMESTAMP (with local tz); session tz is pinned
-    // UTC, so wall-clock values match the NTZ batch path exactly
-    val events = src.withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
+    // UTC, so wall-clock values match the NTZ batch path exactly. Like
+    // Tables.events, accept both fixture encodings: legacy INT64 nanos
+    // (surfaces as bigint under the nanosAsLong flag set above) and
+    // TIMESTAMP(MICROS) (surfaces as timestamp_ntz).
+    val events = (batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        src.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }).withWatermark("ts", "1 hour")
     val q = transform(events).writeStream
       .outputMode(outputMode)
       .format("memory").queryName(queryName)

@@ -1,0 +1,152 @@
+package graft.engine
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Regression matrix for the fixture loaders.
+  *
+  * The driver regenerates `/root/testdata` between rounds and has already
+  * shipped `events.ts` under two different parquet encodings — INT64
+  * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) — so the loader must accept both
+  * (round-4 verdict, 35-query blast radius). These tests write tiny parquet
+  * files in each encoding and assert `Tables.events` returns identical
+  * logical content, plus exercise the `normalize` widening matrix so a future
+  * regeneration degrades to a cast instead of a crash.
+  */
+class LoaderSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-loader-spec").toFile.getAbsolutePath
+
+  // One logical row set, to be written in both encodings.
+  // 2024-03-01T12:34:56.123456 (micros precision so both encodings agree).
+  private val t0 = LocalDateTime.of(2024, 3, 1, 12, 34, 56, 123456000)
+  private val t1 = LocalDateTime.of(2024, 3, 2, 0, 0, 1, 500000000)
+  private def epochMicros(t: LocalDateTime): Long =
+    t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+
+  private val logicalRows = Seq(
+    (1L, t0, 10L, "view", 1.5, "{}"),
+    (2L, t1, 11L, "click", 2.5, "{\"k\":1}"))
+
+  private def writeMicrosFixture(dir: String): Unit = {
+    val rows = logicalRows.map { case (id, ts, uid, et, v, p) =>
+      Row(id, ts, uid, et, v, p) }
+    spark.createDataFrame(rows.asJava, Tables.eventsSchema)
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+  }
+
+  private def writeNanosFixture(dir: String): Unit = {
+    val schema = Types.buildMessage()
+      .optional(INT64).named("event_id")
+      .optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(
+          false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .optional(INT64).named("user_id")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .optional(DOUBLE).named("value")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val out = HadoopOutputFile.fromPath(
+      new Path(s"$dir/events.parquet"), new Configuration())
+    val writer = ExampleParquetWriter.builder(out).withType(schema).build()
+    val factory = new SimpleGroupFactory(schema)
+    logicalRows.foreach { case (id, ts, uid, et, v, p) =>
+      writer.write(factory.newGroup()
+        .append("event_id", id)
+        .append("ts", epochMicros(ts) * 1000L) // µs → ns
+        .append("user_id", uid)
+        .append("event_type", et)
+        .append("value", v)
+        .append("props", p))
+    }
+    writer.close()
+  }
+
+  private def loadedRows(dir: String): Seq[(Long, LocalDateTime, Long, String, Double, String)] =
+    Tables.events(spark, dir).collect().toSeq.map { r =>
+      (r.getLong(0), r.getAs[LocalDateTime](1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5))
+    }.sortBy(_._1)
+
+  test("events loads the TIMESTAMP(MICROS) encoding (current fixture)") {
+    val dir = tmpDir()
+    writeMicrosFixture(dir)
+    val df = Tables.events(spark, dir)
+    assert(df.schema("ts").dataType == TimestampNTZType)
+    assert(loadedRows(dir) == logicalRows)
+  }
+
+  test("events loads the INT64 TIMESTAMP(NANOS) encoding (legacy fixture)") {
+    val dir = tmpDir()
+    writeNanosFixture(dir)
+    val df = Tables.events(spark, dir)
+    assert(df.schema("ts").dataType == TimestampNTZType)
+    assert(loadedRows(dir) == logicalRows)
+  }
+
+  test("both encodings yield identical logical content") {
+    val micros = tmpDir(); writeMicrosFixture(micros)
+    val nanos = tmpDir(); writeNanosFixture(nanos)
+    assert(loadedRows(micros) == loadedRows(nanos))
+  }
+
+  test("events on the real fixture loads and reads ts") {
+    val n = Tables.events(spark, sf0001)
+      .where(org.apache.spark.sql.functions.col("ts").isNotNull).count()
+    assert(n > 0)
+  }
+
+  test("normalize passes an exact match through untouched (no Project)") {
+    val df = spark.range(3).selectExpr("id AS a", "CAST(id AS double) AS b")
+    val expected = StructType(Seq(
+      StructField("a", LongType), StructField("b", DoubleType)))
+    val out = Tables.normalize("t", expected, df)
+    assert(out eq df) // same object: pushdown path untouched
+  }
+
+  test("normalize repairs tolerated widenings with a cast") {
+    val df = spark.range(2).selectExpr(
+      "CAST(id AS int) AS i", "CAST(id AS float) AS f",
+      "DATE '2024-01-02' AS d")
+    val expected = StructType(Seq(
+      StructField("i", LongType), StructField("f", DoubleType),
+      StructField("d", TimestampNTZType)))
+    val out = Tables.normalize("t", expected, df)
+    assert(out.schema.map(_.dataType) ==
+      Seq(LongType, DoubleType, TimestampNTZType))
+    val r = out.orderBy("i").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(r.map(_.getDouble(1)).toSeq == Seq(0.0, 1.0))
+    assert(r.head.getAs[LocalDateTime](2) ==
+      LocalDateTime.of(2024, 1, 2, 0, 0))
+  }
+
+  test("normalize rejects narrowings, renames, and incompatible types") {
+    val expected = StructType(Seq(StructField("a", LongType)))
+    // incompatible type
+    val bad = spark.range(1).selectExpr("CAST(id AS string) AS a")
+    assertThrows[IllegalArgumentException](Tables.normalize("t", expected, bad))
+    // narrowing long→int
+    val narrow = StructType(Seq(StructField("a", IntegerType)))
+    val longDf = spark.range(1).selectExpr("id AS a")
+    assertThrows[IllegalArgumentException](Tables.normalize("t", narrow, longDf))
+    // rename
+    val renamed = spark.range(1).selectExpr("id AS z")
+    assertThrows[IllegalArgumentException](Tables.normalize("t", expected, renamed))
+  }
+}

@@ -423,30 +423,52 @@ object Dedup {
   private[ext] def dupClustersWithRounds(pairs: DataFrame,
       allIds: DataFrame, idCol: String): (DataFrame, Int) = {
     val edges = symmetrized(pairs).cache()
-    var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // Iterate ONLY over edge-incident nodes: a node with no near-dup edge
+    // is a singleton whose label (its own id) can never change, so keeping
+    // it in the propagation frames makes every round's join/checkpoint/
+    // count scale with the CORPUS instead of the dup subgraph — at 100 TB
+    // that is iterating 100 TB to converge a few-GB component graph. The
+    // singletons re-enter once, below, with cluster = own id. (symmetrized
+    // emits both directions, so distinct src covers every incident node.)
+    // LAZY checkpoint: first consumed inside round 1's convergence-count
+    // job (no separate blocking job); the singleton anti-join below then
+    // reads the same materialized blocks.
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(eager = false)
+    var labels = nodes.select(col("id"), col("id").as("cluster"))
     var cached: DataFrame = null
     var changed = 1L
     var rounds = 0
     try {
     while (changed > 0 && rounds < 50) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("cluster")).as("nmin"))
-      // mid = min(own label, neighbors' labels) — the propagation step.
+      // mid = min(own label, neighbors' labels) — the propagation step,
+      // as ONE join + ONE union-fed aggregate: neighbor labels arrive via
+      // the edge join, the node's own label rides the union branch (tag 1
+      // marks it so `old` can be recovered in the same agg — exactly one
+      // own-label row exists per id), and the min folds both. This shape
+      // has one fewer shuffle per round than the textbook
+      // join→agg→left-join (the old-label recovery join), and per-round
+      // exchanges are the whole cost of the iteration.
+      //
       // localCheckpoint, not cache: the jump step references this twice,
       // so a cached-but-uncut lineage would DOUBLE the logical plan every
       // round (exponential tree → OOM in plan handling by round ~8); the
       // checkpoint materializes once AND truncates the plan to a flat
-      // scan. Blocks are freed asynchronously by the ContextCleaner once
-      // the round's reference drops.
-      val prelim = labels
-        .join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("mid"),
-          col("cluster").as("old"))
-        .localCheckpoint(eager = true)
+      // scan. LAZY (eager = false): the round's only action is the
+      // convergence count below, so the checkpoint materializes inside
+      // that job instead of paying a separate blocking job per round —
+      // both consumers in the self-join share the one checkpointed RDD.
+      // Blocks are freed asynchronously by the ContextCleaner once the
+      // round's reference drops.
+      val neighborLabels = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("cluster"), lit(0).as("__own"))
+      val prelim = neighborLabels
+        .union(labels.select(col("id"), col("cluster"), lit(1).as("__own")))
+        .groupBy("id")
+        .agg(min(col("cluster")).as("mid"),
+          max(when(col("__own") === 1, col("cluster"))).as("old"))
+        .localCheckpoint(eager = false)
       // pointer jump: follow mid's own mid. label(v) always names a node
       // in v's component (propagation only ever copies labels along
       // edges), so the jump stays inside the component and labels remain
@@ -473,7 +495,14 @@ object Dedup {
     require(changed == 0,
       s"dupClusters did not converge within $rounds rounds " +
         s"($changed labels still changing)")
-    (labels.select(col("id").as(idCol), col("cluster"))
+    // singletons (ids with no incident edge) re-enter with their own id —
+    // the anti-join's right side is the small node set, and the corpus id
+    // scan is touched exactly once, outside the iteration
+    val singletons = allIds.select(col(idCol).as("id"))
+      .join(nodes, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    (labels.select(col("id"), col("cluster")).union(singletons)
+      .select(col("id").as(idCol), col("cluster"))
       .orderBy(idCol).localCheckpoint(eager = true), rounds)
     } finally { // caches must not outlive the call, even on failure
       if (cached != null) cached.unpersist()

@@ -884,7 +884,7 @@ object ExtQueries {
   val sharedScratchConsumers: Set[String] = Set("q55_dup_clusters",
     "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank",
     "q126_pagerank_directed", "q148_triangle_census", "q165_kcore",
-    "q168_dedup_report", "q172_crosssource_flow")
+    "q168_dedup_report", "q172_crosssource_flow", "q181_cluster_split")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -2017,7 +2017,55 @@ object ExtQueries {
         "event_id", "event_type", "purchase")
       .orderBy("cohort", "t")
 
+  /** q180 — greedy keep-first dedup CASCADE attrition report
+    * ([[Dedup.cascadeSurvival]]): per source, documents surviving each
+    * stage of exact-normalized → identical-SimHash → MinHash-band
+    * elimination — the funnel metric a curation pipeline publishes with
+    * every corpus release (how much did each stage remove, per source).
+    * Cheap stages run first so expensive ones see a shrunken corpus. */
+  private val q180: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val flags = Dedup.cascadeSurvival(docs, "doc_id", "text",
+      k = 3, numHashes = 12, rowsPerBand = 3)
+    docs.select(col("doc_id"), col("source"))
+      .join(flags, col("doc_id") === flags("id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("keep_simhash"), 1L).otherwise(0L)).as("n_simhash"),
+        sum(when(col("keep_minhash"), 1L).otherwise(0L)).as("n_minhash"))
+      .orderBy("source")
+  }
+
+  /** q181 — leakage-safe near-dup-aware split: every document of a
+    * near-dup CLUSTER (shared scratch) lands in the SAME train/val/test
+    * split, because the split hash is taken on the cluster id, not the
+    * doc id — the property that keeps eval examples from leaking into
+    * train via their near-duplicates (a doc-hash split puts ~2% of each
+    * near-dup pair's members in different splits). Reports per
+    * (split, source) doc and cluster counts. */
+  private val q181: Q = (s, d) => {
+    val byCluster = PipelineOps.hashSplit(sharedClusters(s, d), "cluster")
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(byCluster, "doc_id")
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .orderBy("split", "source")
+  }
+
+  /** q182 — quota eval sampling ([[PipelineOps.quotaSample]]): per
+    * language, the first max(10, ⌊2%·n⌋) docs in deterministic hash
+    * order — minimum-coverage floors for tail languages. */
+  private val q182: Q = (s, d) =>
+    PipelineOps.quotaSample(Tables.documents(s, d), "lang", "doc_id",
+        frac = 0.02, minPerGroup = 10)
+      .orderBy("lang", "rk")
+
   val all: Map[String, Q] = Map(
+    "q182_quota_sample" -> q182,
+    "q181_cluster_split" -> q181,
+    "q180_dedup_cascade" -> q180,
     "q179_kaplan_meier" -> q179,
     "q178_acf" -> q178,
     "q177_gini" -> q177,
@@ -2377,6 +2425,68 @@ object ExtQueries {
        |WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB replica of the q180 dedup cascade: per-source survivor counts
+    * through exact-normalized → identical-SimHash → MinHash-band greedy
+    * elimination (mirrors [[Dedup.cascadeSurvival]] stage for stage). */
+  private def cascadeSql(k: Int, numHashes: Int, rowsPerBand: Int): String = {
+    val P = graft.ext.TextOps.HashPrime
+    val sigExprs = Dedup.minhashCoeffs(numHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(shs, h -> (h * $a + $b) % $P)) AS mh_$i"
+    }.mkString(",\n  ")
+    val numBands = numHashes / rowsPerBand
+    val bandSelects = (0 until numBands).map { bnd =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"mh_${bnd * rowsPerBand + r}")
+        .reduce((x, y) => s"(($x) * 31 + $y) % $P")
+      s"SELECT pid, $bnd AS band, $key AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH s1 AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY
+       |      trim(regexp_replace(regexp_replace(lower(text),
+       |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+       |      THEN 1 ELSE 0 END AS keep1
+       |  FROM documents),
+       |s2 AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY $simhashSql)
+       |      THEN 1 ELSE 0 END AS keep2
+       |  FROM s1 WHERE keep1 = 1),
+       |sh AS (SELECT doc_id AS pid, ${shinglesSql(toksSql, k)} AS shs
+       |       FROM s2 WHERE keep2 = 1),
+       |sigs AS (SELECT pid,
+       |  $sigExprs
+       |  FROM sh WHERE len(shs) > 0),
+       |banded AS (
+       |  $bandSelects),
+       |bmin AS (SELECT band, bkey, min(pid) AS bmin
+       |         FROM banded GROUP BY 1, 2),
+       |pmin AS (SELECT pid, min(bmin) AS pm
+       |         FROM banded JOIN bmin USING (band, bkey) GROUP BY pid),
+       |s3 AS (
+       |  SELECT s2.doc_id, s2.source
+       |  FROM s2 LEFT JOIN pmin ON pmin.pid = s2.doc_id
+       |  WHERE s2.keep2 = 1 AND (pm IS NULL OR pm >= s2.doc_id)),
+       |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |         FROM documents GROUP BY 1),
+       |c1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM s1 WHERE keep1 = 1 GROUP BY 1),
+       |c2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_simhash
+       |       FROM s2 WHERE keep2 = 1 GROUP BY 1),
+       |c3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_minhash
+       |       FROM s3 GROUP BY 1)
+       |SELECT base.source, n_docs,
+       |  CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+       |  CAST(COALESCE(n_simhash, 0) AS BIGINT) AS n_simhash,
+       |  CAST(COALESCE(n_minhash, 0) AS BIGINT) AS n_minhash
+       |FROM base
+       |LEFT JOIN c1 USING (source)
+       |LEFT JOIN c2 USING (source)
+       |LEFT JOIN c3 USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   /** Multi-table bucket columns b0..b{tables-1} (table t uses plane
     * offset t·bits) — shared by the q60 and q74 oracles. */
   private def multiBucketCols(bits: Int, tables: Int): String =
@@ -2396,6 +2506,50 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q180_dedup_cascade" ->
+      cascadeSql(k = 3, numHashes = 12, rowsPerBand = 3),
+
+    "q181_cluster_split" ->
+      s"""WITH RECURSIVE
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |cl AS (
+         |  SELECT doc.doc_id, doc.source,
+         |    CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id)) AS BIGINT)
+         |      AS cluster
+         |  FROM documents doc
+         |  LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |    ON m.s = doc.doc_id),
+         |h AS (
+         |  SELECT source, cluster,
+         |    ${polyHashSql("CAST(cluster AS VARCHAR)")} % 100 AS b
+         |  FROM cl)
+         |SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+         |FROM h GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+
+    "q182_quota_sample" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id,
+         |    ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY hh, doc_id) AS BIGINT) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM h)
+         |SELECT lang, doc_id, rk FROM r
+         |WHERE rk <= greatest(10, CAST(floor(n * 0.02) AS BIGINT))
+         |ORDER BY lang, rk""".stripMargin,
+
     "q175_spearman" ->
       """WITH r AS (
         |  SELECT l_returnflag AS g,

@@ -322,14 +322,7 @@ object Dedup {
     val sigs = post.groupBy("pid")
       .agg(count(lit(1)).as("n_sh"),
         minhashSigAggs(col("sh"), numHashes): _*)
-    // band key: rolling combine of the band's signature components
-    val banded = sigs.select(col("pid"),
-      explode(array((0 until numBands).map { b =>
-        val comps = (0 until rowsPerBand)
-          .map(r => col(s"mh_${b * rowsPerBand + r}"))
-        struct(lit(b).as("band"),
-          comps.reduce((x, y) => (x * 31 + y) % HashPrime).as("bkey"))
-      }: _*)).as("bk"))
+    val banded = bandKeys(sigs, numHashes, rowsPerBand)
     val cands = banded.as("x")
       .join(banded.as("y"),
         col("x.bk") === col("y.bk") && col("x.pid") < col("y.pid"))
@@ -353,6 +346,78 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Banded MinHash keys from a signature frame (`pid`, `mh_0..mh_{n-1}`):
+    * one row per (doc, band) with the band's rolling-combined key packed
+    * in a `bk` struct — shared by [[minhashBandPairs]] (self-join on `bk`)
+    * and [[cascadeSurvival]] (bucket-min greedy elimination). */
+  private[ext] def bandKeys(sigs: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    sigs.select(col("pid"),
+      explode(array((0 until numBands).map { b =>
+        val comps = (0 until rowsPerBand)
+          .map(r => col(s"mh_${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"),
+          comps.reduce((x, y) => (x * 31 + y) % HashPrime).as("bkey"))
+      }: _*)).as("bk"))
+  }
+
+  /** Greedy keep-first dedup CASCADE — the production curation shape: the
+    * cheap exact stage shrinks the corpus before the costlier near-dup
+    * stages ever see it. Returns one row per input id with per-stage
+    * survival flags:
+    *
+    *  - `keep_exact`: survives exact dedup on the normalized text
+    *    ([[TextOps.normalizeText]]) — keeps the smallest id per identical
+    *    normalized form;
+    *  - `keep_simhash`: additionally survives identical-[[simhash32]]
+    *    elimination among exact survivors;
+    *  - `keep_minhash`: additionally survives MinHash band-bucket
+    *    elimination among simhash survivors — a doc is eliminated iff it
+    *    shares ANY of its `numHashes/rowsPerBand` band keys with a
+    *    smaller-id survivor (the LSH candidate test as a greedy dominance
+    *    rule: no transitive closure, so every stage stays one
+    *    window/aggregate and the whole cascade is deterministic and
+    *    oracle-checkable; docs too short to shingle pass through).
+    *
+    * Scale shape: each stage is one key-partitioned window or hash-agg
+    * over only the PREVIOUS stage's survivors; nothing is all-pairs, and
+    * the band bucket-min aggregate bounds stage 3 by |banded postings|. */
+  def cascadeSurvival(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val ids = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val w1 = Window.partitionBy(col("__norm"))
+    val s1 = ids
+      .withColumn("__norm", TextOps.normalizeText(col("text")))
+      .withColumn("keep_exact", col("id") === min(col("id")).over(w1))
+      .localCheckpoint(eager = false) // feeds stage 2 AND the final join
+    val w2 = Window.partitionBy(col("__sim"))
+    val s2 = s1.filter(col("keep_exact"))
+      .withColumn("__sim", simhash32(col("text")))
+      .withColumn("keep_simhash", col("id") === min(col("id")).over(w2))
+      .localCheckpoint(eager = false) // feeds stage 3 AND the final join
+    val survivors2 = s2.filter(col("keep_simhash"))
+      .select(col("id"), col("text"))
+    val sigAggs = minhashSigAggs(col("sh"), numHashes)
+    val sigs = postings(survivors2, "id", "text", k)
+      .groupBy("pid").agg(sigAggs.head, sigAggs.tail: _*)
+    val banded = bandKeys(sigs, numHashes, rowsPerBand)
+    val bucketMin = banded.groupBy(col("bk"))
+      .agg(min(col("pid")).as("bmin"))
+    val partnerMin = banded.join(bucketMin, "bk")
+      .groupBy(col("pid")).agg(min(col("bmin")).as("pmin"))
+    ids.select(col("id"))
+      .join(s1.select(col("id"), col("keep_exact")), Seq("id"))
+      .join(s2.select(col("id"), col("keep_simhash")), Seq("id"), "left")
+      .join(partnerMin.withColumnRenamed("pid", "id"), Seq("id"), "left")
+      .select(col("id"),
+        col("keep_exact"),
+        coalesce(col("keep_simhash"), lit(false)).as("keep_simhash"),
+        (coalesce(col("keep_simhash"), lit(false)) &&
+          (col("pmin").isNull || col("pmin") >= col("id")))
+          .as("keep_minhash"))
   }
 
   /** spark.ml MinHashLSH variant (SURVEY.md §7.4): shingle strings →

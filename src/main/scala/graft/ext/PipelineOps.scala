@@ -252,6 +252,33 @@ object PipelineOps {
     df.withColumn("split", split)
   }
 
+  /** Quota (minimum-coverage) sampling: per group, keep the first
+    * `max(minPerGroup, ⌊frac·n_group⌋)` rows in deterministic hash order —
+    * the eval-set draw that guarantees every language/source keeps a
+    * floor of examples even when proportional sampling would starve the
+    * tail groups (low-resource languages are exactly the ones a
+    * proportional draw drops). The [[hashSplit]] determinism property
+    * holds: membership is a function of (id, group population) only, so
+    * reruns and engine changes reproduce the set.
+    *
+    * Scale shape: one group-partitioned sort feeds both the rank and the
+    * group-count window (same partitioning, one exchange); no global
+    * sort, no state. */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String,
+      frac: Double, minPerGroup: Int): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac must be in [0,1], got $frac")
+    val h = graft.functions.expressions.poly_hash(col(idCol).cast("string"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__h"), col(idCol))
+    val n = Window.partitionBy(groupCol)
+    df.select(col(groupCol), col(idCol))
+      .withColumn("__h", h)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+      .filter(col("rk") <=
+        greatest(lit(minPerGroup.toLong), floor(col("__n") * frac)))
+      .select(col(groupCol), col(idCol), col("rk"))
+  }
+
   /** Overlapping token-window chunking (RAG indexing / long-document
     * preprocessing): each doc explodes into windows of `chunkSize` tokens
     * starting every `chunkSize - overlap` tokens, so consecutive chunks

@@ -431,4 +431,23 @@ class PipelineOpsSpec extends SparkSpec {
       1800).queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
+
+  test("quotaSample: floor guarantees tail groups, frac drives big " +
+    "groups, draw is deterministic under repartitioning") {
+    val rows = (1L to 300L).map(i => (if (i <= 280) "big" else "tail", i))
+    val df = rows.toDF("g", "id")
+    val out = PipelineOps.quotaSample(df, "g", "id", frac = 0.05,
+      minPerGroup = 8)
+    val byG = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG("big") == 14L)  // floor(280·0.05) = 14 > 8
+    assert(byG("tail") == 8L)  // min floor 8 > floor(20·0.05) = 1
+    // ranks are 1..quota with no gaps
+    val ranks = out.filter($"g" === "tail").select("rk")
+      .as[Long].collect().toSeq.sorted
+    assert(ranks == (1L to 8L))
+    val again = PipelineOps.quotaSample(df.repartition(13), "g", "id",
+      frac = 0.05, minPerGroup = 8)
+      .orderBy("g", "rk").collect().toSeq
+    assert(again == out.orderBy("g", "rk").collect().toSeq)
+  }
 }

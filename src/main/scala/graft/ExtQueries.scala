@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine._
 import graft.ext._
@@ -2062,7 +2062,100 @@ object ExtQueries {
         frac = 0.02, minPerGroup = 10)
       .orderBy("lang", "rk")
 
+  /** q183 — RFM segmentation: customers scored 1–3 on Recency (last
+    * order), Frequency (order count), Monetary (exact-decimal revenue) by
+    * tertile cuts from the memory-bounded
+    * [[graft.engine.Aggregates.exactPercentiles]], then counted per
+    * (r,f,m) cell — the classic marketing segmentation grid as three
+    * broadcast 1-row stat frames over one customer aggregate (the
+    * two-pass stats-then-broadcast shape of q99; nothing buffers a value
+    * multiset, nothing sorts the corpus). */
+  private val q183: Q = (s, d) => {
+    val cust = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(38,6)")).cast("double")
+          .as("money"))
+      .withColumn("rec", col("last_ts").cast("timestamp").cast("double"))
+    def cuts(valCol: String, pfx: String): DataFrame =
+      Aggregates.exactPercentiles(cust.withColumn("__g", lit(1)), "__g",
+          valCol, Seq(1.0 / 3, 2.0 / 3))
+        .select(col("p0").as(s"${pfx}33"), col("p1").as(s"${pfx}66"))
+    val p = cuts("rec", "r").crossJoin(cuts("freq", "f"))
+      .crossJoin(cuts("money", "m"))
+    def score(v: Column, lo: Column, hi: Column): Column =
+      when(v <= lo, 1).when(v <= hi, 2).otherwise(3)
+    cust.crossJoin(broadcast(p))
+      .select(score(col("rec"), col("r33"), col("r66")).as("r_score"),
+        score(col("freq").cast("double"), col("f33"), col("f66"))
+          .as("f_score"),
+        score(col("money"), col("m33"), col("m66")).as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** q184 — rolling z-score anomaly days: each event type's daily mean
+    * value vs its OWN trailing 8-day window (7 preceding through 1
+    * preceding — the current day never smooths itself), flagging
+    * |z| > 1.5 with ≥ 4 trailing days. Mean/variance come from exact
+    * DECIMAL window sums so the statistic is identical across engines
+    * and partitionings (the q99 z-score contract, windowed); one
+    * key-partitioned sort carries count and both moment sums. */
+  private val q184: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        to_date(col("ts").cast("timestamp")).as("day"))
+      .agg(sum(col("value").cast("decimal(38,6)")).as("s6"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("s6").cast("double") / col("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("m").cast("decimal(38,12)")).over(w))
+      .withColumn("s2",
+        sum((col("m") * col("m")).cast("decimal(38,12)")).over(w))
+      .filter(col("cnt") >= 4)
+      .withColumn("mu", col("s1").cast("double") / col("cnt"))
+      .withColumn("vr",
+        col("s2").cast("double") / col("cnt") - col("mu") * col("mu"))
+      .filter(col("vr") > 0)
+      .withColumn("z", (col("m") - col("mu")) / sqrt(col("vr")))
+      .filter(abs(col("z")) > 1.5)
+      .select(col("event_type"), col("day"), round(col("z"), 6).as("z"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q185 — last-touch revenue attribution: each purchase's value is
+    * credited to the channel (props.k mod 5) of the user's most recent
+    * preceding click — the custom AS-OF JOIN operator
+    * ([[graft.plans.AsOf]], q50/q158's point-in-time machinery) applied
+    * to the marketing-attribution shape; purchases with no prior click
+    * fall into channel −1 (unattributed). Clicks are deduplicated per
+    * (user, ts) with a deterministic max before the as-of probe. */
+  private val q185: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .agg(max(get_json_object(col("props"), "$.k").cast("long") % 5)
+        .as("channel"))
+    graft.plans.AsOf.join(purchases, clicks,
+        ("user_id", "c_user"), ("ts", "click_ts"))
+      .groupBy(coalesce(col("channel"), lit(-1L)).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(38,6)")).cast("double")
+          .as("revenue"))
+      .orderBy("channel")
+  }
+
   val all: Map[String, Q] = Map(
+    "q185_attribution" -> q185,
+    "q184_rolling_anomaly" -> q184,
+    "q183_rfm_segments" -> q183,
     "q182_quota_sample" -> q182,
     "q181_cluster_split" -> q181,
     "q180_dedup_cascade" -> q180,
@@ -2506,6 +2599,74 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q183_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    epoch(CAST(max(o_orderdate) AS TIMESTAMP)) AS rec,
+        |    count(*) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS money
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT
+        |    quantile_cont(rec, 1.0/3) AS r33,
+        |    quantile_cont(rec, 2.0/3) AS r66,
+        |    quantile_cont(CAST(freq AS DOUBLE), 1.0/3) AS f33,
+        |    quantile_cont(CAST(freq AS DOUBLE), 2.0/3) AS f66,
+        |    quantile_cont(money, 1.0/3) AS m33,
+        |    quantile_cont(money, 2.0/3) AS m66
+        |  FROM cust)
+        |SELECT
+        |  CAST(CASE WHEN rec <= r33 THEN 1 WHEN rec <= r66 THEN 2
+        |       ELSE 3 END AS INTEGER) AS r_score,
+        |  CAST(CASE WHEN CAST(freq AS DOUBLE) <= f33 THEN 1
+        |       WHEN CAST(freq AS DOUBLE) <= f66 THEN 2
+        |       ELSE 3 END AS INTEGER) AS f_score,
+        |  CAST(CASE WHEN money <= m33 THEN 1 WHEN money <= m66 THEN 2
+        |       ELSE 3 END AS INTEGER) AS m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM cust, p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q184_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS m
+        |  FROM events GROUP BY 1, 2),
+        |roll AS (
+        |  SELECT event_type, day, m,
+        |    count(*) OVER w AS cnt,
+        |    CAST(SUM(CAST(m AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(m * m AS DECIMAL(38,12))) OVER w AS DOUBLE)
+        |      AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |st AS (
+        |  SELECT event_type, day, m, cnt,
+        |    s1 / cnt AS mu, s2 / cnt - (s1 / cnt) * (s1 / cnt) AS vr
+        |  FROM roll WHERE cnt >= 4)
+        |SELECT event_type, day,
+        |  round((m - mu) / sqrt(vr), 6) AS z
+        |FROM st
+        |WHERE vr > 0 AND abs((m - mu) / sqrt(vr)) > 1.5
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q185_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS click_ts,
+        |    max(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5)
+        |      AS channel
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT COALESCE(channel, -1) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.ts >= c.click_ts
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
     "q180_dedup_cascade" ->
       cascadeSql(k = 3, numHashes = 12, rowsPerBand = 3),
 

@@ -2081,8 +2081,8 @@ object ExtQueries {
       Aggregates.exactPercentiles(cust.withColumn("__g", lit(1)), "__g",
           valCol, Seq(1.0 / 3, 2.0 / 3))
         .select(col("p0").as(s"${pfx}33"), col("p1").as(s"${pfx}66"))
-    val p = cuts("rec", "r").crossJoin(cuts("freq", "f"))
-      .crossJoin(cuts("money", "m"))
+    val p = cuts("rec", "r").crossJoin(broadcast(cuts("freq", "f")))
+      .crossJoin(broadcast(cuts("money", "m")))
     def score(v: Column, lo: Column, hi: Column): Column =
       when(v <= lo, 1).when(v <= hi, 2).otherwise(3)
     cust.crossJoin(broadcast(p))

@@ -239,4 +239,31 @@ class PlanSpec extends SparkSpec {
     assert(winLines.nonEmpty, p)
     assert(winLines.forall(_.contains("__pid")), p)
   }
+
+  test("dedup cascade (q180): no cartesian product anywhere — every " +
+    "stage is a window or hash-agg/join on a key") {
+    val p = plan(ExtQueries.all("q180_dedup_cascade")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("RFM (q183): the tertile stat frames broadcast onto the customer " +
+    "aggregate — no shuffle of the fact side for the score join") {
+    val p = plan(ExtQueries.all("q183_rfm_segments")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // 1-row frames broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rolling anomaly (q184): trailing window rides ONE exchange on " +
+    "the event-type key after the daily aggregate") {
+    val df = ExtQueries.all("q184_rolling_anomaly")(spark, sf0001)
+    val p = plan(df)
+    // exchanges: daily agg (event_type, day), window re-key (event_type),
+    // final output sort — and nothing else
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 2, p)
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("event_type")), p)
+  }
 }

@@ -246,7 +246,10 @@ object Aggregates {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__hi", sum(col("__c")).over(w))
       .withColumn("__lo", col("__hi") - col("__c") + 1)
-      .localCheckpoint(eager = true) // consumed by totals AND the join
+      // consumed by totals AND the join; LAZY: materializes inside the
+      // broadcast-build job for `targets` (the first action), sparing the
+      // separate blocking checkpoint job per call
+      .localCheckpoint(eager = false)
     val totals = cum.groupBy(groupCol).agg(max(col("__hi")).as("__n"))
     val targets = totals.select(col(groupCol),
       explode(array(ps.zipWithIndex.map { case (p, i) =>

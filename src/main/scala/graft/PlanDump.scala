@@ -148,7 +148,21 @@ object PlanDump {
       "q162_rolling_actives" ->
         ("rolling 7-day distinct: bounded ×7 contribution explode + " +
           "one distinct-count per window day — no self-joins, no " +
-          "set-valued windows"))
+          "set-valued windows"),
+      "q180_dedup_cascade" ->
+        ("dedup cascade: exact→SimHash→MinHash-band greedy funnel; " +
+          "each stage one window/agg over the previous stage's " +
+          "survivors, band stage bounded by the bucket-min aggregate"),
+      "q183_rfm_segments" ->
+        ("RFM: three 1-row exact-percentile stat frames BROADCAST onto " +
+          "one customer aggregate — the fact side never reshuffles for " +
+          "the score join"),
+      "q184_rolling_anomaly" ->
+        ("rolling z-score: trailing exact-decimal moment sums on ONE " +
+          "event-type exchange after the daily aggregate"),
+      "q185_attribution" ->
+        ("last-touch attribution through the custom AsOf operator: one " +
+          "exchange + sort per side, then a hash-agg on channel"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

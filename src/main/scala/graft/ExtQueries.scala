@@ -2152,7 +2152,19 @@ object ExtQueries {
       .orderBy("channel")
   }
 
+  /** q186 — Poisson-bootstrap CI ([[graft.engine.Aggregates.bootstrapCI]]):
+    * 95% confidence interval on mean order value per status from 50
+    * deterministic hash-seeded Poisson(1) replicate weightings — the
+    * resample-free bootstrap that works at 100 TB because the ×B
+    * replicate stream collapses inside partial aggregation and never
+    * crosses an exchange. */
+  private val q186: Q = (s, d) =>
+    Aggregates.bootstrapCI(Tables.orders(s, d), "o_orderstatus",
+        "o_totalprice", "o_orderkey", reps = 50, alpha = 0.05)
+      .orderBy("o_orderstatus")
+
   val all: Map[String, Q] = Map(
+    "q186_bootstrap_ci" -> q186,
     "q185_attribution" -> q185,
     "q184_rolling_anomaly" -> q184,
     "q183_rfm_segments" -> q183,
@@ -2599,6 +2611,43 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q186_bootstrap_ci" -> {
+      val cuts = graft.engine.Aggregates.PoissonCuts
+      val wCase = cuts.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${cuts.size} END")
+      s"""WITH r AS (
+         |  SELECT o_orderstatus AS g, o_totalprice AS v, o_orderkey AS id,
+         |    t.rep
+         |  FROM orders, range(0, 50) t(rep)),
+         |wts AS (
+         |  SELECT g, rep, v, $wCase AS w
+         |  FROM (SELECT *,
+         |    ((${polyHashSql(
+              "CAST(id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)")}
+         |       * 2654435761 + 12345) % 1000000007)
+         |      / 1000000007.0 AS u
+         |    FROM r)),
+         |b AS (
+         |  SELECT g, rep,
+         |    CAST(SUM(CAST(w * v AS DECIMAL(38,6))) AS DOUBLE) / SUM(w)
+         |      AS mb
+         |  FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
+         |ci AS (
+         |  SELECT g, quantile_cont(mb, 0.05 / 2) AS lo,
+         |    quantile_cont(mb, 1 - 0.05 / 2) AS hi
+         |  FROM b GROUP BY 1),
+         |pt AS (
+         |  SELECT o_orderstatus AS g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+         |      / count(*) AS mean
+         |  FROM orders GROUP BY 1)
+         |SELECT pt.g AS o_orderstatus, pt.n, round(pt.mean, 6) AS mean,
+         |  round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
+         |FROM pt JOIN ci ON pt.g = ci.g
+         |ORDER BY o_orderstatus""".stripMargin
+    },
+
     "q183_rfm_segments" ->
       """WITH cust AS (
         |  SELECT o_custkey,

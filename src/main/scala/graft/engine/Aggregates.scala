@@ -282,6 +282,73 @@ object Aggregates {
     bracket.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Cumulative Poisson(1) CDF cut points e⁻¹·Σ 1/k! for k = 0..4 —
+    * shared by [[bootstrapCI]] and its DuckDB oracle (the literals must
+    * be IDENTICAL text in both engines so they parse to the same
+    * doubles). */
+  val PoissonCuts: Seq[Double] = Seq(0.36787944117144233,
+    0.7357588823428847, 0.9196986029286058, 0.9810118431238462,
+    0.9963401531726563)
+
+  /** Poisson-bootstrap confidence interval for the per-group mean — the
+    * RESAMPLE-FREE bootstrap: instead of drawing B resamples of the data
+    * (impossible at 100 TB), every row carries B deterministic
+    * pseudo-Poisson(1) replicate weights w_{r} = F⁻¹(u_r) with
+    * u_r = polyHash(id‖'#'‖r)/P ∈ [0,1) — the standard online/Poisson
+    * bootstrap (each row appears Poisson(1) times in a multinomial
+    * resample, in the n→∞ limit), made fully deterministic and
+    * engine-reproducible by the hash. CI = [α/2, 1−α/2] percentiles of
+    * the B replicate means ([[exactPercentiles]] over a B·|groups|-row
+    * frame).
+    *
+    * Scale shape: the ×B replicate stream is a map-side explode that
+    * collapses INSIDE partial aggregation — the exchange carries only
+    * (group, rep) partials, never B× the data; weighted sums go through
+    * exact decimals so every replicate mean is partitioning-invariant.
+    * Replicates that draw total weight 0 (only possible for tiny groups)
+    * are dropped identically in both engines. */
+  def bootstrapCI(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, reps: Int = 50, alpha: Double = 0.05): DataFrame = {
+    require(reps > 1 && alpha > 0 && alpha < 1)
+    // Scramble the polynomial hash with a Knuth multiplicative step
+    // before normalizing: polyHash of a SHORT id string barely wraps the
+    // modulus, leaving u nearly monotone in the id — replicate weights
+    // would correlate with insertion order (spec-caught). The multiply
+    // mod P destroys that structure; max intermediate ≈ P·2654435761 <
+    // 2^63, exact in Long and in DuckDB BIGINT (oracle mirrors the same
+    // arithmetic).
+    val u = ((graft.functions.expressions.poly_hash(
+      concat(col(idCol).cast("string"), lit("#"),
+        col("rep").cast("string"))) * lit(2654435761L) + lit(12345L)) %
+      graft.ext.TextOps.HashPrime + lit(0.0)) /
+      graft.ext.TextOps.HashPrime.toDouble
+    val w = PoissonCuts.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (cut, k)) =>
+        Some(acc.fold(when(col("__u") < cut, k.toLong))(
+          _.when(col("__u") < cut, k.toLong)))
+      }.get.otherwise(PoissonCuts.size.toLong)
+    val repl = df
+      .select(col(groupCol), col(valCol).cast("double").as("__v"),
+        col(idCol).as(idCol))
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__u", u)
+      .withColumn("__w", w)
+      .groupBy(col(groupCol), col("rep"))
+      .agg(sum((col("__w") * col("__v")).cast("decimal(38,6)")).as("__s"),
+        sum(col("__w")).as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__mb", col("__s").cast("double") / col("__n"))
+    val ci = exactPercentiles(repl, groupCol, "__mb",
+      Seq(alpha / 2, 1 - alpha / 2))
+    val point = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        (sum(col(valCol).cast("decimal(38,6)")).cast("double") /
+          count(lit(1))).as("mean"))
+    point.join(ci, groupCol)
+      .select(col(groupCol), col("n"), round(col("mean"), 6).as("mean"),
+        round(col("p0"), 6).as("ci_lo"), round(col("p1"), 6).as("ci_hi"))
+  }
+
   /** Chi-square test of independence over a two-way contingency table:
     * χ² = Σ_cells (O−E)²/E with E = rowTotal·colTotal/N, summed over the
     * FULL observed-category grid (zero-count cells included — omitting

@@ -364,4 +364,29 @@ class AggregatesSpec extends SparkSpec {
     val h = out(1)
     assert(h.getAs[Long]("n_outliers") == 0L) // single-row group: iqr 0
   }
+
+  test("bootstrapCI: interval brackets the mean, is deterministic under " +
+    "repartitioning, and tightens with sample size") {
+    val small = (1 to 40).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("grp", "v", "id")
+    val big = (1 to 400).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("grp", "v", "id")
+    def one(df: org.apache.spark.sql.DataFrame) =
+      Aggregates.bootstrapCI(df, "grp", "v", "id").collect().head
+    val a = one(big)
+    val mean = a.getAs[Double]("mean")
+    assert(a.getAs[Long]("n") == 400L && mean == 200.5)
+    assert(a.getAs[Double]("ci_lo") < mean && mean < a.getAs[Double]("ci_hi"))
+    // deterministic: same rows, different partitioning, identical CI
+    assert(one(big.repartition(9)) == a)
+    // relative width shrinks roughly like 1/√n (allow slack: 40→400
+    // should shrink the width well below 60% of the small-sample width
+    // after scaling the means)
+    val s = one(small)
+    val widthSmall = (s.getAs[Double]("ci_hi") - s.getAs[Double]("ci_lo")) /
+      s.getAs[Double]("mean")
+    val widthBig = (a.getAs[Double]("ci_hi") - a.getAs[Double]("ci_lo")) /
+      mean
+    assert(widthBig < widthSmall * 0.6, s"$widthBig vs $widthSmall")
+  }
 }

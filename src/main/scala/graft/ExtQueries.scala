@@ -1807,8 +1807,7 @@ object ExtQueries {
     val w = Window.partitionBy("event_type")
       .orderBy(col("__h"), col("event_id"))
     ev.withColumn("__h",
-        graft.functions.expressions.poly_hash(
-          col("event_id").cast("string")))
+        TextOps.scrambledHash(col("event_id").cast("string")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .join(broadcast(alloc), "event_type")
       .filter(col("rank") <= col("alloc"))
@@ -2335,6 +2334,12 @@ object ExtQueries {
     s"COALESCE(list_reduce(list_transform(string_split($e, ''), " +
       s"c -> CAST(ord(c) AS BIGINT)), (a, b) -> (a*31 + b) % 1000000007), 0)"
 
+  /** DuckDB expression replicating TextOps.scrambledHash(expr) — the
+    * ordering/uniform-draw form (see the Scala doc for why raw polyHash
+    * must not drive an ordering). */
+  private def scrambledHashSql(e: String): String =
+    s"((${polyHashSql(e)} * 2654435761 + 12345) % 1000000007)"
+
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   /** DuckDB expression for the distinct 3-shingle hash list. */
@@ -2623,9 +2628,8 @@ object ExtQueries {
          |wts AS (
          |  SELECT g, rep, v, $wCase AS w
          |  FROM (SELECT *,
-         |    ((${polyHashSql(
+         |    ${scrambledHashSql(
               "CAST(id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)")}
-         |       * 2654435761 + 12345) % 1000000007)
          |      / 1000000007.0 AS u
          |    FROM r)),
          |b AS (
@@ -2748,7 +2752,7 @@ object ExtQueries {
     "q182_quota_sample" ->
       s"""WITH h AS (
          |  SELECT lang, doc_id,
-         |    ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS hh
+         |    ${scrambledHashSql("CAST(doc_id AS VARCHAR)")} AS hh
          |  FROM documents),
          |r AS (
          |  SELECT lang, doc_id,
@@ -3144,7 +3148,7 @@ object ExtQueries {
          |  FROM st, tot),
          |h AS (
          |  SELECT event_id, event_type,
-         |    ${polyHashSql("CAST(event_id AS VARCHAR)")} AS hh
+         |    ${scrambledHashSql("CAST(event_id AS VARCHAR)")} AS hh
          |  FROM events),
          |r AS (
          |  SELECT event_id, event_type,
@@ -3839,7 +3843,7 @@ object ExtQueries {
       s"""WITH b AS (
          |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
          |    CAST(n_chars AS DOUBLE) /
-         |      (CAST(${polyHashSql("CAST(doc_id AS VARCHAR)")} + 1
+         |      (CAST(${scrambledHashSql("CAST(doc_id AS VARCHAR)")} + 1
          |        AS DOUBLE) / 1000000007.0) AS priority
          |  FROM documents),
          |r AS (
@@ -4416,7 +4420,7 @@ object ExtQueries {
     "q89_deterministic_sample" ->
       s"""WITH h AS (
          |  SELECT doc_id, source,
-         |    ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS hh
+         |    ${scrambledHashSql("CAST(doc_id AS VARCHAR)")} AS hh
          |  FROM documents),
          |r AS (
          |  SELECT doc_id, source,

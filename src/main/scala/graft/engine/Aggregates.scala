@@ -310,17 +310,13 @@ object Aggregates {
   def bootstrapCI(df: DataFrame, groupCol: String, valCol: String,
       idCol: String, reps: Int = 50, alpha: Double = 0.05): DataFrame = {
     require(reps > 1 && alpha > 0 && alpha < 1)
-    // Scramble the polynomial hash with a Knuth multiplicative step
-    // before normalizing: polyHash of a SHORT id string barely wraps the
-    // modulus, leaving u nearly monotone in the id — replicate weights
-    // would correlate with insertion order (spec-caught). The multiply
-    // mod P destroys that structure; max intermediate ≈ P·2654435761 <
-    // 2^63, exact in Long and in DuckDB BIGINT (oracle mirrors the same
-    // arithmetic).
-    val u = ((graft.functions.expressions.poly_hash(
+    // Scrambled, not raw, hash (see TextOps.scrambledHash): the raw
+    // polynomial hash of a short id string is nearly monotone in the id,
+    // which would correlate replicate weights with insertion order
+    // (spec-caught — the CI skewed high).
+    val u = (graft.ext.TextOps.scrambledHash(
       concat(col(idCol).cast("string"), lit("#"),
-        col("rep").cast("string"))) * lit(2654435761L) + lit(12345L)) %
-      graft.ext.TextOps.HashPrime + lit(0.0)) /
+        col("rep").cast("string"))) + lit(0.0)) /
       graft.ext.TextOps.HashPrime.toDouble
     val w = PoissonCuts.zipWithIndex
       .foldLeft(Option.empty[Column]) { case (acc, (cut, k)) =>

@@ -166,8 +166,7 @@ object PipelineOps {
     * hash is uniform enough that rank-k is an unbiased k-subset. */
   def deterministicSample(df: DataFrame, idCol: String, groupCol: String,
       perGroup: Int): DataFrame = {
-    val h = graft.functions.expressions.poly_hash(
-      col(idCol).cast("string"))
+    val h = TextOps.scrambledHash(col(idCol).cast("string"))
     val w = Window.partitionBy(groupCol)
       .orderBy(col("__h"), col(idCol))
     df.withColumn("__h", h)
@@ -195,9 +194,8 @@ object PipelineOps {
   def prioritySample(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = (graft.functions.expressions.poly_hash(
-        col(idCol).cast("string")) + 1).cast("double") /
-      TextOps.HashPrime.toDouble
+    val u = (TextOps.scrambledHash(col(idCol).cast("string")) + 1)
+      .cast("double") / TextOps.HashPrime.toDouble
     val base = df.select(col(groupCol), col(idCol),
         col(weightCol).cast("double").as("__w"))
       .withColumn("priority", col("__w") / u)
@@ -267,7 +265,7 @@ object PipelineOps {
   def quotaSample(df: DataFrame, groupCol: String, idCol: String,
       frac: Double, minPerGroup: Int): DataFrame = {
     require(frac >= 0 && frac <= 1, s"frac must be in [0,1], got $frac")
-    val h = graft.functions.expressions.poly_hash(col(idCol).cast("string"))
+    val h = TextOps.scrambledHash(col(idCol).cast("string"))
     val w = Window.partitionBy(groupCol).orderBy(col("__h"), col(idCol))
     val n = Window.partitionBy(groupCol)
     df.select(col(groupCol), col(idCol))

@@ -45,6 +45,20 @@ object TextOps {
     * runs interpreted per character. */
   def polyHash(c: Column): Column = graft.functions.expressions.poly_hash(c)
 
+  /** [[polyHash]] followed by a Knuth multiplicative scramble mod P —
+    * the form to use whenever the hash drives an ORDERING or a uniform
+    * draw (sampling ranks, bootstrap weights): the raw polynomial hash
+    * of a short string barely wraps the modulus, so it is nearly
+    * monotone in the input and "hash order" degenerates to input order
+    * (spec-caught on the bootstrap CI). Max intermediate ≈ P·2654435761
+    * < 2^63 — exact in Long and in DuckDB BIGINT, so oracles mirror the
+    * same arithmetic. Bucketing/stripe uses (mod-k splits) may keep the
+    * raw hash: consecutive inputs striping across buckets is systematic
+    * sampling, which is the desired split behavior. */
+  def scrambledHash(c: Column): Column =
+    (graft.functions.expressions.poly_hash(c) * lit(2654435761L) +
+      lit(12345L)) % HashPrime
+
   /** Reference lambda form of [[polyHash]] (kept for parity testing). */
   def polyHashLambda(c: Column): Column =
     aggregate(split(c, ""), lit(0L),

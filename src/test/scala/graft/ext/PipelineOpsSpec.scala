@@ -14,10 +14,12 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("grp", "id", "w")
     val out = PipelineOps.prioritySample(docs, "grp", "id", "w", k = 2)
       .orderBy("grp", "rn").collect()
-    // mirror the formula exactly: u = (polyHash(id.toString)+1)/P,
+    // mirror the formula exactly: u = (scrambledHash(id.toString)+1)/P,
     // priority = w/u — same IEEE ops as the operator
     val P = TextOps.HashPrime
-    def h(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    def h(s: String): Long =
+      (s.foldLeft(0L)((a, c) => (a * 31 + c) % P) * 2654435761L +
+        12345L) % P
     def pri(id: Long, w: Long): Double =
       w.toDouble / ((h(id.toString) + 1).toDouble / P.toDouble)
     val g1 = Seq(10L -> 100L, 11L -> 1L, 12L -> 50L, 13L -> 7L)
@@ -51,9 +53,8 @@ class PipelineOpsSpec extends SparkSpec {
     val viaOp = PipelineOps.prioritySample(docs, "source", "doc_id",
       "n_chars", k = 5).orderBy("source", "rn").collect()
     // reference formulation: plain window over the same priorities
-    val u = (graft.functions.expressions.poly_hash(
-        col("doc_id").cast("string")) + 1).cast("double") /
-      TextOps.HashPrime.toDouble
+    val u = (TextOps.scrambledHash(col("doc_id").cast("string")) + 1)
+      .cast("double") / TextOps.HashPrime.toDouble
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source")
       .orderBy(col("priority").desc, col("doc_id"))

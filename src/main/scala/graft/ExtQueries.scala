@@ -2622,14 +2622,15 @@ object ExtQueries {
         .map { case (c, k) => s"WHEN u < $c THEN $k" }
         .mkString("CASE ", " ", s" ELSE ${cuts.size} END")
       s"""WITH r AS (
-         |  SELECT o_orderstatus AS g, o_totalprice AS v, o_orderkey AS id,
-         |    t.rep
-         |  FROM orders, range(0, 50) t(rep)),
+         |  SELECT g, v, h0, t.rep
+         |  FROM (SELECT o_orderstatus AS g, o_totalprice AS v,
+         |          ${polyHashSql("CAST(o_orderkey AS VARCHAR)")} AS h0
+         |        FROM orders), range(0, 50) t(rep)),
          |wts AS (
          |  SELECT g, rep, v, $wCase AS w
          |  FROM (SELECT *,
-         |    ${scrambledHashSql(
-              "CAST(id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)")}
+         |    ((((h0 + rep * 514229) % 1000000007) * 2654435761 + 12345)
+         |       % 1000000007)
          |      / 1000000007.0 AS u
          |    FROM r)),
          |b AS (

@@ -310,14 +310,19 @@ object Aggregates {
   def bootstrapCI(df: DataFrame, groupCol: String, valCol: String,
       idCol: String, reps: Int = 50, alpha: Double = 0.05): DataFrame = {
     require(reps > 1 && alpha > 0 && alpha < 1)
-    // Scrambled, not raw, hash (see TextOps.scrambledHash): the raw
-    // polynomial hash of a short id string is nearly monotone in the id,
-    // which would correlate replicate weights with insertion order
-    // (spec-caught — the CI skewed high).
-    val u = (graft.ext.TextOps.scrambledHash(
-      concat(col(idCol).cast("string"), lit("#"),
-        col("rep").cast("string"))) + lit(0.0)) /
-      graft.ext.TextOps.HashPrime.toDouble
+    // Per-replicate uniform: hash the id ONCE (before the ×B explode),
+    // then derive u_r arithmetically — mix = ((h + r·514229) mod P ·
+    // 2654435761 + 12345) mod P. Hashing "id#r" per replicate would run
+    // B string hashes per row in the hot path; the mix is three integer
+    // ops. The multiplicative scramble is load-bearing (see
+    // TextOps.scrambledHash): the raw polynomial hash of a short id is
+    // nearly monotone in the id, which correlated replicate weights with
+    // insertion order (spec-caught — the CI skewed high). Max
+    // intermediate ≈ P·2654435761 < 2^63: exact in Long and in DuckDB
+    // BIGINT, oracle mirrors the same arithmetic.
+    val P = graft.ext.TextOps.HashPrime
+    val u = ((((col("__h0") + col("rep") * lit(514229L)) % P) *
+      lit(2654435761L) + lit(12345L)) % P + lit(0.0)) / P.toDouble
     val w = PoissonCuts.zipWithIndex
       .foldLeft(Option.empty[Column]) { case (acc, (cut, k)) =>
         Some(acc.fold(when(col("__u") < cut, k.toLong))(
@@ -326,6 +331,8 @@ object Aggregates {
     val repl = df
       .select(col(groupCol), col(valCol).cast("double").as("__v"),
         col(idCol).as(idCol))
+      .withColumn("__h0", graft.functions.expressions.poly_hash(
+        col(idCol).cast("string")))
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("__u", u)
       .withColumn("__w", w)

@@ -121,7 +121,9 @@ object Dedup {
           .groupBy("sh")
           .agg(sort_array(collect_list(col("pid"))).as("pids"))
           .filter(size(col("pids")) <= maxDf)
-          .localCheckpoint(eager = true)
+          // LAZY: materializes inside the first consumer's job; the
+          // second consumer reads the same checkpointed blocks
+          .localCheckpoint(eager = false)
         // df=1 shingles produce no pairs but DO count toward their doc's
         // shingle-universe size (the Jaccard denominator)
         val sz = grouped.select(explode(col("pids")).as("pid"))
@@ -318,7 +320,8 @@ object Dedup {
       k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double)
       : DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val post = postings(df, idCol, textCol, k).localCheckpoint(true)
+    val post = postings(df, idCol, textCol, k)
+      .localCheckpoint(eager = false) // first consumer's job materializes
     val sigs = post.groupBy("pid")
       .agg(count(lit(1)).as("n_sh"),
         minhashSigAggs(col("sh"), numHashes): _*)

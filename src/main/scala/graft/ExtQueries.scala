@@ -2162,7 +2162,34 @@ object ExtQueries {
         "o_totalprice", "o_orderkey", reps = 50, alpha = 0.05)
       .orderBy("o_orderstatus")
 
+  /** q187 — order-2 session paths: the top-20 event-type TRIGRAMS across
+    * per-user time-ordered streams with the order-2 conditional
+    * p(e₃ | e₁,e₂) — the sequence-mining extension of q135's order-1
+    * transition matrix (funnel discovery: which two-step contexts
+    * determine the next action). One user-partitioned sort feeds both
+    * lead() columns; the conditional is a window sum over the trigram
+    * counts (no second scan); top-20 via TakeOrdered, ties broken on the
+    * path for determinism. */
+  private val q187: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tri = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"))
+    val ctx = Window.partitionBy("e1", "e2")
+    tri.withColumn("p_cond",
+        round(col("n") / sum(col("n")).over(ctx), 6))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
   val all: Map[String, Q] = Map(
+    "q187_session_paths" -> q187,
     "q186_bootstrap_ci" -> q186,
     "q185_attribution" -> q185,
     "q184_rolling_anomaly" -> q184,
@@ -2616,6 +2643,23 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q187_session_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |tri AS (
+        |  SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT e1, e2, e3, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    SUM(n) OVER (PARTITION BY e1, e2), 6) AS p_cond
+        |FROM tri
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
     "q186_bootstrap_ci" -> {
       val cuts = graft.engine.Aggregates.PoissonCuts
       val wCase = cuts.zipWithIndex

@@ -884,7 +884,8 @@ object ExtQueries {
   val sharedScratchConsumers: Set[String] = Set("q55_dup_clusters",
     "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank",
     "q126_pagerank_directed", "q148_triangle_census", "q165_kcore",
-    "q168_dedup_report", "q172_crosssource_flow", "q181_cluster_split")
+    "q168_dedup_report", "q172_crosssource_flow", "q181_cluster_split",
+    "q188_personalized_pagerank")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -2188,7 +2189,24 @@ object ExtQueries {
       .limit(20)
   }
 
+  /** q188 — personalized PageRank ([[GraphOps.personalizedPageRank]])
+    * over the shared near-dup pair graph, teleporting to the seed set
+    * {doc_id ≡ 0 (mod 4)} ∩ subgraph — "documents most connected to
+    * THESE documents" (seed-anchored graph retrieval), vs q125's global
+    * centrality. 5 iterations, recursive-CTE oracle under the same
+    * 12/9-dp decimal determinism contract. */
+  private val q188: Q = (s, d) => {
+    val pairs = sharedPairs(s, d)
+    val seeds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .filter(col("id") % 4 === 0).distinct()
+    GraphOps.personalizedPageRank(pairs, seeds, iterations = 5)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q188_personalized_pagerank" -> q188,
     "q187_session_paths" -> q187,
     "q186_bootstrap_ci" -> q186,
     "q185_attribution" -> q185,
@@ -2643,6 +2661,36 @@ object ExtQueries {
       s"ELSE [] END"
 
   val oracles: Map[String, String] = Map(
+    "q188_personalized_pagerank" ->
+      s"""WITH RECURSIVE
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges
+         |        GROUP BY 1),
+         |nsq AS (SELECT count(*) AS ns FROM deg WHERE src % 4 = 0),
+         |pr(iter, id, rank) AS (
+         |  SELECT 0, deg.src,
+         |    CASE WHEN deg.src % 4 = 0
+         |         THEN round(CAST(1.0 AS DOUBLE) / nsq.ns, 9)
+         |         ELSE CAST(0.0 AS DOUBLE) END
+         |  FROM deg, nsq
+         |  UNION ALL
+         |  SELECT pr.iter + 1, e.dst,
+         |    round((CAST(1.0 AS DOUBLE) - 0.85)
+         |        * (CASE WHEN e.dst % 4 = 0
+         |           THEN round(CAST(1.0 AS DOUBLE)
+         |                / (SELECT ns FROM nsq), 9)
+         |           ELSE CAST(0.0 AS DOUBLE) END)
+         |      + 0.85 * CAST(SUM(CAST(round(pr.rank / d2.deg, 12)
+         |          AS DECIMAL(28,12))) AS DOUBLE), 9)
+         |  FROM pr JOIN edges e ON pr.id = e.src
+         |          JOIN deg d2 ON d2.src = pr.id
+         |  WHERE pr.iter < 5
+         |  GROUP BY e.dst, pr.iter)
+         |SELECT id AS doc_id, rank FROM pr WHERE iter = 5
+         |ORDER BY doc_id""".stripMargin,
+
     "q187_session_paths" ->
       """WITH s AS (
         |  SELECT user_id, event_type AS e1,

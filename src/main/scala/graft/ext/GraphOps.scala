@@ -64,6 +64,61 @@ object GraphOps {
     ranks
   }
 
+  /** PERSONALIZED PageRank over the undirected edge subgraph: the random
+    * walk teleports to the SEED set instead of uniformly —
+    *
+    *   rank'(v) = (1−d)·s(v) + d·Σ_{u→v} rank(u)/deg(u),
+    *   s(v) = 1/|S ∩ V| for seeds, 0 otherwise; rank₀ = s
+    *
+    * — the graph-proximity score behind "more like these" retrieval,
+    * seed-anchored dedup weighting, and topic-sensitive ranking; ranks
+    * concentrate around the seeds instead of rewarding global degree.
+    *
+    * Same determinism contract as [[pageRank]] (12-dp decimal
+    * contributions, 9-dp ranks — state identical under any partitioning,
+    * in this engine or a recursive-CTE oracle), same per-round cost (ONE
+    * ranks⋈edges join + one destination hash-agg). The teleport term is
+    * per-node, so each round closes with a left join onto the |V|-row
+    * seed-share frame (zero-inflow nodes cannot occur on the undirected
+    * ≥1-edge subgraph, but non-seed nodes must still lose their teleport
+    * share — coalesce handles the seed side only). */
+  def personalizedPageRank(pairs: DataFrame, seeds: DataFrame,
+      iterations: Int, d: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"need >= 1 iteration, got $iterations")
+    val edges0 = Dedup.symmetrized(pairs)
+      .localCheckpoint(eager = true)
+    val degrees = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = edges0.join(degrees, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint(eager = true)
+    val seedIds = seeds.select(col(seeds.columns.head).as("id")).distinct()
+    val nodeS = degrees.select(col("src").as("id"))
+      .join(seedIds.withColumn("__isSeed", lit(1)), Seq("id"), "left")
+      .localCheckpoint(eager = true) // loop-invariant, read every round
+    val ns = nodeS.filter(col("__isSeed") === 1).count()
+    require(ns > 0, "seed set does not intersect the edge subgraph")
+    def sv: org.apache.spark.sql.Column =
+      when(col("__isSeed") === 1, round(lit(1.0 / ns), 9)).otherwise(0.0)
+    var ranks = nodeS.select(col("id"), sv.as("rank"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(edges, ranks("id") === edges("src"))
+        .select(col("dst"),
+          round(col("rank") / col("deg"), 12).cast("decimal(28,12)")
+            .as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).cast("double").as("inflow"))
+      ranks = nodeS
+        .join(contribs, nodeS("id") === contribs("dst"), "left")
+        .select(nodeS("id"),
+          round(lit(1.0 - d) * sv +
+            lit(d) * coalesce(col("inflow"), lit(0.0)), 9).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
   /** General DIRECTED PageRank with dangling-mass redistribution over an
     * (id_a → id_b) edge list — the form a real link-graph (or directed
     * provenance/dedup-weighting graph) needs, where nodes without

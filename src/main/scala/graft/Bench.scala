@@ -49,6 +49,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // every fixture-loading session pins UTC: Tables.normalize's
+      // Date→Timestamp / NTZ widenings and q183's ts→double cast are
+      // value-exact only under a fixed session zone (Verify/PlanDump/
+      // SparkSpec already pin it; a non-UTC bench host would otherwise
+      // shift those casts by the host offset)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the driver captures only a short stdout tail, and

@@ -363,11 +363,69 @@ object ExtQueries {
     TextOps.tfidfRelational(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id", "term_hash")
 
-  /** q58 — spark.ml MinHashLSH near-dup pairs (rows-only: LSH internals;
-    * the hand-rolled oracle-checked formulation is q32). */
-  private val q58: Q = (s, d) =>
-    Dedup.minhashLshMl(Tables.documents(s, d), "doc_id", "text",
-      k = 3, numHashTables = 8, threshold = 0.3)
+  /** q58 — spark.ml MinHashLSH near-dup CONTRACT (was rows-only): the
+    * MLlib surface is seeded but its murmur3/coefficient internals are
+    * not oracle-replicable, so the gate now checks the index's CONTRACT
+    * (the q42/q43/q49 pattern), computed IN-ENGINE against the exact
+    * relational formulation and reduced to oracle-predictable counts:
+    *  - `soundness_violations` (= 0): every reported pair's EXACT
+    *    shingle-set Jaccard clears threshold − 0.05 (the slack is the
+    *    2^18-feature HashingTF collision gap between hashed-set and
+    *    true-set Jaccard — collisions only merge features);
+    *  - `exact_dup_recall_misses` (= 0): documents with IDENTICAL
+    *    shingle sets hash to identical vectors, share every band, and
+    *    are returned at distance 0 for ANY seed — pigeonhole, the one
+    *    recall statement MinHashLSH makes deterministically;
+    *  - `exact_dup_pairs` (> 0, star pairing min-id↔other, Σ(n−1) over
+    *    identical-shingle-set groups): data-derived and recomputed
+    *    independently by the DuckDB oracle, so the recall check is
+    *    provably non-vacuous on this corpus.
+    * The identical-set group key is sha2(chr(1)-joined sorted shingles)
+    * — the 100 TB shape (the shuffle carries 32 bytes, not the shingle
+    * array); fixture text is whitespace-tokenized so the delimiter
+    * cannot occur inside a shingle. Hand-rolled oracle-checked LSH
+    * formulations: q32 (banding), q101 (prefix filter). */
+  private val q58: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshMl(docs, "doc_id", "text",
+        k = 3, numHashTables = 8, threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // read twice: soundness + recall anti-join
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingleHashes(col("text"), 3).as("shs"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val nViol = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("shs").as("sa")),
+        Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shs").as("sb")),
+        Seq("id_b"))
+      .filter(inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter) < 0.3 - 0.05)
+      .agg(count(lit(1)).as("n"))
+    val distinctShs = array_distinct(Dedup.shingleStrings(col("text"), 3))
+    val grp = docs.select(col("doc_id"),
+        sha2(concat_ws("\u0001", sort_array(distinctShs)), 256).as("k"),
+        size(distinctShs).as("nsh"))
+      .filter(col("nsh") > 0).select("doc_id", "k")
+    val mins = grp.groupBy("k").agg(min(col("doc_id")).as("id_a"))
+    val expPairs = grp.join(mins, "k")
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"))
+      .localCheckpoint(true) // read twice: count + anti-join
+    val nExp = expPairs.agg(count(lit(1)).as("n"))
+    val nMissed = expPairs
+      .join(pairs, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    nExp.select(lit("exact_dup_pairs").as("check"), col("n"),
+        (col("n") > 0).as("pass"))
+      .unionAll(nMissed.select(
+        lit("exact_dup_recall_misses").as("check"), col("n"),
+        (col("n") === 0).as("pass")))
+      .unionAll(nViol.select(
+        lit("soundness_violations").as("check"), col("n"),
+        (col("n") === 0).as("pass")))
+      .orderBy("check")
+  }
 
   /** q59 — video-style frame sampling over binary payloads: tiling
     * metadata is deterministic and oracle-checked. */
@@ -2163,31 +2221,17 @@ object ExtQueries {
         "o_totalprice", "o_orderkey", reps = 50, alpha = 0.05)
       .orderBy("o_orderstatus")
 
-  /** q187 — order-2 session paths: the top-20 event-type TRIGRAMS across
-    * per-user time-ordered streams with the order-2 conditional
-    * p(e₃ | e₁,e₂) — the sequence-mining extension of q135's order-1
-    * transition matrix (funnel discovery: which two-step contexts
-    * determine the next action). One user-partitioned sort feeds both
-    * lead() columns; the conditional is a window sum over the trigram
-    * counts (no second scan); top-20 via TakeOrdered, ties broken on the
-    * path for determinism. */
-  private val q187: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val tri = Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("e1"))
-      .withColumn("e2", lead("e1", 1).over(w))
-      .withColumn("e3", lead("e1", 2).over(w))
-      .filter(col("e3").isNotNull)
-      .groupBy("e1", "e2", "e3")
-      .agg(count(lit(1)).as("n"))
-    val ctx = Window.partitionBy("e1", "e2")
-    tri.withColumn("p_cond",
-        round(col("n") / sum(col("n")).over(ctx), 6))
+  /** q187 — order-2 session paths ([[EventOps.sessionTrigrams]]): the
+    * top-20 event-type TRIGRAMS across per-user time-ordered streams
+    * with the order-2 conditional p(e₃ | e₁,e₂) — the sequence-mining
+    * extension of q135's order-1 transition matrix (funnel discovery:
+    * which two-step contexts determine the next action). Top-20 via
+    * TakeOrdered, ties broken on the path for determinism. */
+  private val q187: Q = (s, d) =>
+    EventOps.sessionTrigrams(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id")
       .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
       .limit(20)
-  }
 
   /** q188 — personalized PageRank ([[GraphOps.personalizedPageRank]])
     * over the shared near-dup pair graph, teleporting to the seed set
@@ -3372,9 +3416,9 @@ object ExtQueries {
         |  FROM events GROUP BY 1),
         |nn AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1)
         |SELECT day, n_new,
-        |  SUM(n_new) OVER (ORDER BY day
+        |  CAST(SUM(n_new) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS cum_users
+        |    AS BIGINT) AS cum_users
         |FROM nn ORDER BY day""".stripMargin,
 
     "q158_temporal_join" ->
@@ -3693,9 +3737,9 @@ object ExtQueries {
         |  FROM dev GROUP BY 1)
         |SELECT d.event_type, round(max(d.med), 6) AS med,
         |  round(max(m.mad), 6) AS mad, count(*) AS n,
-        |  SUM(CASE WHEN m.mad > 0 AND
+        |  CAST(SUM(CASE WHEN m.mad > 0 AND
         |        abs(0.6745*(d.value - d.med)/m.mad) > 3.5
-        |      THEN 1 ELSE 0 END) AS n_outliers
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -4911,6 +4955,35 @@ object ExtQueries {
               "FROM cb c JOIN qb q ON (" +
               anyBucketMatch("c", "q", 4) + ") AND c.vec_id <> q.q_id", 5)}"""
         .stripMargin,
+
+    // q58 CONTRACT oracle (q42/q49 pattern): the exact-dup pair count is
+    // recomputed independently (group docs by the sorted DISTINCT
+    // 3-shingle list, star-pair within groups: Σ(n−1)); the two zero
+    // rows pin the in-engine soundness / exact-dup-recall checks — a
+    // single bogus or missed MLlib pair flips a count and fails the
+    // typed hash.
+    "q58_minhash_ml" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(
+         |      CASE WHEN len($toksSql) >= 3 THEN
+         |        list_transform(generate_series(1, len($toksSql) - 2),
+         |          i -> array_to_string(
+         |                 list_slice($toksSql, i, i + 2), ' '))
+         |      ELSE [] END)) AS shs
+         |  FROM documents),
+         |g AS (SELECT shs, count(*) AS n FROM sh
+         |      WHERE len(shs) > 0 GROUP BY shs)
+         |SELECT * FROM (
+         |  SELECT 'exact_dup_pairs' AS "check",
+         |    CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n,
+         |    COALESCE(SUM(n - 1), 0) > 0 AS pass
+         |  FROM g
+         |  UNION ALL
+         |  SELECT 'exact_dup_recall_misses', CAST(0 AS BIGINT), TRUE
+         |  UNION ALL
+         |  SELECT 'soundness_violations', CAST(0 AS BIGINT), TRUE)
+         |ORDER BY "check"""".stripMargin,
 
     "q59_frame_sample" ->
       """SELECT doc_id,

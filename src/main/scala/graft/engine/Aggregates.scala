@@ -294,11 +294,14 @@ object Aggregates {
     * RESAMPLE-FREE bootstrap: instead of drawing B resamples of the data
     * (impossible at 100 TB), every row carries B deterministic
     * pseudo-Poisson(1) replicate weights w_{r} = F⁻¹(u_r) with
-    * u_r = polyHash(id‖'#'‖r)/P ∈ [0,1) — the standard online/Poisson
-    * bootstrap (each row appears Poisson(1) times in a multinomial
-    * resample, in the n→∞ limit), made fully deterministic and
-    * engine-reproducible by the hash. CI = [α/2, 1−α/2] percentiles of
-    * the B replicate means ([[exactPercentiles]] over a B·|groups|-row
+    * u_r = (((polyHash(id) + r·514229) mod P)·2654435761 + 12345 mod P)/P
+    * ∈ [0,1) — the id hashes ONCE and each replicate derives its uniform
+    * via the add-then-Knuth-scramble integer mix (see the inline comment;
+    * the DuckDB oracle mirrors the identical arithmetic) — the standard
+    * online/Poisson bootstrap (each row appears Poisson(1) times in a
+    * multinomial resample, in the n→∞ limit), made fully deterministic
+    * and engine-reproducible by the hash. CI = [α/2, 1−α/2] percentiles
+    * of the B replicate means ([[exactPercentiles]] over a B·|groups|-row
     * frame).
     *
     * Scale shape: the ×B replicate stream is a map-side explode that

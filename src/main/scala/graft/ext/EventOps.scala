@@ -143,6 +143,34 @@ object EventOps {
         (col("n").cast("double") / col("ntot").cast("double")).as("p"))
   }
 
+  /** Order-2 session paths: event-type TRIGRAM counts across per-user
+    * time-ordered streams with the order-2 conditional p(e₃ | e₁,e₂) —
+    * the sequence-mining extension of [[transitionMatrix]]'s order-1
+    * transitions (funnel discovery: which two-step contexts determine
+    * the next action). Returns (e1, e2, e3, n, p_cond) for every
+    * observed trigram; callers rank/limit on top.
+    *
+    * ONE user-partitioned sort feeds both `lead` columns (same exchange
+    * as transitionMatrix); the conditional is a window sum over the
+    * |types|³-bounded trigram counts — no second scan of the events.
+    * p_cond rounds to 6 dp from an exact-long ratio ⇒ bit-identical
+    * cross-engine. */
+  def sessionTrigrams(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val tri = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"))
+    val ctx = Window.partitionBy("e1", "e2")
+    tri.withColumn("p_cond",
+      round(col("n") / sum(col("n")).over(ctx), 6))
+  }
+
   /** CUSUM drift detection over a per-key daily metric: alarm when the
     * cumulative sum of deviations from the key's baseline exceeds a
     * threshold — the sequential change-point detector (catches slow

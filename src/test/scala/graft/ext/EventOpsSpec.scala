@@ -126,6 +126,43 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Seq(("a", "b", 1L, 1.0), ("b", "c", 1L, 1.0)))
   }
 
+  test("sessionTrigrams: hand-computed order-2 counts and conditionals; " +
+    "per-context probabilities sum to 1; no cross-user trigrams (q187)") {
+    val events = Seq(
+      // u1: a b a b c → trigrams aba, bab, abc   u2: a b a → aba
+      (1L, 1L, "a", ts(1, 1)), (2L, 1L, "b", ts(1, 2)),
+      (3L, 1L, "a", ts(1, 3)), (4L, 1L, "b", ts(1, 4)),
+      (5L, 1L, "c", ts(1, 5)),
+      (6L, 2L, "a", ts(2, 1)), (7L, 2L, "b", ts(2, 2)),
+      (8L, 2L, "a", ts(2, 3)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.sessionTrigrams(events, "user_id", "event_type",
+        "ts", "event_id")
+      .orderBy("e1", "e2", "e3")
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    // context (a,b): aba ×2, abc ×1 → 2/3, 1/3; context (b,a): bab ×1.
+    // u2's trailing (b,a) pair never forms a trigram — and no trigram
+    // spans the user boundary.
+    assert(out == Seq(
+      ("a", "b", "a", 2L, 0.666667),
+      ("a", "b", "c", 1L, 0.333333),
+      ("b", "a", "b", 1L, 1.0)))
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 2e-6)
+    }
+  }
+
+  test("sessionTrigrams: same-timestamp ties break on the id column") {
+    val t = ts(1, 1)
+    val events = Seq(
+      (10L, 1L, "a", t), (11L, 1L, "b", t), (12L, 1L, "c", t))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.sessionTrigrams(events, "user_id", "event_type",
+        "ts", "event_id")
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", "c", 1L, 1.0)))
+  }
+
   test("cusumDrift: windowed prefix form == sequential " +
     "max(0, c+x) recurrence, including the first-day deviation") {
     import org.apache.spark.sql.functions.col

@@ -29,6 +29,62 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-6)
   }
 
+  test("personalizedPageRank: hand-computed chain 1-2-3 with seed {1} — " +
+    "teleport goes only to the seed; mass conserved; q188's contract") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("id")
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // deg: 1→1, 2→2, 3→1; ns=1 ⇒ rank₀ = (1, 0, 0)
+    // iter 1: inflow(2) = r12(1/1) = 1; rank₁(1) = 0.15·1, rank₁(2) =
+    // 0.85·1, rank₁(3) = 0 — the seed keeps only its teleport share
+    val r1 = GraphOps.personalizedPageRank(pairs, seeds, iterations = 1)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(r1 == Seq((1L, 0.15), (2L, 0.85), (3L, 0.0)))
+    // iter 2: inflows 1←0.85/2, 2←0.15/1, 3←0.85/2
+    val i1 = r12(0.85 / 2)
+    val r2 = GraphOps.personalizedPageRank(pairs, seeds, iterations = 2)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(r2 == Seq(
+      (1L, r9(0.15 + 0.85 * i1)),
+      (2L, r9(0.85 * r12(0.15))),
+      (3L, r9(0.85 * i1))))
+    // seed > its neighbor-of-neighbor 3 > the pass-through node 2 at
+    // this step, and total mass stays 1 (no dangling nodes on the
+    // undirected subgraph)
+    assert(r2(0)._2 > r2(2)._2 && r2(2)._2 > r2(1)._2)
+    assert(math.abs(r1.map(_._2).sum - 1.0) < 1e-6)
+    assert(math.abs(r2.map(_._2).sum - 1.0) < 1e-6)
+  }
+
+  test("personalizedPageRank: seeds outside the edge subgraph are " +
+    "rejected; real-graph run is deterministic across partitionings " +
+    "and concentrates mass near the seeds") {
+    val pairs = Dedup.jaccardPairs(
+      graft.engine.Tables.documents(spark, sf0001), "doc_id", "text",
+      3, 0.1, maxDf = 100)
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(pairs,
+        Seq(-999L).toDF("id"), iterations = 1)
+    }
+    val seeds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .filter(col("id") % 4 === 0).distinct()
+    val a = GraphOps.personalizedPageRank(pairs, seeds, iterations = 5)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    val b = GraphOps.personalizedPageRank(pairs.repartition(7), seeds,
+        iterations = 5)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && math.abs(a.map(_._2).sum - 1.0) < 1e-5)
+    // personalization: seed-set mass exceeds its uniform share
+    val seedSet = seeds.as[Long].collect().toSet
+    val seedMass = a.filter(x => seedSet(x._1)).map(_._2).sum
+    assert(seedMass > seedSet.size.toDouble / a.size)
+  }
+
   test("pageRankDirected: hand-computed chain 1→2→3 (node 3 dangling) " +
     "after one iteration; dangling redistribution conserves mass") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

@@ -95,7 +95,7 @@ object Tables {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  private val schemas: Map[String, StructType] = Map(
+  private[graft] val schemas: Map[String, StructType] = Map(
     "lineitem" -> lineitemSchema, "orders" -> ordersSchema,
     "customer" -> customerSchema, "supplier" -> supplierSchema,
     "part" -> partSchema, "nation" -> nationSchema, "region" -> regionSchema,

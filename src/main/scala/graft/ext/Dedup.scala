@@ -379,11 +379,14 @@ object Dedup {
     *    elimination among exact survivors;
     *  - `keep_minhash`: additionally survives MinHash band-bucket
     *    elimination among simhash survivors — a doc is eliminated iff it
-    *    shares ANY of its `numHashes/rowsPerBand` band keys with a
-    *    smaller-id survivor (the LSH candidate test as a greedy dominance
-    *    rule: no transitive closure, so every stage stays one
-    *    window/aggregate and the whole cascade is deterministic and
-    *    oracle-checkable; docs too short to shingle pass through).
+    *    shares ANY of its `numHashes/rowsPerBand` band keys with any
+    *    smaller-id SIMHASH-STAGE survivor (dominance over stage-2
+    *    survivors, NOT sequential greedy keep-first: the eliminating doc
+    *    may itself be minhash-eliminated by a yet-smaller id. bucketMin/
+    *    partnerMin aggregate over all stage-2 banded docs, so every
+    *    stage stays one window/aggregate and the whole cascade is
+    *    deterministic and oracle-checkable; docs too short to shingle
+    *    pass through).
     *
     * Scale shape: each stage is one key-partitioned window or hash-agg
     * over only the PREVIOUS stage's survivors; nothing is all-pairs, and

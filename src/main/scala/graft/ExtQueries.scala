@@ -935,6 +935,18 @@ object ExtQueries {
       Dedup.dupClusters(sharedPairs(s, d),
         Tables.documents(s, d).select("doc_id"), "doc_id")
     }
+  /** Shared ranked CDF of lineitem.l_extendedprice per returnflag
+    * ([[graft.engine.Aggregates.rankedCdf]]) — the percentile family's
+    * scratch: q107 (owner, Tukey fences at P25/P75) and q113
+    * (winsorization fences at P5/P95) both extract from ONE
+    * (group, value)-shuffle + rank-window build instead of paying it
+    * twice. Doubles and counts round-trip parquet exactly, so the
+    * extraction arithmetic — and every hash — is unchanged. */
+  private def sharedPriceCdf(s: SparkSession, d: String): DataFrame =
+    materialized(s, scratch("cdf_li_price", d)) {
+      graft.engine.Aggregates.rankedCdf(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice")
+    }
 
   /** Names of the queries that consume the shared scratch — Bench exempts
     * them from its stall re-run (a re-run of the owner would time the
@@ -943,7 +955,9 @@ object ExtQueries {
     "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank",
     "q126_pagerank_directed", "q148_triangle_census", "q165_kcore",
     "q168_dedup_report", "q172_crosssource_flow", "q181_cluster_split",
-    "q188_personalized_pagerank")
+    "q188_personalized_pagerank",
+    // percentile-CDF scratch (sharedPriceCdf): q107 owns, q113 reads
+    "q107_iqr_outliers", "q113_winsorized_mean")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -1122,7 +1136,7 @@ object ExtQueries {
     * fence counts per returnflag. */
   private val q107: Q = (s, d) =>
     Aggregates.iqrOutliers(Tables.lineitem(s, d), "l_returnflag",
-        "l_extendedprice")
+        "l_extendedprice", cdf = Some(sharedPriceCdf(s, d)))
       .orderBy("l_returnflag")
 
   /** q108 — duplicate-cluster canonicalization
@@ -1170,7 +1184,7 @@ object ExtQueries {
     * clipped to exact [P5, P95] per returnflag, exact-decimal mean. */
   private val q113: Q = (s, d) =>
     Aggregates.winsorizedMean(Tables.lineitem(s, d), "l_returnflag",
-        "l_extendedprice", 0.05, 0.95)
+        "l_extendedprice", 0.05, 0.95, cdf = Some(sharedPriceCdf(s, d)))
       .orderBy("l_returnflag")
 
   /** q114 — per-source quality deciles ([[PipelineOps.qualityDeciles]]):

@@ -237,19 +237,41 @@ object Aggregates {
     * measures ~2× faster than the buffering aggregate on the 600k-row
     * fixture (q107 / q113). */
   def exactPercentiles(df: DataFrame, groupCol: String, valCol: String,
-      ps: Seq[Double]): DataFrame = {
-    require(ps.nonEmpty, "need at least one percentile")
+      ps: Seq[Double]): DataFrame =
+    percentilesFromCdf(
+      // consumed by totals AND the join; LAZY: materializes inside the
+      // broadcast-build job for `targets` (the first action), sparing the
+      // separate blocking checkpoint job per call
+      rankedCdf(df, groupCol, valCol).localCheckpoint(eager = false),
+      groupCol, ps)
+
+  /** The ranked per-group CDF behind [[exactPercentiles]]: one row per
+    * (group, distinct value) with its multiplicity `__c` and 1-based
+    * rank interval [`__lo`, `__hi`]. This is the REUSABLE intermediate
+    * of the percentile family — materialize it once per (table, group,
+    * value) (the q55 scratch pattern) and extract any percentile set
+    * with [[percentilesFromCdf]] at |distinct-values|-row cost, instead
+    * of re-paying the (group, value) shuffle + rank window per caller
+    * (q107 and q113 share one CDF of lineitem's extendedprice). */
+  def rankedCdf(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("__v"))
-    val cum = df.filter(col(valCol).isNotNull)
+    df.filter(col(valCol).isNotNull)
       .groupBy(col(groupCol), col(valCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__hi", sum(col("__c")).over(w))
       .withColumn("__lo", col("__hi") - col("__c") + 1)
-      // consumed by totals AND the join; LAZY: materializes inside the
-      // broadcast-build job for `targets` (the first action), sparing the
-      // separate blocking checkpoint job per call
-      .localCheckpoint(eager = false)
+  }
+
+  /** Percentile extraction over a precomputed [[rankedCdf]] — identical
+    * arithmetic to [[exactPercentiles]] (Catalyst's position formula,
+    * spec-asserted bit-equality); the input may come straight off a
+    * parquet scratch (doubles and counts round-trip parquet exactly, so
+    * sharing the CDF cannot move a hash). */
+  def percentilesFromCdf(cum: DataFrame, groupCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
     val totals = cum.groupBy(groupCol).agg(max(col("__hi")).as("__n"))
     val targets = totals.select(col(groupCol),
       explode(array(ps.zipWithIndex.map { case (p, i) =>
@@ -678,12 +700,16 @@ object Aggregates {
   }
 
   def winsorizedMean(df0: DataFrame, groupCol: String, valCol: String,
-      pLo: Double, pHi: Double): DataFrame = {
+      pLo: Double, pHi: Double, cdf: Option[DataFrame] = None)
+      : DataFrame = {
     val v = col(valCol)
     // least/greatest SKIP nulls, so an unfiltered null value would clip
     // to the upper fence and count toward n instead of being ignored
     val df = df0.filter(v.isNotNull)
-    val fences = exactPercentiles(df, groupCol, valCol, Seq(pLo, pHi))
+    val fences = percentilesFromCdf(
+        cdf.getOrElse(rankedCdf(df, groupCol, valCol)
+          .localCheckpoint(eager = false)),
+        groupCol, Seq(pLo, pHi))
       .select(col(groupCol), col("p0").as("lo"), col("p1").as("hi"))
     df.join(broadcast(fences), groupCol)
       .withColumn("clipped", greatest(col("lo"), least(col("hi"), v)))
@@ -703,10 +729,13 @@ object Aggregates {
     * |groups| rows — broadcast back over the fact scan for pass 2's
     * filtered count. Same shape as q99's z-score stats join; no window,
     * no global sort. */
-  def iqrOutliers(df: DataFrame, groupCol: String, valCol: String)
-      : DataFrame = {
+  def iqrOutliers(df: DataFrame, groupCol: String, valCol: String,
+      cdf: Option[DataFrame] = None): DataFrame = {
     val v = col(valCol)
-    val fences = exactPercentiles(df, groupCol, valCol, Seq(0.25, 0.75))
+    val fences = percentilesFromCdf(
+        cdf.getOrElse(rankedCdf(df, groupCol, valCol)
+          .localCheckpoint(eager = false)),
+        groupCol, Seq(0.25, 0.75))
       .select(col(groupCol), col("p0").as("q1"), col("p1").as("q3"))
       .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
       .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)

@@ -49,6 +49,24 @@ class AggregatesSpec extends SparkSpec {
       "l_returnflag", "l_extendedprice")
   }
 
+  test("percentilesFromCdf over a parquet-round-tripped rankedCdf is " +
+    "bit-identical to exactPercentiles (the shared-scratch contract)") {
+    val ps = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val data = graft.engine.Tables.lineitem(spark, sf0001)
+      .select("l_returnflag", "l_extendedprice")
+    val direct = Aggregates.exactPercentiles(
+      data, "l_returnflag", "l_extendedprice", ps)
+      .orderBy("l_returnflag").collect().toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cdf-spec").toFile.getAbsolutePath
+    Aggregates.rankedCdf(data, "l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(dir)
+    val viaScratch = Aggregates.percentilesFromCdf(
+      spark.read.parquet(dir), "l_returnflag", ps)
+      .orderBy("l_returnflag").collect().toSeq
+    assert(direct == viaScratch)
+  }
+
   test("sumExact equals plain sum on 2-decimal data") {
     val got = df.agg(Aggregates.sumExact(col("v"))).as[Double].head()
     assert(got == 46.0)

@@ -955,7 +955,7 @@ object ExtQueries {
     "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank",
     "q126_pagerank_directed", "q148_triangle_census", "q165_kcore",
     "q168_dedup_report", "q172_crosssource_flow", "q181_cluster_split",
-    "q188_personalized_pagerank",
+    "q188_personalized_pagerank", "q191_blocking_quality",
     // percentile-CDF scratch (sharedPriceCdf): q107 owns, q113 reads
     "q107_iqr_outliers", "q113_winsorized_mean")
 
@@ -2263,7 +2263,47 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** q189 — day-of-week seasonal indices ([[EventOps.seasonalIndex]]):
+    * per event_type the dow observation counts, exact means, and the
+    * multiplicative seasonal index dow_mean/type_mean. */
+  private val q189: Q = (s, d) =>
+    EventOps.seasonalIndex(Tables.events(s, d), "event_type", "ts",
+        "value")
+      .orderBy("event_type", "dow")
+
+  /** q190 — Dunning LLR collocations ([[TextOps.llrCollocations]]):
+    * top-20 adjacent-bigram collocations by log-likelihood ratio
+    * (evidence-weighted association — the principled complement to
+    * q143's PMI, which over-rewards rare pairs). */
+  private val q190: Q = (s, d) =>
+    TextOps.llrCollocations(Tables.documents(s, d), "text",
+      minCo = 5, topK = 20)
+
+  /** q191 — blocking-quality audit ([[Dedup.blockingQuality]]): q32's
+    * production banding scheme (12 hashes × 3 rows/band) measured
+    * against the shared df-capped exact-Jaccard ground truth — pairs
+    * completeness (blocker recall) and reduction ratio (fraction of the
+    * all-pairs quadratic never generated), the two record-linkage axes
+    * you check BEFORE a 100 TB dedup pass. Shared-scratch consumer
+    * (reads sharedPairs). */
+  private val q191: Q = (s, d) =>
+    Dedup.blockingQuality(Tables.documents(s, d), "doc_id", "text",
+      sharedPairs(s, d), k = 3, numHashes = 12, rowsPerBand = 3)
+
+  /** q192 — greedy k-center coreset ([[SimSearch.kCenterCoreset]]):
+    * 5 maximally-diverse exemplar embeddings by farthest-point
+    * selection, with the selection-time min-distance (the cover-radius
+    * curve). Unrolled-CTE oracle under the 9-dp determinism contract. */
+  private val q192: Q = (s, d) =>
+    SimSearch.kCenterCoreset(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 5)
+      .orderBy("sel")
+
   val all: Map[String, Q] = Map(
+    "q192_kcenter_coreset" -> q192,
+    "q191_blocking_quality" -> q191,
+    "q190_llr_collocations" -> q190,
+    "q189_seasonal_index" -> q189,
     "q188_personalized_pagerank" -> q188,
     "q187_session_paths" -> q187,
     "q186_bootstrap_ci" -> q186,
@@ -2718,7 +2758,152 @@ object ExtQueries {
       s"i -> ${polyHashSql(s"array_to_string(list_slice($toks, i, i + 1), ' ')")}) " +
       s"ELSE [] END"
 
+  /** DuckDB xlx(x) = x·ln(x) with xlx(0) = 0 — the q190 LLR term. */
+  private def xlxSql(e: String): String =
+    s"CASE WHEN ($e) > 0 THEN CAST(($e) AS DOUBLE) * " +
+      s"ln(CAST(($e) AS DOUBLE)) ELSE 0.0 END"
+
+  /** Sequential-fold squared Euclidean distance matching
+    * SimSearch.kCenterCoreset's zip_with + aggregate arithmetic. */
+  private def d2Sql(a: String, b: String): String =
+    s"COALESCE(list_reduce(list_transform(list_zip($a, $b), " +
+      s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+      s"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), " +
+      s"(x, y) -> x + y), 0.0)"
+
+  /** Banded-MinHash CANDIDATE CTEs (msh → msigs → mbanded → mcand) — the
+    * q191 oracle's replica of Dedup.blockingQuality's blocker (same
+    * coefficient pairs and rolling band-key fold as the q32 oracle, but
+    * stopping at the distinct candidate set: the audit measures the
+    * blocker, not the verifier). Prefixed names coexist with
+    * [[pairCtes]]' sh/post/... in one WITH clause. */
+  private def blockCandCtes(k: Int, numHashes: Int, rowsPerBand: Int)
+      : String = {
+    val P = graft.ext.TextOps.HashPrime
+    val sigExprs = Dedup.minhashCoeffs(numHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(shs, h -> (h * $a + $b) % $P)) AS mh_$i"
+    }.mkString(",\n  ")
+    val numBands = numHashes / rowsPerBand
+    val bandSelects = (0 until numBands).map { bnd =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"mh_${bnd * rowsPerBand + r}")
+        .reduce((x, y) => s"(($x) * 31 + $y) % $P")
+      s"SELECT pid, $bnd AS band, $key AS bkey FROM msigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""msh AS (
+       |  SELECT doc_id AS pid, ${shinglesSql(toksSql, k)} AS shs
+       |  FROM documents),
+       |msigs AS (
+       |  SELECT pid,
+       |  $sigExprs
+       |  FROM msh WHERE len(shs) > 0),
+       |mbanded AS (
+       |  $bandSelects),
+       |mcand AS (
+       |  SELECT DISTINCT x.pid AS id_a, y.pid AS id_b
+       |  FROM mbanded x JOIN mbanded y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.pid < y.pid)"""
+      .stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q189_seasonal_index" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(38,6))) AS s
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(dow AS INT) AS dow, n,
+        |  round(CAST(s AS DOUBLE) / n, 6) AS dow_mean,
+        |  round((CAST(s AS DOUBLE) / n) /
+        |    (CAST(SUM(s) OVER (PARTITION BY event_type) AS DOUBLE) /
+        |     CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)), 6)
+        |    AS seasonal_idx
+        |FROM b ORDER BY event_type, dow""".stripMargin,
+
+    "q190_llr_collocations" -> {
+      def t(e: String) = xlxSql(e)
+      s"""WITH ft AS (
+         |  SELECT list_filter($toksSql, w -> length(w) > 0) AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2
+         |  FROM ft, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 2),
+         |cnt AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+         |  FROM bg GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(SUM(k11) AS BIGINT) AS ca
+         |      FROM cnt GROUP BY 1),
+         |r AS (SELECT w2, CAST(SUM(k11) AS BIGINT) AS cb
+         |      FROM cnt GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(k11) AS BIGINT) AS nn FROM cnt)
+         |SELECT cnt.w1, cnt.w2, k11 AS co, ca, cb,
+         |  round(2.0 * (${t("k11")} + ${t("ca - k11")} + ${t("cb - k11")}
+         |    + ${t("nn - ca - cb + k11")}
+         |    - ${t("ca")} - ${t("nn - ca")}
+         |    - ${t("cb")} - ${t("nn - cb")}
+         |    + ${t("nn")}), 6) AS llr
+         |FROM cnt JOIN l ON cnt.w1 = l.w1
+         |         JOIN r ON cnt.w2 = r.w2
+         |         CROSS JOIN tot
+         |WHERE k11 >= 5
+         |ORDER BY llr DESC, cnt.w1, cnt.w2 LIMIT 20""".stripMargin
+    },
+
+    "q191_blocking_quality" ->
+      s"""WITH ${pairCtes(cap = 100, threshold = 0.1)},
+         |${blockCandCtes(k = 3, numHashes = 12, rowsPerBand = 3)},
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM mcand),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pairs),
+         |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM pairs p JOIN mcand c
+         |         ON p.id_a = c.id_a AND p.id_b = c.id_b)
+         |SELECT n_docs, n_cand, n_exact, n_hit,
+         |  round(CASE WHEN n_exact > 0
+         |    THEN CAST(n_hit AS DOUBLE) / n_exact ELSE 1.0 END, 6)
+         |    AS pairs_completeness,
+         |  round(1.0 - CAST(n_cand AS DOUBLE) /
+         |    (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2), 6)
+         |    AS reduction_ratio
+         |FROM nd, nc, ne, nh""".stripMargin,
+
+    "q192_kcenter_coreset" -> {
+      val rounds = (2 to 5).map { i =>
+        val prev = s"s${i - 1}"
+        val upd =
+          if (i == 5) "" // the 5th center closes the selection; no s5
+          else
+            s""",
+               |s$i AS (
+               |  SELECT s.id, s.v,
+               |    least(s.md, round(${d2Sql("s.v", "c.cv")}, 9)) AS md
+               |  FROM $prev s, c$i c)""".stripMargin
+        s"""c$i AS (
+           |  SELECT id AS cid, v AS cv, md AS d2sel
+           |  FROM $prev ORDER BY md DESC, id LIMIT 1)$upd""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c1 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  ORDER BY vec_id LIMIT 1),
+         |s1 AS (
+         |  SELECT e.vec_id AS id, e.embedding AS v,
+         |    round(${d2Sql("e.embedding", "c.cv")}, 9) AS md
+         |  FROM embeddings e, c1 c),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INT) AS sel, cid,
+         |    CAST(0.0 AS DOUBLE) AS d2sel FROM c1
+         |  UNION ALL SELECT CAST(2 AS INT), cid, d2sel FROM c2
+         |  UNION ALL SELECT CAST(3 AS INT), cid, d2sel FROM c3
+         |  UNION ALL SELECT CAST(4 AS INT), cid, d2sel FROM c4
+         |  UNION ALL SELECT CAST(5 AS INT), cid, d2sel FROM c5)
+         |ORDER BY sel""".stripMargin
+    },
+
     "q188_personalized_pagerank" ->
       s"""WITH RECURSIVE
          |${pairCtes(cap = 100, threshold = 0.1)},

@@ -351,6 +351,58 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Blocking-quality audit of the MinHash banding scheme — the
+    * measurement you run BEFORE committing a blocker to a 100 TB dedup
+    * pass: against a ground-truth pair set `exact` (id_a < id_b — e.g.
+    * the df-capped exact Jaccard pairs), report in one row
+    *
+    *  - `n_docs`, `n_cand` (distinct band-sharing candidate pairs),
+    *    `n_exact`, `n_hit` (ground-truth pairs the blocker surfaces);
+    *  - `pairs_completeness` = n_hit / n_exact — the blocker's recall
+    *    against ground truth (what fraction of true pairs any downstream
+    *    verifier can still see);
+    *  - `reduction_ratio` = 1 − n_cand / C(n_docs, 2) — the fraction of
+    *    the all-pairs quadratic the blocker never generates.
+    *
+    * The two metrics are the standard record-linkage trade-off axes
+    * (completeness ~ OR-amplification recall, reduction ~ its cost);
+    * banding parameters are chosen where both stay high. Candidates
+    * come from the same [[bandKeys]] fold as [[minhashBandPairs]], so
+    * the audit measures EXACTLY the production blocker. Cost: the
+    * banding self-join plus two counts and one semi-join on the
+    * (small) pair frames; the corpus shuffles once for signatures. */
+  def blockingQuality(df: DataFrame, idCol: String, textCol: String,
+      exact: DataFrame, k: Int, numHashes: Int, rowsPerBand: Int)
+      : DataFrame = {
+    val post = postings(df, idCol, textCol, k)
+    val sigs = post.groupBy("pid")
+      .agg(count(lit(1)).as("n_sh"),
+        minhashSigAggs(col("sh"), numHashes): _*)
+    val banded = bandKeys(sigs, numHashes, rowsPerBand)
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.bk") === col("y.bk") && col("x.pid") < col("y.pid"))
+      .select(col("x.pid").as("id_a"), col("y.pid").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(eager = true) // counted + semi-joined
+    val ex = exact.select(col("id_a"), col("id_b"))
+    val nCand = cands.agg(count(lit(1)).as("n_cand"))
+    val nExact = ex.agg(count(lit(1)).as("n_exact"))
+    val nHit = ex.join(cands, Seq("id_a", "id_b"), "leftsemi")
+      .agg(count(lit(1)).as("n_hit"))
+    df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nExact))
+      .crossJoin(broadcast(nHit))
+      .select(col("n_docs"), col("n_cand"), col("n_exact"), col("n_hit"),
+        round(when(col("n_exact") > 0,
+          col("n_hit").cast("double") / col("n_exact")).otherwise(1.0), 6)
+          .as("pairs_completeness"),
+        round(lit(1.0) - col("n_cand").cast("double") /
+          (col("n_docs").cast("double") * (col("n_docs") - 1) / 2), 6)
+          .as("reduction_ratio"))
+  }
+
   /** Banded MinHash keys from a signature frame (`pid`, `mh_0..mh_{n-1}`):
     * one row per (doc, band) with the band's rolling-combined key packed
     * in a `bk` struct — shared by [[minhashBandPairs]] (self-join on `bk`)

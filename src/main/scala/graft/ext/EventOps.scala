@@ -143,6 +143,36 @@ object EventOps {
         (col("n").cast("double") / col("ntot").cast("double")).as("p"))
   }
 
+  /** Day-of-week seasonal decomposition of a per-key metric: for each
+    * (key, dow 1=Sunday..7) the observation count, the exact mean, and
+    * the SEASONAL INDEX dow_mean / key_mean — the multiplicative
+    * weekly-seasonality profile (index > 1 = hot day), the first
+    * decomposition any event-rate monitor or forecast baseline needs
+    * (de-seasonalize by dividing by the index before alerting, q184's
+    * rolling z-scores upstream).
+    *
+    * ONE (key, dow) partial-agg shuffle; the per-key totals derive from
+    * the ≤7 dow partials via a window over the key (never a second scan
+    * of the events). Means divide exact decimal sums by exact counts,
+    * index at 6 dp — partitioning-invariant, oracle-replicable (DuckDB
+    * `dayofweek` is 0-based, its oracle adds 1). */
+  def seasonalIndex(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val byDow = events
+      .groupBy(col(keyCol), dayofweek(col(tsCol)).as("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(38,6)")).as("__s"))
+    val wk = Window.partitionBy(keyCol)
+    byDow
+      .withColumn("__mean", col("__s").cast("double") / col("n"))
+      .withColumn("__keyMean",
+        sum(col("__s")).over(wk).cast("double") /
+          sum(col("n")).over(wk))
+      .select(col(keyCol), col("dow"), col("n"),
+        round(col("__mean"), 6).as("dow_mean"),
+        round(col("__mean") / col("__keyMean"), 6).as("seasonal_idx"))
+  }
+
   /** Order-2 session paths: event-type TRIGRAM counts across per-user
     * time-ordered streams with the order-2 conditional p(e₃ | e₁,e₂) —
     * the sequence-mining extension of [[transitionMatrix]]'s order-1

@@ -396,4 +396,66 @@ object SimSearch {
       .agg(round(
         sum(round(col("v").cast("double"), 6).cast("decimal(28,6)"))
           .cast("double") / count(lit(1)), 6).as("centroid"))
+
+  /** Greedy k-center coreset (Gonzalez 1985) over the embedding corpus:
+    * seed with the min-id point, then `k−1` rounds of farthest-point
+    * selection — add the point whose squared Euclidean distance to its
+    * NEAREST chosen center is maximal (ties by min id). The classic
+    * 2-approximation to the k-center cover, and the standard diversity
+    * selector for "which k exemplars should a human label / an eval set
+    * keep" — the opposite pole from centroid sampling, which
+    * over-represents dense regions.
+    *
+    * Returns one row per selected center: (sel 1..k, id,
+    * d2_at_selection = its min-distance when chosen; 0 for the seed) —
+    * d2_at_selection is non-increasing in sel (spec-pinned) and
+    * sel=k's value is the corpus cover radius² of the k−1 prefix.
+    *
+    * Determinism contract: per-pair d² folds sequentially
+    * (zip_with + aggregate, [[dot]]'s convention) and rounds at 9 dp
+    * before ANY comparison; argmax ties break on id — bit-identical
+    * under any partitioning and in the oracle's unrolled-CTE replica.
+    *
+    * Scale shape: each round is ONE broadcast crossJoin projection
+    * (update the running min-distance against the single new center —
+    * the 1-row frame is the only thing exchanged) + one
+    * TakeOrderedAndProject(1) for the argmax; the corpus is scanned k
+    * times and never shuffled. State (id, v, md) localCheckpoints per
+    * round, so the plan stays flat over rounds (the dupClusters
+    * discipline). */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    def d2(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val pts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(eager = true) // scanned every round
+    val seed = pts.orderBy("id").limit(1)
+      .select(col("id").as("cid"), col("v").as("cv"),
+        lit(1).as("sel"), lit(0.0).as("d2sel"))
+      .localCheckpoint(eager = true)
+    var picked = Seq(seed)
+    var state = pts
+      .crossJoin(broadcast(seed.select(col("cv"))))
+      .select(col("id"), col("v"), round(d2(col("v"), col("cv")), 9).as("md"))
+      .localCheckpoint(eager = false)
+    for (i <- 2 to k) {
+      val next = state
+        .orderBy(col("md").desc, col("id")).limit(1)
+        .select(col("id").as("cid"), col("v").as("cv"),
+          lit(i).as("sel"), col("md").as("d2sel"))
+        .localCheckpoint(eager = true) // read by state update AND output
+      picked = picked :+ next
+      if (i < k) state = state
+        .crossJoin(broadcast(next.select(col("cv"))))
+        .select(col("id"), col("v"),
+          least(col("md"), round(d2(col("v"), col("cv")), 9)).as("md"))
+        .localCheckpoint(eager = false)
+    }
+    picked.map(_.select(col("sel"), col("cid"), col("d2sel")))
+      .reduce(_.unionAll(_))
+  }
 }

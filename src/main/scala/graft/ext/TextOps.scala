@@ -562,6 +562,56 @@ object TextOps {
           (col("df_a").cast("double") * col("df_b"))), 6).as("pmi"))
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993) over the
+    * corpus's ADJACENT-bigram stream — the statistically principled
+    * complement to PMI ([[pmiPairs]]): PMI over-rewards rare pairs (two
+    * hapaxes co-occurring once score maximally); LLR weighs the evidence
+    * by the counts, so high scores need both association AND support —
+    * the standard collocation / multiword-expression miner for building
+    * tokenizer merge candidates and phrase vocabularies.
+    *
+    * 2×2 contingency per bigram (a,b) over the N-bigram event space:
+    * k11 = c(ab), k12 = c(a·)−c(ab), k21 = c(·b)−c(ab),
+    * k22 = N−c(a·)−c(·b)+c(ab);
+    * LLR = 2·(Σ xlx(k) − xlx(row sums) − xlx(col sums) + xlx(N)),
+    * xlx(x) = x·ln(x), xlx(0) = 0.
+    *
+    * Scale shape: one bigram explode + hash-agg (the corpus's only
+    * shuffle); the marginals c(a·)/c(·b) re-aggregate the |vocab²|-bounded
+    * bigram-count frame (never the corpus) and broadcast back. Every k is
+    * an exact long; LLR rounds at 6 dp from scalar arithmetic (no
+    * accumulation), ties break on the words — fully oracle-replicable. */
+  def llrCollocations(df: DataFrame, textCol: String, minCo: Long,
+      topK: Int): DataFrame = {
+    val bg = df.select(explode(bigrams(col(textCol))).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+      .localCheckpoint(eager = false) // marginals + totals + final join
+    val left = cnt.groupBy("w1").agg(sum(col("k11")).as("ca"))
+    val right = cnt.groupBy("w2").agg(sum(col("k11")).as("cb"))
+    val tot = cnt.agg(sum(col("k11")).as("nn"))
+    def xlx(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(0.0)
+    cnt.filter(col("k11") >= minCo)
+      .join(broadcast(left), "w1")
+      .join(broadcast(right), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("k12", col("ca") - col("k11"))
+      .withColumn("k21", col("cb") - col("k11"))
+      .withColumn("k22", col("nn") - col("ca") - col("cb") + col("k11"))
+      .select(col("w1"), col("w2"), col("k11").as("co"),
+        col("ca"), col("cb"),
+        round(lit(2.0) * (xlx(col("k11")) + xlx(col("k12")) +
+          xlx(col("k21")) + xlx(col("k22")) -
+          xlx(col("ca")) - xlx(col("nn") - col("ca")) -
+          xlx(col("cb")) - xlx(col("nn") - col("cb")) +
+          xlx(col("nn"))), 6).as("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Corpus bigram language-model stats: the `topK` most frequent bigrams
     * plus, per bigram, the share of its total occurrences — the raw
     * counts n-gram LM estimation and contamination screens start from.

@@ -359,4 +359,30 @@ class DedupSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("blockingQuality: identical docs are a guaranteed candidate " +
+    "(completeness 1), a shingle-less doc generates none (exact " +
+    "reduction ratio)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "xy")) // 1 token < k=3 → no shingles → excluded from banding
+      .toDF("doc_id", "text")
+    val truth = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.blockingQuality(docs, "doc_id", "text", truth,
+        k = 3, numHashes = 12, rowsPerBand = 3)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // identical shingle sets → identical signatures → every band shared:
+    // candidates are exactly {(1,2)}; C(3,2)=3 possible pairs
+    assert(out == Seq((3L, 1L, 1L, 1L, 1.0,
+      BigDecimal(1.0 - 1.0 / 3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // empty ground truth: completeness degenerates to 1.0 by convention
+    val noTruth = Dedup.blockingQuality(docs, "doc_id", "text",
+        truth.filter(col("id_a") < 0), k = 3, numHashes = 12,
+        rowsPerBand = 3)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(noTruth.head._3 == 0L && noTruth.head._5 == 1.0)
+  }
 }

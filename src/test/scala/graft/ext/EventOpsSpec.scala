@@ -152,6 +152,24 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("seasonalIndex: hand-computed dow means and multiplicative " +
+    "indices; indices weight-average to 1 per key (q189)") {
+    // 2024-01-07 is a Sunday (dow 1), 2024-01-08 a Monday (dow 2)
+    val events = Seq(
+      (1L, 1L, "a", Timestamp.valueOf("2024-01-07 10:00:00"), 2.0),
+      (2L, 1L, "a", Timestamp.valueOf("2024-01-14 10:00:00"), 4.0),
+      (3L, 1L, "a", Timestamp.valueOf("2024-01-08 10:00:00"), 6.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.seasonalIndex(events, "event_type", "ts", "value")
+      .orderBy("dow").as[(String, Int, Long, Double, Double)]
+      .collect().toSeq
+    // Sunday mean (2+4)/2 = 3, Monday 6; key mean 12/3 = 4
+    assert(out == Seq(("a", 1, 2L, 3.0, 0.75), ("a", 2, 1L, 6.0, 1.5)))
+    // Σ n·idx = N (the multiplicative indices are count-weighted
+    // deviations from the key mean)
+    assert(math.abs(out.map(r => r._3 * r._5).sum - 3.0) < 1e-9)
+  }
+
   test("sessionTrigrams: same-timestamp ties break on the id column") {
     val t = ts(1, 1)
     val events = Seq(

@@ -283,4 +283,28 @@ class SimSearchSpec extends SparkSpec {
       .orderBy("i", "j").as[(Long, Long, Double)].collect().toSeq
     assert(shuffled == out)
   }
+
+  test("kCenterCoreset: hand-traced 1-D greedy farthest-point — min-id " +
+    "seed, distance ties break on id, cover curve non-increasing") {
+    import spark.implicits._
+    // positions: 1→0, 2→10, 3→4, 4→6
+    val pts = Seq((1L, Array(0f)), (2L, Array(10f)), (3L, Array(4f)),
+      (4L, Array(6f))).toDF("vec_id", "embedding")
+    val out = SimSearch.kCenterCoreset(pts, "vec_id", "embedding", k = 3)
+      .orderBy("sel").as[(Int, Long, Double)].collect().toSeq
+    // seed id1 (min id); then id2 at d²=100; then ids 3 and 4 BOTH at
+    // min-distance 16 (16 vs 36→16 after id2 joins) → min id 3 wins
+    assert(out == Seq((1, 1L, 0.0), (2, 2L, 100.0), (3, 3L, 16.0)))
+    // the selection-time distance is the cover radius² curve: it never
+    // increases, and is deterministic under repartitioning
+    val fix = graft.engine.Tables.embeddings(spark, sf0001)
+    val a = SimSearch.kCenterCoreset(fix, "vec_id", "embedding", k = 4)
+      .orderBy("sel").as[(Int, Long, Double)].collect().toSeq
+    assert(a.drop(1).map(_._3).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+    val b = SimSearch.kCenterCoreset(fix.repartition(7), "vec_id",
+        "embedding", k = 4)
+      .orderBy("sel").as[(Int, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
 }

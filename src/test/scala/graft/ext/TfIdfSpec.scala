@@ -281,4 +281,32 @@ class TfIdfSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(capped == Seq(("x", "y", 2L, ln43)))
   }
+
+  test("llrCollocations: hand-computed Dunning LLR — exclusive pair " +
+    "outscores shared-margin pairs; minCo filters; ties order by words") {
+    import spark.implicits._
+    // bigram stream: (a,b)×3 (a,c)×1 (d,b)×1 (d,e)×2, N=7.
+    // 'e' only ever follows 'd' → its 2×2 concentrates evidence;
+    // reference-formula values: LLR(d,e)=4.556689, others 1.242947.
+    val docs = (Seq.fill(3)("a b") ++ Seq("a c", "d b") ++
+      Seq.fill(2)("d e")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextOps.llrCollocations(docs, "text", minCo = 1, topK = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("d", "e", 2L, 3L, 2L, 4.556689),
+      ("a", "b", 3L, 4L, 4L, 1.242947),
+      ("a", "c", 1L, 4L, 1L, 1.242947),
+      ("d", "b", 1L, 3L, 4L, 1.242947)))
+    // minCo=2 keeps only the pairs with co >= 2
+    val filtered = TextOps.llrCollocations(docs, "text", minCo = 2,
+        topK = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(filtered.map(r => (r._1, r._2)) == Seq(("d", "e"), ("a", "b")))
+    // deterministic under repartitioning
+    val b = TextOps.llrCollocations(docs.repartition(5), "text",
+        minCo = 1, topK = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == b)
+  }
 }

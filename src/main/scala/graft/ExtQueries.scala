@@ -2299,7 +2299,42 @@ object ExtQueries {
         "embedding", k = 5)
       .orderBy("sel")
 
+  /** q193 — directed association rules
+    * ([[PipelineOps.associationRules]]): brand ⇒ brand rules over order
+    * baskets with support ≥ 5 and confidence ≥ 0.13 — the directed
+    * complement of q151's symmetric support/lift, sharing the same
+    * basket shuffle + pair hash-agg machinery (the direction split is a
+    * map-side projection of the pair frame). */
+  private val q193: Q = (s, d) => {
+    val basket = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(Tables.part(s, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+    PipelineOps.associationRules(basket, "l_orderkey", "p_brand",
+        minSupport = 5, minConf = 0.13)
+      .orderBy("antecedent", "consequent")
+  }
+
+  /** q194 — mutual k-NN pairs ([[SimSearch.mutualKnnPairs]]): reciprocal
+    * top-5 cosine edges over the EXACT all-pairs frame (the q33/q35
+    * baseline discipline — at 100 TB the input pair frame is the LSH
+    * candidate graph, the reciprocity predicate is unchanged). The
+    * hub-robust edge filter under SemDeDup-style semantic dedup. */
+  private val q194: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val a = emb.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SimSearch.cosine(col("emb_a"), col("emb_b")).as("sim"))
+    SimSearch.mutualKnnPairs(pairs, k = 5)
+  }
+
   val all: Map[String, Q] = Map(
+    "q194_mutual_knn" -> q194,
+    "q193_association_rules" -> q193,
     "q192_kcenter_coreset" -> q192,
     "q191_blocking_quality" -> q191,
     "q190_llr_collocations" -> q190,
@@ -3779,6 +3814,36 @@ object ExtQueries {
         |  (SELECT count(*) FROM a
         |   WHERE user_id IN (SELECT user_id FROM b)) AS exact_inter,
         |  TRUE AS within_band""".stripMargin,
+
+    "q193_association_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, p.p_brand AS it
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |sup1 AS (SELECT it, count(*) AS s1 FROM b GROUP BY 1),
+        |n AS (SELECT count(DISTINCT bk) AS nb FROM b),
+        |pr AS (
+        |  SELECT a.it AS item_a, c.it AS item_b, count(*) AS support
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+        |  GROUP BY 1, 2),
+        |full_pr AS (
+        |  SELECT item_a, item_b, support, sa.s1 AS sa, sb.s1 AS sb,
+        |    round(CAST(support AS DOUBLE) * nb /
+        |          (sa.s1 * CAST(sb.s1 AS DOUBLE)), 6) AS lift
+        |  FROM pr JOIN sup1 sa ON sa.it = item_a
+        |          JOIN sup1 sb ON sb.it = item_b
+        |          CROSS JOIN n
+        |  WHERE support >= 5),
+        |rules AS (
+        |  SELECT item_a AS antecedent, item_b AS consequent,
+        |    CAST(support AS BIGINT) AS support,
+        |    round(CAST(support AS DOUBLE) / sa, 6) AS confidence, lift
+        |  FROM full_pr
+        |  UNION ALL
+        |  SELECT item_b, item_a, CAST(support AS BIGINT),
+        |    round(CAST(support AS DOUBLE) / sb, 6), lift
+        |  FROM full_pr)
+        |SELECT * FROM rules WHERE confidence >= 0.13
+        |ORDER BY antecedent, consequent""".stripMargin,
 
     "q151_pair_support" ->
       """WITH b AS (
@@ -5398,6 +5463,25 @@ object ExtQueries {
          |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 3)
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q194_mutual_knn" ->
+      s"""WITH d AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id <> b.vec_id),
+         |top AS (
+         |  SELECT * FROM (
+         |    SELECT src, dst, sim,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY src
+         |        ORDER BY sim DESC, dst) AS INT) AS rnk
+         |    FROM d)
+         |  WHERE rnk <= 5)
+         |SELECT f.src AS id_a, f.dst AS id_b, f.sim,
+         |  f.rnk AS rank_ab, b.rnk AS rank_ba
+         |FROM top f JOIN top b ON b.src = f.dst AND b.dst = f.src
+         |WHERE f.src < f.dst
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q35_cosine_neardup_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

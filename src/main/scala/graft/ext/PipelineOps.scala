@@ -446,7 +446,19 @@ object PipelineOps {
     * per basket); the pair hash-agg shuffles pair keys with map-side
     * partials. Item supports and the basket count broadcast back. */
   def pairSupport(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long): DataFrame = {
+      minSupport: Long): DataFrame =
+    pairSupportFull(df, basketCol, itemCol, minSupport)
+      .select(col("item_a"), col("item_b"), col("support"),
+        round(col("support").cast("double") * col("__nb") /
+          (col("__sa") * col("__sb").cast("double")), 6).as("lift"))
+
+  /** [[pairSupport]]'s internal frame WITH the marginals still attached:
+    * (item_a < item_b, support, __sa, __sb, __nb). The family scratch —
+    * [[pairSupport]] derives lift from it and [[associationRules]]
+    * derives directed confidences; the basket shuffle and pair hash-agg
+    * run once per family, never per metric. */
+  private[ext] def pairSupportFull(df: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long): DataFrame = {
     val b = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
       .distinct()
     val sup1 = b.groupBy("__it").agg(count(lit(1)).as("__s1"))
@@ -467,9 +479,36 @@ object PipelineOps {
       .join(broadcast(sup1.select(col("__it").as("item_b"),
         col("__s1").as("__sb"))), "item_b")
       .crossJoin(broadcast(nb))
-      .select(col("item_a"), col("item_b"), col("support"),
-        round(col("support").cast("double") * col("__nb") /
-          (col("__sa") * col("__sb").cast("double")), 6).as("lift"))
+  }
+
+  /** Directed association rules from the [[pairSupport]] machinery: each
+    * undirected co-basket pair (a, b) yields up to two rules —
+    * a ⇒ b with confidence sup(a,b)/sup(a) and b ⇒ a with confidence
+    * sup(a,b)/sup(b) — kept when confidence ≥ `minConf`. Support and
+    * lift (both symmetric) ride along; confidence is the directed
+    * signal lift alone cannot give (lift says a and b co-occur beyond
+    * chance; confidence says WHICH item predicts the other — the
+    * recommendation direction). Classic support/confidence/lift
+    * Agrawal-style rule mining, restricted to 2-itemsets where the pair
+    * hash-agg IS the candidate generation (no Apriori lattice needed).
+    *
+    * Scale shape: identical to [[pairSupport]] — the direction split is
+    * a map-side explode of the (≤ |item-pairs|)-row support frame, so
+    * rules cost nothing beyond the pair agg itself. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, minConf: Double): DataFrame = {
+    val full = pairSupportFull(df, basketCol, itemCol, minSupport)
+    val lift = round(col("support").cast("double") * col("__nb") /
+      (col("__sa") * col("__sb").cast("double")), 6)
+    val fwd = full.select(col("item_a").as("antecedent"),
+      col("item_b").as("consequent"), col("support"),
+      round(col("support").cast("double") / col("__sa"), 6)
+        .as("confidence"), lift.as("lift"))
+    val bwd = full.select(col("item_b").as("antecedent"),
+      col("item_a").as("consequent"), col("support"),
+      round(col("support").cast("double") / col("__sb"), 6)
+        .as("confidence"), lift.as("lift"))
+    fwd.unionByName(bwd).filter(col("confidence") >= minConf)
   }
 
   /** Cross-source quantile normalization: replace each row's value with

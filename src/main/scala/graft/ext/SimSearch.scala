@@ -279,6 +279,47 @@ object SimSearch {
       .orderBy("id_a", "id_b")
   }
 
+  /** Mutual (reciprocal) k-NN pairs from an undirected similarity pair
+    * frame (id_a < id_b, sim): keep (a, b) iff b is among a's top-k
+    * neighbors AND a is among b's top-k — the SemDeDup-style filter
+    * that kills hub-driven false merges (a generic near-centroid "hub"
+    * appears in everyone's top-k, but almost nobody is in ITS top-k, so
+    * hub edges never survive the reciprocity test). Emits both ranks;
+    * rank ties break on neighbor id, so the output is deterministic
+    * under any partitioning.
+    *
+    * Takes the PAIR FRAME as input rather than computing it: at test
+    * scale feed the exact all-pairs frame (the q33/q35 baseline
+    * discipline); at 100 TB feed LSH candidate pairs
+    * ([[cosineNearDupPairsLsh]]) — reciprocity is a rank predicate over
+    * whatever candidate graph the blocker produced, and ranks within
+    * the candidate graph are exactly what the production pipeline has.
+    *
+    * Scale shape: one explode to directed edges (2·|pairs|), ONE
+    * shuffle on src for the per-node rank window, then a self-join of
+    * the two ≤ n·k halves on (a, b) — never touches vectors, never
+    * quadratic beyond the input pair frame itself. */
+  def mutualKnnPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"),
+          col("sim")))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    val top = directed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val fwd = top.filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("sim"),
+        col("rnk").as("rank_ab"))
+    val bwd = top.filter(col("src") > col("dst"))
+      .select(col("dst").as("id_a"), col("src").as("id_b"),
+        col("rnk").as("rank_ba"))
+    fwd.join(bwd, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("sim"),
+        col("rank_ab"), col("rank_ba"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-group embedding centroids as (group, dim, value) rows — the
     * IVF-training / domain-signature primitive (mean vector per label,
     * source, or cluster) in a relational, oracle-checkable shape.

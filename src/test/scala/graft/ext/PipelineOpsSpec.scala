@@ -379,6 +379,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(floored.map(t => (t._1, t._2)) == Seq(("x", "y")))
   }
 
+  test("associationRules: hand confidences both directions, minConf " +
+    "filter, lift symmetric across the direction split") {
+    val rows = Seq((1L, "x"), (1L, "y"), (1L, "x"),
+      (2L, "y"), (2L, "x"), (3L, "x"), (3L, "z"), (4L, "y"))
+      .toDF("bk", "it")
+    // sup: x=3 y=3 z=1; co(x,y)=2 co(x,z)=1
+    // x⇒y conf 2/3, y⇒x conf 2/3, x⇒z conf 1/3, z⇒x conf 1/1
+    val out = PipelineOps.associationRules(rows, "bk", "it",
+        minSupport = 1, minConf = 0.0)
+      .orderBy("antecedent", "consequent")
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("x", "y", 2L, 0.666667, 0.888889),
+      ("x", "z", 1L, 0.333333, 1.333333),
+      ("y", "x", 2L, 0.666667, 0.888889),
+      ("z", "x", 1L, 1.0, 1.333333)))
+    // minConf keeps z⇒x (1.0) but drops x⇒z (0.333)
+    val conf = PipelineOps.associationRules(rows, "bk", "it",
+        minSupport = 1, minConf = 0.5)
+      .orderBy("antecedent", "consequent")
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(conf.map(r => (r._1, r._2)) ==
+      Seq(("x", "y"), ("y", "x"), ("z", "x")))
+  }
+
   test("quantileNormalize: shifted sources land on the SAME global " +
     "grid values; hand-checked quantiles") {
     val docs = ((1 to 5).map(v => (v.toLong, "A", v.toDouble)) ++

@@ -234,6 +234,24 @@ class SimSearchSpec extends SparkSpec {
     assert(pairs.forall(r => r.getDouble(2) >= 0.3))
   }
 
+  test("mutualKnnPairs: hand-traced reciprocity at k=1 (tie breaks to " +
+    "smaller neighbor id) and k=2 (all pairs mutual, ranks exact)") {
+    // 3 nodes; sims: (1,2)=0.9, (1,3)=0.5, (2,3)=0.9
+    // node 2's top-1 is a TIE (0.9 to both 1 and 3) → smaller dst (1)
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.5), (2L, 3L, 0.9))
+      .toDF("id_a", "id_b", "sim")
+    val k1 = SimSearch.mutualKnnPairs(pairs, k = 1)
+      .as[(Long, Long, Double, Int, Int)].collect().toSeq
+    // 3→2 is rank-1 but 2's top-1 is node 1, so (2,3) is NOT mutual
+    assert(k1 == Seq((1L, 2L, 0.9, 1, 1)))
+    val k2 = SimSearch.mutualKnnPairs(pairs, k = 2)
+      .as[(Long, Long, Double, Int, Int)].collect().toSeq
+    assert(k2 == Seq(
+      (1L, 2L, 0.9, 1, 1),   // each other's #1
+      (1L, 3L, 0.5, 2, 2),   // each other's #2
+      (2L, 3L, 0.9, 2, 1)))  // 3 is 2's #2 (tie → 1 first); 2 is 3's #1
+  }
+
   test("groupCentroids: hand-checked means, one row per (group, dim), " +
     "add-order independent") {
     import spark.implicits._

@@ -2332,7 +2332,40 @@ object ExtQueries {
     SimSearch.mutualKnnPairs(pairs, k = 5)
   }
 
+  /** k-center seed codebook as a (cid, cv) frame — q192's Gonzalez
+    * selection joined back to its vectors; the deterministic coarse
+    * quantizer feeding q195 (SemDeDup cells) and q196 (Lloyd seeds). */
+  private def kcenterCentroids(s: SparkSession, d: String, k: Int)
+      : DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    emb.join(broadcast(SimSearch.kCenterCoreset(emb, "vec_id",
+        "embedding", k).select(col("cid"))),
+        col("cid") === col("vec_id"))
+      .select(col("cid"), col("embedding").as("cv"))
+  }
+
+  /** q195 — SemDeDup semantic dedup ([[SimSearch.semanticDedup]]):
+    * corpus partitioned into 5 coarse cells (nearest k-center seed,
+    * q192's codebook), near-dups marked within cells only at cosine ≥
+    * 0.3 with smaller-id dominance — the pair count drops from n²/2 to
+    * Σ|cell|²/2, which is the whole trick at 100 TB; cross-cell misses
+    * are the documented recall trade. */
+  private val q195: Q = (s, d) =>
+    SimSearch.semanticDedup(Tables.embeddings(s, d), "vec_id",
+      "embedding", kcenterCentroids(s, d, 5), threshold = 0.3)
+
+  /** q196 — Lloyd k-means refinement ([[SimSearch.lloydRefine]]): two
+    * assign→exact-decimal-mean rounds from the q192 k-center seeds —
+    * the IVF codebook trainer (Gonzalez spreads, Lloyd re-centers onto
+    * density). Unrolled-CTE oracle under the 9-dp/6-dp determinism
+    * contract. */
+  private val q196: Q = (s, d) =>
+    SimSearch.lloydRefine(Tables.embeddings(s, d), "vec_id",
+      "embedding", kcenterCentroids(s, d, 5), rounds = 2)
+
   val all: Map[String, Q] = Map(
+    "q196_lloyd_kmeans" -> q196,
+    "q195_semantic_dedup" -> q195,
     "q194_mutual_knn" -> q194,
     "q193_association_rules" -> q193,
     "q192_kcenter_coreset" -> q192,
@@ -2806,6 +2839,51 @@ object ExtQueries {
       s"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), " +
       s"(x, y) -> x + y), 0.0)"
 
+  /** Unrolled Gonzalez k-center CTE chain (c1..ck, s1..s(k-1)) over the
+    * embeddings table — the SQL twin of SimSearch.kCenterCoreset —
+    * closing with `cent(cid, cv)`, the seed codebook. Shared by the
+    * q192 oracle (reads each ci's d2sel) and the q195/q196 oracles
+    * (consume `cent` as coarse quantizer / Lloyd seeds). */
+  private def kcenterCtes(k: Int): String = {
+    val rounds = (2 to k).map { i =>
+      val prev = s"s${i - 1}"
+      val upd =
+        if (i == k) "" // the k-th center closes the selection; no s_k
+        else
+          s""",
+             |s$i AS (
+             |  SELECT s.id, s.v,
+             |    least(s.md, round(${d2Sql("s.v", "c.cv")}, 9)) AS md
+             |  FROM $prev s, c$i c)""".stripMargin
+      s"""c$i AS (
+         |  SELECT id AS cid, v AS cv, md AS d2sel
+         |  FROM $prev ORDER BY md DESC, id LIMIT 1)$upd""".stripMargin
+    }.mkString(",\n")
+    s"""c1 AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  ORDER BY vec_id LIMIT 1),
+       |s1 AS (
+       |  SELECT e.vec_id AS id, e.embedding AS v,
+       |    round(${d2Sql("e.embedding", "c.cv")}, 9) AS md
+       |  FROM embeddings e, c1 c),
+       |$rounds,
+       |cent AS (
+       |${(1 to k).map(i => s"  SELECT cid, cv FROM c$i")
+          .mkString("\n  UNION ALL\n")})""".stripMargin
+  }
+
+  /** Nearest-`cent`-centroid assignment CTE body (9-dp d², min-cid tie)
+    * — SQL twin of SimSearch.assignCells against a codebook CTE named
+    * `centName`. Yields rows (id, v, cell). */
+  private def assignSql(centName: String): String =
+    s"""SELECT id, v, cell FROM (
+       |    SELECT e.vec_id AS id, e.embedding AS v, c.cid AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${d2Sql("e.embedding", "c.cv")}, 9),
+       |                 c.cid) AS rn
+       |    FROM embeddings e, $centName c)
+       |  WHERE rn = 1""".stripMargin
+
   /** Banded-MinHash CANDIDATE CTEs (msh → msigs → mbanded → mcand) — the
     * q191 oracle's replica of Dedup.blockingQuality's blocker (same
     * coefficient pairs and rolling band-key fold as the q32 oracle, but
@@ -2906,29 +2984,48 @@ object ExtQueries {
          |    AS reduction_ratio
          |FROM nd, nc, ne, nh""".stripMargin,
 
-    "q192_kcenter_coreset" -> {
-      val rounds = (2 to 5).map { i =>
-        val prev = s"s${i - 1}"
-        val upd =
-          if (i == 5) "" // the 5th center closes the selection; no s5
-          else
-            s""",
-               |s$i AS (
-               |  SELECT s.id, s.v,
-               |    least(s.md, round(${d2Sql("s.v", "c.cv")}, 9)) AS md
-               |  FROM $prev s, c$i c)""".stripMargin
-        s"""c$i AS (
-           |  SELECT id AS cid, v AS cv, md AS d2sel
-           |  FROM $prev ORDER BY md DESC, id LIMIT 1)$upd""".stripMargin
-      }.mkString(",\n")
-      s"""WITH c1 AS (
-         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-         |  ORDER BY vec_id LIMIT 1),
-         |s1 AS (
-         |  SELECT e.vec_id AS id, e.embedding AS v,
-         |    round(${d2Sql("e.embedding", "c.cv")}, 9) AS md
-         |  FROM embeddings e, c1 c),
-         |$rounds
+    "q195_semantic_dedup" ->
+      s"""WITH ${kcenterCtes(5)},
+         |asg AS (
+         |  ${assignSql("cent")}),
+         |elim AS (
+         |  SELECT DISTINCT b.id AS id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+         |  WHERE ${cosineSql("a.v", "b.v")} >= 0.3)
+         |SELECT a.id, CAST(a.cell AS BIGINT) AS cell,
+         |  (e.id IS NULL) AS keep
+         |FROM asg a LEFT JOIN elim e ON e.id = a.id
+         |ORDER BY a.id""".stripMargin,
+
+    "q196_lloyd_kmeans" ->
+      s"""WITH ${kcenterCtes(5)},
+         |a1 AS (
+         |  ${assignSql("cent")}),
+         |m1 AS (
+         |  SELECT cell, dim1 - 1 AS dim,
+         |    round(CAST(SUM(CAST(round(CAST(v[dim1] AS DOUBLE), 6)
+         |        AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS m
+         |  FROM (SELECT cell, v,
+         |          unnest(generate_series(1, len(v))) AS dim1 FROM a1)
+         |  GROUP BY 1, 2),
+         |cent1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+         |          FROM m1 GROUP BY 1),
+         |a2 AS (
+         |  ${assignSql("cent1")}),
+         |m2 AS (
+         |  SELECT cell, dim1 - 1 AS dim,
+         |    round(CAST(SUM(CAST(round(CAST(v[dim1] AS DOUBLE), 6)
+         |        AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS m,
+         |    count(*) AS n
+         |  FROM (SELECT cell, v,
+         |          unnest(generate_series(1, len(v))) AS dim1 FROM a2)
+         |  GROUP BY 1, 2)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS INT) AS dim,
+         |  m AS centroid, CAST(n AS BIGINT) AS n_members
+         |FROM m2 ORDER BY cell, dim""".stripMargin,
+
+    "q192_kcenter_coreset" ->
+      s"""WITH ${kcenterCtes(5)}
          |SELECT * FROM (
          |  SELECT CAST(1 AS INT) AS sel, cid,
          |    CAST(0.0 AS DOUBLE) AS d2sel FROM c1
@@ -2936,8 +3033,7 @@ object ExtQueries {
          |  UNION ALL SELECT CAST(3 AS INT), cid, d2sel FROM c3
          |  UNION ALL SELECT CAST(4 AS INT), cid, d2sel FROM c4
          |  UNION ALL SELECT CAST(5 AS INT), cid, d2sel FROM c5)
-         |ORDER BY sel""".stripMargin
-    },
+         |ORDER BY sel""".stripMargin,
 
     "q188_personalized_pagerank" ->
       s"""WITH RECURSIVE

@@ -464,14 +464,116 @@ object SimSearch {
     * times and never shuffled. State (id, v, md) localCheckpoints per
     * round, so the plan stays flat over rounds (the dupClusters
     * discipline). */
+  /** Sequential-fold squared Euclidean distance in double ([[dot]]'s
+    * convention — fold order is the array order, so an oracle evaluating
+    * the same expression order is bit-identical). */
+  def sqDist(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+    lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid cell assignment: (id, v, cell) with d² rounded at
+    * 9 dp BEFORE the argmin and ties broken on centroid id — the
+    * determinism discipline of [[kCenterCoreset]]. One broadcast
+    * crossJoin (k small) + one id-keyed window; the n·k assignment
+    * frame shuffles once. */
+  private def assignCells(pts: DataFrame, centroids: DataFrame)
+      : DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("__d2"), col("cid"))
+    pts.crossJoin(broadcast(centroids))
+      .withColumn("__d2", round(sqDist(col("v"), col("cv")), 9))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pruning: partition the
+    * corpus into coarse cells (nearest centroid — here any small
+    * (cid, cv) frame: k-center seeds, a KMeans fit, an IVF codebook),
+    * then WITHIN each cell mark every doc that has a smaller-id
+    * neighbor at cosine ≥ `threshold` as a duplicate. Returns one row
+    * per doc: (id, cell, keep) — keep=false iff a smaller-id same-cell
+    * partner clears the threshold (the dominance rule of
+    * Dedup.cascadeSurvival: elimination is by ANY smaller-id partner,
+    * not only by surviving ones, so the result is order- and
+    * partitioning-independent).
+    *
+    * The clustering is what makes embedding dedup tractable at 100 TB:
+    * candidate pairs exist only within a cell, so pair count drops from
+    * n²/2 to Σ|cell|²/2 — with balanced cells a k× reduction — and the
+    * within-cell self-join is an equi-join on cell, shuffled once.
+    * Cross-cell near-dups are the documented recall loss (SemDeDup's
+    * own trade-off); raise k for speed, lower it for recall. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val pts = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val assigned = assignCells(pts, centroids)
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("v").as("vb"))
+    val elim = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select("id", "cell")
+      .join(elim.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("__dup").isNull.as("keep"))
+      .orderBy("id")
+  }
+
+  /** Lloyd k-means refinement from a given seed codebook: `rounds` of
+    * (assign to nearest centroid → exact-decimal per-(cell, dim) mean).
+    * Returns the final codebook as (cell, dim, centroid, n_members)
+    * rows, n_members from the assignment that produced the final mean.
+    * The codebook trainer for the IVF index (q49) whose seeds come from
+    * [[kCenterCoreset]] — Gonzalez gives the spread, Lloyd pulls the
+    * centers onto the density.
+    *
+    * Determinism: assignment is [[assignCells]] (9-dp d², min-cid
+    * ties); means are [[groupCentroids]]' arithmetic — components
+    * rounded to 6 dp BEFORE an exact DECIMAL(28,6) sum, so every round
+    * is independent of float add order and the oracle's unrolled CTE
+    * chain reproduces the run bit-for-bit.
+    *
+    * Scale shape per round: one broadcast crossJoin + id-window
+    * (assignment) and one posexplode + (cell, dim) hash-agg with
+    * map-side partials (means) — the corpus shuffles on id once per
+    * round and nothing else moves; the codebook itself (k·dim rows)
+    * reassembles via a k-row collect_list agg. Empty cells drop out,
+    * exactly as in Lloyd. */
+  def lloydRefine(corpus: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val pts = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(eager = false) // scanned every round
+    var cent = seeds
+    var means: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val assigned = assignCells(pts, cent)
+      means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(round(
+          sum(round(col("x").cast("double"), 6).cast("decimal(28,6)"))
+            .cast("double") / count(lit(1)), 6).as("centroid"),
+          count(lit(1)).as("n_members"))
+      cent = means.groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          s => s.getField("centroid")).as("cv"))
+        .select(col("cell").as("cid"), col("cv"))
+    }
+    means.select(col("cell"), col("dim"), col("centroid"),
+        col("n_members"))
+      .orderBy("cell", "dim")
+  }
+
   def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    def d2(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    def d2(a: Column, b: Column): Column = sqDist(a, b)
     val pts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint(eager = true) // scanned every round
     val seed = pts.orderBy("id").limit(1)

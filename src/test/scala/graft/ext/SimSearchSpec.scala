@@ -252,6 +252,52 @@ class SimSearchSpec extends SparkSpec {
       (2L, 3L, 0.9, 2, 1)))  // 3 is 2's #2 (tie → 1 first); 2 is 3's #1
   }
 
+  test("semanticDedup: hand 2-D trace — cell assignment (equidistant " +
+    "tie → min cid), smaller-id dominance within cell, cross-cell " +
+    "near-dup survives (the documented recall trade)") {
+    val cents = Seq((10L, Array(1f, 0f)), (20L, Array(0f, 1f)))
+      .toDF("cid", "cv")
+    val pts = Seq(
+      (1L, Array(2f, 0f)),     // cell 10, smallest id → keep
+      (2L, Array(1f, 0.1f)),   // cell 10, cos(1,2)=.995 → eliminated
+      (3L, Array(1f, 0.9f)),   // cell 10, cos<0.9 to 1 and 2 → keep
+      (4L, Array(0.9f, 1f)),   // cell 20; cos(3,4)=.9945 but CROSS-cell
+      (5L, Array(0f, 3f)),     // cell 20, cos(4,5)=.743 → keep
+      (6L, Array(1.8f, 2f)),   // cell 20, cos(4,6)=.9999 → eliminated
+      (7L, Array(0.5f, 0.5f))) // d² tie 0.5/0.5 → cell 10; cos(3,7)=.9985
+      .toDF("id", "v")
+    val out = SimSearch.semanticDedup(pts, "id", "v", cents, 0.9)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 10L, true), (2L, 10L, false), (3L, 10L, true),
+      (4L, 20L, true), (5L, 20L, true), (6L, 20L, false),
+      (7L, 10L, false)))
+  }
+
+  test("lloydRefine: hand 2-round trace with an assignment flip between " +
+    "rounds; empty cells drop; n_members tracks the final assignment") {
+    val seeds = Seq((10L, Array(0f, 0f)), (20L, Array(5f, 0f)))
+      .toDF("cid", "cv")
+    val pts = Seq((1L, Array(2f, 0f)), (2L, Array(3f, 0f)),
+      (3L, Array(7f, 0f))).toDF("id", "v")
+    // r1: 1→10, 2→20, 3→20 ⇒ c10=(2,0) n1, c20=(5,0) n2
+    val r1 = SimSearch.lloydRefine(pts, "id", "v", seeds, rounds = 1)
+      .as[(Long, Int, Double, Long)].collect().toSeq
+    assert(r1 == Seq((10L, 0, 2.0, 1L), (10L, 1, 0.0, 1L),
+      (20L, 0, 5.0, 2L), (20L, 1, 0.0, 2L)))
+    // r2 against (2,0)/(5,0): point 2 FLIPS to cell 10 (d² 1 < 4)
+    //   ⇒ c10=(2.5,0) n2, c20=(7,0) n1
+    val r2 = SimSearch.lloydRefine(pts, "id", "v", seeds, rounds = 2)
+      .as[(Long, Int, Double, Long)].collect().toSeq
+    assert(r2 == Seq((10L, 0, 2.5, 2L), (10L, 1, 0.0, 2L),
+      (20L, 0, 7.0, 1L), (20L, 1, 0.0, 1L)))
+    // a seed with no members disappears (Lloyd's empty-cell rule)
+    val far = Seq((10L, Array(0f, 0f)), (99L, Array(100f, 0f)))
+      .toDF("cid", "cv")
+    val r3 = SimSearch.lloydRefine(pts, "id", "v", far, rounds = 1)
+      .as[(Long, Int, Double, Long)].collect().toSeq
+    assert(r3 == Seq((10L, 0, 4.0, 3L), (10L, 1, 0.0, 3L)))
+  }
+
   test("groupCentroids: hand-checked means, one row per (group, dim), " +
     "add-order independent") {
     import spark.implicits._

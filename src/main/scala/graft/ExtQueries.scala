@@ -2363,7 +2363,33 @@ object ExtQueries {
     SimSearch.lloydRefine(Tables.embeddings(s, d), "vec_id",
       "embedding", kcenterCentroids(s, d, 5), rounds = 2)
 
+  /** q197 — functional-dependency audit ([[PipelineOps.fdAudit]]):
+    * six candidate FDs across five relations — name→nationkey and
+    * name→regionkey hold (keyed lookups are safe); brand→type,
+    * name→brand, priority→status and source→lang violate with their
+    * fan-outs quantified — the profile you read before trusting a
+    * column as a bucketing/partition key. */
+  private val q197: Q = (s, d) => {
+    def audit(rel: String, df: DataFrame, pairs: (String, String)*) =
+      PipelineOps.fdAudit(df, pairs)
+        .select(lit(rel).as("rel"), col("lhs"), col("rhs"),
+          col("n_groups"), col("n_violations"), col("holds"),
+          col("max_distinct"))
+    audit("part", Tables.part(s, d),
+        ("p_brand", "p_type"), ("p_name", "p_brand"))
+      .unionByName(audit("customer", Tables.customer(s, d),
+        ("c_name", "c_nationkey")))
+      .unionByName(audit("nation", Tables.nation(s, d),
+        ("n_name", "n_regionkey")))
+      .unionByName(audit("orders", Tables.orders(s, d),
+        ("o_orderpriority", "o_orderstatus")))
+      .unionByName(audit("documents", Tables.documents(s, d),
+        ("source", "lang")))
+      .orderBy("rel", "lhs", "rhs")
+  }
+
   val all: Map[String, Q] = Map(
+    "q197_fd_audit" -> q197,
     "q196_lloyd_kmeans" -> q196,
     "q195_semantic_dedup" -> q195,
     "q194_mutual_knn" -> q194,
@@ -2839,6 +2865,19 @@ object ExtQueries {
       s"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), " +
       s"(x, y) -> x + y), 0.0)"
 
+  /** One FD-candidate audit row — SQL twin of PipelineOps.fdAudit for a
+    * single (lhs → rhs) candidate (q197's oracle unions these). */
+  private def fdSql(rel: String, tbl: String, lhs: String,
+      rhs: String): String =
+    s"""SELECT '$rel' AS rel, '$lhs' AS lhs, '$rhs' AS rhs,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violations,
+       |  (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0) AS holds,
+       |  CAST(max(nd) AS BIGINT) AS max_distinct
+       |FROM (SELECT $lhs AS l, count(DISTINCT $rhs) AS nd
+       |      FROM $tbl GROUP BY 1)""".stripMargin
+
   /** Unrolled Gonzalez k-center CTE chain (c1..ck, s1..s(k-1)) over the
     * embeddings table — the SQL twin of SimSearch.kCenterCoreset —
     * closing with `cent(cid, cv)`, the seed codebook. Shared by the
@@ -2983,6 +3022,21 @@ object ExtQueries {
          |    (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2), 6)
          |    AS reduction_ratio
          |FROM nd, nc, ne, nh""".stripMargin,
+
+    "q197_fd_audit" ->
+      s"""SELECT * FROM (
+         |${fdSql("part", "part", "p_brand", "p_type")}
+         |UNION ALL
+         |${fdSql("part", "part", "p_name", "p_brand")}
+         |UNION ALL
+         |${fdSql("customer", "customer", "c_name", "c_nationkey")}
+         |UNION ALL
+         |${fdSql("nation", "nation", "n_name", "n_regionkey")}
+         |UNION ALL
+         |${fdSql("orders", "orders", "o_orderpriority", "o_orderstatus")}
+         |UNION ALL
+         |${fdSql("documents", "documents", "source", "lang")})
+         |ORDER BY rel, lhs, rhs""".stripMargin,
 
     "q195_semantic_dedup" ->
       s"""WITH ${kcenterCtes(5)},

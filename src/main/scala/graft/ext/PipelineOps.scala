@@ -511,6 +511,37 @@ object PipelineOps {
     fwd.unionByName(bwd).filter(col("confidence") >= minConf)
   }
 
+  /** Functional-dependency audit — the data-profiling primitive behind
+    * "is this column a safe partition/bucket key for that one" and
+    * "did upstream denormalization drift": for each candidate A → B,
+    * report how many A-groups exist, how many VIOLATE the dependency
+    * (more than one distinct B), and the worst fan-out. One row per
+    * candidate: (lhs, rhs, n_groups, n_violations, holds,
+    * max_distinct). NULL follows SQL semantics: a NULL lhs is its own
+    * group, NULL rhs values don't count as a distinct image (COUNT
+    * DISTINCT ignores them).
+    *
+    * Scale shape: each candidate is one (lhs)-keyed two-phase
+    * count-distinct agg collapsed to a 1-row summary — no joins, no
+    * windows, |candidates| bounded scans (Spark's scan-reuse caches the
+    * file listing; at 100 TB you'd cache/persist `df` across the
+    * candidate loop). The per-group distinct frame never leaves the
+    * executors. */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate FD")
+    pairs.map { case (lhs, rhs) =>
+      df.groupBy(col(lhs).as("__l"))
+        .agg(countDistinct(col(rhs)).as("__nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L))
+            .as("n_violations"),
+          max(col("__nd")).as("max_distinct"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_groups"), col("n_violations"),
+          (col("n_violations") === 0).as("holds"), col("max_distinct"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cross-source quantile normalization: replace each row's value with
     * the GLOBAL quantile at the row's within-group percentile — after
     * normalization every group has the same value distribution (the

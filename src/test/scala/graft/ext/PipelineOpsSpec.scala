@@ -404,6 +404,22 @@ class PipelineOpsSpec extends SparkSpec {
       Seq(("x", "y"), ("y", "x"), ("z", "x")))
   }
 
+  test("fdAudit: hand violation counts; NULL lhs is its own group, " +
+    "NULL rhs not a distinct image; union over candidates") {
+    val rows = Seq((Some("a"), Some(1)), (Some("a"), Some(1)),
+      (Some("a"), Some(2)), (Some("b"), Some(3)), (None, Some(4)),
+      (None, Some(5)), (Some("c"), None)).toDF("l", "r")
+    val out = PipelineOps.fdAudit(rows, Seq(("l", "r"), ("r", "l")))
+      .as[(String, String, Long, Long, Boolean, Long)]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    // l→r: groups a,b,NULL,c; a and NULL violate (2 images each);
+    //   c's only r is NULL → 0 images, not a violation
+    // r→l: 6 groups (1..5, NULL), every image set ≤ 1 → holds
+    assert(out == Seq(
+      ("l", "r", 4L, 2L, false, 2L),
+      ("r", "l", 6L, 0L, true, 1L)))
+  }
+
   test("quantileNormalize: shifted sources land on the SAME global " +
     "grid values; hand-checked quantiles") {
     val docs = ((1 to 5).map(v => (v.toLong, "A", v.toDouble)) ++

@@ -2319,7 +2319,10 @@ object ExtQueries {
     * baseline discipline — at 100 TB the input pair frame is the LSH
     * candidate graph, the reciprocity predicate is unchanged). The
     * hub-robust edge filter under SemDeDup-style semantic dedup. */
-  private val q194: Q = (s, d) => {
+  /** Reciprocal top-5 cosine edges over the exact all-pairs frame —
+    * shared by q194 (the edge list itself) and q198 (the graph label
+    * propagation spreads over). */
+  private def mutualKnnFrame(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val a = emb.select(col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
@@ -2331,6 +2334,8 @@ object ExtQueries {
         SimSearch.cosine(col("emb_a"), col("emb_b")).as("sim"))
     SimSearch.mutualKnnPairs(pairs, k = 5)
   }
+
+  private val q194: Q = (s, d) => mutualKnnFrame(s, d)
 
   /** k-center seed codebook as a (cid, cv) frame — q192's Gonzalez
     * selection joined back to its vectors; the deterministic coarse
@@ -2388,7 +2393,25 @@ object ExtQueries {
       .orderBy("rel", "lhs", "rhs")
   }
 
+  /** q198 — semi-supervised label propagation
+    * ([[GraphOps.labelPropagation]]): the 20 % of embeddings with
+    * vec_id % 5 = 0 seed their class label; two synchronous weighted-
+    * majority rounds spread labels over the mutual-kNN graph (q194's
+    * edges) — "hand-label 1 %, extend over the similarity structure
+    * dedup already built". Unlabeled output rows are nodes the graph
+    * never reached. */
+  private val q198: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    GraphOps.labelPropagation(
+      emb.select(col("vec_id").as("id")),
+      mutualKnnFrame(s, d),
+      emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("id"), col("label").as("seed_label")),
+      rounds = 2)
+  }
+
   val all: Map[String, Q] = Map(
+    "q198_label_propagation" -> q198,
     "q197_fd_audit" -> q197,
     "q196_lloyd_kmeans" -> q196,
     "q195_semantic_dedup" -> q195,
@@ -2877,6 +2900,46 @@ object ExtQueries {
        |  CAST(max(nd) AS BIGINT) AS max_distinct
        |FROM (SELECT $lhs AS l, count(DISTINCT $rhs) AS nd
        |      FROM $tbl GROUP BY 1)""".stripMargin
+
+  /** Mutual top-5 cosine kNN CTE chain over embeddings ending in
+    * `mutual(id_a, id_b, sim, rank_ab, rank_ba)` — SQL twin of
+    * ExtQueries.mutualKnnFrame, shared by the q194 and q198 oracles. */
+  private def mutualKnnCtes: String =
+    s"""mkd AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS sim
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.vec_id <> b.vec_id),
+       |mktop AS (
+       |  SELECT * FROM (
+       |    SELECT src, dst, sim,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY src
+       |        ORDER BY sim DESC, dst) AS INT) AS rnk
+       |    FROM mkd)
+       |  WHERE rnk <= 5),
+       |mutual AS (
+       |  SELECT f.src AS id_a, f.dst AS id_b, f.sim,
+       |    f.rnk AS rank_ab, b.rnk AS rank_ba
+       |  FROM mktop f JOIN mktop b ON b.src = f.dst AND b.dst = f.src
+       |  WHERE f.src < f.dst)""".stripMargin
+
+  /** One synchronous label-propagation round (st(r−1) → msg/best/st r)
+    * — SQL twin of one GraphOps.labelPropagation iteration against the
+    * `edges` + `base` CTEs of the q198 oracle. */
+  private def lpaRoundSql(r: Int): String =
+    s"""msg$r AS (
+       |  SELECT e.dst AS id, s.label,
+       |    SUM(CAST(e.w AS DECIMAL(28,9))) AS sc
+       |  FROM edges e JOIN st${r - 1} s ON s.id = e.src
+       |  WHERE s.label IS NOT NULL GROUP BY 1, 2),
+       |best$r AS (
+       |  SELECT id, label FROM (
+       |    SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY sc DESC, label) AS rn FROM msg$r)
+       |  WHERE rn = 1),
+       |st$r AS (
+       |  SELECT b.id, COALESCE(b.seed_label, x.label) AS label
+       |  FROM base b LEFT JOIN best$r x ON x.id = b.id)""".stripMargin
 
   /** Unrolled Gonzalez k-center CTE chain (c1..ck, s1..s(k-1)) over the
     * embeddings table — the SQL twin of SimSearch.kCenterCoreset —
@@ -5615,23 +5678,27 @@ object ExtQueries {
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     "q194_mutual_knn" ->
-      s"""WITH d AS (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst,
-         |    ${cosineSql("a.embedding", "b.embedding")} AS sim
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.vec_id <> b.vec_id),
-         |top AS (
-         |  SELECT * FROM (
-         |    SELECT src, dst, sim,
-         |      CAST(ROW_NUMBER() OVER (PARTITION BY src
-         |        ORDER BY sim DESC, dst) AS INT) AS rnk
-         |    FROM d)
-         |  WHERE rnk <= 5)
-         |SELECT f.src AS id_a, f.dst AS id_b, f.sim,
-         |  f.rnk AS rank_ab, b.rnk AS rank_ba
-         |FROM top f JOIN top b ON b.src = f.dst AND b.dst = f.src
-         |WHERE f.src < f.dst
+      s"""WITH $mutualKnnCtes
+         |SELECT id_a, id_b, sim, rank_ab, rank_ba FROM mutual
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q198_label_propagation" ->
+      s"""WITH $mutualKnnCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst, round(sim, 9) AS w
+         |  FROM mutual
+         |  UNION ALL
+         |  SELECT id_b, id_a, round(sim, 9) FROM mutual),
+         |base AS (
+         |  SELECT vec_id AS id,
+         |    CASE WHEN vec_id % 5 = 0 THEN label END AS seed_label
+         |  FROM embeddings),
+         |st0 AS (SELECT id, seed_label AS label FROM base),
+         |${lpaRoundSql(1)},
+         |${lpaRoundSql(2)}
+         |SELECT s.id, s.label, (b.seed_label IS NOT NULL) AS is_seed
+         |FROM st2 s JOIN base b ON b.id = s.id
+         |ORDER BY s.id""".stripMargin,
 
     "q35_cosine_neardup_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

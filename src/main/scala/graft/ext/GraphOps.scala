@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relational edge lists — the companion
@@ -235,6 +236,61 @@ object GraphOps {
     * counted exactly once at its order-minimal vertex. Three shuffles
     * total (degree agg, wedge self-join, closing-edge join); wedges for
     * W come from the closed-form Σ C(deg,2), not enumeration. */
+  /** Semi-supervised label propagation over a weighted undirected edge
+    * list (id_a, id_b, sim): seed nodes carry fixed labels; every
+    * round, each NON-seed node synchronously takes the weighted-
+    * majority label of its labeled neighbors (sum of edge weights per
+    * label), staying unlabeled if no neighbor is labeled. The cheap
+    * transductive classifier for "I hand-labeled 1 % of the corpus,
+    * extend over the near-dup / kNN graph" — labels ride exactly the
+    * similarity structure dedup already built, no model fit.
+    *
+    * Determinism contract: weights round to 9 dp before the per-(node,
+    * label) DECIMAL(28,9) sum (add-order free); majority ties break on
+    * min label; updates are SYNCHRONOUS (round r reads only round r−1
+    * state) — so any partitioning, and the oracle's unrolled CTE
+    * chain, reproduce the state bit-for-bit. A labeled non-seed CAN
+    * flip later as mass arrives (spec pins one) — the standard
+    * synchronous-LPA semantics, not greedy keep-first.
+    *
+    * Scale shape per round: ONE join (directed edges ⋈ labeled state
+    * on src) + one (dst, label) hash-agg with map-side partials + one
+    * |V|-row argmax window; state is |V| rows, edges shuffle on the
+    * join key. `nodes` is the output universe — isolated nodes emit
+    * null labels rather than vanishing. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"),
+        round(col("sim"), 9).as("w"))
+      .unionByName(edges.select(col("id_b").as("src"),
+        col("id_a").as("dst"), round(col("sim"), 9).as("w")))
+    val base = nodes.select(col("id"))
+      .join(seeds.select(col("id"), col("seed_label")), Seq("id"),
+        "left")
+    var state = base.select(col("id"),
+      col("seed_label").as("label"))
+    for (_ <- 1 to rounds) {
+      val msg = e.join(state.filter(col("label").isNotNull)
+          .select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(sum(col("w").cast("decimal(28,9)")).as("sc"))
+      val w2 = Window.partitionBy("id")
+        .orderBy(col("sc").desc, col("label"))
+      val best = msg.withColumn("rn", row_number().over(w2))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label").as("new_label"))
+      state = base.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("seed_label"), col("new_label")).as("label"))
+    }
+    state
+      .join(seeds.select(col("id"), lit(true).as("__s")), Seq("id"),
+        "left")
+      .select(col("id"), col("label"), col("__s").isNotNull.as("is_seed"))
+      .orderBy("id")
+  }
+
   def triangleStats(pairs: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
     val e = pairs

@@ -152,6 +152,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1.contains(4L) && !r1.contains(6L))
   }
 
+  test("labelPropagation: hand 2-round synchronous trace — previously-" +
+    "labeled nodes FLIP as mass arrives, weight tie breaks to min " +
+    "label, isolated node stays null, seeds clamp") {
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (3L, 4L, 0.7),
+      (4L, 5L, 0.7), (2L, 5L, 0.7)).toDF("id_a", "id_b", "sim")
+    val seeds = Seq((1L, 0), (4L, 1)).toDF("id", "seed_label")
+    // r1 (from seeds only): 2←{1:0·.9}→0; 3←{4:1·.7}→1; 5←{4:1·.7}→1
+    val r1 = GraphOps.labelPropagation(nodes, edges, seeds, rounds = 1)
+      .as[(Long, Option[Int], Boolean)].collect().toSeq
+    assert(r1 == Seq((1L, Some(0), true), (2L, Some(0), false),
+      (3L, Some(1), false), (4L, Some(1), true), (5L, Some(1), false),
+      (6L, None, false)))
+    // r2 reads r1 synchronously:
+    //   2: {1:0·.9, 3:1·.8, 5:1·.7} → 1 (1.5 > .9) — FLIPS 0→1
+    //   3: {2:0·.8, 4:1·.7} → 0 (.8 > .7) — FLIPS 1→0
+    //   5: {2:0·.7, 4:1·.7} → TIE → min label 0
+    val r2 = GraphOps.labelPropagation(nodes, edges, seeds, rounds = 2)
+      .as[(Long, Option[Int], Boolean)].collect().toSeq
+    assert(r2 == Seq((1L, Some(0), true), (2L, Some(1), false),
+      (3L, Some(0), false), (4L, Some(1), true), (5L, Some(0), false),
+      (6L, None, false)))
+  }
+
   test("triangleStats: K4 + star hand census; reversed/duplicate edges " +
     "canonicalize; star hub generates no wedge pivots") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)

@@ -2410,7 +2410,16 @@ object ExtQueries {
       rounds = 2)
   }
 
+  /** q199 — Heaps'-law vocabulary growth ([[TextOps.vocabGrowth]]):
+    * K·n^β fit of type-vs-token growth over the documents corpus in
+    * doc-id order — the per-batch corpus-health scalar (templated data
+    * flattens β). Cumulative walk via the range-partitioned prefix
+    * scan, regression via mergeable sufficient stats. */
+  private val q199: Q = (s, d) =>
+    TextOps.vocabGrowth(Tables.documents(s, d), "doc_id", "text")
+
   val all: Map[String, Q] = Map(
+    "q199_vocab_growth" -> q199,
     "q198_label_propagation" -> q198,
     "q197_fd_audit" -> q197,
     "q196_lloyd_kmeans" -> q196,
@@ -5681,6 +5690,49 @@ object ExtQueries {
       s"""WITH $mutualKnnCtes
          |SELECT id_a, id_b, sim, rank_ab, rank_ba FROM mutual
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q199_vocab_growth" ->
+      s"""WITH toks AS (
+         |  SELECT doc, tok FROM (
+         |    SELECT doc_id AS doc, unnest($toksSql) AS tok
+         |    FROM documents)
+         |  WHERE length(tok) > 0),
+         |pd AS (SELECT doc, count(*) AS n_toks FROM toks GROUP BY 1),
+         |fo AS (
+         |  SELECT doc, count(*) AS n_new
+         |  FROM (SELECT tok, min(doc) AS doc FROM toks GROUP BY 1)
+         |  GROUP BY 1),
+         |cum AS (
+         |  SELECT p.n_toks,
+         |    SUM(p.n_toks) OVER (ORDER BY p.doc) AS ct,
+         |    SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY p.doc) AS cv
+         |  FROM pd p LEFT JOIN fo f ON f.doc = p.doc),
+         |xy AS (
+         |  SELECT round(ln(CAST(ct AS DOUBLE)), 6) AS x,
+         |    round(ln(CAST(cv AS DOUBLE)), 6) AS y
+         |  FROM cum),
+         |s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(round(x*x, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(round(x*y, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(round(y*y, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS syy
+         |  FROM xy),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens FROM pd),
+         |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+         |  FROM toks)
+         |SELECT n_docs, total_tokens, vocab,
+         |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS beta,
+         |  round(exp((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*sx) / n),
+         |    6) AS k,
+         |  round(((n*sxy - sx*sy)*(n*sxy - sx*sy)) /
+         |        ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+         |FROM s, tot, voc""".stripMargin,
 
     "q198_label_propagation" ->
       s"""WITH $mutualKnnCtes,

@@ -1,8 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Event-stream analytics over the `events` table: ordered funnels and
   * cohort retention — the product-analytics queries a training-data
@@ -88,32 +89,58 @@ object EventOps {
     * and the output consume its partition ids, which must agree. */
   def concurrency(intervals: DataFrame, startCol: String, endCol: String)
       : DataFrame = {
-    val spark = intervals.sparkSession
     val boundaries = intervals.select(col(startCol).as("us"),
         lit(1L).as("delta"))
       .unionByName(intervals.select(col(endCol).as("us"),
         lit(-1L).as("delta")))
       .groupBy("us").agg(sum(col("delta")).as("delta"))
-    val ranged = boundaries
-      .repartitionByRange(col("us"))
+    prefixSums(boundaries, "us", Seq("delta"))
+      .select(col("us"), col("cum_delta").as("concurrent"))
+  }
+
+  /** Distributed inclusive prefix sums of one or more LONG columns over
+    * a global `orderCol` order — the reusable form of [[concurrency]]'s
+    * scan, shared with TextOps.vocabGrowth. Appends `cum_<c>` for each
+    * value column; `orderCol` values must be distinct (group first).
+    *
+    * NOT a global single-partition window (the `WindowExec: No
+    * Partition Defined` anti-pattern): range-partition on `orderCol`,
+    * window-cumsum WITHIN each partition (parallel), bridge partitions
+    * by collecting ≤ shuffle.partitions subtotal rows to the driver
+    * (the q90/q129 documented KB-scale collect) and broadcasting
+    * exclusive prefix offsets back. Two shuffles total; the ranged
+    * frame is lineage-truncated because the subtotal pass and the
+    * output must agree on partition ids. */
+  def prefixSums(df: DataFrame, orderCol: String, valCols: Seq[String])
+      : DataFrame = {
+    require(valCols.nonEmpty, "need at least one value column")
+    val spark = df.sparkSession
+    val ranged = df
+      .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = true) // pid read by subtotals AND output
     val subtotals = ranged.groupBy("__pid")
-      .agg(sum(col("delta")).as("ptot"))
+      .agg(valCols.head -> "sum", valCols.tail.map(_ -> "sum"): _*)
       .orderBy("__pid")
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val offsets = subtotals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
-      (pid, acc + t)
+      .collect()
+      .map(r => (r.getInt(0), valCols.indices.map(i => r.getLong(i + 1))))
+    val zero = valCols.map(_ => 0L).toIndexedSeq
+    val offsets = subtotals.scanLeft((0, zero)) {
+      case ((_, acc), (pid, t)) =>
+        (pid, acc.lazyZip(t).map(_ + _))
     }.init.zip(subtotals).map { case ((_, prefix), (pid, _)) =>
-      (pid, prefix)
+      Row.fromSeq(pid +: prefix)
     } // exclusive prefix: sum of all earlier partitions' subtotals
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    val inPart = Window.partitionBy("__pid").orderBy("us")
+    val offSchema = StructType(StructField("__pid", IntegerType) +:
+      valCols.map(c => StructField(s"__off_$c", LongType)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1), offSchema)
+    val inPart = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = valCols.map(c =>
+      (col(s"__off_$c") + sum(col(c)).over(inPart)).as(s"cum_$c"))
     ranged.join(broadcast(offDf), "__pid")
-      .select(col("us"),
-        (col("__off") + sum(col("delta")).over(inPart)).as("concurrent"))
+      .select(df.columns.map(col).toIndexedSeq ++ cums: _*)
   }
 
   /** First-order Markov transition matrix over per-user event sequences:

@@ -621,4 +621,62 @@ object TextOps {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(topK)
+
+  /** Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β — walk the corpus
+    * in id order accumulating (tokens seen, distinct types seen), then
+    * OLS-fit ln V on ln n. β (typically 0.4–0.6 for natural text) is
+    * the corpus-health scalar: synthetic/templated data flattens β
+    * (vocabulary saturates), boilerplate-free diverse text keeps it
+    * high — the single number you trend per ingest batch to catch a
+    * degenerate source before training on it. Returns one row:
+    * (n_docs, total_tokens, vocab, beta, k, r2).
+    *
+    * The cumulative walk does NOT sort tokens globally: a type's
+    * arrival position is just min(doc id) over its occurrences (one
+    * token-keyed agg), per-doc (token count, new-type count) frames
+    * aggregate map-side, and the two running sums ride
+    * [[EventOps.prefixSums]] — the range-partitioned scan, not a
+    * single-partition global window. The ln–ln regression consumes
+    * mergeable sufficient stats (6-dp ln rounds, 12-dp product rounds,
+    * exact decimal sums — add-order free, oracle-mirrorable). */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tks = docs.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val pd = tks.groupBy("doc").agg(count(lit(1)).as("n_toks"))
+    val fo = tks.groupBy("tok").agg(min(col("doc")).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("n_new"))
+    val perDoc = pd.join(fo, Seq("doc"), "left")
+      .select(col("doc"), col("n_toks"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val cum = EventOps.prefixSums(perDoc, "doc", Seq("n_toks", "n_new"))
+    val xy = cum.select(
+      round(log(col("cum_n_toks").cast("double")), 6).as("x"),
+      round(log(col("cum_n_new").cast("double")), 6).as("y"))
+    def p12(a: Column, b: Column) =
+      round(a * b, 12).cast("decimal(38,12)")
+    val s = xy.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast("decimal(28,6)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(28,6)")).cast("double").as("sy"),
+      sum(p12(col("x"), col("x"))).cast("double").as("sxx"),
+      sum(p12(col("x"), col("y"))).cast("double").as("sxy"),
+      sum(p12(col("y"), col("y"))).cast("double").as("syy"))
+    val tot = pd.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("total_tokens"))
+    val voc = tks.agg(countDistinct(col("tok")).as("vocab"))
+    val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    s.crossJoin(broadcast(tot)).crossJoin(broadcast(voc))
+      .select(col("n_docs"), col("total_tokens"), col("vocab"),
+        round(beta, 6).as("beta"),
+        round(exp((col("sy") - beta * col("sx")) / col("n")), 6)
+          .as("k"),
+        round(cov * cov /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+  }
 }

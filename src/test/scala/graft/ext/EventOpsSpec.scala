@@ -94,6 +94,22 @@ class EventOpsSpec extends SparkSpec {
     assert(out.last._2 == 0L) // every open interval eventually closes
   }
 
+  test("prefixSums: multi-column cumulative sums match closed forms " +
+    "across arbitrary input partitioning; input columns pass through") {
+    val df = (1L to 200L).map(i => (i, 1L, i)).toDF("ord", "a", "b")
+      .repartition(9)
+    val out = EventOps.prefixSums(df, "ord", Seq("a", "b"))
+      .orderBy("ord")
+      .select("ord", "a", "b", "cum_a", "cum_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 200)
+    out.foreach { case (i, a, b, ca, cb) =>
+      assert(a == 1L && b == i)
+      assert(ca == i)               // Σ 1
+      assert(cb == i * (i + 1) / 2) // Σ j
+    }
+  }
+
   test("transitionMatrix: hand-computed counts and conditional " +
     "probabilities; per-from probabilities sum to 1") {
     val events = Seq(

@@ -309,4 +309,24 @@ class TfIdfSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long, Double)].collect().toSeq
     assert(out == b)
   }
+
+  test("vocabGrowth: exact-power-law corpus recovers beta=0.5, K=1, " +
+    "r2=1 (to rounding); totals exact; partitioning-invariant") {
+    import spark.implicits._
+    // doc m contributes 2m−1 tokens, exactly 1 new type →
+    // cum_toks = m², cum_types = m ⇒ V(n) = n^0.5 exactly
+    val docs = Seq(
+      (1L, "t1"),
+      (2L, "t2 t1 t1"),
+      (3L, "t3 t1 t1 t1 t1")).toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
+    assert(out._1 == 3L && out._2 == 9L && out._3 == 3L)
+    assert(math.abs(out._4 - 0.5) < 1e-4, s"beta ${out._4}")
+    assert(math.abs(out._5 - 1.0) < 1e-3, s"k ${out._5}")
+    assert(out._6 > 0.9999, s"r2 ${out._6}")
+    val b = TextOps.vocabGrowth(docs.repartition(5), "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
+    assert(out == b)
+  }
 }

@@ -956,6 +956,7 @@ object ExtQueries {
     "q126_pagerank_directed", "q148_triangle_census", "q165_kcore",
     "q168_dedup_report", "q172_crosssource_flow", "q181_cluster_split",
     "q188_personalized_pagerank", "q191_blocking_quality",
+    "q200_bcubed_quality",
     // percentile-CDF scratch (sharedPriceCdf): q107 owns, q113 reads
     "q107_iqr_outliers", "q113_winsorized_mean")
 
@@ -2418,7 +2419,25 @@ object ExtQueries {
   private val q199: Q = (s, d) =>
     TextOps.vocabGrowth(Tables.documents(s, d), "doc_id", "text")
 
+  /** q200 — B³ cluster-quality audit ([[Dedup.bcubedQuality]]): the
+    * production near-dup clustering (shared scratch, q55's output)
+    * scored against exact normalized-text duplicate groups — B³
+    * precision quantifies how much the shingle-Jaccard cascade
+    * over-merges beyond exact duplication, B³ recall how much it
+    * splits true dup groups; the cluster-level complement of q191's
+    * pair-level blocking audit. Shared-scratch consumer. */
+  private val q200: Q = (s, d) => {
+    val keyed = Tables.documents(s, d).select(col("doc_id").as("id"),
+      TextOps.normalizeText(col("text")).as("__k"))
+    val gids = keyed.groupBy("__k").agg(min(col("id")).as("gid"))
+    val truth = keyed.join(gids, Seq("__k")).select(col("id"), col("gid"))
+    Dedup.bcubedQuality(
+      sharedClusters(s, d).select(col("doc_id").as("id"), col("cluster")),
+      truth)
+  }
+
   val all: Map[String, Q] = Map(
+    "q200_bcubed_quality" -> q200,
     "q199_vocab_growth" -> q199,
     "q198_label_propagation" -> q198,
     "q197_fd_audit" -> q197,
@@ -5690,6 +5709,52 @@ object ExtQueries {
       s"""WITH $mutualKnnCtes
          |SELECT id_a, id_b, sim, rank_ab, rank_ba FROM mutual
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q200_bcubed_quality" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH RECURSIVE
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |clus AS (
+         |  SELECT doc.doc_id AS id,
+         |    CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id)) AS BIGINT)
+         |      AS cluster
+         |  FROM documents doc
+         |  LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |    ON m.s = doc.doc_id),
+         |truth AS (
+         |  SELECT doc_id AS id,
+         |    min(doc_id) OVER (PARTITION BY $norm) AS gid
+         |  FROM documents),
+         |cg AS (
+         |  SELECT c.cluster, t.gid, count(*) AS n_cg
+         |  FROM clus c JOIN truth t ON t.id = c.id GROUP BY 1, 2),
+         |cs AS (SELECT cluster, SUM(n_cg) AS n_c FROM cg GROUP BY 1),
+         |gs AS (SELECT gid, SUM(n_cg) AS n_g FROM cg GROUP BY 1),
+         |agg AS (
+         |  SELECT CAST(SUM(n_cg) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CAST(round(CAST(n_cg AS DOUBLE)*n_cg/n_c, 12)
+         |      AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+         |    CAST(SUM(CAST(round(CAST(n_cg AS DOUBLE)*n_cg/n_g, 12)
+         |      AS DECIMAL(38,12))) AS DOUBLE) AS sr
+         |  FROM cg JOIN cs USING (cluster) JOIN gs USING (gid)),
+         |nc AS (SELECT CAST(count(DISTINCT cluster) AS BIGINT)
+         |  AS n_clusters FROM clus),
+         |ng AS (SELECT CAST(count(DISTINCT gid) AS BIGINT)
+         |  AS n_groups FROM truth)
+         |SELECT n_docs, n_clusters, n_groups,
+         |  round(sp/n_docs, 6) AS bcubed_precision,
+         |  round(sr/n_docs, 6) AS bcubed_recall,
+         |  round(2*(sp/n_docs)*(sr/n_docs)/((sp/n_docs)+(sr/n_docs)), 6)
+         |    AS bcubed_f1
+         |FROM agg, nc, ng""".stripMargin
+    },
 
     "q199_vocab_growth" ->
       s"""WITH toks AS (

@@ -403,6 +403,50 @@ object Dedup {
           .as("reduction_ratio"))
   }
 
+  /** B³ (B-cubed) extrinsic cluster quality of a predicted clustering
+    * against a ground-truth grouping — THE standard entity-resolution /
+    * dedup-cluster metric (Bagga & Baldwin 1998; the one the TAC-KBP
+    * evals settled on because pairwise F ignores singletons and purity
+    * rewards shattering). Per element e: precision = |C(e) ∩ G(e)| /
+    * |C(e)|, recall = |C(e) ∩ G(e)| / |G(e)|; B³P/B³R average those
+    * over ALL elements (singletons included — each scores 1.0 unless
+    * merged wrongly), F1 is their harmonic mean. Over-merging shows up
+    * in precision, over-splitting in recall — the two failure axes of
+    * a dedup cascade, separated. `pred` is (id, cluster), `truth` is
+    * (id, gid); both must cover the same ids. One row out: (n_docs,
+    * n_clusters, n_groups, bcubed_precision, bcubed_recall, bcubed_f1).
+    *
+    * The element-wise average collapses algebraically to the
+    * (cluster, gid) contingency table: every element in cell (c, g)
+    * shares precision n_cg/n_c and recall n_cg/n_g, so
+    * B³P = Σ n_cg²/n_c / N — the metric costs ONE join + one hash-agg
+    * on (cluster, gid) plus two marginal re-aggs of that bounded
+    * contingency frame, never a per-element pass. Per-cell
+    * contributions round at 12 dp into exact DECIMAL(38,12) sums
+    * (add-order free, oracle-mirrorable). */
+  def bcubedQuality(pred: DataFrame, truth: DataFrame): DataFrame = {
+    val j = pred.select(col("id"), col("cluster"))
+      .join(truth.select(col("id"), col("gid")), Seq("id"))
+    val cg = j.groupBy("cluster", "gid").agg(count(lit(1)).as("n_cg"))
+    val cs = cg.groupBy("cluster").agg(sum(col("n_cg")).as("n_c"))
+    val gs = cg.groupBy("gid").agg(sum(col("n_cg")).as("n_g"))
+    def contrib(den: Column) =
+      sum(round(col("n_cg").cast("double") * col("n_cg") / den, 12)
+        .cast("decimal(38,12)")).cast("double")
+    val agg = cg.join(cs, "cluster").join(gs, "gid")
+      .agg(sum(col("n_cg")).as("n_docs"),
+        contrib(col("n_c")).as("sp"), contrib(col("n_g")).as("sr"))
+    val nc = pred.agg(countDistinct(col("cluster")).as("n_clusters"))
+    val ng = truth.agg(countDistinct(col("gid")).as("n_groups"))
+    def p = col("sp") / col("n_docs")
+    def r = col("sr") / col("n_docs")
+    agg.crossJoin(broadcast(nc)).crossJoin(broadcast(ng))
+      .select(col("n_docs"), col("n_clusters"), col("n_groups"),
+        round(p, 6).as("bcubed_precision"),
+        round(r, 6).as("bcubed_recall"),
+        round(lit(2) * p * r / (p + r), 6).as("bcubed_f1"))
+  }
+
   /** Banded MinHash keys from a signature frame (`pid`, `mh_0..mh_{n-1}`):
     * one row per (doc, band) with the band's rolling-combined key packed
     * in a `bk` struct — shared by [[minhashBandPairs]] (self-join on `bk`)

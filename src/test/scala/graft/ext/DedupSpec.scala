@@ -385,4 +385,22 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
     assert(noTruth.head._3 == 0L && noTruth.head._5 == 1.0)
   }
+
+  test("bcubedQuality: hand contingency — over-merge hits precision, " +
+    "over-split hits recall, singletons count; perfect match scores 1") {
+    // truth groups {1,2},{3},{4,5}; predicted {1,2,3},{4},{5}
+    // B³P = (2·(2/3) + 1/3 + 1 + 1)/5 = 11/15 = 0.733333
+    // B³R = (1 + 1 + 1 + 1/2 + 1/2)/5 = 0.8 ; F1 = 0.765217
+    val pred = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
+      .toDF("id", "cluster")
+    val truth = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("id", "gid")
+    val out = Dedup.bcubedQuality(pred, truth)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
+    assert(out == ((5L, 3L, 3L, 0.733333, 0.8, 0.765217)))
+    val perfect = Dedup.bcubedQuality(
+        truth.select(col("id"), col("gid").as("cluster")), truth)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
+    assert(perfect == ((5L, 3L, 3L, 1.0, 1.0, 1.0)))
+  }
 }

@@ -2436,7 +2436,29 @@ object ExtQueries {
       truth)
   }
 
+  /** q201 — top principal component ([[SimSearch.pc1]]): 20-round
+    * deterministic power iteration over the q147 covariance matrix —
+    * loadings, dominant eigenvalue, explained-variance ratio. The
+    * distributed pass is the one-scan covariance; the d×d eigensolve
+    * is corpus-independent driver math (KB-scale-scalar pattern). */
+  private val q201: Q = (s, d) =>
+    SimSearch.pc1Frame(s,
+      SimSearch.dimCovariance(Tables.embeddings(s, d), "embedding"))
+
+  /** q202 — PC1 projection scores ([[SimSearch.project]]): every vector
+    * scored along the q201 component, shuffle-free (loadings ride as an
+    * array literal; the dot product is a sequential decimal fold inside
+    * the scan) — the whitening / diversity-ranking primitive. */
+  private val q202: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val r = SimSearch.pc1(SimSearch.dimCovariance(emb, "embedding"))
+    SimSearch.project(emb, "embedding", "vec_id", r.loadings)
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q202_pc1_scores" -> q202,
+    "q201_pca_power" -> q201,
     "q200_bcubed_quality" -> q200,
     "q199_vocab_growth" -> q199,
     "q198_label_propagation" -> q198,
@@ -3000,6 +3022,69 @@ object ExtQueries {
        |cent AS (
        |${(1 to k).map(i => s"  SELECT cid, cv FROM c$i")
           .mkString("\n  UNION ALL\n")})""".stripMargin
+  }
+
+  /** Power-iteration CTE chain — the q201/q202 oracles' replica of
+    * [[SimSearch.pc1]]: q147's covariance CTE (6-dp, -0.0-canonical),
+    * mirrored to a full matrix, index-ramp start v0 ∝ (1..d) (9 dp),
+    * then `rounds` unrolled (w := C·v decimal-sum → IEEE normalize →
+    * 9-dp re-round) steps, closing in `loadv` (0-based i, sign-flipped
+    * loading), `lam` (raw Rayleigh λ) and `tr` (trace). */
+  private def pc1Ctes(rounds: Int): String = {
+    val iter = (1 to rounds).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT m.i, CAST(SUM(CAST(m.cov * v.x AS DECIMAL(38,15)))
+         |    AS DOUBLE) AS w
+         |  FROM mat m JOIN v${r - 1} v ON m.j = v.i GROUP BY 1),
+         |n$r AS MATERIALIZED (
+         |  SELECT sqrt(CAST(SUM(CAST(w*w AS DECIMAL(38,12)))
+         |    AS DOUBLE)) AS nz FROM w$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT i, round(w / nz, 9) AS x FROM w$r, n$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       |pcpr AS (SELECT a.d AS i, b.d AS j FROM dims a
+       |       JOIN dims b ON a.d <= b.d),
+       |pccs AS MATERIALIZED (
+       |  SELECT p.i, p.j,
+       |    CAST(SUM(CAST(CAST(e.embedding[p.i] AS DOUBLE) *
+       |      CAST(e.embedding[p.j] AS DOUBLE) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(CAST(e.embedding[p.i] AS DOUBLE)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(CAST(e.embedding[p.j] AS DOUBLE)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(count(*) AS DOUBLE) AS n
+       |  FROM embeddings e CROSS JOIN pcpr p GROUP BY 1, 2),
+       |covq AS MATERIALIZED (
+       |  SELECT i - 1 AS i, j - 1 AS j,
+       |    round((sxy - sx*sy/n) / (n - 1), 6) + 0.0 AS cov
+       |  FROM pccs),
+       |mat AS MATERIALIZED (
+       |  SELECT i, j, cov FROM covq
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM covq WHERE i <> j),
+       |nn0 AS (SELECT sqrt(SUM(CAST(d*d AS DOUBLE))) AS nz FROM dims),
+       |v0 AS MATERIALIZED (
+       |  SELECT d - 1 AS i, round(d / nz, 9) AS x FROM dims, nn0),
+       |$iter,
+       |wf AS (
+       |  SELECT m.i, CAST(SUM(CAST(m.cov * v.x AS DECIMAL(38,15)))
+       |    AS DOUBLE) AS w
+       |  FROM mat m JOIN v$rounds v ON m.j = v.i GROUP BY 1),
+       |lam AS (
+       |  SELECT CAST(SUM(CAST(v.x * w.w AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS l
+       |  FROM v$rounds v JOIN wf w ON v.i = w.i),
+       |tr AS (SELECT CAST(SUM(CAST(cov AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS t FROM covq WHERE i = j),
+       |sgn AS (
+       |  SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+       |  FROM v$rounds WHERE x <> 0 ORDER BY i LIMIT 1),
+       |loadv AS (
+       |  SELECT v.i, v.x * s.s + 0.0 AS l FROM v$rounds v, sgn s)"""
+      .stripMargin
   }
 
   /** Nearest-`cent`-centroid assignment CTE body (9-dp d², min-cid tie)
@@ -5709,6 +5794,22 @@ object ExtQueries {
       s"""WITH $mutualKnnCtes
          |SELECT id_a, id_b, sim, rank_ab, rank_ba FROM mutual
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q201_pca_power" ->
+      s"""WITH ${pc1Ctes(20)}
+         |SELECT lv.i AS dim, lv.l AS loading,
+         |  round(lam.l, 6) AS lambda1,
+         |  round(lam.l / tr.t, 6) AS explained
+         |FROM loadv lv, lam, tr ORDER BY 1""".stripMargin,
+
+    "q202_pc1_scores" ->
+      s"""WITH ${pc1Ctes(20)}
+         |SELECT e.vec_id,
+         |  round(CAST(SUM(CAST(CAST(e.embedding[lv.i + 1] AS DOUBLE)
+         |    * lv.l * 1000000000000 AS DECIMAL(38,0))) AS DOUBLE)
+         |    / 1000000000000.0, 6) AS pc1
+         |FROM embeddings e CROSS JOIN loadv lv
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q200_bcubed_quality" -> {
       val norm = "trim(regexp_replace(regexp_replace(lower(text), " +

@@ -601,4 +601,127 @@ object SimSearch {
     picked.map(_.select(col("sel"), col("cid"), col("d2sel")))
       .reduce(_.unionAll(_))
   }
+
+  /** Result of [[pc1]]: 0-based per-dimension loadings of the dominant
+    * eigenvector (sign-canonicalized: first nonzero loading positive),
+    * the unrounded Rayleigh eigenvalue estimate, and the unrounded
+    * covariance trace (total variance). */
+  final case class Pc1(loadings: Array[Double], lambda: Double,
+      trace: Double)
+
+  private def dec12(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Exact-decimal sum of `scale`-dp-rounded terms, back to double —
+    * the driver-side twin of `CAST(SUM(CAST(t AS DECIMAL(38,scale)))
+    * AS DOUBLE)`, add-order free.
+    *
+    * Scale choice is a CORRECTNESS decision, not precision vanity: a
+    * product of two short decimals (6-dp cov × 9-dp iterate) is an
+    * EXACT 15-dp decimal, so rounding it at 12 dp lands exactly on
+    * .5 ties — where BigDecimal's shortest-repr rounding and DuckDB's
+    * scaled-float cast disagree. At scale 15 no rounding occurs and
+    * both agree bit-for-bit; 12 dp is safe only for arbitrary-double
+    * terms whose decimal tails make ties measure-zero. */
+  private def sumDec(ts: Iterator[Double], scale: Int): Double =
+    ts.foldLeft(java.math.BigDecimal.ZERO)((a, t) =>
+      a.add(java.math.BigDecimal.valueOf(t)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)))
+      .doubleValue()
+
+  private def sumDec12(ts: Iterator[Double]): Double = sumDec(ts, 12)
+
+  /** Dominant eigenpair of the [[dimCovariance]] matrix via `rounds`
+    * deterministic power-iteration steps — the top principal component,
+    * feeding whitening / drift monitoring / diversity scoring of an
+    * embedding corpus.
+    *
+    * Scale shape: the expensive pass (covariance) is the distributed
+    * one-scan [[dimCovariance]]; its d×d output is CORPUS-INDEPENDENT
+    * (KB for d=64), so collecting it and eigensolving on the driver is
+    * the documented KB-scale-scalar pattern, not a driver bottleneck —
+    * the corpus itself never leaves the executors.
+    *
+    * Determinism contract (mirrored verbatim by the DuckDB oracle):
+    * start v0 ∝ (1,2,…,d) (a uniform start can be ⊥ the dominant
+    * eigenvector for sign-alternating structure; an index ramp has a
+    * nonzero overlap for any non-pathological matrix), each step
+    * w = C·v with per-product 12-dp HALF_UP rounding into an exact
+    * decimal sum (add-order free), normalize in IEEE double, re-round
+    * the iterate to 9 dp. At 9-dp granularity the iterate reaches a
+    * fixed point once converged, so `rounds` beyond convergence is
+    * idempotent. λ is the Rayleigh quotient vᵀ(Cv) under the same
+    * rounding; v is sign-flipped so its first nonzero entry is
+    * positive (+0.0 canonicalizes any -0.0 produced by the flip). */
+  def pc1(cov: DataFrame, rounds: Int = 20): Pc1 = {
+    val rows = cov.select(col("i").cast("int"), col("j").cast("int"),
+      col("cov").cast("double")).collect()
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    val c = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    val n0 = math.sqrt((1 to d).map(k => k.toDouble * k).sum)
+    var v = Array.tabulate(d)(i => round9((i + 1) / n0))
+    var w = new Array[Double](d)
+    for (_ <- 1 to rounds) {
+      w = Array.tabulate(d)(i =>
+        sumDec(Iterator.range(0, d).map(j => c(i)(j) * v(j)), 15))
+      val nrm = math.sqrt(sumDec12(w.iterator.map(x => x * x)))
+      v = w.map(x => round9(x / nrm))
+    }
+    val wf = Array.tabulate(d)(i =>
+      sumDec(Iterator.range(0, d).map(j => c(i)(j) * v(j)), 15))
+    val lambda = sumDec12(Iterator.range(0, d).map(i => v(i) * wf(i)))
+    val trace = sumDec12(Iterator.range(0, d).map(i => c(i)(i)))
+    val s = v.find(_ != 0.0).map(x => if (x < 0) -1.0 else 1.0)
+      .getOrElse(1.0)
+    Pc1(v.map(x => x * s + 0.0), lambda, trace)
+  }
+
+  /** [[pc1]] as a frame: (dim, loading, lambda1, explained) — one row
+    * per dimension, eigenvalue and explained-variance ratio repeated
+    * (6 dp). */
+  def pc1Frame(spark: org.apache.spark.sql.SparkSession, cov: DataFrame,
+      rounds: Int = 20): DataFrame = {
+    import spark.implicits._
+    val r = pc1(cov, rounds)
+    val lam = round6(r.lambda)
+    val exp = round6(r.lambda / r.trace)
+    r.loadings.zipWithIndex
+      .map { case (l, i) => (i.toLong, l, lam, exp) }.toSeq
+      .toDF("dim", "loading", "lambda1", "explained")
+  }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Per-vector projection onto a driver-known direction (e.g. the
+    * [[pc1]] loadings): each product is HALF_UP-rounded to 12-dp
+    * "micros" (×10¹² through a DECIMAL(38,0) cast — the same rounding
+    * DuckDB's cast performs), summed EXACTLY as a long fold, then
+    * rescaled — add-order free without decimal-precision drift (a pure
+    * DECIMAL(38,12) fold is impossible in Spark: (38,12)+(38,12)
+    * widens to (38,11), silently rounding each step). Long micros are
+    * exact while Σ|xᵢ·loadᵢ| < 9·10³ — comfortably true for unit-norm
+    * loadings over O(1)-scaled embeddings. SHUFFLE-FREE: the loadings
+    * ride along as an array literal and the dot product is a
+    * sequential `aggregate` fold inside the scan — no explode, no
+    * join, no exchange; at 100 TB this is a pure map over the corpus. */
+  def project(emb: DataFrame, vecCol: String, idCol: String,
+      loadings: Array[Double], outCol: String = "pc1"): DataFrame = {
+    val micros = zip_with(col(vecCol), lit(loadings),
+      (x, l) => (x.cast("double") * l * lit(1e12))
+        .cast("decimal(38,0)").cast("long"))
+    emb.select(col(idCol),
+      round(aggregate(micros, lit(0L), (acc, y) => acc + y)
+        .cast("double") / lit(1e12), 6).as(outCol))
+  }
 }

@@ -371,4 +371,60 @@ class SimSearchSpec extends SparkSpec {
       .orderBy("sel").as[(Int, Long, Double)].collect().toSeq
     assert(a == b)
   }
+
+  test("pc1: known 2×2 covariance → analytic eigenpair") {
+    // C = [[2,1],[1,2]]: eigenpairs λ=3 at (1,1)/√2, λ=1 at (-1,1)/√2
+    val cov = Seq((0L, 0L, 2.0), (0L, 1L, 1.0), (1L, 1L, 2.0))
+      .toDF("i", "j", "cov")
+    val r = SimSearch.pc1(cov)
+    val s = 0.707106781 // round9(1/√2)
+    assert(math.abs(r.loadings(0) - s) < 1e-8)
+    assert(math.abs(r.loadings(1) - s) < 1e-8)
+    assert(math.abs(r.lambda - 3.0) < 1e-6)
+    assert(math.abs(r.lambda / r.trace - 0.75) < 1e-6)
+  }
+
+  test("pc1: sign canonicalization — first nonzero loading positive") {
+    // C = [[2,-1],[-1,2]]: dominant (1,-1)/√2 at λ=3; the index-ramp
+    // start overlaps it NEGATIVELY, so raw iteration converges to the
+    // flipped vector — the sign rule must restore loading(0) > 0. (A
+    // uniform all-ones start would be ⊥ the dominant eigenvector here
+    // and converge to the WRONG eigenpair — the reason pc1 seeds with
+    // the (1..d) ramp.)
+    val cov = Seq((0L, 0L, 2.0), (0L, 1L, -1.0), (1L, 1L, 2.0))
+      .toDF("i", "j", "cov")
+    val r = SimSearch.pc1(cov)
+    val s = 0.707106781
+    assert(math.abs(r.loadings(0) - s) < 1e-8)
+    assert(math.abs(r.loadings(1) + s) < 1e-8)
+    assert(math.abs(r.lambda - 3.0) < 1e-6)
+  }
+
+  test("pc1Frame deterministic under repartition; unit-norm loadings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cov = SimSearch.dimCovariance(emb, "embedding").cache()
+    val a = SimSearch.pc1Frame(spark, cov)
+      .orderBy("dim").collect().toSeq
+    val b = SimSearch.pc1Frame(spark, cov.repartition(5))
+      .orderBy("dim").collect().toSeq
+    assert(a == b)
+    val n2 = a.map(_.getDouble(1)).map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-6)
+    // explained-variance ratio of ONE component is in (0, 1]
+    val ex = a.head.getDouble(3)
+    assert(ex > 0.0 && ex <= 1.0)
+  }
+
+  test("project: hand-computed dot products, shuffle-free plan") {
+    val df = Seq((1L, Array(2f, 4f)), (2L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = SimSearch.project(df, "embedding", "vec_id",
+        Array(0.5, -0.25))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0) // 0.5·2 − 0.25·4
+    assert(out(2L) == 0.25)
+    val plan = SimSearch.project(df, "embedding", "vec_id",
+      Array(0.5, -0.25)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

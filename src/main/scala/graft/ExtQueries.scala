@@ -2456,7 +2456,26 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** q203 — Pareto-skyline customer frontier ([[Pareto.skyline]]):
+    * undominated (spend, order count, recency) profiles via the
+    * grid-pruned two-phase skyline — cell-level dominance (sound for
+    * any grid) discards the interior, exact pairwise dominance runs
+    * only over the frontier shell. Oracle is the naive NOT EXISTS
+    * all-pairs — the engine must match it exactly. */
+  private val q203: Q = (s, d) => {
+    val prof = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("spend"),
+        count(lit(1)).as("n_orders"),
+        max(col("o_orderdate")).as("last_order"))
+      .select(col("o_custkey").as("custkey"), col("spend"),
+        col("n_orders"), col("last_order"))
+    Pareto.skyline(prof, Seq("custkey"),
+      Seq("spend", "n_orders", "last_order")).orderBy("custkey")
+  }
+
   val all: Map[String, Q] = Map(
+    "q203_pareto_skyline" -> q203,
     "q202_pc1_scores" -> q202,
     "q201_pca_power" -> q201,
     "q200_bcubed_quality" -> q200,
@@ -5794,6 +5813,23 @@ object ExtQueries {
       s"""WITH $mutualKnnCtes
          |SELECT id_a, id_b, sim, rank_ab, rank_ba FROM mutual
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q203_pareto_skyline" ->
+      """WITH prof AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS spend,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    max(o_orderdate) AS last_order
+        |  FROM orders GROUP BY 1)
+        |SELECT custkey, spend, n_orders, last_order FROM prof p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM prof q
+        |  WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+        |    AND q.last_order >= p.last_order
+        |    AND (q.spend > p.spend OR q.n_orders > p.n_orders
+        |         OR q.last_order > p.last_order))
+        |ORDER BY custkey""".stripMargin,
 
     "q201_pca_power" ->
       s"""WITH ${pc1Ctes(20)}

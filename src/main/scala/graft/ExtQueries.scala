@@ -2474,7 +2474,20 @@ object ExtQueries {
       Seq("spend", "n_orders", "last_order")).orderBy("custkey")
   }
 
+  /** q204 — local clustering coefficients
+    * ([[GraphOps.localClustering]]) of the q194 mutual-kNN graph:
+    * per-node degree / triangle count / lcc, separating tight
+    * semantic cliques (lcc → 1) from hub-through-traffic. Same
+    * arboricity-bounded enumeration as q148's global census; oracle
+    * re-derives the triangle set by naive x<y<z edge joins (the
+    * orientation changes the enumeration order, never the set). */
+  private val q204: Q = (s, d) =>
+    GraphOps.localClustering(
+      Tables.embeddings(s, d).select(col("vec_id").as("id")), "id",
+      mutualKnnFrame(s, d), "id_a", "id_b")
+
   val all: Map[String, Q] = Map(
+    "q204_local_clustering" -> q204,
     "q203_pareto_skyline" -> q203,
     "q202_pc1_scores" -> q202,
     "q201_pca_power" -> q201,
@@ -5813,6 +5826,33 @@ object ExtQueries {
       s"""WITH $mutualKnnCtes
          |SELECT id_a, id_b, sim, rank_ab, rank_ba FROM mutual
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q204_local_clustering" ->
+      s"""WITH $mutualKnnCtes,
+         |ed AS (SELECT id_a AS a, id_b AS b FROM mutual),
+         |trir AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |degf AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM ed UNION ALL SELECT b FROM ed)
+         |  GROUP BY 1),
+         |tcnt AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS tri FROM (
+         |    SELECT x AS id FROM trir UNION ALL SELECT y FROM trir
+         |    UNION ALL SELECT z FROM trir)
+         |  GROUP BY 1)
+         |SELECT e.vec_id AS id,
+         |  COALESCE(d.deg, 0) AS degree,
+         |  COALESCE(t.tri, 0) AS triangles,
+         |  round(CASE WHEN COALESCE(d.deg, 0) >= 2
+         |    THEN 2.0 * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1))
+         |    ELSE 0.0 END, 6) AS lcc
+         |FROM embeddings e
+         |LEFT JOIN degf d ON d.id = e.vec_id
+         |LEFT JOIN tcnt t ON t.id = e.vec_id
+         |ORDER BY 1""".stripMargin,
 
     "q203_pareto_skyline" ->
       """WITH prof AS (

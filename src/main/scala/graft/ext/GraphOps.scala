@@ -291,8 +291,15 @@ object GraphOps {
       .orderBy("id")
   }
 
-  def triangleStats(pairs: DataFrame, aCol: String, bCol: String)
-      : DataFrame = {
+  /** Canonical simple edges (a < b, deduped, no loops) + the
+    * degree-ordered triangle enumeration both census flavors share.
+    * Returns (e, deg, triRows) where triRows is ONE row (s, a, b) per
+    * distinct triangle: the wedge pivots at the triangle's min-(deg,id)
+    * vertex, so wedge work is bounded by arboricity (hubs never pivot),
+    * and the closure check is an equi-join on the canonical edge — no
+    * nested loop anywhere. */
+  private def triangleFrames(pairs: DataFrame, aCol: String,
+      bCol: String): (DataFrame, DataFrame, DataFrame) = {
     val e = pairs
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
@@ -317,10 +324,17 @@ object GraphOps {
           (col("e1.dd") < col("e2.dd") ||
             (col("e1.dd") === col("e2.dd") &&
               col("e1.dst") < col("e2.dst"))))
-      .select(least(col("e1.dst"), col("e2.dst")).as("a"),
+      .select(col("e1.src").as("s"),
+        least(col("e1.dst"), col("e2.dst")).as("a"),
         greatest(col("e1.dst"), col("e2.dst")).as("b"))
-    val tri = wedges.join(e, Seq("a", "b"), "leftsemi")
-      .agg(count(lit(1)).as("t"))
+    val triRows = wedges.join(e, Seq("a", "b"), "leftsemi")
+    (e, deg, triRows)
+  }
+
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val (e, deg, triRows) = triangleFrames(pairs, aCol, bCol)
+    val tri = triRows.agg(count(lit(1)).as("t"))
     val totals = deg.agg(
       sum(shiftright(col("d") * (col("d") - 1), 1)).as("w"))
     e.agg(count(lit(1)).as("n_edges"))
@@ -330,5 +344,36 @@ object GraphOps {
         round(when(col("w") > 0,
           lit(3.0) * col("t") / col("w")).otherwise(0.0), 6)
           .as("clustering"))
+  }
+
+  /** Per-node triangle participation and local clustering coefficient
+    * — the node-level refinement of [[triangleStats]]' global census:
+    * lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0 below degree 2. In a
+    * similarity graph this separates tight near-dup cliques (lcc → 1)
+    * from hub-through-traffic (high degree, low lcc) — the signal a
+    * dedup cascade uses to trust or distrust a neighborhood.
+    *
+    * Same triangle enumeration as the census (min-(deg,id) pivot, so
+    * counting stays arboricity-bounded under skew); each triangle row
+    * then fans out to its 3 vertices for ONE hash-agg — never a
+    * per-vertex neighborhood intersection. `nodes` passes through so
+    * isolated vertices report (0, 0, 0.0) instead of vanishing. */
+  def localClustering(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val (_, deg, triRows) = triangleFrames(pairs, aCol, bCol)
+    val tri = triRows
+      .select(explode(array(col("s"), col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    nodes.select(col(idCol).as("id"))
+      .join(deg.select(col("v").as("id"), col("d")), Seq("id"), "left")
+      .join(tri.select(col("v").as("id"), col("t")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("d"), lit(0L)).as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        round(when(coalesce(col("d"), lit(0L)) >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)), 6).as("lcc"))
+      .orderBy("id")
   }
 }

@@ -187,4 +187,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == ((9L, 15L, 4L, BigDecimal(12.0 / 15)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
+
+  test("localClustering: hand-computed lcc; isolated node reports 0s") {
+    // triangle {1,2,3} plus pendant 3–4; node 5 isolated
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val out = GraphOps.localClustering(nodes, "id", edges, "id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 1.0),       // both neighbors connected
+      (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333),  // 2·1/(3·2)
+      (4L, 1L, 0L, 0.0),       // degree < 2
+      (5L, 0L, 0L, 0.0)))      // isolated, passes through
+  }
+
+  test("localClustering: K4 — every node lcc 1; sums match census ×3") {
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("id_a", "id_b")
+    val nodes = (1L to 4L).toDF("id")
+    val out = GraphOps.localClustering(nodes, "id", k4, "id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.forall { case (_, d, t, c) => d == 3 && t == 3 && c == 1.0 })
+    // Σ per-node triangles = 3 × global count (each triangle has 3 corners)
+    val global = GraphOps.triangleStats(k4, "id_a", "id_b")
+      .select("n_triangles").as[Long].head()
+    assert(out.map(_._3).sum == 3 * global)
+  }
 }

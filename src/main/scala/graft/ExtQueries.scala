@@ -2486,7 +2486,16 @@ object ExtQueries {
       Tables.embeddings(s, d).select(col("vec_id").as("id")), "id",
       mutualKnnFrame(s, d), "id_a", "id_b")
 
+  /** q205 — PSI score drift ([[EventOps.psiDrift]]): per-event-type
+    * Population Stability Index of `value` between the first and
+    * second half of the span, binned by the reference half's exact
+    * decile edges — the model-monitoring "has this distribution
+    * moved" scalar (<0.1 stable, >0.25 shifted). */
+  private val q205: Q = (s, d) =>
+    EventOps.psiDrift(Tables.events(s, d), "event_type", "ts", "value")
+
   val all: Map[String, Q] = Map(
+    "q205_psi_drift" -> q205,
     "q204_local_clustering" -> q204,
     "q203_pareto_skyline" -> q203,
     "q202_pc1_scores" -> q202,
@@ -5826,6 +5835,55 @@ object ExtQueries {
       s"""WITH $mutualKnnCtes
          |SELECT id_a, id_b, sim, rank_ab, rank_ba FROM mutual
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q205_psi_drift" -> {
+      val binCase = (1 to 9).map(k =>
+        s"CASE WHEN t.v > e.qs[$k] THEN 1 ELSE 0 END")
+        .mkString("(", "\n        |     + ", ") AS b")
+      s"""WITH sp AS (
+        |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS mn,
+        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
+        |  FROM events),
+        |tag AS (
+        |  SELECT event_type AS key, CAST(value AS DOUBLE) AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) < (sp.mn + sp.mx) // 2
+        |      AS is_ref
+        |  FROM events, sp WHERE value IS NOT NULL),
+        |ed AS (
+        |  SELECT key, quantile_cont(v,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |  FROM tag WHERE is_ref GROUP BY 1),
+        |bi AS (
+        |  SELECT t.key, t.is_ref,
+        |    $binCase
+        |  FROM tag t JOIN ed e USING (key)),
+        |ct AS (
+        |  SELECT key, b,
+        |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+        |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+        |  FROM bi GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT e.key, gs.b FROM ed e CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 9)) AS b) gs),
+        |fl AS (
+        |  SELECT g.key, g.b, COALESCE(ct.nr, 0) AS nr,
+        |    COALESCE(ct.nc, 0) AS nc
+        |  FROM grid g LEFT JOIN ct USING (key, b)),
+        |tot AS (
+        |  SELECT key, SUM(nr) AS tnr, SUM(nc) AS tnc
+        |  FROM fl GROUP BY 1),
+        |tm AS (
+        |  SELECT f.key, t.tnr, t.tnc,
+        |    (f.nr + 0.5) / (t.tnr + 5.0) AS p,
+        |    (f.nc + 0.5) / (t.tnc + 5.0) AS q
+        |  FROM fl f JOIN tot t USING (key))
+        |SELECT key AS event_type,
+        |  CAST(max(tnr) AS BIGINT) AS n_ref,
+        |  CAST(max(tnc) AS BIGINT) AS n_cur,
+        |  round(CAST(SUM(CAST(round((p - q) * ln(p / q), 12)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+        |FROM tm GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q204_local_clustering" ->
       s"""WITH $mutualKnnCtes,

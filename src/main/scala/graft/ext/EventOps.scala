@@ -424,4 +424,65 @@ object EventOps {
         col("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Population Stability Index per key between the first and second
+    * half of the observed time span — the model-monitoring standard
+    * for "has this score's distribution moved": bin the CURRENT window
+    * by the REFERENCE window's decile edges, then
+    * PSI = Σ_b (p_b − q_b)·ln(p_b / q_b). Rule of thumb: <0.1 stable,
+    * 0.1–0.25 drifting, >0.25 shifted. The numeric-score complement of
+    * [[graft.ext.TextOps.sourceDrift]]'s token-KL and [[cusumDrift]]'s
+    * mean-shift detector.
+    *
+    * Scale shape: one global min/max row fixes the split point
+    * ((mn+mx)/2 in long micros — exact in double while mn+mx < 2⁵³,
+    * true for any epoch); reference decile edges come from the
+    * memory-bounded [[graft.engine.Aggregates.exactPercentiles]]
+    * (count-agg + rank window over DISTINCT values, never a buffered
+    * group); edges broadcast back so binning is map-side; then one
+    * (key, bin) hash-agg and a |keys|·bins-row finish. Laplace-style
+    * smoothing (+0.5 per bin) keeps empty bins finite and is mirrored
+    * by the oracle. 12-dp term round before the exact decimal sum
+    * makes the result add-order free; keys absent from the reference
+    * window have no edges and are dropped (PSI needs a reference). */
+  def psiDrift(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, bins: Int = 10): DataFrame = {
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val span = events.agg(min(us).as("__mn"), max(us).as("__mx"))
+    val tagged = events
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), col(valCol).cast("double").as("v"),
+        us.as("__us"))
+      .crossJoin(broadcast(span))
+      .withColumn("is_ref",
+        col("__us") < ((col("__mn") + col("__mx")) / 2).cast("long"))
+      .select("key", "v", "is_ref")
+    val edges = graft.engine.Aggregates.exactPercentiles(
+      tagged.filter(col("is_ref")), "key", "v",
+      (1 until bins).map(_ / bins.toDouble))
+    val binExpr = (0 until bins - 1)
+      .map(k => when(col("v") > col(s"p$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    val counts = tagged.join(broadcast(edges), Seq("key"))
+      .withColumn("b", binExpr)
+      .groupBy("key", "b")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+    val grid = edges.select(col("key"),
+      explode(sequence(lit(0), lit(bins - 1))).as("b"))
+    val full = grid.join(counts, Seq("key", "b"), "left")
+      .na.fill(0L, Seq("nr", "nc"))
+    val tot = full.groupBy("key")
+      .agg(sum("nr").as("tnr"), sum("nc").as("tnc"))
+    val sm = lit(0.5) * bins
+    full.join(tot, Seq("key"))
+      .withColumn("p", (col("nr") + 0.5) / (col("tnr") + sm))
+      .withColumn("q", (col("nc") + 0.5) / (col("tnc") + sm))
+      .withColumn("t", round((col("p") - col("q")) *
+        log(col("p") / col("q")), 12).cast("decimal(38,12)"))
+      .groupBy(col("key").as(keyCol))
+      .agg(max(col("tnr")).as("n_ref"), max(col("tnc")).as("n_cur"),
+        round(sum(col("t")).cast("double"), 6).as("psi"))
+      .orderBy(keyCol)
+  }
 }

@@ -301,4 +301,34 @@ class EventOpsSpec extends SparkSpec {
     val plan = hist.queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
+
+  test("psiDrift: identical halves → psi exactly 0; shifted half → " +
+      "large psi; null values excluded; deterministic") {
+    // seconds 0..9 land in the reference half (mid = 9.5 s), 10..19 in
+    // the current half; both halves carry values 1..10 → every bin has
+    // p == q → each term is exactly 0
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    def mk(rows: Seq[(String, Int, Option[Double])]) =
+      rows.toDF("k", "s", "v")
+        .select(col("k"), timestamp_seconds(col("s")).as("ts"),
+          col("v").as("value"))
+    val same = mk(
+      (0 until 10).map(i => ("a", i, Some(i + 1.0))) ++
+        (0 until 10).map(i => ("a", i + 10, Some(i + 1.0))))
+    val r1 = EventOps.psiDrift(same, "k", "ts", "value")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r1 == Seq(("a", 10L, 10L, 0.0)))
+    // current window shifted +100 → everything piles into the top bin
+    val shifted = mk(
+      (0 until 10).map(i => ("a", i, Some(i + 1.0))) ++
+        (0 until 10).map(i => ("a", i + 10, Some(i + 101.0))) :+
+        ("a", 15, (None: Option[Double]))) // null: excluded, not bin 0
+    val r2 = EventOps.psiDrift(shifted, "k", "ts", "value")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r2.head._2 == 10L && r2.head._3 == 10L) // null dropped
+    assert(r2.head._4 > 0.25, r2.toString) // "shifted" per rule of thumb
+    val r3 = EventOps.psiDrift(shifted.repartition(7), "k", "ts", "value")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r2 == r3)
+  }
 }

@@ -2494,7 +2494,18 @@ object ExtQueries {
   private val q205: Q = (s, d) =>
     EventOps.psiDrift(Tables.events(s, d), "event_type", "ts", "value")
 
+  /** q206 — Cohen's κ labeler agreement ([[Aggregates.cohenKappa]]):
+    * chance-corrected agreement between the q28 langid heuristic and
+    * the gold lang column — "is the cheap classifier predicting the
+    * label or just matching base rates". One confusion-count agg;
+    * everything else re-aggregates the |classes|² frame in exact
+    * longs. */
+  private val q206: Q = (s, d) =>
+    cohenKappa(TextOps.withLangId(Tables.documents(s, d), "text",
+      "doc_id", keep = Seq("lang")), "lang", "lang_pred")
+
   val all: Map[String, Q] = Map(
+    "q206_cohen_kappa" -> q206,
     "q205_psi_drift" -> q205,
     "q204_local_clustering" -> q204,
     "q203_pareto_skyline" -> q203,
@@ -5835,6 +5846,31 @@ object ExtQueries {
       s"""WITH $mutualKnnCtes
          |SELECT id_a, id_b, sim, rank_ab, rank_ba FROM mutual
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q206_cohen_kappa" ->
+      s"""WITH conf AS (
+         |  SELECT lang AS a, $langCase AS b, count(*) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |tot AS (SELECT SUM(n) AS nn FROM conf),
+         |agr AS (
+         |  SELECT COALESCE(SUM(CASE WHEN a = b THEN n END), 0) AS ag
+         |  FROM conf),
+         |rm AS (SELECT a AS c, SUM(n) AS r FROM conf GROUP BY 1),
+         |cm AS (SELECT b AS c, SUM(n) AS m FROM conf GROUP BY 1),
+         |cr AS (SELECT COALESCE(SUM(rm.r * cm.m), 0) AS x
+         |       FROM rm JOIN cm USING (c))
+         |SELECT CAST(t.nn AS BIGINT) AS n,
+         |  round(CAST(a2.ag AS DOUBLE) / t.nn, 6) AS po,
+         |  round(CAST(c2.x AS DOUBLE)
+         |    / (CAST(t.nn AS DOUBLE) * t.nn), 6) AS pe,
+         |  CASE WHEN 1.0 - CAST(c2.x AS DOUBLE)
+         |      / (CAST(t.nn AS DOUBLE) * t.nn) <> 0.0
+         |    THEN round((CAST(a2.ag AS DOUBLE) / t.nn
+         |        - CAST(c2.x AS DOUBLE) / (CAST(t.nn AS DOUBLE) * t.nn))
+         |      / (1.0 - CAST(c2.x AS DOUBLE)
+         |          / (CAST(t.nn AS DOUBLE) * t.nn)), 6)
+         |  END AS kappa
+         |FROM tot t, agr a2, cr c2""".stripMargin,
 
     "q205_psi_drift" -> {
       val binCase = (1 to 9).map(k =>

@@ -747,4 +747,45 @@ object Aggregates {
         sum(when(v < col("lo") || v > col("hi"), 1).otherwise(0))
           .as("n_outliers"))
   }
+
+  /** Cohen's κ between two categorical columns — chance-corrected
+    * agreement: κ = (p_o − p_e)/(1 − p_e) with p_o the observed
+    * agreement rate and p_e the agreement expected from the marginals
+    * alone. The audit behind "is this cheap heuristic actually
+    * predicting the gold label, or just matching the base rates" — the
+    * companion to [[chiSquare]] (association) when the two columns
+    * share a label space. Returns one row (n, po, pe, kappa); κ is
+    * NULL when p_e = 1 (single-class degenerate — undefined by
+    * convention, pinned in the spec).
+    *
+    * Scale shape: ONE (a, b) count agg over the data (map-side
+    * combined); agreement, marginals and the cross-product all
+    * re-aggregate the |classes|² confusion frame. Every sum is an
+    * exact long (counts and count products), so p_o/p_e/κ are single
+    * IEEE divisions of exact integers — deterministic under any
+    * partitioning with no decimal machinery needed. Rows where either
+    * column is NULL count toward n but never toward agreement or the
+    * joined marginals (SQL null semantics, mirrored by the oracle). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val conf = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // read by 4 tiny re-aggs
+    val tot = conf.agg(sum("n").as("nn"))
+    val agree = conf.filter(col("a") === col("b"))
+      .agg(coalesce(sum("n"), lit(0L)).as("ag"))
+    val rm = conf.groupBy(col("a").as("c")).agg(sum("n").as("r"))
+    val cm = conf.groupBy(col("b").as("c")).agg(sum("n").as("m"))
+    val cross = rm.join(cm, "c")
+      .agg(coalesce(sum(col("r") * col("m")), lit(0L)).as("x"))
+    val po = col("ag").cast("double") / col("nn")
+    val pe = col("x").cast("double") /
+      (col("nn").cast("double") * col("nn"))
+    tot.crossJoin(broadcast(agree)).crossJoin(broadcast(cross))
+      .select(col("nn").as("n"),
+        round(po, 6).as("po"),
+        round(pe, 6).as("pe"),
+        when(lit(1.0) - pe =!= 0.0,
+          round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
 }

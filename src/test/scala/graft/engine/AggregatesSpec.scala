@@ -407,4 +407,30 @@ class AggregatesSpec extends SparkSpec {
       mean
     assert(widthBig < widthSmall * 0.6, s"$widthBig vs $widthSmall")
   }
+
+  test("cohenKappa: textbook 2×2 → κ=0.4; perfect → 1; " +
+      "single-class degenerate → NULL; nulls excluded from agreement") {
+    // 7 yes-yes, 3 yes-no, 3 no-yes, 7 no-no: po=0.7, pe=0.5, κ=0.4
+    val rows =
+      Seq.fill(7)(("y", "y")) ++ Seq.fill(3)(("y", "n")) ++
+        Seq.fill(3)(("n", "y")) ++ Seq.fill(7)(("n", "n"))
+    val out = Aggregates.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(out == ((20L, 0.7, 0.5, Some(0.4))))
+    val perfect = Aggregates.cohenKappa(
+      Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(perfect == ((3L, 1.0, 0.333333, Some(1.0))))
+    // both raters always say "x": pe = 1 → κ undefined → NULL
+    val degen = Aggregates.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(degen == ((2L, 1.0, 1.0, None)))
+    // a null on either side counts toward n but never agrees
+    val withNull = Aggregates.cohenKappa(
+      (rows.map { case (a, b) => (Option(a), Option(b)) } :+
+        ((None: Option[String]), Some("y"))).toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(withNull._1 == 21L && withNull._2 < 0.7)
+  }
 }

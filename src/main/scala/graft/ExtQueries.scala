@@ -2504,7 +2504,45 @@ object ExtQueries {
     cohenKappa(TextOps.withLangId(Tables.documents(s, d), "text",
       "doc_id", keep = Seq("lang")), "lang", "lang_pred")
 
+  /** q207 — deterministic contrastive negatives
+    * ([[PipelineOps.negativeSample]]): 4 cross-label negatives per
+    * embedding, drawn from the anchor's scrambled-hash bucket and
+    * ranked by a pair hash — RNG-free triplet building; one
+    * co-partitioned bucket join, never anchor × corpus. */
+  private val q207: Q = (s, d) =>
+    PipelineOps.negativeSample(Tables.embeddings(s, d), "vec_id",
+      "label", k = 4, buckets = 8)
+
+  /** q208 — order-invariant table digest
+    * ([[graft.engine.Expectations.tableDigest]]): sum-of-row-hashes
+    * checksum of the documents slice — equal bytes ⇒ equal digest
+    * under any row order / partitioning / file layout; the cheap
+    * rewrite-validation for incremental pipelines. */
+  private val q208: Q = (s, d) =>
+    Expectations.tableDigest(Tables.documents(s, d),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** q209 — CUBE profile with grouping_id
+    * ([[Aggregates.cubeProfile]]): counts + exact char totals for
+    * every (lang, source) subset in ONE Expand + hash-agg pass; gid's
+    * bitmask separates genuine NULL dim values from subtotal rows. */
+  private val q209: Q = (s, d) =>
+    cubeProfile(Tables.documents(s, d), Seq("lang", "source"),
+      "n_chars")
+
+  /** q210 — Benford first-digit audit ([[Aggregates.benfordAudit]])
+    * of order totals: observed vs log₁₀(1+1/d) with χ² — the
+    * data-forensics screen for fabricated / truncated amounts. Digit
+    * extraction goes through exact integer cents (never log10, never
+    * double formatting). */
+  private val q210: Q = (s, d) =>
+    benfordAudit(Tables.orders(s, d), "o_totalprice")
+
   val all: Map[String, Q] = Map(
+    "q210_benford_audit" -> q210,
+    "q209_cube_profile" -> q209,
+    "q208_table_digest" -> q208,
+    "q207_negative_sample" -> q207,
     "q206_cohen_kappa" -> q206,
     "q205_psi_drift" -> q205,
     "q204_local_clustering" -> q204,
@@ -5846,6 +5884,77 @@ object ExtQueries {
       s"""WITH $mutualKnnCtes
          |SELECT id_a, id_b, sim, rank_ab, rank_ba FROM mutual
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q207_negative_sample" -> {
+      val bkA = s"${scrambledHashSql("CAST(vec_id AS VARCHAR)")} % 8"
+      val pairH = scrambledHashSql(
+        "CAST(a.a_id AS VARCHAR) || '#' || CAST(n.n_id AS VARCHAR)")
+      s"""WITH ca AS (
+         |  SELECT vec_id AS a_id, label AS a_label, $bkA AS bk
+         |  FROM embeddings),
+         |cn AS (
+         |  SELECT vec_id AS n_id, label AS n_label, $bkA AS bk
+         |  FROM embeddings),
+         |pool AS (
+         |  SELECT a.a_id, n.n_id, n.n_label, $pairH AS r
+         |  FROM ca a JOIN cn n USING (bk)
+         |  WHERE a.a_label <> n.n_label)
+         |SELECT a_id, rank, n_id, n_label FROM (
+         |  SELECT a_id, n_id, n_label,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY r, n_id) AS INT) AS rank
+         |  FROM pool)
+         |WHERE rank <= 4 ORDER BY a_id, rank""".stripMargin
+    },
+
+    "q208_table_digest" -> {
+      val rowStr = Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(c => s"COALESCE(CAST($c AS VARCHAR), 'NULL')")
+        .mkString("concat_ws('|', ", ", ", ")")
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(${scrambledHashSql(rowStr)}) % 1000000007
+         |    AS BIGINT) AS digest
+         |FROM documents""".stripMargin
+    },
+
+    "q209_cube_profile" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT) AS total,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
+        .stripMargin,
+
+    "q210_benford_audit" -> {
+      // the e0 suffix makes DuckDB parse the literal as DOUBLE; a bare
+      // decimal literal becomes DECIMAL(18,17), whose double cast is a
+      // float division by 1e17 of a >2^53 numerator — 1 ulp off
+      val probs = graft.engine.Aggregates.BenfordProbs.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, ${p}e0)" }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT CAST(substr(CAST(CAST(o_totalprice * 100
+         |    AS DECIMAL(38,0)) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders WHERE o_totalprice > 0),
+         |ct AS (SELECT digit, count(*) AS nd FROM base GROUP BY 1),
+         |grid AS (
+         |  SELECT gs.d AS digit, COALESCE(ct.nd, 0) AS nd
+         |  FROM (SELECT unnest(generate_series(1, 9)) AS d) gs
+         |  LEFT JOIN ct ON ct.digit = gs.d),
+         |tot AS (SELECT SUM(nd) AS nn FROM grid),
+         |ex AS (
+         |  SELECT digit, CAST(ep AS DOUBLE) AS exp_p
+         |  FROM (VALUES $probs) AS exv(digit, ep)),
+         |tm AS (
+         |  SELECT g.digit, g.nd, t.nn,
+         |    CAST(g.nd AS DOUBLE) / t.nn AS obs, e.exp_p
+         |  FROM grid g CROSS JOIN tot t JOIN ex e ON e.digit = g.digit)
+         |SELECT digit, CAST(nd AS BIGINT) AS n,
+         |  round(obs, 6) AS obs_p, exp_p,
+         |  round(CAST(SUM(CAST(round(nn * (obs - exp_p) * (obs - exp_p)
+         |      / exp_p, 12) AS DECIMAL(38,12))) OVER ()
+         |    AS DOUBLE), 6) AS chi2
+         |FROM tm ORDER BY digit""".stripMargin
+    },
 
     "q206_cohen_kappa" ->
       s"""WITH conf AS (

@@ -748,6 +748,69 @@ object Aggregates {
           .as("n_outliers"))
   }
 
+  /** Full CUBE profile over `dims` with `grouping_id` disambiguation:
+    * counts + an exact-decimal metric total for EVERY dim subset in
+    * one pass — Spark expands the cube into a single Expand + hash-agg
+    * (2^|dims| streams, one shuffle), never 2^|dims| scans. gid's bit
+    * mask (first dim = most significant, 1 = aggregated-away) is what
+    * separates a genuine NULL dim value from a subtotal row — the
+    * classic rollup ambiguity, resolved the SQL-standard way. */
+  def cubeProfile(df: DataFrame, dims: Seq[String], valCol: String)
+      : DataFrame =
+    df.cube(dims.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(38,0)")).cast("long").as("total"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid") +: dims.map(col(_).asc_nulls_first): _*)
+
+  /** First-significant-digit distribution vs Benford's law — the data-
+    * forensics screen for fabricated / truncated / unit-mixed numeric
+    * columns (natural multi-magnitude amounts follow
+    * P(d) = log₁₀(1+1/d); clerical defaults and caps do not).
+    * Input values are 2-dp monetary doubles: ×100 through a
+    * DECIMAL(38,0) cast gives exact integer cents (leading digit is
+    * scale-invariant), and the digit is the first character of the
+    * integer's string form — no log10 at the boundary, no
+    * double-formatting ambiguity. Returns 9 rows (digit, n, obs_p,
+    * exp_p) with the χ² statistic repeated — one count agg over the
+    * data, then arithmetic on the 9-row frame; expected probabilities
+    * are shared literal constants (the [[PoissonCuts]] discipline) so
+    * both engines parse identical doubles. Non-positive values are
+    * excluded (Benford applies to positive magnitudes). */
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val cents = (col(valCol) * 100).cast("decimal(38,0)")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = df.filter(col(valCol) > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("nd"))
+    val grid = counts.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("nd"))
+    val tot = grid.agg(sum("nd").as("nn"))
+    val exp = element_at(array(BenfordProbs.map(lit): _*), col("digit"))
+    val obs = col("nd").cast("double") / col("nn")
+    grid.crossJoin(broadcast(tot))
+      .withColumn("obs_p", round(obs, 6))
+      .withColumn("exp_p", exp)
+      .withColumn("__t", round(col("nn") * (obs - exp) * (obs - exp) /
+        exp, 12).cast("decimal(38,12)"))
+      .withColumn("chi2", round(sum(col("__t"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))).cast("double"), 6))
+      .select(col("digit"), col("nd").as("n"), col("obs_p"),
+        col("exp_p"), col("chi2"))
+      .orderBy("digit")
+  }
+
+  /** Benford first-digit probabilities log₁₀(1+1/d), d = 1..9 — shared
+    * literal text with the DuckDB oracle (the [[PoissonCuts]] rule:
+    * identical source text parses to identical doubles). */
+  val BenfordProbs: Seq[Double] = Seq(0.3010299956639812,
+    0.17609125905568124, 0.12493873660829993, 0.09691001300805642,
+    0.07918124604762482, 0.06694678963061322, 0.05799194697768673,
+    0.05115252244738129, 0.04575749056067514)
+
   /** Cohen's κ between two categorical columns — chance-corrected
     * agreement: κ = (p_o − p_e)/(1 − p_e) with p_o the observed
     * agreement rate and p_e the agreement expected from the marginals

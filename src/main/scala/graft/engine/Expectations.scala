@@ -62,4 +62,29 @@ object Expectations {
   def report(parts: Seq[DataFrame]): DataFrame =
     parts.reduce(_.unionByName(_))
       .withColumn("pass", col("n_violations") === 0)
+
+  /** Order-invariant content digest of a table slice: each row hashes
+    * to a scrambled polynomial hash of its '|'-joined column values
+    * (NULL → the literal 'NULL'); the digest is the exact decimal SUM
+    * of row hashes mod 1000000007. Addition commutes, so the digest is
+    * independent of row order, partitioning, and file layout — equal
+    * bytes ⇒ equal digest no matter how the table was written. The
+    * cheap end-to-end validation for incremental pipelines: recompute
+    * after a rewrite/compaction/migration and compare two longs
+    * instead of re-diffing 100 TB. (A checksum, not cryptography:
+    * collisions are possible, tampering is out of scope. Callers pick
+    * columns whose string form is canonical — strings/integers;
+    * avoid raw doubles, whose formatting is engine-specific.)
+    *
+    * Scale shape: pure map (hash) + one partial-aggregated decimal
+    * sum — no shuffle wider than one row per partition. */
+  def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val rowStr = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+    df.select(
+        graft.ext.TextOps.scrambledHash(rowStr).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__h").cast("decimal(38,0)")) % lit(1000000007L))
+          .cast("long").as("digest"))
+  }
 }

@@ -633,4 +633,39 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_events"),
         (max(col("__us")) - min(col("__us"))).as("dur_us"))
   }
+
+  /** Deterministic contrastive negative sampling: for every anchor row,
+    * the k pseudo-random same-bucket rows with a DIFFERENT label,
+    * ranked by a pair hash — the (anchor, positive, negatives) builder
+    * for contrastive / triplet training, RNG-free so a re-run (or a
+    * backfill on one shard) reproduces byte-identical batches.
+    *
+    * Scale shape: the corpus is split into `buckets` pseudo-random
+    * groups by a scrambled id hash and each anchor draws ONLY from its
+    * own bucket — one co-partitioned shuffle equi-join on the bucket
+    * key (never anchor × corpus), pair count n²/buckets. `buckets`
+    * dials pool size ≈ n/buckets · P(label differs); at corpus scale
+    * raise it so pools stay O(10³) while still ≫ k. The pair ranking
+    * hash mixes BOTH ids, so an item popular in one anchor's list
+    * ranks independently elsewhere — no global "celebrity negatives".
+    * Anchors whose bucket holds fewer than k cross-label rows emit
+    * fewer rows (documented; raise buckets' inverse to fix). */
+  def negativeSample(df: DataFrame, idCol: String, labelCol: String,
+      k: Int, buckets: Int): DataFrame = {
+    val bk = TextOps.scrambledHash(col(idCol).cast("string")) % buckets
+    val a = df.select(col(idCol).as("a_id"),
+      col(labelCol).as("a_label"), bk.as("bk"))
+    val n = df.select(col(idCol).as("n_id"),
+      col(labelCol).as("n_label"), bk.as("bk"))
+    val w = Window.partitionBy("a_id").orderBy(col("r"), col("n_id"))
+    a.join(n, Seq("bk"))
+      .filter(col("a_label") =!= col("n_label"))
+      .withColumn("r", TextOps.scrambledHash(
+        concat(col("a_id").cast("string"), lit("#"),
+          col("n_id").cast("string"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a_id"), col("rank"), col("n_id"), col("n_label"))
+      .orderBy("a_id", "rank")
+  }
 }

@@ -433,4 +433,40 @@ class AggregatesSpec extends SparkSpec {
       .as[(Long, Double, Double, Option[Double])].head()
     assert(withNull._1 == 21L && withNull._2 < 0.7)
   }
+
+  test("cubeProfile: 2×2 dims → 9 rows, gid bitmask, exact totals, " +
+      "subtotal NULL vs data NULL disambiguated") {
+    val df = Seq(
+      (Some("en"), "web", 10L), (Some("en"), "web", 20L),
+      (Some("en"), "pdf", 5L), (Some("fr"), "web", 7L),
+      ((None: Option[String]), "pdf", 3L)) // genuine NULL lang
+      .toDF("lang", "source", "n_chars")
+    val out = Aggregates.cubeProfile(df, Seq("lang", "source"),
+      "n_chars").collect().toSeq
+    // 3 lang values (incl. NULL) × 2 sources: cells=4, lang subtotals=3,
+    // source subtotals=2, grand=1 → 4+3+2+1... cells present: (en,web),
+    // (en,pdf),(fr,web),(NULL,pdf) = 4 → total 4+3+2+1 = 10 rows
+    assert(out.size == 10)
+    val grand = out.find(_.getLong(4) == 3L).get
+    assert(grand.getLong(2) == 5L && grand.getLong(3) == 45L)
+    // gid=2 rows aggregate lang away → their NULL lang is a subtotal;
+    // the gid=0 row with NULL lang is the genuine data NULL
+    assert(out.count(_.getLong(4) == 2L) == 2)
+    val dataNull = out.filter(r => r.getLong(4) == 0L && r.isNullAt(0))
+    assert(dataNull.map(_.getLong(3)) == Seq(3L))
+  }
+
+  test("benfordAudit: hand-counted digits, exclusions, χ² positive") {
+    val df = Seq(1.0, 1.5, 2.0, 30.0, 0.5, -4.0, 0.0)
+      .toDF("amt") // cents: 100,150,200,3000,50 → digits 1,1,2,3,5
+    val out = Aggregates.benfordAudit(df, "amt")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == (1 to 9))
+    val n = out.map(r => r._1 -> r._2).toMap
+    assert(n(1) == 2L && n(2) == 1L && n(3) == 1L && n(5) == 1L &&
+      n(4) == 0L && n(9) == 0L)
+    assert(out.head._4 == 0.3010299956639812) // shared literal
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9)
+    assert(out.forall(_._5 == out.head._5) && out.head._5 > 0)
+  }
 }

@@ -50,4 +50,25 @@ class ExpectationsSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.split("Aggregate").length - 1 == 1, plan)
   }
+
+  test("tableDigest: invariant to row order and partitioning; moves " +
+      "on any single-value mutation; NULL is a distinct state") {
+    val base = Seq((1L, Some("aa"), 10L), (2L, Some("bb"), 20L),
+      (3L, (None: Option[String]), 30L)).toDF("id", "s", "v")
+    val cols = Seq("id", "s", "v")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      Expectations.tableDigest(df, cols)
+        .as[(Long, Long)].head()
+    val d0 = dig(base)
+    assert(d0._1 == 3L)
+    assert(dig(base.orderBy(col("v").desc)) == d0)    // row order
+    assert(dig(base.repartition(7)) == d0)            // partitioning
+    val mutated = Seq((1L, Some("aa"), 10L), (2L, Some("bB"), 20L),
+      (3L, (None: Option[String]), 30L)).toDF("id", "s", "v")
+    assert(dig(mutated) != d0)                        // one char flips it
+    // a NULL hashes as the literal sentinel, not as an empty string
+    val empty = Seq((1L, Some("aa"), 10L), (2L, Some("bb"), 20L),
+      (3L, Some(""), 30L)).toDF("id", "s", "v")
+    assert(dig(empty) != d0)
+  }
 }

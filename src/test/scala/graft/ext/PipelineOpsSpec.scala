@@ -492,4 +492,32 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("g", "rk").collect().toSeq
     assert(again == out.orderBy("g", "rk").collect().toSeq)
   }
+
+  test("negativeSample: cross-label only, same-bucket only, k per " +
+      "anchor when the pool allows, deterministic under repartition") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.engine.Tables.embeddings(spark, sf0001)
+    val out = PipelineOps.negativeSample(emb, "vec_id", "label",
+      k = 4, buckets = 8).collect().toSeq
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    def bucket(id: Long): Long = {
+      var h = 0L
+      id.toString.foreach(c => h = (h * 31 + c.toInt) % 1000000007L)
+      ((h * 2654435761L + 12345L) % 1000000007L) % 8
+    }
+    out.foreach { r =>
+      val (a, n, nl) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(labels(a) != nl) // never the anchor's own label
+      assert(labels(n) == nl)
+      assert(bucket(a) == bucket(n)) // drawn from the anchor's bucket
+    }
+    // with 500 vecs over 8 buckets and 5 labels, every pool ≫ 4
+    val perAnchor = out.groupBy(_.getLong(0)).view.mapValues(_.size)
+    assert(perAnchor.values.forall(_ == 4))
+    assert(perAnchor.size == 500)
+    val again = PipelineOps.negativeSample(emb.repartition(11),
+      "vec_id", "label", k = 4, buckets = 8).collect().toSeq
+    assert(again == out)
+  }
 }

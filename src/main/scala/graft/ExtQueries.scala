@@ -2538,7 +2538,27 @@ object ExtQueries {
   private val q210: Q = (s, d) =>
     benfordAudit(Tables.orders(s, d), "o_totalprice")
 
+  /** q211 — product-quantization codes ([[SimSearch.pqCodesWide]]):
+    * every embedding compressed to 4 k-center codes (16-dim subspaces,
+    * k=8) — deterministic Gonzalez codebooks, broadcast assignment;
+    * the m·log₂k-bit storage layout behind PQ serving. */
+  private val q211: Q = (s, d) =>
+    SimSearch.pqCodesWide(Tables.embeddings(s, d), "vec_id",
+      "embedding", m = 4, k = 8)
+
+  /** q212 — ADC top-10 ([[SimSearch.adcTopK]]): full-precision queries
+    * against the PQ-coded corpus — per-subspace distance tables
+    * broadcast, corpus scanned as codes only; 9-dp lookups summed as
+    * exact decimals so ranking is add-order free. */
+  private val q212: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    SimSearch.adcTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), m = 4, k = 8, topK = 10)
+  }
+
   val all: Map[String, Q] = Map(
+    "q212_adc_topk" -> q212,
+    "q211_pq_codes" -> q211,
     "q210_benford_audit" -> q210,
     "q209_cube_profile" -> q209,
     "q208_table_digest" -> q208,
@@ -3112,6 +3132,51 @@ object ExtQueries {
        |cent AS (
        |${(1 to k).map(i => s"  SELECT cid, cv FROM c$i")
           .mkString("\n  UNION ALL\n")})""".stripMargin
+  }
+
+  /** Per-subspace PQ CTE block — the q211/q212 oracles' replica of one
+    * [[SimSearch.pqIndex]] subspace s over dims [off+1, off+len]:
+    * Gonzalez k-center on the SLICED vectors (seed = min vec_id, same
+    * 9-dp fold as kcenterCtes), closing in p{s}cent (code = selection
+    * order − 1) and p{s}asg (nearest-centroid assignment, 9-dp d²,
+    * min-code tie). MATERIALIZED throughout — the recurrence otherwise
+    * inlines exponentially (the pc1Ctes lesson). */
+  private def pqSubCtes(s: Int, off: Int, len: Int, k: Int): String = {
+    val p = s"p$s"
+    val ve = s"list_slice(e.embedding, ${off + 1}, ${off + len})"
+    val rounds = (2 to k).map { i =>
+      val prev = s"${p}s${i - 1}"
+      val upd =
+        if (i == k) ""
+        else
+          s""",
+             |${p}s$i AS MATERIALIZED (
+             |  SELECT s.id, s.v,
+             |    least(s.md, round(${d2Sql("s.v", "c.cv")}, 9)) AS md
+             |  FROM $prev s, ${p}c$i c)""".stripMargin
+      s"""${p}c$i AS MATERIALIZED (
+         |  SELECT id AS cid, v AS cv, md AS d2sel
+         |  FROM $prev ORDER BY md DESC, id LIMIT 1)$upd""".stripMargin
+    }.mkString(",\n")
+    s"""${p}c1 AS MATERIALIZED (
+       |  SELECT vec_id AS cid, $ve AS cv FROM embeddings e
+       |  ORDER BY vec_id LIMIT 1),
+       |${p}s1 AS MATERIALIZED (
+       |  SELECT e.vec_id AS id, $ve AS v,
+       |    round(${d2Sql(ve, "c.cv")}, 9) AS md
+       |  FROM embeddings e, ${p}c1 c),
+       |$rounds,
+       |${p}cent AS (
+       |${(1 to k).map(i => s"  SELECT ${i - 1} AS code, cv FROM ${p}c$i")
+          .mkString("\n  UNION ALL\n")}),
+       |${p}asg AS MATERIALIZED (
+       |  SELECT id, code FROM (
+       |    SELECT s.id, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.id
+       |        ORDER BY round(${d2Sql("s.v", "c.cv")}, 9), c.code)
+       |        AS rn
+       |    FROM ${p}s1 s, ${p}cent c)
+       |  WHERE rn = 1)""".stripMargin
   }
 
   /** Power-iteration CTE chain — the q201/q202 oracles' replica of
@@ -5924,6 +5989,46 @@ object ExtQueries {
         |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
         .stripMargin,
+
+    "q211_pq_codes" ->
+      s"""WITH ${(0 until 4).map(s => pqSubCtes(s, s * 16, 16, 8))
+            .mkString(",\n")}
+         |SELECT a0.id AS vec_id, a0.code AS c0, a1.code AS c1,
+         |  a2.code AS c2, a3.code AS c3
+         |FROM p0asg a0 JOIN p1asg a1 USING (id)
+         |JOIN p2asg a2 USING (id) JOIN p3asg a3 USING (id)
+         |ORDER BY vec_id""".stripMargin,
+
+    "q212_adc_topk" -> {
+      val qd = (0 until 4).map { s =>
+        val qe = s"list_slice(q.embedding, ${s * 16 + 1}, ${s * 16 + 16})"
+        s"""  SELECT q.vec_id AS q_id, $s AS sub, c.code,
+           |    round(${d2Sql(qe, "c.cv")}, 9) AS qd2
+           |  FROM embeddings q, p${s}cent c WHERE q.vec_id < 5"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val cl = (0 until 4)
+        .map(s => s"  SELECT id, $s AS sub, code FROM p${s}asg")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH ${(0 until 4).map(s => pqSubCtes(s, s * 16, 16, 8))
+            .mkString(",\n")},
+         |qd AS (
+         |$qd),
+         |cl AS (
+         |$cl),
+         |sc AS (
+         |  SELECT d.q_id, c.id,
+         |    CAST(SUM(CAST(d.qd2 AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS adist
+         |  FROM cl c JOIN qd d ON d.sub = c.sub AND d.code = c.code
+         |  WHERE c.id <> d.q_id GROUP BY 1, 2)
+         |SELECT q_id, id AS n_id, adist, rank FROM (
+         |  SELECT q_id, id, adist,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adist, id) AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
 
     "q210_benford_audit" -> {
       // the e0 suffix makes DuckDB parse the literal as DOUBLE; a bare

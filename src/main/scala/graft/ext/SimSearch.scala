@@ -602,6 +602,93 @@ object SimSearch {
       .reduce(_.unionAll(_))
   }
 
+  /** Product-quantization index: split each vector into `m` contiguous
+    * subspaces, learn a deterministic k-center codebook per subspace
+    * (Gonzalez — same machinery as [[kCenterCoreset]], so codebooks
+    * are reproducible with no RNG and no iterative convergence), and
+    * encode every vector as its m nearest-centroid codes. m·log₂k bits
+    * replace d·32 — the storage layout behind IVF-PQ ANN serving at
+    * corpus scale. Returns (codes, books): codes one (id, sub, code)
+    * row per vector-subspace; books the (sub, cid, cv) codebooks
+    * (m·k rows, broadcastable by construction).
+    *
+    * Everything is relational: per subspace one sliced projection of
+    * the corpus (map-side `slice`, no shuffle), the k-round Gonzalez
+    * scan, and one broadcast nearest-centroid assignment (9-dp d²,
+    * min-code tie — [[assignCells]]' exact contract, mirrored by the
+    * oracle). Code c is the ORDER the centroid was selected in (c=0
+    * is the min-id seed), so code values are themselves stable across
+    * runs and partitionings. */
+  def pqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): (DataFrame, DataFrame) = {
+    val d = emb.select(size(col(vecCol)).cast("int")).first().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val len = d / m
+    val parts = (0 until m).map { s =>
+      val sliced = emb.select(col(idCol).as("id"),
+        slice(col(vecCol), s * len + 1, len).as("v"))
+        .localCheckpoint(eager = false) // Gonzalez + assignment reread
+      val sel = kCenterCoreset(sliced, "id", "v", k)
+      val cb = sel.select((col("sel") - 1).cast("int").as("cid"),
+          col("cid").as("pid"))
+        .join(sliced.select(col("id").as("pid"), col("v").as("cv")),
+          "pid")
+        .select(col("cid"), col("cv"))
+      val codes = assignCells(sliced, cb)
+        .select(col("id"), lit(s).as("sub"), col("cell").as("code"))
+      val books = cb.select(lit(s).as("sub"), col("cid"), col("cv"))
+      (codes, books)
+    }
+    (parts.map(_._1).reduce(_.unionAll(_)),
+      parts.map(_._2).reduce(_.unionAll(_)))
+  }
+
+  /** [[pqIndex]] codes pivoted wide: (id, c0 … c{m-1}). */
+  def pqCodesWide(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): DataFrame = {
+    val (codes, _) = pqIndex(emb, idCol, vecCol, m, k)
+    val aggs = (0 until m).map(s =>
+      max(when(col("sub") === s, col("code"))).as(s"c$s"))
+    codes.groupBy(col("id").as(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(idCol)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over the [[pqIndex]] codes: the
+    * query stays FULL precision; per subspace a (query × centroid)
+    * distance table of |q|·m·k rows is broadcast, and each corpus
+    * vector's approximate distance is the sum of its m table lookups —
+    * the corpus is scanned as CODES ONLY (m small ints per vector),
+    * never as raw floats: at 100 TB the scan reads the ~100×-smaller
+    * code columns and one hash-join against a KB table, the entire
+    * point of PQ serving. Per-lookup d² is 9-dp rounded and the m
+    * terms sum exactly as DECIMAL(28,9), so ranking is add-order free;
+    * ties break on candidate id. Self-matches are excluded. */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, m: Int, k: Int, topK: Int): DataFrame = {
+    val (codes, books) = pqIndex(emb, idCol, vecCol, m, k)
+    val d = emb.select(size(col(vecCol)).cast("int")).first().getInt(0)
+    val len = d / m
+    val qsub = (0 until m).map(s =>
+        queries.select(col(idCol).as("q_id"), lit(s).as("sub"),
+          slice(col(vecCol), s * len + 1, len).as("qv")))
+      .reduce(_.unionAll(_))
+    val dtab = qsub.join(broadcast(books), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cid").as("code"),
+        round(sqDist(col("qv"), col("cv")), 9).as("qd2"))
+    val scored = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy("q_id", "id")
+      .agg(sum(col("qd2").cast("decimal(28,9)")).cast("double")
+        .as("adist"))
+    val w = Window.partitionBy("q_id").orderBy(col("adist"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("id").as("n_id"), col("adist"),
+        col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Result of [[pc1]]: 0-based per-dimension loadings of the dominant
     * eigenvector (sign-canonicalized: first nonzero loading positive),
     * the unrounded Rayleigh eigenvalue estimate, and the unrounded

@@ -372,6 +372,49 @@ class SimSearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pqIndex: hand-traced 1-D Gonzalez codebook and assignment") {
+    val pts = Seq((1L, Array(0f)), (2L, Array(10f)), (3L, Array(4f)),
+      (4L, Array(6f))).toDF("vec_id", "embedding")
+    val out = SimSearch.pqCodesWide(pts, "vec_id", "embedding",
+      m = 1, k = 2).as[(Long, Int)].collect().toSeq
+    // seed [0]→code 0; farthest [10]→code 1; 4 is nearer 0, 6 nearer 10
+    assert(out == Seq((1L, 0), (2L, 1), (3L, 0), (4L, 1)))
+  }
+
+  test("pqIndex: subspaces quantize independently (m=2)") {
+    val pts = Seq((1L, Array(0f, 10f)), (2L, Array(10f, 0f)),
+      (3L, Array(0f, 0f)), (4L, Array(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val out = SimSearch.pqCodesWide(pts, "vec_id", "embedding",
+      m = 2, k = 2).as[(Long, Int, Int)].collect().toSeq
+    // sub0 codebook: [0]=c0, [10]=c1; sub1: [10]=c0, [0]=c1 (seed is
+    // min-id vector id1, whose sub1 value is 10)
+    assert(out == Seq((1L, 0, 0), (2L, 1, 1), (3L, 0, 1), (4L, 1, 0)))
+  }
+
+  test("adcTopK: exact distances when every point is its own centroid") {
+    val pts = Seq((1L, Array(0f)), (2L, Array(10f)), (3L, Array(4f)),
+      (4L, Array(6f))).toDF("vec_id", "embedding")
+    val out = SimSearch.adcTopK(pts, "vec_id", "embedding",
+        pts.filter(col("vec_id") === 1), m = 1, k = 4, topK = 3)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // k = n ⇒ every point's nearest centroid is itself ⇒ ADC = true d²
+    assert(out == Seq((1L, 3L, 16.0, 1), (1L, 4L, 36.0, 2),
+      (1L, 2L, 100.0, 3)))
+  }
+
+  test("adcTopK: fixture run — full k-per-query lists, nonnegative, " +
+      "deterministic under repartition") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") < 3)
+    val a = SimSearch.adcTopK(emb, "vec_id", "embedding", q,
+      m = 4, k = 8, topK = 5).collect().toSeq
+    assert(a.size == 15 && a.forall(_.getDouble(2) >= 0))
+    val b = SimSearch.adcTopK(emb.repartition(9), "vec_id",
+      "embedding", q, m = 4, k = 8, topK = 5).collect().toSeq
+    assert(a == b)
+  }
+
   test("pc1: known 2×2 covariance → analytic eigenpair") {
     // C = [[2,1],[1,2]]: eigenpairs λ=3 at (1,1)/√2, λ=1 at (-1,1)/√2
     val cov = Seq((0L, 0L, 2.0), (0L, 1L, 1.0), (1L, 1L, 2.0))

@@ -2556,7 +2556,20 @@ object ExtQueries {
       emb.filter(col("vec_id") < 5), m = 4, k = 8, topK = 10)
   }
 
+  /** q213 — IVF-PQ search ([[SimSearch.ivfAdcTopK]]): 5-cell coarse
+    * k-center quantizer, queries probe their 2 nearest cells, ADC
+    * ranks the cell-pruned candidates via the q211 codes — IVF cuts
+    * candidates, PQ cuts bytes per candidate; the production ANN
+    * serving shape, fully deterministic and oracle-replicated. */
+  private val q213: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    SimSearch.ivfAdcTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), ivfK = 5, nprobe = 2,
+      m = 4, k = 8, topK = 10)
+  }
+
   val all: Map[String, Q] = Map(
+    "q213_ivf_pq" -> q213,
     "q212_adc_topk" -> q212,
     "q211_pq_codes" -> q211,
     "q210_benford_audit" -> q210,
@@ -5989,6 +6002,54 @@ object ExtQueries {
         |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
         .stripMargin,
+
+    "q213_ivf_pq" -> {
+      val qd = (0 until 4).map { s =>
+        val qe = s"list_slice(q.embedding, ${s * 16 + 1}, ${s * 16 + 16})"
+        s"""  SELECT q.vec_id AS q_id, $s AS sub, c.code,
+           |    round(${d2Sql(qe, "c.cv")}, 9) AS qd2
+           |  FROM embeddings q, p${s}cent c WHERE q.vec_id < 5"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val cl = (0 until 4)
+        .map(s => s"  SELECT id, $s AS sub, code FROM p${s}asg")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH ${kcenterCtes(5)},
+         |ivfasg AS MATERIALIZED (
+         |  ${assignSql("cent")}),
+         |probe AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.vec_id AS q_id, c.cid AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${d2Sql("q.embedding", "c.cv")}, 9),
+         |                 c.cid) AS rn
+         |    FROM embeddings q, cent c WHERE q.vec_id < 5)
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.q_id, a.id FROM probe p
+         |  JOIN ivfasg a ON a.cell = p.cell),
+         |${(0 until 4).map(s => pqSubCtes(s, s * 16, 16, 8))
+            .mkString(",\n")},
+         |qd AS (
+         |$qd),
+         |cl AS (
+         |$cl),
+         |sc AS (
+         |  SELECT d.q_id, c.id,
+         |    CAST(SUM(CAST(d.qd2 AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS adist
+         |  FROM cand x
+         |  JOIN cl c ON c.id = x.id
+         |  JOIN qd d ON d.q_id = x.q_id AND d.sub = c.sub
+         |    AND d.code = c.code
+         |  WHERE c.id <> d.q_id GROUP BY 1, 2)
+         |SELECT q_id, id AS n_id, adist, rank FROM (
+         |  SELECT q_id, id, adist,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adist, id) AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
 
     "q211_pq_codes" ->
       s"""WITH ${(0 until 4).map(s => pqSubCtes(s, s * 16, 16, 8))

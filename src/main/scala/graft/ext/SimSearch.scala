@@ -689,6 +689,62 @@ object SimSearch {
       .orderBy("q_id", "rank")
   }
 
+  /** Full IVF-PQ serving path: a coarse k-center quantizer partitions
+    * the corpus into `ivfK` cells; each query probes only its `nprobe`
+    * nearest cells and ADC-ranks the candidates there via the
+    * [[pqIndex]] codes. The two compressions compose: IVF cuts the
+    * CANDIDATE COUNT by ~nprobe/ivfK, PQ cuts the BYTES PER CANDIDATE
+    * by ~d·32/(m·log₂k) — at 100 TB the scan reads small code columns
+    * of a cell-pruned slice, which is the production ANN serving
+    * shape. Both quantizers are deterministic Gonzalez (no RNG), the
+    * probe ranks 9-dp d² with min-centroid-id ties, and ADC sums
+    * decimal-exact — the whole path is oracle-replicable. Recall is a
+    * measured trade (cells probed × code resolution), not an
+    * assumption — same discipline as the LSH family (q49). */
+  def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, ivfK: Int, nprobe: Int, m: Int, k: Int,
+      topK: Int): DataFrame = {
+    val pts = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sel = kCenterCoreset(pts, "id", "v", ivfK)
+    val cent = sel.select(col("cid").as("pid"))
+      .join(pts.select(col("id").as("pid"), col("v").as("cv")), "pid")
+      .select(col("pid").as("cid"), col("cv"))
+    val assigned = assignCells(pts, cent).select(col("id"), col("cell"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("__d2"), col("cid"))
+    val probe = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__d2", round(sqDist(col("qv"), col("cv")), 9))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("cid").as("cell"))
+    val cand = probe.join(assigned, Seq("cell"))
+      .select(col("q_id"), col("id"))
+    val (codes, books) = pqIndex(emb, idCol, vecCol, m, k)
+    val d = emb.select(size(col(vecCol)).cast("int")).first().getInt(0)
+    val len = d / m
+    val qsub = (0 until m).map(s =>
+        queries.select(col(idCol).as("q_id"), lit(s).as("sub"),
+          slice(col(vecCol), s * len + 1, len).as("qv")))
+      .reduce(_.unionAll(_))
+    val dtab = qsub.join(broadcast(books), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cid").as("code"),
+        round(sqDist(col("qv"), col("cv")), 9).as("qd2"))
+    val scored = cand.join(codes, Seq("id"))
+      .join(broadcast(dtab), Seq("q_id", "sub", "code"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy("q_id", "id")
+      .agg(sum(col("qd2").cast("decimal(28,9)")).cast("double")
+        .as("adist"))
+    val w = Window.partitionBy("q_id").orderBy(col("adist"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("id").as("n_id"), col("adist"),
+        col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Result of [[pc1]]: 0-based per-dimension loadings of the dominant
     * eigenvector (sign-canonicalized: first nonzero loading positive),
     * the unrounded Rayleigh eigenvalue estimate, and the unrounded

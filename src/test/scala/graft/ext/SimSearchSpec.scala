@@ -415,6 +415,27 @@ class SimSearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ivfAdcTopK: probe prunes to the query's cell; exact ADC inside") {
+    val pts = Seq((1L, Array(0f)), (2L, Array(10f)), (3L, Array(4f)),
+      (4L, Array(6f))).toDF("vec_id", "embedding")
+    // coarse cells (k-center, k=2): {0,4} around seed 0; {10,6} around 10.
+    // query id1 with nprobe=1 sees ONLY its own cell → candidate {3},
+    // never id4 — even though id4 is the 2nd-nearest overall. That is
+    // the IVF recall trade, pinned.
+    val out = SimSearch.ivfAdcTopK(pts, "vec_id", "embedding",
+        pts.filter(col("vec_id") === 1), ivfK = 2, nprobe = 1,
+        m = 1, k = 4, topK = 10)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out == Seq((1L, 3L, 16.0, 1)))
+    // nprobe=2 restores the full corpus → exact ADC ordering
+    val full = SimSearch.ivfAdcTopK(pts, "vec_id", "embedding",
+        pts.filter(col("vec_id") === 1), ivfK = 2, nprobe = 2,
+        m = 1, k = 4, topK = 10)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(full == Seq((1L, 3L, 16.0, 1), (1L, 4L, 36.0, 2),
+      (1L, 2L, 100.0, 3)))
+  }
+
   test("pc1: known 2×2 covariance → analytic eigenpair") {
     // C = [[2,1],[1,2]]: eigenpairs λ=3 at (1,1)/√2, λ=1 at (-1,1)/√2
     val cov = Seq((0L, 0L, 2.0), (0L, 1L, 1.0), (1L, 1L, 2.0))

@@ -2568,7 +2568,39 @@ object ExtQueries {
       m = 4, k = 8, topK = 10)
   }
 
+  /** q214 — PQ recall audit: ADC top-10 (q212 parameters) intersected
+    * with the EXACT Euclidean top-10 per query — recall measured, not
+    * assumed (the q49 discipline applied to the PQ family). The exact
+    * side broadcasts the 5 queries against the corpus: one scan, no
+    * corpus shuffle. */
+  private val q214: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("__d2"), col("vec_id"))
+    val exact = emb.join(broadcast(
+        q.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"))),
+        col("vec_id") =!= col("q_id"))
+      .withColumn("__d2",
+        round(SimSearch.sqDist(col("q_emb"), col("embedding")), 9))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val adc = SimSearch.adcTopK(emb, "vec_id", "embedding", q,
+        m = 4, k = 8, topK = 10)
+      .select(col("q_id"), col("n_id"))
+    exact.join(adc, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      .join(q.select(col("vec_id").as("q_id")), Seq("q_id"), "right")
+      .na.fill(0L, Seq("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        round(col("n_overlap") / 10.0, 6).as("recall_at_10"))
+      .orderBy("q_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q214_pq_recall" -> q214,
     "q213_ivf_pq" -> q213,
     "q212_adc_topk" -> q212,
     "q211_pq_codes" -> q211,
@@ -6002,6 +6034,57 @@ object ExtQueries {
         |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
         .stripMargin,
+
+    "q214_pq_recall" -> {
+      val qd = (0 until 4).map { s =>
+        val qe = s"list_slice(q.embedding, ${s * 16 + 1}, ${s * 16 + 16})"
+        s"""  SELECT q.vec_id AS q_id, $s AS sub, c.code,
+           |    round(${d2Sql(qe, "c.cv")}, 9) AS qd2
+           |  FROM embeddings q, p${s}cent c WHERE q.vec_id < 5"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val cl = (0 until 4)
+        .map(s => s"  SELECT id, $s AS sub, code FROM p${s}asg")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH ${(0 until 4).map(s => pqSubCtes(s, s * 16, 16, 8))
+            .mkString(",\n")},
+         |qd AS (
+         |$qd),
+         |cl AS (
+         |$cl),
+         |sc AS (
+         |  SELECT d.q_id, c.id,
+         |    CAST(SUM(CAST(d.qd2 AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS adist
+         |  FROM cl c JOIN qd d ON d.sub = c.sub AND d.code = c.code
+         |  WHERE c.id <> d.q_id GROUP BY 1, 2),
+         |adc AS (
+         |  SELECT q_id, id AS n_id FROM (
+         |    SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adist, id) AS rank FROM sc)
+         |  WHERE rank <= 10),
+         |exq AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${d2Sql("q.embedding", "c.embedding")},
+         |          9), c.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings c
+         |      ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 5)
+         |  WHERE rn <= 10),
+         |ov AS (
+         |  SELECT e.q_id, count(*) AS n_overlap
+         |  FROM exq e JOIN adc a ON a.q_id = e.q_id
+         |    AND a.n_id = e.n_id
+         |  GROUP BY 1)
+         |SELECT q.vec_id AS q_id,
+         |  CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  round(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / 10.0, 6)
+         |    AS recall_at_10
+         |FROM embeddings q LEFT JOIN ov o ON o.q_id = q.vec_id
+         |WHERE q.vec_id < 5 ORDER BY 1""".stripMargin
+    },
 
     "q213_ivf_pq" -> {
       val qd = (0 until 4).map { s =>

@@ -2599,7 +2599,42 @@ object ExtQueries {
       .orderBy("q_id")
   }
 
+  /** q215 — Simpson's-paradox audit ([[Aggregates.simpsonSlopes]]):
+    * per-returnflag OLS slope of price on quantity vs the pooled
+    * slope, reversal-flagged — the aggregation-trap detector run
+    * before trusting any blended-corpus metric. Exact-decimal
+    * sufficient stats; pooled stats merge the group partials while
+    * still decimal. */
+  private val q215: Q = (s, d) =>
+    simpsonSlopes(Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+      "l_extendedprice")
+
+  /** q216 — incremental aggregate maintenance
+    * ([[PipelineOps.statPartials]]/[[PipelineOps.mergePartials]]): the
+    * events stream splits at the 80% timestamp into base + delta;
+    * per-type stats are computed as mergeable partials on each side
+    * and FOLDED — the oracle is a single full-data pass, so the gate
+    * checks the merge law itself (partial-on-split ≡ full recompute,
+    * bit-for-bit). The daily-batch-updates-corpus-aggregate shape. */
+  private val q216: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val Row2 = ev.agg(min(us).as("mn"), max(us).as("mx")).first()
+    val (mn, mx) = (Row2.getLong(0), Row2.getLong(1))
+    val cut = mn + (mx - mn) * 4 / 5
+    val base = ev.filter(us < cut)
+    val delta = ev.filter(us >= cut)
+    PipelineOps.finalizeStats(
+      PipelineOps.mergePartials(Seq(
+        PipelineOps.statPartials(base, "event_type", "value"),
+        PipelineOps.statPartials(delta, "event_type", "value")),
+        "event_type"),
+      "event_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q216_incremental_agg" -> q216,
+    "q215_simpson_audit" -> q215,
     "q214_pq_recall" -> q214,
     "q213_ivf_pq" -> q213,
     "q212_adc_topk" -> q212,
@@ -6034,6 +6069,49 @@ object ExtQueries {
         |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
         .stripMargin,
+
+    "q215_simpson_audit" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(28,6)))
+        |      AS sx,
+        |    SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+        |      AS DECIMAL(28,6))) AS sy,
+        |    SUM(CAST(CAST(l_quantity AS DOUBLE) *
+        |      CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS sxy,
+        |    SUM(CAST(CAST(l_quantity AS DOUBLE) *
+        |      CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6))) AS sxx
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT SUM(n) AS pn, SUM(sx) AS psx, SUM(sy) AS psy,
+        |    SUM(sxy) AS psxy, SUM(sxx) AS psxx
+        |  FROM g),
+        |sl AS (
+        |  SELECT g.l_returnflag, g.n,
+        |    (CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+        |      - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+        |    / (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+        |      - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE)) AS bg,
+        |    (CAST(p.pn AS DOUBLE) * CAST(p.psxy AS DOUBLE)
+        |      - CAST(p.psx AS DOUBLE) * CAST(p.psy AS DOUBLE))
+        |    / (CAST(p.pn AS DOUBLE) * CAST(p.psxx AS DOUBLE)
+        |      - CAST(p.psx AS DOUBLE) * CAST(p.psx AS DOUBLE)) AS bp
+        |  FROM g, p)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(bg, 6) AS slope_group, round(bp, 6) AS slope_pooled,
+        |  sign(bg) <> sign(bp) AS reversed
+        |FROM sl ORDER BY 1""".stripMargin,
+
+    "q216_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |    AS total,
+        |  min(CAST(value AS DOUBLE)) AS mn,
+        |  max(CAST(value AS DOUBLE)) AS mx,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*), 6) AS mean
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q214_pq_recall" -> {
       val qd = (0 until 4).map { s =>

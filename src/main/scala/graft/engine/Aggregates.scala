@@ -811,6 +811,52 @@ object Aggregates {
     0.07918124604762482, 0.06694678963061322, 0.05799194697768673,
     0.05115252244738129, 0.04575749056067514)
 
+  /** Simpson's-paradox audit: per-group OLS slope of y on x next to
+    * the POOLED slope, with a reversal flag — the aggregation trap
+    * detector ("the trend inside every stratum contradicts the trend
+    * of the blended corpus"), the regression companion to
+    * [[corrExact]]'s per-group correlations. Run it before trusting
+    * any pooled metric across heterogeneous sources.
+    *
+    * One (group) agg collects exact-decimal sufficient statistics
+    * (Σx, Σy, Σxy, Σx² — x integer-valued and y 2-dp in the intended
+    * inputs, so the decimal casts are EXACT, no rounding anywhere);
+    * the pooled stats re-aggregate the group partials while still
+    * decimal (sums of exact sums stay exact — the same merge law the
+    * incremental-pipeline ops rely on). Slopes are then identical
+    * IEEE expressions over exact integers on both engines. */
+  def simpsonSlopes(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val parts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast("decimal(28,6)")).as("sx"),
+        sum(y.cast("decimal(28,6)")).as("sy"),
+        sum((x * y).cast("decimal(38,6)")).as("sxy"),
+        sum((x * x).cast("decimal(38,6)")).as("sxx"))
+      .localCheckpoint(eager = false) // group rows + pooled re-agg
+    val pooled = parts.agg(sum("n").as("pn"), sum("sx").as("psx"),
+      sum("sy").as("psy"), sum("sxy").as("psxy"),
+      sum("sxx").as("psxx"))
+    def slope(n: Column, sx: Column, sy: Column, sxy: Column,
+        sxx: Column): Column = {
+      val nd = n.cast("double")
+      (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")) /
+        (nd * sxx.cast("double") -
+          sx.cast("double") * sx.cast("double"))
+    }
+    val g = slope(col("n"), col("sx"), col("sy"), col("sxy"),
+      col("sxx"))
+    val p = slope(col("pn"), col("psx"), col("psy"), col("psxy"),
+      col("psxx"))
+    parts.crossJoin(broadcast(pooled))
+      .select(col(groupCol), col("n"),
+        round(g, 6).as("slope_group"),
+        round(p, 6).as("slope_pooled"),
+        (signum(g) =!= signum(p)).as("reversed"))
+      .orderBy(groupCol)
+  }
+
   /** Cohen's κ between two categorical columns — chance-corrected
     * agreement: κ = (p_o − p_e)/(1 − p_e) with p_o the observed
     * agreement rate and p_e the agreement expected from the marginals

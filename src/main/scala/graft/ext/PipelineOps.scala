@@ -634,6 +634,42 @@ object PipelineOps {
         (max(col("__us")) - min(col("__us"))).as("dur_us"))
   }
 
+  /** Mergeable per-key partials (n, Σ as exact decimal, min, max) —
+    * the incremental-pipeline primitive: partials computed on ANY
+    * disjoint split of the data merge with [[mergePartials]] into
+    * bit-identical state, because counts add, exact decimals add
+    * associatively, and min/max are semilattices. At 100 TB this is
+    * how a daily batch updates a corpus-wide aggregate without
+    * re-scanning history: keep the partial frame as the stored state,
+    * fold each delta in, finalize on read. */
+  def statPartials(df: DataFrame, keyCol: String, valCol: String)
+      : DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(28,9)")).as("s"),
+        min(col(valCol).cast("double")).as("mn"),
+        max(col(valCol).cast("double")).as("mx"))
+
+  /** Merge any number of [[statPartials]] frames (same key column)
+    * into one partial frame — n adds, decimal sums add exactly,
+    * min/max fold. Associative and commutative, so base+delta,
+    * delta+base, or a 10-way daily fold all converge to the same
+    * bits as one full recompute. */
+  def mergePartials(parts: Seq[DataFrame], keyCol: String): DataFrame =
+    parts.reduce(_.unionByName(_))
+      .groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  /** Human-facing view of a partial frame: (key, n, total, mn, mx,
+    * mean) with 6-dp rounding on the derived columns. */
+  def finalizeStats(partials: DataFrame, keyCol: String): DataFrame =
+    partials.select(col(keyCol), col("n"),
+      round(col("s").cast("double"), 6).as("total"),
+      col("mn"), col("mx"),
+      round(col("s").cast("double") / col("n"), 6).as("mean"))
+      .orderBy(keyCol)
+
   /** Deterministic contrastive negative sampling: for every anchor row,
     * the k pseudo-random same-bucket rows with a DIFFERENT label,
     * ranked by a pair hash — the (anchor, positive, negatives) builder

@@ -434,6 +434,23 @@ class AggregatesSpec extends SparkSpec {
     assert(withNull._1 == 21L && withNull._2 < 0.7)
   }
 
+  test("simpsonSlopes: textbook reversal — every stratum trends down, " +
+      "the pooled corpus trends up") {
+    // g1 at low x, g2 at high x; within each, slope −1; across, +~1.14
+    val df = Seq(("g1", 1.0, 9.0), ("g1", 2.0, 8.0),
+      ("g2", 8.0, 17.0), ("g2", 9.0, 16.0)).toDF("g", "x", "y")
+    val out = Aggregates.simpsonSlopes(df, "g", "x", "y")
+      .as[(String, Long, Double, Double, Boolean)].collect().toSeq
+    assert(out.map(_._3) == Seq(-1.0, -1.0))
+    assert(out.forall(r => r._4 > 1.0 && r._5)) // pooled up, reversed
+    // no-paradox control: aligned groups → no reversal
+    val ok = Aggregates.simpsonSlopes(
+      Seq(("a", 1.0, 1.0), ("a", 2.0, 2.0), ("b", 3.0, 3.0),
+        ("b", 4.0, 4.0)).toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Double, Double, Boolean)].collect().toSeq
+    assert(ok.forall(r => r._3 == 1.0 && r._4 == 1.0 && !r._5))
+  }
+
   test("cubeProfile: 2×2 dims → 9 rows, gid bitmask, exact totals, " +
       "subtotal NULL vs data NULL disambiguated") {
     val df = Seq(

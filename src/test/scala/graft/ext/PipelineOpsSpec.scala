@@ -493,6 +493,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.orderBy("g", "rk").collect().toSeq)
   }
 
+  test("statPartials merge law: any split folds to the bits of a " +
+      "full recompute; order- and arity-independent") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.engine.Tables.events(spark, sf0001)
+    val full = PipelineOps.finalizeStats(
+      PipelineOps.statPartials(ev, "event_type", "value"),
+      "event_type").collect().toSeq
+    val Seq(a, b, c) = Seq(
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2))
+      .map(PipelineOps.statPartials(_, "event_type", "value"))
+    val threeWay = PipelineOps.finalizeStats(
+      PipelineOps.mergePartials(Seq(a, b, c), "event_type"),
+      "event_type").collect().toSeq
+    assert(threeWay == full)
+    // associativity: (a⊕b)⊕c — merge of a merged partial is still a partial
+    val nested = PipelineOps.finalizeStats(
+      PipelineOps.mergePartials(Seq(
+        PipelineOps.mergePartials(Seq(c, b), "event_type"), a),
+        "event_type"),
+      "event_type").collect().toSeq
+    assert(nested == full)
+  }
+
   test("negativeSample: cross-label only, same-bucket only, k per " +
       "anchor when the pool allows, deterministic under repartition") {
     import org.apache.spark.sql.functions.col

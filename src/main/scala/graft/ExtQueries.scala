@@ -948,6 +948,34 @@ object ExtQueries {
         "l_returnflag", "l_extendedprice")
     }
 
+  /** Shared embedding-dimension covariance ([[SimSearch.dimCovariance]])
+    * — q147 owns the one-scan build; q201 (eigensolve) and q202
+    * (projection) read the d²-row scratch instead of re-scanning the
+    * corpus. Longs and 6-dp doubles round-trip parquet exactly, so
+    * sharing cannot move a hash. */
+  private def sharedCov(s: SparkSession, d: String): DataFrame =
+    materialized(s, scratch("dimcov", d)) {
+      SimSearch.dimCovariance(Tables.embeddings(s, d), "embedding")
+    }
+
+  /** Shared PQ index ([[SimSearch.pqIndex]], m=4, k=8) — q211 owns the
+    * per-subspace Gonzalez builds; q212/q213/q214 read the code and
+    * codebook scratch (ints and float arrays round-trip parquet
+    * exactly). The honest serving shape: nobody retrains the codebook
+    * per query. */
+  private def sharedPq(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = synchronized {
+    val cp = scratch("pqcodes", d); val bp = scratch("pqbooks", d)
+    if (!scratchDone(cp)) {
+      val (codes, books) = SimSearch.pqIndex(Tables.embeddings(s, d),
+        "vec_id", "embedding", m = 4, k = 8)
+      codes.write.mode("overwrite").parquet(cp)
+      books.write.mode("overwrite").parquet(bp)
+      scratchDone += cp
+    }
+    (s.read.parquet(cp), s.read.parquet(bp))
+  }
+
   /** Names of the queries that consume the shared scratch — Bench exempts
     * them from its stall re-run (a re-run of the owner would time the
     * cheap parquet read and silently drop the compute cost). */
@@ -958,7 +986,11 @@ object ExtQueries {
     "q188_personalized_pagerank", "q191_blocking_quality",
     "q200_bcubed_quality",
     // percentile-CDF scratch (sharedPriceCdf): q107 owns, q113 reads
-    "q107_iqr_outliers", "q113_winsorized_mean")
+    "q107_iqr_outliers", "q113_winsorized_mean",
+    // covariance scratch (sharedCov): q147 owns, q201/q202 read
+    "q201_pca_power", "q202_pc1_scores",
+    // PQ-index scratch (sharedPq): q211 owns, q212/q213/q214 read
+    "q212_adc_topk", "q213_ivf_pq", "q214_pq_recall")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -1573,9 +1605,7 @@ object ExtQueries {
   /** q147 — embedding-dimension covariance ([[SimSearch.dimCovariance]]):
     * upper-triangle sample covariance of the 64 dims in one pass via the
     * pseudo-dimension outer-product explode. */
-  private val q147: Q = (s, d) =>
-    SimSearch.dimCovariance(Tables.embeddings(s, d), "embedding")
-      .orderBy("i", "j")
+  private val q147: Q = (s, d) => sharedCov(s, d).orderBy("i", "j")
 
   /** q148 — triangle census ([[GraphOps.triangleStats]]) of the shared
     * near-dup pair graph: edges, wedges, triangles, global clustering
@@ -2442,18 +2472,16 @@ object ExtQueries {
     * distributed pass is the one-scan covariance; the d×d eigensolve
     * is corpus-independent driver math (KB-scale-scalar pattern). */
   private val q201: Q = (s, d) =>
-    SimSearch.pc1Frame(s,
-      SimSearch.dimCovariance(Tables.embeddings(s, d), "embedding"))
+    SimSearch.pc1Frame(s, sharedCov(s, d))
 
   /** q202 — PC1 projection scores ([[SimSearch.project]]): every vector
     * scored along the q201 component, shuffle-free (loadings ride as an
     * array literal; the dot product is a sequential decimal fold inside
     * the scan) — the whitening / diversity-ranking primitive. */
   private val q202: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val r = SimSearch.pc1(SimSearch.dimCovariance(emb, "embedding"))
-    SimSearch.project(emb, "embedding", "vec_id", r.loadings)
-      .orderBy("vec_id")
+    val r = SimSearch.pc1(sharedCov(s, d))
+    SimSearch.project(Tables.embeddings(s, d), "embedding", "vec_id",
+      r.loadings).orderBy("vec_id")
   }
 
   /** q203 — Pareto-skyline customer frontier ([[Pareto.skyline]]):
@@ -2543,8 +2571,7 @@ object ExtQueries {
     * k=8) — deterministic Gonzalez codebooks, broadcast assignment;
     * the m·log₂k-bit storage layout behind PQ serving. */
   private val q211: Q = (s, d) =>
-    SimSearch.pqCodesWide(Tables.embeddings(s, d), "vec_id",
-      "embedding", m = 4, k = 8)
+    SimSearch.pqCodesWideFrom(sharedPq(s, d)._1, "vec_id", m = 4)
 
   /** q212 — ADC top-10 ([[SimSearch.adcTopK]]): full-precision queries
     * against the PQ-coded corpus — per-subspace distance tables
@@ -2552,8 +2579,9 @@ object ExtQueries {
     * exact decimals so ranking is add-order free. */
   private val q212: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    SimSearch.adcTopK(emb, "vec_id", "embedding",
-      emb.filter(col("vec_id") < 5), m = 4, k = 8, topK = 10)
+    val (codes, books) = sharedPq(s, d)
+    SimSearch.adcTopKFrom(codes, books, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", m = 4, len = 16, topK = 10)
   }
 
   /** q213 — IVF-PQ search ([[SimSearch.ivfAdcTopK]]): 5-cell coarse
@@ -2563,9 +2591,10 @@ object ExtQueries {
     * serving shape, fully deterministic and oracle-replicated. */
   private val q213: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    SimSearch.ivfAdcTopK(emb, "vec_id", "embedding",
+    val (codes, books) = sharedPq(s, d)
+    SimSearch.ivfAdcTopKFrom(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 5), ivfK = 5, nprobe = 2,
-      m = 4, k = 8, topK = 10)
+      codes, books, m = 4, len = 16, topK = 10)
   }
 
   /** q214 — PQ recall audit: ADC top-10 (q212 parameters) intersected
@@ -2587,8 +2616,9 @@ object ExtQueries {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= 10)
       .select(col("q_id"), col("vec_id").as("n_id"))
-    val adc = SimSearch.adcTopK(emb, "vec_id", "embedding", q,
-        m = 4, k = 8, topK = 10)
+    val (codes, books) = sharedPq(s, d)
+    val adc = SimSearch.adcTopKFrom(codes, books, q, "vec_id",
+        "embedding", m = 4, len = 16, topK = 10)
       .select(col("q_id"), col("n_id"))
     exact.join(adc, Seq("q_id", "n_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))

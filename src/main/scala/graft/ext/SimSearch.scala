@@ -647,6 +647,12 @@ object SimSearch {
   def pqCodesWide(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int): DataFrame = {
     val (codes, _) = pqIndex(emb, idCol, vecCol, m, k)
+    pqCodesWideFrom(codes, idCol, m)
+  }
+
+  /** Wide pivot of a (possibly scratch-read) codes frame. */
+  def pqCodesWideFrom(codes: DataFrame, idCol: String, m: Int)
+      : DataFrame = {
     val aggs = (0 until m).map(s =>
       max(when(col("sub") === s, col("code"))).as(s"c$s"))
     codes.groupBy(col("id").as(idCol))
@@ -668,7 +674,18 @@ object SimSearch {
       queries: DataFrame, m: Int, k: Int, topK: Int): DataFrame = {
     val (codes, books) = pqIndex(emb, idCol, vecCol, m, k)
     val d = emb.select(size(col(vecCol)).cast("int")).first().getInt(0)
-    val len = d / m
+    adcTopKFrom(codes, books, queries, idCol, vecCol, m, d / m, topK)
+  }
+
+  /** [[adcTopK]] against a PRECOMPUTED index — the serving entry: codes
+    * and books come off scratch/parquet (the q55 materialize-once
+    * discipline; ints and float arrays round-trip exactly, so results
+    * match the inline build bit-for-bit). `cand` optionally restricts
+    * scoring to (q_id, id) candidate pairs — the IVF hook. */
+  def adcTopKFrom(codes: DataFrame, books: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, m: Int,
+      len: Int, topK: Int, cand: Option[DataFrame] = None)
+      : DataFrame = {
     val qsub = (0 until m).map(s =>
         queries.select(col(idCol).as("q_id"), lit(s).as("sub"),
           slice(col(vecCol), s * len + 1, len).as("qv")))
@@ -676,7 +693,12 @@ object SimSearch {
     val dtab = qsub.join(broadcast(books), Seq("sub"))
       .select(col("q_id"), col("sub"), col("cid").as("code"),
         round(sqDist(col("qv"), col("cv")), 9).as("qd2"))
-    val scored = codes.join(broadcast(dtab), Seq("sub", "code"))
+    val base = cand match {
+      case Some(c) => c.join(codes, Seq("id"))
+        .join(broadcast(dtab), Seq("q_id", "sub", "code"))
+      case None => codes.join(broadcast(dtab), Seq("sub", "code"))
+    }
+    val scored = base
       .filter(col("id") =!= col("q_id"))
       .groupBy("q_id", "id")
       .agg(sum(col("qd2").cast("decimal(28,9)")).cast("double")
@@ -704,6 +726,18 @@ object SimSearch {
   def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, ivfK: Int, nprobe: Int, m: Int, k: Int,
       topK: Int): DataFrame = {
+    val (codes, books) = pqIndex(emb, idCol, vecCol, m, k)
+    val d = emb.select(size(col(vecCol)).cast("int")).first().getInt(0)
+    ivfAdcTopKFrom(emb, idCol, vecCol, queries, ivfK, nprobe,
+      codes, books, m, d / m, topK)
+  }
+
+  /** [[ivfAdcTopK]] against a PRECOMPUTED PQ index (coarse quantizer
+    * still built here — it is one ivfK-round Gonzalez over the corpus,
+    * owned by its sole caller). */
+  def ivfAdcTopKFrom(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, ivfK: Int, nprobe: Int, codes: DataFrame,
+      books: DataFrame, m: Int, len: Int, topK: Int): DataFrame = {
     val pts = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val sel = kCenterCoreset(pts, "id", "v", ivfK)
     val cent = sel.select(col("cid").as("pid"))
@@ -721,28 +755,8 @@ object SimSearch {
       .select(col("q_id"), col("cid").as("cell"))
     val cand = probe.join(assigned, Seq("cell"))
       .select(col("q_id"), col("id"))
-    val (codes, books) = pqIndex(emb, idCol, vecCol, m, k)
-    val d = emb.select(size(col(vecCol)).cast("int")).first().getInt(0)
-    val len = d / m
-    val qsub = (0 until m).map(s =>
-        queries.select(col(idCol).as("q_id"), lit(s).as("sub"),
-          slice(col(vecCol), s * len + 1, len).as("qv")))
-      .reduce(_.unionAll(_))
-    val dtab = qsub.join(broadcast(books), Seq("sub"))
-      .select(col("q_id"), col("sub"), col("cid").as("code"),
-        round(sqDist(col("qv"), col("cv")), 9).as("qd2"))
-    val scored = cand.join(codes, Seq("id"))
-      .join(broadcast(dtab), Seq("q_id", "sub", "code"))
-      .filter(col("id") =!= col("q_id"))
-      .groupBy("q_id", "id")
-      .agg(sum(col("qd2").cast("decimal(28,9)")).cast("double")
-        .as("adist"))
-    val w = Window.partitionBy("q_id").orderBy(col("adist"), col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("q_id"), col("id").as("n_id"), col("adist"),
-        col("rank"))
-      .orderBy("q_id", "rank")
+    adcTopKFrom(codes, books, queries, idCol, vecCol, m, len, topK,
+      cand = Some(cand))
   }
 
   /** Result of [[pc1]]: 0-based per-dimension loadings of the dominant

@@ -182,6 +182,25 @@ object StreamingOps {
         col("n_users"))
   }
 
+  /** Per-type running stats (n, exact-decimal total, min, max, mean) —
+    * the STREAMING face of [[graft.ext.PipelineOps.statPartials]]'
+    * merge law: Spark's streaming aggregation state IS the mergeable
+    * partial (counts add, decimals add exactly, min/max fold), so the
+    * complete-mode output after any micro-batch split equals the batch
+    * aggregate bit-for-bit (spec-asserted stream == batch == folded
+    * partials). The same code object runs on a static frame — this is
+    * q216's maintenance loop executed by the engine itself. */
+  def runningStats(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,9)")).as("s"),
+        min(col("value").cast("double")).as("mn"),
+        max(col("value").cast("double")).as("mx"))
+      .select(col("event_type"), col("n"),
+        round(col("s").cast("double"), 6).as("total"),
+        col("mn"), col("mx"),
+        round(col("s").cast("double") / col("n"), 6).as("mean"))
+
   /** Stream-static enrichment: left-join the (unbounded) stream against a
     * broadcast dimension snapshot — the ingestion-time lookup stage
     * (user → segment, doc → license, …). Stateless: each micro-batch

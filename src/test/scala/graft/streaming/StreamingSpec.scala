@@ -250,4 +250,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming running stats == batch == folded mergeable partials " +
+      "(q216's maintenance loop, executed by the engine's state store)") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf0001)
+    val batch = StreamingOps.runningStats(ev).collect().toSet
+    val streamed = StreamingOps.runStreaming(spark, sf0001,
+      StreamingOps.runningStats, "t_rstats").collect().toSet
+    assert(streamed == batch)
+    // and both equal the explicit partial-merge view of the same corpus
+    val folded = graft.ext.PipelineOps.finalizeStats(
+      graft.ext.PipelineOps.mergePartials(Seq(
+        graft.ext.PipelineOps.statPartials(
+          ev.filter(col("event_id") % 2 === 0), "event_type", "value"),
+        graft.ext.PipelineOps.statPartials(
+          ev.filter(col("event_id") % 2 === 1), "event_type", "value")),
+        "event_type"), "event_type").collect().toSet
+    assert(folded == batch)
+    assert(batch.nonEmpty)
+  }
 }

@@ -990,7 +990,9 @@ object ExtQueries {
     // covariance scratch (sharedCov): q147 owns, q201/q202 read
     "q201_pca_power", "q202_pc1_scores",
     // PQ-index scratch (sharedPq): q211 owns, q212/q213/q214 read
-    "q212_adc_topk", "q213_ivf_pq", "q214_pq_recall")
+    "q212_adc_topk", "q213_ivf_pq", "q214_pq_recall",
+    // cluster scratch again: q218 golden record reads sharedClusters
+    "q218_golden_record")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -2662,7 +2664,26 @@ object ExtQueries {
       "event_type")
   }
 
+  /** q217 — calendar coverage audit ([[EventOps.coverageGaps]]): per
+    * event type, active days / span / gap count / longest gap — the
+    * "is this feed actually arriving" precondition every downstream
+    * rolling statistic silently assumes. Gaps via lag over the
+    * calendar-bounded distinct-day frame; no calendar explode. */
+  private val q217: Q = (s, d) =>
+    EventOps.coverageGaps(Tables.events(s, d), "event_type", "ts")
+
+  /** q218 — golden-record survivorship ([[Dedup.goldenRecord]]): each
+    * multi-member near-dup cluster (shared scratch) collapses to one
+    * synthesized record by deterministic per-attribute rules —
+    * longest-text representative, modal lang/source, max chars; the
+    * MDM step after clustering. Shared-scratch consumer. */
+  private val q218: Q = (s, d) =>
+    Dedup.goldenRecord(Tables.documents(s, d), sharedClusters(s, d),
+      "doc_id")
+
   val all: Map[String, Q] = Map(
+    "q218_golden_record" -> q218,
+    "q217_coverage_gaps" -> q217,
     "q216_incremental_agg" -> q216,
     "q215_simpson_audit" -> q215,
     "q214_pq_recall" -> q214,
@@ -6099,6 +6120,76 @@ object ExtQueries {
         |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
         .stripMargin,
+
+    "q217_coverage_gaps" ->
+      """WITH dys AS (
+        |  SELECT DISTINCT event_type AS key,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT key, day,
+        |    date_diff('day',
+        |      lag(day) OVER (PARTITION BY key ORDER BY day), day) - 1
+        |      AS gap
+        |  FROM dys)
+        |SELECT key AS event_type,
+        |  CAST(count(*) AS BIGINT) AS n_active_days,
+        |  CAST(date_diff('day', min(day), max(day)) + 1 AS INT)
+        |    AS span_days,
+        |  CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gaps,
+        |  CAST(COALESCE(MAX(CASE WHEN gap > 0 THEN gap END), 0) AS INT)
+        |    AS max_gap_days
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q218_golden_record" -> {
+      s"""WITH RECURSIVE
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |clus AS (
+         |  SELECT doc.doc_id AS id,
+         |    CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id))
+         |      AS BIGINT) AS cluster
+         |  FROM documents doc
+         |  LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |    ON m.s = doc.doc_id),
+         |dd AS (
+         |  SELECT doc.doc_id AS id, c.cluster, doc.text, doc.lang,
+         |    doc.source, doc.n_chars
+         |  FROM documents doc JOIN clus c ON c.id = doc.doc_id),
+         |multi AS (
+         |  SELECT cluster, count(*) AS n_members,
+         |    max(n_chars) AS max_chars
+         |  FROM dd GROUP BY 1 HAVING count(*) >= 2),
+         |rep AS (
+         |  SELECT cluster, id AS rep_id FROM (
+         |    SELECT cluster, id, ROW_NUMBER() OVER (PARTITION BY
+         |      cluster ORDER BY length(text) DESC, id) AS rn
+         |    FROM dd)
+         |  WHERE rn = 1),
+         |lm AS (
+         |  SELECT cluster, lang AS lang_mode FROM (
+         |    SELECT cluster, lang, ROW_NUMBER() OVER (PARTITION BY
+         |      cluster ORDER BY count(*) DESC, lang) AS rn
+         |    FROM dd GROUP BY 1, 2)
+         |  WHERE rn = 1),
+         |sm AS (
+         |  SELECT cluster, source AS source_mode FROM (
+         |    SELECT cluster, source, ROW_NUMBER() OVER (PARTITION BY
+         |      cluster ORDER BY count(*) DESC, source) AS rn
+         |    FROM dd GROUP BY 1, 2)
+         |  WHERE rn = 1)
+         |SELECT m.cluster, CAST(m.n_members AS BIGINT) AS n_members,
+         |  r.rep_id, lm.lang_mode, sm.source_mode, m.max_chars
+         |FROM multi m JOIN rep r USING (cluster)
+         |JOIN lm USING (cluster) JOIN sm USING (cluster)
+         |ORDER BY 1""".stripMargin
+    },
 
     "q215_simpson_audit" ->
       """WITH g AS (

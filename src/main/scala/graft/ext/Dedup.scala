@@ -869,4 +869,48 @@ object Dedup {
     }
     bitCols.reduce(_ + _)
   }
+
+  /** Golden-record survivorship over near-dup clusters — the MDM step
+    * AFTER clustering: each multi-member cluster collapses to one
+    * synthesized record by per-attribute rules (representative = the
+    * LONGEST text, tie to min id — "most complete wins"; lang/source =
+    * the modal value, tie to min — "majority wins"; chars = max).
+    * Rule-based and deterministic, so a re-run of the pipeline emits
+    * the same golden rows — the property downstream training-data
+    * snapshots need.
+    *
+    * Scale shape: one join docs⋈clusters on id, then one window (rep
+    * pick) and two (cluster, attr) hash-aggs with |cluster|-bounded
+    * windows for the modes — all partitioned by cluster, nothing
+    * corpus-wide. `docs` needs (id, text, lang, source, chars). */
+  def goldenRecord(docs: DataFrame, clusters: DataFrame,
+      idCol: String): DataFrame = {
+    val d = docs.join(clusters, idCol)
+      .select(col(idCol).as("id"), col("cluster"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .localCheckpoint(eager = false) // rep window + two mode aggs
+    val multi = d.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), max(col("n_chars")).as("mc"))
+      .filter(col("n_members") >= 2)
+    val wRep = Window.partitionBy("cluster")
+      .orderBy(length(col("text")).desc, col("id"))
+    val rep = d.withColumn("__rn", row_number().over(wRep))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("id").as("rep_id"))
+    def mode(attr: String) = {
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("__n").desc, col(attr))
+      d.groupBy(col("cluster"), col(attr))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cluster"), col(attr).as(s"${attr}_mode"))
+    }
+    multi.join(rep, "cluster").join(mode("lang"), "cluster")
+      .join(mode("source"), "cluster")
+      .select(col("cluster"), col("n_members"), col("rep_id"),
+        col("lang_mode"), col("source_mode"),
+        col("mc").as("max_chars"))
+      .orderBy("cluster")
+  }
 }

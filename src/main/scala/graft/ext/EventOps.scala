@@ -425,6 +425,32 @@ object EventOps {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Per-key calendar coverage audit: active-day count, span, number
+    * of gaps and the longest gap — the "is this feed actually
+    * arriving" check run before any time-series op downstream trusts
+    * the daily grid (a silent 3-day ingestion hole corrupts every
+    * rolling statistic computed over it). No calendar explode: gaps
+    * fall out of a lag diff over the DISTINCT (key, day) frame, which
+    * is calendar-bounded regardless of corpus size — the raw events
+    * are touched once, in the distinct. */
+  def coverageGaps(events: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val days = events.select(col(keyCol).as("key"),
+        to_date(col(tsCol).cast("timestamp")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("key").orderBy("day")
+    days.withColumn("gap",
+        datediff(col("day"), lag(col("day"), 1).over(w)) - 1)
+      .groupBy(col("key").as(keyCol))
+      .agg(count(lit(1)).as("n_active_days"),
+        (datediff(max(col("day")), min(col("day"))) + 1)
+          .as("span_days"),
+        sum(when(col("gap") > 0, 1).otherwise(0)).as("n_gaps"),
+        coalesce(max(when(col("gap") > 0, col("gap"))), lit(0))
+          .as("max_gap_days"))
+      .orderBy(keyCol)
+  }
+
   /** Population Stability Index per key between the first and second
     * half of the observed time span — the model-monitoring standard
     * for "has this score's distribution moved": bin the CURRENT window

@@ -403,4 +403,26 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
     assert(perfect == ((5L, 3L, 3L, 1.0, 1.0, 1.0)))
   }
+
+  test("goldenRecord: longest-text representative (tie → min id), " +
+      "modal attrs (tie → min value), singletons excluded") {
+    val docs = Seq(
+      // cluster 1: three members; 2 and 3 tie on length → rep 2
+      (1L, "aa", "en", "web", 2L),
+      (2L, "cccc", "fr", "web", 4L),
+      (3L, "dddd", "en", "pdf", 4L),
+      // cluster 4: two members; lang tie en/fr → en (min)
+      (4L, "xxx", "fr", "api", 3L),
+      (5L, "yy", "en", "api", 2L),
+      // singleton
+      (6L, "zzzzzz", "de", "web", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 4L), (6L, 6L)).toDF("doc_id", "cluster")
+    val out = Dedup.goldenRecord(docs, clusters, "doc_id")
+      .as[(Long, Long, Long, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "en", "web", 4L), // en 2-of-3; web 2-of-3
+      (4L, 2L, 4L, "en", "api", 3L))) // lang tie breaks to min "en"
+  }
 }

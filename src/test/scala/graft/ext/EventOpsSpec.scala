@@ -302,6 +302,26 @@ class EventOpsSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
 
+  test("coverageGaps: hand-computed gap census; dense feed reports " +
+      "zero gaps; single-day key has span 1") {
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      // key a: days 1,2,5,9 → gaps of 2 (3–4) and 3 (6–8), span 9
+      ("a", ts(1, 9)), ("a", ts(2, 9)), ("a", ts(2, 12)),
+      ("a", ts(5, 9)), ("a", ts(9, 9)),
+      // key b: days 1,2,3 → dense
+      ("b", ts(1, 9)), ("b", ts(2, 9)), ("b", ts(3, 9)),
+      // key c: one day
+      ("c", ts(4, 9)))
+      .toDF("k", "ts").select(col("k"), col("ts"))
+    val out = EventOps.coverageGaps(events, "k", "ts")
+      .as[(String, Long, Int, Long, Int)].collect().toSeq
+    assert(out == Seq(
+      ("a", 4L, 9, 2L, 3),
+      ("b", 3L, 3, 0L, 0),
+      ("c", 1L, 1, 0L, 0)))
+  }
+
   test("psiDrift: identical halves → psi exactly 0; shifted half → " +
       "large psi; null values excluded; deterministic") {
     // seconds 0..9 land in the reference half (mid = 9.5 s), 10..19 in

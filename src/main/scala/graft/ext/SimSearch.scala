@@ -464,10 +464,17 @@ object SimSearch {
     * times and never shuffled. State (id, v, md) localCheckpoints per
     * round, so the plan stays flat over rounds (the dupClusters
     * discipline). */
-  /** Sequential-fold squared Euclidean distance in double ([[dot]]'s
-    * convention — fold order is the array order, so an oracle evaluating
-    * the same expression order is bit-identical). */
-  def sqDist(a: Column, b: Column): Column = aggregate(
+  /** Squared Euclidean distance in double ([[dot]]'s convention — fold
+    * order is the array order, so an oracle evaluating the same
+    * expression order is bit-identical). Native single-pass codegen
+    * kernel ([[graft.functions.SqDistExpr]]) on the k-center / cell
+    * assignment / ADC hot paths; [[sqDistLambda]] keeps the
+    * higher-order-function form for parity testing. */
+  def sqDist(a: Column, b: Column): Column =
+    graft.functions.expressions.sq_dist(a, b)
+
+  /** Lambda form of [[sqDist]] (parity testing only). */
+  def sqDistLambda(a: Column, b: Column): Column = aggregate(
     zip_with(a, b, (x, y) =>
       (x.cast("double") - y.cast("double")) *
         (x.cast("double") - y.cast("double"))),

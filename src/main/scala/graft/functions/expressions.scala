@@ -204,11 +204,107 @@ case class ArrayTopCountExpr(child: Expression) extends UnaryExpression {
       : ArrayTopCountExpr = copy(child = newChild)
 }
 
+/** Squared Euclidean distance of two numeric-array columns, accumulated
+  * component-wise in index order in double — bit-identical to the
+  * `aggregate(zip_with(a, b, (x,y) => (x−y)·(x−y)), 0.0, +)` lambda form
+  * (same fold order, same IEEE adds) and to the DuckDB oracle's
+  * list_reduce, but the inner loop is generated Java inside whole-stage
+  * codegen instead of ~4 interpreted lambda frames per element. Sits on
+  * the engine's hottest vector paths: Gonzalez k-center rounds, cell
+  * assignment, PQ/ADC distance tables. Element types may be float or
+  * double independently per side (Lloyd's exact-decimal means come back
+  * as array<double> while the corpus stays array<float>). Null element,
+  * null side, or length mismatch → null, exactly like the padded
+  * zip_with; empty arrays → 0.0. */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression) = e.dataType match {
+    case ArrayType(t, _) => t
+    case _ => null
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => elemType(e) match {
+      case FloatType | DoubleType => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        "sq_dist requires two array<float|double> arguments")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val (tl, tr) = (elemType(left), elemType(right))
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = get(x, i, tl) - get(y, i, tr)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    def getter(v: String, i: String, t: DataType) = t match {
+      case FloatType => s"(double) $v.getFloat($i)"
+      case _ => s"$v.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  int $n = $x.numElements();
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      double $d = ${getter(x, i, elemType(left))}
+         |        - ${getter(y, i, elemType(right))};
+         |      $acc += $d * $d;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object expressions {
   /** Column wrapper: cosine similarity of two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column =
     shim.toColumn(
       CosineSimExpr(shim.toExpression(a), shim.toExpression(b)))
+
+  /** Column wrapper: squared Euclidean distance (float/double arrays). */
+  def sq_dist(a: Column, b: Column): Column =
+    shim.toColumn(
+      SqDistExpr(shim.toExpression(a), shim.toExpression(b)))
 
   /** Column wrapper: polynomial rolling string hash mod 1e9+7. */
   def poly_hash(c: Column): Column =

@@ -42,6 +42,36 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("sq_dist == lambda sqDist, bit-for-bit, on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001).limit(200)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(
+        emb.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .filter(col("ia") < col("ib")).limit(500)
+    val bad = pairs.select(
+      SimSearch.sqDist(col("a"), col("b")).as("native"),
+      SimSearch.sqDistLambda(col("a"), col("b")).as("lambda"))
+      .filter(col("native") =!= col("lambda")).count()
+    assert(bad == 0)
+  }
+
+  test("sq_dist: mixed float/double sides (Lloyd centroids), null " +
+      "element, length mismatch, empty arrays") {
+    val mixed = Seq((Array(1f, 2f), Array(1.5, 0.0))).toDF("a", "b")
+    val m = mixed.select(SimSearch.sqDist(col("a"), col("b")).as("d"))
+      .as[Double].head()
+    assert(m == 0.25 + 4.0)
+    val edge = spark.range(1).select(
+      SimSearch.sqDist(array(lit(1f), lit(null).cast("float")),
+        array(lit(1f), lit(2f))).as("nullElem"),
+      SimSearch.sqDist(array(lit(1f)), array(lit(1f), lit(2f)))
+        .as("lenMismatch"),
+      SimSearch.sqDist(array().cast("array<float>"),
+        array().cast("array<float>")).as("empty")).head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    assert(edge.getDouble(2) == 0.0)
+  }
+
   test("poly_hash == lambda polyHash on real document words") {
     val words = Tables.documents(spark, sf0001)
       .select(explode(TextOps.tokens(col("text"))).as("w")).limit(5000)

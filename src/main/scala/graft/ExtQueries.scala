@@ -2681,7 +2681,17 @@ object ExtQueries {
     Dedup.goldenRecord(Tables.documents(s, d), sharedClusters(s, d),
       "doc_id")
 
+  /** q219 — CMS self-join-size / F₂ estimation
+    * ([[Aggregates.cmsSelfJoinSize]]): the equi-join-size / skew
+    * synopsis computed from a w·d-bounded RELATIONAL Count–Min
+    * counter frame — deterministic hashing makes the estimate itself
+    * oracle-replicable, and the never-undercount guarantee is an
+    * output column, not an assumption. */
+  private val q219: Q = (s, d) =>
+    cmsSelfJoinSize(Tables.lineitem(s, d), "l_suppkey")
+
   val all: Map[String, Q] = Map(
+    "q219_cms_join_size" -> q219,
     "q218_golden_record" -> q218,
     "q217_coverage_gaps" -> q217,
     "q216_incremental_agg" -> q216,
@@ -6120,6 +6130,33 @@ object ExtQueries {
         |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
         .stripMargin,
+
+    "q219_cms_join_size" -> {
+      val bu = (0 until 5).map(i =>
+        s"""  SELECT $i AS i,
+           |    ${scrambledHashSql(
+               s"CAST(l_suppkey AS VARCHAR) || '#$i'")} % 8192 AS b
+           |  FROM lineitem""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      s"""WITH bu AS (
+         |$bu),
+         |ct AS (SELECT i, b, count(*) AS c FROM bu GROUP BY 1, 2),
+         |es AS (
+         |  SELECT CAST(MIN(s) AS BIGINT) AS f2_est FROM (
+         |    SELECT i, SUM(CAST(c*c AS DECIMAL(38,0))) AS s
+         |    FROM ct GROUP BY 1)),
+         |ex AS (
+         |  SELECT CAST(SUM(f) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(SUM(CAST(f*f AS DECIMAL(38,0))) AS BIGINT)
+         |      AS f2_exact
+         |  FROM (SELECT l_suppkey, count(*) AS f FROM lineitem
+         |        GROUP BY 1))
+         |SELECT ex.n, ex.n_keys, ex.f2_exact, es.f2_est,
+         |  round(CAST(es.f2_est AS DOUBLE) / ex.f2_exact, 6) AS ratio,
+         |  es.f2_est >= ex.f2_exact AS never_under
+         |FROM ex, es""".stripMargin
+    },
 
     "q217_coverage_gaps" ->
       """WITH dys AS (

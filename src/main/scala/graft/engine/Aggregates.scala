@@ -811,6 +811,49 @@ object Aggregates {
     0.07918124604762482, 0.06694678963061322, 0.05799194697768673,
     0.05115252244738129, 0.04575749056067514)
 
+  /** Self-join-size (second frequency moment F₂ = Σₖ fₖ²) estimation
+    * via a RELATIONAL Count–Min sketch — the query-planning primitive
+    * behind "how big would this equi-join get / how skewed is this
+    * key" decided from a w·d-bounded synopsis instead of a full
+    * per-key count. Unlike q129's opaque binary sketch, the counter
+    * table here is a FRAME: each row fans out to `depth` (row, bucket)
+    * cells map-side, one hash-agg builds the (i, b, c) counters
+    * (bounded by w·d, mergeable by addition — the partial-agg shape),
+    * and the estimate is minᵢ Σ_b c²ᵢ,b. Every step is deterministic
+    * scrambled hashing, so the DuckDB oracle replicates the ESTIMATE
+    * exactly — the one-sided guarantee (estimate ≥ exact: collisions
+    * only ADD cross terms) is then an output column that must read
+    * true, not an assumed property.
+    *
+    * Returns one row (n, f2_exact, f2_est, ratio, never_under). The
+    * exact side is a per-key count + decimal Σf² — fine at test scale
+    * and the thing the sketch replaces at 100 TB. Counter squares sum
+    * through DECIMAL(38,0) (exact for any N). */
+  def cmsSelfJoinSize(df: DataFrame, keyCol: String,
+      width: Int = 8192, depth: Int = 5): DataFrame = {
+    val keyed = df.select(col(keyCol).cast("string").as("k"))
+    val cells = (0 until depth).map(i => struct(lit(i).as("i"),
+      (graft.ext.TextOps.scrambledHash(
+        concat(col("k"), lit(s"#$i"))) % width).as("b")))
+    val counters = keyed
+      .select(explode(array(cells: _*)).as("ib"))
+      .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val est = counters.groupBy("i")
+      .agg(sum((col("c") * col("c")).cast("decimal(38,0)")).as("s"))
+      .agg(min(col("s")).cast("long").as("f2_est"))
+    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("f")).as("n"),
+        sum((col("f") * col("f")).cast("decimal(38,0)"))
+          .cast("long").as("f2_exact"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n"), col("n_keys"), col("f2_exact"), col("f2_est"),
+        round(col("f2_est").cast("double") / col("f2_exact"), 6)
+          .as("ratio"),
+        (col("f2_est") >= col("f2_exact")).as("never_under"))
+  }
+
   /** Simpson's-paradox audit: per-group OLS slope of y on x next to
     * the POOLED slope, with a reversal flag — the aggregation trap
     * detector ("the trend inside every stratum contradicts the trend

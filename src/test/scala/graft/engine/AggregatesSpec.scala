@@ -434,6 +434,22 @@ class AggregatesSpec extends SparkSpec {
     assert(withNull._1 == 21L && withNull._2 < 0.7)
   }
 
+  test("cmsSelfJoinSize: collision-free width recovers exact F₂; " +
+      "width=1 degenerates to N²; estimate never undercounts") {
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val out = Aggregates.cmsSelfJoinSize(df, "k")
+      .as[(Long, Long, Long, Long, Double, Boolean)].head()
+    // f = (3,2,1): F₂ = 14; at width 8192 collisions are absent
+    assert(out == ((6L, 3L, 14L, 14L, 1.0, true)))
+    val degenerate = Aggregates.cmsSelfJoinSize(df, "k", width = 1)
+      .as[(Long, Long, Long, Long, Double, Boolean)].head()
+    // one bucket swallows everything → est = N² = 36, still ≥ exact
+    assert(degenerate._4 == 36L && degenerate._6)
+    val again = Aggregates.cmsSelfJoinSize(df.repartition(5), "k")
+      .as[(Long, Long, Long, Long, Double, Boolean)].head()
+    assert(again == out)
+  }
+
   test("simpsonSlopes: textbook reversal — every stratum trends down, " +
       "the pooled corpus trends up") {
     // g1 at low x, g2 at high x; within each, slope −1; across, +~1.14

@@ -992,7 +992,9 @@ object ExtQueries {
     // PQ-index scratch (sharedPq): q211 owns, q212/q213/q214 read
     "q212_adc_topk", "q213_ivf_pq", "q214_pq_recall",
     // cluster scratch again: q218 golden record reads sharedClusters
-    "q218_golden_record")
+    "q218_golden_record",
+    // PQ scratch again: q221 distortion audit reads sharedPq
+    "q221_pq_distortion")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -2690,7 +2692,98 @@ object ExtQueries {
   private val q219: Q = (s, d) =>
     cmsSelfJoinSize(Tables.lineitem(s, d), "l_suppkey")
 
+  /** q220 — source vocabulary overlap ([[TextOps.vocabOverlap]]): the
+    * pairwise corpus-similarity matrix consulted before mixing sources
+    * — shared-type counts and vocab Jaccard per source pair, bounded
+    * by |vocab|·|sources| regardless of document count. */
+  private val q220: Q = (s, d) =>
+    TextOps.vocabOverlap(Tables.documents(s, d), "source", "text")
+
+  /** q221 — PQ distance-distortion audit: Pearson correlation and mean
+    * ratio between ADC approximate distances and exact d² over every
+    * (query, candidate) pair — the calibration companion to q214's
+    * recall (recall says WHICH neighbors survive; this says how far
+    * the DISTANCES drifted, which reranking thresholds consume).
+    * Precision discipline: both 9-dp inputs convert to EXACT integer
+    * nanos (a double within 1e-5 of an integer quantizes identically
+    * in any engine); Pearson r is scale-invariant so the correlation
+    * of the nano integers IS the correlation of the distances, with
+    * every sum an exact DECIMAL of integer products — no decimal-tie
+    * exposure at all (a scale-18 product sum would exceed double's
+    * ~16 faithful digits; integers sidestep the whole class).
+    * Shared-scratch consumer. */
+  private val q221: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
+    val (codes, books) = sharedPq(s, d)
+    val adc = SimSearch.adcTopKFrom(codes, books, q, "vec_id",
+        "embedding", m = 4, len = 16, topK = Int.MaxValue)
+      .select(col("q_id"), col("n_id"), col("adist"))
+    val exact = emb.join(broadcast(q.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(SimSearch.sqDist(col("q_emb"), col("embedding")), 9)
+          .as("d2"))
+    val j = adc.join(exact, Seq("q_id", "n_id"))
+      .filter(col("d2") > 0)
+      .select((col("adist") * lit(1e9)).cast("decimal(18,0)").as("ix"),
+        (col("d2") * lit(1e9)).cast("decimal(18,0)").as("iy"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("ix")).cast("double")
+    val sy = sum(col("iy")).cast("double")
+    val sxy = sum(col("ix") * col("iy")).cast("double")
+    val sxx = sum(col("ix") * col("ix")).cast("double")
+    val syy = sum(col("iy") * col("iy")).cast("double")
+    j.agg(count(lit(1)).as("n_pairs"),
+      round((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        .as("corr"),
+      round(sum(round(col("ix").cast("double") /
+          col("iy").cast("double"), 12).cast("decimal(38,12)"))
+        .cast("double") / n, 6).as("mean_ratio"))
+  }
+
+  /** q222 — matryoshka truncation audit: Pearson r and mean absolute
+    * error between full-dimension cosine and FIRST-16-DIMS cosine over
+    * every (query, candidate) pair — the "can we serve on a prefix of
+    * the embedding" measurement (MRL-style truncation buys 4× scan
+    * and memory cuts IF similarity survives; this query measures the
+    * if instead of assuming it). Same integer-nanos determinism
+    * discipline as q221; 9-dp cosines convert exactly, |Δ| is an
+    * integer, corr is scale-invariant. */
+  private val q222: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
+    val pairs = emb.join(broadcast(q.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))),
+        col("vec_id") =!= col("q_id"))
+      .select(
+        round(SimSearch.cosine(col("q_emb"), col("embedding")), 9)
+          .as("cf"),
+        round(SimSearch.cosine(slice(col("q_emb"), 1, 16),
+          slice(col("embedding"), 1, 16)), 9).as("ct"))
+      .filter(col("cf").isNotNull && col("ct").isNotNull)
+      .select((col("cf") * lit(1e9)).cast("decimal(18,0)").as("ix"),
+        (col("ct") * lit(1e9)).cast("decimal(18,0)").as("iy"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("ix")).cast("double")
+    val sy = sum(col("iy")).cast("double")
+    val sxy = sum(col("ix") * col("iy")).cast("double")
+    val sxx = sum(col("ix") * col("ix")).cast("double")
+    val syy = sum(col("iy") * col("iy")).cast("double")
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      round((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        .as("corr"),
+      round(sum(abs(col("ix") - col("iy"))).cast("double") / n / 1e9,
+        6).as("mae"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q222_truncation_audit" -> q222,
+    "q221_pq_distortion" -> q221,
+    "q220_vocab_overlap" -> q220,
     "q219_cms_join_size" -> q219,
     "q218_golden_record" -> q218,
     "q217_coverage_gaps" -> q217,
@@ -6130,6 +6223,106 @@ object ExtQueries {
         |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
         .stripMargin,
+
+    "q220_vocab_overlap" ->
+      s"""WITH vt AS (
+         |  SELECT DISTINCT source AS g, tok FROM (
+         |    SELECT source, unnest($toksSql) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS nv
+         |       FROM vt GROUP BY 1),
+         |pr AS (
+         |  SELECT a.g AS ga, b.g AS gb, count(*) AS n_shared
+         |  FROM vt a JOIN vt b ON a.tok = b.tok AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT sa.g AS ga, sb.g AS gb, sa.nv AS nva, sb.nv AS nvb,
+         |  CAST(COALESCE(pr.n_shared, 0) AS BIGINT) AS n_shared,
+         |  round(CAST(COALESCE(pr.n_shared, 0) AS DOUBLE) /
+         |    (sa.nv + sb.nv - COALESCE(pr.n_shared, 0)), 6) AS jaccard
+         |FROM sz sa JOIN sz sb ON sa.g < sb.g
+         |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q222_truncation_audit" -> {
+      val qs = "list_slice(q.embedding, 1, 16)"
+      val cs = "list_slice(c.embedding, 1, 16)"
+      s"""WITH pp AS (
+         |  SELECT round(${cosineSql("q.embedding", "c.embedding")}, 9)
+         |      AS cf,
+         |    round(${cosineSql(qs, cs)}, 9) AS ct
+         |  FROM embeddings q JOIN embeddings c
+         |    ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5),
+         |jj AS (
+         |  SELECT CAST(cf * 1e9 AS DECIMAL(19,0)) AS ix,
+         |    CAST(ct * 1e9 AS DECIMAL(19,0)) AS iy
+         |  FROM pp WHERE cf IS NOT NULL AND ct IS NOT NULL)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round((CAST(count(*) AS DOUBLE)
+         |      * CAST(SUM(ix * iy) AS DOUBLE)
+         |    - CAST(SUM(ix) AS DOUBLE) * CAST(SUM(iy) AS DOUBLE))
+         |  / (sqrt(CAST(count(*) AS DOUBLE)
+         |        * CAST(SUM(ix * ix) AS DOUBLE)
+         |      - CAST(SUM(ix) AS DOUBLE) * CAST(SUM(ix) AS DOUBLE))
+         |    * sqrt(CAST(count(*) AS DOUBLE)
+         |        * CAST(SUM(iy * iy) AS DOUBLE)
+         |      - CAST(SUM(iy) AS DOUBLE) * CAST(SUM(iy) AS DOUBLE))),
+         |    6) AS corr,
+         |  round(CAST(SUM(abs(ix - iy)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 1e9, 6) AS mae
+         |FROM jj""".stripMargin
+    },
+
+    "q221_pq_distortion" -> {
+      val qd = (0 until 4).map { s =>
+        val qe = s"list_slice(q.embedding, ${s * 16 + 1}, ${s * 16 + 16})"
+        s"""  SELECT q.vec_id AS q_id, $s AS sub, c.code,
+           |    round(${d2Sql(qe, "c.cv")}, 9) AS qd2
+           |  FROM embeddings q, p${s}cent c WHERE q.vec_id < 5"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val cl = (0 until 4)
+        .map(s => s"  SELECT id, $s AS sub, code FROM p${s}asg")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH ${(0 until 4).map(s => pqSubCtes(s, s * 16, 16, 8))
+            .mkString(",\n")},
+         |qd AS (
+         |$qd),
+         |cl AS (
+         |$cl),
+         |sc AS (
+         |  SELECT d.q_id, c.id,
+         |    CAST(SUM(CAST(d.qd2 AS DECIMAL(28,9))) AS DOUBLE)
+         |      AS adist
+         |  FROM cl c JOIN qd d ON d.sub = c.sub AND d.code = c.code
+         |  WHERE c.id <> d.q_id GROUP BY 1, 2),
+         |exq AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    round(${d2Sql("q.embedding", "c.embedding")}, 9) AS d2
+         |  FROM embeddings q JOIN embeddings c
+         |    ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5),
+         |jj AS (
+         |  SELECT CAST(s.adist * 1e9 AS DECIMAL(19,0)) AS ix,
+         |    CAST(e.d2 * 1e9 AS DECIMAL(19,0)) AS iy
+         |  FROM sc s JOIN exq e ON e.q_id = s.q_id AND e.n_id = s.id
+         |  WHERE e.d2 > 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round((CAST(count(*) AS DOUBLE)
+         |      * CAST(SUM(ix * iy) AS DOUBLE)
+         |    - CAST(SUM(ix) AS DOUBLE) * CAST(SUM(iy) AS DOUBLE))
+         |  / (sqrt(CAST(count(*) AS DOUBLE)
+         |        * CAST(SUM(ix * ix) AS DOUBLE)
+         |      - CAST(SUM(ix) AS DOUBLE) * CAST(SUM(ix) AS DOUBLE))
+         |    * sqrt(CAST(count(*) AS DOUBLE)
+         |        * CAST(SUM(iy * iy) AS DOUBLE)
+         |      - CAST(SUM(iy) AS DOUBLE) * CAST(SUM(iy) AS DOUBLE))),
+         |    6) AS corr,
+         |  round(CAST(SUM(CAST(round(CAST(ix AS DOUBLE)
+         |      / CAST(iy AS DOUBLE), 12) AS DECIMAL(38,12)))
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_ratio
+         |FROM jj""".stripMargin
+    },
 
     "q219_cms_join_size" -> {
       val bu = (0 until 5).map(i =>

@@ -23,6 +23,41 @@ object TextOps {
   /** Whitespace tokenization (the baseline token counter). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Pairwise vocabulary overlap between groups (sources, languages,
+    * snapshots): for every group pair, shared type count and vocab
+    * Jaccard — the corpus-similarity matrix consulted before MIXING
+    * sources (two near-identical crawls double-count; a disjoint
+    * source adds diversity). One distinct (group, token) projection;
+    * the self-join fans each token out by at most |groups| (never the
+    * corpus), so the pair frame is |vocab|·|groups|-bounded and the
+    * output |groups|²/2 rows — scale-free in the document count. */
+  def vocabOverlap(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val vocab = docs.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .localCheckpoint(eager = false) // sizes + both pair-join sides
+    val sizes = vocab.groupBy("g").agg(count(lit(1)).as("nv"))
+    val shared = vocab.select(col("g").as("ga"), col("tok"))
+      .join(vocab.select(col("g").as("gb"), col("tok")), "tok")
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("n_shared"))
+    // full pair grid so DISJOINT pairs report 0, not absence — a
+    // similarity matrix with silently missing cells reads as "not
+    // computed", the opposite of "nothing in common"
+    sizes.select(col("g").as("ga"), col("nv").as("nva"))
+      .crossJoin(sizes.select(col("g").as("gb"), col("nv").as("nvb")))
+      .filter(col("ga") < col("gb"))
+      .join(shared, Seq("ga", "gb"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .select(col("ga"), col("gb"), col("nva"), col("nvb"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("nva") + col("nvb") - col("n_shared")), 6).as("jaccard"))
+      .orderBy("ga", "gb")
+  }
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 

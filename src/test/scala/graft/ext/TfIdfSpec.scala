@@ -329,4 +329,18 @@ class TfIdfSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
     assert(out == b)
   }
+
+  test("vocabOverlap: hand-computed shared types and Jaccard; " +
+      "whitespace tokenization, empty tokens dropped") {
+    import spark.implicits._
+    // a: {x,y,z}  b: {y,z,w}  c: {q}
+    val docs = Seq(("a", "x y z"), ("a", "y"), ("b", "y z  w"),
+      ("c", "q")).toDF("source", "text")
+    val out = TextOps.vocabOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 3L, 3L, 2L, 0.5),   // {y,z} of {x,y,z,w}
+      ("a", "c", 3L, 1L, 0L, 0.0),
+      ("b", "c", 3L, 1L, 0L, 0.0)))
+  }
 }

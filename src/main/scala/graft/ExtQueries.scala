@@ -994,7 +994,10 @@ object ExtQueries {
     // cluster scratch again: q218 golden record reads sharedClusters
     "q218_golden_record",
     // PQ scratch again: q221 distortion audit reads sharedPq
-    "q221_pq_distortion")
+    "q221_pq_distortion",
+    // mutual-kNN scratch (mutualKnnFrame): q194 owns the exact
+    // all-pairs build; q198 propagation and q204 clustering read it
+    "q198_label_propagation", "q204_local_clustering")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -2357,18 +2360,19 @@ object ExtQueries {
   /** Reciprocal top-5 cosine edges over the exact all-pairs frame —
     * shared by q194 (the edge list itself) and q198 (the graph label
     * propagation spreads over). */
-  private def mutualKnnFrame(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val a = emb.select(col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
-    val pairs = a.crossJoin(broadcast(b))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        SimSearch.cosine(col("emb_a"), col("emb_b")).as("sim"))
-    SimSearch.mutualKnnPairs(pairs, k = 5)
-  }
+  private def mutualKnnFrame(s: SparkSession, d: String): DataFrame =
+    materialized(s, scratch("mknn", d)) {
+      val emb = Tables.embeddings(s, d)
+      val a = emb.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"))
+      val b = emb.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"))
+      val pairs = a.crossJoin(broadcast(b))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          SimSearch.cosine(col("emb_a"), col("emb_b")).as("sim"))
+      SimSearch.mutualKnnPairs(pairs, k = 5)
+    }
 
   private val q194: Q = (s, d) => mutualKnnFrame(s, d)
 

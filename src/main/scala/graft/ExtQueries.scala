@@ -997,7 +997,9 @@ object ExtQueries {
     "q221_pq_distortion",
     // mutual-kNN scratch (mutualKnnFrame): q194 owns the exact
     // all-pairs build; q198 propagation and q204 clustering read it
-    "q198_label_propagation", "q204_local_clustering")
+    "q198_label_propagation", "q204_local_clustering",
+    // cluster scratch again: q224 lift curve reads sharedClusters
+    "q224_lift_curve")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -2784,7 +2786,31 @@ object ExtQueries {
         6).as("mae"))
   }
 
+  /** q223 — leave-one-out source impact ([[PipelineOps.looImpact]]):
+    * per-source Δ of the corpus mean char length when the source is
+    * removed — first-order data valuation, closed-form off ONE group
+    * agg via the partial-merge law (no second scan, no resampling). */
+  private val q223: Q = (s, d) =>
+    PipelineOps.looImpact(Tables.documents(s, d), "source", "n_chars")
+
+  /** q224 — dup-propensity lift curve ([[PipelineOps.liftCurve]]):
+    * does document LENGTH rank duplicate membership? n_chars deciles
+    * vs is-in-multi-member-cluster (shared scratch) — lift ≈ 1
+    * everywhere means length is noise for dedup prioritization; a
+    * sloped curve justifies length-first scheduling. Shared-scratch
+    * consumer. */
+  private val q224: Q = (s, d) => {
+    val cl = sharedClusters(s, d)
+    val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    val lab = cl.join(sizes, "cluster")
+      .select(col("doc_id"), (col("csz") > 1).cast("int").as("is_dup"))
+    PipelineOps.liftCurve(
+      Tables.documents(s, d).join(lab, "doc_id"), "n_chars", "is_dup")
+  }
+
   val all: Map[String, Q] = Map(
+    "q224_lift_curve" -> q224,
+    "q223_loo_impact" -> q223,
     "q222_truncation_audit" -> q222,
     "q221_pq_distortion" -> q221,
     "q220_vocab_overlap" -> q220,
@@ -6246,6 +6272,68 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q223_loo_impact" ->
+      """WITH pa AS (
+        |  SELECT source, count(*) AS n,
+        |    SUM(CAST(n_chars AS DECIMAL(38,6))) AS s
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |tt AS (SELECT SUM(n) AS tn, SUM(s) AS ts FROM pa)
+        |SELECT pa.source, CAST(pa.n AS BIGINT) AS n,
+        |  round(CAST(pa.s AS DOUBLE) / pa.n, 6) AS mean_group,
+        |  round(CAST(tt.ts AS DOUBLE) / tt.tn, 6) AS mean_all,
+        |  CASE WHEN tt.tn > pa.n THEN
+        |    round((CAST(tt.ts AS DOUBLE) - CAST(pa.s AS DOUBLE))
+        |      / (tt.tn - pa.n), 6) END AS mean_loo,
+        |  CASE WHEN tt.tn > pa.n THEN
+        |    round((CAST(tt.ts AS DOUBLE) - CAST(pa.s AS DOUBLE))
+        |        / (tt.tn - pa.n)
+        |      - CAST(tt.ts AS DOUBLE) / tt.tn, 6) END AS delta
+        |FROM pa, tt ORDER BY 1""".stripMargin,
+
+    "q224_lift_curve" -> {
+      val binCase = (1 to 9).map(k =>
+        s"CASE WHEN v > e.qs[$k] THEN 1 ELSE 0 END")
+        .mkString("(", "\n        |     + ", ") AS b")
+      s"""WITH RECURSIVE
+        |${pairCtes(cap = 100, threshold = 0.1)},
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |clus AS (
+        |  SELECT doc.doc_id AS id,
+        |    CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id))
+        |      AS BIGINT) AS cluster
+        |  FROM documents doc
+        |  LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+        |    ON m.s = doc.doc_id),
+        |csz AS (SELECT cluster, count(*) AS cs FROM clus GROUP BY 1),
+        |lb AS (
+        |  SELECT CASE WHEN z.cs > 1 THEN 1 ELSE 0 END AS y,
+        |    CAST(d.n_chars AS DOUBLE) AS v
+        |  FROM clus c JOIN csz z USING (cluster)
+        |  JOIN documents d ON d.doc_id = c.id
+        |  WHERE d.n_chars IS NOT NULL),
+        |ed AS (
+        |  SELECT quantile_cont(v,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |  FROM lb),
+        |bi AS (
+        |  SELECT y,
+        |    $binCase
+        |  FROM lb, ed e),
+        |tt AS (SELECT count(*) AS tn, SUM(y) AS tp FROM bi)
+        |SELECT b AS decile, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS rate,
+        |  CASE WHEN tt.tp > 0 THEN
+        |    round((CAST(SUM(y) AS DOUBLE) / count(*))
+        |      / (CAST(tt.tp AS DOUBLE) / tt.tn), 6) END AS lift
+        |FROM bi, tt GROUP BY b, tt.tn, tt.tp ORDER BY 1""".stripMargin
+    },
 
     "q222_truncation_audit" -> {
       val qs = "list_slice(q.embedding, 1, 16)"

@@ -670,6 +670,76 @@ object PipelineOps {
       round(col("s").cast("double") / col("n"), 6).as("mean"))
       .orderBy(keyCol)
 
+  /** Leave-one-out source impact — first-order data valuation: for
+    * each group, the corpus-wide mean of `valCol` WITH and WITHOUT the
+    * group, and the delta ("remove this source and the corpus mean
+    * moves by Δ"). The question asked before dropping or down-weighting
+    * a source; the 1st-order term of Shapley-style attribution, exact
+    * and closed-form instead of resampled.
+    *
+    * Pure partial-algebra on [[statPartials]]' merge law: ONE group agg
+    * of (n, exact-decimal Σ); the global totals are the summed partials
+    * and every leave-one-out mean is (S − s_g)/(N − n_g) — no second
+    * scan, no per-group recompute, |groups| arithmetic rows. */
+  def looImpact(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val parts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(38,6)")).as("s"))
+      .localCheckpoint(eager = false) // group rows + global re-agg
+    val tot = parts.agg(sum("n").as("tn"), sum("s").as("ts"))
+    val meanAll = col("ts").cast("double") / col("tn")
+    // a single-group corpus has no leave-one-out complement → NULL
+    val meanLoo = when(col("tn") > col("n"),
+      (col("ts").cast("double") - col("s").cast("double")) /
+        (col("tn") - col("n")))
+    parts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("mean_group"),
+        round(meanAll, 6).as("mean_all"),
+        round(meanLoo, 6).as("mean_loo"),
+        round(meanLoo - meanAll, 6).as("delta"))
+      .orderBy(groupCol)
+  }
+
+  /** Decile lift curve of a ranking score against a binary outcome —
+    * the "is this cheap score worth sorting by" audit (lift_d =
+    * P(y|decile d)/P(y): a useful score concentrates positives in its
+    * top deciles; lift ≈ 1 everywhere means the score is noise for
+    * this outcome). Bins come from the score's EXACT decile edges
+    * (memory-bounded CDF machinery, broadcast back ⇒ binning is
+    * map-side); then one (bin) hash-agg and a bins-row finish.
+    * Observed bins only (heavy ties can merge deciles — a merged bin
+    * is real information about the score's granularity). */
+  def liftCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val scored = df
+      .select(col(scoreCol).cast("double").as("v"),
+        col(labelCol).cast("int").as("y"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(eager = false) // edges + binning both read it
+    val edges = graft.engine.Aggregates.exactPercentiles(
+      scored.withColumn("g", lit(1)), "g", "v",
+      (1 until bins).map(_ / bins.toDouble)).drop("g")
+    val binExpr = (0 until bins - 1)
+      .map(k => when(col("v") > col(s"p$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    val binned = scored.crossJoin(broadcast(edges))
+      .withColumn("b", binExpr)
+    val tot = binned.agg(count(lit(1)).as("tn"),
+      sum(col("y")).as("tp"))
+    binned.groupBy(col("b").as("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("rate"),
+        when(col("tp") > 0,
+          round((col("n_pos").cast("double") / col("n")) /
+            (col("tp").cast("double") / col("tn")), 6)).as("lift"))
+      .orderBy("decile")
+  }
+
   /** Deterministic contrastive negative sampling: for every anchor row,
     * the k pseudo-random same-bucket rows with a DIFFERENT label,
     * ranked by a pair hash — the (anchor, positive, negatives) builder

@@ -493,6 +493,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.orderBy("g", "rk").collect().toSeq)
   }
 
+  test("looImpact: hand-computed leave-one-out deltas; removing a " +
+      "below-average source RAISES the corpus mean; single group → NULL") {
+    import org.apache.spark.sql.functions.col
+    // a: {1,3} mean 2; b: {10} → all-mean 14/3; drop a → 10; drop b → 2
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("g", "v")
+    val out = PipelineOps.looImpact(df, "g", "v")
+      .as[(String, Long, Double, Double, Option[Double],
+        Option[Double])].collect().toSeq
+    val allMean = BigDecimal(14.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      ("a", 2L, 2.0, allMean, Some(10.0),
+        Some(BigDecimal(10 - 14.0 / 3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      ("b", 1L, 10.0, allMean, Some(2.0),
+        Some(BigDecimal(2 - 14.0 / 3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    val single = PipelineOps.looImpact(
+      Seq(("x", 1.0)).toDF("g", "v"), "g", "v").collect()(0)
+    assert(single.isNullAt(4) && single.isNullAt(5))
+  }
+
+  test("liftCurve: perfectly-ranking score concentrates all lift in " +
+      "the top bin; constant-noise label reads lift 1 everywhere") {
+    import org.apache.spark.sql.functions.col
+    // scores 1..100, positives exactly the top decile (score > 90)
+    val perfect = (1 to 100).map(i => (i.toDouble, if (i > 90) 1 else 0))
+      .toDF("sc", "y")
+    val out = PipelineOps.liftCurve(perfect, "sc", "y")
+      .as[(Int, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(out.size == 10 && out.forall(_._2 == 10L))
+    assert(out.last == ((9, 10L, 10L, 1.0, Some(10.0))))
+    assert(out.init.forall(r => r._3 == 0L && r._5 == Some(0.0)))
+    // label independent of score → every decile's rate == base rate
+    val flat = (1 to 100).map(i => (i.toDouble, i % 2))
+      .toDF("sc", "y")
+    val fo = PipelineOps.liftCurve(flat, "sc", "y")
+      .as[(Int, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(fo.forall(_._5 == Some(1.0)))
+  }
+
   test("statPartials merge law: any split folds to the bits of a " +
       "full recompute; order- and arity-independent") {
     import org.apache.spark.sql.functions.col

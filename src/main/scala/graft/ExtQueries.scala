@@ -2808,7 +2808,38 @@ object ExtQueries {
       Tables.documents(s, d).join(lab, "doc_id"), "n_chars", "is_dup")
   }
 
+  /** q225 — embedding-norm health audit: ‖v‖ distribution through the
+    * robust MAD-outlier machinery (q146's contract, applied to vector
+    * norms) — degenerate near-zero vectors and exploded norms are the
+    * two embedding-pipeline failure modes a mean/σ screen misses under
+    * contamination; the median/MAD pair doesn't. */
+  private val q225: Q = (s, d) =>
+    madOutliers(Tables.embeddings(s, d)
+      .select(lit("all").as("g"),
+        round(sqrt(SimSearch.dot(col("embedding"), col("embedding"))),
+          9).as("nrm")),
+      "g", "nrm")
+
+  /** q226 — multimodal payload dedup report: exact duplicate groups on
+    * the opaque BINARY payload column per media type — dedup extended
+    * into the multimodal column itself (byte-identical re-encodes are
+    * the cheapest 100 TB win before any perceptual hashing); one
+    * (media_type, payload) hash-agg, then a per-type collapse. */
+  private val q226: Q = (s, d) => {
+    val media = Multimodal.mediaTable(Tables.documents(s, d))
+    media.groupBy(col("media_type"), col("payload"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("media_type")
+      .agg(sum(col("c")).as("n_payloads"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("c")) - count(lit(1))).as("n_dup_rows"),
+        max(col("c")).as("max_copies"))
+      .orderBy("media_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q226_payload_dedup" -> q226,
+    "q225_norm_audit" -> q225,
     "q224_lift_curve" -> q224,
     "q223_loo_impact" -> q223,
     "q222_truncation_audit" -> q222,
@@ -6272,6 +6303,35 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q225_norm_audit" ->
+      s"""WITH nr AS (
+         |  SELECT round(sqrt(${dotSql("embedding", "embedding")}), 9)
+         |    AS nrm
+         |  FROM embeddings),
+         |med AS (SELECT quantile_cont(nrm, 0.5) AS m FROM nr),
+         |dev AS (SELECT nrm, m, abs(nrm - m) AS ad FROM nr, med),
+         |md AS (SELECT quantile_cont(ad, 0.5) AS md FROM dev)
+         |SELECT 'all' AS g, round(max(d.m), 6) AS med,
+         |  round(max(x.md), 6) AS mad, count(*) AS n,
+         |  CAST(SUM(CASE WHEN x.md > 0 AND
+         |        abs(0.6745*(d.nrm - d.m)/x.md) > 3.5
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dev d, md x""".stripMargin,
+
+    "q226_payload_dedup" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS media_type,
+        |    encode(text) AS payload, count(*) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT media_type,
+        |  CAST(SUM(c) AS BIGINT) AS n_payloads,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(c) - count(*) AS BIGINT) AS n_dup_rows,
+        |  CAST(MAX(c) AS BIGINT) AS max_copies
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q223_loo_impact" ->
       """WITH pa AS (

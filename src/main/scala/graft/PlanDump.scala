@@ -162,7 +162,28 @@ object PlanDump {
           "event-type exchange after the daily aggregate"),
       "q185_attribution" ->
         ("last-touch attribution through the custom AsOf operator: one " +
-          "exchange + sort per side, then a hash-agg on channel"))
+          "exchange + sort per side, then a hash-agg on channel"),
+      "q202_pc1_scores" ->
+        ("PC1 projection: SHUFFLE-FREE scan — loadings ride as an " +
+          "array literal, the dot product folds long micros inside " +
+          "the projection; no Exchange anywhere"),
+      "q203_pareto_skyline" ->
+        ("grid-pruned skyline: one broadcast min/max row buckets " +
+          "map-side; cell dominance + the exact phase run over " +
+          "broadcast frames, never an all-pairs on the data"),
+      "q205_psi_drift" ->
+        ("PSI: broadcast decile edges make binning map-side; one " +
+          "(key, bin) hash-agg, keys×bins finish"),
+      "q207_negative_sample" ->
+        ("negative sampling: one co-partitioned bucket equi-join, " +
+          "never anchor × corpus; per-anchor rank window"),
+      "q212_adc_topk" ->
+        ("ADC: corpus scanned as scratch CODES ONLY, hash-join " +
+          "against the broadcast distance table, decimal-exact " +
+          "sum + per-query rank"),
+      "q219_cms_join_size" ->
+        ("relational CMS: depth-way map-side fan-out, ONE w·d-bounded " +
+          "counter hash-agg, re-aggregated to the estimate"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

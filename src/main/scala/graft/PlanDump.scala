@@ -164,9 +164,11 @@ object PlanDump {
         ("last-touch attribution through the custom AsOf operator: one " +
           "exchange + sort per side, then a hash-agg on channel"),
       "q202_pc1_scores" ->
-        ("PC1 projection: SHUFFLE-FREE scan — loadings ride as an " +
-          "array literal, the dot product folds long micros inside " +
-          "the projection; no Exchange anywhere"),
+        ("PC1 projection: the COMPUTE is shuffle-free — loadings ride " +
+          "as an array literal and the dot product folds long micros " +
+          "inside the scan projection; the single Exchange is the " +
+          "output ORDER BY (range sort of the finished rows, dropped " +
+          "entirely when the consumer doesn't need order)"),
       "q203_pareto_skyline" ->
         ("grid-pruned skyline: one broadcast min/max row buckets " +
           "map-side; cell dominance + the exact phase run over " +

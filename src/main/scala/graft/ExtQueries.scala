@@ -2837,7 +2837,45 @@ object ExtQueries {
       .orderBy("media_type")
   }
 
+  /** q227 — duplication accumulation curve: cumulative and MARGINAL
+    * exact-dup rates as the corpus grows in id order, at id-decile
+    * grid points — the crawl-exhaustion signal (a rising marginal
+    * rate means new ingestion increasingly re-fetches what the corpus
+    * already holds; the dup-rate complement of q199's vocabulary
+    * growth). No global row_number: grid points come from the exact
+    * id deciles (broadcast edges ⇒ map-side bucketing), cumulation is
+    * a window over the ≤10 bucket rows. */
+  private val q227: Q = (s, d) => {
+    val keyed = Tables.documents(s, d).select(col("doc_id").as("id"),
+      TextOps.normalizeText(col("text")).as("__k"))
+    val gids = keyed.groupBy("__k").agg(min(col("id")).as("gid"))
+    val dup = keyed.join(gids, Seq("__k"))
+      .select(col("id"), (col("id") > col("gid")).cast("int").as("dup"))
+    val edges = exactPercentiles(dup.withColumn("g", lit(1)), "g",
+      "id", (1 until 10).map(_ / 10.0)).drop("g")
+    val binExpr = (0 until 9)
+      .map(k => when(col("id").cast("double") > col(s"p$k"), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0) // ≤ 10 bucket rows — bounded window
+    dup.crossJoin(broadcast(edges))
+      .withColumn("decile", binExpr)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("nb"), sum(col("dup")).as("db"))
+      .withColumn("n_docs", sum(col("nb")).over(w))
+      .withColumn("n_dups", sum(col("db")).over(w))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs"), 6)
+          .as("cum_dup_rate"),
+        round(col("db").cast("double") / col("nb"), 6)
+          .as("marginal_dup_rate"))
+      .orderBy("decile")
+  }
+
   val all: Map[String, Q] = Map(
+    "q227_dup_accumulation" -> q227,
     "q226_payload_dedup" -> q226,
     "q225_norm_audit" -> q225,
     "q224_lift_curve" -> q224,
@@ -6303,6 +6341,41 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q227_dup_accumulation" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      val binCase = (1 to 9).map(k =>
+        s"CASE WHEN CAST(id AS DOUBLE) > e.qs[$k] THEN 1 ELSE 0 END")
+        .mkString("(", "\n        |     + ", ") AS decile")
+      val wnd = "(ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW)"
+      s"""WITH ky AS (
+        |  SELECT doc_id AS id, $norm AS k FROM documents),
+        |gd AS (SELECT k, MIN(id) AS gid FROM ky GROUP BY 1),
+        |dp AS (
+        |  SELECT ky.id,
+        |    CASE WHEN ky.id > gd.gid THEN 1 ELSE 0 END AS dup
+        |  FROM ky JOIN gd USING (k)),
+        |ed AS (
+        |  SELECT quantile_cont(CAST(id AS DOUBLE),
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |  FROM dp),
+        |bi AS (
+        |  SELECT dup,
+        |    $binCase
+        |  FROM dp, ed e),
+        |gb AS (
+        |  SELECT decile, count(*) AS nb, SUM(dup) AS db
+        |  FROM bi GROUP BY 1)
+        |SELECT decile,
+        |  CAST(SUM(nb) OVER $wnd AS BIGINT) AS n_docs,
+        |  CAST(SUM(db) OVER $wnd AS BIGINT) AS n_dups,
+        |  round(CAST(SUM(db) OVER $wnd AS DOUBLE)
+        |    / SUM(nb) OVER $wnd, 6) AS cum_dup_rate,
+        |  round(CAST(db AS DOUBLE) / nb, 6) AS marginal_dup_rate
+        |FROM gb ORDER BY 1""".stripMargin
+    },
 
     "q225_norm_audit" ->
       s"""WITH nr AS (

@@ -2874,7 +2874,29 @@ object ExtQueries {
       .orderBy("decile")
   }
 
+  /** q228 — training-data export manifest: the artifact a downstream
+    * trainer actually consumes — per (source, 4096-token shard):
+    * document count, token total, boundary-crossing count, and an
+    * order-invariant content digest (the q208 sum-of-row-hashes
+    * formula, per shard) — so a re-export is verifiable shard-by-shard
+    * with two longs instead of a re-diff. Packing rides q81's
+    * concat-then-chunk offsets; digests commute, so the manifest is
+    * independent of how the export was partitioned or ordered. */
+  private val q228: Q = (s, d) => {
+    val packed = PipelineOps.packSequences(Tables.documents(s, d),
+      "text", "source", budget = 4096)
+    packed.groupBy(col("source"), col("first_chunk").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("crosses")).as("n_boundary_docs"),
+        (sum(TextOps.scrambledHash(col("doc_id").cast("string"))
+          .cast("decimal(38,0)")) % lit(1000000007L))
+          .cast("long").as("digest"))
+      .orderBy("source", "shard")
+  }
+
   val all: Map[String, Q] = Map(
+    "q228_export_manifest" -> q228,
     "q227_dup_accumulation" -> q227,
     "q226_payload_dedup" -> q226,
     "q225_norm_audit" -> q225,
@@ -6341,6 +6363,31 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q228_export_manifest" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS BIGINT) AS end_off
+         |  FROM t),
+         |pk AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(floor((end_off - n_tok) / 4096.0) AS BIGINT)
+         |      AS shard,
+         |    CAST(floor((end_off - 1) / 4096.0)
+         |      > floor((end_off - n_tok) / 4096.0) AS BIGINT)
+         |      AS crosses
+         |  FROM o)
+         |SELECT source, shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(crosses) AS BIGINT) AS n_boundary_docs,
+         |  CAST(SUM(${scrambledHashSql("CAST(doc_id AS VARCHAR)")})
+         |    % 1000000007 AS BIGINT) AS digest
+         |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q227_dup_accumulation" -> {
       val norm = "trim(regexp_replace(regexp_replace(lower(text), " +

@@ -755,7 +755,7 @@ object PipelineOps {
     * hash mixes BOTH ids, so an item popular in one anchor's list
     * ranks independently elsewhere — no global "celebrity negatives".
     * Anchors whose bucket holds fewer than k cross-label rows emit
-    * fewer rows (documented; raise buckets' inverse to fix). */
+    * fewer rows — LOWER `buckets` (bigger pools) if that matters. */
   def negativeSample(df: DataFrame, idCol: String, labelCol: String,
       k: Int, buckets: Int): DataFrame = {
     val bk = TextOps.scrambledHash(col(idCol).cast("string")) % buckets

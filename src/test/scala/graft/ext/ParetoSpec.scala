@@ -40,6 +40,18 @@ class ParetoSpec extends SparkSpec {
     assert(naive.contains(top))
   }
 
+  test("skyline plan: dominance joins are broadcast nested loops over " +
+      "bounded frames — never an unbroadcast cartesian of the data") {
+    val prof = Tables.orders(spark, sf0001).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("spend"),
+        count(lit(1)).as("n_orders"))
+    val plan = Pareto.skyline(prof, Seq("o_custkey"),
+      Seq("spend", "n_orders")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("skyline: single dim degenerates to argmax set") {
     val pts = Seq((1L, 3.0), (2L, 7.0), (3L, 7.0), (4L, 1.0))
       .toDF("id", "x")

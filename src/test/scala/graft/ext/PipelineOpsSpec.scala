@@ -582,6 +582,13 @@ class PipelineOpsSpec extends SparkSpec {
     val perAnchor = out.groupBy(_.getLong(0)).view.mapValues(_.size)
     assert(perAnchor.values.forall(_ == 4))
     assert(perAnchor.size == 500)
+    // the bucket join must be a co-partitioned equi-join on bk —
+    // anchor × corpus (nested loop / cartesian) is the scale-killer
+    // this operator exists to avoid
+    val plan = PipelineOps.negativeSample(emb, "vec_id", "label",
+      k = 4, buckets = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
     val again = PipelineOps.negativeSample(emb.repartition(11),
       "vec_id", "label", k = 4, buckets = 8).collect().toSeq
     assert(again == out)

@@ -2842,26 +2842,26 @@ object ExtQueries {
     * grid points — the crawl-exhaustion signal (a rising marginal
     * rate means new ingestion increasingly re-fetches what the corpus
     * already holds; the dup-rate complement of q199's vocabulary
-    * growth). No global row_number: grid points come from the exact
-    * id deciles (broadcast edges ⇒ map-side bucketing), cumulation is
-    * a window over the ≤10 bucket rows. */
+    * growth). No global row_number and no corpus-sized CDF: the grid
+    * is the EQUI-WIDTH id decile off one broadcast min/max row (ids
+    * are the ingestion order, so value deciles ARE the growth axis),
+    * bucketing is exact integer arithmetic map-side, and cumulation
+    * is a window over the ≤10 bucket rows. */
   private val q227: Q = (s, d) => {
     val keyed = Tables.documents(s, d).select(col("doc_id").as("id"),
       TextOps.normalizeText(col("text")).as("__k"))
     val gids = keyed.groupBy("__k").agg(min(col("id")).as("gid"))
     val dup = keyed.join(gids, Seq("__k"))
       .select(col("id"), (col("id") > col("gid")).cast("int").as("dup"))
-    val edges = exactPercentiles(dup.withColumn("g", lit(1)), "g",
-      "id", (1 until 10).map(_ / 10.0)).drop("g")
-    val binExpr = (0 until 9)
-      .map(k => when(col("id").cast("double") > col(s"p$k"), 1)
-        .otherwise(0))
-      .reduce(_ + _)
+    val span = dup.agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0) // ≤ 10 bucket rows — bounded window
-    dup.crossJoin(broadcast(edges))
-      .withColumn("decile", binExpr)
+    dup.crossJoin(broadcast(span))
+      // ((id−mn)·10) div (mx−mn+1) ∈ [0,9] by construction — exact
+      // long arithmetic, identical in both engines
+      .withColumn("decile",
+        expr("((id - mn) * 10) div (mx - mn + 1)").cast("int"))
       .groupBy("decile")
       .agg(count(lit(1)).as("nb"), sum(col("dup")).as("db"))
       .withColumn("n_docs", sum(col("nb")).over(w))
@@ -6392,9 +6392,6 @@ object ExtQueries {
     "q227_dup_accumulation" -> {
       val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
         "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-      val binCase = (1 to 9).map(k =>
-        s"CASE WHEN CAST(id AS DOUBLE) > e.qs[$k] THEN 1 ELSE 0 END")
-        .mkString("(", "\n        |     + ", ") AS decile")
       val wnd = "(ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING " +
         "AND CURRENT ROW)"
       s"""WITH ky AS (
@@ -6404,13 +6401,11 @@ object ExtQueries {
         |  SELECT ky.id,
         |    CASE WHEN ky.id > gd.gid THEN 1 ELSE 0 END AS dup
         |  FROM ky JOIN gd USING (k)),
-        |ed AS (
-        |  SELECT quantile_cont(CAST(id AS DOUBLE),
-        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
-        |  FROM dp),
+        |ed AS (SELECT MIN(id) AS mn, MAX(id) AS mx FROM dp),
         |bi AS (
         |  SELECT dup,
-        |    $binCase
+        |    CAST(((id - e.mn) * 10) // (e.mx - e.mn + 1) AS INT)
+        |      AS decile
         |  FROM dp, ed e),
         |gb AS (
         |  SELECT decile, count(*) AS nb, SUM(dup) AS db

@@ -2824,7 +2824,11 @@ object ExtQueries {
     * the opaque BINARY payload column per media type — dedup extended
     * into the multimodal column itself (byte-identical re-encodes are
     * the cheapest 100 TB win before any perceptual hashing); one
-    * (media_type, payload) hash-agg, then a per-type collapse. */
+    * (media_type, payload) hash-agg, then a per-type collapse. Scale
+    * note: grouping on raw payloads is exact but ships the bytes
+    * through the exchange — at 100 TB the first grouping key is a
+    * 128-bit content hash (collision-free in practice) with payloads
+    * left in place; the relational shape is identical. */
   private val q226: Q = (s, d) => {
     val media = Multimodal.mediaTable(Tables.documents(s, d))
     media.groupBy(col("media_type"), col("payload"))

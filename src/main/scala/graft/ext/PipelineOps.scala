@@ -711,7 +711,10 @@ object PipelineOps {
     * (memory-bounded CDF machinery, broadcast back ⇒ binning is
     * map-side); then one (bin) hash-agg and a bins-row finish.
     * Observed bins only (heavy ties can merge deciles — a merged bin
-    * is real information about the score's granularity). */
+    * is real information about the score's granularity). The CDF is
+    * bounded by DISTINCT score values — integer-ish scores (lengths,
+    * counts, 6-dp-rounded models) are fine as-is; pre-round a truly
+    * continuous score so the distinct set stays bounded. */
   def liftCurve(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     val scored = df

@@ -224,6 +224,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectOptimizerRule(_ => AsOfFilterPushdown)
     e.injectFunction(fn("poly_hash", 1)(a => PolyHashExpr(a.head)))
     e.injectFunction(fn("cosine_sim", 2)(a => CosineSimExpr(a(0), a(1))))
+    e.injectFunction(fn("sq_dist", 2)(a => SqDistExpr(a(0), a(1))))
     e.injectFunction(fn("array_top_count", 1)(a => ArrayTopCountExpr(a.head)))
     e.injectFunction(fn("quantize_int8", 1)(a => QuantizeInt8Expr(a.head)))
     e.injectFunction(fn("shingle_hash", 2)(a =>

@@ -181,6 +181,10 @@ class AsOfJoinSpec extends SparkSpec {
       // polyHash('abc') = ((97*31+98)*31+99) mod 1e9+7
       assert(r.getLong(0) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
       assert(r.getDouble(1) == 1.0)
+      val sd = s.sql(
+        "SELECT sq_dist(array(0.0f, 3.0f), array(4.0f, 0.0f)) AS d")
+        .head()
+      assert(sd.getDouble(0) == 25.0)
       val mg = s.sql(
         "SELECT misra_gries(t, 4) FROM VALUES ('a'),('a'),('b') AS v(t)")
         .head().getSeq[String](0).toSet

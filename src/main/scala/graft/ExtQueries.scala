@@ -2659,8 +2659,8 @@ object ExtQueries {
   private val q216: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val us = unix_micros(col("ts").cast("timestamp"))
-    val Row2 = ev.agg(min(us).as("mn"), max(us).as("mx")).first()
-    val (mn, mx) = (Row2.getLong(0), Row2.getLong(1))
+    val span = ev.agg(min(us).as("mn"), max(us).as("mx")).first()
+    val (mn, mx) = (span.getLong(0), span.getLong(1))
     val cut = mn + (mx - mn) * 4 / 5
     val base = ev.filter(us < cut)
     val delta = ev.filter(us >= cut)

@@ -2899,7 +2899,19 @@ object ExtQueries {
       .orderBy("source", "shard")
   }
 
+  /** q229 — cross-table CMS join-size ([[Aggregates.cmsJoinSize]]):
+    * |events ⋈ orders on user=cust| estimated from the inner product
+    * of two independently-built counter frames — how a planner prices
+    * a fact-fact join from two KB synopses without touching either
+    * fact table; estimate exactly oracle-replicated, never-under
+    * guarantee as an output column (the q219 discipline, general
+    * form). */
+  private val q229: Q = (s, d) =>
+    cmsJoinSize(Tables.events(s, d), "user_id",
+      Tables.orders(s, d), "o_custkey")
+
   val all: Map[String, Q] = Map(
+    "q229_cms_cross_join_size" -> q229,
     "q228_export_manifest" -> q228,
     "q227_dup_accumulation" -> q227,
     "q226_payload_dedup" -> q226,
@@ -6367,6 +6379,46 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q229_cms_cross_join_size" -> {
+      def bu(tbl: String, key: String) = (0 until 5).map(i =>
+        s"""  SELECT $i AS i,
+           |    ${scrambledHashSql(
+               s"CAST($key AS VARCHAR) || '#$i'")} % 8192 AS b
+           |  FROM $tbl""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      s"""WITH bua AS (
+         |${bu("events", "user_id")}),
+         |cta AS (SELECT i, b, count(*) AS c FROM bua GROUP BY 1, 2),
+         |bub AS (
+         |${bu("orders", "o_custkey")}),
+         |ctb AS (SELECT i, b, count(*) AS c FROM bub GROUP BY 1, 2),
+         |rs AS (
+         |  SELECT a.i, SUM(CAST(a.c * b.c AS DECIMAL(38,0))) AS s
+         |  FROM cta a JOIN ctb b ON a.i = b.i AND a.b = b.b
+         |  GROUP BY 1),
+         |es AS (
+         |  SELECT CAST(MIN(COALESCE(rs.s, 0)) AS BIGINT) AS join_est
+         |  FROM (SELECT unnest(generate_series(0, 4)) AS i) g
+         |  LEFT JOIN rs ON rs.i = g.i),
+         |fa AS (SELECT user_id AS k, count(*) AS f
+         |       FROM events GROUP BY 1),
+         |fb AS (SELECT o_custkey AS k, count(*) AS f
+         |       FROM orders GROUP BY 1),
+         |ex AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(fa.f * fb.f
+         |    AS DECIMAL(38,0))), 0) AS BIGINT) AS join_exact
+         |  FROM fa JOIN fb USING (k)),
+         |nn AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_a,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_b)
+         |SELECT nn.n_a, nn.n_b, ex.join_exact, es.join_est,
+         |  CASE WHEN ex.join_exact > 0 THEN
+         |    round(CAST(es.join_est AS DOUBLE) / ex.join_exact, 6)
+         |  END AS ratio,
+         |  es.join_est >= ex.join_exact AS never_under
+         |FROM nn, ex, es""".stripMargin
+    },
 
     "q228_export_manifest" ->
       s"""WITH t AS (

@@ -829,16 +829,23 @@ object Aggregates {
     * exact side is a per-key count + decimal Σf² — fine at test scale
     * and the thing the sketch replaces at 100 TB. Counter squares sum
     * through DECIMAL(38,0) (exact for any N). */
-  def cmsSelfJoinSize(df: DataFrame, keyCol: String,
-      width: Int = 8192, depth: Int = 5): DataFrame = {
-    val keyed = df.select(col(keyCol).cast("string").as("k"))
+  /** The (i, b, c) Count–Min counter frame behind [[cmsSelfJoinSize]]
+    * and [[cmsJoinSize]] — each row fans out to `depth` cells
+    * map-side, one hash-agg builds the w·d-bounded counters. */
+  private def cmsCounters(df: DataFrame, keyCol: String, width: Int,
+      depth: Int): DataFrame = {
+    val k = col(keyCol).cast("string")
     val cells = (0 until depth).map(i => struct(lit(i).as("i"),
       (graft.ext.TextOps.scrambledHash(
-        concat(col("k"), lit(s"#$i"))) % width).as("b")))
-    val counters = keyed
-      .select(explode(array(cells: _*)).as("ib"))
+        concat(k, lit(s"#$i"))) % width).as("b")))
+    df.select(explode(array(cells: _*)).as("ib"))
       .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  def cmsSelfJoinSize(df: DataFrame, keyCol: String,
+      width: Int = 8192, depth: Int = 5): DataFrame = {
+    val counters = cmsCounters(df, keyCol, width, depth)
     val est = counters.groupBy("i")
       .agg(sum((col("c") * col("c")).cast("decimal(38,0)")).as("s"))
       .agg(min(col("s")).cast("long").as("f2_est"))
@@ -852,6 +859,50 @@ object Aggregates {
         round(col("f2_est").cast("double") / col("f2_exact"), 6)
           .as("ratio"),
         (col("f2_est") >= col("f2_exact")).as("never_under"))
+  }
+
+  /** CROSS-table equi-join-size estimation — the general form of
+    * [[cmsSelfJoinSize]]: |A ⋈ B| = Σₖ f_A(k)·f_B(k), estimated as
+    * minᵢ Σ_b c_A(i,b)·c_B(i,b) from the two counter frames. The two
+    * relations are sketched INDEPENDENTLY (same hash family, so
+    * sketches built on different days / different clusters still
+    * inner-product) and the estimate costs one w·d-row join — this is
+    * how a planner prices a fact-fact join without touching either
+    * fact table. Same one-sided guarantee (collisions only add), same
+    * exact oracle replication; the exact side joins per-key count
+    * frames (|keys| rows, never the data). */
+  def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, width: Int = 8192, depth: Int = 5): DataFrame = {
+    val ca = cmsCounters(a, aKey, width, depth)
+      .select(col("i"), col("b"), col("c").as("ca"))
+    val cb = cmsCounters(b, bKey, width, depth)
+      .select(col("i"), col("b"), col("c").as("cb"))
+    // a depth row whose buckets never overlap has inner product 0 and
+    // must participate in the min (it proves the join is tiny) — the
+    // grid left-join restores rows the inner bucket join drops
+    val rowSums = ca.join(cb, Seq("i", "b"))
+      .groupBy("i")
+      .agg(sum((col("ca") * col("cb")).cast("decimal(38,0)")).as("s"))
+    val est = a.sparkSession.range(depth)
+      .select(col("id").cast("int").as("i"))
+      .join(rowSums, Seq("i"), "left")
+      .agg(min(coalesce(col("s"), lit(0).cast("decimal(38,0)")))
+        .cast("long").as("join_est"))
+    val fa = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("fa"))
+    val fb = b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, "k")
+      .agg(coalesce(sum((col("fa") * col("fb")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).cast("long").as("join_exact"))
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(exact))
+      .crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("join_exact"),
+        col("join_est"),
+        when(col("join_exact") > 0,
+          round(col("join_est").cast("double") / col("join_exact"), 6))
+          .as("ratio"),
+        (col("join_est") >= col("join_exact")).as("never_under"))
   }
 
   /** Simpson's-paradox audit: per-group OLS slope of y on x next to

@@ -450,6 +450,24 @@ class AggregatesSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("cmsJoinSize: collision-free width recovers the exact join " +
+      "size; disjoint keys → 0 with NULL ratio; width=1 degenerates " +
+      "to |A|·|B|; never undercounts") {
+    val a = Seq("x", "x", "y").toDF("k")
+    val b = Seq("x", "z", "z").toDF("k")
+    val out = Aggregates.cmsJoinSize(a, "k", b, "k")
+      .as[(Long, Long, Long, Long, Option[Double], Boolean)].head()
+    // only x joins: 2·1 = 2
+    assert(out == ((3L, 3L, 2L, 2L, Some(1.0), true)))
+    val disjoint = Aggregates.cmsJoinSize(
+      Seq("p").toDF("k"), "k", Seq("q").toDF("k"), "k")
+      .as[(Long, Long, Long, Long, Option[Double], Boolean)].head()
+    assert(disjoint._3 == 0L && disjoint._5.isEmpty && disjoint._6)
+    val degenerate = Aggregates.cmsJoinSize(a, "k", b, "k", width = 1)
+      .as[(Long, Long, Long, Long, Option[Double], Boolean)].head()
+    assert(degenerate._4 == 9L && degenerate._6) // 3·3, still ≥ 2
+  }
+
   test("simpsonSlopes: textbook reversal — every stratum trends down, " +
       "the pooled corpus trends up") {
     // g1 at low x, g2 at high x; within each, slope −1; across, +~1.14

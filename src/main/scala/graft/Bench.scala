@@ -14,13 +14,19 @@ object Bench {
   private val ComparisonQueries = Set("q58_minhash_ml")
   private val RunComparison = sys.env.contains("SPARK_GRAFT_MLLIB_BENCH")
 
-  /** Queries reading the once-per-JVM shared near-dup scratch tables
-    * (ExtQueries.sharedPairs/sharedClusters). In qNN execution order the
-    * owner (q55) pays the pair→cluster compute and the others read
-    * parquet — the honest pipeline shape. Exempt from the stall re-run:
-    * re-running the owner would time the cheap read and silently drop the
-    * compute cost from the report. */
+  /** Queries reading the once-per-JVM shared scratch tables
+    * (ExtQueries.sharedPairs/sharedClusters/sharedPriceCdf/sharedCov/
+    * sharedPq/mutualKnnFrame). In qNN execution order the owner pays the
+    * compute and the others read parquet — the honest pipeline shape.
+    * PURE consumers are exempt from the stall re-run (a re-run would
+    * time the cheap read); OWNERS instead get a re-run preceded by
+    * ExtQueries.resetSharedScratch(), which redirects scratch paths to a
+    * fresh generation so the second sample re-times the honest build —
+    * without it a one-off host stall on an owner is charged permanently
+    * (round-6 verdict: q107's 11 s single cold sample vs its 3.5–4.4 s
+    * anchor band). */
   private val SharedScratch = ExtQueries.sharedScratchConsumers
+  private val ScratchOwners = ExtQueries.sharedScratchOwners
 
   /** Small representative warm-up set: codegen framework, JIT, shuffle
     * machinery, parquet footers for the main fixture tables, the text and
@@ -111,10 +117,14 @@ object Bench {
     var reruns = 0
     val results: Seq[(String, Double)] = firstPass.map {
       case (name, fn, t) =>
-        val exempt = SharedScratch.contains(name) ||
-          ComparisonQueries.contains(name)
+        val exempt = ComparisonQueries.contains(name) ||
+          (SharedScratch.contains(name) && !ScratchOwners.contains(name))
         if (t > RerunThresholdSec && !exempt) {
           reruns += 1
+          // owner re-run: invalidate the shared scratch so the second
+          // sample rebuilds into a fresh dir (honest compute, not the
+          // parquet read of the first pass's output)
+          if (ScratchOwners.contains(name)) ExtQueries.resetSharedScratch()
           val t2 = timed(fn)
           name -> (if (t2 < 0) t else math.min(t, t2))
         } else name -> t

@@ -902,7 +902,20 @@ object ExtQueries {
   private def scratch(kind: String, d: String): String =
     new java.io.File(s"target/scratch/graft_${kind}_" +
       new java.io.File(d).getName + "_" +
-      ProcessHandle.current().pid()).getAbsolutePath
+      ProcessHandle.current().pid() + "_g" + scratchGen).getAbsolutePath
+
+  /** Scratch generation, folded into every [[scratch]] path. Bench's
+    * stall re-run of a shared-scratch OWNER bumps it via
+    * [[resetSharedScratch]] so the re-run rebuilds into a FRESH dir and
+    * times the honest compute — without this, min(run1, run2) for an
+    * owner would time run2's cheap parquet read and silently drop the
+    * build cost (the inverse of the stall it re-runs to filter). Never
+    * bumped outside Bench, so Verify/spec paths stay stable. */
+  @volatile private var scratchGen = 0
+  def resetSharedScratch(): Unit = synchronized {
+    scratchGen += 1
+    scratchDone.clear()
+  }
 
   /** Shared near-dup scratch tables (pairs → clusters), computed ONCE per
     * JVM per dataset and persisted to parquet scratch; every downstream
@@ -948,6 +961,23 @@ object ExtQueries {
         "l_returnflag", "l_extendedprice")
     }
 
+  /** Shared per-(event_type, half-month, value) multiplicity counts of
+    * events.value ([[graft.engine.Aggregates.valueCounts]]) — the
+    * events side of the percentile family's scratch: q146 (owner,
+    * MAD outliers over the full data — sums over the slice key) and
+    * q155 (PSI drift — baseline deciles filter the slice key) both run
+    * entirely off this |distinct values|-row frame instead of paying
+    * their own fact scans + percentile shuffles. The slice key is
+    * q155's fixed mid-month baseline boundary; doubles, booleans and
+    * longs round-trip parquet exactly, so sharing cannot move a hash. */
+  private def sharedEventValueCounts(s: SparkSession, d: String)
+      : DataFrame =
+    materialized(s, scratch("ev_valcounts", d)) {
+      graft.engine.Aggregates.valueCounts(Tables.events(s, d),
+        "event_type", "value",
+        to_date(col("ts")) < lit("2024-01-16").cast("date"))
+    }
+
   /** Shared embedding-dimension covariance ([[SimSearch.dimCovariance]])
     * — q147 owns the one-scan build; q201 (eigensolve) and q202
     * (projection) read the d²-row scratch instead of re-scanning the
@@ -976,9 +1006,21 @@ object ExtQueries {
     (s.read.parquet(cp), s.read.parquet(bp))
   }
 
+  /** The queries that OWN a shared scratch — first in qNN order among
+    * their family, they pay the build. Bench's stall re-run treats them
+    * specially: a plain re-run would time the cheap parquet read of the
+    * already-built scratch, so Bench calls [[resetSharedScratch]] first
+    * and the re-run rebuilds into a fresh dir — a second honest sample
+    * of the build cost (closes the round-6 hole where one host stall on
+    * an owner was charged permanently with no second sample). */
+  val sharedScratchOwners: Set[String] = Set("q55_dup_clusters",
+    "q107_iqr_outliers", "q146_mad_outliers", "q147_dim_covariance",
+    "q194_mutual_knn", "q211_pq_codes")
+
   /** Names of the queries that consume the shared scratch — Bench exempts
-    * them from its stall re-run (a re-run of the owner would time the
-    * cheap parquet read and silently drop the compute cost). */
+    * the PURE consumers (this set minus [[sharedScratchOwners]]) from its
+    * stall re-run (a consumer re-run would time the cheap parquet read,
+    * not the compute). */
   val sharedScratchConsumers: Set[String] = Set("q55_dup_clusters",
     "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank",
     "q126_pagerank_directed", "q148_triangle_census", "q165_kcore",
@@ -987,6 +1029,9 @@ object ExtQueries {
     "q200_bcubed_quality",
     // percentile-CDF scratch (sharedPriceCdf): q107 owns, q113 reads
     "q107_iqr_outliers", "q113_winsorized_mean",
+    // event value-counts scratch (sharedEventValueCounts): q146 owns,
+    // q155 reads
+    "q146_mad_outliers", "q155_psi_drift",
     // covariance scratch (sharedCov): q147 owns, q201/q202 read
     "q201_pca_power", "q202_pc1_scores",
     // PQ-index scratch (sharedPq): q211 owns, q212/q213/q214 read
@@ -1606,9 +1651,13 @@ object ExtQueries {
 
   /** q146 — robust MAD outliers ([[Aggregates.madOutliers]]): per
     * event_type exact median + MAD and modified-z(3.5) outlier counts
-    * over event values. */
+    * over event values. Owns the shared event value-counts scratch
+    * ([[sharedEventValueCounts]]); the two-pass median→MAD machinery
+    * then runs entirely over the |distinct values| frame — the fact
+    * table is scanned once for the scratch build, not three times. */
   private val q146: Q = (s, d) =>
-    madOutliers(Tables.events(s, d), "event_type", "value")
+    madOutliers(Tables.events(s, d), "event_type", "value",
+        counts = Some(sharedEventValueCounts(s, d)))
       .orderBy("event_type")
 
   /** q147 — embedding-dimension covariance ([[SimSearch.dimCovariance]]):
@@ -1731,10 +1780,14 @@ object ExtQueries {
 
   /** q155 — PSI drift ([[Aggregates.psi]]): value-distribution shift per
     * event_type between the first and second half-month, binned by the
-    * baseline's exact deciles. */
+    * baseline's exact deciles. Reads the q146-owned value-counts
+    * scratch ([[sharedEventValueCounts]], whose slice key IS this
+    * baseline boundary) — deciles and bin counts both come from the
+    * |distinct values| frame, no second fact scan. */
   private val q155: Q = (s, d) =>
     psi(Tables.events(s, d), "event_type", "value",
-        to_date(col("ts")) < lit("2024-01-16").cast("date"))
+        to_date(col("ts")) < lit("2024-01-16").cast("date"),
+        valCountsIn = Some(sharedEventValueCounts(s, d)))
       .orderBy("event_type")
 
   /** q156 — mutual information ([[Aggregates.mutualInformation]]):
@@ -2178,10 +2231,15 @@ object ExtQueries {
     * order), Frequency (order count), Monetary (exact-decimal revenue) by
     * tertile cuts from the memory-bounded
     * [[graft.engine.Aggregates.exactPercentiles]], then counted per
-    * (r,f,m) cell — the classic marketing segmentation grid as three
-    * broadcast 1-row stat frames over one customer aggregate (the
+    * (r,f,m) cell — the classic marketing segmentation grid (the
     * two-pass stats-then-broadcast shape of q99; nothing buffers a value
-    * multiset, nothing sorts the corpus). */
+    * multiset, nothing sorts the corpus). All three tertile grids come
+    * from ONE percentile build: the customer frame is checkpointed once
+    * (orders are aggregated once, not once per metric) and melted to
+    * (metric, value) rows, so a single metric-keyed CDF replaces three
+    * separate fact-rescanning builds — same interpolation arithmetic
+    * per metric group, so every cut point (and every hash) is
+    * unchanged. */
   private val q183: Q = (s, d) => {
     val cust = Tables.orders(s, d).groupBy("o_custkey")
       .agg(max(col("o_orderdate")).as("last_ts"),
@@ -2189,12 +2247,22 @@ object ExtQueries {
         sum(col("o_totalprice").cast("decimal(38,6)")).cast("double")
           .as("money"))
       .withColumn("rec", col("last_ts").cast("timestamp").cast("double"))
-    def cuts(valCol: String, pfx: String): DataFrame =
-      Aggregates.exactPercentiles(cust.withColumn("__g", lit(1)), "__g",
-          valCol, Seq(1.0 / 3, 2.0 / 3))
-        .select(col("p0").as(s"${pfx}33"), col("p1").as(s"${pfx}66"))
-    val p = cuts("rec", "r").crossJoin(broadcast(cuts("freq", "f")))
-      .crossJoin(broadcast(cuts("money", "m")))
+      .localCheckpoint(eager = false) // percentile build + scoring pass
+    val melted = cust.select(explode(array(
+        struct(lit("rec").as("metric"), col("rec").as("__m")),
+        struct(lit("freq").as("metric"), col("freq").cast("double")
+          .as("__m")),
+        struct(lit("money").as("metric"), col("money").as("__m"))))
+        .as("e"))
+      .select(col("e.metric"), col("e.__m"))
+    val grid = Aggregates.exactPercentiles(melted, "metric", "__m",
+      Seq(1.0 / 3, 2.0 / 3))
+    def cut(m: String, pcol: String) =
+      max(when(col("metric") === m, col(pcol)))
+    val p = grid.groupBy().agg(
+      cut("rec", "p0").as("r33"), cut("rec", "p1").as("r66"),
+      cut("freq", "p0").as("f33"), cut("freq", "p1").as("f66"),
+      cut("money", "p0").as("m33"), cut("money", "p1").as("m66"))
     def score(v: Column, lo: Column, hi: Column): Column =
       when(v <= lo, 1).when(v <= hi, 2).otherwise(3)
     cust.crossJoin(broadcast(p))
@@ -2881,19 +2949,30 @@ object ExtQueries {
   /** q228 — training-data export manifest: the artifact a downstream
     * trainer actually consumes — per (source, 4096-token shard):
     * document count, token total, boundary-crossing count, and an
-    * order-invariant content digest (the q208 sum-of-row-hashes
-    * formula, per shard) — so a re-export is verifiable shard-by-shard
-    * with two longs instead of a re-diff. Packing rides q81's
-    * concat-then-chunk offsets; digests commute, so the manifest is
-    * independent of how the export was partitioned or ordered. */
+    * order-invariant CONTENT digest (the q208 sum-of-row-hashes
+    * formula, per shard, over `doc_id|text|source|n_tok`) — so a
+    * re-export is verifiable shard-by-shard with two longs instead of
+    * a re-diff. Hashing the full row (not just membership keys) means
+    * a corrupted or altered text with unchanged ids and token counts
+    * FAILS the digest check — the property that makes the manifest a
+    * verification artifact rather than a row count. Packing rides
+    * q81's concat-then-chunk offsets; the text rejoins the packed
+    * frame on doc_id (one co-keyed join — at scale both sides shuffle
+    * on the unique id, no broadcast of the corpus). Digests commute,
+    * so the manifest is independent of how the export was partitioned
+    * or ordered. */
   private val q228: Q = (s, d) => {
     val packed = PipelineOps.packSequences(Tables.documents(s, d),
       "text", "source", budget = 4096)
-    packed.groupBy(col("source"), col("first_chunk").as("shard"))
+    val rowStr = concat_ws("|", col("doc_id").cast("string"),
+      col("text"), col("source"), col("n_tok").cast("string"))
+    packed.join(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id")
+      .groupBy(col("source"), col("first_chunk").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         sum(col("crosses")).as("n_boundary_docs"),
-        (sum(TextOps.scrambledHash(col("doc_id").cast("string"))
+        (sum(TextOps.scrambledHash(rowStr)
           .cast("decimal(38,0)")) % lit(1000000007L))
           .cast("long").as("digest"))
       .orderBy("source", "shard")
@@ -2910,7 +2989,46 @@ object ExtQueries {
     cmsJoinSize(Tables.events(s, d), "user_id",
       Tables.orders(s, d), "o_custkey")
 
+  /** q230's core, threshold-parameterized so PlanSpec can force both
+    * branches: the events⋈orders join is PRICED from the two CMS
+    * counter synopses ([[graft.engine.Aggregates.cmsJoinEstimate]] —
+    * one long crosses the driver, the KB-bounded pattern) and then
+    * EXECUTED with the strategy the estimate bought: ≤ threshold ⇒ an
+    * explicit broadcast of the orders side, above ⇒ the shuffle join.
+    * The closed loop q229's synopsis exists for — sketch, price,
+    * choose, run. Estimate and choice are output columns the oracle
+    * replicates exactly (never-under means the estimate can only push
+    * the choice TOWARD shuffle — the safe direction for a planner);
+    * the result aggregate is strategy-invariant, so correctness never
+    * depends on the decision, only cost does. */
+  def cmsPlannedJoin(s: SparkSession, d: String, threshold: Long)
+      : DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("value"))
+    val or = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"))
+    val est = graft.engine.Aggregates.cmsJoinEstimate(
+      ev, "user_id", or, "o_custkey")
+    val broadcastIt = est <= threshold
+    val joined = ev.join(
+      if (broadcastIt) broadcast(or) else or,
+      col("user_id") === col("o_custkey"))
+    joined.agg(count(lit(1)).as("n_joined"),
+        round(sumExact6(col("o_totalprice")), 2).as("revenue"))
+      .select(lit(est).as("join_est"),
+        lit(if (broadcastIt) "broadcast" else "shuffle").as("strategy"),
+        col("n_joined"), col("revenue"))
+  }
+
+  /** q230 — CMS-planned join execution ([[cmsPlannedJoin]]): the q229
+    * estimator wired into the planner decision it was built for, at
+    * the production threshold (500k estimated output rows — under it
+    * at sf ≤ 0.01, over it at sf0.1, so both branches run in the
+    * round's gates). */
+  private val q230: Q = (s, d) => cmsPlannedJoin(s, d, 500000L)
+
   val all: Map[String, Q] = Map(
+    "q230_cms_planned_join" -> q230,
     "q229_cms_cross_join_size" -> q229,
     "q228_export_manifest" -> q228,
     "q227_dup_accumulation" -> q227,
@@ -6380,6 +6498,38 @@ object ExtQueries {
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
 
+    "q230_cms_planned_join" -> {
+      def bu(tbl: String, key: String) = (0 until 5).map(i =>
+        s"""  SELECT $i AS i,
+           |    ${scrambledHashSql(
+               s"CAST($key AS VARCHAR) || '#$i'")} % 8192 AS b
+           |  FROM $tbl""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      s"""WITH bua AS (
+         |${bu("events", "user_id")}),
+         |cta AS (SELECT i, b, count(*) AS c FROM bua GROUP BY 1, 2),
+         |bub AS (
+         |${bu("orders", "o_custkey")}),
+         |ctb AS (SELECT i, b, count(*) AS c FROM bub GROUP BY 1, 2),
+         |rs AS (
+         |  SELECT a.i, SUM(CAST(a.c * b.c AS DECIMAL(38,0))) AS s
+         |  FROM cta a JOIN ctb b ON a.i = b.i AND a.b = b.b
+         |  GROUP BY 1),
+         |es AS (
+         |  SELECT CAST(MIN(COALESCE(rs.s, 0)) AS BIGINT) AS join_est
+         |  FROM (SELECT unnest(generate_series(0, 4)) AS i) g
+         |  LEFT JOIN rs ON rs.i = g.i),
+         |j AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_joined,
+         |    round(${sumExact6Sql("o_totalprice")}, 2) AS revenue
+         |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+         |SELECT es.join_est,
+         |  CASE WHEN es.join_est <= 500000 THEN 'broadcast'
+         |    ELSE 'shuffle' END AS strategy,
+         |  j.n_joined, j.revenue
+         |FROM es, j""".stripMargin
+    },
+
     "q229_cms_cross_join_size" -> {
       def bu(tbl: String, key: String) = (0 until 5).map(i =>
         s"""  SELECT $i AS i,
@@ -6437,13 +6587,16 @@ object ExtQueries {
          |      > floor((end_off - n_tok) / 4096.0) AS BIGINT)
          |      AS crosses
          |  FROM o)
-         |SELECT source, shard,
+         |SELECT pk.source, shard,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
          |  CAST(SUM(crosses) AS BIGINT) AS n_boundary_docs,
-         |  CAST(SUM(${scrambledHashSql("CAST(doc_id AS VARCHAR)")})
+         |  CAST(SUM(${scrambledHashSql(
+            "concat_ws('|', CAST(pk.doc_id AS VARCHAR), d.text, " +
+              "pk.source, CAST(n_tok AS VARCHAR))")})
          |    % 1000000007 AS BIGINT) AS digest
-         |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |FROM pk JOIN documents d ON pk.doc_id = d.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q227_dup_accumulation" -> {
       val norm = "trim(regexp_replace(regexp_replace(lower(text), " +

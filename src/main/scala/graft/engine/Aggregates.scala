@@ -264,6 +264,39 @@ object Aggregates {
       .withColumn("__lo", col("__hi") - col("__c") + 1)
   }
 
+  /** Per-(group, slice, distinct value) multiplicity counts — the
+    * shareable PRE-CDF of the percentile family. One (group, flag,
+    * value) hash-agg collapses the fact stream to its distinct values;
+    * everything downstream ([[cdfFromCounts]] → [[percentilesFromCdf]],
+    * weighted deviation/bin aggregates) runs at |distinct values| cost.
+    * The `flag` slice key is what lets ONE scratch serve both
+    * full-data consumers (sum over the flag — [[madOutliers]]) and
+    * slice-keyed consumers (filter the flag — [[psi]]'s baseline
+    * deciles). Longs, booleans and doubles round-trip parquet exactly,
+    * so materializing this frame (the q55 scratch pattern) cannot move
+    * a hash. */
+  def valueCounts(df: DataFrame, groupCol: String, valCol: String,
+      flag: Column): DataFrame =
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), flag.as("__b"),
+        col(valCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+
+  /** [[rankedCdf]]-shape from a [[valueCounts]] frame: re-merge the
+    * multiplicities across the slice key, then the same rank window —
+    * identical (__v, __c, __lo, __hi) rows to rankedCdf(original df)
+    * because the distinct-value set and multiplicities are identical;
+    * only the cost differs (a window over distinct values instead of a
+    * fact-table shuffle). */
+  def cdfFromCounts(counts: DataFrame, groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__v"))
+    counts.groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__c")).as("__c"))
+      .withColumn("__hi", sum(col("__c")).over(w))
+      .withColumn("__lo", col("__hi") - col("__c") + 1)
+  }
+
   /** Percentile extraction over a precomputed [[rankedCdf]] — identical
     * arithmetic to [[exactPercentiles]] (Catalyst's position formula,
     * spec-asserted bit-equality); the input may come straight off a
@@ -424,19 +457,31 @@ object Aggregates {
     * one (group, bin) hash-agg with map-side partials; PSI terms sum
     * through exact decimals. */
   def psi(df: DataFrame, groupCol: String, valCol: String,
-      baseFlag: Column, bins: Int = 10): DataFrame = {
+      baseFlag: Column, bins: Int = 10,
+      valCountsIn: Option[DataFrame] = None): DataFrame = {
     val ps = (1 until bins).map(_.toDouble / bins)
-    val marked = df.select(col(groupCol),
-      col(valCol).cast("double").as("__v"), baseFlag.as("__b"))
-    val cuts = exactPercentiles(marked.filter(col("__b")), groupCol,
-      "__v", ps)
+    // counts path: a [[valueCounts]] frame keyed on THIS baseFlag
+    // replaces the fact scan — baseline deciles come from the
+    // flag-filtered slice, bin counts from __c-weighted sums; every
+    // number equals the row-level original exactly (both paths cast
+    // valCol to double, and grouping equal values cannot change a sum).
+    val marked = valCountsIn.getOrElse(
+      df.select(col(groupCol), col(valCol).cast("double").as("__v"),
+          baseFlag.as("__b"))
+        .withColumn("__c", lit(1L)))
+    val cuts = valCountsIn match {
+      case Some(cf) => percentilesFromCdf(
+        cdfFromCounts(cf.filter(col("__b")), groupCol), groupCol, ps)
+      case None => exactPercentiles(
+        marked.filter(col("__b")), groupCol, "__v", ps)
+    }
     val binExpr = ps.indices.map(i =>
       when(col("__v") > col(s"p$i"), 1).otherwise(0)).reduce(_ + _)
     val counts = marked.join(broadcast(cuts), Seq(groupCol))
       .withColumn("__bin", binExpr)
       .groupBy(col(groupCol), col("__bin"))
-      .agg(sum(when(col("__b"), 1L).otherwise(0L)).as("nb"),
-        sum(when(!col("__b"), 1L).otherwise(0L)).as("nc"))
+      .agg(sum(when(col("__b"), col("__c")).otherwise(0L)).as("nb"),
+        sum(when(!col("__b"), col("__c")).otherwise(0L)).as("nc"))
     val tot = counts.groupBy(groupCol)
       .agg(sum(col("nb")).as("tb"), sum(col("nc")).as("tc"))
     val half = lit(bins * 0.5)
@@ -484,24 +529,53 @@ object Aggregates {
     * memory-bounded percentile machinery. Groups with MAD 0 (over half
     * the mass on one value) report 0 outliers rather than dividing by
     * zero. */
-  def madOutliers(df: DataFrame, groupCol: String, valCol: String)
-      : DataFrame = {
-    val med = exactPercentiles(df, groupCol, valCol, Seq(0.5))
-      .select(col(groupCol), col("p0").as("__med"))
-    val dev = df.filter(col(valCol).isNotNull)
-      .join(broadcast(med), Seq(groupCol))
-      .withColumn("__ad", abs(col(valCol) - col("__med")))
-    val mad = exactPercentiles(dev, groupCol, "__ad", Seq(0.5))
-      .select(col(groupCol), col("p0").as("__mad"))
-    dev.join(broadcast(mad), Seq(groupCol))
-      .groupBy(groupCol)
-      .agg(round(max(col("__med")), 6).as("med"),
-        round(max(col("__mad")), 6).as("mad"),
-        count(lit(1)).as("n"),
-        sum(when(col("__mad") > 0 &&
-            abs(lit(0.6745) * (col(valCol) - col("__med")) /
-              col("__mad")) > 3.5, 1L)
-          .otherwise(0L)).as("n_outliers"))
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+      counts: Option[DataFrame] = None): DataFrame = counts match {
+    case Some(cf) =>
+      // counts path: the ENTIRE two-pass computation (median → deviation
+      // median → weighted outlier count) runs over the |distinct values|
+      // [[valueCounts]] frame — the fact table is never rescanned. Every
+      // aggregate weights by __c, so each number equals the row-level
+      // original exactly (valCol is cast to double in both paths).
+      val merged = cf.groupBy(col(groupCol), col("__v"))
+        .agg(sum(col("__c")).as("__c"))
+        .localCheckpoint(eager = false) // median CDF + dev + final agg
+      val med = percentilesFromCdf(cdfFromCounts(merged, groupCol),
+          groupCol, Seq(0.5))
+        .select(col(groupCol), col("p0").as("__med"))
+      val dev = merged.join(broadcast(med), Seq(groupCol))
+        .withColumn("__ad", abs(col("__v") - col("__med")))
+      val mad = percentilesFromCdf(
+          cdfFromCounts(dev.select(col(groupCol),
+            col("__ad").as("__v"), col("__c")), groupCol),
+          groupCol, Seq(0.5))
+        .select(col(groupCol), col("p0").as("__mad"))
+      dev.join(broadcast(mad), Seq(groupCol))
+        .groupBy(groupCol)
+        .agg(round(max(col("__med")), 6).as("med"),
+          round(max(col("__mad")), 6).as("mad"),
+          sum(col("__c")).as("n"),
+          sum(when(col("__mad") > 0 &&
+              abs(lit(0.6745) * (col("__v") - col("__med")) /
+                col("__mad")) > 3.5, col("__c"))
+            .otherwise(0L)).as("n_outliers"))
+    case None =>
+      val med = exactPercentiles(df, groupCol, valCol, Seq(0.5))
+        .select(col(groupCol), col("p0").as("__med"))
+      val dev = df.filter(col(valCol).isNotNull)
+        .join(broadcast(med), Seq(groupCol))
+        .withColumn("__ad", abs(col(valCol) - col("__med")))
+      val mad = exactPercentiles(dev, groupCol, "__ad", Seq(0.5))
+        .select(col(groupCol), col("p0").as("__mad"))
+      dev.join(broadcast(mad), Seq(groupCol))
+        .groupBy(groupCol)
+        .agg(round(max(col("__med")), 6).as("med"),
+          round(max(col("__mad")), 6).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("__mad") > 0 &&
+              abs(lit(0.6745) * (col(valCol) - col("__med")) /
+                col("__mad")) > 3.5, 1L)
+            .otherwise(0L)).as("n_outliers"))
   }
 
   /** Welch's two-sample t statistic per group (unequal variances):
@@ -754,7 +828,14 @@ object Aggregates {
     * (2^|dims| streams, one shuffle), never 2^|dims| scans. gid's bit
     * mask (first dim = most significant, 1 = aggregated-away) is what
     * separates a genuine NULL dim value from a subtotal row — the
-    * classic rollup ambiguity, resolved the SQL-standard way. */
+    * classic rollup ambiguity, resolved the SQL-standard way.
+    *
+    * CONTRACT: `valCol` must be integer-valued — the total is summed
+    * through decimal(38,0), which rounds each term to an integer
+    * BEFORE summing (the overflow-free exact form for counts/sizes).
+    * A fractional metric (prices, scores) would be silently
+    * per-row-rounded; use an exact scaled-decimal sum
+    * ([[graft.ExtQueries]]'s sumExact6 pattern) for those instead. */
   def cubeProfile(df: DataFrame, dims: Seq[String], valCol: String)
       : DataFrame =
     df.cube(dims.map(col): _*)
@@ -776,7 +857,12 @@ object Aggregates {
     * data, then arithmetic on the 9-row frame; expected probabilities
     * are shared literal constants (the [[PoissonCuts]] discipline) so
     * both engines parse identical doubles. Non-positive values are
-    * excluded (Benford applies to positive magnitudes). */
+    * excluded (Benford applies to positive magnitudes) — and so,
+    * implicitly, are sub-cent values in (0, 0.005): they round to 0
+    * cents, whose leading "digit" 0 falls outside the 1–9 grid. For
+    * the stated 2-dp monetary inputs the interval is empty; feeding
+    * finer-grained positives would silently drop them from both the
+    * grid and the χ² total. */
   def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
     val cents = (col(valCol) * 100).cast("decimal(38,0)")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
@@ -903,6 +989,34 @@ object Aggregates {
           round(col("join_est").cast("double") / col("join_exact"), 6))
           .as("ratio"),
         (col("join_est") >= col("join_exact")).as("never_under"))
+  }
+
+  /** Driver-side CMS join-size estimate — the PLANNER form of
+    * [[cmsJoinSize]]: identical inner-product arithmetic (same hash
+    * family, width, depth — the q229 oracle replicates it exactly),
+    * returned as one Long the caller can branch on. The collect is
+    * KB-bounded BY CONSTRUCTION: the two counter frames aggregate to
+    * ≤ depth rows before the min, and only that single reduced row
+    * crosses to the driver — the documented KB-scale pattern (q90 /
+    * q219), not a data collect. This is the two-sketches-to-one-number
+    * loop a planner actually runs: sketch each relation independently
+    * (possibly on different days / clusters), inner-product the
+    * counters, price the join without touching either fact table. */
+  def cmsJoinEstimate(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, width: Int = 8192, depth: Int = 5): Long = {
+    val ca = cmsCounters(a, aKey, width, depth)
+      .select(col("i"), col("b"), col("c").as("ca"))
+    val cb = cmsCounters(b, bKey, width, depth)
+      .select(col("i"), col("b"), col("c").as("cb"))
+    val rowSums = ca.join(cb, Seq("i", "b"))
+      .groupBy("i")
+      .agg(sum((col("ca") * col("cb")).cast("decimal(38,0)")).as("s"))
+    a.sparkSession.range(depth)
+      .select(col("id").cast("int").as("i"))
+      .join(rowSums, Seq("i"), "left")
+      .agg(min(coalesce(col("s"), lit(0).cast("decimal(38,0)")))
+        .cast("long").as("join_est"))
+      .head().getLong(0)
   }
 
   /** Simpson's-paradox audit: per-group OLS slope of y on x next to

@@ -898,8 +898,12 @@ object Dedup {
       .filter(col("__rn") === 1)
       .select(col("cluster"), col("id").as("rep_id"))
     def mode(attr: String) = {
+      // asc_nulls_last, not plain asc: Spark's default ascending sort is
+      // NULLS FIRST while the DuckDB oracle's `ORDER BY __n DESC, attr`
+      // is NULLS LAST — on a cluster whose modal attr ties include NULL
+      // the two engines would otherwise pick different winners
       val w = Window.partitionBy("cluster")
-        .orderBy(col("__n").desc, col(attr))
+        .orderBy(col("__n").desc, col(attr).asc_nulls_last)
       d.groupBy(col("cluster"), col(attr))
         .agg(count(lit(1)).as("__n"))
         .withColumn("__rn", row_number().over(w))

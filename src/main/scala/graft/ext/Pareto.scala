@@ -32,7 +32,20 @@ import org.apache.spark.sql.functions._
   * The exact phase makes the result EXACTLY the skyline; the grid only
   * shrinks the quadratic set. A dominated-majority corpus at 100 TB
   * prunes to a shell bounded by the frontier's surface, not the data.
-  */
+  *
+  * LIMITATION (anti-correlated objectives): the exact phase broadcasts
+  * the frontier SHELL as the rival side, betting the shell is small.
+  * When the dims are strongly anti-correlated (every point trades one
+  * objective for another) the true skyline — and hence the shell — can
+  * be O(n), and the forced broadcast becomes the bottleneck the grid
+  * cannot bound. Mitigations at scale: raise `gridQ` (a finer grid
+  * discards more dominated cells, shrinking the shell toward the true
+  * frontier), or pre-reduce per distinct first-dim value with a max on
+  * the others (the 2-D [[graft.ext.PipelineOps.paretoFrontier]] trick)
+  * before calling skyline. A skyline that IS a constant fraction of
+  * the corpus is not a selection operator anymore — callers wanting
+  * that should stream the frontier out in dominance-sorted batches
+  * instead. */
 object Pareto {
 
   /** All-maximize skyline of `df` over numeric/orderable `dimCols`

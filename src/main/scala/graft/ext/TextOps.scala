@@ -47,7 +47,8 @@ object TextOps {
     // similarity matrix with silently missing cells reads as "not
     // computed", the opposite of "nothing in common"
     sizes.select(col("g").as("ga"), col("nv").as("nva"))
-      .crossJoin(sizes.select(col("g").as("gb"), col("nv").as("nvb")))
+      .crossJoin(broadcast(
+        sizes.select(col("g").as("gb"), col("nv").as("nvb"))))
       .filter(col("ga") < col("gb"))
       .join(shared, Seq("ga", "gb"), "left")
       .na.fill(0L, Seq("n_shared"))

@@ -255,6 +255,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("CMS-planned join (q230): the physical plan honors the synopsis-" +
+    "priced choice on BOTH branches") {
+    // threshold far above any estimate → the planner buys the broadcast
+    val bPlan = plan(ExtQueries.cmsPlannedJoin(spark, sf0001,
+      threshold = Long.MaxValue))
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    // threshold 0 → the estimate (always ≥ 1 here) prices the join too
+    // big to broadcast; the engine must NOT force one. Spark's own
+    // size-based autoBroadcast may still pick a broadcast at this tiny
+    // test scale — the contract under test is that OUR hint is absent,
+    // so the logical plan carries no join hint.
+    val sPlan = ExtQueries.cmsPlannedJoin(spark, sf0001, threshold = 0L)
+      .queryExecution.optimizedPlan.toString
+    assert(!sPlan.contains("hints=[broadcast]"), sPlan)
+    // and the strategy column tells the truth on both branches
+    import org.apache.spark.sql.functions.col
+    assert(ExtQueries.cmsPlannedJoin(spark, sf0001, Long.MaxValue)
+      .select(col("strategy")).head().getString(0) == "broadcast")
+    assert(ExtQueries.cmsPlannedJoin(spark, sf0001, 0L)
+      .select(col("strategy")).head().getString(0) == "shuffle")
+  }
+
   test("rolling anomaly (q184): trailing window rides ONE exchange on " +
     "the event-type key after the daily aggregate") {
     val df = ExtQueries.all("q184_rolling_anomaly")(spark, sf0001)

@@ -468,6 +468,15 @@ class AggregatesSpec extends SparkSpec {
     assert(degenerate._4 == 9L && degenerate._6) // 3·3, still ≥ 2
   }
 
+  test("cmsJoinEstimate: the driver-side planner form returns exactly " +
+      "cmsJoinSize's join_est") {
+    val a = Seq("x", "x", "y", "w").toDF("k")
+    val b = Seq("x", "z", "z", "y").toDF("k")
+    val fromFrame = Aggregates.cmsJoinSize(a, "k", b, "k")
+      .select("join_est").as[Long].head()
+    assert(Aggregates.cmsJoinEstimate(a, "k", b, "k") == fromFrame)
+  }
+
   test("simpsonSlopes: textbook reversal — every stratum trends down, " +
       "the pooled corpus trends up") {
     // g1 at low x, g2 at high x; within each, slope −1; across, +~1.14

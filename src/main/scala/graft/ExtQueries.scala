@@ -2427,21 +2427,50 @@ object ExtQueries {
     * baseline discipline — at 100 TB the input pair frame is the LSH
     * candidate graph, the reciprocity predicate is unchanged). The
     * hub-robust edge filter under SemDeDup-style semantic dedup. */
-  /** Reciprocal top-5 cosine edges over the exact all-pairs frame —
-    * shared by q194 (the edge list itself) and q198 (the graph label
-    * propagation spreads over). */
+  /** LSH-candidate mutual-kNN build — the EXECUTED 100 TB path (not
+    * just the documented one): candidate pairs come from the
+    * multi-table random-hyperplane blocker
+    * ([[SimSearch.cosineNearDupPairsLsh]] at threshold −1, i.e. every
+    * bucket-mate is a candidate), and the reciprocity rank predicate
+    * ([[SimSearch.mutualKnnPairs]]) runs unchanged over that candidate
+    * graph. Pair count scales with bucket occupancy (~n²·tables/2^bits
+    * total), never n² — `bits` must grow with the corpus (2^bits ≳ n)
+    * and `tables` OR-amplifies recall back up. SimSearchSpec pins the
+    * semantics: edge-set EQUALITY vs the exact frame on planted
+    * well-separated clusters (where the blocker provably loses
+    * nothing), and a measured recall floor on the real fixture (where
+    * near-random vectors make blocking lossy by design); SCALE.md
+    * records both paths' cost at sf0.1. */
+  def mutualKnnLshFrame(s: SparkSession, d: String, bits: Int = 5,
+      tables: Int = 8, k: Int = 5): DataFrame =
+    SimSearch.mutualKnnPairs(
+      SimSearch.cosineNearDupPairsLsh(Tables.embeddings(s, d),
+        threshold = -1.0, bits = bits, tables = tables), k = k)
+
+  /** Reciprocal top-5 cosine edges — shared by q194 (the edge list
+    * itself), q198 (label propagation) and q204 (local clustering).
+    * Default build is the exact all-pairs frame (the q33/q35 baseline
+    * discipline at test scale); setting SPARK_GRAFT_KNN_LSH switches
+    * the scratch to the LSH-candidate build ([[mutualKnnLshFrame]]) —
+    * dev-only (the driver never sets it: candidate-graph ranks differ
+    * at ties, so oracle hashes are pinned to the exact path), there to
+    * run the whole q194/q198/q204 family down the scale path
+    * end-to-end. */
   private def mutualKnnFrame(s: SparkSession, d: String): DataFrame =
     materialized(s, scratch("mknn", d)) {
-      val emb = Tables.embeddings(s, d)
-      val a = emb.select(col("vec_id").as("id_a"),
-        col("embedding").as("emb_a"))
-      val b = emb.select(col("vec_id").as("id_b"),
-        col("embedding").as("emb_b"))
-      val pairs = a.crossJoin(broadcast(b))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          SimSearch.cosine(col("emb_a"), col("emb_b")).as("sim"))
-      SimSearch.mutualKnnPairs(pairs, k = 5)
+      if (sys.env.contains("SPARK_GRAFT_KNN_LSH")) mutualKnnLshFrame(s, d)
+      else {
+        val emb = Tables.embeddings(s, d)
+        val a = emb.select(col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"))
+        val b = emb.select(col("vec_id").as("id_b"),
+          col("embedding").as("emb_b"))
+        val pairs = a.crossJoin(broadcast(b))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            SimSearch.cosine(col("emb_a"), col("emb_b")).as("sim"))
+        SimSearch.mutualKnnPairs(pairs, k = 5)
+      }
     }
 
   private val q194: Q = (s, d) => mutualKnnFrame(s, d)

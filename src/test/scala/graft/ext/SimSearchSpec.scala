@@ -252,6 +252,59 @@ class SimSearchSpec extends SparkSpec {
       (2L, 3L, 0.9, 2, 1)))  // 3 is 2's #2 (tie → 1 first); 2 is 3's #1
   }
 
+  test("mutual-kNN over LSH candidates EQUALS the exact frame on " +
+    "planted well-separated clusters (the scale-switch contract)") {
+    // 8 clusters × 5 members in 16-d: centers are deterministic ±1
+    // sign vectors, members add 1e-4 jitter — within-cluster cosine
+    // ≈ 1, cross-cluster strictly lower, and the jitter is far too
+    // small to flip a hyperplane side, so every within-cluster pair
+    // shares all buckets and the blocker provably loses nothing.
+    val rnd = new scala.util.Random(42)
+    val centers = (0 until 8).map(_ =>
+      Array.fill(16)(if (rnd.nextBoolean()) 1f else -1f))
+    val rows = for {
+      c <- centers.indices; m <- 0 until 5
+    } yield {
+      val v = centers(c).clone()
+      v(m % 16) = v(m % 16) + 1e-4f * (m + 1)
+      (c * 5L + m, v)
+    }
+    val emb = rows.toDF("id_a", "embedding") // col names fixed below
+      .withColumnRenamed("id_a", "vec_id")
+    def edges(pairs: org.apache.spark.sql.DataFrame) =
+      SimSearch.mutualKnnPairs(pairs, k = 4)
+        .select("id_a", "id_b", "rank_ab", "rank_ba")
+        .as[(Long, Long, Int, Int)].collect().toSet
+    val a = emb.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val exactPairs = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SimSearch.cosine(col("emb_a"), col("emb_b")).as("sim"))
+    val lshPairs = SimSearch.cosineNearDupPairsLsh(emb,
+      threshold = -1.0, bits = 4, tables = 6)
+    val exact = edges(exactPairs)
+    val lsh = edges(lshPairs)
+    // k=4 with clusters of 5 → each node's mutual top-4 is exactly its
+    // cluster-mates: 8 · C(5,2) = 80 edges, identical down to ranks
+    assert(exact.size == 80, exact.size)
+    assert(lsh == exact,
+      s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+  }
+
+  test("mutual-kNN LSH variant on the real fixture: measured edge " +
+    "recall above the floor (near-random vectors make blocking lossy " +
+    "by design — the recall is the dial, not a defect)") {
+    val exact = graft.ExtQueries.all("q194_mutual_knn")(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = graft.ExtQueries.mutualKnnLshFrame(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall > 0.35, s"recall=$recall (|exact|=${exact.size})")
+  }
+
   test("semanticDedup: hand 2-D trace — cell assignment (equidistant " +
     "tie → min cid), smaller-id dominance within cell, cross-cell " +
     "near-dup survives (the documented recall trade)") {

@@ -185,7 +185,14 @@ object PlanDump {
           "sum + per-query rank"),
       "q219_cms_join_size" ->
         ("relational CMS: depth-way map-side fan-out, ONE w·d-bounded " +
-          "counter hash-agg, re-aggregated to the estimate"))
+          "counter hash-agg, re-aggregated to the estimate"),
+      "q230_cms_planned_join" ->
+        ("CMS-planned join: the synopsis-priced strategy choice " +
+          "EXECUTED — at sf0.001 the estimate is under the 500k " +
+          "threshold, so the orders side carries an explicit broadcast " +
+          "hint and the plan shows BroadcastHashJoin (PlanSpec asserts " +
+          "the shuffle branch too: over-threshold leaves NO hint and " +
+          "Spark's own sizing rules apply)"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

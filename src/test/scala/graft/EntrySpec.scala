@@ -24,4 +24,19 @@ class EntrySpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("resetSharedScratch: Bench's owner-rerun path — scratch rebuilds " +
+    "into a fresh generation mid-JVM and owner + consumer results are " +
+    "byte-identical") {
+    // q107 owns the price-CDF scratch, q113 reads it; after a reset the
+    // next touch must REBUILD (not read a stale path) and reproduce the
+    // same rows — the property the stall re-run's second sample relies on
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect().toSeq
+    val ownerBefore = rows("q107_iqr_outliers")
+    val readerBefore = rows("q113_winsorized_mean")
+    ExtQueries.resetSharedScratch()
+    assert(rows("q107_iqr_outliers") == ownerBefore)
+    assert(rows("q113_winsorized_mean") == readerBefore)
+  }
 }

@@ -3056,7 +3056,18 @@ object ExtQueries {
     * round's gates). */
   private val q230: Q = (s, d) => cmsPlannedJoin(s, d, 500000L)
 
+  /** q231 — BPE merge learning ([[TextOps.bpeMerges]]): six rounds of
+    * byte-pair-encoding tokenizer TRAINING over the corpus vocab — the
+    * capability the rest of the text family consumes (the merges table
+    * in priority order). Frequency-weighted pair counts, deterministic
+    * tie-break, left-to-right greedy application; the oracle replays
+    * the identical rounds as generated MATERIALIZED CTEs with the
+    * run-parity window formulation of the same greedy function. */
+  private val q231: Q = (s, d) =>
+    TextOps.bpeMerges(Tables.documents(s, d), "text", rounds = 6)
+
   val all: Map[String, Q] = Map(
+    "q231_bpe_merges" -> q231,
     "q230_cms_planned_join" -> q230,
     "q229_cms_cross_join_size" -> q229,
     "q228_export_manifest" -> q228,
@@ -6526,6 +6537,73 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q231_bpe_merges" -> {
+      // one CTE block per BPE round: explode the space-joined symbol
+      // string with parallel unnest, LEAD gives adjacent pairs, the
+      // 1-row top pair is chosen (cnt DESC, a, b), and the merge is
+      // applied with the run-parity islands formulation of left-to-
+      // right greedy pairing (provably the engine's fold: only a==b
+      // pairs form runs, and greedy picks the 1st/3rd/5th match of
+      // each run). Every per-round CTE is MATERIALIZED — the chain is
+      // iterative and DuckDB would otherwise inline it exponentially.
+      val rounds = 6
+      val roundCtes = (0 until rounds).map { r =>
+        s"""e$r AS MATERIALIZED (
+           |  SELECT word, freq,
+           |    unnest(string_split(s, ' ')) AS sym,
+           |    unnest(generate_series(1, len(string_split(s, ' '))))
+           |      AS i
+           |  FROM s$r),
+           |l$r AS MATERIALIZED (
+           |  SELECT word, freq, i, sym,
+           |    LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+           |  FROM e$r),
+           |t$r AS MATERIALIZED (
+           |  SELECT sym AS a, nxt AS b, SUM(freq) AS cnt
+           |  FROM l$r WHERE nxt IS NOT NULL
+           |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+           |g$r AS MATERIALIZED (
+           |  SELECT l.word, l.freq, l.i, l.sym,
+           |    (l.sym = t.a AND l.nxt = t.b) AS mt, t.a || t.b AS mg,
+           |    CASE WHEN l.sym = t.a AND l.nxt = t.b THEN l.i -
+           |      ROW_NUMBER() OVER (
+           |        PARTITION BY l.word, l.sym = t.a AND l.nxt = t.b
+           |        ORDER BY l.i) END AS grp
+           |  FROM l$r l, t$r t),
+           |sel$r AS MATERIALIZED (
+           |  SELECT word, i FROM (
+           |    SELECT word, i, ROW_NUMBER() OVER (
+           |      PARTITION BY word, grp ORDER BY i) AS rn
+           |    FROM g$r WHERE mt)
+           |  WHERE rn % 2 = 1),
+           |s${r + 1} AS MATERIALIZED (
+           |  SELECT g.word, g.freq,
+           |    string_agg(CASE WHEN s1.i IS NOT NULL THEN g.mg
+           |      WHEN s2.i IS NOT NULL THEN NULL ELSE g.sym END,
+           |      ' ' ORDER BY g.i) AS s
+           |  FROM g$r g
+           |  LEFT JOIN sel$r s1 ON g.word = s1.word AND g.i = s1.i
+           |  LEFT JOIN sel$r s2 ON g.word = s2.word AND g.i = s2.i + 1
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val finals = (0 until rounds).map(r =>
+        s"""  SELECT $r AS round, a AS sym_a, b AS sym_b,
+           |    a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
+           |  FROM t$r""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT tok AS word, count(*) AS freq
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |  WHERE len(tok) > 0 GROUP BY 1),
+         |s0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    array_to_string(string_split(word, ''), ' ') AS s
+         |  FROM v),
+         |$roundCtes
+         |SELECT * FROM (
+         |$finals
+         |) ORDER BY round""".stripMargin
+    },
 
     "q230_cms_planned_join" -> {
       def bu(tbl: String, key: String) = (0 until 5).map(i =>

@@ -715,4 +715,68 @@ object TextOps {
             (col("n") * col("syy") - col("sy") * col("sy"))), 6)
           .as("r2"))
   }
+
+  /** BPE merge LEARNING — the tokenizer-training step the rest of the
+    * text family consumes (token counting, BPE-ish regex splitting and
+    * chunking all assume a merges table exists; this builds one). The
+    * standard byte-pair-encoding loop (Sennrich et al. 2016): count
+    * adjacent symbol pairs across the frequency-weighted word vocab,
+    * merge the most frequent pair everywhere (left-to-right greedy),
+    * repeat. Returns one row per round: (round, sym_a, sym_b, merged,
+    * pair_count) — the learned merge table in priority order.
+    *
+    * Scale shape: BPE training never touches the corpus after ONE
+    * tokenize+count pass — every round runs over the DISTINCT-WORD
+    * vocab weighted by frequency (bounded by vocabulary size, not data
+    * size). Per round: one pair-count hash-agg over the vocab, a
+    * 1-row top-pair frame broadcast back, and the merge applied as a
+    * single `aggregate()` array fold per word (no explode, no window,
+    * no shuffle for the rewrite). The fold IS left-to-right greedy:
+    * append each symbol, but when the accumulator tail is `a` and the
+    * incoming symbol is `b`, replace the tail with `ab` — a merged
+    * tail can never re-match (`a||b != a` since `b` is nonempty), so
+    * overlapping runs pair off 1st/3rd/5th exactly like the reference
+    * algorithm, and the DuckDB oracle's run-parity window formulation
+    * is provably the same function. Ties break (count desc, sym_a,
+    * sym_b) — fully deterministic under any partitioning. Rounds are
+    * lazy-checkpointed so round r is one job, not a re-derivation of
+    * rounds 0..r−1. `rounds` must stay well under the corpus's pair
+    * diversity (an exhausted vocab would yield an empty top-1 frame
+    * and zero out later rounds). */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int)
+      : DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val vocab = df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = vocab
+      .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
+      .localCheckpoint(eager = false)
+    val emptyAcc = array().cast("array<string>")
+    val merged = (0 until rounds).map { r =>
+      val pairs = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("a"),
+              element_at(col("syms"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint(eager = false) // output row + merge application
+      syms = syms.crossJoin(broadcast(top))
+        .withColumn("syms", aggregate(col("syms"), emptyAcc,
+          (acc, s) => when(
+            try_element_at(acc, lit(-1)) === col("a") && s === col("b"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(col("a"), col("b")))))
+            .otherwise(concat(acc, array(s)))))
+        .select("word", "freq", "syms")
+        .localCheckpoint(eager = false)
+      top.select(lit(r).as("round"), col("a").as("sym_a"),
+        col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
+        col("cnt").as("pair_count"))
+    }
+    merged.reduce(_ unionByName _).orderBy("round")
+  }
 }

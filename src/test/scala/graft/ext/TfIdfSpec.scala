@@ -343,4 +343,37 @@ class TfIdfSpec extends SparkSpec {
       ("a", "c", 3L, 1L, 0L, 0.0),
       ("b", "c", 3L, 1L, 0L, 0.0)))
   }
+
+  test("bpeMerges: hand-traced two rounds — frequency-weighted pair " +
+    "counts, deterministic tie-break, merged symbols persist to the " +
+    "next round; partitioning-invariant") {
+    import spark.implicits._
+    // vocab: aa×3, ab×2, b×1
+    // round 0: pairs (a,a)=3 (one per 'aa' occurrence), (a,b)=2 → merge (a,a)
+    // round 1: 'aa' is a single symbol now; only (a,b)=2 remains
+    val docs = Seq(("1", "aa ab aa"), ("2", "ab b aa"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bpeMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (0, "a", "a", "aa", 3L),
+      (1, "a", "b", "ab", 2L)))
+    val b = TextOps.bpeMerges(docs.repartition(5), "text", rounds = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out == b)
+  }
+
+  test("bpeMerges: overlapping runs pair left-to-right greedily — " +
+    "'aaa' yields [aa, a], so round 2's top pair is (aa, a)") {
+    import spark.implicits._
+    val docs = Seq(("1", "aaa")).toDF("doc_id", "text")
+    val out = TextOps.bpeMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // round 0: overlapping (a,a) counted at BOTH positions (standard
+    // BPE counts all adjacent instances) → cnt 2; the merge then pairs
+    // greedily: [a,a,a] → [aa, a], never [a, aa]
+    assert(out == Seq(
+      (0, "a", "a", "aa", 2L),
+      (1, "aa", "a", "aaa", 1L)))
+  }
 }

@@ -3066,7 +3066,18 @@ object ExtQueries {
   private val q231: Q = (s, d) =>
     TextOps.bpeMerges(Tables.documents(s, d), "text", rounds = 6)
 
+  /** q232 — BPE compression audit ([[TextOps.bpeCompression]]): the
+    * serving side of q231 — after the six learned merges, per-source
+    * corpus token/char/BPE-token totals and chars-per-BPE-token (the
+    * compression dial a tokenizer budget decision reads). Encoding is
+    * vocab-bounded: the corpus contributes one (source, word) count
+    * agg that broadcast-joins the |vocab|-row final segmentation. */
+  private val q232: Q = (s, d) =>
+    TextOps.bpeCompression(Tables.documents(s, d), "text", "source",
+      rounds = 6)
+
   val all: Map[String, Q] = Map(
+    "q232_bpe_compression" -> q232,
     "q231_bpe_merges" -> q231,
     "q230_cms_planned_join" -> q230,
     "q229_cms_cross_join_size" -> q229,
@@ -3290,6 +3301,71 @@ object ExtQueries {
     s"((${polyHashSql(e)} * 2654435761 + 12345) % 1000000007)"
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Rounds shared by q231 (merge table) and q232 (compression audit)
+    * — the SAME literal must drive the Spark call and both oracles. */
+  private val BpeRounds = 6
+
+  /** Generated BPE-training CTE chain ([[TextOps.bpeMerges]] replica):
+    * one block per round — parallel-unnest explode of the space-joined
+    * symbol string, LEAD adjacent pairs, 1-row top pair (cnt DESC, a,
+    * b), and the merge applied via the run-parity islands formulation
+    * of left-to-right greedy pairing (provably the engine's array
+    * fold: only a==b pairs form runs, and greedy takes the 1st/3rd/5th
+    * match of each run). Every per-round CTE is MATERIALIZED — the
+    * chain is iterative and DuckDB would otherwise inline it
+    * exponentially (the q211/q201 lesson). Exposes t0..t{n-1} (the
+    * learned merges) and s{n} (the final segmentation). */
+  private def bpeCtePrefix(rounds: Int): String = {
+    val roundCtes = (0 until rounds).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    unnest(string_split(s, ' ')) AS sym,
+         |    unnest(generate_series(1, len(string_split(s, ' '))))
+         |      AS i
+         |  FROM s$r),
+         |l$r AS MATERIALIZED (
+         |  SELECT word, freq, i, sym,
+         |    LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+         |  FROM e$r),
+         |t$r AS MATERIALIZED (
+         |  SELECT sym AS a, nxt AS b, SUM(freq) AS cnt
+         |  FROM l$r WHERE nxt IS NOT NULL
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |g$r AS MATERIALIZED (
+         |  SELECT l.word, l.freq, l.i, l.sym,
+         |    (l.sym = t.a AND l.nxt = t.b) AS mt, t.a || t.b AS mg,
+         |    CASE WHEN l.sym = t.a AND l.nxt = t.b THEN l.i -
+         |      ROW_NUMBER() OVER (
+         |        PARTITION BY l.word, l.sym = t.a AND l.nxt = t.b
+         |        ORDER BY l.i) END AS grp
+         |  FROM l$r l, t$r t),
+         |sel$r AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, ROW_NUMBER() OVER (
+         |      PARTITION BY word, grp ORDER BY i) AS rn
+         |    FROM g$r WHERE mt)
+         |  WHERE rn % 2 = 1),
+         |s${r + 1} AS MATERIALIZED (
+         |  SELECT g.word, g.freq,
+         |    string_agg(CASE WHEN s1.i IS NOT NULL THEN g.mg
+         |      WHEN s2.i IS NOT NULL THEN NULL ELSE g.sym END,
+         |      ' ' ORDER BY g.i) AS s
+         |  FROM g$r g
+         |  LEFT JOIN sel$r s1 ON g.word = s1.word AND g.i = s1.i
+         |  LEFT JOIN sel$r s2 ON g.word = s2.word AND g.i = s2.i + 1
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""v AS MATERIALIZED (
+       |  SELECT tok AS word, count(*) AS freq
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+       |  WHERE len(tok) > 0 GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    array_to_string(string_split(word, ''), ' ') AS s
+       |  FROM v),
+       |$roundCtes""".stripMargin
+  }
 
   /** DuckDB expression for the distinct 3-shingle hash list. */
   private def shinglesSql(toks: String, k: Int): String =
@@ -6539,71 +6615,33 @@ object ExtQueries {
          |ORDER BY 1, 2""".stripMargin,
 
     "q231_bpe_merges" -> {
-      // one CTE block per BPE round: explode the space-joined symbol
-      // string with parallel unnest, LEAD gives adjacent pairs, the
-      // 1-row top pair is chosen (cnt DESC, a, b), and the merge is
-      // applied with the run-parity islands formulation of left-to-
-      // right greedy pairing (provably the engine's fold: only a==b
-      // pairs form runs, and greedy picks the 1st/3rd/5th match of
-      // each run). Every per-round CTE is MATERIALIZED — the chain is
-      // iterative and DuckDB would otherwise inline it exponentially.
-      val rounds = 6
-      val roundCtes = (0 until rounds).map { r =>
-        s"""e$r AS MATERIALIZED (
-           |  SELECT word, freq,
-           |    unnest(string_split(s, ' ')) AS sym,
-           |    unnest(generate_series(1, len(string_split(s, ' '))))
-           |      AS i
-           |  FROM s$r),
-           |l$r AS MATERIALIZED (
-           |  SELECT word, freq, i, sym,
-           |    LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
-           |  FROM e$r),
-           |t$r AS MATERIALIZED (
-           |  SELECT sym AS a, nxt AS b, SUM(freq) AS cnt
-           |  FROM l$r WHERE nxt IS NOT NULL
-           |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
-           |g$r AS MATERIALIZED (
-           |  SELECT l.word, l.freq, l.i, l.sym,
-           |    (l.sym = t.a AND l.nxt = t.b) AS mt, t.a || t.b AS mg,
-           |    CASE WHEN l.sym = t.a AND l.nxt = t.b THEN l.i -
-           |      ROW_NUMBER() OVER (
-           |        PARTITION BY l.word, l.sym = t.a AND l.nxt = t.b
-           |        ORDER BY l.i) END AS grp
-           |  FROM l$r l, t$r t),
-           |sel$r AS MATERIALIZED (
-           |  SELECT word, i FROM (
-           |    SELECT word, i, ROW_NUMBER() OVER (
-           |      PARTITION BY word, grp ORDER BY i) AS rn
-           |    FROM g$r WHERE mt)
-           |  WHERE rn % 2 = 1),
-           |s${r + 1} AS MATERIALIZED (
-           |  SELECT g.word, g.freq,
-           |    string_agg(CASE WHEN s1.i IS NOT NULL THEN g.mg
-           |      WHEN s2.i IS NOT NULL THEN NULL ELSE g.sym END,
-           |      ' ' ORDER BY g.i) AS s
-           |  FROM g$r g
-           |  LEFT JOIN sel$r s1 ON g.word = s1.word AND g.i = s1.i
-           |  LEFT JOIN sel$r s2 ON g.word = s2.word AND g.i = s2.i + 1
-           |  GROUP BY 1, 2)""".stripMargin
-      }.mkString(",\n")
-      val finals = (0 until rounds).map(r =>
+      val finals = (0 until BpeRounds).map(r =>
         s"""  SELECT $r AS round, a AS sym_a, b AS sym_b,
            |    a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
            |  FROM t$r""".stripMargin).mkString("\n  UNION ALL\n")
-      s"""WITH v AS MATERIALIZED (
-         |  SELECT tok AS word, count(*) AS freq
-         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
-         |  WHERE len(tok) > 0 GROUP BY 1),
-         |s0 AS MATERIALIZED (
-         |  SELECT word, freq,
-         |    array_to_string(string_split(word, ''), ' ') AS s
-         |  FROM v),
-         |$roundCtes
+      s"""WITH ${bpeCtePrefix(BpeRounds)}
          |SELECT * FROM (
          |$finals
          |) ORDER BY round""".stripMargin
     },
+
+    "q232_bpe_compression" ->
+      s"""WITH ${bpeCtePrefix(BpeRounds)},
+         |segs AS (
+         |  SELECT word, len(string_split(s, ' ')) AS n_bpe
+         |  FROM s$BpeRounds),
+         |pg AS (
+         |  SELECT source, tok AS word, count(*) AS n
+         |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+         |  WHERE len(tok) > 0 GROUP BY 1, 2)
+         |SELECT pg.source,
+         |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n * len(word)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n * n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(SUM(n * len(word)) AS DOUBLE) / SUM(n * n_bpe), 6)
+         |    AS chars_per_bpe_token
+         |FROM pg JOIN segs USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q230_cms_planned_join" -> {
       def bu(tbl: String, key: String) = (0 until 5).map(i =>

@@ -744,7 +744,14 @@ object TextOps {
     * diversity (an exhausted vocab would yield an empty top-1 frame
     * and zero out later rounds). */
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int)
-      : DataFrame = {
+      : DataFrame =
+    bpeTrain(df, textCol, rounds)._1.orderBy("round")
+
+  /** The BPE training loop behind [[bpeMerges]] (merge table) and
+    * [[bpeCompression]] (final segmentation): returns (merges frame,
+    * final per-word symbol frame (word, freq, syms)). */
+  private def bpeTrain(df: DataFrame, textCol: String, rounds: Int)
+      : (DataFrame, DataFrame) = {
     require(rounds >= 1, s"need at least one round, got $rounds")
     val vocab = df.select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
@@ -777,6 +784,38 @@ object TextOps {
         col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
         col("cnt").as("pair_count"))
     }
-    merged.reduce(_ unionByName _).orderBy("round")
+    (merged.reduce(_ unionByName _), syms)
+  }
+
+  /** BPE ENCODING audit — the serving side of [[bpeMerges]]: after
+    * `rounds` learned merges, how well does the tokenizer compress
+    * each slice of the corpus? Per group: corpus token count, char
+    * total, BPE-token total (each word costs |its final symbol
+    * sequence|), and chars-per-BPE-token — the compression dial a
+    * tokenizer budget decision actually reads (more merges → fewer,
+    * longer tokens → fewer sequence positions per document).
+    *
+    * Scale shape: training is vocab-bounded ([[bpeTrain]]); encoding
+    * never re-segments the corpus either — the corpus contributes one
+    * (group, word) count agg, which joins the |vocab|-row final
+    * segmentation on the word key (broadcast: a word vocab is KB–MB at
+    * any corpus size). Exact long arithmetic throughout. */
+  def bpeCompression(df: DataFrame, textCol: String, groupCol: String,
+      rounds: Int): DataFrame = {
+    val segs = bpeTrain(df, textCol, rounds)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
+    val perGroup = df.select(col(groupCol),
+        explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("n"))
+    perGroup.join(broadcast(segs), "word")
+      .groupBy(groupCol)
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * length(col("word"))).as("n_chars"),
+        sum(col("n") * col("n_bpe")).as("n_bpe_tokens"))
+      .withColumn("chars_per_bpe_token",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+      .orderBy(groupCol)
   }
 }

@@ -363,6 +363,20 @@ class TfIdfSpec extends SparkSpec {
     assert(out == b)
   }
 
+  test("bpeCompression: hand-traced — after (a,a) and (a,b) merge, " +
+    "every toy word is one BPE token; per-source exact totals") {
+    import spark.implicits._
+    val docs = Seq(("s1", "aa ab aa"), ("s2", "ab b aa"))
+      .toDF("source", "text")
+    val out = TextOps.bpeCompression(docs, "text", "source", rounds = 2)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // s1: words aa,ab,aa → 3 tokens, 6 chars, 3 BPE tokens → 2.0
+    // s2: words ab,b,aa → 3 tokens, 5 chars, 3 BPE tokens → 1.666667
+    assert(out == Seq(
+      ("s1", 3L, 6L, 3L, 2.0),
+      ("s2", 3L, 5L, 3L, 1.666667)))
+  }
+
   test("bpeMerges: overlapping runs pair left-to-right greedily — " +
     "'aaa' yields [aa, a], so round 2's top pair is (aa, a)") {
     import spark.implicits._

@@ -961,6 +961,24 @@ object ExtQueries {
         "l_returnflag", "l_extendedprice")
     }
 
+  /** Shared BPE training scratch ([[TextOps.bpeTrain]], 6 rounds on
+    * documents.text) — q231 (owner) materializes BOTH outputs, q232
+    * reads the segmentation: tokenizer training runs once per JVM, not
+    * once per consumer. Strings, longs, ints and string arrays
+    * round-trip parquet exactly, so sharing cannot move a hash. */
+  private def sharedBpe(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = synchronized {
+    val mp = scratch("bpemerges", d); val sp = scratch("bpesegs", d)
+    if (!scratchDone(mp)) {
+      val (merges, segs) =
+        TextOps.bpeTrain(Tables.documents(s, d), "text", rounds = 6)
+      merges.write.mode("overwrite").parquet(mp)
+      segs.write.mode("overwrite").parquet(sp)
+      scratchDone += mp
+    }
+    (s.read.parquet(mp), s.read.parquet(sp))
+  }
+
   /** Shared per-(event_type, half-month, value) multiplicity counts of
     * events.value ([[graft.engine.Aggregates.valueCounts]]) — the
     * events side of the percentile family's scratch: q146 (owner,
@@ -1015,7 +1033,7 @@ object ExtQueries {
     * an owner was charged permanently with no second sample). */
   val sharedScratchOwners: Set[String] = Set("q55_dup_clusters",
     "q107_iqr_outliers", "q146_mad_outliers", "q147_dim_covariance",
-    "q194_mutual_knn", "q211_pq_codes")
+    "q194_mutual_knn", "q211_pq_codes", "q231_bpe_merges")
 
   /** Names of the queries that consume the shared scratch — Bench exempts
     * the PURE consumers (this set minus [[sharedScratchOwners]]) from its
@@ -1032,6 +1050,8 @@ object ExtQueries {
     // event value-counts scratch (sharedEventValueCounts): q146 owns,
     // q155 reads
     "q146_mad_outliers", "q155_psi_drift",
+    // BPE training scratch (sharedBpe): q231 owns, q232 reads
+    "q231_bpe_merges", "q232_bpe_compression",
     // covariance scratch (sharedCov): q147 owns, q201/q202 read
     "q201_pca_power", "q202_pc1_scores",
     // PQ-index scratch (sharedPq): q211 owns, q212/q213/q214 read
@@ -3063,18 +3083,19 @@ object ExtQueries {
     * tie-break, left-to-right greedy application; the oracle replays
     * the identical rounds as generated MATERIALIZED CTEs with the
     * run-parity window formulation of the same greedy function. */
-  private val q231: Q = (s, d) =>
-    TextOps.bpeMerges(Tables.documents(s, d), "text", rounds = 6)
+  private val q231: Q = (s, d) => sharedBpe(s, d)._1.orderBy("round")
 
   /** q232 — BPE compression audit ([[TextOps.bpeCompression]]): the
     * serving side of q231 — after the six learned merges, per-source
     * corpus token/char/BPE-token totals and chars-per-BPE-token (the
     * compression dial a tokenizer budget decision reads). Encoding is
     * vocab-bounded: the corpus contributes one (source, word) count
-    * agg that broadcast-joins the |vocab|-row final segmentation. */
+    * agg that broadcast-joins the vocab-sized final segmentation read
+    * from the q231-owned scratch — training runs once, not per
+    * consumer. */
   private val q232: Q = (s, d) =>
     TextOps.bpeCompression(Tables.documents(s, d), "text", "source",
-      rounds = 6)
+      rounds = 6, segsIn = Some(sharedBpe(s, d)._2))
 
   val all: Map[String, Q] = Map(
     "q232_bpe_compression" -> q232,

@@ -455,7 +455,13 @@ object Aggregates {
     * [[exactPercentiles]] over the baseline only and broadcast back; bin
     * assignment is a scan-stage projection (no per-row join fan-out);
     * one (group, bin) hash-agg with map-side partials; PSI terms sum
-    * through exact decimals. */
+    * through exact decimals.
+    *
+    * CONTRACT when `valCountsIn` is set: the frame fully REPLACES the
+    * (df, valCol, baseFlag) inputs, which are then ignored — it must be
+    * [[valueCounts]] built from the same df/valCol with `flag` == this
+    * baseFlag, or the deciles and bin counts silently describe a
+    * different slice. */
   def psi(df: DataFrame, groupCol: String, valCol: String,
       baseFlag: Column, bins: Int = 10,
       valCountsIn: Option[DataFrame] = None): DataFrame = {
@@ -528,7 +534,13 @@ object Aggregates {
     * broadcast back onto the scan, so the data shuffles only inside the
     * memory-bounded percentile machinery. Groups with MAD 0 (over half
     * the mass on one value) report 0 outliers rather than dividing by
-    * zero. */
+    * zero.
+    *
+    * CONTRACT when `counts` is set: the frame fully REPLACES the
+    * (df, valCol) inputs, which are then ignored — it must be
+    * [[valueCounts]] built from the same df/valCol (any slice flag; the
+    * multiplicities re-merge across it), or the statistics silently
+    * describe a different column. */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
       counts: Option[DataFrame] = None): DataFrame = counts match {
     case Some(cf) =>

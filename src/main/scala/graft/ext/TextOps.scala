@@ -749,8 +749,11 @@ object TextOps {
 
   /** The BPE training loop behind [[bpeMerges]] (merge table) and
     * [[bpeCompression]] (final segmentation): returns (merges frame,
-    * final per-word symbol frame (word, freq, syms)). */
-  private def bpeTrain(df: DataFrame, textCol: String, rounds: Int)
+    * final per-word symbol frame (word, freq, syms)). Public so the
+    * query layer can materialize BOTH outputs once (the shared-scratch
+    * owner pattern — training runs once, the merge table and the
+    * compression audit both read it). */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int)
       : (DataFrame, DataFrame) = {
     require(rounds >= 1, s"need at least one round, got $rounds")
     val vocab = df.select(explode(tokens(col(textCol))).as("word"))
@@ -801,8 +804,11 @@ object TextOps {
     * segmentation on the word key (broadcast: a word vocab is KB–MB at
     * any corpus size). Exact long arithmetic throughout. */
   def bpeCompression(df: DataFrame, textCol: String, groupCol: String,
-      rounds: Int): DataFrame = {
-    val segs = bpeTrain(df, textCol, rounds)._2
+      rounds: Int, segsIn: Option[DataFrame] = None): DataFrame = {
+    // segsIn: a materialized (word, freq, syms) frame from [[bpeTrain]]
+    // (strings and string arrays round-trip parquet exactly) — when set
+    // it replaces the training run entirely (rounds is then unused)
+    val segs = segsIn.getOrElse(bpeTrain(df, textCol, rounds)._2)
       .select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
     val perGroup = df.select(col(groupCol),
         explode(tokens(col(textCol))).as("word"))

@@ -747,6 +747,22 @@ object TextOps {
       : DataFrame =
     bpeTrain(df, textCol, rounds)._1.orderBy("round")
 
+  /** Left-to-right greedy application of ONE merge rule (a, b) → a‖b
+    * to a symbol array, as a single `aggregate()` fold: append each
+    * symbol, but when the accumulator tail is `a` and the incoming
+    * symbol is `b`, replace the tail with `a‖b`. This IS the reference
+    * greedy semantics: a merged tail can never re-match (`a‖b ≠ a`
+    * since `b` is nonempty), so an overlapping run pairs off at the
+    * 1st/3rd/5th positions — PropertiesSpec pins the equivalence
+    * against an imperative reference over generated words. */
+  def applyMergeFold(syms: Column, a: Column, b: Column): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(
+        try_element_at(acc, lit(-1)) === a && s === b,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(a, b))))
+        .otherwise(concat(acc, array(s))))
+
   /** The BPE training loop behind [[bpeMerges]] (merge table) and
     * [[bpeCompression]] (final segmentation): returns (merges frame,
     * final per-word symbol frame (word, freq, syms)). Public so the
@@ -762,7 +778,6 @@ object TextOps {
     var syms = vocab
       .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
       .localCheckpoint(eager = false)
-    val emptyAcc = array().cast("array<string>")
     val merged = (0 until rounds).map { r =>
       val pairs = syms.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(
@@ -775,12 +790,8 @@ object TextOps {
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
         .localCheckpoint(eager = false) // output row + merge application
       syms = syms.crossJoin(broadcast(top))
-        .withColumn("syms", aggregate(col("syms"), emptyAcc,
-          (acc, s) => when(
-            try_element_at(acc, lit(-1)) === col("a") && s === col("b"),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(col("a"), col("b")))))
-            .otherwise(concat(acc, array(s)))))
+        .withColumn("syms",
+          applyMergeFold(col("syms"), col("a"), col("b")))
         .select("word", "freq", "syms")
         .localCheckpoint(eager = false)
       top.select(lit(r).as("round"), col("a").as("sym_a"),

@@ -304,4 +304,45 @@ class PropertiesSpec extends SparkSpec {
     }
     assert(SCTest.check(params, prop).passed)
   }
+
+  test("BPE merge fold == imperative left-to-right greedy reference " +
+    "over generated words and pairs (one job, hundreds of cases)") {
+    // reference: scan symbols left to right, merge (a,b) greedily —
+    // after a merge the cursor moves past the merged token
+    def ref(word: String, a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (s <- word.map(_.toString))
+        if (out.nonEmpty && out.last == a && s == b)
+          out(out.length - 1) = a + b
+        else out += s
+      out.toSeq
+    }
+    val alphabet = Seq("a", "b", "c")
+    val rnd = new scala.util.Random(7)
+    // every word length 0..8 over {a,b,c} would be 9841 cases; sample
+    // 300 random words plus the exhaustive length ≤ 3 set, against
+    // every ordered pair — one DataFrame, one job
+    val words = (Seq("") ++
+      (for (l <- 1 to 3; w <- Seq.fill(math.pow(3, l).toInt)(())
+        .indices.map(i => (0 until l).map(p =>
+          alphabet((i / math.pow(3, p).toInt) % 3)).mkString)) yield w)
+        .distinct ++
+      Seq.fill(300)((0 until (1 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(3))).mkString)).distinct
+    val cases = for {
+      w <- words; a <- alphabet; b <- alphabet
+    } yield (w, a, b)
+    import spark.implicits._
+    val out = cases.toDF("w", "a", "b")
+      .select(col("w"), col("a"), col("b"),
+        graft.ext.TextOps.applyMergeFold(
+          when(length(col("w")) > 0, split(col("w"), ""))
+            .otherwise(array().cast("array<string>")),
+          col("a"), col("b")).as("m"))
+      .as[(String, String, String, Seq[String])].collect()
+    assert(out.length == cases.length)
+    out.foreach { case (w, a, b, m) =>
+      assert(m == ref(w, a, b), s"word=$w pair=($a,$b) got=$m")
+    }
+  }
 }

@@ -468,6 +468,36 @@ class AggregatesSpec extends SparkSpec {
     assert(degenerate._4 == 9L && degenerate._6) // 3·3, still ≥ 2
   }
 
+  test("cdfFromCounts(valueCounts(df)) == rankedCdf(df) bit-for-bit; " +
+      "madOutliers and psi counts paths equal their row-level originals " +
+      "on the events fixture") {
+    val ev = graft.engine.Tables.events(spark, sf0001)
+    val flag = to_date(col("ts")) < lit("2024-01-16").cast("date")
+    val counts = Aggregates.valueCounts(ev, "event_type", "value", flag)
+      .cache()
+    def rows(df: org.apache.spark.sql.DataFrame, sort: Seq[String]) =
+      df.orderBy(sort.map(col): _*).collect().toSeq
+    // the CDF rebuilt from counts is the rankedCdf of the original
+    assert(
+      rows(Aggregates.cdfFromCounts(counts, "event_type"),
+        Seq("event_type", "__v")) ==
+      rows(Aggregates.rankedCdf(ev, "event_type", "value"),
+        Seq("event_type", "__v")))
+    // weighted two-pass MAD == row-level two-pass MAD
+    assert(
+      rows(Aggregates.madOutliers(ev, "event_type", "value",
+        counts = Some(counts)), Seq("event_type")) ==
+      rows(Aggregates.madOutliers(ev, "event_type", "value"),
+        Seq("event_type")))
+    // counts-path PSI == row-level PSI
+    assert(
+      rows(Aggregates.psi(ev, "event_type", "value", flag,
+        valCountsIn = Some(counts)), Seq("event_type")) ==
+      rows(Aggregates.psi(ev, "event_type", "value", flag),
+        Seq("event_type")))
+    counts.unpersist()
+  }
+
   test("cmsJoinEstimate: the driver-side planner form returns exactly " +
       "cmsJoinSize's join_est") {
     val a = Seq("x", "x", "y", "w").toDF("k")

@@ -3097,7 +3097,81 @@ object ExtQueries {
     TextOps.bpeCompression(Tables.documents(s, d), "text", "source",
       rounds = 6, segsIn = Some(sharedBpe(s, d)._2))
 
+  /** q233 — VARIANT semi-structured extraction (the Spark-4-native
+    * path): props parsed ONCE into the binary VARIANT encoding
+    * (`parse_json`), then multiple typed path reads (`variant_get`)
+    * and a schema profile (`schema_of_variant`) all come off the SAME
+    * parsed column — at 100 TB this replaces q39's per-path
+    * `get_json_object` string re-parse (one text parse per path per
+    * row) with one parse per row + cheap binary navigation, and the
+    * schema column is the drift monitor for semi-structured
+    * ingestion. Oracle extracts the same paths with DuckDB's JSON
+    * operators; the schema string is pinned as the literal the
+    * fixture's uniform `{"k": int}` payloads encode to. */
+  private val q233: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(variant_get(col("v"), "$.k", "long")).as("sum_k"),
+        min(variant_get(col("v"), "$.k", "int")).as("min_k"),
+        max(variant_get(col("v"), "$.k", "int")).as("max_k"),
+        countDistinct(variant_get(col("v"), "$.k", "int")).as("n_k"),
+        max(schema_of_variant(col("v"))).as("variant_schema"))
+      .orderBy("event_type")
+
+  /** q234 — XML sink + source round-trip (Spark 4's BUILT-IN XML
+    * datasource — no external package): lineitem columns written as
+    * row-tagged XML to scratch, read back with an EXPLICIT schema (the
+    * house scan discipline — no sampling inference job at scale),
+    * aggregated; the oracle aggregates the original parquet, so the
+    * check is that the XML text round-trip is value-exact (longs and
+    * strings trivially; doubles because Spark writes the shortest
+    * representation that parses back to the same IEEE value). Fourth
+    * columnar/text format next to parquet/CSV+JSONL/ORC (q76/q87/q91),
+    * completing the S-row source/sink breadth. */
+  private val q234: Q = (s, d) => {
+    val tmp = scratch("xml", d)
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").option("rowTag", "row")
+      .format("xml").save(tmp)
+    s.read.format("xml").option("rowTag", "row")
+      .schema("l_orderkey long, l_quantity double, l_returnflag string")
+      .load(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sumExact(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q235 — transformWithState running totals, BATCH-executed and
+    * oracle-checked: Spark 4's new arbitrary-stateful operator
+    * ([[graft.streaming.StreamingOps.RunningTotalProcessor]] — typed
+    * ValueState, RocksDB-backed) run in batch mode over events, where
+    * its one-invocation-per-key emission must equal the plain GROUP BY
+    * aggregate. The driver's gate thereby hash-checks the stateful
+    * processor itself (StreamingSpec separately proves the SAME
+    * processor carries state across streaming micro-batches). Exact
+    * long-cents arithmetic keeps emissions independent of row order.
+    * The shim coordinator hook works around batch-transformWithState's
+    * requirement that a StateStoreCoordinator endpoint exist. */
+  private val q235: Q = (s, d) => {
+    org.apache.spark.sql.graft.shim.ensureStateStoreCoordinator(s)
+    import s.implicits._
+    val evs = Tables.events(s, d)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[graft.streaming.StreamingOps.UserEv]
+    graft.streaming.StreamingOps.perUserRunningTotal(evs)
+      .toDF()
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q235_stateful_totals" -> q235,
+    "q234_xml_roundtrip" -> q234,
+    "q233_variant_extract" -> q233,
     "q232_bpe_compression" -> q232,
     "q231_bpe_merges" -> q231,
     "q230_cms_planned_join" -> q230,
@@ -6634,6 +6708,28 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q235_stateful_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q234_xml_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q233_variant_extract" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS INT)) AS INT) AS max_k,
+        |  CAST(COUNT(DISTINCT CAST(props->>'$.k' AS INT)) AS BIGINT)
+        |    AS n_k,
+        |  'OBJECT<k: BIGINT>' AS variant_schema
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q231_bpe_merges" -> {
       val finals = (0 until BpeRounds).map(r =>

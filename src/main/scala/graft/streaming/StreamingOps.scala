@@ -201,6 +201,60 @@ object StreamingOps {
         col("mn"), col("mx"),
         round(col("s").cast("double") / col("n"), 6).as("mean"))
 
+  /** Keyed event for [[perUserRunningTotal]]: value carried as exact
+    * integer cents so the running total is add-order free. */
+  case class UserEv(user_id: Long, cents: Long)
+  /** Emitted running-total row (cumulative through the current
+    * micro-batch; in batch mode the single emission IS the final). */
+  case class UserTotal(user_id: Long, n: Long, total_cents: Long)
+
+  /** Per-user running totals via `transformWithState` — Spark 4's NEW
+    * arbitrary-stateful API (StatefulProcessor + typed ValueState,
+    * RocksDB-backed in streaming), the successor surface to
+    * [[sessionize]]'s flatMapGroupsWithState. State is ONE (n, total)
+    * pair per user — KB-bounded per key, the running feature a serving
+    * layer reads (lifetime spend, event counts). Exact long-cents
+    * arithmetic makes every emission independent of row order inside a
+    * batch, so the LAST emission per user equals the plain batch
+    * aggregate bit-for-bit (spec-asserted stream == batch across
+    * micro-batches). The same processor object runs on a static frame
+    * (batch mode: one invocation per key, emission = final). */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEv, UserTotal] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("tot",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[UserEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotal] = {
+      var (n, tot) = Option(st.get()).getOrElse((0L, 0L))
+      for (r <- rows) { n += 1; tot += r.cents }
+      st.update((n, tot))
+      Iterator.single(UserTotal(key, n, tot))
+    }
+  }
+
+  /** [[RunningTotalProcessor]] wired over a typed event source; works
+    * on both a static Dataset (batch mode) and a streaming one. */
+  def perUserRunningTotal(
+      events: org.apache.spark.sql.Dataset[UserEv])
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Stream-static enrichment: left-join the (unbounded) stream against a
     * broadcast dimension snapshot — the ingestion-time lookup stage
     * (user → segment, doc → license, …). Stateless: each micro-batch

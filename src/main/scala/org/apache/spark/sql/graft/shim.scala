@@ -19,4 +19,20 @@ object shim {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Register (or fetch) the driver's StateStoreCoordinator endpoint.
+    * BATCH execution of `transformWithState` hardcodes a throwaway
+    * RocksDB store whose lock check asks this coordinator — but the
+    * endpoint is only registered when a streaming query starts, so a
+    * batch-only JVM (Verify, Bench) fails with CANNOT_LOAD_STATE_STORE.
+    * `forDriver` is idempotent (returns the existing endpoint if one is
+    * registered) and `private[sql]`, hence this shim hook. */
+  def ensureStateStoreCoordinator(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get,
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.conf)
+    ()
+  }
 }

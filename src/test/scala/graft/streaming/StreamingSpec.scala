@@ -60,6 +60,62 @@ class StreamingSpec extends SparkSpec {
     assert(u1.head.s_end == i("2024-01-01T10:50:00Z"))
   }
 
+  test("transformWithState running totals: batch mode == plain " +
+    "aggregate; streaming state carries across micro-batches on the " +
+    "RocksDB store and converges to the same totals") {
+    import spark.implicits._
+    val evs = Seq((1L, 100L), (1L, 250L), (2L, 42L), (1L, 7L))
+      .map { case (u, c) => StreamingOps.UserEv(u, c) }
+    val expected = Set(StreamingOps.UserTotal(1L, 3L, 357L),
+      StreamingOps.UserTotal(2L, 1L, 42L))
+    // streaming first: starting a stateful streaming query registers
+    // the driver's StateStoreCoordinator endpoint, which the BATCH
+    // execution of transformWithState also needs (batch hardcodes a
+    // throwaway RocksDB store and its lock check asks the coordinator)
+    // — batch-before-any-stream fails with CANNOT_LOAD_STATE_STORE.
+    // streaming: two files → two micro-batches; user 1 spans both
+    val dir = java.nio.file.Files.createTempDirectory("graft-tws")
+      .toString
+    Seq(evs.take(2), evs.drop(2)).foreach { b =>
+      b.toDS().coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes → stable file order
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream
+        .schema("user_id LONG, cents LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .as[StreamingOps.UserEv]
+      val q = StreamingOps.perUserRunningTotal(src)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t_tws")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("t_tws")
+        .as[StreamingOps.UserTotal].collect().toSeq
+      // the batch-1 emission proves per-batch incremental output...
+      assert(got.contains(StreamingOps.UserTotal(1L, 2L, 350L)), got)
+      // ...and the LAST emission per user equals the batch aggregate
+      val last = got.groupBy(_.user_id)
+        .map { case (_, rs) => rs.maxBy(_.n) }.toSet
+      assert(last == expected, got)
+      // batch mode: one invocation per key, emission IS the final total
+      val batch = StreamingOps.perUserRunningTotal(evs.toDS())
+        .collect().toSet
+      assert(batch == expected)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer == declarative session_window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

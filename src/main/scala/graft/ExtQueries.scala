@@ -3168,7 +3168,29 @@ object ExtQueries {
       .orderBy("user_id")
   }
 
+  /** q236 — SQL PIPE syntax frontend (Spark 4's `|>` operators, SQL
+    * standard draft "pipe SQL"): the q45 frontend surface exercised
+    * through the composable form — FROM |> WHERE |> EXTEND |>
+    * AGGREGATE … GROUP BY |> WHERE (post-agg filter without a
+    * subquery) |> ORDER BY. Same Catalyst plan as the nested-SELECT
+    * equivalent (the pipe parser desugars before analysis), so the
+    * oracle is that plain-SQL equivalent. */
+  private val q236: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("v_events")
+    s.sql(
+      """FROM v_events
+        ||> WHERE value IS NOT NULL
+        ||> EXTEND CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |     user_id % 10 AS cohort
+        ||> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+        |     SUM(cents) AS total_cents
+        |     GROUP BY event_type, cohort
+        ||> WHERE n > 5
+        ||> ORDER BY event_type, cohort""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q236_sql_pipe" -> q236,
     "q235_stateful_totals" -> q235,
     "q234_xml_roundtrip" -> q234,
     "q233_variant_extract" -> q233,
@@ -6708,6 +6730,15 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q236_sql_pipe" ->
+      """SELECT event_type, user_id % 10 AS cohort,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 HAVING count(*) > 5
+        |ORDER BY 1, 2""".stripMargin,
 
     "q235_stateful_totals" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n,

@@ -85,6 +85,8 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
       "streaming.state.RocksDBStateStoreProvider")
     try {
+      val ck = java.nio.file.Files.createTempDirectory("graft-tws-ck")
+        .toString
       val src = spark.readStream
         .schema("user_id LONG, cents LONG")
         .option("maxFilesPerTrigger", "1")
@@ -92,10 +94,22 @@ class StreamingSpec extends SparkSpec {
         .as[StreamingOps.UserEv]
       val q = StreamingOps.perUserRunningTotal(src)
         .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
         .format("memory").queryName("t_tws")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // state-store READER (Spark 4 statestore data source): the
+      // RocksDB state the processor left behind is itself queryable —
+      // the observability surface for debugging a production stateful
+      // pipeline without replaying it
+      val state = spark.read.format("statestore")
+        .option("stateVarName", "tot")
+        .load(ck)
+        .selectExpr("key.value AS user_id", "value.*")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(state == Set((1L, 3L, 357L), (2L, 1L, 42L)), state)
       val got = spark.table("t_tws")
         .as[StreamingOps.UserTotal].collect().toSeq
       // the batch-1 emission proves per-batch incremental output...

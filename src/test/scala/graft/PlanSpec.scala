@@ -255,6 +255,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("catalog statistics (ANALYZE TABLE) feed the planner: the " +
+    "analyzed row count reaches the optimized plan under CBO — the " +
+    "stats-driven complement to q230's sketch-priced choice") {
+    val t = "graft_stats_probe"
+    val loc = new java.io.File(
+      s"target/scratch/graft_statsprobe_${ProcessHandle.current().pid()}")
+      .getAbsolutePath
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$loc' AS " +
+      s"SELECT id FROM RANGE(1234)")
+    val cboKey = "spark.sql.cbo.enabled"
+    val prev = spark.conf.get(cboKey)
+    try {
+      spark.conf.set(cboKey, "true")
+      // before ANALYZE: no catalog row count — the planner only has the
+      // file-size estimate
+      assert(spark.table(t).queryExecution.optimizedPlan.stats
+        .rowCount.isEmpty)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      val st = spark.table(t).queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(1234)), st)
+    } finally {
+      spark.conf.set(cboKey, prev)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("CMS-planned join (q230): the physical plan honors the synopsis-" +
     "priced choice on BOTH branches") {
     // threshold far above any estimate → the planner buys the broadcast

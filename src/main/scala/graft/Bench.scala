@@ -16,7 +16,8 @@ object Bench {
 
   /** Queries reading the once-per-JVM shared scratch tables
     * (ExtQueries.sharedPairs/sharedClusters/sharedPriceCdf/sharedCov/
-    * sharedPq/mutualKnnFrame). In qNN execution order the owner pays the
+    * sharedPq/mutualKnnFrame/sharedEventValueCounts/sharedBpe). In qNN
+    * execution order the owner pays the
     * compute and the others read parquet — the honest pipeline shape.
     * PURE consumers are exempt from the stall re-run (a re-run would
     * time the cheap read); OWNERS instead get a re-run preceded by

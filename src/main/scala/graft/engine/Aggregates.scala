@@ -457,6 +457,12 @@ object Aggregates {
     * one (group, bin) hash-agg with map-side partials; PSI terms sum
     * through exact decimals.
     *
+    * NULL `valCol` rows are EXCLUDED from both sides (they have no
+    * position in the baseline's value distribution, so binning them —
+    * they'd land in bin 0 below every cut — would read as fake low-end
+    * drift); both the row-level and the counts path share this filter,
+    * so the two paths stay row-for-row equal even on NULL-bearing data.
+    *
     * CONTRACT when `valCountsIn` is set: the frame fully REPLACES the
     * (df, valCol, baseFlag) inputs, which are then ignored — it must be
     * [[valueCounts]] built from the same df/valCol with `flag` == this
@@ -469,10 +475,12 @@ object Aggregates {
     // counts path: a [[valueCounts]] frame keyed on THIS baseFlag
     // replaces the fact scan — baseline deciles come from the
     // flag-filtered slice, bin counts from __c-weighted sums; every
-    // number equals the row-level original exactly (both paths cast
-    // valCol to double, and grouping equal values cannot change a sum).
+    // number equals the row-level original exactly (both paths drop
+    // NULL values and cast valCol to double, and grouping equal values
+    // cannot change a sum).
     val marked = valCountsIn.getOrElse(
-      df.select(col(groupCol), col(valCol).cast("double").as("__v"),
+      df.filter(col(valCol).isNotNull)
+        .select(col(groupCol), col(valCol).cast("double").as("__v"),
           baseFlag.as("__b"))
         .withColumn("__c", lit(1L)))
     val cuts = valCountsIn match {

@@ -39,4 +39,24 @@ class EntrySpec extends SparkSpec {
     assert(rows("q107_iqr_outliers") == ownerBefore)
     assert(rows("q113_winsorized_mean") == readerBefore)
   }
+
+  test("resetSharedScratch(owner) is scoped to the owner's family: " +
+    "another family's scratch path (and memo) survives the reset") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect().toSeq
+    // build two families' scratch (q107 → cdf_li_price, q146 →
+    // ev_valcounts), then reset ONLY q146's family
+    val cdfBefore = rows("q107_iqr_outliers")
+    val evBefore = rows("q146_mad_outliers")
+    val cdfPath = ExtQueries.scratchPathFor("cdf_li_price", sf0001)
+    val evPath = ExtQueries.scratchPathFor("ev_valcounts", sf0001)
+    ExtQueries.resetSharedScratch("q146_mad_outliers")
+    // only the reset owner's family moved to a new generation
+    assert(ExtQueries.scratchPathFor("cdf_li_price", sf0001) == cdfPath)
+    assert(ExtQueries.scratchPathFor("ev_valcounts", sf0001) != evPath)
+    // the reset family rebuilds byte-identically; the untouched family
+    // still answers from its existing scratch
+    assert(rows("q146_mad_outliers") == evBefore)
+    assert(rows("q107_iqr_outliers") == cdfBefore)
+  }
 }

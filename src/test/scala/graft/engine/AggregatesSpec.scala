@@ -496,6 +496,23 @@ class AggregatesSpec extends SparkSpec {
       rows(Aggregates.psi(ev, "event_type", "value", flag),
         Seq("event_type")))
     counts.unpersist()
+    // NULL-bearing case (the fixture has none): both paths drop NULL
+    // values identically — so the two paths still agree, and injected
+    // NULL rows are complete no-ops vs the null-free original (they
+    // must not leak into bin 0 or the n_base/n_cur totals)
+    val nulls = ev.limit(7).select(col("event_type"),
+      lit(null).cast(ev.schema("value").dataType).as("value"), col("ts"))
+    val withNulls = ev.select("event_type", "value", "ts")
+      .unionByName(nulls)
+    val nullCounts =
+      Aggregates.valueCounts(withNulls, "event_type", "value", flag)
+    val rowLevel =
+      rows(Aggregates.psi(withNulls, "event_type", "value", flag),
+        Seq("event_type"))
+    assert(rows(Aggregates.psi(withNulls, "event_type", "value", flag,
+      valCountsIn = Some(nullCounts)), Seq("event_type")) == rowLevel)
+    assert(rows(Aggregates.psi(ev, "event_type", "value", flag),
+      Seq("event_type")) == rowLevel)
   }
 
   test("cmsJoinEstimate: the driver-side planner form returns exactly " +

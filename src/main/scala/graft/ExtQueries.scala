@@ -3231,7 +3231,29 @@ object ExtQueries {
         ||> ORDER BY event_type, cohort""".stripMargin)
   }
 
+  /** q237 — multimodal payload NEAR-dup pairs
+    * ([[Multimodal.blockhashFingerprints]] +
+    * [[Dedup.fingerprintNearDupPairs]]): the re-encoded-copy rung of
+    * the multimodal dedup ladder — q226 stops at byte-identical
+    * payloads; here each opaque payload gets a 32-bit perceptual
+    * blockhash (fixed byte-grid block means vs the payload mean, pure
+    * integer arithmetic — [[graft.functions.BlockhashUtil]]) and pairs
+    * within Hamming ≤ 3 surface through the same pigeonhole-EXACT
+    * Hamming bit-slice banding as q77 (4 slices × 8 bits; recall is
+    * exact, not probabilistic — MultimodalSpec asserts edge-set
+    * equality vs brute force). The oracle rebuilds the fingerprint
+    * from hex(payload) byte values and replays the banding
+    * relationally — every stage checkable, including the candidate
+    * generation. */
+  private val q237: Q = (s, d) => {
+    val media = Multimodal.mediaTable(Tables.documents(s, d))
+    Dedup.fingerprintNearDupPairs(
+      Multimodal.blockhashFingerprints(media, "doc_id", blocks = 32),
+      bits = 32, slices = 4, maxHamming = 3)
+  }
+
   val all: Map[String, Q] = Map(
+    "q237_payload_neardup" -> q237,
     "q236_sql_pipe" -> q236,
     "q235_stateful_totals" -> q235,
     "q234_xml_roundtrip" -> q234,
@@ -6772,6 +6794,50 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q237_payload_neardup" ->
+      """WITH media AS (
+        |  SELECT doc_id, encode(text) AS payload FROM documents),
+        |hx AS (
+        |  SELECT doc_id, hex(payload) AS h,
+        |         octet_length(payload) AS n
+        |  FROM media),
+        |bytes AS (
+        |  SELECT doc_id, n, h, unnest(range(1, n + 1)) AS i
+        |  FROM hx WHERE n > 0),
+        |vals AS (
+        |  SELECT doc_id, n, CAST(((i - 1) * 32) // n AS INT) AS blk,
+        |    ('0x' || substring(h, CAST(2 * i - 1 AS INT), 2))::BIGINT AS v
+        |  FROM bytes),
+        |blk AS (
+        |  SELECT doc_id, n, blk,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM vals GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS ts
+        |  FROM blk GROUP BY 1),
+        |fp AS (
+        |  SELECT b.doc_id AS pid,
+        |    CAST(sum(CASE WHEN b.s * b.n > t.ts * b.c
+        |             THEN (1::BIGINT << b.blk) ELSE 0 END) AS BIGINT)
+        |      AS fp
+        |  FROM blk b JOIN tot t USING (doc_id) GROUP BY 1
+        |  UNION ALL
+        |  SELECT doc_id, 0::BIGINT FROM hx WHERE n = 0),
+        |banded AS (
+        |  SELECT pid, fp, t.range AS sl,
+        |         (fp >> (CAST(t.range AS INT) * 8)) & 255 AS sv
+        |  FROM fp, range(0, 4) t),
+        |cand AS (
+        |  SELECT DISTINCT x.pid AS id_a, y.pid AS id_b,
+        |         x.fp AS fa, y.fp AS fb
+        |  FROM banded x JOIN banded y
+        |    ON x.sl = y.sl AND x.sv = y.sv AND x.pid < y.pid)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT id_a, id_b,
+        |         CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q236_sql_pipe" ->
       """SELECT event_type, user_id % 10 AS cohort,

@@ -707,16 +707,28 @@ object Dedup {
     * bit_count over scalars (filter runs map-side before the pair
     * dedupe, mirroring the q60 shape). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      slices: Int = 5, maxHamming: Int = 3): DataFrame = {
+      slices: Int = 5, maxHamming: Int = 3): DataFrame =
+    fingerprintNearDupPairs(
+      df.select(col(idCol).as("pid"), simhash32(col(textCol)).as("fp")),
+      SimhashBits, slices, maxHamming)
+
+  /** The Hamming bit-slice banding core behind [[simhashNearDupPairs]],
+    * generalized to ANY fixed-width fingerprint frame `(pid, fp)` —
+    * shared with the multimodal payload blockhash (q237), whose
+    * perceptual fingerprint needs exactly this candidate machinery over
+    * different bits. Same pigeonhole contract: recall is EXACT for
+    * `maxHamming < slices` (a pair at Hamming d differs in at most d
+    * slices, so at least one of the `slices` slices matches). */
+  def fingerprintNearDupPairs(fps: DataFrame, bits: Int, slices: Int,
+      maxHamming: Int): DataFrame = {
     require(maxHamming < slices,
       s"pigeonhole guarantee needs maxHamming < slices " +
         s"($maxHamming >= $slices)")
-    require(SimhashBits % slices == 0,
-      s"$SimhashBits bits must split evenly into $slices slices")
-    val w = SimhashBits / slices
+    require(bits % slices == 0,
+      s"$bits bits must split evenly into $slices slices")
+    val w = bits / slices
     val mask = (1L << w) - 1
-    val fp = df.select(col(idCol).as("pid"),
-      simhash32(col(textCol)).as("fp"))
+    val fp = fps.select(col("pid"), col("fp"))
     val banded = fp.select(col("pid"), col("fp"),
       explode(array((0 until slices).map { sl =>
         struct(lit(sl).as("sl"),

@@ -74,6 +74,27 @@ object Multimodal {
       .withColumn("frame_bytes", length(col("frame")))
   }
 
+  /** Perceptual fingerprints for payload NEAR-dup detection: the
+    * [[graft.functions.Blockhash]] 1-D blockhash (fixed grid of `blocks`
+    * byte ranges, bit j = block-j mean > payload mean — see
+    * [[graft.functions.BlockhashUtil]]) over the opaque payload, the
+    * next rung of the multimodal dedup ladder above byte-identical
+    * [[exactDedup]]-style payload hashing: it catches re-encoded /
+    * lightly-edited copies that no exact hash groups. Returns (pid, fp)
+    * ready for [[graft.ext.Dedup.fingerprintNearDupPairs]]' Hamming
+    * bit-slice banding.
+    *
+    * Scale shape: one map-only codegen pass over the payload bytes (the
+    * same cost class as any decode), then banding turns candidate
+    * generation into per-slice-bucket equi-joins — never |payloads|².
+    * The integer-only bit rule makes the fingerprint bit-replicable in
+    * the DuckDB oracle from hex(payload). */
+  def blockhashFingerprints(media: DataFrame, idCol: String,
+      blocks: Int = 32): DataFrame =
+    media.select(col(idCol).as("pid"),
+      graft.functions.Blockhash.blockhash(col("payload"), blocks)
+        .as("fp"))
+
   /** Partition-wise feature extraction: one "codec context" per partition
     * (the println-free stand-in for loading a native decoder), then a
     * streaming map over the partition's records. */

@@ -3252,7 +3252,28 @@ object ExtQueries {
       bits = 32, slices = 4, maxHamming = 3)
   }
 
+  /** q238 — CROSS-RUN incremental dedup ([[Dedup.corpusShingleIndex]] +
+    * [[Dedup.incrementalJaccardPairs]]): the corpus-vs-new-batch shape
+    * every recrawl pipeline runs — the persisted shingle index absorbs
+    * a new batch (doc_id % 5 == 3 plays the batch) and yields exactly
+    * the batch-incident near-dup pairs of the full corpus∪batch
+    * recompute, including the df-cap crossings a batch can trigger,
+    * WITHOUT re-scanning corpus text or corpus-corpus pairs. Same
+    * parameters as q31 (k=3, jac ≥ 0.1, maxDf=100), so the oracle IS
+    * q31's full-recompute pair CTE filtered to batch-incident pairs —
+    * the strongest form of the incremental-equals-full assertion. */
+  private val q238: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val index = Dedup.corpusShingleIndex(
+      docs.filter(col("doc_id") % 5 =!= 3), "doc_id", "text",
+      k = 3, maxDf = 100)
+    Dedup.incrementalJaccardPairs(index,
+      docs.filter(col("doc_id") % 5 === 3), "doc_id", "text",
+      k = 3, threshold = 0.1, maxDf = 100)
+  }
+
   val all: Map[String, Q] = Map(
+    "q238_incremental_dedup" -> q238,
     "q237_payload_neardup" -> q237,
     "q236_sql_pipe" -> q236,
     "q235_stateful_totals" -> q235,
@@ -6794,6 +6815,12 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q238_incremental_dedup" ->
+      s"""WITH ${pairCtes(cap = 100, threshold = 0.1)}
+         |SELECT id_a, id_b, jac FROM pairs
+         |WHERE id_a % 5 = 3 OR id_b % 5 = 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q237_payload_neardup" ->
       """WITH media AS (

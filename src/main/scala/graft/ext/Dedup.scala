@@ -154,6 +154,123 @@ object Dedup {
     (sizes, shared)
   }
 
+  /** Corpus-side shingle index for CROSS-RUN incremental dedup
+    * ([[incrementalJaccardPairs]]) — the scratch a recrawl pipeline
+    * persists between runs: per shingle hash, the corpus document
+    * frequency and, for shingles at or under the df-cap, the sorted
+    * posting list. Hot shingles (df > maxDf) keep their df row but DROP
+    * the list: df only grows, so they can never re-enter the universe —
+    * but the df itself must survive, or a later batch couldn't tell
+    * "hot in the corpus" from "never seen" (the distinction that keeps
+    * incremental == full-recompute). Returns (sh, df_c, cpids).
+    *
+    * Same one-shuffle grouped-postings build as [[jaccardPairs]]'
+    * capped path; at extreme corpus scale the build would pre-filter
+    * genuinely pathological shingles with a df count first (two
+    * passes) to bound the aggregation buffers — the INDEX shape is
+    * unchanged either way, and on disk it buckets by `sh` so every
+    * batch join below is the zero-exchange sort-merge shape. */
+  def corpusShingleIndex(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDf: Int): DataFrame =
+    postings(corpus, idCol, textCol, k)
+      .groupBy("sh")
+      .agg(sort_array(collect_list(col("pid"))).as("pids"))
+      .select(col("sh"), size(col("pids")).cast("long").as("df_c"),
+        when(size(col("pids")) <= maxDf, col("pids")).as("cpids"))
+
+  /** Batch-vs-corpus INCREMENTAL Jaccard near-dup — the recrawl shape
+    * every ingestion pipeline runs (corpus scratch + new batch), as
+    * opposed to the single-corpus [[jaccardPairs]]: given the persisted
+    * [[corpusShingleIndex]] and a NEW batch of documents, produce
+    * exactly the full corpus∪batch recompute's qualifying pairs that
+    * are INCIDENT TO THE BATCH (batch-batch and batch-corpus), without
+    * re-scanning corpus text or re-considering corpus-corpus pairs.
+    *
+    * The subtle part is the df-cap algebra: the full recompute caps on
+    * df over corpus∪batch, so a batch arrival can push a previously
+    * in-universe corpus shingle over the cap — removing it from the
+    * shared-shingle numerator AND from every corpus document's
+    * denominator size. Reproduced exactly here:
+    *   - universe = shingles with df_c + df_b ≤ maxDf;
+    *   - corpus doc sizes = index-derived baseline MINUS the per-doc
+    *     count of newly-hot shingles (df_c ≤ maxDf < df_c + df_b);
+    *   - candidates = within-batch pairs + batch×corpus pairs from
+    *     surviving shingles' lists (corpus/batch ids are disjoint).
+    * Equality with the full recompute filtered to batch-incident pairs
+    * is the q238 ORACLE (the oracle IS the full recompute) and a
+    * DedupSpec assertion including a constructed cap-crossing case.
+    *
+    * Scale shape: one shuffle groups batch postings; one sh-keyed
+    * full-outer join against the index (zero-exchange SMJ when the
+    * index is bucketed by sh); pair generation is map-side from lists
+    * bounded by maxDf, so candidates ≤ |batch postings|·maxDf; the
+    * size/correction aggregates explode only ≤-cap lists. Total cost
+    * is O(batch + incident candidates) — independent of corpus pair
+    * structure, which is the point of the incremental form. */
+  def incrementalJaccardPairs(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int, threshold: Double,
+      maxDf: Int): DataFrame = {
+    require(threshold > 0,
+      "incremental equality needs threshold > 0 (a qualifying pair " +
+        "must share >= 1 surviving shingle)")
+    val bPost = postings(batch, idCol, textCol, k)
+      .groupBy("sh")
+      .agg(sort_array(collect_list(col("pid"))).as("bpids"))
+    // merged per-shingle state; consumed by pairs, batch sizes, and the
+    // newly-hot corrections — localCheckpoint so the join runs once
+    val u = index.join(bPost, Seq("sh"), "full_outer")
+      .select(col("sh"),
+        coalesce(col("df_c"), lit(0L)).as("df_c"),
+        col("cpids"),
+        coalesce(size(col("bpids")).cast("long"), lit(0L)).as("df_b"),
+        col("bpids"))
+      .withColumn("df_u", col("df_c") + col("df_b"))
+      .localCheckpoint(eager = false)
+    val surviving = u.filter(col("df_u") <= maxDf && col("df_b") >= 1)
+    // within-batch pairs: sorted distinct lists, each element against
+    // only the elements after it (id_a < id_b built in, no post-filter)
+    val bb = surviving.filter(size(col("bpids")) >= 2)
+      .select(col("bpids"), posexplode(col("bpids")))
+      .select(col("col").as("a"),
+        explode(slice(col("bpids"), col("pos") + lit(2),
+          size(col("bpids")))).as("b"))
+    // batch × corpus pairs: ids are disjoint, order by value
+    val bc = surviving.filter(col("df_c") >= 1)
+      .select(explode(col("bpids")).as("x"), col("cpids"))
+      .select(col("x"), explode(col("cpids")).as("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+    val shared = bb.unionByName(bc)
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // batch doc sizes over the MERGED universe
+    val batchSizes = surviving
+      .select(explode(col("bpids")).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n_sh"))
+    // corpus doc sizes: index baseline minus newly-hot corrections
+    val corpusBase = index.filter(col("df_c") <= maxDf)
+      .select(explode(col("cpids")).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n_sh"))
+    val corrections = u.filter(col("df_c") >= 1 &&
+        col("df_c") <= maxDf && col("df_u") > maxDf)
+      .select(explode(col("cpids")).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n_lost"))
+    val corpusSizes = corpusBase.join(corrections, Seq("pid"), "left")
+      .select(col("pid"),
+        (col("n_sh") - coalesce(col("n_lost"), lit(0L))).as("n_sh"))
+    val sizes = batchSizes.unionByName(corpusSizes)
+    shared
+      .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .withColumn("jac", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Directional containment near-dup pairs:
     * C(A→B) = |A∩B| / |A| over distinct k-shingles — "how much of A is
     * inside B". The asymmetric counterpart of [[jaccardPairs]]: a short

@@ -32,6 +32,52 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => a == 3 || b == 3 })
   }
 
+  test("incrementalJaccardPairs == full-recompute jaccardPairs filtered " +
+      "to batch-incident pairs, on the fixture corpus") {
+    val all = graft.engine.Tables.documents(spark, sf0001)
+    val corpus = all.filter(col("doc_id") % 5 =!= 3)
+    val batch = all.filter(col("doc_id") % 5 === 3)
+    val index = Dedup.corpusShingleIndex(corpus, "doc_id", "text", 3, 100)
+    val inc = Dedup.incrementalJaccardPairs(index, batch, "doc_id",
+        "text", 3, 0.1, 100)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.jaccardPairs(all, "doc_id", "text", 3, 0.1, 100)
+      .filter(col("id_a") % 5 === 3 || col("id_b") % 5 === 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full)
+    assert(inc.nonEmpty, "batch should have incident near-dup pairs")
+    // and no corpus-corpus pair leaks into the incremental output
+    assert(inc.forall { case (a, b, _) => a % 5 == 3 || b % 5 == 3 })
+  }
+
+  test("incrementalJaccardPairs: a batch arrival pushing a corpus " +
+      "shingle over the df-cap removes it from numerator AND corpus " +
+      "denominators, exactly as the full recompute does") {
+    // corpus d1/d2 share "p q r" (df_c = 2 = maxDf); batch d3 brings a
+    // third occurrence → df_u = 3 > 2, the shingle leaves the universe:
+    // d1/d2/d3 keep 2 surviving shingles each and share nothing
+    val corpus = Seq(
+      (1L, "p q r s t"), (2L, "p q r u v")).toDF("doc_id", "text")
+    val batch = Seq((3L, "p q r w x")).toDF("doc_id", "text")
+    val all3 = corpus.unionByName(batch)
+    def run(cap: Int) = {
+      val idx = Dedup.corpusShingleIndex(corpus, "doc_id", "text", 3, cap)
+      (Dedup.incrementalJaccardPairs(idx, batch, "doc_id", "text",
+          3, 0.01, cap).as[(Long, Long, Double)].collect().toSet,
+        Dedup.jaccardPairs(all3, "doc_id", "text", 3, 0.01, cap)
+          .filter(col("id_a") === 3L || col("id_b") === 3L)
+          .as[(Long, Long, Double)].collect().toSet)
+    }
+    val (incCapped, fullCapped) = run(cap = 2)
+    assert(incCapped == fullCapped)
+    assert(incCapped.isEmpty, "cap-crossed shingle must not pair docs")
+    // with a loose cap the same shingle DOES pair the batch with both
+    // corpus docs: 1 shared of 3+3−1 → jac = 0.2
+    val (incLoose, fullLoose) = run(cap = 10)
+    assert(incLoose == fullLoose)
+    assert(incLoose == Set((1L, 3L, 0.2), (2L, 3L, 0.2)))
+  }
+
   test("containmentPairs: swallowed doc scores 1.0 against its container " +
       "while symmetric jaccard misses the pair") {
     // doc 5 is a verbatim prefix of doc 0: its 3 shingles all live inside

@@ -3272,7 +3272,20 @@ object ExtQueries {
       k = 3, threshold = 0.1, maxDf = 100)
   }
 
+  /** q239 — exact fuzzy join at d ≤ 2 ([[Dedup.editDistancePairs]]
+    * with maxDist = 2): q133's FastSS deletion-neighborhood blocking
+    * widened to deletion-of-deletion keys (the SymSpell symmetric-delete
+    * lemma holds for any d) — the coverage setting entity resolution
+    * usually needs (double typos, OCR noise). The oracle replays it as
+    * the brute-force `levenshtein` theta-join at 2, so the hash-match
+    * proves the d = 2 neighborhood is lossless on this corpus exactly
+    * as q133 proves d = 1. */
+  private val q239: Q = (s, d) =>
+    Dedup.editDistancePairs(Tables.supplier(s, d), "s_suppkey",
+      "s_name", maxDist = 2).orderBy("id_a", "id_b")
+
   val all: Map[String, Q] = Map(
+    "q239_fuzzy_join2" -> q239,
     "q238_incremental_dedup" -> q238,
     "q237_payload_neardup" -> q237,
     "q236_sql_pipe" -> q236,
@@ -6815,6 +6828,13 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q239_fuzzy_join2" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q238_incremental_dedup" ->
       s"""WITH ${pairCtes(cap = 100, threshold = 0.1)}

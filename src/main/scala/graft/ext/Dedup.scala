@@ -861,9 +861,9 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Exact edit-distance ≤ 1 self-join via deletion neighborhoods
-    * (FastSS / symmetric-delete blocking): every string emits itself plus
-    * each single-character-deletion variant as candidate keys; two strings
+  /** Exact edit-distance ≤ `maxDist` (1 or 2) self-join via deletion
+    * neighborhoods (FastSS / symmetric-delete blocking): every string
+    * emits itself plus each deletion variant as candidate keys; two strings
     * within Levenshtein distance 1 ALWAYS share a key — equal strings
     * share the string itself, an insert/delete pair shares the shorter
     * string, and a substitution pair shares the deletion at the
@@ -879,21 +879,40 @@ object Dedup {
     * hurt (the df-cap/rarest-first tricks from [[jaccardPairs]] /
     * [[prefixJaccardPairs]] apply unchanged if one ever does). Pair
     * dedupe shuffles on the (id_a, id_b) key; the verify is a scalar
-    * `levenshtein` on the joined strings, map-side. Generalizing to
-    * d > 1 multiplies keys by C(len, d) — d = 1 is the production sweet
-    * spot for typo-level entity resolution.
+    * `levenshtein` on the joined strings, map-side.
     *
-    * Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ 1. */
-  def editDistancePairs(df: DataFrame, idCol: String, strCol: String)
-      : DataFrame = {
+    * `maxDist = 2` generalizes the neighborhood to deletions of
+    * deletions: SymSpell's symmetric-delete lemma holds for any d — two
+    * strings within Levenshtein d ALWAYS share a member of their
+    * ≤ d-deletion neighborhoods — so the equi-join stays EXACT (recall
+    * proven by q239's brute-force oracle, not assumed). Key blowup is
+    * 1 + L + C(L, 2) ≈ L²/2 per string — a few hundred keys at
+    * name/title length, still linear in the corpus and still no cross
+    * join; d = 1 stays the typo-level sweet spot, d = 2 the coverage
+    * setting entity resolution usually needs (OCR noise, double typos).
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2, got $maxDist")
     val named = df.select(col(idCol).as("eid"), col(strCol).as("s"))
-    // the string itself + every single-deletion variant, deduplicated
-    val delVariants = transform(sequence(lit(1), length(col("s"))),
-      i => concat(col("s").substr(lit(1), i - 1),
-        col("s").substr(i + 1, length(col("s")))))
+    // every single-deletion variant of an arbitrary string expression
+    // (empty-string guard: sequence(1, 0) would flip descending)
+    def delVariants(s: Column): Column =
+      when(length(s) > 0,
+        transform(sequence(lit(1), length(s)),
+          i => concat(s.substr(lit(1), i - 1),
+            s.substr(i + 1, length(s)))))
+        .otherwise(array())
+    val d1 = delVariants(col("s"))
+    // the string itself + its ≤ maxDist deletion neighborhood, deduped
+    val keys =
+      if (maxDist == 1) concat(array(col("s")), d1)
+      else concat(array(col("s")), d1,
+        flatten(transform(d1, v => delVariants(v))))
     val keyed = named.select(col("eid"),
-      explode(array_distinct(concat(array(col("s")), delVariants)))
-        .as("vkey"))
+      explode(array_distinct(keys)).as("vkey"))
     val candidates = keyed.as("a").join(keyed.as("b"),
         col("a.vkey") === col("b.vkey") && col("a.eid") < col("b.eid"))
       .select(col("a.eid").as("id_a"), col("b.eid").as("id_b"))
@@ -903,7 +922,7 @@ object Dedup {
       .join(named.select(col("eid").as("id_b"), col("s").as("s_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b")).as("dist"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
   }
 
   /** Per-document repeated-span coverage: the fraction of a document's

@@ -353,6 +353,39 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("editDistancePairs maxDist=2 == brute-force levenshtein <= 2 " +
+    "(deletion-of-deletion neighborhood is lossless: double " +
+    "substitution / transposition / insert+delete mixes)") {
+    val names = Seq(
+      (1L, "karen"), (2L, "karen"),
+      (3L, "karn"),      // d1
+      (4L, "kbrun"),     // double substitution: d2 from 1
+      (5L, "akren"),     // transposition: d2 from 1 (Levenshtein)
+      (6L, "jklmn"),     // far
+      (7L, "karenss"),   // double insertion: d2 from 1
+      (8L, "kar"),       // double deletion: d2 from 1
+      (9L, ""))          // empty string edge
+      .toDF("id", "name")
+    val out = Dedup.editDistancePairs(names, "id", "name", maxDist = 2)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Int)].collect().toSeq
+    val brute = names.as("x").join(names.as("y"),
+        col("x.id") < col("y.id") &&
+          levenshtein(col("x.name"), col("y.name")) <= 2)
+      .select(col("x.id"), col("y.id"),
+        levenshtein(col("x.name"), col("y.name")).cast("int"))
+      .orderBy("x.id", "y.id")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == brute)
+    assert(out.contains((1L, 4L, 2)) && out.contains((1L, 5L, 2)) &&
+      out.contains((1L, 7L, 2)) && out.contains((1L, 8L, 2)))
+    assert(!out.exists(p => p._1 == 6L || p._2 == 6L))
+    // d=1 results are a subset: widening the radius only adds pairs
+    val d1 = Dedup.editDistancePairs(names, "id", "name")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(d1.subsetOf(out.toSet))
+  }
+
   test("editDistancePairs: repeated-character variants deduplicate " +
     "(len+1 keys is an upper bound, not the count)") {
     val one = Seq((1L, "aaaa")).toDF("id", "name")

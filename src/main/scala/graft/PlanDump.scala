@@ -192,7 +192,29 @@ object PlanDump {
           "threshold, so the orders side carries an explicit broadcast " +
           "hint and the plan shows BroadcastHashJoin (PlanSpec asserts " +
           "the shuffle branch too: over-threshold leaves NO hint and " +
-          "Spark's own sizing rules apply)"))
+          "Spark's own sizing rules apply)"),
+      "q233_variant_extract" ->
+        ("VARIANT extraction: parse_json runs ONCE per row in the scan " +
+          "projection and all four typed variant_get paths read that " +
+          "same variant value — vs per-path string re-parsing; " +
+          "countDistinct is the only Expand"),
+      "q235_stateful_totals" ->
+        ("batch transformWithState: ONE hash exchange on the grouping " +
+          "key into TransformWithStateExec over a per-partition RocksDB " +
+          "store — the streaming operator exercised through the batch " +
+          "plan (state observable via the statestore reader in " +
+          "StreamingSpec, no replay)"),
+      "q237_payload_neardup" ->
+        ("payload near-dup: native codegen blockhash fingerprint inside " +
+          "the scan projection, 4-slice explode → slice-bucket " +
+          "equi-join, Hamming bit_count verify map-side BEFORE the " +
+          "pair-dedupe aggregate — never |payloads|²"),
+      "q238_incremental_dedup" ->
+        ("cross-run incremental dedup: batch postings join the corpus " +
+          "shingle index on sh (zero-exchange SMJ once the index is " +
+          "bucketed); pair generation map-side from df-capped lists; " +
+          "the newly-hot correction explodes only ≤-cap lists — corpus " +
+          "text is never rescanned"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

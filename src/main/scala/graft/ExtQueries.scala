@@ -3284,7 +3284,31 @@ object ExtQueries {
     Dedup.editDistancePairs(Tables.supplier(s, d), "s_suppkey",
       "s_name", maxDist = 2).orderBy("id_a", "id_b")
 
+  /** q240 — shingle-index upsert ([[Dedup.upsertShingleIndex]]): the
+    * maintenance half of q238's cross-run story — the persisted index
+    * absorbs the batch at O(batch) cost and must equal the FRESH
+    * corpus∪batch rebuild row-for-row, including rows the batch pushes
+    * over the df-cap (list nulls out exactly where a fresh build would
+    * store none). Posting lists serialize to canonical comma-joined
+    * strings so the hash compare is representation-independent. The
+    * oracle IS the fresh rebuild. */
+  private val q240: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val index = Dedup.corpusShingleIndex(
+      docs.filter(col("doc_id") % 5 =!= 3), "doc_id", "text",
+      k = 3, maxDf = 100)
+    Dedup.upsertShingleIndex(index,
+      docs.filter(col("doc_id") % 5 === 3), "doc_id", "text",
+      k = 3, maxDf = 100)
+      .select(col("sh"), col("df_c"),
+        when(col("cpids").isNotNull,
+          concat_ws(",", transform(col("cpids"), _.cast("string"))))
+          .as("pids_str"))
+      .orderBy("sh")
+  }
+
   val all: Map[String, Q] = Map(
+    "q240_index_upsert" -> q240,
     "q239_fuzzy_join2" -> q239,
     "q238_incremental_dedup" -> q238,
     "q237_payload_neardup" -> q237,
@@ -6828,6 +6852,19 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q240_index_upsert" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs
+         |  FROM documents),
+         |post0 AS (SELECT doc_id, unnest(shs) AS h FROM sh),
+         |idx AS (
+         |  SELECT h AS sh, CAST(count(*) AS BIGINT) AS df_c,
+         |    CASE WHEN count(*) <= 100
+         |      THEN array_to_string(list(doc_id ORDER BY doc_id), ',')
+         |    END AS pids_str
+         |  FROM post0 GROUP BY h)
+         |SELECT sh, df_c, pids_str FROM idx ORDER BY sh""".stripMargin,
 
     "q239_fuzzy_join2" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,

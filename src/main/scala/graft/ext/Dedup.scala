@@ -271,6 +271,42 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Merge a new batch into a persisted [[corpusShingleIndex]] WITHOUT
+    * re-scanning corpus text — the maintenance half of the cross-run
+    * story ([[incrementalJaccardPairs]] consumes the index, this
+    * produces the NEXT run's): dfs add; posting lists concatenate (and
+    * re-sort — corpus and batch ids are disjoint but interleave) while
+    * the merged df stays ≤ cap, and null out once df > cap — exactly
+    * what a fresh build over corpus∪batch would store. A capped row's
+    * list is unrecoverable AND never needed: df only grows, so the
+    * shingle can never re-enter the universe. Equality with the fresh
+    * [[corpusShingleIndex]] over corpus∪batch is the q240 oracle and a
+    * DedupSpec assertion.
+    *
+    * Scale shape: one shuffle groups batch postings; one sh-keyed
+    * full-outer join against the index (zero-exchange SMJ when the
+    * index is bucketed by sh); the merge itself is a map-side array
+    * concat bounded by maxDf. Corpus text is never rescanned — index
+    * maintenance costs O(batch), the recrawl requirement. */
+  def upsertShingleIndex(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int, maxDf: Int): DataFrame = {
+    val bPost = postings(batch, idCol, textCol, k)
+      .groupBy("sh")
+      .agg(sort_array(collect_list(col("pid"))).as("bpids"))
+    // typed empty array: slice of whichever side is present (full-outer
+    // guarantees one is), so the merge stays generic over the id type
+    def emptyLike = slice(coalesce(col("cpids"), col("bpids")),
+      lit(1), lit(0))
+    val dfNew = coalesce(col("df_c"), lit(0L)) +
+      coalesce(size(col("bpids")).cast("long"), lit(0L))
+    index.join(bPost, Seq("sh"), "full_outer")
+      .select(col("sh"), dfNew.as("df_c"),
+        when(dfNew <= maxDf,
+          sort_array(concat(coalesce(col("cpids"), emptyLike),
+            coalesce(col("bpids"), emptyLike))))
+          .as("cpids"))
+  }
+
   /** Directional containment near-dup pairs:
     * C(A→B) = |A∩B| / |A| over distinct k-shingles — "how much of A is
     * inside B". The asymmetric counterpart of [[jaccardPairs]]: a short

@@ -78,6 +78,36 @@ class DedupSpec extends SparkSpec {
     assert(incLoose == Set((1L, 3L, 0.2), (2L, 3L, 0.2)))
   }
 
+  test("upsertShingleIndex == fresh corpusShingleIndex over corpus∪batch " +
+      "(lists merge sorted; cap-crossing rows null out like a rebuild)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("sh"), col("df_c"),
+          when(col("cpids").isNotNull,
+            concat_ws(",", transform(col("cpids"), _.cast("string"))))
+            .as("p"))
+        .as[(Long, Long, Option[String])].collect().toSet
+    // fixture corpus: the upsert must reproduce the full rebuild exactly
+    val all = graft.engine.Tables.documents(spark, sf0001)
+    val corpus = all.filter(col("doc_id") % 5 =!= 3)
+    val batch = all.filter(col("doc_id") % 5 === 3)
+    val up = Dedup.upsertShingleIndex(
+      Dedup.corpusShingleIndex(corpus, "doc_id", "text", 3, 100),
+      batch, "doc_id", "text", 3, 100)
+    val fresh = Dedup.corpusShingleIndex(all, "doc_id", "text", 3, 100)
+    assert(canon(up) == canon(fresh))
+    // constructed cap-crossing: "p q r" at df_c = 2 = cap gains a third
+    // occurrence → merged row keeps df 3 but the list nulls out
+    val c2 = Seq((1L, "p q r s t"), (2L, "p q r u v"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "p q r w x")).toDF("doc_id", "text")
+    val up2 = canon(Dedup.upsertShingleIndex(
+      Dedup.corpusShingleIndex(c2, "doc_id", "text", 3, 2),
+      b2, "doc_id", "text", 3, 2))
+    assert(up2 == canon(Dedup.corpusShingleIndex(
+      c2.unionByName(b2), "doc_id", "text", 3, 2)))
+    assert(up2.exists { case (_, df, p) => df == 3L && p.isEmpty })
+  }
+
   test("containmentPairs: swallowed doc scores 1.0 against its container " +
       "while symmetric jaccard misses the pair") {
     // doc 5 is a verbatim prefix of doc 0: its 3 shingles all live inside

@@ -65,16 +65,29 @@ object Bench {
     * compact qNN prefixes (Bench's own output format); top-level JSON
     * keys (metric/value/…) never match the qNN pattern, so a regex scan
     * is unambiguous and avoids a JSON dependency. */
-  private def committedAnchors(): Map[String, Double] =
+  private[graft] def committedAnchors(
+      path: java.nio.file.Path =
+        java.nio.file.Paths.get("bench_full.json")): Map[String, Double] =
     try {
-      val txt = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("bench_full.json"))
+      val txt = java.nio.file.Files.readString(path)
       val re = """"(q\d{2,3}[a-z0-9_]*)":(-?\d+(?:\.\d+)?)""".r
       re.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter(_._2 >= 0) // a committed -1 (failed) is not an anchor
         .toMap
     } catch { case _: Throwable => Map.empty }
+
+  /** The stall re-run trigger for one query: max(1 s, 3× its committed
+    * anchor) — by full name or compact qNN key, whichever the committed
+    * file carries — falling back to the absolute
+    * [[FallbackThresholdSec]] when no anchor exists. */
+  private[graft] def rerunThreshold(name: String,
+      anchors: Map[String, Double]): Double = {
+    val short = name.takeWhile(_ != '_')
+    anchors.get(name).orElse(anchors.get(short))
+      .map(v => math.max(1.0, 3.0 * v))
+      .getOrElse(FallbackThresholdSec)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,12 +132,7 @@ object Bench {
       }
     val byName = SparkEntry.queries
     val anchors = committedAnchors()
-    def thresholdFor(name: String): Double = {
-      val short = name.takeWhile(_ != '_')
-      anchors.get(name).orElse(anchors.get(short))
-        .map(v => math.max(1.0, 3.0 * v))
-        .getOrElse(FallbackThresholdSec)
-    }
+    def thresholdFor(name: String): Double = rerunThreshold(name, anchors)
     Warmup.foreach { name =>
       try run(byName(name)) catch { case _: Throwable => }
     }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the relative stall-threshold machinery (round-8 fix): the
+  * committed bench_full.json is the per-query anchor source, and the
+  * re-run trigger is max(1 s, 3× anchor) with a 4 s fallback. This
+  * exact logic adjudicates which driver-run samples get a second look —
+  * rounds 6 AND 7 lost cycles to sub-threshold stall orphans, so the
+  * parser and the formula are spec-pinned, not trusted. */
+class BenchSpec extends AnyFunSuite {
+
+  test("committedAnchors parses Bench's own JSON line format: short and " +
+    "full keys, ms precision, failed (-1) excluded, top-level keys " +
+    "ignored") {
+    val line = """{"metric":"engine_total","value":266.551,"unit":"sec",
+      |"queries":{"q01":1.234,"q105":1.099,"q238_incremental_dedup":1.716,
+      |"q99":-1.000},"total_sec":266.551,"failed":1,"reruns":1,
+      |"sf":"/root/testdata/sf0.1"}""".stripMargin.replace("\n", "")
+    val f = java.nio.file.Files.createTempFile("benchspec", ".json")
+    try {
+      java.nio.file.Files.writeString(f, line)
+      val a = Bench.committedAnchors(f)
+      assert(a == Map("q01" -> 1.234, "q105" -> 1.099,
+        "q238_incremental_dedup" -> 1.716))
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("committedAnchors: missing/unreadable file yields no anchors " +
+    "(every query falls back to the absolute threshold)") {
+    assert(Bench.committedAnchors(
+      java.nio.file.Paths.get("/nonexistent/bench_full.json")).isEmpty)
+  }
+
+  test("rerunThreshold: 3x anchor with a 1s floor, full-name and " +
+    "short-key lookup, 4s fallback when unanchored") {
+    val a = Map("q01" -> 1.234, "q105" -> 0.2,
+      "q238_incremental_dedup" -> 1.716)
+    // short-key anchor via the name's qNN prefix
+    assert(Bench.rerunThreshold("q01_flagship_category_topk", a)
+      == 3 * 1.234)
+    // full-name anchor wins when the file carries full names
+    assert(Bench.rerunThreshold("q238_incremental_dedup", a) == 3 * 1.716)
+    // the 1s floor: a 0.2s query must not re-run at 0.7s
+    assert(Bench.rerunThreshold("q105_sessionize", a) == 1.0)
+    // no anchor (new query this round) -> absolute fallback
+    assert(Bench.rerunThreshold("q241_brand_new", a) == 4.0)
+    assert(Bench.rerunThreshold("q241_brand_new", Map.empty) == 4.0)
+  }
+
+  test("the committed repo bench_full.json anchors the full registered " +
+    "surface (it is the last FULL-suite run, not a subset artifact)") {
+    val a = Bench.committedAnchors()
+    // nearly every registered query must have an anchor under its short
+    // or full key — a 4-query subset artifact (the round-7 failure shape
+    // bench_median.py now guards) fails loudly here, while a handful of
+    // new queries awaiting their first full run stay tolerated (they
+    // fall back to the absolute threshold, which is safe)
+    val missing = SparkEntry.queries.keySet
+      .filter(_ != "q58_minhash_ml")
+      .filterNot(n =>
+        a.contains(n) || a.contains(n.takeWhile(_ != '_')))
+    assert(missing.size <= SparkEntry.queries.size / 10,
+      s"committed bench_full.json anchors too few queries — " +
+        s"subset artifact? missing: $missing")
+  }
+}

@@ -196,6 +196,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("levenshtein"), p) // verify stays in the plan
   }
 
+  test("payload near-dup (q237): blockhash is a codegen projection, " +
+    "banding is an equi-join — never a cartesian/nested-loop on the " +
+    "payloads; the Hamming verify survives in the plan") {
+    val p = plan(ExtQueries.all("q237_payload_neardup")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("blockhash"), p) // the native kernel, not a UDF
+    assert(p.contains("bit_count"), p) // exact verify stays in-plan
+  }
+
+  test("incremental dedup (q238): the batch merge is ONE sh-keyed join " +
+    "against the index; no cartesian anywhere; the documents scan reads " +
+    "only (doc_id, text)") {
+    val df = ExtQueries.all("q238_incremental_dedup")(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // column pruning on the corpus/batch text scans: near-dup must not
+    // drag the documents table's other columns through the index build
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("bucketed join (q161): sort-merge join with NO exchange on the " +
     "join key — the bucketBy layout carries the partitioning") {
     val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)

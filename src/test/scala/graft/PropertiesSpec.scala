@@ -93,6 +93,45 @@ class PropertiesSpec extends SparkSpec {
     assert(SCTest.check(params, prop).passed)
   }
 
+  test("blockhash kernel == exact-rational reference; block grid " +
+    "partitions the bytes into `blocks` near-even contiguous ranges") {
+    // independent reference: bit j via BigInteger cross-multiplication
+    // (no long-overflow assumption, no shared loop structure)
+    def ref(bytes: Array[Byte], blocks: Int): Long = {
+      if (bytes.isEmpty) return 0L
+      val n = bytes.length
+      val vals = bytes.map(b => (b & 0xFF).toLong)
+      val byBlock = vals.zipWithIndex
+        .groupBy { case (_, i) => (i.toLong * blocks / n).toInt }
+      val total = BigInt(vals.sum)
+      (0 until blocks).map { j =>
+        byBlock.get(j) match {
+          case Some(vs)
+            if BigInt(vs.map(_._1).sum) * n > total * vs.length =>
+            1L << j
+          case _ => 0L
+        }
+      }.sum
+    }
+    val gen = for {
+      blocks <- Gen.oneOf(2, 3, 4, 7, 16, 32, 62)
+      bytes <- Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (bytes.toArray, blocks)
+    val prop = forAll(gen) { case (bytes, blocks) =>
+      val fp = graft.functions.BlockhashUtil.blockhash(bytes, blocks)
+      val n = bytes.length
+      val grid = (0 until n).map(b => (b.toLong * blocks / n).toInt)
+      fp == ref(bytes, blocks) &&
+        // grid property: indices are sorted (contiguous ranges), within
+        // [0, blocks), and occupied-range sizes differ by at most 1
+        grid.sorted == grid && grid.forall(j => j >= 0 && j < blocks) && {
+          val sizes = grid.groupBy(identity).values.map(_.size)
+          n == 0 || sizes.max - sizes.min <= 1
+        }
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
   test("sentinel cleaning never changes non-sentinel values") {
     val cell = Gen.oneOf(Gen.const("NULL"), Gen.const(""),
       Gen.alphaNumStr.map(_.take(6)))

@@ -3307,7 +3307,22 @@ object ExtQueries {
       .orderBy("sh")
   }
 
+  /** q241 — partial-content payload dedup over content-defined chunks
+    * ([[Multimodal.cdcDedupPairs]], CDC/LBFS boundaries): the
+    * storage-dedup rung of the multimodal ladder — q226 catches
+    * byte-identical payloads, q237 perceptually-similar ones; this
+    * catches payloads SHARING CONTENT (embedded clips, boilerplate
+    * blocks, one-edit re-encodes) via shift-resistant chunk-hash
+    * overlap. The oracle replays the whole pipeline — rolling-Horner
+    * boundaries, per-chunk polyHash folds (list_reduce), df-capped
+    * candidate generation — from hex(payload) bytes. */
+  private val q241: Q = (s, d) =>
+    Multimodal.cdcDedupPairs(
+      Multimodal.mediaTable(Tables.documents(s, d)), "doc_id",
+      window = 8, divisor = 64, threshold = 0.5, maxDf = 100)
+
   val all: Map[String, Q] = Map(
+    "q241_cdc_dedup" -> q241,
     "q240_index_upsert" -> q240,
     "q239_fuzzy_join2" -> q239,
     "q238_incremental_dedup" -> q238,
@@ -6852,6 +6867,60 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q241_cdc_dedup" ->
+      """WITH media AS (
+        |  SELECT doc_id, encode(text) AS payload FROM documents),
+        |hx AS (
+        |  SELECT doc_id, hex(payload) AS h,
+        |         octet_length(payload) AS n
+        |  FROM media WHERE octet_length(payload) > 0),
+        |bytes AS (
+        |  SELECT doc_id, n, h, unnest(range(1, n + 1)) AS i FROM hx),
+        |vals AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substring(h, CAST(2*i - 1 AS INT), 2))::BIGINT AS v
+        |  FROM bytes),
+        |wh AS (
+        |  SELECT doc_id, i, v,
+        |    CASE WHEN i >= 8 THEN
+        |      (((((((((lag(v,7) OVER w)*31 + lag(v,6) OVER w)*31
+        |        + lag(v,5) OVER w)*31 + lag(v,4) OVER w)*31
+        |        + lag(v,3) OVER w)*31 + lag(v,2) OVER w)*31
+        |        + lag(v,1) OVER w)*31 + v) % 1000000007) % 64
+        |    END AS cutmod
+        |  FROM vals WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |cb AS (
+        |  SELECT doc_id, i, v,
+        |    coalesce(sum(CASE WHEN cutmod = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS cidx
+        |  FROM wh),
+        |chunks AS (
+        |  SELECT doc_id, cidx, list(v ORDER BY i) AS bs
+        |  FROM cb GROUP BY 1, 2),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    list_reduce(bs, (a, b) -> (a*31 + b) % 1000000007) AS ch
+        |  FROM chunks),
+        |cset AS (SELECT DISTINCT doc_id, ch FROM hashes),
+        |keep AS (SELECT ch FROM cset GROUP BY ch HAVING count(*) <= 100),
+        |post AS (SELECT c.doc_id, c.ch FROM cset c JOIN keep USING (ch)),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ch
+        |          FROM post GROUP BY 1),
+        |shared AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM post x JOIN post y ON x.ch = y.ch AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared,
+        |  a.n_ch AS n_a, b.n_ch AS n_b,
+        |  CAST(n_shared AS DOUBLE) / least(a.n_ch, b.n_ch) AS overlap
+        |FROM shared JOIN sizes a ON a.doc_id = id_a
+        |            JOIN sizes b ON b.doc_id = id_b
+        |WHERE CAST(n_shared AS DOUBLE) / least(a.n_ch, b.n_ch) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q240_index_upsert" ->
       s"""WITH sh AS (

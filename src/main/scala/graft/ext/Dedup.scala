@@ -117,29 +117,8 @@ object Dedup {
     val capped = maxDf != Int.MaxValue
     val (sizes, shared) =
       if (capped) {
-        val grouped = postings(df, idCol, textCol, k)
-          .groupBy("sh")
-          .agg(sort_array(collect_list(col("pid"))).as("pids"))
-          .filter(size(col("pids")) <= maxDf)
-          // LAZY: materializes inside the first consumer's job; the
-          // second consumer reads the same checkpointed blocks
-          .localCheckpoint(eager = false)
-        // df=1 shingles produce no pairs but DO count toward their doc's
-        // shingle-universe size (the Jaccard denominator)
-        val sz = grouped.select(explode(col("pids")).as("pid"))
-          .groupBy("pid").agg(count(lit(1)).as("n_sh"))
-        // lists are sorted and per-shingle pids are distinct, so taking
-        // each element against only the elements AFTER it emits every
-        // unordered pair exactly once with id_a < id_b built in —
-        // Σf(f−1)/2 generated rows, no post-filter
-        val sh = grouped.filter(size(col("pids")) >= 2)
-          .select(col("pids"), posexplode(col("pids")))
-          .select(col("col").as("a"),
-            explode(slice(col("pids"), col("pos") + lit(2),
-              size(col("pids")))).as("b"))
-          .groupBy(col("a").as("id_a"), col("b").as("id_b"))
-          .agg(count(lit(1)).as("n_shared"))
-        (sz, sh)
+        keyCandidates(postings(df, idCol, textCol, k)
+          .withColumnRenamed("sh", "key"), maxDf)
       } else {
         val post = postings(df, idCol, textCol, k)
           .localCheckpoint(eager = true)
@@ -152,6 +131,42 @@ object Dedup {
         (sz, sh)
       }
     (sizes, shared)
+  }
+
+  /** The df-capped grouped-inverted-index candidate machinery behind
+    * [[jaccardPairs]] / [[containmentPairs]] / CDC chunk dedup
+    * ([[Multimodal.cdcDedupPairs]]), generalized to ANY (pid, key)
+    * posting frame: ONE shuffle builds key → sorted pid lists, the
+    * df-cap is a size filter on the lists, and ordered candidate pairs
+    * generate MAP-SIDE from each list. Returns
+    * (sizes: (pid, n_sh), shared: (id_a < id_b, n_shared)) over the
+    * capped key universe (keys with df > maxDf leave numerator AND
+    * denominator — standard df-cap semantics, DedupSpec-asserted). */
+  def keyCandidates(post: DataFrame, maxDf: Int)
+      : (DataFrame, DataFrame) = {
+    val grouped = post
+      .groupBy("key")
+      .agg(sort_array(collect_list(col("pid"))).as("pids"))
+      .filter(size(col("pids")) <= maxDf)
+      // LAZY: materializes inside the first consumer's job; the
+      // second consumer reads the same checkpointed blocks
+      .localCheckpoint(eager = false)
+    // df=1 keys produce no pairs but DO count toward their doc's
+    // key-universe size (the similarity denominator)
+    val sz = grouped.select(explode(col("pids")).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n_sh"))
+    // lists are sorted and per-key pids are distinct, so taking each
+    // element against only the elements AFTER it emits every unordered
+    // pair exactly once with id_a < id_b built in — Σf(f−1)/2 generated
+    // rows, no post-filter
+    val sh = grouped.filter(size(col("pids")) >= 2)
+      .select(col("pids"), posexplode(col("pids")))
+      .select(col("col").as("a"),
+        explode(slice(col("pids"), col("pos") + lit(2),
+          size(col("pids")))).as("b"))
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    (sz, sh)
   }
 
   /** Corpus-side shingle index for CROSS-RUN incremental dedup

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §7.4): image/audio/video as opaque
@@ -94,6 +94,56 @@ object Multimodal {
     media.select(col(idCol).as("pid"),
       graft.functions.Blockhash.blockhash(col("payload"), blocks)
         .as("fp"))
+
+  /** Content-defined chunk list of the opaque payload
+    * ([[graft.functions.CdcChunkUtil]] — rolling-Horner boundaries,
+    * expected chunk length = `divisor` bytes): the shift-resistant
+    * partial-content primitive — an insert/delete re-chunks only the
+    * edit's neighborhood, so every later chunk keeps its hash, where
+    * fixed-offset frames ([[sampleFrames]]) lose everything after the
+    * shift. */
+  def cdcChunks(payload: Column, window: Int = 8, divisor: Int = 64)
+      : Column =
+    graft.functions.CdcChunks.cdc_chunks(payload, window, divisor)
+
+  /** Partial-content payload dedup over content-defined chunks — the
+    * storage-dedup rung of the multimodal ladder (q241): byte-identical
+    * payloads (q226) ⊂ perceptually-similar payloads (q237) ⊂ payloads
+    * SHARING CONTENT (this — a clip embedded in a longer recording, a
+    * document with a boilerplate block, a re-muxed file with one edited
+    * region). Each payload becomes its DISTINCT chunk-hash set; pair
+    * overlap = |shared chunks| / min(|A|, |B|) ≥ `threshold` — the
+    * containment form, so a short payload swallowed by a long one still
+    * scores 1.0.
+    *
+    * Scale shape: chunking is one codegen pass per payload (same cost
+    * class as a decode); candidates come from the df-capped grouped
+    * inverted index over chunk hashes ([[Dedup.keyCandidates]] — the
+    * q31 machinery over a different key), so cost is |postings|·maxDf
+    * bounded, never |payloads|². The whole pipeline is exact integer
+    * arithmetic, so the oracle replays every stage — boundaries, chunk
+    * hashes, candidates — from hex(payload) bytes in SQL. */
+  def cdcDedupPairs(media: DataFrame, idCol: String, window: Int = 8,
+      divisor: Int = 64, threshold: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
+    require(threshold > 0, "containment threshold must be positive")
+    val post = media.select(col(idCol).as("pid"),
+      explode(array_distinct(transform(
+        cdcChunks(col("payload"), window, divisor),
+        c => c.getField("hash")))).as("key"))
+    val (sizes, shared) = Dedup.keyCandidates(post, maxDf)
+    shared
+      .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .withColumn("overlap", col("n_shared").cast("double") /
+        least(col("n_a"), col("n_b")))
+      .filter(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("overlap"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** Partition-wise feature extraction: one "codec context" per partition
     * (the println-free stand-in for loading a native decoder), then a

@@ -5,6 +5,7 @@ import graft.engine.Tables
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
 
   test("media table: payload round-trips the source bytes") {
     val docs = Tables.documents(spark, sf0001).limit(20)
@@ -85,6 +86,91 @@ class MultimodalSpec extends SparkSpec {
       fps.repartition(7), 32, 4, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(shuffled == banded)
+  }
+
+  test("cdcChunks: chunks tile the payload exactly; hashes match an " +
+    "independent BigInt reference; boundaries are content-defined") {
+    import graft.functions.CdcChunkUtil
+    val M = BigInt(1000000007L)
+    def refHash(bs: Seq[Byte]): Long =
+      bs.foldLeft(BigInt(0))((a, b) => (a * 31 + (b & 0xFF)) mod M)
+        .toLong
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 7, 8, 64, 500, 2000)) {
+      val bytes = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      val chunks = CdcChunkUtil.chunks(bytes, 8, 64)
+      val rows = (0 until chunks.numElements()).map { i =>
+        val r = chunks.getStruct(i, 3)
+        (r.getInt(0), r.getInt(1), r.getLong(2))
+      }
+      // tiling: contiguous, positive-length, covering [0, n)
+      assert(rows.map(_._2).forall(_ > 0) || n == 0)
+      assert(rows.scanLeft(0)((acc, r) => acc + r._2).init ==
+        rows.map(_._1))
+      assert(rows.map(_._2).sum == n)
+      // each chunk hash equals the independent reference
+      rows.foreach { case (off, len, h) =>
+        assert(h == refHash(bytes.slice(off, off + len).toSeq)) }
+    }
+  }
+
+  test("cdcChunks shift resistance: prepending bytes preserves most " +
+    "chunk hashes (the property fixed-offset frames lack)") {
+    import graft.functions.CdcChunkUtil
+    def hashes(bytes: Array[Byte]): Seq[Long] = {
+      val c = CdcChunkUtil.chunks(bytes, 8, 64)
+      (0 until c.numElements()).map(i => c.getStruct(i, 3).getLong(2))
+    }
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill[Byte](4096)(rnd.nextInt().toByte)
+    val shifted = Array[Byte](1, 2, 3) ++ base
+    val hb = hashes(base)
+    val hs = hashes(shifted).toSet
+    val kept = hb.count(hs.contains)
+    // only the chunks before the first content-defined boundary after
+    // the edit can change; everything downstream must survive
+    assert(kept >= hb.size - 2,
+      s"only $kept of ${hb.size} chunk hashes survived a 3-byte prepend")
+    // sanity: the same payload under fixed 64-byte frames keeps NOTHING
+    val frames = base.grouped(64).map(g => g.toSeq).toSet
+    val shiftedFrames = shifted.grouped(64).map(g => g.toSeq).toSet
+    assert(frames.intersect(shiftedFrames).size <= 1)
+  }
+
+  test("cdcDedupPairs: identical payloads overlap 1.0; an embedded " +
+    "block scores high containment against its container; unrelated " +
+    "payloads stay out") {
+    val rnd = new scala.util.Random(11)
+    def rand(n: Int) = Array.fill[Byte](n)(rnd.nextInt().toByte)
+    // 2000-byte block at divisor 32 → ~60 expected boundaries, so the
+    // ≤2 edge chunks that can differ never dominate the overlap (a
+    // short block can draw an unlucky low-boundary content — seed 11's
+    // 600-byte draw had ONE cut — so the spec sizes the block to make
+    // the property statistical, not luck)
+    val block = rand(2000)
+    val media = Seq(
+      (0L, rand(300) ++ block ++ rand(300)), // container A
+      (1L, rand(300) ++ block ++ rand(300)), // container B (different
+                                             // padding, same block)
+      (2L, block),                           // the embedded clip
+      (3L, rand(2000)))                      // unrelated
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.cdcDedupPairs(media, "doc_id",
+        divisor = 32, threshold = 0.5, maxDf = 100)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // the clip's interior chunks all live inside both containers: min
+    // side is the clip, so containment-style overlap runs high (only
+    // the clip's edge chunks can differ)
+    assert(pairs.exists { p => p._1 == 0 && p._2 == 2 && p._6 >= 0.5 })
+    assert(pairs.exists { p => p._1 == 1 && p._2 == 2 && p._6 >= 0.5 })
+    assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
+    // exact duplicates: identical payloads → overlap exactly 1.0
+    val dup = Seq((0L, block), (1L, block))
+      .toDF("doc_id", "payload")
+    val dp = Multimodal.cdcDedupPairs(dup, "doc_id",
+        divisor = 32, threshold = 0.5, maxDf = 100)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(dp.map(p => (p._1, p._2, p._6)) == Seq((0L, 1L, 1.0)))
   }
 
   test("extractFeatures: mapPartitions path preserves rows and schema") {

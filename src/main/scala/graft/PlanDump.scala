@@ -214,7 +214,13 @@ object PlanDump {
           "shingle index on sh (zero-exchange SMJ once the index is " +
           "bucketed); pair generation map-side from df-capped lists; " +
           "the newly-hot correction explodes only ≤-cap lists — corpus " +
-          "text is never rescanned"))
+          "text is never rescanned"),
+      "q241_cdc_dedup" ->
+        ("partial-content dedup: native cdc_chunks kernel inside the " +
+          "scan projection (one pass per payload), chunk-hash grouped " +
+          "inverted index on ONE shuffle, map-side ordered-pair " +
+          "generation from df-capped lists — the q31 shape over " +
+          "content-defined keys"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

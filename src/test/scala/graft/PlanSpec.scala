@@ -218,6 +218,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("CDC dedup (q241): chunking is the native cdc_chunks kernel in " +
+    "the scan stage; candidates come from the grouped index — no " +
+    "cartesian/nested-loop anywhere") {
+    val p = plan(ExtQueries.all("q241_cdc_dedup")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the full query's plan truncates at keyCandidates' localCheckpoint
+    // (Scan ExistingRDD), so pin the native kernel on the chunking
+    // projection itself: one scan-stage expression, no UDF
+    val chunk = plan(graft.ext.Multimodal.mediaTable(
+        Tables.documents(spark, sf0001))
+      .select(graft.ext.Multimodal.cdcChunks(col("payload")).as("c")))
+    assert(chunk.toLowerCase.contains("cdcchunks"), chunk)
+    assert(!chunk.contains("BatchEvalPython") &&
+      !chunk.toLowerCase.contains("udf"), chunk)
+  }
+
   test("bucketed join (q161): sort-merge join with NO exchange on the " +
     "join key — the bucketBy layout carries the partitioning") {
     val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)

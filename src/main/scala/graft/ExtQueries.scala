@@ -3321,7 +3321,26 @@ object ExtQueries {
       Multimodal.mediaTable(Tables.documents(s, d)), "doc_id",
       window = 8, divisor = 64, threshold = 0.5, maxDf = 100)
 
+  /** q242 — cross-run incremental dedup on the BANDING path
+    * ([[Dedup.corpusLshIndex]] + [[Dedup.incrementalMinhashPairs]]):
+    * q238's recrawl shape moved to MinHash-LSH, the variant that
+    * actually runs at 100 TB — and where the incremental decomposition
+    * is EXACT with no correction algebra, because band keys are
+    * per-doc-deterministic (nothing in the corpus scratch shifts when
+    * a batch arrives). Same parameters as q32; the oracle is q32's
+    * full-recompute SQL filtered to batch-incident pairs. */
+  private val q242: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val (bandIndex, post, sizes) = Dedup.corpusLshIndex(
+      docs.filter(col("doc_id") % 5 =!= 3), "doc_id", "text",
+      k = 3, numHashes = 12, rowsPerBand = 3)
+    Dedup.incrementalMinhashPairs(bandIndex, post, sizes,
+      docs.filter(col("doc_id") % 5 === 3), "doc_id", "text",
+      k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.05)
+  }
+
   val all: Map[String, Q] = Map(
+    "q242_incremental_lsh" -> q242,
     "q241_cdc_dedup" -> q241,
     "q240_index_upsert" -> q240,
     "q239_fuzzy_join2" -> q239,
@@ -3779,7 +3798,7 @@ object ExtQueries {
     * pairs as Dedup.minhashCoeffs), LSH banding with the identical rolling
     * band-key fold, then exact-Jaccard verification of the candidates. */
   private def minhashBandPairsSql(k: Int, numHashes: Int, rowsPerBand: Int,
-      threshold: Double): String = {
+      threshold: Double, incidentFilter: String = ""): String = {
     val P = graft.ext.TextOps.HashPrime
     val sigExprs = Dedup.minhashCoeffs(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
@@ -3811,7 +3830,8 @@ object ExtQueries {
        |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
        |      AS jac
        |  FROM cand JOIN sigs a ON a.pid = id_a JOIN sigs b ON b.pid = id_b)
-       |WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
+       |WHERE jac >= $threshold $incidentFilter
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** DuckDB replica of the q180 dedup cascade: per-source survivor counts
@@ -6867,6 +6887,11 @@ object ExtQueries {
          |FROM sz sa JOIN sz sb ON sa.g < sb.g
          |LEFT JOIN pr ON pr.ga = sa.g AND pr.gb = sb.g
          |ORDER BY 1, 2""".stripMargin,
+
+    "q242_incremental_lsh" ->
+      minhashBandPairsSql(k = 3, numHashes = 12, rowsPerBand = 3,
+        threshold = 0.05,
+        incidentFilter = "AND (id_a % 5 = 3 OR id_b % 5 = 3)"),
 
     "q241_cdc_dedup" ->
       """WITH media AS (

@@ -519,6 +519,82 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Corpus-side LSH scratch for cross-run incremental near-dup on the
+    * BANDING (100 TB) path — the three tables a recrawl pipeline
+    * persists: band-key index (bk → sorted corpus pids), shingle
+    * postings (pid, sh), and set sizes (pid, n_sh). Signatures and band
+    * keys are PER-DOC-deterministic, so unlike the df-capped exact path
+    * ([[corpusShingleIndex]]/q238) nothing in this scratch shifts when
+    * a batch arrives — the incremental decomposition is exact with no
+    * correction algebra at all. */
+  def corpusLshIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, rowsPerBand: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val post = postings(corpus, idCol, textCol, k)
+      .localCheckpoint(eager = false)
+    val sigs = post.groupBy("pid")
+      .agg(count(lit(1)).as("n_sh"),
+        minhashSigAggs(col("sh"), numHashes): _*)
+    val bandIndex = bandKeys(sigs, numHashes, rowsPerBand)
+      .groupBy("bk")
+      .agg(sort_array(collect_list(col("pid"))).as("cpids"))
+    (bandIndex, post, sigs.select(col("pid"), col("n_sh")))
+  }
+
+  /** Batch-vs-corpus INCREMENTAL MinHash-LSH near-dup — q238's recrawl
+    * shape moved to the banding path that actually runs at 100 TB:
+    * given the persisted [[corpusLshIndex]] and a NEW batch, produce
+    * exactly the full corpus∪batch [[minhashBandPairs]] rows incident
+    * to the batch. Because band keys are per-doc-deterministic, the
+    * candidate set decomposes EXACTLY into batch-batch band matches
+    * plus batch-×-index matches — no cap crossings, no denominators to
+    * correct; the exact-Jaccard verify then reads the persisted corpus
+    * postings (corpus TEXT is never rescanned, and at scale the
+    * postings join would be semi-join-pruned to candidate ids first).
+    * Equality with the filtered full recompute is the q242 oracle and
+    * a DedupSpec assertion. */
+  def incrementalMinhashPairs(bandIndex: DataFrame, corpusPost: DataFrame,
+      corpusSizes: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val bPost = postings(batch, idCol, textCol, k)
+      .localCheckpoint(eager = false)
+    val bSigs = bPost.groupBy("pid")
+      .agg(count(lit(1)).as("n_sh"),
+        minhashSigAggs(col("sh"), numHashes): _*)
+    val bBand = bandKeys(bSigs, numHashes, rowsPerBand)
+      .localCheckpoint(eager = false) // consumed by bb AND bc
+    val bb = bBand.as("x")
+      .join(bBand.as("y"),
+        col("x.bk") === col("y.bk") && col("x.pid") < col("y.pid"))
+      .select(col("x.pid").as("id_a"), col("y.pid").as("id_b"))
+    val bc = bBand.join(bandIndex, Seq("bk"))
+      .select(col("pid").as("bp"), explode(col("cpids")).as("cp"))
+      .select(least(col("bp"), col("cp")).as("id_a"),
+        greatest(col("bp"), col("cp")).as("id_b"))
+    val cands = bb.unionByName(bc).dropDuplicates("id_a", "id_b")
+    val allPost = corpusPost.unionByName(bPost)
+    val shared = cands
+      .join(allPost.select(col("pid").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(allPost.select(col("pid").as("pid_b"), col("sh").as("sh_b")),
+        col("id_b") === col("pid_b") && col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val sizes = corpusSizes
+      .unionByName(bSigs.select(col("pid"), col("n_sh")))
+    shared
+      .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .withColumn("jac", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Blocking-quality audit of the MinHash banding scheme — the
     * measurement you run BEFORE committing a blocker to a 100 TB dedup
     * pass: against a ground-truth pair set `exact` (id_a < id_b — e.g.

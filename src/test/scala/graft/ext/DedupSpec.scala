@@ -78,6 +78,25 @@ class DedupSpec extends SparkSpec {
     assert(incLoose == Set((1L, 3L, 0.2), (2L, 3L, 0.2)))
   }
 
+  test("incrementalMinhashPairs == full-recompute minhashBandPairs " +
+      "filtered to batch-incident pairs (band keys decompose exactly)") {
+    val all = graft.engine.Tables.documents(spark, sf0001)
+    val corpus = all.filter(col("doc_id") % 5 =!= 3)
+    val batch = all.filter(col("doc_id") % 5 === 3)
+    val (bandIndex, post, sizes) = Dedup.corpusLshIndex(
+      corpus, "doc_id", "text", 3, 12, 3)
+    val inc = Dedup.incrementalMinhashPairs(bandIndex, post, sizes,
+        batch, "doc_id", "text", 3, 12, 3, 0.05)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashBandPairs(all, "doc_id", "text", 3, 12, 3,
+        0.05)
+      .filter(col("id_a") % 5 === 3 || col("id_b") % 5 === 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full)
+    assert(inc.nonEmpty, "batch should have incident banded pairs")
+    assert(inc.forall { case (a, b, _) => a % 5 == 3 || b % 5 == 3 })
+  }
+
   test("upsertShingleIndex == fresh corpusShingleIndex over corpus∪batch " +
       "(lists merge sorted; cap-crossing rows null out like a rebuild)") {
     def canon(df: org.apache.spark.sql.DataFrame) =

@@ -63,8 +63,22 @@ def main():
     orig = open(bf).read() if os.path.exists(bf) else None
 
     samples = {}  # short key -> [sec]
+
+    def restore():
+        # each Bench run overwrites bench_full.json with its subset map,
+        # and Bench reads the file at STARTUP for its relative stall
+        # thresholds — restore the committed anchors before EVERY run,
+        # not just at the end, or runs 2..N compute their re-run rules
+        # from run N-1's samples instead of the committed anchors
+        if orig is not None:
+            with open(bf, "w") as f:
+                f.write(orig)
+        elif os.path.exists(bf):
+            os.remove(bf)
+
     try:
         for i in range(args.n):
+            restore()
             qs = one_run(args.queries, args.sf, args.cpus)
             for k, v in qs.items():
                 if v >= 0:
@@ -74,14 +88,9 @@ def main():
                              for k, v in sorted(qs.items())),
                   file=sys.stderr)
     finally:
-        if orig is not None:
-            with open(bf, "w") as f:
-                f.write(orig)
-        elif os.path.exists(bf):
-            # no committed file to restore: remove the subset artifact
-            # rather than leaving a 4-query map where the judge expects
-            # the full-suite per-query source
-            os.remove(bf)
+        # final restore: never leave a subset artifact where the judge
+        # (and Bench's threshold source) expects the full-suite map
+        restore()
 
     print(f"{'query':<12} {'n':>3} {'min':>8} {'median':>8} {'max':>8}")
     for k in sorted(samples):

@@ -938,7 +938,15 @@ object ExtQueries {
     * stays valid (path unchanged, memo intact), so consumers outside
     * the re-run's exemption never rebuild scratch that didn't stall. */
   def resetSharedScratch(owner: String): Unit = synchronized {
-    val kinds = scratchFamilies.getOrElse(owner, Seq.empty)
+    // loud, not a silent no-op: an owner with no registered family
+    // would make Bench's re-run time the cheap parquet read of the
+    // first pass — the exact dishonest-sample bug this reset prevents
+    // (sharedScratchOwners is DEFINED as scratchFamilies.keySet, so
+    // registering an owner there without kinds here is impossible;
+    // this guards direct callers)
+    val kinds = scratchFamilies.getOrElse(owner,
+      throw new IllegalArgumentException(
+        s"no scratch family registered for owner $owner"))
     kinds.foreach(k => scratchGens(k) = scratchGens(k) + 1)
     // memo entries for the bumped kinds point at retired paths; drop
     // them (path embeds graft_<kind>_, and no kind is a prefix of
@@ -1073,9 +1081,7 @@ object ExtQueries {
     * and the re-run rebuilds into a fresh dir — a second honest sample
     * of the build cost (closes the round-6 hole where one host stall on
     * an owner was charged permanently with no second sample). */
-  val sharedScratchOwners: Set[String] = Set("q55_dup_clusters",
-    "q107_iqr_outliers", "q146_mad_outliers", "q147_dim_covariance",
-    "q194_mutual_knn", "q211_pq_codes", "q231_bpe_merges")
+  val sharedScratchOwners: Set[String] = scratchFamilies.keySet
 
   /** Names of the queries that consume the shared scratch — Bench exempts
     * the PURE consumers (this set minus [[sharedScratchOwners]]) from its

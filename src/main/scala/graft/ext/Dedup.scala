@@ -557,6 +557,10 @@ object Dedup {
       corpusSizes: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, k: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
+    require(threshold > 0,
+      "incremental equality needs threshold > 0 (a zero-intersection " +
+        "band collision survives the full recompute's jac >= 0 filter " +
+        "but never reaches this function's shared-shingle join)")
     val bPost = postings(batch, idCol, textCol, k)
       .localCheckpoint(eager = false)
     val bSigs = bPost.groupBy("pid")

@@ -36,10 +36,8 @@ object CdcChunkUtil {
   /** Returns array<struct<off int, len int, hash long>> tiling
     * [0, bytes.length) exactly; empty payload → empty array. */
   def chunks(bytes: Array[Byte], window: Int, divisor: Int): ArrayData = {
-    require(window >= 2 && window <= 12,
-      s"window must be in [2, 12] (no-mod Horner fits a long), got " +
-        s"$window")
-    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    // parameter validation lives in CdcChunksExpr's constructor (fails
+    // at expression construction, not per-row inside a Spark task)
     val n = bytes.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var start = 0
@@ -74,6 +72,11 @@ object CdcChunkUtil {
   * row (w ≤ 12), no shuffle, no UDF. */
 case class CdcChunksExpr(child: Expression, window: Int, divisor: Int)
     extends UnaryExpression {
+
+  require(window >= 2 && window <= 12,
+    s"window must be in [2, 12] (no-mod Horner fits a long), got " +
+      s"$window")
+  require(divisor >= 2, s"divisor must be >= 2, got $divisor")
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -220,7 +220,12 @@ object PlanDump {
           "scan projection (one pass per payload), chunk-hash grouped " +
           "inverted index on ONE shuffle, map-side ordered-pair " +
           "generation from df-capped lists — the q31 shape over " +
-          "content-defined keys"))
+          "content-defined keys"),
+      "q242_incremental_lsh" ->
+        ("incremental LSH dedup: batch band keys equi-join the grouped " +
+          "band index (candidates decompose exactly — band keys are " +
+          "per-doc-deterministic), exact-Jaccard verify reads persisted " +
+          "postings; corpus text never rescanned, no cartesian"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

@@ -235,6 +235,13 @@ class PlanSpec extends SparkSpec {
       !chunk.toLowerCase.contains("udf"), chunk)
   }
 
+  test("incremental LSH (q242): band-key and shingle joins are all " +
+    "equi-joins — no cartesian/nested-loop anywhere") {
+    val p = plan(ExtQueries.all("q242_incremental_lsh")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed join (q161): sort-merge join with NO exchange on the " +
     "join key — the bucketBy layout carries the partitioning") {
     val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)

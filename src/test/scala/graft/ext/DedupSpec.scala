@@ -76,6 +76,31 @@ class DedupSpec extends SparkSpec {
     val (incLoose, fullLoose) = run(cap = 10)
     assert(incLoose == fullLoose)
     assert(incLoose == Set((1L, 3L, 0.2), (2L, 3L, 0.2)))
+    // ALREADY-hot shingle (df_c > cap, posting list nulled in the
+    // index): a batch doc carrying it must neither pair on it nor
+    // count it in any denominator — and the batch docs' own shared
+    // suffix still pairs them. Corpus: three docs share "p q r"
+    // (df_c = 3 > cap 2); batch: two docs both carry the hot "p q r"
+    // AND a fresh shared "w x y".
+    val hotCorpus = Seq((1L, "p q r s t"), (2L, "p q r u v"),
+      (4L, "p q r a b")).toDF("doc_id", "text")
+    val hotBatch = Seq((5L, "p q r w x y"), (6L, "p q r w x y z"))
+      .toDF("doc_id", "text")
+    val hotIdx =
+      Dedup.corpusShingleIndex(hotCorpus, "doc_id", "text", 3, 2)
+    val incHot = Dedup.incrementalJaccardPairs(hotIdx, hotBatch,
+        "doc_id", "text", 3, 0.01, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val fullHot = Dedup.jaccardPairs(
+        hotCorpus.unionByName(hotBatch), "doc_id", "text", 3, 0.01, 2)
+      .filter(col("id_a") >= 5L || col("id_b") >= 5L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incHot == fullHot)
+    // hand check: "p q r" is out of the universe (df_u = 5 > 2), so
+    // doc5's surviving shingles are {qrw, rwx, wxy} (3) and doc6's
+    // {qrw, rwx, wxy, xyz} (4); they share all 3 → jac = 3/(3+4−3) =
+    // 0.75, and neither batch doc pairs with any corpus doc
+    assert(incHot == Set((5L, 6L, 0.75)))
   }
 
   test("incrementalMinhashPairs == full-recompute minhashBandPairs " +

@@ -909,9 +909,10 @@ object ExtQueries {
     * PER-FAMILY reset below: Bench's stall re-run of one owner must not
     * invalidate the other six families' scratch (round-7 verdict: a
     * global generation bump forced every later-running family's
-    * consumers to silently rebuild scratch they didn't stall on — and a
-    * future scratch reader missing from [[sharedScratchConsumers]]'
-    * exemption would have TIMED that rebuild as its own cost). */
+    * consumers to silently rebuild scratch they didn't stall on — and
+    * since round 9 consumers re-run on stalls too, so a global bump
+    * would make a stalled consumer's re-run TIME another family's
+    * rebuild as its own cost). */
   private val scratchFamilies: Map[String, Seq[String]] = Map(
     "q55_dup_clusters" -> Seq("pairs", "clusters"),
     "q107_iqr_outliers" -> Seq("cdf_li_price"),
@@ -1083,10 +1084,15 @@ object ExtQueries {
     * an owner was charged permanently with no second sample). */
   val sharedScratchOwners: Set[String] = scratchFamilies.keySet
 
-  /** Names of the queries that consume the shared scratch — Bench exempts
-    * the PURE consumers (this set minus [[sharedScratchOwners]]) from its
-    * stall re-run (a consumer re-run would time the cheap parquet read,
-    * not the compute). */
+  /** Names of the queries that consume the shared scratch — the
+    * documentation of family membership (which reader depends on which
+    * owner's build). Since round 9 this set carries NO Bench exemption:
+    * a pure consumer that stalls gets a plain min-of-two re-run like any
+    * other query, because the cheap scratch read IS its honest cost
+    * (rounds 6–8 exempted consumers, which let single host stalls be
+    * charged permanently — round-8 verdict). Owners (the
+    * [[sharedScratchOwners]] subset) additionally get a scratch reset
+    * before their re-run so the second sample re-times the build. */
   val sharedScratchConsumers: Set[String] = Set("q55_dup_clusters",
     "q88_curation_pipeline", "q108_cluster_reps", "q125_pagerank",
     "q126_pagerank_directed", "q148_triangle_census", "q165_kcore",
@@ -3837,6 +3843,76 @@ object ExtQueries {
        |      AS jac
        |  FROM cand JOIN sigs a ON a.pid = id_a JOIN sigs b ON b.pid = id_b)
        |WHERE jac >= $threshold $incidentFilter
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q241's oracle: CDC chunk boundaries (rolling-Horner window hash as
+    * an explicit lag chain), per-chunk polyHash folds via list_reduce,
+    * df-capped chunk-hash postings, overlap-thresholded pairs — replayed
+    * from hex(payload) bytes. The lag chain and every constant are
+    * GENERATED from the same (window, divisor, maxDf, threshold)
+    * parameters the engine side passes (the minhashBandPairsSql
+    * pattern), so a parameter tweak on the Scala side cannot silently
+    * desync the oracle. */
+  private def cdcDedupSql(window: Int, divisor: Int, maxDf: Int,
+      threshold: Double): String = {
+    // Horner over the w-byte window ending at byte i (1-based):
+    // lag(v, w−1) … lag(v, 1), v — no intermediate mods (exact in
+    // BIGINT for w ≤ 12, the CdcChunkUtil contract), one % 1e9+7 then
+    // % divisor
+    val terms = ((window - 1) to 1 by -1)
+      .map(t => s"lag(v,$t) OVER w") :+ "v"
+    val horner = terms.reduceLeft((acc, term) => s"($acc)*31 + $term")
+    s"""WITH media AS (
+       |  SELECT doc_id, encode(text) AS payload FROM documents),
+       |hx AS (
+       |  SELECT doc_id, hex(payload) AS h,
+       |         octet_length(payload) AS n
+       |  FROM media WHERE octet_length(payload) > 0),
+       |bytes AS (
+       |  SELECT doc_id, n, h, unnest(range(1, n + 1)) AS i FROM hx),
+       |vals AS (
+       |  SELECT doc_id, i,
+       |    ('0x' || substring(h, CAST(2*i - 1 AS INT), 2))::BIGINT AS v
+       |  FROM bytes),
+       |wh AS (
+       |  SELECT doc_id, i, v,
+       |    CASE WHEN i >= $window THEN
+       |      (($horner) % 1000000007) % $divisor
+       |    END AS cutmod
+       |  FROM vals WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       |cb AS (
+       |  SELECT doc_id, i, v,
+       |    coalesce(sum(CASE WHEN cutmod = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS cidx
+       |  FROM wh),
+       |chunks AS (
+       |  SELECT doc_id, cidx, list(v ORDER BY i) AS bs
+       |  FROM cb GROUP BY 1, 2),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    list_reduce(bs, (a, b) -> (a*31 + b) % 1000000007) AS ch
+       |  FROM chunks),
+       |cset AS (SELECT DISTINCT doc_id, ch FROM hashes),
+       |keep AS (SELECT ch FROM cset GROUP BY ch
+       |         HAVING count(*) <= $maxDf),
+       |post AS (SELECT c.doc_id, c.ch FROM cset c JOIN keep USING (ch)),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ch
+       |          FROM post GROUP BY 1),
+       |shared AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM post x JOIN post y ON x.ch = y.ch AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared,
+       |  a.n_ch AS n_a, b.n_ch AS n_b,
+       |  CAST(n_shared AS DOUBLE) / least(a.n_ch, b.n_ch) AS overlap
+       |FROM shared JOIN sizes a ON a.doc_id = id_a
+       |            JOIN sizes b ON b.doc_id = id_b
+       |WHERE CAST(n_shared AS DOUBLE) / least(a.n_ch, b.n_ch)
+       |  >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -6900,58 +6976,7 @@ object ExtQueries {
         incidentFilter = "AND (id_a % 5 = 3 OR id_b % 5 = 3)"),
 
     "q241_cdc_dedup" ->
-      """WITH media AS (
-        |  SELECT doc_id, encode(text) AS payload FROM documents),
-        |hx AS (
-        |  SELECT doc_id, hex(payload) AS h,
-        |         octet_length(payload) AS n
-        |  FROM media WHERE octet_length(payload) > 0),
-        |bytes AS (
-        |  SELECT doc_id, n, h, unnest(range(1, n + 1)) AS i FROM hx),
-        |vals AS (
-        |  SELECT doc_id, i,
-        |    ('0x' || substring(h, CAST(2*i - 1 AS INT), 2))::BIGINT AS v
-        |  FROM bytes),
-        |wh AS (
-        |  SELECT doc_id, i, v,
-        |    CASE WHEN i >= 8 THEN
-        |      (((((((((lag(v,7) OVER w)*31 + lag(v,6) OVER w)*31
-        |        + lag(v,5) OVER w)*31 + lag(v,4) OVER w)*31
-        |        + lag(v,3) OVER w)*31 + lag(v,2) OVER w)*31
-        |        + lag(v,1) OVER w)*31 + v) % 1000000007) % 64
-        |    END AS cutmod
-        |  FROM vals WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
-        |cb AS (
-        |  SELECT doc_id, i, v,
-        |    coalesce(sum(CASE WHEN cutmod = 0 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY i
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      0) AS cidx
-        |  FROM wh),
-        |chunks AS (
-        |  SELECT doc_id, cidx, list(v ORDER BY i) AS bs
-        |  FROM cb GROUP BY 1, 2),
-        |hashes AS (
-        |  SELECT doc_id,
-        |    list_reduce(bs, (a, b) -> (a*31 + b) % 1000000007) AS ch
-        |  FROM chunks),
-        |cset AS (SELECT DISTINCT doc_id, ch FROM hashes),
-        |keep AS (SELECT ch FROM cset GROUP BY ch HAVING count(*) <= 100),
-        |post AS (SELECT c.doc_id, c.ch FROM cset c JOIN keep USING (ch)),
-        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ch
-        |          FROM post GROUP BY 1),
-        |shared AS (
-        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-        |         CAST(count(*) AS BIGINT) AS n_shared
-        |  FROM post x JOIN post y ON x.ch = y.ch AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, n_shared,
-        |  a.n_ch AS n_a, b.n_ch AS n_b,
-        |  CAST(n_shared AS DOUBLE) / least(a.n_ch, b.n_ch) AS overlap
-        |FROM shared JOIN sizes a ON a.doc_id = id_a
-        |            JOIN sizes b ON b.doc_id = id_b
-        |WHERE CAST(n_shared AS DOUBLE) / least(a.n_ch, b.n_ch) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+      cdcDedupSql(window = 8, divisor = 64, maxDf = 100, threshold = 0.5),
 
     "q240_index_upsert" ->
       s"""WITH sh AS (

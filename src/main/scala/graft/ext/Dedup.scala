@@ -549,8 +549,9 @@ object Dedup {
     * candidate set decomposes EXACTLY into batch-batch band matches
     * plus batch-×-index matches — no cap crossings, no denominators to
     * correct; the exact-Jaccard verify then reads the persisted corpus
-    * postings (corpus TEXT is never rescanned, and at scale the
-    * postings join would be semi-join-pruned to candidate ids first).
+    * postings SEMI-JOIN-PRUNED to candidate-incident ids (corpus TEXT
+    * is never rescanned, and the postings shuffle scales with the
+    * candidate set, not the corpus).
     * Equality with the filtered full recompute is the q242 oracle and
     * a DedupSpec assertion. */
   def incrementalMinhashPairs(bandIndex: DataFrame, corpusPost: DataFrame,
@@ -577,7 +578,18 @@ object Dedup {
       .select(least(col("bp"), col("cp")).as("id_a"),
         greatest(col("bp"), col("cp")).as("id_b"))
     val cands = bb.unionByName(bc).dropDuplicates("id_a", "id_b")
-    val allPost = corpusPost.unionByName(bPost)
+      .localCheckpoint(eager = false) // consumed by candIds AND shared
+    // prune the corpus postings to candidate-incident docs BEFORE the
+    // shared-shingle join: without this every corpus posting shuffles
+    // even when candidates touch few docs; with it the postings volume
+    // scales with the candidate set, not the corpus (and when the
+    // candidate id set is small AQE turns the semi-join into a
+    // broadcast — no corpus shuffle at all)
+    val candIds = cands.select(col("id_a").as("pid"))
+      .unionByName(cands.select(col("id_b").as("pid")))
+      .dropDuplicates("pid")
+    val allPost = corpusPost.join(candIds, Seq("pid"), "left_semi")
+      .unionByName(bPost)
     val shared = cands
       .join(allPost.select(col("pid").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))

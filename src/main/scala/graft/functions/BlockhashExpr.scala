@@ -29,6 +29,13 @@ import org.apache.spark.sql.types._
 object BlockhashUtil {
 
   def blockhash(bytes: Array[Byte], blocks: Int): Long = {
+    // BlockhashExpr's constructor validates too, but this object is
+    // public and spec-called directly — an unguarded blocks=64 would
+    // silently wrap 1L << 63 negative and return a WRONG fingerprint,
+    // not fail
+    require(blocks >= 2 && blocks <= 62,
+      s"blocks must be in [2, 62] (bit j = 1L << j must stay positive " +
+        s"in a signed long), got $blocks")
     val n = bytes.length
     if (n == 0) return 0L
     val sums = new Array[Long](blocks)

@@ -36,8 +36,13 @@ object CdcChunkUtil {
   /** Returns array<struct<off int, len int, hash long>> tiling
     * [0, bytes.length) exactly; empty payload → empty array. */
   def chunks(bytes: Array[Byte], window: Int, divisor: Int): ArrayData = {
-    // parameter validation lives in CdcChunksExpr's constructor (fails
-    // at expression construction, not per-row inside a Spark task)
+    // CdcChunksExpr's constructor validates too (fails at expression
+    // construction, not inside a Spark task), but this object is public
+    // and spec-called directly — an unguarded window=16 would silently
+    // overflow the no-mod Horner and return WRONG hashes, not fail
+    require(window >= 2 && window <= 12,
+      s"window must be in [2, 12] (no-mod Horner fits a long), got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     val n = bytes.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var start = 0
@@ -52,14 +57,29 @@ object CdcChunkUtil {
         Array[Any](start, endExclusive - start, h))
       start = endExclusive
     }
+    // TRUE rolling window hash: maintain hw = Horner31(bytes[i-w+1..i])
+    // with the subtract-leading-term update
+    //   hw' = (hw − b_out·31^(w−1))·31 + b_in
+    // instead of recomputing the w-byte Horner at every position
+    // (O(n) vs the previous O(n·w)). Subtract-BEFORE-multiply keeps the
+    // running value within the cold-recompute bound 255·Σ_{t<w} 31^t
+    // (≈6.7e18 < Long.Max for w = 12); the multiply-then-subtract order
+    // would transiently hash w+1 bytes and overflow. Window hashes are
+    // bit-identical to the per-position recompute (ExpressionsSpec
+    // bit-parity pins this), so boundaries — and every chunk hash —
+    // are unchanged.
+    val pw1 = { // 31^(window−1)
+      var p = 1L; var t = 1
+      while (t < window) { p *= P; t += 1 }
+      p
+    }
+    var hw = 0L
     var i = 0
     while (i < n) {
-      if (i >= window - 1) {
-        var hw = 0L
-        var t = i - window + 1
-        while (t <= i) { hw = hw * P + (bytes(t) & 0xFF); t += 1 }
-        if (hw % M % divisor == 0) emit(i + 1)
-      }
+      val bi = bytes(i) & 0xFF
+      hw = if (i < window) hw * P + bi
+           else (hw - (bytes(i - window) & 0xFF) * pw1) * P + bi
+      if (i >= window - 1 && hw % M % divisor == 0) emit(i + 1)
       i += 1
     }
     if (start < n) emit(n)
@@ -68,8 +88,8 @@ object CdcChunkUtil {
 }
 
 /** `cdc_chunks(payload, w, d)`: content-defined chunk list of a binary
-  * column — see [[CdcChunkUtil.chunks]]. One O(n·w) codegen pass per
-  * row (w ≤ 12), no shuffle, no UDF. */
+  * column — see [[CdcChunkUtil.chunks]]. One O(n) codegen pass per row
+  * (true rolling window hash, w ≤ 12), no shuffle, no UDF. */
 case class CdcChunksExpr(child: Expression, window: Int, divisor: Int)
     extends UnaryExpression {
 

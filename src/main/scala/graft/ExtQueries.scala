@@ -3351,7 +3351,37 @@ object ExtQueries {
       k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.05)
   }
 
+  /** q243 — incremental CLUSTER maintenance ([[Dedup.upsertClusters]]):
+    * the recrawl end-game on the cluster side. The persisted state a
+    * recrawl pipeline carries — corpus cluster table (q55 shape over
+    * the corpus LSH pairs) plus the corpus LSH index (q242 scratch) —
+    * is folded forward with a batch's incident pairs: pointer jumping
+    * runs ONLY on the contracted label graph (≤ 2·|new pairs| nodes),
+    * and the persisted cluster table is touched by one broadcast
+    * relabel join. Built on the BANDING path because its incremental
+    * pair decomposition is exact with no cap algebra (per-doc
+    * deterministic band keys), so cluster upsert == full recompute is
+    * provable — and IS the oracle (fresh connected components over the
+    * full-corpus pair set, the q240 pattern). */
+  private val q243: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 3)
+    val batch = docs.filter(col("doc_id") % 5 === 3)
+    val corpusClusters = Dedup.dupClusters(
+      Dedup.minhashBandPairs(corpus, "doc_id", "text", k = 3,
+        numHashes = 12, rowsPerBand = 3, threshold = 0.05),
+      corpus.select("doc_id"), "doc_id")
+    val (bandIndex, post, sizes) = Dedup.corpusLshIndex(corpus, "doc_id",
+      "text", k = 3, numHashes = 12, rowsPerBand = 3)
+    val newPairs = Dedup.incrementalMinhashPairs(bandIndex, post, sizes,
+      batch, "doc_id", "text", k = 3, numHashes = 12, rowsPerBand = 3,
+      threshold = 0.05)
+    Dedup.upsertClusters(corpusClusters, newPairs,
+      batch.select("doc_id"), "doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q243_cluster_upsert" -> q243,
     "q242_incremental_lsh" -> q242,
     "q241_cdc_dedup" -> q241,
     "q240_index_upsert" -> q240,
@@ -3806,11 +3836,15 @@ object ExtQueries {
        |  FROM ($candSql))
        |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
-  /** q32's oracle: MinHash signatures (same deterministic coefficient
-    * pairs as Dedup.minhashCoeffs), LSH banding with the identical rolling
-    * band-key fold, then exact-Jaccard verification of the candidates. */
-  private def minhashBandPairsSql(k: Int, numHashes: Int, rowsPerBand: Int,
-      threshold: Double, incidentFilter: String = ""): String = {
+  /** The q32 MinHash-LSH pipeline as a CTE chain ending in
+    * `mh_pairs(id_a, id_b, jac)`: signatures (same deterministic
+    * coefficient pairs as Dedup.minhashCoeffs), LSH banding with the
+    * identical rolling band-key fold, exact-Jaccard verification of the
+    * candidates. Shared by [[minhashBandPairsSql]] (q32/q242) and the
+    * q243 cluster oracle (which chains a RECURSIVE reach clustering on
+    * top of the pair set). */
+  private def minhashPairCtes(k: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): String = {
     val P = graft.ext.TextOps.HashPrime
     val sigExprs = Dedup.minhashCoeffs(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
@@ -3823,7 +3857,7 @@ object ExtQueries {
         .reduce((x, y) => s"(($x) * 31 + $y) % $P")
       s"SELECT pid, $bnd AS band, $key AS bkey FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id AS pid, ${shinglesSql(toksSql, k)} AS shs
        |  FROM documents),
        |sigs AS (
@@ -3835,16 +3869,26 @@ object ExtQueries {
        |cand AS (
        |  SELECT DISTINCT x.pid AS id_a, y.pid AS id_b
        |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bkey = y.bkey AND x.pid < y.pid)
-       |SELECT id_a, id_b, jac FROM (
-       |  SELECT id_a, id_b,
-       |    CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-       |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
-       |      AS jac
-       |  FROM cand JOIN sigs a ON a.pid = id_a JOIN sigs b ON b.pid = id_b)
-       |WHERE jac >= $threshold $incidentFilter
-       |ORDER BY id_a, id_b""".stripMargin
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.pid < y.pid),
+       |mh_pairs AS (
+       |  SELECT id_a, id_b, jac FROM (
+       |    SELECT id_a, id_b,
+       |      CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |        / (len(a.shs) + len(b.shs)
+       |           - len(list_intersect(a.shs, b.shs))) AS jac
+       |    FROM cand JOIN sigs a ON a.pid = id_a
+       |              JOIN sigs b ON b.pid = id_b)
+       |  WHERE jac >= $threshold)""".stripMargin
   }
+
+  /** q32's oracle (and q242's, with the batch-incident filter): the
+    * [[minhashPairCtes]] pair set as a standalone statement. */
+  private def minhashBandPairsSql(k: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double, incidentFilter: String = ""): String =
+    s"""WITH ${minhashPairCtes(k, numHashes, rowsPerBand, threshold)}
+       |SELECT id_a, id_b, jac FROM mh_pairs
+       |WHERE TRUE $incidentFilter
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** q241's oracle: CDC chunk boundaries (rolling-Horner window hash as
     * an explicit lag chain), per-chunk polyHash folds via list_reduce,
@@ -6974,6 +7018,28 @@ object ExtQueries {
       minhashBandPairsSql(k = 3, numHashes = 12, rowsPerBand = 3,
         threshold = 0.05,
         incidentFilter = "AND (id_a % 5 = 3 OR id_b % 5 = 3)"),
+
+    // fresh connected components over the FULL-corpus LSH pair set —
+    // the q55 reach clustering chained onto the q32 pair CTEs; the
+    // engine side computes it incrementally (corpus state + batch
+    // delta), so hash equality here proves upsert == full recompute
+    "q243_cluster_upsert" ->
+      s"""WITH RECURSIVE
+         |${minhashPairCtes(k = 3, numHashes = 12, rowsPerBand = 3,
+            threshold = 0.05)},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM mh_pairs
+         |          UNION SELECT id_b, id_a FROM mh_pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT doc.doc_id,
+         |  CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id)) AS BIGINT)
+         |    AS cluster
+         |FROM documents doc
+         |LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |  ON m.s = doc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
 
     "q241_cdc_dedup" ->
       cdcDedupSql(window = 8, divisor = 64, maxDf = 100, threshold = 0.5),

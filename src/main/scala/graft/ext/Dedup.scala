@@ -937,6 +937,86 @@ object Dedup {
     }
   }
 
+  /** Incremental CONNECTED-COMPONENT maintenance — the recrawl
+    * end-game on the cluster side. [[incrementalJaccardPairs]] (q238)
+    * and [[incrementalMinhashPairs]] (q242) produce the batch-incident
+    * near-dup pairs; this folds them into the PERSISTED cluster table
+    * without recomputing components from scratch: given `clusters`
+    * (id → cluster = min id of its component, the [[dupClusters]]
+    * output over the corpus pairs) and the `newPairs` delta, return
+    * the cluster table over corpus ∪ `newIds` equal to a fresh
+    * [[dupClusters]] over the FULL pair set (the q240 oracle pattern;
+    * q243 hash-matches the full recompute).
+    *
+    * Why contraction to label space is exact: every old component is
+    * already labeled by its min id, so collapsing each delta edge's
+    * endpoints to their CURRENT labels (own id for unseen batch docs)
+    * yields a graph whose components are exactly the merge groups, and
+    * whose min label = min id of the merged component (each label IS
+    * the min of its old sub-component; batch docs enter as their own
+    * id). Components not incident to any delta edge appear nowhere in
+    * the contracted graph and keep their labels untouched.
+    *
+    * Scale shape: everything iterative runs on the CONTRACTED label
+    * graph — ≤ 2·|newPairs| nodes regardless of corpus size — via the
+    * same pointer-jumping core as [[dupClusters]] (O(log diameter)
+    * rounds over the delta, not the corpus). The persisted cluster
+    * table is touched exactly once, by one relabel join against the
+    * ≤ 2·|newPairs|-row label mapping (broadcast at any realistic
+    * delta size — map-side, no corpus shuffle); corpus pairs and
+    * corpus text are never re-read. CONTRACT: `clusters` covers every
+    * corpus id (dupClusters emits singletons); `newIds` are the batch
+    * doc ids (disjoint from the corpus — known ids are dropped via
+    * anti-join so re-delivery is harmless); `newPairs` touch only
+    * corpus ∪ `newIds` ids. */
+  def upsertClusters(clusters: DataFrame, newPairs: DataFrame,
+      newIds: DataFrame, idCol: String): DataFrame = {
+    val pairs = newPairs.select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = false) // consumed by ends AND labelEdges
+    val cur = clusters.select(col(idCol).as("id"), col("cluster"))
+    val ends = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .dropDuplicates("id")
+    // current label of each delta endpoint: persisted cluster for
+    // corpus docs, own id for unseen (batch) docs
+    val endLabels = ends.join(cur, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("lbl"))
+      .localCheckpoint(eager = false) // consumed twice (both endpoints)
+    // contract the delta to label space; self-edges (both endpoints
+    // already in one component) vanish here
+    val labelEdges = pairs
+      .join(endLabels.select(col("id").as("id_a"), col("lbl").as("lbl_a")),
+        Seq("id_a"))
+      .join(endLabels.select(col("id").as("id_b"), col("lbl").as("lbl_b")),
+        Seq("id_b"))
+      .select(col("lbl_a").as("id_a"), col("lbl_b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .localCheckpoint(eager = false) // consumed by nodes AND components
+    val labelNodes = labelEdges.select(col("id_a").as("lbl"))
+      .unionByName(labelEdges.select(col("id_b").as("lbl")))
+      .dropDuplicates("lbl")
+    // components of the contracted graph — the label mapping; identity
+    // rows drop out so untouched clusters miss the relabel join below
+    val mapping = dupClusters(labelEdges, labelNodes, "lbl")
+      .select(col("lbl"), col("cluster").as("new_lbl"))
+      .filter(col("new_lbl") =!= col("lbl"))
+    // ONE pass over the persisted table: relabel merged clusters
+    val corpusOut = cur
+      .join(mapping, cur("cluster") === mapping("lbl"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("cluster"))
+        .as("cluster"))
+    // batch docs: mapped label if a delta edge touched them (their
+    // current label is their own id), else singleton with own id
+    val batchOut = newIds.select(col(idCol).as("id"))
+      .join(cur.select(col("id")), Seq("id"), "left_anti")
+      .join(mapping.withColumnRenamed("lbl", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("id"))
+        .as("cluster"))
+    corpusOut.unionByName(batchOut)
+      .select(col("id").as(idCol), col("cluster"))
+      .orderBy(idCol)
+  }
+
   /** Fingerprint width of [[simhash32]]: token hashes are polynomial hashes
     * mod 1e9+7 < 2^30, so only the low 30 bits carry entropy — iterating
     * bits 30/31 would produce constant-zero fingerprint bits, making any

@@ -578,4 +578,51 @@ class DedupSpec extends SparkSpec {
       (1L, 3L, 2L, "en", "web", 4L), // en 2-of-3; web 2-of-3
       (4L, 2L, 4L, "en", "api", 3L))) // lang tie breaks to min "en"
   }
+
+  test("upsertClusters: a batch MERGES two existing corpus clusters; " +
+    "hand case + equality with fresh dupClusters over the full pairs") {
+    // corpus components: {1,2} (cluster 1), {5,6} (cluster 5),
+    // singletons 7, 8
+    val corpusPairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val corpusIds = Seq(1L, 2L, 5L, 6L, 7L, 8L).toDF("id")
+    val clusters = Dedup.dupClusters(corpusPairs, corpusIds, "id")
+    // batch doc 9 bridges BOTH corpus clusters (2—9, 9—5): the two
+    // components and the batch doc merge to min id 1; batch doc 10
+    // pairs only with singleton corpus doc 8 → cluster 8; batch doc 11
+    // has no pairs → singleton; pair (5,6) re-delivered inside one
+    // existing component → self-edge in label space, no effect
+    val newPairs = Seq((2L, 9L), (9L, 5L), (8L, 10L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val newIds = Seq(9L, 10L, 11L).toDF("id")
+    val got = Dedup.upsertClusters(clusters, newPairs, newIds, "id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 7L,
+      8L -> 8L, 9L -> 1L, 10L -> 8L, 11L -> 11L))
+    // the contract the q243 oracle checks at corpus scale: upsert ==
+    // fresh connected components over the union pair set
+    val fresh = Dedup.dupClusters(corpusPairs.unionByName(newPairs),
+        Seq(1L, 2L, 5L, 6L, 7L, 8L, 9L, 10L, 11L).toDF("id"), "id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == fresh)
+  }
+
+  test("upsertClusters: empty delta is the identity (plus batch " +
+    "singletons), and output is invariant under repartitioning") {
+    val corpusPairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val corpusIds = Seq(1L, 3L, 4L).toDF("id")
+    val clusters = Dedup.dupClusters(corpusPairs, corpusIds, "id")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val idOut = Dedup.upsertClusters(clusters, empty,
+        Seq(9L).toDF("id"), "id")
+      .as[(Long, Long)].collect().toSeq
+    assert(idOut == Seq(1L -> 1L, 3L -> 1L, 4L -> 4L, 9L -> 9L))
+    val newPairs = Seq((3L, 9L)).toDF("id_a", "id_b")
+    val a = Dedup.upsertClusters(clusters, newPairs,
+        Seq(9L).toDF("id"), "id")
+      .as[(Long, Long)].collect().toSeq
+    val b = Dedup.upsertClusters(clusters.repartition(7),
+        newPairs.repartition(5), Seq(9L).toDF("id").repartition(3), "id")
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b && a == Seq(1L -> 1L, 3L -> 1L, 4L -> 4L, 9L -> 1L))
+  }
 }

@@ -3380,7 +3380,28 @@ object ExtQueries {
       batch.select("doc_id"), "doc_id")
   }
 
+  /** q244 — ingestion-time near-dup flags, batch twin
+    * ([[Dedup.incrementalFlags]]): each "arriving" doc scored against
+    * the persisted corpus shingle index as a batch of ONE (df_b = 1
+    * cap algebra — survives iff df_c + 1 ≤ cap, corpus sizes corrected
+    * for the doc's own cap-crossings), so output is independent of how
+    * a stream micro-batches. The same transform runs as a real
+    * readStream pipeline (StreamingOps.streamingIncrementalFlags;
+    * StreamingSpec stream == batch == per-doc q238). Oracle replays
+    * the per-doc algebra relationally in DuckDB. */
+  private val q244: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val index = Dedup.corpusShingleIndex(
+      docs.filter(col("doc_id") % 5 =!= 3), "doc_id", "text",
+      k = 3, maxDf = 100)
+    Dedup.incrementalFlags(index = index,
+      docs = docs.filter(col("doc_id") % 5 === 3),
+      idCol = "doc_id", textCol = "text",
+      k = 3, threshold = 0.1, maxDf = 100)
+  }
+
   val all: Map[String, Q] = Map(
+    "q244_streaming_flags" -> q244,
     "q243_cluster_upsert" -> q243,
     "q242_incremental_lsh" -> q242,
     "q241_cdc_dedup" -> q241,
@@ -7018,6 +7039,51 @@ object ExtQueries {
       minhashBandPairsSql(k = 3, numHashes = 12, rowsPerBand = 3,
         threshold = 0.05,
         incidentFilter = "AND (id_a % 5 = 3 OR id_b % 5 = 3)"),
+
+    // per-doc (df_b = 1) incremental cap algebra replayed relationally:
+    // a shingle survives a doc's comparison iff df_c + 1 <= cap; the
+    // corpus doc's size is its capped baseline minus the arriving doc's
+    // cap-crossers (df_c = cap). Constants interpolated from the same
+    // values the engine call passes (k via shinglesSql, cap, threshold).
+    "q244_streaming_flags" -> {
+      val cap = 100
+      val threshold = 0.1
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs
+         |  FROM documents),
+         |cpost AS (
+         |  SELECT doc_id AS cp, unnest(shs) AS s
+         |  FROM sh WHERE doc_id % 5 <> 3),
+         |dfc AS (SELECT s, CAST(count(*) AS BIGINT) AS df_c
+         |        FROM cpost GROUP BY 1),
+         |nbase AS (
+         |  SELECT cp, CAST(count(*) AS BIGINT) AS n_base
+         |  FROM cpost JOIN dfc USING (s) WHERE df_c <= $cap GROUP BY 1),
+         |bpost AS (
+         |  SELECT doc_id AS b, unnest(shs) AS s
+         |  FROM sh WHERE doc_id % 5 = 3),
+         |na AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS n_a
+         |  FROM bpost LEFT JOIN dfc USING (s)
+         |  WHERE coalesce(df_c, 0) <= ${cap - 1} GROUP BY 1),
+         |shared AS (
+         |  SELECT b, cp,
+         |    CAST(sum(CASE WHEN df_c <= ${cap - 1} THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_shared,
+         |    CAST(sum(CASE WHEN df_c = $cap THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_corr
+         |  FROM bpost JOIN dfc USING (s) JOIN cpost USING (s)
+         |  GROUP BY 1, 2)
+         |SELECT least(b, cp) AS id_a, greatest(b, cp) AS id_b, jac
+         |FROM (
+         |  SELECT b, cp,
+         |    CAST(n_shared AS DOUBLE)
+         |      / (n_a + (n_base - n_corr) - n_shared) AS jac
+         |  FROM shared JOIN na USING (b) JOIN nbase USING (cp)
+         |  WHERE n_shared >= 1)
+         |WHERE jac >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // fresh connected components over the FULL-corpus LSH pair set —
     // the q55 reach clustering chained onto the q32 pair CTEs; the

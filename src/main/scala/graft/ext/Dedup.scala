@@ -286,6 +286,99 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Ingestion-time near-dup FLAGS against the persisted corpus index —
+    * the STREAMING twin of [[incrementalJaccardPairs]]: each arriving
+    * document is scored against the corpus as a batch of ONE, emitting
+    * its qualifying (doc, corpus doc, jac) pairs the moment it lands.
+    * Per-doc independence is the deliberate semantic: output does not
+    * depend on how the stream happens to micro-batch (micro-batch
+    * boundaries are nondeterministic in production), and each doc's
+    * pairs equal `incrementalJaccardPairs(index, batch = {doc})` —
+    * the df-cap algebra specialized to df_b = 1: a shingle survives iff
+    * df_c + 1 ≤ maxDf; a corpus doc's size is its capped baseline minus
+    * its shingles the arriving doc pushes over the cap (df_c = maxDf).
+    * New-vs-new pairs are NOT this stage's job — they belong to the
+    * within-stream dedup ([[graft.streaming.StreamingOps
+    * .streamingNearDedup]]) or the next index refresh, exactly as a
+    * recrawl pipeline stages them.
+    *
+    * Plan shape (streaming = one stateless stream-static join + ONE
+    * windowed aggregation, append mode): doc shingles LEFT-join the
+    * static index (df + capped postings lookup), one groupBy(doc)
+    * collects the surviving candidate lists and counts n_a map-side;
+    * candidate counts per corpus doc then come from a SORTED-RUNS
+    * projection over the flattened candidate array (array_sort +
+    * run-length — O(L log L) per doc, L ≤ |shingles|·maxDf, no second
+    * aggregation, which is what keeps the streaming plan single-
+    * stateful), followed by a static join for corpus baseline sizes.
+    * State is one group per in-flight doc window — watermark-bounded.
+    * In batch mode (`streaming = false`, groupBy pid without a window)
+    * the identical plan is the q244 oracle surface; StreamingSpec
+    * asserts stream == batch == per-doc incrementalJaccardPairs. */
+  def incrementalFlags(docs: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, k: Int, threshold: Double, maxDf: Int,
+      streaming: Boolean = false): DataFrame = {
+    require(threshold > 0,
+      "a qualifying pair must share >= 1 surviving shingle")
+    val tsCols = if (streaming) Seq(col("ts")) else Seq.empty[Column]
+    val post = docs.select(tsCols ++ Seq(col(idCol).as("pid"),
+      explode(shingleHashes(col(textCol), k)).as("sh")): _*)
+    val joined = post.join(index, Seq("sh"), "left")
+      .select(tsCols ++ Seq(col("pid"),
+        coalesce(col("df_c"), lit(0L)).as("df_c"), col("cpids")): _*)
+    val keys =
+      if (streaming) Seq(window(col("ts"), "1 second"), col("pid"))
+      else Seq(col("pid"))
+    val grouped = joined.groupBy(keys: _*)
+      .agg(sum(when(col("df_c") <= maxDf - 1, 1L).otherwise(0L))
+          .as("n_a"),
+        flatten(collect_list(
+          when(col("df_c").between(1, maxDf - 1), col("cpids"))))
+          .as("shared_cps"),
+        flatten(collect_list(
+          when(col("df_c") === maxDf, col("cpids")))).as("hot_cps"))
+    // (cp, n_shared) per doc WITHOUT a second aggregation: sort the
+    // flattened candidate list and cut it at run starts. get() is
+    // 0-based and null-safe out of bounds (no ANSI error at i−1 = −1;
+    // a null <> comparison is null, and `i = 0 OR null` is true there)
+    val withRuns = grouped
+      .withColumn("s", array_sort(col("shared_cps")))
+      .withColumn("starts",
+        when(size(col("s")) === 0, expr("CAST(array() AS array<int>)"))
+          .otherwise(expr("filter(sequence(0, size(s) - 1), " +
+            "i -> i = 0 OR get(s, i) <> get(s, i - 1))")))
+      .withColumn("runs",
+        when(size(col("starts")) === 0,
+          expr("CAST(array() AS array<struct<cp:bigint,n_shared:bigint>>)"))
+          .otherwise(expr("transform(sequence(0, size(starts) - 1), " +
+            "j -> struct(get(s, get(starts, j)) AS cp, " +
+            "CAST(coalesce(get(starts, j + 1), size(s)) " +
+            "- get(starts, j) AS BIGINT) AS n_shared))")))
+    // corpus baseline sizes over the capped universe (static, from the
+    // index alone — never the corpus text)
+    val nBase = index.filter(col("df_c") <= maxDf)
+      .select(explode(col("cpids")).as("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("n_base"))
+    val out = withRuns
+      .select(col("pid"), col("n_a"), col("hot_cps"),
+        explode(col("runs")).as("r"))
+      .select(col("pid"), col("n_a"),
+        col("r.cp").as("cp"), col("r.n_shared").as("n_shared"),
+        // hot corrections: count of this cp among the arriving doc's
+        // cap-crossing shingles' lists — hot_cps is tiny (only
+        // df_c = maxDf shingles), so a per-row scan is cheap
+        size(filter(col("hot_cps"), x => x === col("r.cp")))
+          .cast("long").as("n_corr"))
+      .join(nBase, Seq("cp"))
+      .withColumn("jac", col("n_shared").cast("double") /
+        (col("n_a") + (col("n_base") - col("n_corr"))
+          - col("n_shared")))
+      .filter(col("jac") >= threshold)
+      .select(least(col("pid"), col("cp")).as("id_a"),
+        greatest(col("pid"), col("cp")).as("id_b"), col("jac"))
+    if (streaming) out else out.orderBy("id_a", "id_b")
+  }
+
   /** Merge a new batch into a persisted [[corpusShingleIndex]] WITHOUT
     * re-scanning corpus text — the maintenance half of the cross-run
     * story ([[incrementalJaccardPairs]] consumes the index, this

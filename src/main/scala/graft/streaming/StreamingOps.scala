@@ -289,6 +289,46 @@ object StreamingOps {
           expr(s"INTERVAL $withinMinutes MINUTES"))
   }
 
+  /** Ingestion-time near-dup flags against the persisted corpus shingle
+    * index — the streaming face of [[graft.ext.Dedup.incrementalFlags]]
+    * (q238's index-vs-batch recrawl shape as a `readStream` pipeline):
+    * micro-batch doc shingles stream-static join the corpus index, ONE
+    * windowed aggregation per doc collects candidates, and qualifying
+    * (doc, corpus doc, jac) pairs emit in append mode the moment the
+    * doc's watermark window closes. Each doc is scored as a batch of
+    * one, so output is independent of micro-batch boundaries and equals
+    * the batch twin (q244) row-for-row on watermark-closed docs
+    * (StreamingSpec). */
+  def streamingIncrementalFlags(docs: DataFrame, index: DataFrame,
+      k: Int, threshold: Double, maxDf: Int): DataFrame =
+    graft.ext.Dedup.incrementalFlags(docs, index, "doc_id", "text",
+      k, threshold, maxDf, streaming = true)
+
+  /** Run a transform as a real streaming query over the documents
+    * parquet (the [[runStreaming]] harness shape, documents-sourced):
+    * a DETERMINISTIC per-doc event time is synthesized
+    * (2024-01-01 UTC + doc_id seconds — the fixture has no timestamp
+    * column) and watermarked at 0 s, so every doc's 1-second window
+    * except the max-doc_id one is closed by end of stream and append
+    * mode emits it. */
+  def runStreamingDocs(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, queryName: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val docs = src.withColumn("ts",
+        timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      .withWatermark("ts", "0 seconds")
+    val q = transform(docs).writeStream
+      .outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run any of the above transforms as a real watermarked streaming query
     * over the events parquet, drained synchronously into a memory sink.
     * Returns the sink contents (`complete` mode for aggregations —

@@ -7,6 +7,52 @@ import graft.engine.Tables
   * streaming query must equal its batch twin exactly (SURVEY.md §7.4). */
 class StreamingSpec extends SparkSpec {
 
+  test("streaming incremental dedup flags: stream == batch on " +
+    "watermark-closed docs == per-doc incrementalJaccardPairs (q238)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 3)
+    val batchDocs = docs.filter(col("doc_id") % 5 === 3)
+    val index = graft.ext.Dedup.corpusShingleIndex(corpus, "doc_id",
+      "text", k = 3, maxDf = 100).localCheckpoint(eager = true)
+    val batch = graft.ext.Dedup.incrementalFlags(batchDocs, index,
+        "doc_id", "text", k = 3, threshold = 0.1, maxDf = 100)
+      .collect().toSet
+    assert(batch.nonEmpty)
+    val streamed = StreamingOps.runStreamingDocs(spark, sf0001,
+      s => StreamingOps.streamingIncrementalFlags(
+        s.filter(col("doc_id") % 5 === 3), index,
+        k = 3, threshold = 0.1, maxDf = 100),
+      "t_inc_flags").collect().toSet
+    // append mode emits a doc's pairs once the watermark passes its
+    // 1-second window; only the max-event-time doc's window can still
+    // be open at end of stream, so everything but pairs of the last
+    // batch doc (conservatively: any doc within 1 s of the stream max)
+    // must have emitted — and nothing may emit that batch doesn't have
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    def batchSide(r: org.apache.spark.sql.Row): Long = {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (a % 5 == 3) a else b
+    }
+    val closed = batch.filter(batchSide(_) < maxId - 1)
+    assert(streamed.subsetOf(batch))
+    assert(closed.nonEmpty && closed.subsetOf(streamed))
+    // per-doc semantics: each doc's flags ARE incrementalJaccardPairs
+    // with batch = {that doc} (df_b = 1 cap algebra) — the q238
+    // machinery specialized to ingestion-time scoring
+    val sampleIds = batch.toSeq.map(batchSide).distinct.sorted.take(2)
+    sampleIds.foreach { id =>
+      val one = batchDocs.filter(col("doc_id") === id)
+      val viaQ238 = graft.ext.Dedup.incrementalJaccardPairs(index, one,
+        "doc_id", "text", k = 3, threshold = 0.1, maxDf = 100)
+        .collect().toSet
+      val viaFlags = graft.ext.Dedup.incrementalFlags(one, index,
+        "doc_id", "text", k = 3, threshold = 0.1, maxDf = 100)
+        .collect().toSet
+      assert(viaFlags == viaQ238)
+    }
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val batch = StreamingOps.tumblingCounts(Tables.events(spark, sf0001))
       .collect().toSet

@@ -221,11 +221,34 @@ object PlanDump {
           "inverted index on ONE shuffle, map-side ordered-pair " +
           "generation from df-capped lists — the q31 shape over " +
           "content-defined keys"),
+      "q239_fuzzy_join2" ->
+        ("FastSS d≤2 fuzzy join: deletion-neighborhood candidate keys " +
+          "(≤ L²/2 per string, map-side explode) equi-join + scalar " +
+          "levenshtein verify — no cross join anywhere; recall proven " +
+          "lossless by the brute-force oracle"),
+      "q240_index_upsert" ->
+        ("shingle-index upsert: ONE sh-keyed full-outer merge of batch " +
+          "postings into the persisted index; the merge is a map-side " +
+          "array concat bounded by the df-cap — corpus text never " +
+          "rescanned, O(batch) maintenance"),
       "q242_incremental_lsh" ->
         ("incremental LSH dedup: batch band keys equi-join the grouped " +
           "band index (candidates decompose exactly — band keys are " +
           "per-doc-deterministic), exact-Jaccard verify reads persisted " +
-          "postings; corpus text never rescanned, no cartesian"))
+          "postings semi-join-pruned to candidate ids; corpus text " +
+          "never rescanned, no cartesian"),
+      "q243_cluster_upsert" ->
+        ("incremental cluster maintenance: the delta contracts to label " +
+          "space and pointer jumping runs ONLY there (≤ 2·|new pairs| " +
+          "nodes — it enters this plan as a checkpoint scan); the " +
+          "persisted cluster table is touched by exactly one relabel " +
+          "join against the tiny mapping; corpus pairs never re-read"),
+      "q244_streaming_flags" ->
+        ("ingestion-time flags (q238's streaming twin, batch plan): doc " +
+          "shingles LEFT-join the static index, ONE aggregation per doc " +
+          "collects candidates, the sorted-runs projection replaces the " +
+          "second aggregation (what keeps the streaming plan " +
+          "single-stateful), then one static baseline join"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

@@ -242,6 +242,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("cluster upsert (q243): all joins equi — no cartesian/" +
+    "nested-loop anywhere (the iterative part ran on the contracted " +
+    "label graph before this plan; its output enters as a checkpoint " +
+    "scan)") {
+    val p = plan(ExtQueries.all("q243_cluster_upsert")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ingestion flags (q244): candidate counts come from the " +
+    "sorted-runs projection (array_sort in-plan, the single-stateful " +
+    "streaming shape); no cartesian/nested-loop anywhere") {
+    val df = ExtQueries.all("q244_streaming_flags")(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the wide Project truncates in toString ("... N more fields") —
+    // formatted mode prints full expressions
+    val full = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(full.contains("array_sort"), full.take(4000))
+  }
+
   test("bucketed join (q161): sort-merge join with NO exchange on the " +
     "join key — the bucketBy layout carries the partitioning") {
     val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)

@@ -3400,7 +3400,25 @@ object ExtQueries {
       k = 3, threshold = 0.1, maxDf = 100)
   }
 
+  /** q245 — cross-run incremental dedup on the EMBEDDING path
+    * ([[SimSearch.corpusEmbeddingLshIndex]] +
+    * [[SimSearch.incrementalCosinePairsLsh]]): q242's recrawl shape in
+    * vector space, closing the last non-incremental dedup modality.
+    * Hyperplane bucket keys are per-vector-deterministic, so the
+    * batch-incident candidate set decomposes exactly (no correction
+    * algebra); same parameters as q60, whose full-recompute oracle —
+    * filtered to batch-incident pairs — IS this query's oracle. */
+  private val q245: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val index = SimSearch.corpusEmbeddingLshIndex(
+      emb.filter(col("vec_id") % 5 =!= 3), bits = 16, tables = 4)
+    SimSearch.incrementalCosinePairsLsh(index,
+      emb.filter(col("vec_id") % 5 === 3),
+      threshold = 0.25, bits = 16, tables = 4)
+  }
+
   val all: Map[String, Q] = Map(
+    "q245_incremental_embed" -> q245,
     "q244_streaming_flags" -> q244,
     "q243_cluster_upsert" -> q243,
     "q242_incremental_lsh" -> q242,
@@ -4042,6 +4060,24 @@ object ExtQueries {
        |LEFT JOIN c3 USING (source)
        |ORDER BY source""".stripMargin
   }
+
+  /** q60's oracle (and q245's, with the batch-incident filter):
+    * deterministic multi-table hyperplane buckets, within-any-bucket
+    * candidate join, exact cosine verify. */
+  private def cosineLshPairsSql(threshold: Double, bits: Int,
+      tables: Int, incidentFilter: String = ""): String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${multiBucketCols(bits, tables)}
+       |  FROM embeddings)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+       |    ${cosineSql("x.embedding", "y.embedding")} AS sim
+       |  FROM b x JOIN b y
+       |    ON x.vec_id < y.vec_id
+       |    AND (${anyBucketMatch("x", "y", tables)}))
+       |WHERE sim >= $threshold $incidentFilter
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Multi-table bucket columns b0..b{tables-1} (table t uses plane
     * offset t·bits) — shared by the q60 and q74 oracles. */
@@ -6687,16 +6723,15 @@ object ExtQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q60_cosine_neardup_lsh" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding,
-         |    ${multiBucketCols(bits = 16, tables = 4)}
-         |  FROM embeddings)
-         |SELECT id_a, id_b, sim FROM (
-         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
-         |    ${cosineSql("x.embedding", "y.embedding")} AS sim
-         |  FROM b x JOIN b y
-         |    ON x.vec_id < y.vec_id AND (${anyBucketMatch("x", "y", 4)}))
-         |WHERE sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+      cosineLshPairsSql(threshold = 0.25, bits = 16, tables = 4),
+
+    // q60's full recompute over corpus∪batch, filtered to
+    // batch-incident pairs — the engine side computes it from the
+    // persisted embedding LSH index without touching corpus-corpus
+    // pairs, so hash equality proves the incremental decomposition
+    "q245_incremental_embed" ->
+      cosineLshPairsSql(threshold = 0.25, bits = 16, tables = 4,
+        incidentFilter = "AND (id_a % 5 = 3 OR id_b % 5 = 3)"),
 
     "q32_minhash_lsh_pairs" ->
       minhashBandPairsSql(k = 3, numHashes = 12, rowsPerBand = 3,

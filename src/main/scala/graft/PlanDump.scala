@@ -248,7 +248,14 @@ object PlanDump {
           "shingles LEFT-join the static index, ONE aggregation per doc " +
           "collects candidates, the sorted-runs projection replaces the " +
           "second aggregation (what keeps the streaming plan " +
-          "single-stateful), then one static baseline join"))
+          "single-stateful), then one static baseline join"),
+      "q245_incremental_embed" ->
+        ("incremental embedding dedup: batch hyperplane buckets " +
+          "equi-join the persisted bucket index (per-vector-" +
+          "deterministic keys ⇒ exact decomposition, the q242 argument " +
+          "in vector space); native cosine verify map-side BEFORE the " +
+          "pair-dedupe shuffle; corpus embeddings touched only through " +
+          "the index"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

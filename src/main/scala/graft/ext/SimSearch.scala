@@ -262,6 +262,58 @@ object SimSearch {
       .orderBy("id_a", "id_b")
   }
 
+  /** Corpus-side embedding LSH scratch for CROSS-RUN incremental
+    * near-dup on the EMBEDDING path — the q242 recrawl pattern moved to
+    * vector space: the persisted state is the exploded
+    * (bucket = (table, bk), vec_id, embedding) frame of
+    * [[multiTableBuckets]] keys. Bucket keys are PER-VECTOR
+    * deterministic (fixed hyperplanes), so — exactly as with MinHash
+    * band keys — nothing in this scratch shifts when a batch arrives
+    * and the incremental decomposition below is exact with no
+    * correction algebra. On disk the index buckets by `bucket`, making
+    * the batch join the zero-exchange shape. */
+  def corpusEmbeddingLshIndex(corpus: DataFrame, bits: Int,
+      tables: Int): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"),
+      explode(multiTableBuckets(col("embedding"), bits, tables))
+        .as("bucket"))
+
+  /** Batch-vs-corpus INCREMENTAL embedding near-dup
+    * ([[cosineNearDupPairsLsh]]'s recrawl form): given the persisted
+    * [[corpusEmbeddingLshIndex]] and a NEW batch of vectors, produce
+    * exactly the full corpus∪batch recompute's qualifying pairs
+    * incident to the batch — candidates decompose into batch-batch
+    * bucket matches plus batch×index matches (per-vector-deterministic
+    * keys ⇒ exact, the q242 argument verbatim), each verified by the
+    * same native-codegen cosine BEFORE the pair-dedupe shuffle. The
+    * corpus embedding table is touched only through the index; cost is
+    * O(batch buckets × occupancy), independent of corpus pair
+    * structure. Equality with the filtered full recompute is the q245
+    * oracle and a SimSearchSpec assertion. */
+  def incrementalCosinePairsLsh(index: DataFrame, batch: DataFrame,
+      threshold: Double, bits: Int, tables: Int): DataFrame = {
+    val bb = batch.select(col("vec_id"), col("embedding"),
+        explode(multiTableBuckets(col("embedding"), bits, tables))
+          .as("bucket"))
+      .localCheckpoint(eager = false) // consumed by BOTH branches
+    val withinBatch = bb.as("x").join(bb.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+    // corpus and batch ids are disjoint; cosine is symmetric, so
+    // ordering the pair by value keeps sim unchanged
+    val batchCorpus = bb.as("x").join(index.as("y"),
+        col("x.bucket") === col("y.bucket"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+    withinBatch.unionByName(batchCorpus)
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold within a blocking key
     * (here: `label`), the embedding-space analogue of Dedup.jaccardPairs.
     * Blocking bounds the pair count; at 100 TB the blocking key is an LSH

@@ -265,6 +265,19 @@ class PlanSpec extends SparkSpec {
     assert(full.contains("array_sort"), full.take(4000))
   }
 
+  test("incremental embedding dedup (q245): bucket joins are equi-joins " +
+    "on the (table, bk) struct — no cartesian/nested-loop; the cosine " +
+    "verify is the native kernel, map-side before the pair dedupe") {
+    val df = ExtQueries.all("q245_incremental_embed")(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val full = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(full.toLowerCase.contains("cosinesim") ||
+      full.contains("cosine"), full.take(4000))
+  }
+
   test("bucketed join (q161): sort-merge join with NO exchange on the " +
     "join key — the bucketBy layout carries the partitioning") {
     val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)

@@ -106,6 +106,31 @@ class SimSearchSpec extends SparkSpec {
     }
   }
 
+  test("incrementalCosinePairsLsh == full cosineNearDupPairsLsh " +
+    "filtered to batch-incident pairs; invariant under repartitioning") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 3)
+    val batch = emb.filter(col("vec_id") % 5 === 3)
+    val index = SimSearch.corpusEmbeddingLshIndex(corpus,
+      bits = 16, tables = 4)
+    val inc = SimSearch.incrementalCosinePairsLsh(index, batch,
+        threshold = 0.25, bits = 16, tables = 4)
+      .collect().toSeq
+    // the q245 contract: per-vector-deterministic bucket keys make the
+    // decomposition exact, so the incremental path equals the full
+    // corpus∪batch recompute restricted to batch-incident pairs
+    val full = SimSearch.cosineNearDupPairsLsh(emb,
+        threshold = 0.25, bits = 16, tables = 4)
+      .filter(col("id_a") % 5 === 3 || col("id_b") % 5 === 3)
+      .collect().toSeq
+    assert(inc.nonEmpty && inc == full)
+    val repart = SimSearch.incrementalCosinePairsLsh(
+        index.repartition(7), batch.repartition(5),
+        threshold = 0.25, bits = 16, tables = 4)
+      .collect().toSeq
+    assert(repart == inc)
+  }
+
   test("lsh_bucket (native) == per-bit lambda form across plane offsets") {
     val emb = Tables.embeddings(spark, sf0001)
     for (off <- Seq(0, 16, 48)) {

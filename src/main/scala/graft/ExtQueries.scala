@@ -3367,12 +3367,19 @@ object ExtQueries {
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") % 5 =!= 3)
     val batch = docs.filter(col("doc_id") % 5 === 3)
+    // ONE corpus text scan total: the index is the only thing built
+    // from text; corpus pairs — and from them the persisted cluster
+    // table — derive from the index alone (minhashBandPairsFromIndex).
+    // bandIndex/sizes checkpoint lazily: both feed the corpus-pair path
+    // AND the incremental batch path below.
+    val (bandIndex0, post, sizes0) = Dedup.corpusLshIndex(corpus,
+      "doc_id", "text", k = 3, numHashes = 12, rowsPerBand = 3)
+    val bandIndex = bandIndex0.localCheckpoint(eager = false)
+    val sizes = sizes0.localCheckpoint(eager = false)
     val corpusClusters = Dedup.dupClusters(
-      Dedup.minhashBandPairs(corpus, "doc_id", "text", k = 3,
-        numHashes = 12, rowsPerBand = 3, threshold = 0.05),
+      Dedup.minhashBandPairsFromIndex(bandIndex, post, sizes,
+        threshold = 0.05),
       corpus.select("doc_id"), "doc_id")
-    val (bandIndex, post, sizes) = Dedup.corpusLshIndex(corpus, "doc_id",
-      "text", k = 3, numHashes = 12, rowsPerBand = 3)
     val newPairs = Dedup.incrementalMinhashPairs(bandIndex, post, sizes,
       batch, "doc_id", "text", k = 3, numHashes = 12, rowsPerBand = 3,
       threshold = 0.05)

@@ -302,19 +302,27 @@ object Dedup {
     * .streamingNearDedup]]) or the next index refresh, exactly as a
     * recrawl pipeline stages them.
     *
-    * Plan shape (streaming = one stateless stream-static join + ONE
-    * windowed aggregation, append mode): doc shingles LEFT-join the
-    * static index (df + capped postings lookup), one groupBy(doc)
-    * collects the surviving candidate lists and counts n_a map-side;
-    * candidate counts per corpus doc then come from a SORTED-RUNS
-    * projection over the flattened candidate array (array_sort +
-    * run-length — O(L log L) per doc, L ≤ |shingles|·maxDf, no second
-    * aggregation, which is what keeps the streaming plan single-
-    * stateful), followed by a static join for corpus baseline sizes.
-    * State is one group per in-flight doc window — watermark-bounded.
-    * In batch mode (`streaming = false`, groupBy pid without a window)
-    * the identical plan is the q244 oracle surface; StreamingSpec
-    * asserts stream == batch == per-doc incrementalJaccardPairs. */
+    * Plan shape, streaming (one stateless stream-static join + ONE
+    * windowed aggregation, append mode — single-stateful): doc shingles
+    * LEFT-join the static index (df + capped postings lookup), one
+    * groupBy(doc) collects the surviving candidate lists and counts n_a
+    * map-side; candidate counts per corpus doc then come from a
+    * SORTED-RUNS projection over the flattened candidate array
+    * (array_sort + run-length — no second aggregation, which is what
+    * keeps the streaming plan single-stateful). State is one group per
+    * in-flight doc window — watermark-bounded, and per-doc array work
+    * is bounded by that doc's candidate volume.
+    *
+    * Plan shape, batch (`streaming = false` — the q244/bulk surface):
+    * the same join, then TWO relational hash aggregations —
+    * (pid, cp) candidate counts and per-doc n_a — instead of the
+    * per-row array math: higher-order array functions evaluate
+    * interpreted, so at bulk scale (thousands of docs × L ≈
+    * |shingles|·maxDf candidates each) the extra shuffle is ~50× faster
+    * than the array path (measured at sf0.1: 103 s array vs ~2 s
+    * relational). Both paths produce identical rows; StreamingSpec
+    * asserts stream == batch == per-doc incrementalJaccardPairs, which
+    * pins the two plans against each other. */
   def incrementalFlags(docs: DataFrame, index: DataFrame, idCol: String,
       textCol: String, k: Int, threshold: Double, maxDf: Int,
       streaming: Boolean = false): DataFrame = {
@@ -326,49 +334,73 @@ object Dedup {
     val joined = post.join(index, Seq("sh"), "left")
       .select(tsCols ++ Seq(col("pid"),
         coalesce(col("df_c"), lit(0L)).as("df_c"), col("cpids")): _*)
-    val keys =
-      if (streaming) Seq(window(col("ts"), "1 second"), col("pid"))
-      else Seq(col("pid"))
-    val grouped = joined.groupBy(keys: _*)
-      .agg(sum(when(col("df_c") <= maxDf - 1, 1L).otherwise(0L))
-          .as("n_a"),
-        flatten(collect_list(
-          when(col("df_c").between(1, maxDf - 1), col("cpids"))))
-          .as("shared_cps"),
-        flatten(collect_list(
-          when(col("df_c") === maxDf, col("cpids")))).as("hot_cps"))
-    // (cp, n_shared) per doc WITHOUT a second aggregation: sort the
-    // flattened candidate list and cut it at run starts. get() is
-    // 0-based and null-safe out of bounds (no ANSI error at i−1 = −1;
-    // a null <> comparison is null, and `i = 0 OR null` is true there)
-    val withRuns = grouped
-      .withColumn("s", array_sort(col("shared_cps")))
-      .withColumn("starts",
-        when(size(col("s")) === 0, expr("CAST(array() AS array<int>)"))
-          .otherwise(expr("filter(sequence(0, size(s) - 1), " +
-            "i -> i = 0 OR get(s, i) <> get(s, i - 1))")))
-      .withColumn("runs",
-        when(size(col("starts")) === 0,
-          expr("CAST(array() AS array<struct<cp:bigint,n_shared:bigint>>)"))
-          .otherwise(expr("transform(sequence(0, size(starts) - 1), " +
-            "j -> struct(get(s, get(starts, j)) AS cp, " +
-            "CAST(coalesce(get(starts, j + 1), size(s)) " +
-            "- get(starts, j) AS BIGINT) AS n_shared))")))
     // corpus baseline sizes over the capped universe (static, from the
     // index alone — never the corpus text)
     val nBase = index.filter(col("df_c") <= maxDf)
       .select(explode(col("cpids")).as("cp"))
       .groupBy("cp").agg(count(lit(1)).as("n_base"))
-    val out = withRuns
-      .select(col("pid"), col("n_a"), col("hot_cps"),
-        explode(col("runs")).as("r"))
-      .select(col("pid"), col("n_a"),
-        col("r.cp").as("cp"), col("r.n_shared").as("n_shared"),
-        // hot corrections: count of this cp among the arriving doc's
-        // cap-crossing shingles' lists — hot_cps is tiny (only
-        // df_c = maxDf shingles), so a per-row scan is cheap
-        size(filter(col("hot_cps"), x => x === col("r.cp")))
-          .cast("long").as("n_corr"))
+    // per-(doc, corpus doc): n_shared (surviving shared shingles) and
+    // n_corr (shared shingles the doc pushes over the cap, df_c = cap)
+    val counted =
+      if (!streaming) {
+        // relational path: explode candidate lists, ONE (pid, cp)
+        // hash-agg + ONE per-doc n_a agg
+        val jj = joined.localCheckpoint(eager = false) // two consumers
+        val cand = jj.filter(col("df_c").between(1, maxDf))
+          .select(col("pid"), col("df_c"), explode(col("cpids")).as("cp"))
+        val perPair = cand.groupBy("pid", "cp")
+          .agg(sum(when(col("df_c") <= maxDf - 1, 1L).otherwise(0L))
+              .as("n_shared"),
+            sum(when(col("df_c") === maxDf, 1L).otherwise(0L))
+              .as("n_corr"))
+          .filter(col("n_shared") >= 1)
+        val na = jj.groupBy("pid")
+          .agg(sum(when(col("df_c") <= maxDf - 1, 1L).otherwise(0L))
+            .as("n_a"))
+        perPair.join(na, Seq("pid"))
+      } else {
+        // single-stateful path: ONE windowed aggregation, then the
+        // per-doc counts come from a sorted-runs projection. get() is
+        // 0-based and null-safe out of bounds (no ANSI error at
+        // i−1 = −1; a null <> comparison is null, and `i = 0 OR null`
+        // is true there)
+        val grouped = joined
+          .groupBy(window(col("ts"), "1 second"), col("pid"))
+          .agg(sum(when(col("df_c") <= maxDf - 1, 1L).otherwise(0L))
+              .as("n_a"),
+            flatten(collect_list(
+              when(col("df_c").between(1, maxDf - 1), col("cpids"))))
+              .as("shared_cps"),
+            flatten(collect_list(
+              when(col("df_c") === maxDf, col("cpids")))).as("hot_cps"))
+        val withRuns = grouped
+          .withColumn("s", array_sort(col("shared_cps")))
+          .withColumn("starts",
+            when(size(col("s")) === 0,
+              expr("CAST(array() AS array<int>)"))
+              .otherwise(expr("filter(sequence(0, size(s) - 1), " +
+                "i -> i = 0 OR get(s, i) <> get(s, i - 1))")))
+          .withColumn("runs",
+            when(size(col("starts")) === 0,
+              expr("CAST(array() AS " +
+                "array<struct<cp:bigint,n_shared:bigint>>)"))
+              .otherwise(expr(
+                "transform(sequence(0, size(starts) - 1), " +
+                "j -> struct(get(s, get(starts, j)) AS cp, " +
+                "CAST(coalesce(get(starts, j + 1), size(s)) " +
+                "- get(starts, j) AS BIGINT) AS n_shared))")))
+        withRuns
+          .select(col("pid"), col("n_a"), col("hot_cps"),
+            explode(col("runs")).as("r"))
+          .select(col("pid"), col("n_a"),
+            col("r.cp").as("cp"), col("r.n_shared").as("n_shared"),
+            // hot corrections: count of this cp among the arriving
+            // doc's cap-crossing shingles' lists — hot_cps is tiny
+            // (only df_c = maxDf shingles), so a per-row scan is cheap
+            size(filter(col("hot_cps"), x => x === col("r.cp")))
+              .cast("long").as("n_corr"))
+      }
+    val out = counted
       .join(nBase, Seq("cp"))
       .withColumn("jac", col("n_shared").cast("double") /
         (col("n_a") + (col("n_base") - col("n_corr"))
@@ -580,7 +612,6 @@ object Dedup {
   def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double)
       : DataFrame = {
-    val numBands = numHashes / rowsPerBand
     val post = postings(df, idCol, textCol, k)
       .localCheckpoint(eager = false) // first consumer's job materializes
     val sigs = post.groupBy("pid")
@@ -592,6 +623,20 @@ object Dedup {
         col("x.bk") === col("y.bk") && col("x.pid") < col("y.pid"))
       .select(col("x.pid").as("id_a"), col("y.pid").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    exactJaccardVerify(cands, post,
+      sigs.select(col("pid"), col("n_sh")), threshold)
+  }
+
+  /** Exact-Jaccard verification of an (id_a < id_b) candidate pair set
+    * against a posting frame (pid, sh) and set sizes (pid, n_sh) — the
+    * shared tail of [[minhashBandPairs]], [[minhashBandPairsFromIndex]]
+    * and [[incrementalMinhashPairs]]: shared-shingle counts via two
+    * posting joins + one hash-agg, then the Jaccard filter. Pairs with
+    * zero shared shingles never reach the output, so callers with
+    * threshold 0 must not rely on band-collision-only pairs (each
+    * caller `require`s threshold > 0). */
+  private def exactJaccardVerify(cands: DataFrame, post: DataFrame,
+      sizes: DataFrame, threshold: Double): DataFrame = {
     val shared = cands
       .join(post.select(col("pid").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
@@ -599,7 +644,6 @@ object Dedup {
         col("id_b") === col("pid_b") && col("sh_a") === col("sh_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
-    val sizes = sigs.select(col("pid"), col("n_sh"))
     shared
       .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
         Seq("id_a"))
@@ -610,6 +654,30 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Full corpus near-dup pairs FROM the persisted [[corpusLshIndex]] —
+    * the state-only form of [[minhashBandPairs]]: candidate pairs
+    * generate MAP-SIDE from each band bucket's sorted pid list (the
+    * keyCandidates trick — each element against only the elements
+    * after it, id_a < id_b built in), verified against the persisted
+    * postings. Corpus TEXT is never rescanned, so a pipeline holding
+    * the index (q242's scratch) derives its corpus pair set — and its
+    * cluster table (q243) — from state alone: building index + pairs +
+    * clusters costs exactly ONE corpus text scan. Same buckets, same
+    * verify as minhashBandPairs ⇒ identical output (DedupSpec). */
+  def minhashBandPairsFromIndex(bandIndex: DataFrame,
+      corpusPost: DataFrame, corpusSizes: DataFrame, threshold: Double)
+      : DataFrame = {
+    require(threshold > 0,
+      "zero-intersection band collisions never reach the verify join")
+    val cands = bandIndex.filter(size(col("cpids")) >= 2)
+      .select(col("cpids"), posexplode(col("cpids")))
+      .select(col("col").as("id_a"),
+        explode(slice(col("cpids"), col("pos") + lit(2),
+          size(col("cpids")))).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    exactJaccardVerify(cands, corpusPost, corpusSizes, threshold)
   }
 
   /** Corpus-side LSH scratch for cross-run incremental near-dup on the
@@ -683,25 +751,9 @@ object Dedup {
       .dropDuplicates("pid")
     val allPost = corpusPost.join(candIds, Seq("pid"), "left_semi")
       .unionByName(bPost)
-    val shared = cands
-      .join(allPost.select(col("pid").as("id_a"), col("sh").as("sh_a")),
-        Seq("id_a"))
-      .join(allPost.select(col("pid").as("pid_b"), col("sh").as("sh_b")),
-        col("id_b") === col("pid_b") && col("sh_a") === col("sh_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_shared"))
     val sizes = corpusSizes
       .unionByName(bSigs.select(col("pid"), col("n_sh")))
-    shared
-      .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
-        Seq("id_a"))
-      .join(sizes.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
-        Seq("id_b"))
-      .withColumn("jac", col("n_shared").cast("double") /
-        (col("n_a") + col("n_b") - col("n_shared")))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
-      .orderBy("id_a", "id_b")
+    exactJaccardVerify(cands, allPost, sizes, threshold)
   }
 
   /** Blocking-quality audit of the MinHash banding scheme — the

@@ -251,18 +251,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("ingestion flags (q244): candidate counts come from the " +
-    "sorted-runs projection (array_sort in-plan, the single-stateful " +
-    "streaming shape); no cartesian/nested-loop anywhere") {
+  test("ingestion flags (q244): batch plan is relational (two " +
+    "hash-aggs, no per-row array math) with no cartesian/nested-loop; " +
+    "the STREAMING variant carries the sorted-runs projection that " +
+    "keeps its plan single-stateful") {
     val df = ExtQueries.all("q244_streaming_flags")(spark, sf0001)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // the wide Project truncates in toString ("... N more fields") —
-    // formatted mode prints full expressions
-    val full = df.queryExecution.explainString(
+    assert(!p.contains("array_sort"), p) // bulk path: aggs, not arrays
+    // the streaming variant's plan (built on a static frame with a ts
+    // column — grouping keys and counting strategy are what differ):
+    // ONE aggregation between the index join and the candidate
+    // explode, candidate counts via array_sort runs. The wide Project
+    // truncates in toString, so check formatted mode.
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 === 3)
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) +
+        col("doc_id")))
+    val index = graft.ext.Dedup.corpusShingleIndex(
+      Tables.documents(spark, sf0001).filter(col("doc_id") % 5 =!= 3),
+      "doc_id", "text", k = 3, maxDf = 100)
+    val sdf = graft.ext.Dedup.incrementalFlags(docs, index, "doc_id",
+      "text", k = 3, threshold = 0.1, maxDf = 100, streaming = true)
+    val full = sdf.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     assert(full.contains("array_sort"), full.take(4000))
+    assert(!full.contains("CartesianProduct"), full.take(4000))
   }
 
   test("incremental embedding dedup (q245): bucket joins are equi-joins " +

@@ -122,6 +122,21 @@ class DedupSpec extends SparkSpec {
     assert(inc.forall { case (a, b, _) => a % 5 == 3 || b % 5 == 3 })
   }
 
+  test("minhashBandPairsFromIndex == minhashBandPairs (corpus pairs " +
+    "derived from persisted state alone — no text rescan)") {
+    val corpus = graft.engine.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 =!= 3)
+    val direct = Dedup.minhashBandPairs(corpus, "doc_id", "text",
+        3, 12, 3, 0.05)
+      .as[(Long, Long, Double)].collect().toSeq
+    val (bandIndex, post, sizes) = Dedup.corpusLshIndex(
+      corpus, "doc_id", "text", 3, 12, 3)
+    val fromIndex = Dedup.minhashBandPairsFromIndex(bandIndex, post,
+        sizes, 0.05)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(fromIndex.nonEmpty && fromIndex == direct)
+  }
+
   test("upsertShingleIndex == fresh corpusShingleIndex over corpus∪batch " +
       "(lists merge sorted; cap-crossing rows null out like a rebuild)") {
     def canon(df: org.apache.spark.sql.DataFrame) =

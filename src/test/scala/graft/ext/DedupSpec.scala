@@ -122,6 +122,40 @@ class DedupSpec extends SparkSpec {
     assert(inc.forall { case (a, b, _) => a % 5 == 3 || b % 5 == 3 })
   }
 
+  test("incrementalFlags: cap-crossing algebra — an arriving doc " +
+    "pushing a corpus shingle over the cap shrinks corpus denominators " +
+    "exactly (df_b = 1 form), on BOTH counting paths") {
+    // maxDf = 2: shingle "a b c" sits AT the cap in the corpus (df_c =
+    // 2, list kept); the arriving doc contains it → newly hot → it
+    // leaves the universe and each corpus doc holding it loses 1 from
+    // its denominator. Hand algebra: n_a(9) = 1 ("b c d" only),
+    // n_b(1) = 2 − 1 = 1, n_shared(9,1) = 1 ("b c d") → jac = 1.0;
+    // (9,2) shares only the hot shingle → no row.
+    val corpus = Seq((1L, "a b c d"), (2L, "a b c e"))
+      .toDF("doc_id", "text")
+    val arriving = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    val index = Dedup.corpusShingleIndex(corpus, "doc_id", "text",
+      k = 3, maxDf = 2)
+    val out = Dedup.incrementalFlags(arriving, index, "doc_id", "text",
+        k = 3, threshold = 0.1, maxDf = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 9L, 1.0)))
+    // the q238 machinery agrees on the same one-doc batch
+    val viaQ238 = Dedup.incrementalJaccardPairs(index, arriving,
+        "doc_id", "text", k = 3, threshold = 0.1, maxDf = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == viaQ238)
+    // and the STREAMING counting path (sorted-runs + hot-correction
+    // scan) produces the same row on the same constructed case
+    val streamed = Dedup.incrementalFlags(
+        arriving.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_seconds(lit(0))),
+        index, "doc_id", "text", k = 3, threshold = 0.1, maxDf = 2,
+        streaming = true)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(streamed == out)
+  }
+
   test("minhashBandPairsFromIndex == minhashBandPairs (corpus pairs " +
     "derived from persisted state alone — no text rescan)") {
     val corpus = graft.engine.Tables.documents(spark, sf0001)

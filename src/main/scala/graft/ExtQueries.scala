@@ -1118,7 +1118,10 @@ object ExtQueries {
     // all-pairs build; q198 propagation and q204 clustering read it
     "q198_label_propagation", "q204_local_clustering",
     // cluster scratch again: q224 lift curve reads sharedClusters
-    "q224_lift_curve")
+    "q224_lift_curve",
+    // pair + cluster scratch: q246 retraction reads BOTH persisted
+    // tables (the honest takedown shape — state in, state out)
+    "q246_cluster_retract")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -3424,7 +3427,24 @@ object ExtQueries {
       threshold = 0.25, bits = 16, tables = 4)
   }
 
+  /** q246 — incremental cluster RETRACTION ([[Dedup.retractClusters]]):
+    * the deletion half of the cluster lifecycle (q55 builds, q243
+    * merges, this retracts — takedown/right-to-be-forgotten over a
+    * dedup corpus). Reads the persisted pair AND cluster scratch (q55's
+    * family — the honest state a pipeline holds); only components
+    * containing a deleted doc are re-clustered, from their surviving
+    * pair subgraph. Oracle = fresh connected components over the
+    * RETAINED pair set (the documented tombstone semantics: the pair
+    * table is the source of truth). */
+  private val q246: Q = (s, d) => {
+    val deleted = Tables.documents(s, d)
+      .filter(col("doc_id") % 7 === 2).select("doc_id")
+    Dedup.retractClusters(sharedClusters(s, d), sharedPairs(s, d),
+      deleted, "doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q246_cluster_retract" -> q246,
     "q245_incremental_embed" -> q245,
     "q244_streaming_flags" -> q244,
     "q243_cluster_upsert" -> q243,
@@ -6867,6 +6887,29 @@ object ExtQueries {
          |  round(tf * ln((m + 1.0) / (df + 1)), 6) AS w
          |FROM tf JOIN dfq USING (term_hash) CROSS JOIN m
          |ORDER BY doc_id, term_hash""".stripMargin,
+
+    // retained-pair reach clustering: the q55 oracle with deleted
+    // endpoints dropped from the edge set and deleted docs from the
+    // output — the engine side touches only affected components
+    "q246_cluster_retract" ->
+      s"""WITH RECURSIVE
+         |${pairCtes(cap = 100, threshold = 0.1)},
+         |live AS (SELECT id_a, id_b FROM pairs
+         |         WHERE id_a % 7 <> 2 AND id_b % 7 <> 2),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM live
+         |          UNION SELECT id_b, id_a FROM live),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT doc.doc_id,
+         |  CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id)) AS BIGINT)
+         |    AS cluster
+         |FROM documents doc
+         |LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |  ON m.s = doc.doc_id
+         |WHERE doc.doc_id % 7 <> 2
+         |ORDER BY doc.doc_id""".stripMargin,
 
     "q55_dup_clusters" ->
       s"""WITH RECURSIVE

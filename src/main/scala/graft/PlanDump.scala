@@ -255,7 +255,14 @@ object PlanDump {
           "deterministic keys ⇒ exact decomposition, the q242 argument " +
           "in vector space); native cosine verify map-side BEFORE the " +
           "pair-dedupe shuffle; corpus embeddings touched only through " +
-          "the index"))
+          "the index"),
+      "q246_cluster_retract" ->
+        ("cluster retraction (takedown): affected components found by " +
+          "one semi-join of the persisted cluster table against the " +
+          "deleted ids; only their surviving pair subgraph re-clusters " +
+          "(pointer jumping enters as a checkpoint scan); unaffected " +
+          "rows pass through an anti-join untouched — deletion cost " +
+          "scales with affected components, not the corpus"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

@@ -1162,6 +1162,63 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Incremental cluster RETRACTION — the deletion half of the cluster
+    * lifecycle ([[dupClusters]] builds, [[upsertClusters]] merges, this
+    * retracts): given the persisted cluster table, the persisted pair
+    * table, and a set of deleted doc ids (takedowns, right-to-be-
+    * forgotten, license revocations — a real obligation for a training
+    * corpus), return the cluster table over the retained docs equal to
+    * a fresh [[dupClusters]] over the retained pair subgraph.
+    *
+    * Deletion is structurally harder than merge: removing a doc can
+    * SPLIT its component (it may have been the only bridge), so labels
+    * cannot be patched algebraically. But the damage is CONTAINED: only
+    * components holding a deleted doc can change (an unaffected
+    * component keeps its members, hence its min-id label), and a pair
+    * can never cross components, so re-clustering the affected
+    * components' surviving pair subgraph — and nothing else — is
+    * exact. Cost: two label-keyed semi/anti joins over the cluster
+    * table against the ≤ |deleted|-cluster affected set (broadcast),
+    * plus pointer jumping over the affected subgraph only.
+    *
+    * CONTRACT: the persisted PAIR table is the source of truth — the
+    * output is the clustering of the RETAINED pairs. A deletion that
+    * cools a hot shingle back under the df-cap could create pairs that
+    * a from-scratch rerun over the shrunken corpus would newly emit;
+    * a capped index cannot recover those (hot posting lists were
+    * dropped), so this operator is deliberately the CONSERVATIVE
+    * direction every tombstone-based production dedup takes: it never
+    * fabricates a merge, and the q246 oracle (fresh components over
+    * the retained pair set) pins exactly that semantics. */
+  def retractClusters(clusters: DataFrame, pairs: DataFrame,
+      deletedIds: DataFrame, idCol: String): DataFrame = {
+    val del = deletedIds.select(col(idCol).as("id"))
+      .localCheckpoint(eager = false) // consumed by affected + survivors
+    val cur = clusters.select(col(idCol).as("id"), col("cluster"))
+    // only components holding a deleted doc can change structure
+    val affected = cur.join(del, Seq("id"), "left_semi")
+      .select(col("cluster")).dropDuplicates("cluster")
+      .localCheckpoint(eager = false) // consumed by members + untouched
+    val survivors = cur.join(affected, Seq("cluster"), "left_semi")
+      .select(col("id"))
+      .join(del, Seq("id"), "left_anti")
+      .localCheckpoint(eager = false) // consumed by sub (×2) + relabel
+    // surviving pair subgraph of the affected components (pairs never
+    // cross components, so semi-joining both endpoints to affected
+    // survivors is exactly the subgraph that needs re-clustering)
+    val sub = pairs.select(col("id_a"), col("id_b"))
+      .join(survivors.withColumnRenamed("id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(survivors.withColumnRenamed("id", "id_b"), Seq("id_b"),
+        "left_semi")
+    val relabeled = dupClusters(sub,
+      survivors.select(col("id").as(idCol)), idCol)
+    val untouched = cur.join(affected, Seq("cluster"), "left_anti")
+      .select(col("id").as(idCol), col("cluster"))
+    untouched.unionByName(relabeled.select(col(idCol), col("cluster")))
+      .orderBy(idCol)
+  }
+
   /** Fingerprint width of [[simhash32]]: token hashes are polynomial hashes
     * mod 1e9+7 < 2^30, so only the low 30 bits carry entropy — iterating
     * bits 30/31 would produce constant-zero fingerprint bits, making any

@@ -293,6 +293,13 @@ class PlanSpec extends SparkSpec {
       full.contains("cosine"), full.take(4000))
   }
 
+  test("cluster retraction (q246): scratch-in, scratch-out — all joins " +
+    "equi (semi/anti on the label key), no cartesian/nested-loop") {
+    val p = plan(ExtQueries.all("q246_cluster_retract")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed join (q161): sort-merge join with NO exchange on the " +
     "join key — the bucketBy layout carries the partitioning") {
     val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)

@@ -655,6 +655,38 @@ class DedupSpec extends SparkSpec {
     assert(got == fresh)
   }
 
+  test("retractClusters: deleting a bridge doc SPLITS its component; " +
+    "a surviving clique relabels; untouched clusters stay put; equals " +
+    "fresh dupClusters over the retained pairs") {
+    // components: {1,2,3} via bridge 2 (label 1); {5,6,7} clique
+    // (label 5); {10,11} (label 10); singleton 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (5L, 7L), (6L, 7L),
+      (10L, 11L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L, 10L, 11L).toDF("id")
+    val clusters = Dedup.dupClusters(pairs, ids, "id")
+    // delete the bridge (2): 1 and 3 split to singletons; delete the
+    // clique's label doc (5): {6,7} survives via (6,7) and RELABELS to
+    // 6; delete the singleton 8; {10,11} is untouched
+    val deleted = Seq(2L, 5L, 8L).toDF("id")
+    val got = Dedup.retractClusters(clusters, pairs, deleted, "id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 3L -> 3L, 6L -> 6L, 7L -> 6L,
+      10L -> 10L, 11L -> 10L))
+    // the q246 oracle contract at corpus scale: fresh components over
+    // the retained pair subgraph and retained ids
+    val live = pairs.filter(!col("id_a").isin(2L, 5L, 8L) &&
+      !col("id_b").isin(2L, 5L, 8L))
+    val fresh = Dedup.dupClusters(live,
+        ids.join(deleted, Seq("id"), "left_anti"), "id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == fresh)
+    // invariant under repartitioning
+    val repart = Dedup.retractClusters(clusters.repartition(7),
+        pairs.repartition(5), deleted.repartition(3), "id")
+      .as[(Long, Long)].collect().toSeq
+    assert(repart == got)
+  }
+
   test("upsertClusters: empty delta is the identity (plus batch " +
     "singletons), and output is invariant under repartitioning") {
     val corpusPairs = Seq((1L, 3L)).toDF("id_a", "id_b")

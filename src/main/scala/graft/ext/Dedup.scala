@@ -632,9 +632,11 @@ object Dedup {
     * shared tail of [[minhashBandPairs]], [[minhashBandPairsFromIndex]]
     * and [[incrementalMinhashPairs]]: shared-shingle counts via two
     * posting joins + one hash-agg, then the Jaccard filter. Pairs with
-    * zero shared shingles never reach the output, so callers with
-    * threshold 0 must not rely on band-collision-only pairs (each
-    * caller `require`s threshold > 0). */
+    * zero shared shingles never reach the output — the incremental /
+    * from-index callers `require` threshold > 0 to make that contract
+    * explicit; for [[minhashBandPairs]] the behavior is unchanged from
+    * its pre-refactor form (zero-intersection band collisions never
+    * surfaced there either, the verify join being inner). */
   private def exactJaccardVerify(cands: DataFrame, post: DataFrame,
       sizes: DataFrame, threshold: Double): DataFrame = {
     val shared = cands
@@ -1177,9 +1179,11 @@ object Dedup {
     * component keeps its members, hence its min-id label), and a pair
     * can never cross components, so re-clustering the affected
     * components' surviving pair subgraph — and nothing else — is
-    * exact. Cost: two label-keyed semi/anti joins over the cluster
-    * table against the ≤ |deleted|-cluster affected set (broadcast),
-    * plus pointer jumping over the affected subgraph only.
+    * exact. Cost: one id-keyed semi-join of the cluster table against
+    * the deleted set, two label-keyed semi/anti joins against the
+    * ≤ |deleted|-cluster affected set (broadcast), two endpoint
+    * semi-joins pruning the pair table, plus pointer jumping over the
+    * affected subgraph only.
     *
     * CONTRACT: the persisted PAIR table is the source of truth — the
     * output is the clustering of the RETAINED pairs. A deletion that

@@ -3443,7 +3443,30 @@ object ExtQueries {
       deleted, "doc_id")
   }
 
+  /** q247 — shingle-index retraction ([[Dedup.retractShingleIndex]]):
+    * q240's inverse, completing the index lifecycle (build / upsert /
+    * retract) with the same deletion set as q246's cluster retraction.
+    * The ≤-cap half equals the fresh rebuild over retained docs; HOT
+    * rows decrement df but keep their NULL list even when cooled under
+    * the cap (members unrecoverable from capped state — the
+    * conservative tombstone asymmetry, which the oracle pins
+    * explicitly). */
+  private val q247: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val index = Dedup.corpusShingleIndex(docs, "doc_id", "text",
+      k = 3, maxDf = 100)
+    Dedup.retractShingleIndex(index,
+      docs.filter(col("doc_id") % 7 === 2), "doc_id", "text",
+      k = 3, maxDf = 100)
+      .select(col("sh"), col("df_c"),
+        when(col("cpids").isNotNull,
+          concat_ws(",", transform(col("cpids"), _.cast("string"))))
+          .as("pids_str"))
+      .orderBy("sh")
+  }
+
   val all: Map[String, Q] = Map(
+    "q247_index_retract" -> q247,
     "q246_cluster_retract" -> q246,
     "q245_incremental_embed" -> q245,
     "q244_streaming_flags" -> q244,
@@ -7194,6 +7217,35 @@ object ExtQueries {
 
     "q241_cdc_dedup" ->
       cdcDedupSql(window = 8, divisor = 64, maxDf = 100, threshold = 0.5),
+
+    // the retraction rule replayed over the full-corpus index: dfs
+    // decrement by each shingle's deleted-member count, <=cap lists
+    // drop deleted ids, zero-df rows vanish — and a HOT row's list
+    // stays NULL even if its df cools under the cap (the conservative
+    // tombstone asymmetry, pinned here: the CASE keys off the
+    // ORIGINAL df's list presence, not the decremented df)
+    "q247_index_retract" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs
+         |  FROM documents),
+         |post0 AS (SELECT doc_id, unnest(shs) AS h FROM sh),
+         |idx AS (
+         |  SELECT h AS s, CAST(count(*) AS BIGINT) AS df_c,
+         |    CASE WHEN count(*) <= 100
+         |      THEN list(doc_id ORDER BY doc_id)
+         |    END AS pids
+         |  FROM post0 GROUP BY h),
+         |dd AS (
+         |  SELECT h AS s, CAST(count(*) AS BIGINT) AS df_d
+         |  FROM post0 WHERE doc_id % 7 = 2 GROUP BY h)
+         |SELECT s AS sh,
+         |  CAST(idx.df_c - coalesce(dd.df_d, 0) AS BIGINT) AS df_c,
+         |  CASE WHEN pids IS NOT NULL THEN
+         |    array_to_string(list_filter(pids, p -> p % 7 <> 2), ',')
+         |  END AS pids_str
+         |FROM idx LEFT JOIN dd USING (s)
+         |WHERE idx.df_c - coalesce(dd.df_d, 0) >= 1
+         |ORDER BY sh""".stripMargin,
 
     "q240_index_upsert" ->
       s"""WITH sh AS (

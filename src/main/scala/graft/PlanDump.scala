@@ -262,7 +262,14 @@ object PlanDump {
           "deleted ids; only their surviving pair subgraph re-clusters " +
           "(pointer jumping enters as a checkpoint scan); unaffected " +
           "rows pass through an anti-join untouched — deletion cost " +
-          "scales with affected components, not the corpus"))
+          "scales with affected components, not the corpus"),
+      "q247_index_retract" ->
+        ("index retraction (q240's inverse): deleted postings group on " +
+          "one O(deleted) shuffle, ONE sh-keyed LEFT join against the " +
+          "index (zero-exchange SMJ when bucketed), map-side " +
+          "array_except list subtraction — retained corpus text never " +
+          "rescanned; hot rows keep NULL lists (conservative " +
+          "tombstone asymmetry, oracle-pinned)"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

@@ -447,6 +447,52 @@ object Dedup {
           .as("cpids"))
   }
 
+  /** Retract deleted documents from a persisted [[corpusShingleIndex]]
+    * — [[upsertShingleIndex]]'s inverse, completing the index
+    * lifecycle (build / upsert / retract). The takedown request
+    * carries the deleted docs (id + text — a deletion always knows
+    * what it deletes), so their postings recompute exactly: dfs
+    * decrement by each shingle's deleted-member count; ≤-cap posting
+    * lists drop the deleted ids; rows whose df reaches 0 vanish —
+    * for the ≤-cap half this IS the fresh rebuild over the retained
+    * corpus (DedupSpec equality).
+    *
+    * The honest asymmetry, stated not hidden: a HOT row (df > cap,
+    * list dropped at build time) keeps its NULL list even if the
+    * deletion cools its df back under the cap — the members are
+    * unrecoverable from capped state. Its df still decrements (so
+    * later upserts keep exact counts), but the shingle cannot
+    * re-enter the candidate universe: the CONSERVATIVE direction
+    * (pairs are never fabricated, some newly-eligible pairs are
+    * missed until the next full rebuild), the same trade every
+    * tombstone-based production index takes, and the q247 oracle pins
+    * exactly these semantics — including the never-cools-back rule.
+    * CONTRACT: `deletedDocs` ⊆ the corpus the index was built over
+    * (foreign deletions would corrupt dfs).
+    *
+    * Scale shape: one shuffle groups the deleted postings (O(deleted));
+    * one sh-keyed LEFT join against the index (zero-exchange SMJ when
+    * the index is bucketed by sh); the list subtraction is a map-side
+    * array_except bounded by the cap. Retained corpus text is never
+    * rescanned. */
+  def retractShingleIndex(index: DataFrame, deletedDocs: DataFrame,
+      idCol: String, textCol: String, k: Int, maxDf: Int): DataFrame = {
+    val dPost = postings(deletedDocs, idCol, textCol, k)
+      .groupBy("sh")
+      .agg(sort_array(collect_list(col("pid"))).as("dpids"))
+    index.join(dPost, Seq("sh"), "left")
+      .select(col("sh"),
+        (col("df_c") - coalesce(size(col("dpids")).cast("long"),
+          lit(0L))).as("df_c"),
+        when(col("cpids").isNotNull,
+          when(col("dpids").isNull, col("cpids"))
+            // per-shingle pids are distinct, so array_except is exact
+            // set subtraction and preserves the sorted order
+            .otherwise(array_except(col("cpids"), col("dpids"))))
+          .as("cpids"))
+      .filter(col("df_c") >= 1)
+  }
+
   /** Directional containment near-dup pairs:
     * C(A→B) = |A∩B| / |A| over distinct k-shingles — "how much of A is
     * inside B". The asymmetric counterpart of [[jaccardPairs]]: a short

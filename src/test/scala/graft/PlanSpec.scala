@@ -300,6 +300,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("index retraction (q247): ONE sh-keyed left join of deleted " +
+    "postings against the index, map-side list subtraction — no " +
+    "cartesian/nested-loop, and the documents scan reads only " +
+    "(doc_id, text)") {
+    val p = plan(ExtQueries.all("q247_index_retract")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("bucketed join (q161): sort-merge join with NO exchange on the " +
     "join key — the bucketBy layout carries the partitioning") {
     val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)

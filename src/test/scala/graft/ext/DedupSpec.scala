@@ -655,6 +655,42 @@ class DedupSpec extends SparkSpec {
     assert(got == fresh)
   }
 
+  test("retractShingleIndex: <=cap half equals the fresh rebuild over " +
+    "retained docs; a cooled HOT row keeps its NULL list (conservative " +
+    "asymmetry) with an exact df decrement") {
+    // maxDf = 2. "a b c" df=3 → HOT (null list); deleting doc 3 cools
+    // it to df=2 — AT the cap, but members are unrecoverable → list
+    // stays null. "p q r" df=2 (<=cap) loses doc 6 → list shrinks to
+    // [5]. Doc-3/6-only shingles vanish (df reaches 0).
+    val corpus = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f"),
+      (5L, "p q r s"), (6L, "p q r t")).toDF("doc_id", "text")
+    val index = Dedup.corpusShingleIndex(corpus, "doc_id", "text",
+      k = 3, maxDf = 2)
+    val deleted = corpus.filter(col("doc_id").isin(3L, 6L))
+    val ret = Dedup.retractShingleIndex(index, deleted, "doc_id",
+        "text", k = 3, maxDf = 2)
+      .as[(Long, Long, Option[Seq[Long]])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val fresh = Dedup.corpusShingleIndex(
+        corpus.filter(!col("doc_id").isin(3L, 6L)), "doc_id", "text",
+        k = 3, maxDf = 2)
+      .as[(Long, Long, Option[Seq[Long]])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // same shingle set, same dfs everywhere
+    assert(ret.keySet == fresh.keySet)
+    assert(ret.forall { case (sh, (df, _)) => fresh(sh)._1 == df })
+    // exactly ONE row differs — the cooled hot row: null in the
+    // retraction, [1, 2] in the fresh rebuild
+    val diffs = ret.filter { case (sh, v) => fresh(sh) != v }
+    assert(diffs.size == 1)
+    val (hotSh, (hotDf, hotList)) = diffs.head
+    assert(hotDf == 2L && hotList.isEmpty &&
+      fresh(hotSh)._2.contains(Seq(1L, 2L)))
+    // every <=cap (list-bearing) retracted row matches fresh exactly
+    assert(ret.collect { case (sh, (_, Some(l))) => sh -> l }
+      .forall { case (sh, l) => fresh(sh)._2.contains(l) })
+  }
+
   test("retractClusters: deleting a bridge doc SPLITS its component; " +
     "a surviving clique relabels; untouched clusters stay put; equals " +
     "fresh dupClusters over the retained pairs") {

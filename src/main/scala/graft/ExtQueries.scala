@@ -7154,10 +7154,11 @@ object ExtQueries {
     // cap-crossers (df_c = cap). Constants interpolated from the same
     // values the engine call passes (k via shinglesSql, cap, threshold).
     "q244_streaming_flags" -> {
+      val k = 3
       val cap = 100
       val threshold = 0.1
       s"""WITH sh AS (
-         |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs
+         |  SELECT doc_id, ${shinglesSql(toksSql, k)} AS shs
          |  FROM documents),
          |cpost AS (
          |  SELECT doc_id AS cp, unnest(shs) AS s

@@ -918,6 +918,7 @@ object ExtQueries {
     "q107_iqr_outliers" -> Seq("cdf_li_price"),
     "q146_mad_outliers" -> Seq("ev_valcounts"),
     "q147_dim_covariance" -> Seq("dimcov"),
+    "q161_bucketed_join" -> Seq("bucket_o", "bucket_c"),
     "q194_mutual_knn" -> Seq("mknn"),
     "q211_pq_codes" -> Seq("pqcodes", "pqbooks"),
     "q231_bpe_merges" -> Seq("bpemerges", "bpesegs"))
@@ -962,11 +963,49 @@ object ExtQueries {
     scratchFamilies.keys.foreach(resetSharedScratch)
   }
 
+  /** Undo one [[resetSharedScratch]] after a FAILED owner re-run
+    * (Bench's t2 < 0 path). Caller contract: the owner's FIRST pass
+    * succeeded (the re-run was triggered by a slow-but-successful
+    * sample), so the previous generation's dirs hold complete parquet
+    * for every kind in the family — decrementing the generations and
+    * re-memoizing those paths restores them as valid. Without the
+    * rollback the reset leaves the family pointed at a fresh UNBUILT
+    * generation: a later-stalling pure consumer in the family would
+    * then pay the full scratch rebuild as its "read" re-run sample,
+    * mis-attributing build cost to the consumer (round-9 advice). */
+  private[graft] def rollbackSharedScratch(owner: String, d: String)
+      : Unit = synchronized {
+    val kinds = scratchFamilies.getOrElse(owner,
+      throw new IllegalArgumentException(
+        s"no scratch family registered for owner $owner"))
+    kinds.foreach { k =>
+      scratchGens(k) = scratchGens(k) - 1
+      scratchDone += scratch(k, d)
+    }
+  }
+
   /** Test hook: the current scratch path for a kind — EntrySpec pins
     * the per-family reset's scoping (an owner reset moves only its own
     * family's paths; every other family's stays put). */
   private[graft] def scratchPathFor(kind: String, d: String): String =
     scratch(kind, d)
+
+  /** Test hook: whether a kind's CURRENT-generation path is memoized as
+    * built — EntrySpec pins that [[rollbackSharedScratch]] restores the
+    * memo (not just the generation), so a post-rollback consumer read
+    * skips the rebuild. */
+  private[graft] def scratchMemoized(kind: String, d: String): Boolean =
+    synchronized(scratchDone(scratch(kind, d)))
+
+  /** Current generation of a scratch kind — q161 folds it into its
+    * bucketed TABLE names so a Bench owner-reset actually forces the
+    * rebuild: its memo is catalog `tableExists`, not [[scratchDone]],
+    * and a name without the generation would still "exist" after the
+    * reset, leaving the re-run to time the cheap table read instead of
+    * the honest bucketed write (the dishonest-sample direction the
+    * reset machinery exists to prevent). */
+  private def scratchGenFor(kind: String): Int =
+    synchronized(scratchGens(kind))
 
   /** Shared near-dup scratch tables (pairs → clusters), computed ONCE per
     * JVM per dataset and persisted to parquet scratch; every downstream
@@ -1525,18 +1564,39 @@ object ExtQueries {
     * (measured: int8 keeps the top-5 set identical on this corpus;
     * the floor leaves one boundary swap of headroom). */
   private val q132: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 3)
-    def dq(frame: DataFrame): DataFrame = frame.select(col("vec_id"),
-      SimSearch.dequantizeInt8(
-        SimSearch.quantizeInt8(col("embedding"))).as("embedding"))
-    val approx = SimSearch.bruteForceTopK(dq(emb), dq(queries), k = 5)
-    SimSearch.bruteForceTopK(emb, queries, k = 5)
-      .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
-        Seq("q_id", "n_id"), "left")
+    // Round-10 plan bound (r9 verdict: twice-spiked driver samples, the
+    // suite's widest per-row double materialization). Dequantize ONCE
+    // per corpus row behind a localCheckpoint barrier — without it
+    // Catalyst collapses the projection through the 3-query broadcast
+    // join and re-evaluates the quantize→dequantize round-trip once per
+    // (row × query) — then score BOTH precisions in ONE corpus scan
+    // and rank them with two windows sharing a single q_id exchange
+    // (partitioning is preserved, so the second window adds a sort, not
+    // a shuffle). The old plan paid two broadcast joins, two exchanges,
+    // and a pair-keyed recall join on top.
+    val deq = emb.select(col("vec_id"), col("embedding"),
+        SimSearch.dequantizeInt8(
+          SimSearch.quantizeInt8(col("embedding"))).as("demb"))
+      .localCheckpoint(eager = true)
+    val q = deq.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("demb").as("q_demb"))
+    val scored = deq.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        SimSearch.cosine(col("q_emb"), col("embedding")).as("sim"),
+        SimSearch.cosine(col("q_demb"), col("demb")).as("sim_q"))
+    val wF = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val wQ = Window.partitionBy("q_id")
+      .orderBy(col("sim_q").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(wF))
+      .withColumn("rnk_q", row_number().over(wQ))
+      .filter(col("rnk") <= 5)
       .groupBy("q_id")
       .agg(count(lit(1)).as("k"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        sum(when(col("rnk_q") <= 5, 1L).otherwise(0L)).as("n_hit"))
       .select(col("q_id"), col("k"),
         (col("n_hit") >= 4).as("recall_ok"))
       .orderBy("q_id")
@@ -1947,9 +2007,17 @@ object ExtQueries {
     * downstream join is scan + merge. Tables materialize once per JVM
     * (external tables in parquet scratch, q55-style); merge hints keep
     * the demonstration an SMJ (broadcast would also be exchange-free but
-    * proves nothing about layout). */
+    * proves nothing about layout). Registered as its own scratch-owner
+    * family (bucket_o/bucket_c) with the generation folded into the
+    * TABLE names, so a Bench stall re-run re-times the honest bucketed
+    * writes, not a catalog cache hit. Round-10 adjudication note: the
+    * standalone median is ~3.0 s (metastore + two bucketed writes +
+    * SMJ) vs the 1.46 s round-9 in-suite anchor — the anchor, not the
+    * driver's 3.36 s, was the lucky sample; BASELINE.md records the
+    * median as the honest cost. */
   private val q161: Q = (s, d) => {
-    val sfx = new java.io.File(d).getName.replace(".", "_")
+    val sfx = new java.io.File(d).getName.replace(".", "_") +
+      "_g" + scratchGenFor("bucket_o")
     val (to, tc) = (s"g_orders_b_$sfx", s"g_customer_b_$sfx")
     synchronized {
       if (!s.catalog.tableExists(to)) {

@@ -468,7 +468,11 @@ object Dedup {
     * tombstone-based production index takes, and the q247 oracle pins
     * exactly these semantics — including the never-cools-back rule.
     * CONTRACT: `deletedDocs` ⊆ the corpus the index was built over
-    * (foreign deletions would corrupt dfs).
+    * (foreign deletions would corrupt dfs). Duplicate rows for the
+    * same id are tolerated: the request is deduped by id first, so a
+    * RE-DELIVERED takedown (retry queues deliver at-least-once) is a
+    * no-op rather than a double-decrement — the same idempotency
+    * [[upsertClusters]] gets from its anti-join (round-9 advice).
     *
     * Scale shape: one shuffle groups the deleted postings (O(deleted));
     * one sh-keyed LEFT join against the index (zero-exchange SMJ when
@@ -477,7 +481,12 @@ object Dedup {
     * rescanned. */
   def retractShingleIndex(index: DataFrame, deletedDocs: DataFrame,
       idCol: String, textCol: String, k: Int, maxDf: Int): DataFrame = {
-    val dPost = postings(deletedDocs, idCol, textCol, k)
+    // dedupe by id BEFORE postings: a re-delivered takedown row would
+    // otherwise double-count in dpids and double-decrement df_c (a row
+    // could be dropped by the df_c >= 1 filter while cpids still holds
+    // live members). O(deleted) — tiny next to the postings explode.
+    val dPost = postings(deletedDocs.dropDuplicates(idCol), idCol,
+        textCol, k)
       .groupBy("sh")
       .agg(sort_array(collect_list(col("pid"))).as("dpids"))
     index.join(dPost, Seq("sh"), "left")

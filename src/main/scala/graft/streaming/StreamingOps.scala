@@ -310,7 +310,19 @@ object StreamingOps {
     * (2024-01-01 UTC + doc_id seconds — the fixture has no timestamp
     * column) and watermarked at 0 s, so every doc's 1-second window
     * except the max-doc_id one is closed by end of stream and append
-    * mode emits it. */
+    * mode emits it.
+    *
+    * RETURN CONTRACT (round-9 advice — state the withheld tail): with
+    * watermark 0 s + `Trigger.AvailableNow` + append mode, the
+    * MAX-event-time doc's window never closes — the watermark only
+    * advances past it when LATER data arrives, and a drained finite
+    * backlog has none. So for windowed transforms the returned sink is
+    * complete for every doc except the max-doc_id one, whose output is
+    * withheld until a later run's data advances the watermark (exactly
+    * how a production stream would release it). Callers comparing
+    * against a batch twin must exclude that doc (StreamingSpec filters
+    * to doc_id < max − 1); this is inherent to append-mode draining,
+    * not a property of any one transform. */
   def runStreamingDocs(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, queryName: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the relative stall-threshold machinery (round-8 fix): the
   * committed bench_full.json is the per-query anchor source, and the
-  * re-run trigger is max(1 s, 3× anchor) with a 4 s fallback. This
+  * re-run trigger is max(1 s, 2× anchor) with a 4 s fallback. This
   * exact logic adjudicates which driver-run samples get a second look —
   * rounds 6 AND 7 lost cycles to sub-threshold stall orphans, so the
   * parser and the formula are spec-pinned, not trusted. */
@@ -32,15 +32,16 @@ class BenchSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/nonexistent/bench_full.json")).isEmpty)
   }
 
-  test("rerunThreshold: 3x anchor with a 1s floor, full-name and " +
+  test("rerunThreshold: 2x anchor with a 1s floor, full-name and " +
     "short-key lookup, 4s fallback when unanchored") {
     val a = Map("q01" -> 1.234, "q105" -> 0.2,
       "q238_incremental_dedup" -> 1.716)
-    // short-key anchor via the name's qNN prefix
+    // short-key anchor via the name's qNN prefix. 2x, not 3x, since
+    // round 10: the 2-3x band was the weak-mark blind spot (r9 verdict)
     assert(Bench.rerunThreshold("q01_flagship_category_topk", a)
-      == 3 * 1.234)
+      == 2 * 1.234)
     // full-name anchor wins when the file carries full names
-    assert(Bench.rerunThreshold("q238_incremental_dedup", a) == 3 * 1.716)
+    assert(Bench.rerunThreshold("q238_incremental_dedup", a) == 2 * 1.716)
     // the 1s floor: a 0.2s query must not re-run at 0.7s
     assert(Bench.rerunThreshold("q105_sessionize", a) == 1.0)
     // no anchor (new query this round) -> absolute fallback

@@ -59,4 +59,23 @@ class EntrySpec extends SparkSpec {
     assert(rows("q146_mad_outliers") == evBefore)
     assert(rows("q107_iqr_outliers") == cdfBefore)
   }
+
+  test("rollbackSharedScratch: a failed owner re-run restores the " +
+    "previous generation's path AND memo, so a consumer reads instead " +
+    "of rebuilding (round-9 advice)") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect().toSeq
+    // build q146's family, then simulate Bench's owner-rerun-failed
+    // sequence: reset (fresh unbuilt generation) then rollback
+    val evBefore = rows("q146_mad_outliers")
+    val builtPath = ExtQueries.scratchPathFor("ev_valcounts", sf0001)
+    assert(ExtQueries.scratchMemoized("ev_valcounts", sf0001))
+    ExtQueries.resetSharedScratch("q146_mad_outliers")
+    assert(!ExtQueries.scratchMemoized("ev_valcounts", sf0001))
+    ExtQueries.rollbackSharedScratch("q146_mad_outliers", sf0001)
+    // back on the built generation, memo restored -> no rebuild
+    assert(ExtQueries.scratchPathFor("ev_valcounts", sf0001) == builtPath)
+    assert(ExtQueries.scratchMemoized("ev_valcounts", sf0001))
+    assert(rows("q146_mad_outliers") == evBefore)
+  }
 }

@@ -310,6 +310,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("quantized-ANN recall (q132): ONE corpus scan scores both " +
+    "precisions — a single q_id exchange feeds both ranking windows " +
+    "and the recall aggregate (round-10 plan bound)") {
+    val df = ExtQueries.all("q132_quantized_ann")(spark, sf0001)
+    df.collect()
+    // count in the FINAL plan only — the adaptive plan's toString
+    // repeats the tree under "== Initial Plan ==" after execution
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the broadcast of 3 query rows fans out a non-equi join (BNLJ is
+    // the expected shape there); everything downstream — both windows
+    // and the groupBy — rides ONE q_id hash exchange
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed join (q161): sort-merge join with NO exchange on the " +
     "join key — the bucketBy layout carries the partitioning") {
     val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)

@@ -689,6 +689,15 @@ class DedupSpec extends SparkSpec {
     // every <=cap (list-bearing) retracted row matches fresh exactly
     assert(ret.collect { case (sh, (_, Some(l))) => sh -> l }
       .forall { case (sh, l) => fresh(sh)._2.contains(l) })
+    // IDEMPOTENCY under at-least-once delivery (round-9 advice): the
+    // same takedown with every row re-delivered twice must produce the
+    // identical index — no double-decremented dfs, no rows dropped by
+    // the df>=1 filter while their lists still hold live members
+    val redelivered = Dedup.retractShingleIndex(index,
+        deleted.unionByName(deleted), "doc_id", "text", k = 3, maxDf = 2)
+      .as[(Long, Long, Option[Seq[Long]])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(redelivered == ret)
   }
 
   test("retractClusters: deleting a bridge doc SPLITS its component; " +

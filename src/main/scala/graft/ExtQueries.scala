@@ -920,6 +920,8 @@ object ExtQueries {
     "q147_dim_covariance" -> Seq("dimcov"),
     "q161_bucketed_join" -> Seq("bucket_o", "bucket_c"),
     "q194_mutual_knn" -> Seq("mknn"),
+    "q242_incremental_lsh" ->
+      Seq("lshband", "lshpost", "lshsizes", "lshclusters"),
     "q211_pq_codes" -> Seq("pqcodes", "pqbooks"),
     "q231_bpe_merges" -> Seq("bpemerges", "bpesegs"))
 
@@ -1114,6 +1116,43 @@ object ExtQueries {
     (s.read.parquet(cp), s.read.parquet(bp))
   }
 
+  /** Shared corpus LSH recrawl state — the four tables a banding-path
+    * recrawl pipeline PERSISTS once per crawl cycle (r9 verdict item 3):
+    * band-key index (bk → sorted corpus pids), shingle postings,
+    * set sizes, and the corpus CLUSTER table derived from the index
+    * alone ([[Dedup.minhashBandPairsFromIndex]] — corpus text is
+    * scanned exactly once, for the postings). q242 (owner, first in
+    * qNN order) pays the build; q242's incremental pairs and q243's
+    * cluster upsert then read parquet — so q243's bench number finally
+    * measures the honest INCREMENTAL step (contract + relabel), not a
+    * full corpus state build per query (the r9 verdict's
+    * measurement-fidelity note). The cluster build reads the
+    * just-written index parquet back rather than reusing lineage, so
+    * its cost is the honest state-only derivation. All columns are
+    * longs / long arrays — exact parquet round-trip, hashes unmoved. */
+  private def sharedLshState(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = synchronized {
+    val bp = scratch("lshband", d); val pp = scratch("lshpost", d)
+    val zp = scratch("lshsizes", d); val cp = scratch("lshclusters", d)
+    if (!scratchDone(bp)) {
+      val corpus = Tables.documents(s, d)
+        .filter(col("doc_id") % 5 =!= 3)
+      val (bandIndex, post, sizes) = Dedup.corpusLshIndex(corpus,
+        "doc_id", "text", k = 3, numHashes = 12, rowsPerBand = 3)
+      bandIndex.write.mode("overwrite").parquet(bp)
+      post.write.mode("overwrite").parquet(pp)
+      sizes.write.mode("overwrite").parquet(zp)
+      Dedup.dupClusters(
+          Dedup.minhashBandPairsFromIndex(s.read.parquet(bp),
+            s.read.parquet(pp), s.read.parquet(zp), threshold = 0.05),
+          corpus.select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(cp)
+      scratchDone += bp
+    }
+    (s.read.parquet(bp), s.read.parquet(pp), s.read.parquet(zp),
+      s.read.parquet(cp))
+  }
+
   /** The queries that OWN a shared scratch — first in qNN order among
     * their family, they pay the build. Bench's stall re-run treats them
     * specially: a plain re-run would time the cheap parquet read of the
@@ -1160,7 +1199,11 @@ object ExtQueries {
     "q224_lift_curve",
     // pair + cluster scratch: q246 retraction reads BOTH persisted
     // tables (the honest takedown shape — state in, state out)
-    "q246_cluster_retract")
+    "q246_cluster_retract",
+    // corpus LSH recrawl state (sharedLshState): q242 owns the index +
+    // cluster-table build; q242's incremental pairs and q243's cluster
+    // upsert read parquet — the honest incremental costs
+    "q242_incremental_lsh", "q243_cluster_upsert")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -3411,14 +3454,15 @@ object ExtQueries {
     * is EXACT with no correction algebra, because band keys are
     * per-doc-deterministic (nothing in the corpus scratch shifts when
     * a batch arrives). Same parameters as q32; the oracle is q32's
-    * full-recompute SQL filtered to batch-incident pairs. */
+    * full-recompute SQL filtered to batch-incident pairs. OWNER of the
+    * [[sharedLshState]] family (round 10): pays the once-per-crawl
+    * state build; the incremental query itself runs off the persisted
+    * parquet, the production shape. */
   private val q242: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val (bandIndex, post, sizes) = Dedup.corpusLshIndex(
-      docs.filter(col("doc_id") % 5 =!= 3), "doc_id", "text",
-      k = 3, numHashes = 12, rowsPerBand = 3)
+    val (bandIndex, post, sizes, _) = sharedLshState(s, d)
     Dedup.incrementalMinhashPairs(bandIndex, post, sizes,
-      docs.filter(col("doc_id") % 5 === 3), "doc_id", "text",
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 3),
+      "doc_id", "text",
       k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.05)
   }
 
@@ -3433,24 +3477,15 @@ object ExtQueries {
     * pair decomposition is exact with no cap algebra (per-doc
     * deterministic band keys), so cluster upsert == full recompute is
     * provable — and IS the oracle (fresh connected components over the
-    * full-corpus pair set, the q240 pattern). */
+    * full-corpus pair set, the q240 pattern). Reads the
+    * [[sharedLshState]] family (q242 owner) since round 10, so this
+    * bench number is the honest incremental step — batch pairs +
+    * contracted-label pointer jumping + ONE relabel join — not a
+    * per-query rebuild of the persisted corpus state (the r9 verdict's
+    * measurement-fidelity note). */
   private val q243: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val corpus = docs.filter(col("doc_id") % 5 =!= 3)
-    val batch = docs.filter(col("doc_id") % 5 === 3)
-    // ONE corpus text scan total: the index is the only thing built
-    // from text; corpus pairs — and from them the persisted cluster
-    // table — derive from the index alone (minhashBandPairsFromIndex).
-    // bandIndex/sizes checkpoint lazily: both feed the corpus-pair path
-    // AND the incremental batch path below.
-    val (bandIndex0, post, sizes0) = Dedup.corpusLshIndex(corpus,
-      "doc_id", "text", k = 3, numHashes = 12, rowsPerBand = 3)
-    val bandIndex = bandIndex0.localCheckpoint(eager = false)
-    val sizes = sizes0.localCheckpoint(eager = false)
-    val corpusClusters = Dedup.dupClusters(
-      Dedup.minhashBandPairsFromIndex(bandIndex, post, sizes,
-        threshold = 0.05),
-      corpus.select("doc_id"), "doc_id")
+    val (bandIndex, post, sizes, corpusClusters) = sharedLshState(s, d)
+    val batch = Tables.documents(s, d).filter(col("doc_id") % 5 === 3)
     val newPairs = Dedup.incrementalMinhashPairs(bandIndex, post, sizes,
       batch, "doc_id", "text", k = 3, numHashes = 12, rowsPerBand = 3,
       threshold = 0.05)

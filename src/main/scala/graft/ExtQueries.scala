@@ -923,7 +923,8 @@ object ExtQueries {
     "q242_incremental_lsh" ->
       Seq("lshband", "lshpost", "lshsizes", "lshclusters"),
     "q211_pq_codes" -> Seq("pqcodes", "pqbooks"),
-    "q231_bpe_merges" -> Seq("bpemerges", "bpesegs"))
+    "q231_bpe_merges" -> Seq("bpemerges", "bpesegs"),
+    "q238_incremental_dedup" -> Seq("exidx", "expairs", "exclusters"))
 
   /** Per-kind scratch generation, folded into every [[scratch]] path.
     * Bench's stall re-run of a shared-scratch OWNER bumps the owner's
@@ -1153,6 +1154,38 @@ object ExtQueries {
       s.read.parquet(cp))
   }
 
+  /** Shared EXACT-path corpus recrawl state — the sibling of
+    * [[sharedLshState]] on the df-capped shingle-index path: corpus
+    * shingle index ([[Dedup.corpusShingleIndex]]), corpus pair table,
+    * and corpus cluster table over the docs with doc_id % 5 ≠ 3 (the
+    * recrawl fixture split). q238 (owner, first in qNN order) pays the
+    * once-per-crawl build; q238's incremental pairs, q240's index
+    * upsert, q244's ingestion flags and q248's full lifecycle read the
+    * persisted parquet — before round 10 all four rebuilt the same
+    * index inline. Longs / long arrays only — exact parquet
+    * round-trip, hashes unmoved. */
+  private def sharedExactState(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = synchronized {
+    val ip = scratch("exidx", d); val pp = scratch("expairs", d)
+    val cp = scratch("exclusters", d)
+    if (!scratchDone(ip)) {
+      val corpus = Tables.documents(s, d)
+        .filter(col("doc_id") % 5 =!= 3)
+      Dedup.corpusShingleIndex(corpus, "doc_id", "text",
+          k = 3, maxDf = 100)
+        .write.mode("overwrite").parquet(ip)
+      Dedup.jaccardPairs(corpus, "doc_id", "text",
+          k = 3, threshold = 0.1, maxDf = 100)
+        .select(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet(pp)
+      Dedup.dupClusters(s.read.parquet(pp), corpus.select("doc_id"),
+          "doc_id")
+        .write.mode("overwrite").parquet(cp)
+      scratchDone += ip
+    }
+    (s.read.parquet(ip), s.read.parquet(pp), s.read.parquet(cp))
+  }
+
   /** The queries that OWN a shared scratch — first in qNN order among
     * their family, they pay the build. Bench's stall re-run treats them
     * specially: a plain re-run would time the cheap parquet read of the
@@ -1203,7 +1236,12 @@ object ExtQueries {
     // corpus LSH recrawl state (sharedLshState): q242 owns the index +
     // cluster-table build; q242's incremental pairs and q243's cluster
     // upsert read parquet — the honest incremental costs
-    "q242_incremental_lsh", "q243_cluster_upsert")
+    "q242_incremental_lsh", "q243_cluster_upsert",
+    // exact-path corpus recrawl state (sharedExactState): q238 owns
+    // the index + pair + cluster build; q240 upsert, q244 flags and
+    // q248 lifecycle read parquet
+    "q238_incremental_dedup", "q240_index_upsert",
+    "q244_streaming_flags", "q248_lifecycle")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -3387,15 +3425,15 @@ object ExtQueries {
     * WITHOUT re-scanning corpus text or corpus-corpus pairs. Same
     * parameters as q31 (k=3, jac ≥ 0.1, maxDf=100), so the oracle IS
     * q31's full-recompute pair CTE filtered to batch-incident pairs —
-    * the strongest form of the incremental-equals-full assertion. */
+    * the strongest form of the incremental-equals-full assertion.
+    * OWNER of the [[sharedExactState]] family (round 10): pays the
+    * once-per-crawl state build; the incremental query itself runs off
+    * the persisted parquet, the production shape. */
   private val q238: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val index = Dedup.corpusShingleIndex(
-      docs.filter(col("doc_id") % 5 =!= 3), "doc_id", "text",
-      k = 3, maxDf = 100)
+    val (index, _, _) = sharedExactState(s, d)
     Dedup.incrementalJaccardPairs(index,
-      docs.filter(col("doc_id") % 5 === 3), "doc_id", "text",
-      k = 3, threshold = 0.1, maxDf = 100)
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 3),
+      "doc_id", "text", k = 3, threshold = 0.1, maxDf = 100)
   }
 
   /** q239 — exact fuzzy join at d ≤ 2 ([[Dedup.editDistancePairs]]
@@ -3419,12 +3457,10 @@ object ExtQueries {
     * strings so the hash compare is representation-independent. The
     * oracle IS the fresh rebuild. */
   private val q240: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val index = Dedup.corpusShingleIndex(
-      docs.filter(col("doc_id") % 5 =!= 3), "doc_id", "text",
-      k = 3, maxDf = 100)
+    val (index, _, _) = sharedExactState(s, d)
     Dedup.upsertShingleIndex(index,
-      docs.filter(col("doc_id") % 5 === 3), "doc_id", "text",
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 3),
+      "doc_id", "text",
       k = 3, maxDf = 100)
       .select(col("sh"), col("df_c"),
         when(col("cpids").isNotNull,
@@ -3503,12 +3539,9 @@ object ExtQueries {
     * StreamingSpec stream == batch == per-doc q238). Oracle replays
     * the per-doc algebra relationally in DuckDB. */
   private val q244: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val index = Dedup.corpusShingleIndex(
-      docs.filter(col("doc_id") % 5 =!= 3), "doc_id", "text",
-      k = 3, maxDf = 100)
+    val (index, _, _) = sharedExactState(s, d)
     Dedup.incrementalFlags(index = index,
-      docs = docs.filter(col("doc_id") % 5 === 3),
+      docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 3),
       idCol = "doc_id", textCol = "text",
       k = 3, threshold = 0.1, maxDf = 100)
   }
@@ -3568,7 +3601,73 @@ object ExtQueries {
       .orderBy("sh")
   }
 
+  /** q248 — END-TO-END incremental-curation lifecycle (the q88 of the
+    * state machinery, r9 verdict item 4): every individually-proven
+    * stage CHAINED over one fixture, so the STATE HANDOFF between
+    * stages — not just each stage — is oracle-checked.
+    *
+    * Pipeline (exact shingle path, q238 parameters):
+    *   1. persisted corpus state: [[Dedup.corpusShingleIndex]] +
+    *      corpus pairs ([[Dedup.jaccardPairs]]) + cluster table
+    *      ([[Dedup.dupClusters]]) over docs with doc_id % 5 ≠ 3;
+    *   2. recrawl batch (doc_id % 5 = 3) arrives:
+    *      [[Dedup.incrementalJaccardPairs]] against the index (q238),
+    *      [[Dedup.upsertShingleIndex]] folds the index forward (q240),
+    *      [[Dedup.upsertClusters]] folds the cluster table (q243);
+    *      the persisted pair table becomes corpus ∪ incident pairs —
+    *      the tombstone pair-table-as-truth a production pipeline
+    *      carries (corpus-corpus pairs are NOT re-derived under the
+    *      union df-cap; that is the q246-pinned semantics);
+    *   3. takedown set (doc_id % 7 = 2, spanning corpus AND batch
+    *      docs): [[Dedup.retractShingleIndex]] (q247) +
+    *      [[Dedup.retractClusters]] (q246);
+    *   4. survivor report: per retained doc — source, final cluster,
+    *      and n_live_sh (its postings surviving in the retracted
+    *      index's ≤-cap lists), so the output hash covers BOTH final
+    *      state tables (cluster AND index); a wrong handoff at any
+    *      stage moves it.
+    *
+    * ONE oracle replays the whole pipeline in DuckDB: corpus-universe
+    * pairs ∪ batch-incident union-universe pairs → retained-edge reach
+    * clustering; union index → retraction rule → per-doc live counts.
+    * Stage 1 reads the [[sharedExactState]] family (q238 owner) — the
+    * persisted state IS the production starting point, and the
+    * integration under test is the chained delta on top of it. */
+  private val q248: Q = (s, d) => {
+    val k = 3; val cap = 100; val thr = 0.1
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 5 === 3)
+    // stage 1 — persisted corpus state (index + pairs + clusters)
+    val (index0, pairs0, clusters0) = sharedExactState(s, d)
+    // stage 2 — recrawl batch folds forward
+    val newPairs = Dedup.incrementalJaccardPairs(index0, batch,
+        "doc_id", "text", k, thr, cap)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = false) // consumed by clusters1 + pairs1
+    val index1 = Dedup.upsertShingleIndex(index0, batch, "doc_id",
+      "text", k, cap)
+    val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
+      batch.select("doc_id"), "doc_id")
+    val pairs1 = pairs0.unionByName(newPairs)
+    // stage 3 — takedown
+    val deleted = docs.filter(col("doc_id") % 7 === 2)
+    val index2 = Dedup.retractShingleIndex(index1, deleted, "doc_id",
+      "text", k, cap)
+    val clusters2 = Dedup.retractClusters(clusters1, pairs1,
+      deleted.select("doc_id"), "doc_id")
+    // stage 4 — survivor report over BOTH final state tables
+    val nLive = index2.select(explode(col("cpids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_live_sh"))
+    clusters2
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .join(nLive, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("cluster"),
+        coalesce(col("n_live_sh"), lit(0L)).as("n_live_sh"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q248_lifecycle" -> q248,
     "q247_index_retract" -> q247,
     "q246_cluster_retract" -> q246,
     "q245_incremental_embed" -> q245,
@@ -3949,29 +4048,38 @@ object ExtQueries {
   /** df-capped shingle candidate CTEs through `sizes` + `shared` — the
     * SQL twin of `Dedup.shingleCandidates`, shared by the q31-family
     * Jaccard oracles ([[pairCtes]]) and the q138 containment oracle. */
-  private def candCtes(cap: Int, from: String = "documents"): String =
-    s"""sh AS (
+  /** `pre` prefixes every CTE name so two instantiations (e.g. the
+    * q248 lifecycle oracle's corpus-universe and union-universe pair
+    * sets) can coexist in one WITH chain; "" keeps the historical
+    * names for all existing single-instance oracles. */
+  private def candCtes(cap: Int, from: String = "documents",
+      pre: String = ""): String =
+    s"""${pre}sh AS (
        |  SELECT doc_id, ${shinglesSql(toksSql, 3)} AS shs FROM $from),
-       |post0 AS (SELECT doc_id, unnest(shs) AS h FROM sh),
-       |keep AS (SELECT h FROM post0 GROUP BY h HAVING count(*) <= $cap),
-       |post AS (SELECT p.doc_id, p.h FROM post0 p JOIN keep USING (h)),
-       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
-       |          FROM post GROUP BY 1),
-       |shared AS (
+       |${pre}post0 AS (SELECT doc_id, unnest(shs) AS h FROM ${pre}sh),
+       |${pre}keep AS (SELECT h FROM ${pre}post0 GROUP BY h
+       |               HAVING count(*) <= $cap),
+       |${pre}post AS (SELECT p.doc_id, p.h
+       |               FROM ${pre}post0 p JOIN ${pre}keep USING (h)),
+       |${pre}sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+       |          FROM ${pre}post GROUP BY 1),
+       |${pre}shared AS (
        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
        |         CAST(count(*) AS BIGINT) AS n_shared
-       |  FROM post x JOIN post y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  FROM ${pre}post x JOIN ${pre}post y
+       |    ON x.h = y.h AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2)""".stripMargin
 
   private def pairCtes(cap: Int, threshold: Double,
-      from: String = "documents"): String =
-    s"""${candCtes(cap, from)},
-       |scored AS (
+      from: String = "documents", pre: String = ""): String =
+    s"""${candCtes(cap, from, pre)},
+       |${pre}scored AS (
        |  SELECT id_a, id_b,
        |    CAST(n_shared AS DOUBLE) / (a.n_sh + b.n_sh - n_shared) AS jac
-       |  FROM shared JOIN sizes a ON a.doc_id = id_a
-       |              JOIN sizes b ON b.doc_id = id_b),
-       |pairs AS (SELECT id_a, id_b, jac FROM scored WHERE jac >= $threshold)""".stripMargin
+       |  FROM ${pre}shared JOIN ${pre}sizes a ON a.doc_id = id_a
+       |              JOIN ${pre}sizes b ON b.doc_id = id_b),
+       |${pre}pairs AS (SELECT id_a, id_b, jac FROM ${pre}scored
+       |                WHERE jac >= $threshold)""".stripMargin
 
   /** Unrolled per-iteration CTEs for the q126 directed-PageRank oracle:
     * round i derives dm_i (dangling mass — 12-dp decimal sum of ranks
@@ -7013,6 +7121,60 @@ object ExtQueries {
          |  round(tf * ln((m + 1.0) / (df + 1)), 6) AS w
          |FROM tf JOIN dfq USING (term_hash) CROSS JOIN m
          |ORDER BY doc_id, term_hash""".stripMargin,
+
+    // the whole lifecycle replayed flat: persisted pair table =
+    // corpus-universe pairs (c_ chain) UNION batch-incident pairs under
+    // the union-universe df-cap (u_ chain, the q238 algebra) — NOT a
+    // fresh union-universe recompute of corpus-corpus pairs, which is
+    // exactly the pair-table-as-truth tombstone semantics q246 pins;
+    // clustering runs over the retained edges; the final index is the
+    // union rebuild (q240 equality) put through the q247 retraction
+    // rule, and per-doc live-posting counts come from its <=cap lists
+    "q248_lifecycle" ->
+      s"""WITH RECURSIVE
+         |${pairCtes(cap = 100, threshold = 0.1,
+            from = "(SELECT * FROM documents WHERE doc_id % 5 <> 3)",
+            pre = "c_")},
+         |${pairCtes(cap = 100, threshold = 0.1, pre = "u_")},
+         |persisted AS (
+         |  SELECT id_a, id_b FROM c_pairs
+         |  UNION
+         |  SELECT id_a, id_b FROM u_pairs
+         |  WHERE id_a % 5 = 3 OR id_b % 5 = 3),
+         |live AS (SELECT id_a, id_b FROM persisted
+         |         WHERE id_a % 7 <> 2 AND id_b % 7 <> 2),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM live
+         |          UNION SELECT id_b, id_a FROM live),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |fidx AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df_c,
+         |    CASE WHEN count(*) <= 100
+         |      THEN list(doc_id ORDER BY doc_id)
+         |    END AS pids
+         |  FROM u_post0 GROUP BY h),
+         |fdd AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df_d
+         |  FROM u_post0 WHERE doc_id % 7 = 2 GROUP BY h),
+         |flive AS (
+         |  SELECT unnest(list_filter(pids, x -> x % 7 <> 2)) AS doc_id
+         |  FROM fidx LEFT JOIN fdd USING (h)
+         |  WHERE pids IS NOT NULL
+         |    AND fidx.df_c - coalesce(fdd.df_d, 0) >= 1),
+         |nlive AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_live_sh
+         |          FROM flive GROUP BY 1)
+         |SELECT doc.doc_id, doc.source,
+         |  CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id)) AS BIGINT)
+         |    AS cluster,
+         |  CAST(COALESCE(n.n_live_sh, 0) AS BIGINT) AS n_live_sh
+         |FROM documents doc
+         |LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |  ON m.s = doc.doc_id
+         |LEFT JOIN nlive n ON n.doc_id = doc.doc_id
+         |WHERE doc.doc_id % 7 <> 2
+         |ORDER BY doc.doc_id""".stripMargin,
 
     // retained-pair reach clustering: the q55 oracle with deleted
     // endpoints dropped from the edge set and deleted docs from the

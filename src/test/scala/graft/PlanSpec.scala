@@ -327,6 +327,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("lifecycle integration (q248): the chained plan stays all-equi " +
+    "— no cartesian/nested-loop anywhere in the five-stage composition") {
+    val p = plan(ExtQueries.all("q248_lifecycle")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed join (q161): sort-merge join with NO exchange on the " +
     "join key — the bucketBy layout carries the partitioning") {
     val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)

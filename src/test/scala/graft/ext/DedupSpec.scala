@@ -700,6 +700,57 @@ class DedupSpec extends SparkSpec {
     assert(redelivered == ret)
   }
 
+  test("lifecycle chaining (q248 shape): the SAME doc added by " +
+    "upsert/incremental-pairs/cluster-upsert then retracted leaves " +
+    "both state tables where they started — index round-trips exactly " +
+    "(no cap crossing) and clusters return to the pre-upsert table " +
+    "== fresh components over the retained pairs") {
+    val k = 3; val cap = 10; val thr = 0.2
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c d f"),
+      (4L, "p q r s t"), (5L, "p q r s u")).toDF("doc_id", "text")
+    // doc 9 bridges BOTH corpus clusters ({1,2} and {4,5})
+    val batch = Seq((9L, "a b c d p q r s")).toDF("doc_id", "text")
+    def indexRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Option[Seq[Long]])].collect().toSet
+    def clusterRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSeq
+    val index0 = Dedup.corpusShingleIndex(corpus, "doc_id", "text",
+      k, cap)
+    val pairs0 = Dedup.jaccardPairs(corpus, "doc_id", "text", k, thr,
+      cap).select("id_a", "id_b")
+    val clusters0 = Dedup.dupClusters(pairs0,
+      corpus.select("doc_id"), "doc_id")
+    assert(clusterRows(clusters0) ==
+      Seq(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+    // fold the batch forward
+    val newPairs = Dedup.incrementalJaccardPairs(index0, batch,
+      "doc_id", "text", k, thr, cap).select("id_a", "id_b")
+    assert(newPairs.as[(Long, Long)].collect().toSet ==
+      Set(1L -> 9L, 2L -> 9L, 4L -> 9L, 5L -> 9L))
+    val index1 = Dedup.upsertShingleIndex(index0, batch, "doc_id",
+      "text", k, cap)
+    val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
+      batch.select("doc_id"), "doc_id")
+    // the bridge doc merges everything
+    assert(clusterRows(clusters1) ==
+      Seq(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 1L, 9L -> 1L))
+    // retract the very doc just added
+    val deleted = batch
+    val index2 = Dedup.retractShingleIndex(index1, deleted, "doc_id",
+      "text", k, cap)
+    val clusters2 = Dedup.retractClusters(clusters1,
+      pairs0.unionByName(newPairs), deleted.select("doc_id"), "doc_id")
+    // index round-trips exactly (no df crossed the cap on the way up)
+    assert(indexRows(index2) == indexRows(index0))
+    // clusters return to the pre-upsert table, and both equal the
+    // fresh recompute over the retained pair subgraph
+    assert(clusterRows(clusters2) == clusterRows(clusters0))
+    val retained = pairs0.unionByName(newPairs)
+      .filter(col("id_a") =!= 9L && col("id_b") =!= 9L)
+    assert(clusterRows(clusters2) == clusterRows(
+      Dedup.dupClusters(retained, corpus.select("doc_id"), "doc_id")))
+  }
+
   test("retractClusters: deleting a bridge doc SPLITS its component; " +
     "a surviving clique relabels; untouched clusters stay put; equals " +
     "fresh dupClusters over the retained pairs") {

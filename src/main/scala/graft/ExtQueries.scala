@@ -1241,7 +1241,7 @@ object ExtQueries {
     // the index + pair + cluster build; q240 upsert, q244 flags and
     // q248 lifecycle read parquet
     "q238_incremental_dedup", "q240_index_upsert",
-    "q244_streaming_flags", "q248_lifecycle")
+    "q244_streaming_flags", "q248_lifecycle", "q249_stream_assign")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -3666,7 +3666,29 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** q249 — ingestion-time CLUSTER ASSIGNMENT, batch twin
+    * ([[Dedup.assignClusters]]): q244's flags composed with the
+    * persisted cluster table — each arriving doc (doc_id % 5 = 3) gets
+    * `least(own id, min matched corpus cluster)` from its qualifying
+    * per-doc pairs (df_b = 1 algebra), or its own id when clean: the
+    * operational "is this a dup of cluster X" signal a crawler acts on
+    * at ingestion. Per-doc semantics == [[Dedup.upsertClusters]] run
+    * on the doc's own pairs alone (DedupSpec); the same transform runs
+    * as a real readStream pipeline with ONE chained windowed min-agg
+    * ([[graft.streaming.StreamingOps.streamingAssignClusters]];
+    * StreamingSpec stream == batch). Reads the [[sharedExactState]]
+    * index + cluster scratch (q238 owner). Oracle: the q244 per-doc
+    * algebra joined to the corpus-pair reach clustering. */
+  private val q249: Q = (s, d) => {
+    val (index, _, clusters) = sharedExactState(s, d)
+    Dedup.assignClusters(
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 3),
+      index, clusters, "doc_id", "text",
+      k = 3, threshold = 0.1, maxDf = 100)
+  }
+
   val all: Map[String, Q] = Map(
+    "q249_stream_assign" -> q249,
     "q248_lifecycle" -> q248,
     "q247_index_retract" -> q247,
     "q246_cluster_retract" -> q246,
@@ -7121,6 +7143,76 @@ object ExtQueries {
          |  round(tf * ln((m + 1.0) / (df + 1)), 6) AS w
          |FROM tf JOIN dfq USING (term_hash) CROSS JOIN m
          |ORDER BY doc_id, term_hash""".stripMargin,
+
+    // the q244 per-doc df_b=1 algebra (qualifying (b, cp) pairs) joined
+    // to the corpus-pair reach clustering: assignment = least(own id,
+    // min matched corpus cluster), own id when clean — exactly the
+    // per-doc upsertClusters row
+    "q249_stream_assign" -> {
+      val k = 3
+      val cap = 100
+      val threshold = 0.1
+      s"""WITH RECURSIVE
+         |${pairCtes(cap = cap, threshold = threshold,
+            from = "(SELECT * FROM documents WHERE doc_id % 5 <> 3)",
+            pre = "c_")},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM c_pairs
+         |          UNION SELECT id_b, id_a FROM c_pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |ccl AS (
+         |  SELECT doc.doc_id AS cp,
+         |    CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id))
+         |      AS BIGINT) AS ccluster
+         |  FROM documents doc
+         |  LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |    ON m.s = doc.doc_id
+         |  WHERE doc.doc_id % 5 <> 3),
+         |fsh AS (
+         |  SELECT doc_id, ${shinglesSql(toksSql, k)} AS shs
+         |  FROM documents),
+         |cpost AS (
+         |  SELECT doc_id AS cp, unnest(shs) AS s
+         |  FROM fsh WHERE doc_id % 5 <> 3),
+         |dfc AS (SELECT s, CAST(count(*) AS BIGINT) AS df_c
+         |        FROM cpost GROUP BY 1),
+         |nbase AS (
+         |  SELECT cp, CAST(count(*) AS BIGINT) AS n_base
+         |  FROM cpost JOIN dfc USING (s) WHERE df_c <= $cap GROUP BY 1),
+         |bpost AS (
+         |  SELECT doc_id AS b, unnest(shs) AS s
+         |  FROM fsh WHERE doc_id % 5 = 3),
+         |na AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS n_a
+         |  FROM bpost LEFT JOIN dfc USING (s)
+         |  WHERE coalesce(df_c, 0) <= ${cap - 1} GROUP BY 1),
+         |bshared AS (
+         |  SELECT b, cp,
+         |    CAST(sum(CASE WHEN df_c <= ${cap - 1} THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_shared,
+         |    CAST(sum(CASE WHEN df_c = $cap THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_corr
+         |  FROM bpost JOIN dfc USING (s) JOIN cpost USING (s)
+         |  GROUP BY 1, 2),
+         |qual AS (
+         |  SELECT b, cp FROM (
+         |    SELECT b, cp,
+         |      CAST(n_shared AS DOUBLE)
+         |        / (n_a + (n_base - n_corr) - n_shared) AS jac
+         |    FROM bshared JOIN na USING (b) JOIN nbase USING (cp)
+         |    WHERE n_shared >= 1)
+         |  WHERE jac >= $threshold),
+         |mncl AS (SELECT b, MIN(ccluster) AS cl
+         |         FROM qual JOIN ccl USING (cp) GROUP BY b)
+         |SELECT d2.doc_id,
+         |  CAST(least(d2.doc_id, COALESCE(mncl.cl, d2.doc_id))
+         |    AS BIGINT) AS cluster
+         |FROM documents d2 LEFT JOIN mncl ON mncl.b = d2.doc_id
+         |WHERE d2.doc_id % 5 = 3
+         |ORDER BY d2.doc_id""".stripMargin
+    },
 
     // the whole lifecycle replayed flat: persisted pair table =
     // corpus-universe pairs (c_ chain) UNION batch-incident pairs under

@@ -328,9 +328,35 @@ object Dedup {
       streaming: Boolean = false): DataFrame = {
     require(threshold > 0,
       "a qualifying pair must share >= 1 surviving shingle")
+    val (counted, nBase) = incrementalCandRows(docs, index, idCol,
+      textCol, k, maxDf, streaming)
+    val out = counted
+      .join(nBase, Seq("cp")) // inner: drops the null-cp presence rows
+      .withColumn("jac", col("n_shared").cast("double") /
+        (col("n_a") + (col("n_base") - col("n_corr"))
+          - col("n_shared")))
+      .filter(col("jac") >= threshold)
+      .select(least(col("pid"), col("cp")).as("id_a"),
+        greatest(col("pid"), col("cp")).as("id_b"), col("jac"))
+    if (streaming) out else out.orderBy("id_a", "id_b")
+  }
+
+  /** The candidate-scoring core shared by [[incrementalFlags]] and
+    * [[assignClusters]]: per (arriving doc, corpus doc) — surviving
+    * shared-shingle count `n_shared`, cap-crossing correction `n_corr`,
+    * and the doc's universe size `n_a`, plus the static per-corpus-doc
+    * baseline `n_base` frame to join against. Streaming rows carry the
+    * doc's event-time window as `win` (for chained windowed
+    * aggregation) and use a NULL-cp presence row for a doc with no
+    * candidates (explode_outer — so an arriving CLEAN doc still reaches
+    * the assignment aggregate; the flags path's inner n_base join drops
+    * those rows, leaving its output unchanged). */
+  private def incrementalCandRows(docs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, k: Int, maxDf: Int,
+      streaming: Boolean): (DataFrame, DataFrame) = {
     val tsCols = if (streaming) Seq(col("ts")) else Seq.empty[Column]
     val post = docs.select(tsCols ++ Seq(col(idCol).as("pid"),
-      explode(shingleHashes(col(textCol), k)).as("sh")): _*)
+      explode_outer(shingleHashes(col(textCol), k)).as("sh")): _*)
     val joined = post.join(index, Seq("sh"), "left")
       .select(tsCols ++ Seq(col("pid"),
         coalesce(col("df_c"), lit(0L)).as("df_c"), col("cpids")): _*)
@@ -390,9 +416,13 @@ object Dedup {
                 "CAST(coalesce(get(starts, j + 1), size(s)) " +
                 "- get(starts, j) AS BIGINT) AS n_shared))")))
         withRuns
-          .select(col("pid"), col("n_a"), col("hot_cps"),
-            explode(col("runs")).as("r"))
-          .select(col("pid"), col("n_a"),
+          // explode_outer + the window column: a doc with NO candidate
+          // runs keeps a null-cp presence row (assignment needs the doc
+          // to reach its aggregate; flags' inner n_base join drops it),
+          // and `win` lets assignClusters chain a second windowed agg
+          .select(col("window").as("win"), col("pid"), col("n_a"),
+            col("hot_cps"), explode_outer(col("runs")).as("r"))
+          .select(col("win"), col("pid"), col("n_a"),
             col("r.cp").as("cp"), col("r.n_shared").as("n_shared"),
             // hot corrections: count of this cp among the arriving
             // doc's cap-crossing shingles' lists — hot_cps is tiny
@@ -400,15 +430,66 @@ object Dedup {
             size(filter(col("hot_cps"), x => x === col("r.cp")))
               .cast("long").as("n_corr"))
       }
-    val out = counted
-      .join(nBase, Seq("cp"))
+    (counted, nBase)
+  }
+
+  /** Ingestion-time CLUSTER ASSIGNMENT — the operational composition of
+    * [[incrementalFlags]] with the persisted cluster table (the q243
+    * state): each arriving doc gets the cluster id it would receive
+    * from [[upsertClusters]] run on ITS OWN qualifying pairs alone —
+    * `least(own id, min matched corpus cluster)`, or its own id when
+    * clean — the "is this a dup of cluster X" signal a crawler acts on
+    * at ingestion, before the next index refresh. Per-doc independence
+    * is inherited from the flags semantics (df_b = 1 algebra; doc-doc
+    * pairs are the next refresh's job), so output is micro-batch-
+    * boundary independent and the batch twin (q249) equals the
+    * streaming run row-for-row on watermark-closed docs
+    * (StreamingSpec, which also pins assignment == per-doc
+    * upsertClusters).
+    *
+    * Plan shape, streaming: the flags pipeline's single windowed agg,
+    * then two STATELESS stream-static joins (n_base, cluster table)
+    * and ONE chained windowed min-aggregate (window-of-window) — the
+    * arriving doc's presence row (null cp) flows through the left
+    * joins so clean docs still emit. Batch: the two flag hash-aggs,
+    * the cluster join, one per-doc min-agg, and a left join back to
+    * the full doc set (clean docs -> own id). */
+  def assignClusters(docs: DataFrame, index: DataFrame,
+      clusters: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double, maxDf: Int, streaming: Boolean = false)
+      : DataFrame = {
+    require(threshold > 0,
+      "a qualifying pair must share >= 1 surviving shingle")
+    val (counted, nBase) = incrementalCandRows(docs, index, idCol,
+      textCol, k, maxDf, streaming)
+    val cl = clusters.select(col(idCol).as("cp"), col("cluster"))
+    val scored = counted
+      .join(nBase, Seq("cp"), if (streaming) "left" else "inner")
       .withColumn("jac", col("n_shared").cast("double") /
         (col("n_a") + (col("n_base") - col("n_corr"))
           - col("n_shared")))
-      .filter(col("jac") >= threshold)
-      .select(least(col("pid"), col("cp")).as("id_a"),
-        greatest(col("pid"), col("cp")).as("id_b"), col("jac"))
-    if (streaming) out else out.orderBy("id_a", "id_b")
+      .join(cl, Seq("cp"), if (streaming) "left" else "inner")
+      // non-qualifying candidates keep their row (a doc whose every
+      // candidate fails the threshold is CLEAN, not absent) with a
+      // null contribution; null jac (presence row) contributes null
+      .withColumn("qc",
+        when(col("jac") >= threshold, col("cluster")))
+    if (streaming)
+      scored
+        .groupBy(window(col("win"), "1 second"), col("pid"))
+        .agg(min(col("qc")).as("cl"))
+        .select(col("pid").as(idCol),
+          least(col("pid"), coalesce(col("cl"), col("pid")))
+            .as("cluster"))
+    else
+      docs.select(col(idCol).as("pid")).distinct()
+        .join(scored.filter(col("qc").isNotNull)
+            .groupBy("pid").agg(min(col("qc")).as("cl")),
+          Seq("pid"), "left")
+        .select(col("pid").as(idCol),
+          least(col("pid"), coalesce(col("cl"), col("pid")))
+            .as("cluster"))
+        .orderBy(idCol)
   }
 
   /** Merge a new batch into a persisted [[corpusShingleIndex]] WITHOUT

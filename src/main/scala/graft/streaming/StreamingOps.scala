@@ -304,6 +304,24 @@ object StreamingOps {
     graft.ext.Dedup.incrementalFlags(docs, index, "doc_id", "text",
       k, threshold, maxDf, streaming = true)
 
+  /** Ingestion-time CLUSTER ASSIGNMENT against the persisted corpus
+    * state — the streaming face of [[graft.ext.Dedup.assignClusters]]
+    * (q249's batch twin): each arriving doc emits the cluster id it
+    * would get from a per-doc [[graft.ext.Dedup.upsertClusters]] —
+    * least(own id, min matched corpus cluster), own id when clean —
+    * the "is this a dup of cluster X" signal a crawler acts on before
+    * the next index refresh. The flags pipeline's single windowed agg
+    * feeds two stateless stream-static joins (n_base, cluster table)
+    * and one CHAINED windowed min-aggregate (window-of-window); clean
+    * docs flow through on their null-cp presence row, so every
+    * watermark-closed doc emits exactly one assignment row
+    * (StreamingSpec: stream == batch == per-doc upsertClusters). */
+  def streamingAssignClusters(docs: DataFrame, index: DataFrame,
+      clusters: DataFrame, k: Int, threshold: Double, maxDf: Int)
+      : DataFrame =
+    graft.ext.Dedup.assignClusters(docs, index, clusters, "doc_id",
+      "text", k, threshold, maxDf, streaming = true)
+
   /** Run a transform as a real streaming query over the documents
     * parquet (the [[runStreaming]] harness shape, documents-sourced):
     * a DETERMINISTIC per-doc event time is synthesized

@@ -53,6 +53,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming cluster assignment (q249): stream == batch on " +
+    "watermark-closed docs == per-doc upsertClusters over the doc's " +
+    "own qualifying pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 3)
+    val batchDocs = docs.filter(col("doc_id") % 5 === 3)
+    val index = graft.ext.Dedup.corpusShingleIndex(corpus, "doc_id",
+      "text", k = 3, maxDf = 100).localCheckpoint(eager = true)
+    val pairs = graft.ext.Dedup.jaccardPairs(corpus, "doc_id", "text",
+      k = 3, threshold = 0.1, maxDf = 100).select("id_a", "id_b")
+    val clusters = graft.ext.Dedup.dupClusters(pairs,
+      corpus.select("doc_id"), "doc_id").localCheckpoint(eager = true)
+    val batch = graft.ext.Dedup.assignClusters(batchDocs, index,
+        clusters, "doc_id", "text", k = 3, threshold = 0.1, maxDf = 100)
+      .as[(Long, Long)].collect().toMap
+    // the batch twin covers EVERY arriving doc (clean docs -> own id)
+    assert(batch.keySet ==
+      batchDocs.select("doc_id").as[Long].collect().toSet)
+    // some assignment must be a real match (cluster != own id)
+    assert(batch.exists { case (id, cl) => cl != id })
+    val streamed = StreamingOps.runStreamingDocs(spark, sf0001,
+      s => StreamingOps.streamingAssignClusters(
+        s.filter(col("doc_id") % 5 === 3), index, clusters,
+        k = 3, threshold = 0.1, maxDf = 100),
+      "t_assign").as[(Long, Long)].collect().toMap
+    // every watermark-closed doc emits EXACTLY its batch row (clean
+    // docs included — the null-cp presence row carries them through);
+    // only the max-event-time doc's window can still be open
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val closed = batch.keySet.filter(_ < maxId - 1)
+    assert(streamed.toSet.subsetOf(batch.toSet))
+    assert(closed.nonEmpty &&
+      closed.forall(id => streamed.get(id).contains(batch(id))))
+    // per-doc semantics: the assignment row equals upsertClusters run
+    // on the doc's own qualifying pairs alone
+    val sample = batch.keySet.toSeq.sorted.take(2)
+    sample.foreach { id =>
+      val one = batchDocs.filter(col("doc_id") === id)
+      val onePairs = graft.ext.Dedup.incrementalFlags(one, index,
+        "doc_id", "text", k = 3, threshold = 0.1, maxDf = 100)
+        .select("id_a", "id_b")
+      val viaUpsert = graft.ext.Dedup.upsertClusters(clusters, onePairs,
+        one.select("doc_id"), "doc_id")
+        .filter(col("doc_id") === id)
+        .as[(Long, Long)].collect().head
+      assert(viaUpsert == (id -> batch(id)))
+    }
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val batch = StreamingOps.tumblingCounts(Tables.events(spark, sf0001))
       .collect().toSet

@@ -3687,7 +3687,30 @@ object ExtQueries {
       k = 3, threshold = 0.1, maxDf = 100)
   }
 
+  /** q250 — cross-run incremental dedup on the MULTIMODAL payload path
+    * ([[Dedup.corpusFingerprintIndex]] +
+    * [[Dedup.incrementalFingerprintPairs]]): q237's blockhash
+    * perceptual dedup in the q238/q242/q245 recrawl shape, closing the
+    * last modality without a cross-run incremental form. Fingerprints
+    * are per-payload-deterministic, so the decomposition is exact with
+    * no correction algebra; the oracle is q237's full-recompute SQL
+    * filtered to batch-incident pairs. One media scan feeds both the
+    * corpus index build and the batch side (checkpointed fingerprint
+    * frame). */
+  private val q250: Q = (s, d) => {
+    val fps = Multimodal.blockhashFingerprints(
+        Multimodal.mediaTable(Tables.documents(s, d)), "doc_id",
+        blocks = 32)
+      .localCheckpoint(eager = false) // corpus + batch slices of one scan
+    val (idx, cfps) = Dedup.corpusFingerprintIndex(
+      fps.filter(col("pid") % 5 =!= 3), bits = 32, slices = 4)
+    Dedup.incrementalFingerprintPairs(idx, cfps,
+      fps.filter(col("pid") % 5 === 3), bits = 32, slices = 4,
+      maxHamming = 3)
+  }
+
   val all: Map[String, Q] = Map(
+    "q250_incremental_payload" -> q250,
     "q249_stream_assign" -> q249,
     "q248_lifecycle" -> q248,
     "q247_index_retract" -> q247,
@@ -4070,6 +4093,56 @@ object ExtQueries {
   /** df-capped shingle candidate CTEs through `sizes` + `shared` — the
     * SQL twin of `Dedup.shingleCandidates`, shared by the q31-family
     * Jaccard oracles ([[pairCtes]]) and the q138 containment oracle. */
+  /** The q237 blockhash near-dup pipeline as oracle SQL: 32-block
+    * perceptual fingerprint from the payload bytes, 4×8-bit Hamming
+    * slice banding, exact bit_count verify at ≤ 3. `extraWhere` ANDs
+    * onto the final filter — q250 passes the batch-incidence predicate
+    * (per-doc-deterministic fingerprints make the full recompute
+    * filtered to incidence exactly the incremental contract). */
+  private def blockhashPairsSql(extraWhere: String = ""): String =
+    s"""WITH media AS (
+       |  SELECT doc_id, encode(text) AS payload FROM documents),
+       |hx AS (
+       |  SELECT doc_id, hex(payload) AS h,
+       |         octet_length(payload) AS n
+       |  FROM media),
+       |bytes AS (
+       |  SELECT doc_id, n, h, unnest(range(1, n + 1)) AS i
+       |  FROM hx WHERE n > 0),
+       |vals AS (
+       |  SELECT doc_id, n, CAST(((i - 1) * 32) // n AS INT) AS blk,
+       |    ('0x' || substring(h, CAST(2 * i - 1 AS INT), 2))::BIGINT AS v
+       |  FROM bytes),
+       |blk AS (
+       |  SELECT doc_id, n, blk,
+       |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+       |  FROM vals GROUP BY 1, 2, 3),
+       |tot AS (
+       |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS ts
+       |  FROM blk GROUP BY 1),
+       |fp AS (
+       |  SELECT b.doc_id AS pid,
+       |    CAST(sum(CASE WHEN b.s * b.n > t.ts * b.c
+       |             THEN (1::BIGINT << b.blk) ELSE 0 END) AS BIGINT)
+       |      AS fp
+       |  FROM blk b JOIN tot t USING (doc_id) GROUP BY 1
+       |  UNION ALL
+       |  SELECT doc_id, 0::BIGINT FROM hx WHERE n = 0),
+       |banded AS (
+       |  SELECT pid, fp, t.range AS sl,
+       |         (fp >> (CAST(t.range AS INT) * 8)) & 255 AS sv
+       |  FROM fp, range(0, 4) t),
+       |cand AS (
+       |  SELECT DISTINCT x.pid AS id_a, y.pid AS id_b,
+       |         x.fp AS fa, y.fp AS fb
+       |  FROM banded x JOIN banded y
+       |    ON x.sl = y.sl AND x.sv = y.sv AND x.pid < y.pid)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b,
+       |         CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= 3$extraWhere ORDER BY id_a, id_b""".stripMargin
+
   /** `pre` prefixes every CTE name so two instantiations (e.g. the
     * q248 lifecycle oracle's corpus-universe and union-universe pair
     * sets) can coexist in one WITH chain; "" keeps the historical
@@ -7631,49 +7704,14 @@ object ExtQueries {
          |WHERE id_a % 5 = 3 OR id_b % 5 = 3
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q237_payload_neardup" ->
-      """WITH media AS (
-        |  SELECT doc_id, encode(text) AS payload FROM documents),
-        |hx AS (
-        |  SELECT doc_id, hex(payload) AS h,
-        |         octet_length(payload) AS n
-        |  FROM media),
-        |bytes AS (
-        |  SELECT doc_id, n, h, unnest(range(1, n + 1)) AS i
-        |  FROM hx WHERE n > 0),
-        |vals AS (
-        |  SELECT doc_id, n, CAST(((i - 1) * 32) // n AS INT) AS blk,
-        |    ('0x' || substring(h, CAST(2 * i - 1 AS INT), 2))::BIGINT AS v
-        |  FROM bytes),
-        |blk AS (
-        |  SELECT doc_id, n, blk,
-        |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
-        |  FROM vals GROUP BY 1, 2, 3),
-        |tot AS (
-        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS ts
-        |  FROM blk GROUP BY 1),
-        |fp AS (
-        |  SELECT b.doc_id AS pid,
-        |    CAST(sum(CASE WHEN b.s * b.n > t.ts * b.c
-        |             THEN (1::BIGINT << b.blk) ELSE 0 END) AS BIGINT)
-        |      AS fp
-        |  FROM blk b JOIN tot t USING (doc_id) GROUP BY 1
-        |  UNION ALL
-        |  SELECT doc_id, 0::BIGINT FROM hx WHERE n = 0),
-        |banded AS (
-        |  SELECT pid, fp, t.range AS sl,
-        |         (fp >> (CAST(t.range AS INT) * 8)) & 255 AS sv
-        |  FROM fp, range(0, 4) t),
-        |cand AS (
-        |  SELECT DISTINCT x.pid AS id_a, y.pid AS id_b,
-        |         x.fp AS fa, y.fp AS fb
-        |  FROM banded x JOIN banded y
-        |    ON x.sl = y.sl AND x.sv = y.sv AND x.pid < y.pid)
-        |SELECT id_a, id_b, hamming FROM (
-        |  SELECT id_a, id_b,
-        |         CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-        |  FROM cand)
-        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "q237_payload_neardup" -> blockhashPairsSql(),
+
+    // same blockhash pipeline restricted to batch-incident pairs —
+    // fingerprints are per-doc-deterministic, so the full recompute
+    // filtered to batch incidence IS the incremental contract (the
+    // q242 pattern on the multimodal modality)
+    "q250_incremental_payload" ->
+      blockhashPairsSql(" AND (id_a % 5 = 3 OR id_b % 5 = 3)"),
 
     "q236_sql_pipe" ->
       """SELECT event_type, user_id % 10 AS cohort,

@@ -1426,6 +1426,93 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Corpus-side FINGERPRINT scratch for cross-run incremental payload
+    * dedup — the multimodal member of the persisted-index family
+    * ([[corpusShingleIndex]] exact text, [[corpusLshIndex]] banded
+    * text, [[graft.ext.SimSearch.corpusEmbeddingLshIndex]] vectors,
+    * this one opaque payloads): the two tables a recrawl pipeline
+    * persists per fingerprint modality — Hamming slice index
+    * ((sl, sv) → sorted corpus pids) and the fingerprint table
+    * (pid, fp). Fingerprints are PER-DOC-deterministic (pure functions
+    * of the payload), so like the banding paths the incremental
+    * decomposition is exact with no correction algebra. */
+  def corpusFingerprintIndex(fps: DataFrame, bits: Int, slices: Int)
+      : (DataFrame, DataFrame) = {
+    require(bits % slices == 0,
+      s"$bits bits must split evenly into $slices slices")
+    val w = bits / slices
+    val mask = (1L << w) - 1
+    val f = fps.select(col("pid"), col("fp"))
+    val sliceIndex = f.select(col("pid"),
+        explode(array((0 until slices).map { sl =>
+          struct(lit(sl).as("sl"),
+            shiftright(col("fp"), sl * w).bitwiseAND(lit(mask)).as("sv"))
+        }: _*)).as("b"))
+      .groupBy(col("b.sl").as("sl"), col("b.sv").as("sv"))
+      .agg(sort_array(collect_list(col("pid"))).as("cpids"))
+    (sliceIndex, f)
+  }
+
+  /** Batch-vs-corpus INCREMENTAL payload near-dup — q237's recrawl
+    * shape over the persisted [[corpusFingerprintIndex]]: produce
+    * exactly the full corpus∪batch [[fingerprintNearDupPairs]] rows
+    * incident to the batch, without recomputing any corpus fingerprint
+    * or corpus-corpus candidate. Slice keys are per-payload
+    * deterministic, so candidates decompose exactly into batch-batch
+    * slice matches plus batch-×-index matches (the
+    * [[incrementalMinhashPairs]] argument verbatim); the Hamming
+    * verify reads the persisted fingerprint table SEMI-JOIN-PRUNED to
+    * candidate-incident ids — scaling with the candidate set, not the
+    * corpus. Equality with the filtered full recompute is the q250
+    * oracle and a DedupSpec assertion. */
+  def incrementalFingerprintPairs(sliceIndex: DataFrame,
+      corpusFps: DataFrame, batchFps: DataFrame, bits: Int, slices: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < slices,
+      s"pigeonhole guarantee needs maxHamming < slices " +
+        s"($maxHamming >= $slices)")
+    require(bits % slices == 0,
+      s"$bits bits must split evenly into $slices slices")
+    val w = bits / slices
+    val mask = (1L << w) - 1
+    val bf = batchFps.select(col("pid"), col("fp"))
+      .localCheckpoint(eager = false) // consumed by bands AND verify
+    val bBand = bf.select(col("pid"),
+        explode(array((0 until slices).map { sl =>
+          struct(lit(sl).as("sl"),
+            shiftright(col("fp"), sl * w).bitwiseAND(lit(mask)).as("sv"))
+        }: _*)).as("b"))
+      .select(col("pid"), col("b.sl").as("sl"), col("b.sv").as("sv"))
+      .localCheckpoint(eager = false) // consumed by bb AND bc
+    val bb = bBand.as("x").join(bBand.as("y"),
+        col("x.sl") === col("y.sl") && col("x.sv") === col("y.sv") &&
+          col("x.pid") < col("y.pid"))
+      .select(col("x.pid").as("id_a"), col("y.pid").as("id_b"))
+    val bc = bBand.join(sliceIndex, Seq("sl", "sv"))
+      .select(col("pid").as("bp"), explode(col("cpids")).as("cp"))
+      .select(least(col("bp"), col("cp")).as("id_a"),
+        greatest(col("bp"), col("cp")).as("id_b"))
+    val cands = bb.unionByName(bc).dropDuplicates("id_a", "id_b")
+      .localCheckpoint(eager = false) // consumed by candIds AND verify
+    // prune the persisted fingerprint table to candidate-incident docs
+    // before the verify joins (the incrementalMinhashPairs discipline)
+    val candIds = cands.select(col("id_a").as("pid"))
+      .unionByName(cands.select(col("id_b").as("pid")))
+      .dropDuplicates("pid")
+    val allFps = corpusFps.join(candIds, Seq("pid"), "left_semi")
+      .unionByName(bf)
+    cands
+      .join(allFps.select(col("pid").as("id_a"), col("fp").as("fa")),
+        Seq("id_a"))
+      .join(allFps.select(col("pid").as("id_b"), col("fp").as("fb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact edit-distance ≤ `maxDist` (1 or 2) self-join via deletion
     * neighborhoods (FastSS / symmetric-delete blocking): every string
     * emits itself plus each deletion variant as candidate keys; two strings

@@ -331,6 +331,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("incremental payload dedup (q250): slice-key joins are all " +
+    "equi-joins, no cartesian/nested-loop, and the persisted " +
+    "fingerprint table is semi-join-pruned before the Hamming verify") {
+    val p = plan(ExtQueries.all("q250_incremental_payload")(spark,
+      sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus fps reach the verify only through the candidate-id
+    // semi-join (the media scan itself sits behind the shared
+    // fingerprint checkpoint — q237's plan pins its column pruning)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("lifecycle integration (q248): the chained plan stays all-equi " +
     "— no cartesian/nested-loop anywhere in the five-stage composition") {
     val p = plan(ExtQueries.all("q248_lifecycle")(spark, sf0001))

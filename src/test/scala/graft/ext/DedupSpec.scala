@@ -700,6 +700,35 @@ class DedupSpec extends SparkSpec {
     assert(redelivered == ret)
   }
 
+  test("incrementalFingerprintPairs == full fingerprintNearDupPairs " +
+    "filtered to batch-incident pairs: batch-batch and batch-corpus " +
+    "candidates both surface, corpus-corpus pairs are excluded, and " +
+    ">maxHamming slice collisions die in the verify") {
+    // bits=8, slices=4 (2-bit slices). 0x00/0x01/0x02/0x03 share
+    // slices 1-3 (sv=0) pairwise; 0xFF shares only slice 0 with 0x03
+    // (sv=3) and is Hamming 6+ from everything - candidate, then dead
+    val corpusFps = Seq((1L, 0x00L), (2L, 0x01L), (3L, 0xFFL))
+      .toDF("pid", "fp")
+    val batchFps = Seq((10L, 0x03L), (11L, 0x02L)).toDF("pid", "fp")
+    val full = Dedup.fingerprintNearDupPairs(
+        corpusFps.unionByName(batchFps), bits = 8, slices = 4,
+        maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    val (idx, cf) = Dedup.corpusFingerprintIndex(corpusFps,
+      bits = 8, slices = 4)
+    val inc = Dedup.incrementalFingerprintPairs(idx, cf, batchFps,
+        bits = 8, slices = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    val batchIds = Set(10L, 11L)
+    assert(inc == full.filter(p =>
+      batchIds(p._1) || batchIds(p._2)))
+    // the shape is non-trivial: one batch-batch pair, four
+    // batch-corpus pairs, and the corpus-corpus (1,2) excluded
+    assert(inc.toSet == Set((1L, 10L, 2), (1L, 11L, 1), (2L, 10L, 1),
+      (2L, 11L, 2), (10L, 11L, 1)))
+    assert(full.contains((1L, 2L, 1)))
+  }
+
   test("lifecycle chaining (q248 shape): the SAME doc added by " +
     "upsert/incremental-pairs/cluster-upsert then retracted leaves " +
     "both state tables where they started — index round-trips exactly " +

@@ -269,7 +269,36 @@ object PlanDump {
           "index (zero-exchange SMJ when bucketed), map-side " +
           "array_except list subtraction — retained corpus text never " +
           "rescanned; hot rows keep NULL lists (conservative " +
-          "tombstone asymmetry, oracle-pinned)"))
+          "tombstone asymmetry, oracle-pinned)"),
+      "q248_lifecycle" ->
+        ("END-TO-END incremental curation: persisted corpus state " +
+          "(read from the q238-owned scratch family) → incremental " +
+          "pairs + index upsert + cluster upsert → takedown retraction " +
+          "of both state tables → survivor report joining final " +
+          "clusters AND final index live-counts — every stage the " +
+          "proven q238/q240/q243/q246/q247 plan, chained; the output " +
+          "hash covers the state handoff itself"),
+      "q249_stream_assign" ->
+        ("ingestion-time cluster assignment (batch twin): the q244 " +
+          "candidate algebra (two relational hash-aggs off the " +
+          "persisted index scratch), one equi-join to the persisted " +
+          "cluster table, one per-doc min-agg, and a left join back " +
+          "to the arriving set (clean docs → own id); the streaming " +
+          "plan chains ONE windowed min-agg after the single flags " +
+          "window agg — two stateless stream-static joins in between"),
+      "q250_incremental_payload" ->
+        ("incremental payload dedup: batch blockhash fingerprints " +
+          "(native codegen) band into Hamming slices that equi-join " +
+          "the persisted slice index — per-payload-deterministic keys " +
+          "⇒ exact decomposition, the q242 argument on the multimodal " +
+          "modality; bit_count verify reads the persisted fingerprint " +
+          "table semi-join-pruned to candidate ids"),
+      "q132_quantized_ann" ->
+        ("quantized-ANN recall (round-10 bound): dequantize ONCE per " +
+          "corpus row behind a checkpoint barrier (was once per " +
+          "row×query through the broadcast join), both precisions " +
+          "scored in ONE corpus scan, both ranking windows + the " +
+          "recall aggregate on a SINGLE q_id exchange"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

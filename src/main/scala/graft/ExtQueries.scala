@@ -1174,8 +1174,10 @@ object ExtQueries {
       Dedup.corpusShingleIndex(corpus, "doc_id", "text",
           k = 3, maxDf = 100)
         .write.mode("overwrite").parquet(ip)
-      Dedup.jaccardPairs(corpus, "doc_id", "text",
-          k = 3, threshold = 0.1, maxDf = 100)
+      // pairs + clusters derive from the just-written index parquet
+      // alone (jaccardPairsFromIndex) — corpus text is scanned exactly
+      // ONCE, for the index build, matching the sharedLshState shape
+      Dedup.jaccardPairsFromIndex(s.read.parquet(ip), threshold = 0.1)
         .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(pp)
       Dedup.dupClusters(s.read.parquet(pp), corpus.select("doc_id"),

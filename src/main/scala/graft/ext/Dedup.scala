@@ -193,6 +193,44 @@ object Dedup {
       .select(col("sh"), size(col("pids")).cast("long").as("df_c"),
         when(size(col("pids")) <= maxDf, col("pids")).as("cpids"))
 
+  /** Full corpus near-dup pairs FROM the persisted
+    * [[corpusShingleIndex]] — the state-only form of [[jaccardPairs]]'
+    * capped path and the exact-path sibling of
+    * [[minhashBandPairsFromIndex]]: candidates, shared counts and
+    * universe sizes all derive from the index's ≤-cap posting lists
+    * alone (a hot row's NULL list is exactly the cap filter), so a
+    * pipeline holding the index derives its corpus pair set — and from
+    * it its cluster table — from state, never rescanning corpus text.
+    * Lists are sorted with distinct pids, so map-side
+    * each-against-later-elements emits every unordered pair once with
+    * id_a < id_b built in. Identical output to
+    * `jaccardPairs(corpus, …, k, threshold, maxDf)` for the index's
+    * own k/maxDf (DedupSpec equality, hot shingle included). */
+  def jaccardPairsFromIndex(index: DataFrame, threshold: Double)
+      : DataFrame = {
+    val lists = index.filter(col("cpids").isNotNull)
+      .select(col("cpids").as("pids"))
+      .localCheckpoint(eager = false) // consumed by sizes AND pairs
+    val sz = lists.select(explode(col("pids")).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n_sh"))
+    val sh = lists.filter(size(col("pids")) >= 2)
+      .select(col("pids"), posexplode(col("pids")))
+      .select(col("col").as("a"),
+        explode(slice(col("pids"), col("pos") + lit(2),
+          size(col("pids")))).as("b"))
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    sh.join(sz.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sz.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .withColumn("jac", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Batch-vs-corpus INCREMENTAL Jaccard near-dup — the recrawl shape
     * every ingestion pipeline runs (corpus scratch + new batch), as
     * opposed to the single-corpus [[jaccardPairs]]: given the persisted

@@ -700,6 +700,37 @@ class DedupSpec extends SparkSpec {
     assert(redelivered == ret)
   }
 
+  test("jaccardPairsFromIndex == jaccardPairs over the same corpus, " +
+    "k, threshold and cap — hot shingle included (the state-only pair " +
+    "derivation sharedExactState builds clusters from)") {
+    // maxDf = 2: "a b c" (docs 1,2,3) goes HOT and must drop out of
+    // numerator AND denominators in BOTH paths
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c d f"),
+      (3L, "a b c g h"), (5L, "p q r s t"), (6L, "p q r s u"))
+      .toDF("doc_id", "text")
+    val direct = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        k = 3, threshold = 0.05, maxDf = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    val viaIndex = Dedup.jaccardPairsFromIndex(
+        Dedup.corpusShingleIndex(corpus, "doc_id", "text",
+          k = 3, maxDf = 2), threshold = 0.05)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaIndex == direct)
+    assert(direct.nonEmpty)
+    // the corpus-scale contract at sf0.001 too: the real fixture has
+    // genuinely hot shingles under the q238 parameters
+    val docs = graft.engine.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 =!= 3)
+    val d2 = Dedup.jaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.1, maxDf = 100)
+      .as[(Long, Long, Double)].collect().toSeq
+    val v2 = Dedup.jaccardPairsFromIndex(
+        Dedup.corpusShingleIndex(docs, "doc_id", "text",
+          k = 3, maxDf = 100), threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(v2 == d2 && d2.nonEmpty)
+  }
+
   test("incrementalFingerprintPairs == full fingerprintNearDupPairs " +
     "filtered to batch-incident pairs: batch-batch and batch-corpus " +
     "candidates both surface, corpus-corpus pairs are excluded, and " +

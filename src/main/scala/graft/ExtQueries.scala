@@ -924,7 +924,8 @@ object ExtQueries {
       Seq("lshband", "lshpost", "lshsizes", "lshclusters"),
     "q211_pq_codes" -> Seq("pqcodes", "pqbooks"),
     "q231_bpe_merges" -> Seq("bpemerges", "bpesegs"),
-    "q238_incremental_dedup" -> Seq("exidx", "expairs", "exclusters"))
+    "q238_incremental_dedup" -> Seq("exidx", "expairs", "exclusters"),
+    "q250_incremental_payload" -> Seq("fpslices", "fptable"))
 
   /** Per-kind scratch generation, folded into every [[scratch]] path.
     * Bench's stall re-run of a shared-scratch OWNER bumps the owner's
@@ -981,6 +982,14 @@ object ExtQueries {
     val kinds = scratchFamilies.getOrElse(owner,
       throw new IllegalArgumentException(
         s"no scratch family registered for owner $owner"))
+    // loud on an unmatched invocation (no preceding reset): decrementing
+    // a generation-0 kind would memoize a _g-1 dir no build ever wrote,
+    // and the next consumer's parquet read would fail confusingly later
+    kinds.foreach { k =>
+      require(scratchGens(k) > 0,
+        s"rollbackSharedScratch($owner) without a preceding reset: " +
+          s"kind $k is at generation 0")
+    }
     kinds.foreach { k =>
       scratchGens(k) = scratchGens(k) - 1
       scratchDone += scratch(k, d)
@@ -1188,6 +1197,31 @@ object ExtQueries {
     (s.read.parquet(ip), s.read.parquet(pp), s.read.parquet(cp))
   }
 
+  /** Shared corpus FINGERPRINT state ([[Dedup.corpusFingerprintIndex]]
+    * over the multimodal payload corpus) — the q250 family: Hamming
+    * slice index + fingerprint table, persisted once per crawl cycle
+    * like the other three modalities' indexes. q250 is its own owner
+    * (single member), which still buys the two honesty properties the
+    * families exist for: the build runs once per JVM (the incremental
+    * query reads parquet), and a Bench stall re-run resets the
+    * generation so the second sample re-times the build, not a memo
+    * hit. Longs only — exact parquet round-trip. */
+  private def sharedFingerprintState(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = synchronized {
+    val sp = scratch("fpslices", d); val fp = scratch("fptable", d)
+    if (!scratchDone(sp)) {
+      val corpusFps = Multimodal.blockhashFingerprints(
+        Multimodal.mediaTable(Tables.documents(s, d)
+          .filter(col("doc_id") % 5 =!= 3)), "doc_id", blocks = 32)
+      val (idx, f) = Dedup.corpusFingerprintIndex(corpusFps,
+        bits = 32, slices = 4)
+      idx.write.mode("overwrite").parquet(sp)
+      f.write.mode("overwrite").parquet(fp)
+      scratchDone += sp
+    }
+    (s.read.parquet(sp), s.read.parquet(fp))
+  }
+
   /** The queries that OWN a shared scratch — first in qNN order among
     * their family, they pay the build. Bench's stall re-run treats them
     * specially: a plain re-run would time the cheap parquet read of the
@@ -1243,7 +1277,10 @@ object ExtQueries {
     // the index + pair + cluster build; q240 upsert, q244 flags and
     // q248 lifecycle read parquet
     "q238_incremental_dedup", "q240_index_upsert",
-    "q244_streaming_flags", "q248_lifecycle", "q249_stream_assign")
+    "q244_streaming_flags", "q248_lifecycle", "q249_stream_assign",
+    // corpus fingerprint state (sharedFingerprintState): q250 owns and
+    // reads its own family (slice index + fingerprint table)
+    "q250_incremental_payload")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -3696,19 +3733,17 @@ object ExtQueries {
     * last modality without a cross-run incremental form. Fingerprints
     * are per-payload-deterministic, so the decomposition is exact with
     * no correction algebra; the oracle is q237's full-recompute SQL
-    * filtered to batch-incident pairs. One media scan feeds both the
-    * corpus index build and the batch side (checkpointed fingerprint
-    * frame). */
+    * filtered to batch-incident pairs. Reads the
+    * [[sharedFingerprintState]] family (its own owner) so the
+    * incremental query runs off the persisted parquet — only the
+    * batch's fingerprints compute inline, the honest recrawl input. */
   private val q250: Q = (s, d) => {
-    val fps = Multimodal.blockhashFingerprints(
-        Multimodal.mediaTable(Tables.documents(s, d)), "doc_id",
-        blocks = 32)
-      .localCheckpoint(eager = false) // corpus + batch slices of one scan
-    val (idx, cfps) = Dedup.corpusFingerprintIndex(
-      fps.filter(col("pid") % 5 =!= 3), bits = 32, slices = 4)
+    val (idx, cfps) = sharedFingerprintState(s, d)
     Dedup.incrementalFingerprintPairs(idx, cfps,
-      fps.filter(col("pid") % 5 === 3), bits = 32, slices = 4,
-      maxHamming = 3)
+      Multimodal.blockhashFingerprints(
+        Multimodal.mediaTable(Tables.documents(s, d)
+          .filter(col("doc_id") % 5 === 3)), "doc_id", blocks = 32),
+      bits = 32, slices = 4, maxHamming = 3)
   }
 
   val all: Map[String, Q] = Map(

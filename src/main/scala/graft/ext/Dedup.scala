@@ -501,17 +501,24 @@ object Dedup {
     val (counted, nBase) = incrementalCandRows(docs, index, idCol,
       textCol, k, maxDf, streaming)
     val cl = clusters.select(col(idCol).as("cp"), col("cluster"))
-    val scored = counted
+    val withJac = counted
       .join(nBase, Seq("cp"), if (streaming) "left" else "inner")
       .withColumn("jac", col("n_shared").cast("double") /
         (col("n_a") + (col("n_base") - col("n_corr"))
           - col("n_shared")))
-      .join(cl, Seq("cp"), if (streaming) "left" else "inner")
-      // non-qualifying candidates keep their row (a doc whose every
-      // candidate fails the threshold is CLEAN, not absent) with a
-      // null contribution; null jac (presence row) contributes null
-      .withColumn("qc",
-        when(col("jac") >= threshold, col("cluster")))
+    // batch: apply the threshold BEFORE the cluster join — the failing
+    // majority of candidates never probes the cluster table, and the
+    // full-doc-set left join below supplies clean docs. Streaming must
+    // keep every row: a doc whose every candidate fails the threshold
+    // is CLEAN, not absent, and only its (possibly null-cp) rows carry
+    // it to the assignment aggregate — so non-qualifying rows keep a
+    // null contribution instead of being dropped.
+    val scored =
+      (if (streaming) withJac
+       else withJac.filter(col("jac") >= threshold))
+        .join(cl, Seq("cp"), if (streaming) "left" else "inner")
+        .withColumn("qc",
+          when(col("jac") >= threshold, col("cluster")))
     if (streaming)
       scored
         .groupBy(window(col("win"), "1 second"), col("pid"))
@@ -1446,14 +1453,9 @@ object Dedup {
         s"($maxHamming >= $slices)")
     require(bits % slices == 0,
       s"$bits bits must split evenly into $slices slices")
-    val w = bits / slices
-    val mask = (1L << w) - 1
     val fp = fps.select(col("pid"), col("fp"))
     val banded = fp.select(col("pid"), col("fp"),
-      explode(array((0 until slices).map { sl =>
-        struct(lit(sl).as("sl"),
-          shiftright(col("fp"), sl * w).bitwiseAND(lit(mask)).as("sv"))
-      }: _*)).as("b"))
+      explode(sliceBands(col("fp"), bits, slices)).as("b"))
     banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.pid") < col("y.pid"))
       .select(col("x.pid").as("id_a"), col("y.pid").as("id_b"),
@@ -1462,6 +1464,23 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
       .orderBy("id_a", "id_b")
+  }
+
+  /** The Hamming slice-band derivation shared by every fingerprint
+    * banding site ([[fingerprintNearDupPairs]],
+    * [[corpusFingerprintIndex]], [[incrementalFingerprintPairs]]) —
+    * ONE definition so the incremental path's candidate keys can never
+    * silently diverge from the full recompute's: an array of
+    * (sl, sv) structs, sv = the sl-th w-bit slice of the fingerprint.
+    * The mask keeps the top slice clean of sign-extension if `bits`
+    * ever grows to 64. */
+  private def sliceBands(fp: Column, bits: Int, slices: Int): Column = {
+    val w = bits / slices
+    val mask = (1L << w) - 1
+    array((0 until slices).map { sl =>
+      struct(lit(sl).as("sl"),
+        shiftright(fp, sl * w).bitwiseAND(lit(mask)).as("sv"))
+    }: _*)
   }
 
   /** Corpus-side FINGERPRINT scratch for cross-run incremental payload
@@ -1478,14 +1497,9 @@ object Dedup {
       : (DataFrame, DataFrame) = {
     require(bits % slices == 0,
       s"$bits bits must split evenly into $slices slices")
-    val w = bits / slices
-    val mask = (1L << w) - 1
     val f = fps.select(col("pid"), col("fp"))
     val sliceIndex = f.select(col("pid"),
-        explode(array((0 until slices).map { sl =>
-          struct(lit(sl).as("sl"),
-            shiftright(col("fp"), sl * w).bitwiseAND(lit(mask)).as("sv"))
-        }: _*)).as("b"))
+        explode(sliceBands(col("fp"), bits, slices)).as("b"))
       .groupBy(col("b.sl").as("sl"), col("b.sv").as("sv"))
       .agg(sort_array(collect_list(col("pid"))).as("cpids"))
     (sliceIndex, f)
@@ -1511,15 +1525,10 @@ object Dedup {
         s"($maxHamming >= $slices)")
     require(bits % slices == 0,
       s"$bits bits must split evenly into $slices slices")
-    val w = bits / slices
-    val mask = (1L << w) - 1
     val bf = batchFps.select(col("pid"), col("fp"))
       .localCheckpoint(eager = false) // consumed by bands AND verify
     val bBand = bf.select(col("pid"),
-        explode(array((0 until slices).map { sl =>
-          struct(lit(sl).as("sl"),
-            shiftright(col("fp"), sl * w).bitwiseAND(lit(mask)).as("sv"))
-        }: _*)).as("b"))
+        explode(sliceBands(col("fp"), bits, slices)).as("b"))
       .select(col("pid"), col("b.sl").as("sl"), col("b.sv").as("sv"))
       .localCheckpoint(eager = false) // consumed by bb AND bc
     val bb = bBand.as("x").join(bBand.as("y"),

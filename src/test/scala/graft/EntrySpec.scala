@@ -60,6 +60,22 @@ class EntrySpec extends SparkSpec {
     assert(rows("q107_iqr_outliers") == cdfBefore)
   }
 
+  test("round-10 scratch families rebuild byte-identically after an " +
+    "owner reset (the property Bench's stall re-run second sample " +
+    "relies on): exact-state, LSH-state and fingerprint-state " +
+    "owners + one consumer each") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect().toSeq
+    // owner + a consumer per family, BEFORE any reset
+    val before = Seq("q238_incremental_dedup", "q243_cluster_upsert",
+      "q242_incremental_lsh", "q248_lifecycle",
+      "q250_incremental_payload").map(n => n -> rows(n)).toMap
+    Seq("q238_incremental_dedup", "q242_incremental_lsh",
+      "q250_incremental_payload")
+      .foreach(ExtQueries.resetSharedScratch)
+    before.foreach { case (n, r) => assert(rows(n) == r, n) }
+  }
+
   test("rollbackSharedScratch: a failed owner re-run restores the " +
     "previous generation's path AND memo, so a consumer reads instead " +
     "of rebuilding (round-9 advice)") {

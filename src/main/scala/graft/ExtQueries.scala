@@ -1279,8 +1279,9 @@ object ExtQueries {
     "q238_incremental_dedup", "q240_index_upsert",
     "q244_streaming_flags", "q248_lifecycle", "q249_stream_assign",
     // corpus fingerprint state (sharedFingerprintState): q250 owns and
-    // reads its own family (slice index + fingerprint table)
-    "q250_incremental_payload")
+    // reads its own family (slice index + fingerprint table); q251
+    // upsert and q252 retract maintain the persisted slice index
+    "q250_incremental_payload", "q251_fp_upsert", "q252_fp_retract")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -3746,7 +3747,55 @@ object ExtQueries {
       bits = 32, slices = 4, maxHamming = 3)
   }
 
+  /** Canonical serialization of a banded posting index for the oracle
+    * hash compare — the q240 discipline on the (sl, sv) key: lists to
+    * comma-joined strings, deterministic key order. */
+  private def fpIndexRows(idx: DataFrame): DataFrame =
+    idx.select(col("sl"), col("sv"),
+        concat_ws(",", transform(col("cpids"), _.cast("string")))
+          .as("pids_str"))
+      .orderBy("sl", "sv")
+
+  /** q251 — fingerprint-index upsert ([[Dedup.upsertPostingsIndex]]):
+    * q240's maintenance half on the MULTIMODAL payload modality — the
+    * persisted Hamming slice index absorbs the recrawl batch at
+    * O(batch) cost. Because banded indexes are uncapped and slice keys
+    * per-payload-deterministic, the upserted index must equal the
+    * fresh all-docs rebuild EXACTLY (no cooled-row asymmetry to pin —
+    * a strictly stronger contract than the df-capped q240); the
+    * oracle IS that rebuild. Batch fingerprints compute inline (the
+    * honest recrawl input); the corpus side is the persisted q250
+    * scratch, never rescanned. */
+  private val q251: Q = (s, d) => {
+    val (idx, _) = sharedFingerprintState(s, d)
+    val batchFps = Multimodal.blockhashFingerprints(
+      Multimodal.mediaTable(Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 3)), "doc_id", blocks = 32)
+    fpIndexRows(Dedup.upsertPostingsIndex(idx,
+      Dedup.fingerprintPostings(batchFps, bits = 32, slices = 4),
+      Seq("sl", "sv")))
+  }
+
+  /** q252 — fingerprint-index retraction
+    * ([[Dedup.retractPostingsIndex]]): q247's takedown half on the
+    * payload modality, completing build → incremental (q250) → upsert
+    * (q251) → retract on the fourth and last index modality. The
+    * deleted docs' slice keys come from the PERSISTED fingerprint
+    * table (state-only takedown — payloads never rescanned), and with
+    * no df bookkeeping the retracted index equals the fresh rebuild
+    * over the retained corpus EXACTLY; the oracle IS that rebuild.
+    * Re-delivered takedowns are no-ops by `array_except` construction. */
+  private val q252: Q = (s, d) => {
+    val (idx, cfps) = sharedFingerprintState(s, d)
+    fpIndexRows(Dedup.retractPostingsIndex(idx,
+      Dedup.fingerprintPostings(cfps.filter(col("pid") % 7 === 2),
+        bits = 32, slices = 4),
+      Seq("sl", "sv")))
+  }
+
   val all: Map[String, Q] = Map(
+    "q252_fp_retract" -> q252,
+    "q251_fp_upsert" -> q251,
     "q250_incremental_payload" -> q250,
     "q249_stream_assign" -> q249,
     "q248_lifecycle" -> q248,
@@ -4136,9 +4185,14 @@ object ExtQueries {
     * onto the final filter — q250 passes the batch-incidence predicate
     * (per-doc-deterministic fingerprints make the full recompute
     * filtered to incidence exactly the incremental contract). */
-  private def blockhashPairsSql(extraWhere: String = ""): String =
-    s"""WITH media AS (
-       |  SELECT doc_id, encode(text) AS payload FROM documents),
+  /** The 32-block blockhash fingerprint derivation as oracle CTE text,
+    * ending at `fp(pid, fp)` — shared by the pair oracles
+    * ([[blockhashPairsSql]]) and the slice-index maintenance oracles
+    * ([[fpIndexSql]], q251/q252). `docWhere` restricts the doc
+    * universe (q252's retained-corpus rebuild). */
+  private def blockhashFpCtes(docWhere: String = ""): String =
+    s"""media AS (
+       |  SELECT doc_id, encode(text) AS payload FROM documents$docWhere),
        |hx AS (
        |  SELECT doc_id, hex(payload) AS h,
        |         octet_length(payload) AS n
@@ -4164,7 +4218,25 @@ object ExtQueries {
        |      AS fp
        |  FROM blk b JOIN tot t USING (doc_id) GROUP BY 1
        |  UNION ALL
-       |  SELECT doc_id, 0::BIGINT FROM hx WHERE n = 0),
+       |  SELECT doc_id, 0::BIGINT FROM hx WHERE n = 0)""".stripMargin
+
+  /** Fresh slice-index rebuild as oracle SQL — the q251/q252 contract:
+    * banded posting indexes are uncapped with per-payload-deterministic
+    * keys, so BOTH maintenance directions must reproduce the fresh
+    * rebuild over the post-maintenance doc set byte-identically. Same
+    * canonical serialization as the Spark side's `fpIndexRows`. */
+  private def fpIndexSql(docWhere: String = ""): String =
+    s"""WITH ${blockhashFpCtes(docWhere)},
+       |banded AS (
+       |  SELECT pid, CAST(t.range AS INT) AS sl,
+       |         (fp >> (CAST(t.range AS INT) * 8)) & 255 AS sv
+       |  FROM fp, range(0, 4) t)
+       |SELECT sl, sv,
+       |  array_to_string(list(pid ORDER BY pid), ',') AS pids_str
+       |FROM banded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def blockhashPairsSql(extraWhere: String = ""): String =
+    s"""WITH ${blockhashFpCtes()},
        |banded AS (
        |  SELECT pid, fp, t.range AS sl,
        |         (fp >> (CAST(t.range AS INT) * 8)) & 255 AS sv
@@ -7749,6 +7821,14 @@ object ExtQueries {
     // q242 pattern on the multimodal modality)
     "q250_incremental_payload" ->
       blockhashPairsSql(" AND (id_a % 5 = 3 OR id_b % 5 = 3)"),
+
+    // banded indexes are uncapped with per-payload-deterministic keys,
+    // so both maintenance directions must equal the FRESH rebuild over
+    // the post-maintenance doc set byte-identically: upsert -> all
+    // docs, retract -> the retained corpus
+    "q251_fp_upsert" -> fpIndexSql(),
+    "q252_fp_retract" ->
+      fpIndexSql(" WHERE doc_id % 5 <> 3 AND doc_id % 7 <> 2"),
 
     "q236_sql_pipe" ->
       """SELECT event_type, user_id % 10 AS cohort,

@@ -293,6 +293,19 @@ object PlanDump {
           "⇒ exact decomposition, the q242 argument on the multimodal " +
           "modality; bit_count verify reads the persisted fingerprint " +
           "table semi-join-pruned to candidate ids"),
+      "q251_fp_upsert" ->
+        ("fingerprint-index upsert: batch fingerprints (native " +
+          "codegen) explode to (sl, sv, pid) postings, ONE grouped " +
+          "delta + ONE full-outer (sl, sv) join with a map-side " +
+          "array_union merge — uncapped banded index ⇒ byte-identical " +
+          "to the fresh rebuild, corpus payloads never rescanned"),
+      "q252_fp_retract" ->
+        ("fingerprint-index retraction: deleted docs' slice keys come " +
+          "from the PERSISTED fingerprint table (state-only takedown), " +
+          "ONE left (sl, sv) join + map-side array_except, emptied " +
+          "keys drop — equals the fresh retained-corpus rebuild " +
+          "exactly (no df bookkeeping, stronger than q247's pinned " +
+          "tombstone asymmetry)"),
       "q132_quantized_ann" ->
         ("quantized-ANN recall (round-10 bound): dequantize ONCE per " +
           "corpus row behind a checkpoint barrier (was once per " +

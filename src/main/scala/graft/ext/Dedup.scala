@@ -1560,6 +1560,81 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The (sl, sv, pid) posting rows of a fingerprint table — the
+    * per-doc slice keys as ROWS rather than [[corpusFingerprintIndex]]'s
+    * grouped lists, the delta shape [[upsertPostingsIndex]] /
+    * [[retractPostingsIndex]] consume. Built on the same [[sliceBands]]
+    * as every other fingerprint site, so maintenance deltas can never
+    * key differently than the index they maintain. */
+  def fingerprintPostings(fps: DataFrame, bits: Int, slices: Int)
+      : DataFrame = {
+    require(bits % slices == 0,
+      s"$bits bits must split evenly into $slices slices")
+    fps.select(col("pid"),
+        explode(sliceBands(col("fp"), bits, slices)).as("b"))
+      .select(col("b.sl").as("sl"), col("b.sv").as("sv"), col("pid"))
+  }
+
+  /** Merge a new batch's postings into a persisted BANDED posting index
+    * (key cols → sorted distinct `cpids`) — the upsert half of
+    * maintenance for the three UNCAPPED banded indexes
+    * ([[corpusLshIndex]]'s bk → cpids, [[corpusFingerprintIndex]]'s
+    * (sl, sv) → cpids, [[graft.ext.SimSearch.corpusEmbeddingLshIndex]]'s
+    * bucket index): keys are per-doc deterministic and nothing is
+    * df-capped, so unlike [[upsertShingleIndex]] there is no cap
+    * algebra at all — the merge is a pure per-key set union, and the
+    * upserted index equals the fresh corpus∪batch rebuild EXACTLY
+    * (byte-identical, the q251 oracle; no cooled-hot-row asymmetry to
+    * pin). `array_union` makes a RE-DELIVERED batch a no-op
+    * (idempotent, the [[upsertClusters]] posture), and the full-outer
+    * join admits keys the corpus has never seen.
+    *
+    * Scale shape: O(batch) postings shuffle to group the delta, then
+    * ONE key-keyed full-outer join against the index with a map-side
+    * array union — the corpus is never rescanned. */
+  def upsertPostingsIndex(index: DataFrame, batchPostings: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val bp = batchPostings
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_set(col("pid"))).as("bpids"))
+    index.join(bp, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        sort_array(array_union(
+          coalesce(col("cpids"), array().cast("array<bigint>")),
+          coalesce(col("bpids"), array().cast("array<bigint>"))))
+          .as("cpids"): _*)
+  }
+
+  /** Remove deleted docs' postings from a persisted BANDED posting
+    * index — [[upsertPostingsIndex]]'s inverse and the banded sibling
+    * of [[retractShingleIndex]], but with a STRONGER contract: no df
+    * bookkeeping exists, so the retracted index equals the fresh
+    * rebuild over the retained docs EXACTLY (the q252 oracle) — none
+    * of the exact path's pinned cooled-hot-row asymmetry.
+    * `array_except` is set subtraction, so a RE-DELIVERED takedown is
+    * a no-op by construction (no dedupe step needed); keys whose list
+    * empties drop, exactly as a fresh build would never emit them.
+    * CONTRACT: `deletedPostings` keys must come from the SAME
+    * fingerprint/signature the index was built with — which the
+    * persisted fingerprint table supplies for free
+    * ([[fingerprintPostings]] over its deleted rows), so takedowns
+    * never rescan payloads.
+    *
+    * Scale shape: O(deleted) postings shuffle, ONE key-keyed left
+    * join, map-side array subtraction — corpus never rescanned. */
+  def retractPostingsIndex(index: DataFrame, deletedPostings: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val dp = deletedPostings
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_set(col("pid")).as("dpids"))
+    index.join(dp, keyCols, "left")
+      .select(keyCols.map(col) :+
+        when(col("dpids").isNotNull,
+          array_except(col("cpids"), col("dpids")))
+          .otherwise(col("cpids")).as("cpids"): _*)
+      .filter(size(col("cpids")) >= 1)
+  }
+
   /** Exact edit-distance ≤ `maxDist` (1 or 2) self-join via deletion
     * neighborhoods (FastSS / symmetric-delete blocking): every string
     * emits itself plus each deletion variant as candidate keys; two strings

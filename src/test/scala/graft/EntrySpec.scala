@@ -69,7 +69,8 @@ class EntrySpec extends SparkSpec {
     // owner + a consumer per family, BEFORE any reset
     val before = Seq("q238_incremental_dedup", "q243_cluster_upsert",
       "q242_incremental_lsh", "q248_lifecycle",
-      "q250_incremental_payload").map(n => n -> rows(n)).toMap
+      "q250_incremental_payload", "q251_fp_upsert")
+      .map(n => n -> rows(n)).toMap
     Seq("q238_incremental_dedup", "q242_incremental_lsh",
       "q250_incremental_payload")
       .foreach(ExtQueries.resetSharedScratch)

@@ -344,6 +344,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("fingerprint-index maintenance (q251/q252): ONE (sl, sv)-keyed " +
+    "join each — full-outer merge for upsert, left + map-side " +
+    "array_except for retract — no cartesian/nested-loop, corpus " +
+    "payloads never rescanned (the index side is the persisted scratch)") {
+    val up = plan(ExtQueries.all("q251_fp_upsert")(spark, sf0001))
+    assert(!up.contains("CartesianProduct"), up)
+    assert(!up.contains("BroadcastNestedLoopJoin"), up)
+    assert(up.contains("FullOuter"), up)
+    val ret = plan(ExtQueries.all("q252_fp_retract")(spark, sf0001))
+    assert(!ret.contains("CartesianProduct"), ret)
+    assert(!ret.contains("BroadcastNestedLoopJoin"), ret)
+    assert(ret.contains("array_except"), ret)
+  }
+
   test("lifecycle integration (q248): the chained plan stays all-equi " +
     "— no cartesian/nested-loop anywhere in the five-stage composition") {
     val p = plan(ExtQueries.all("q248_lifecycle")(spark, sf0001))

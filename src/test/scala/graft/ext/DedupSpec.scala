@@ -760,6 +760,44 @@ class DedupSpec extends SparkSpec {
     assert(full.contains((1L, 2L, 1)))
   }
 
+  test("upsertPostingsIndex / retractPostingsIndex (q251/q252): both " +
+    "maintenance directions of the uncapped banded index equal the " +
+    "fresh rebuild exactly (new keys appear, emptied keys drop), " +
+    "re-delivery is a no-op in BOTH directions, and add-then-retract " +
+    "of the same batch round-trips the index to its starting state") {
+    val bits = 8; val slices = 4 // 2-bit slices, as the q250 spec above
+    val corpusFps = Seq((1L, 0x00L), (2L, 0x01L), (3L, 0xFFL))
+      .toDF("pid", "fp")
+    val batchFps = Seq((10L, 0x03L), (11L, 0x02L)).toDF("pid", "fp")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Seq[Long])].collect().toSet
+    def freshIdx(fps: org.apache.spark.sql.DataFrame) =
+      rows(Dedup.corpusFingerprintIndex(fps, bits, slices)._1)
+    val idx = Dedup.corpusFingerprintIndex(corpusFps, bits, slices)._1
+    val bPost = Dedup.fingerprintPostings(batchFps, bits, slices)
+    // upsert == fresh corpus∪batch rebuild (0x02 opens a brand-new
+    // (sl=0, sv=2) key the corpus never had)
+    val up = Dedup.upsertPostingsIndex(idx, bPost, Seq("sl", "sv"))
+    assert(rows(up) == freshIdx(corpusFps.unionByName(batchFps)))
+    // re-delivered upsert: array_union makes it a no-op
+    assert(rows(Dedup.upsertPostingsIndex(up, bPost, Seq("sl", "sv")))
+      == rows(up))
+    // retract == fresh rebuild over the retained docs — doc 3 (0xFF)
+    // is the SOLE member of its sv=3 buckets on slices 1-3, so those
+    // keys must drop, exactly as a fresh build would never emit them
+    val dPost = Dedup.fingerprintPostings(
+      Seq((3L, 0xFFL)).toDF("pid", "fp"), bits, slices)
+    val ret = Dedup.retractPostingsIndex(idx, dPost, Seq("sl", "sv"))
+    assert(rows(ret) ==
+      freshIdx(Seq((1L, 0x00L), (2L, 0x01L)).toDF("pid", "fp")))
+    // re-delivered takedown: no-op by array_except construction
+    assert(rows(Dedup.retractPostingsIndex(ret, dPost, Seq("sl", "sv")))
+      == rows(ret))
+    // the round-trip law: add then retract the SAME batch == start
+    assert(rows(Dedup.retractPostingsIndex(up, bPost, Seq("sl", "sv")))
+      == rows(idx))
+  }
+
   test("lifecycle chaining (q248 shape): the SAME doc added by " +
     "upsert/incremental-pairs/cluster-upsert then retracted leaves " +
     "both state tables where they started — index round-trips exactly " +

@@ -1577,17 +1577,21 @@ object Dedup {
 
   /** Merge a new batch's postings into a persisted BANDED posting index
     * (key cols → sorted distinct `cpids`) — the upsert half of
-    * maintenance for the three UNCAPPED banded indexes
-    * ([[corpusLshIndex]]'s bk → cpids, [[corpusFingerprintIndex]]'s
-    * (sl, sv) → cpids, [[graft.ext.SimSearch.corpusEmbeddingLshIndex]]'s
-    * bucket index): keys are per-doc deterministic and nothing is
-    * df-capped, so unlike [[upsertShingleIndex]] there is no cap
-    * algebra at all — the merge is a pure per-key set union, and the
-    * upserted index equals the fresh corpus∪batch rebuild EXACTLY
-    * (byte-identical, the q251 oracle; no cooled-hot-row asymmetry to
-    * pin). `array_union` makes a RE-DELIVERED batch a no-op
-    * (idempotent, the [[upsertClusters]] posture), and the full-outer
-    * join admits keys the corpus has never seen.
+    * maintenance for the UNCAPPED grouped-list banded indexes
+    * ([[corpusLshIndex]]'s bk → cpids and [[corpusFingerprintIndex]]'s
+    * (sl, sv) → cpids; the third banded state,
+    * [[graft.ext.SimSearch.corpusEmbeddingLshIndex]], keeps EXPLODED
+    * rows rather than grouped lists, so its maintenance is a plain
+    * union / anti-join needing no merge operator). Keys are per-doc
+    * deterministic and nothing is df-capped, so unlike
+    * [[upsertShingleIndex]] there is no cap algebra at all — the merge
+    * is a pure per-key set union, and the upserted index equals the
+    * fresh corpus∪batch rebuild EXACTLY (byte-identical, the q251
+    * oracle on the fingerprint modality and a DedupSpec assertion on
+    * the MinHash band modality; no cooled-hot-row asymmetry to pin).
+    * `array_union` makes a RE-DELIVERED batch a no-op (idempotent, the
+    * [[upsertClusters]] posture), and the full-outer join admits keys
+    * the corpus has never seen.
     *
     * Scale shape: O(batch) postings shuffle to group the delta, then
     * ONE key-keyed full-outer join against the index with a map-side

@@ -798,6 +798,43 @@ class DedupSpec extends SparkSpec {
       == rows(idx))
   }
 
+  test("upsertPostingsIndex / retractPostingsIndex generalize to the " +
+    "MinHash band index (q242's bk → cpids state): the SAME operators " +
+    "maintain it, and both directions equal the fresh corpusLshIndex " +
+    "band table over the post-maintenance doc set") {
+    val k = 3; val nh = 8; val rpb = 2
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c d f"),
+      (4L, "p q r s t"), (5L, "p q r s u")).toDF("doc_id", "text")
+    val batch = Seq((9L, "a b c d g"), (10L, "x y z w v"))
+      .toDF("doc_id", "text")
+    // the delta shape: (bk, pid) band-key rows from the SAME signature
+    // pipeline the index was built with
+    def bandRows(df: org.apache.spark.sql.DataFrame) = {
+      val post = Dedup.postings(df, "doc_id", "text", k)
+      val aggs = Dedup.minhashSigAggs(col("sh"), nh)
+      Dedup.bandKeys(
+        post.groupBy("pid").agg(aggs.head, aggs.tail: _*), nh, rpb)
+    }
+    def rows(idx: org.apache.spark.sql.DataFrame) =
+      idx.select(col("bk").cast("string").as("bk"), col("cpids"))
+        .as[(String, Seq[Long])].collect().toSet
+    def freshBandIdx(df: org.apache.spark.sql.DataFrame) =
+      rows(Dedup.corpusLshIndex(df, "doc_id", "text", k, nh, rpb)._1)
+    val idx = Dedup.corpusLshIndex(corpus, "doc_id", "text",
+      k, nh, rpb)._1
+    val up = Dedup.upsertPostingsIndex(idx, bandRows(batch), Seq("bk"))
+    assert(rows(up) == freshBandIdx(corpus.unionByName(batch)))
+    // retraction: deleted band keys recompute from the deleted docs
+    // (the LSH family persists postings, so signatures are derivable
+    // without rescanning text at scale; the tiny fixture recomputes)
+    val ret = Dedup.retractPostingsIndex(idx,
+      bandRows(corpus.filter(col("doc_id") === 4L)), Seq("bk"))
+    assert(rows(ret) == freshBandIdx(corpus.filter(col("doc_id") =!= 4L)))
+    // round-trip law on this modality too
+    assert(rows(Dedup.retractPostingsIndex(up, bandRows(batch),
+      Seq("bk"))) == rows(idx))
+  }
+
   test("lifecycle chaining (q248 shape): the SAME doc added by " +
     "upsert/incremental-pairs/cluster-upsert then retracted leaves " +
     "both state tables where they started — index round-trips exactly " +

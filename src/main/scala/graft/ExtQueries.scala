@@ -2141,7 +2141,14 @@ object ExtQueries {
       "_g" + scratchGenFor("bucket_o")
     val (to, tc) = (s"g_orders_b_$sfx", s"g_customer_b_$sfx")
     synchronized {
-      if (!s.catalog.tableExists(to)) {
+      // BOTH tables gate the build: if a previous attempt at this
+      // generation died between the two writes, the orders-only
+      // half-generation self-heals (overwrite) instead of failing the
+      // customer read. Superseded generations' tables are orphaned BY
+      // DESIGN — rollbackSharedScratch must find the previous
+      // generation intact, and the litter lives under target/ (a few
+      // tables per stall, collected by sbt clean).
+      if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
         Tables.orders(s, d).write.bucketBy(8, "o_custkey")
           .sortBy("o_custkey").option("path", scratch(s"bucket_o", d))
           .mode("overwrite").format("parquet").saveAsTable(to)

@@ -595,10 +595,16 @@ object Dedup {
     * exactly these semantics — including the never-cools-back rule.
     * CONTRACT: `deletedDocs` ⊆ the corpus the index was built over
     * (foreign deletions would corrupt dfs). Duplicate rows for the
-    * same id are tolerated: the request is deduped by id first, so a
-    * RE-DELIVERED takedown (retry queues deliver at-least-once) is a
-    * no-op rather than a double-decrement — the same idempotency
-    * [[upsertClusters]] gets from its anti-join (round-9 advice).
+    * same id WITHIN one request are tolerated: the request is deduped
+    * by id first, so a doubled row is not a double-decrement (round-9
+    * advice). Re-delivery ACROSS calls stays excluded by the
+    * ⊆-live-corpus contract above — after call one the doc is no
+    * longer in the corpus the index represents — and cannot be made
+    * safe from the index alone: hot rows carry NULL lists, so a
+    * doc's liveness is not derivable here (unlike [[upsertClusters]],
+    * whose anti-join against the persisted table sees every id). A
+    * pipeline retrying takedowns must dedupe against its processed-set
+    * (e.g. the retained-docs table it maintains anyway).
     *
     * Scale shape: one shuffle groups the deleted postings (O(deleted));
     * one sh-keyed LEFT join against the index (zero-exchange SMJ when

@@ -334,13 +334,17 @@ object StreamingOps {
     * watermark 0 s + `Trigger.AvailableNow` + append mode, the
     * MAX-event-time doc's window never closes — the watermark only
     * advances past it when LATER data arrives, and a drained finite
-    * backlog has none. So for windowed transforms the returned sink is
-    * complete for every doc except the max-doc_id one, whose output is
-    * withheld until a later run's data advances the watermark (exactly
-    * how a production stream would release it). Callers comparing
-    * against a batch twin must exclude that doc (StreamingSpec filters
-    * to doc_id < max − 1); this is inherent to append-mode draining,
-    * not a property of any one transform. */
+    * backlog has none. EACH LEVEL of windowed aggregation can withhold
+    * one more trailing window: a closed inner window reaches an outer
+    * agg only in the micro-batch after the watermark passed it, so a
+    * CHAINED windowed transform ([[streamingAssignClusters]]'s
+    * window-of-window) drains with the last TWO docs' output withheld,
+    * a single-level one with the last doc's. Callers comparing against
+    * a batch twin must exclude that tail (StreamingSpec filters to
+    * doc_id < max − 1, the two-level bound); the withheld rows release
+    * when a later run's data advances the watermark, exactly as a
+    * production stream would. Inherent to append-mode draining, not a
+    * property of any one transform. */
   def runStreamingDocs(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, queryName: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema

@@ -1271,8 +1271,11 @@ object ExtQueries {
     "q246_cluster_retract",
     // corpus LSH recrawl state (sharedLshState): q242 owns the index +
     // cluster-table build; q242's incremental pairs and q243's cluster
-    // upsert read parquet — the honest incremental costs
+    // upsert read parquet — the honest incremental costs; q253/q254
+    // maintain the persisted band index (q254 state-only via the
+    // persisted postings)
     "q242_incremental_lsh", "q243_cluster_upsert",
+    "q253_lsh_upsert", "q254_lsh_retract",
     // exact-path corpus recrawl state (sharedExactState): q238 owns
     // the index + pair + cluster build; q240 upsert, q244 flags and
     // q248 lifecycle read parquet
@@ -3800,7 +3803,52 @@ object ExtQueries {
       Seq("sl", "sv")))
   }
 
+  /** Canonical serialization of the MinHash band index for the oracle
+    * hash compare — [[fpIndexRows]]'s sibling on the (band, bkey) key. */
+  private def lshIndexRows(idx: DataFrame): DataFrame =
+    idx.select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        concat_ws(",", transform(col("cpids"), _.cast("string")))
+          .as("pids_str"))
+      .orderBy("band", "bkey")
+
+  /** q253 — MinHash band-index upsert: the SAME generic
+    * [[Dedup.upsertPostingsIndex]] proven on the fingerprint modality
+    * (q251), oracle-checked on the banded-TEXT modality — the q242
+    * recrawl state absorbs the batch at O(batch) cost and must equal
+    * the fresh corpus∪batch [[Dedup.corpusLshIndex]] band table
+    * byte-identically (uncapped, per-doc-deterministic band keys; the
+    * oracle IS that rebuild). Batch band rows compute inline from the
+    * batch's shingles ([[Dedup.bandRowsFromPostings]], the honest
+    * recrawl input); the corpus side is the persisted q242 scratch. */
+  private val q253: Q = (s, d) => {
+    val (bandIndex, _, _, _) = sharedLshState(s, d)
+    val batchPost = Dedup.postings(
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 3),
+      "doc_id", "text", k = 3)
+    lshIndexRows(Dedup.upsertPostingsIndex(bandIndex,
+      Dedup.bandRowsFromPostings(batchPost, numHashes = 12,
+        rowsPerBand = 3), Seq("bk")))
+  }
+
+  /** q254 — MinHash band-index retraction: [[q253]]'s takedown half,
+    * and the state-only form — the deleted docs' band keys recompute
+    * from the PERSISTED postings table (the LSH family persists
+    * (pid, sh) precisely so signatures never need corpus text again),
+    * then ONE left join + map-side array_except drops them from the
+    * band lists. Uncapped ⇒ equals the fresh retained-corpus rebuild
+    * exactly; the oracle IS that rebuild. With q251/q252 this makes
+    * the generic maintenance pair oracle-checked on BOTH grouped-list
+    * banded modalities. */
+  private val q254: Q = (s, d) => {
+    val (bandIndex, post, _, _) = sharedLshState(s, d)
+    lshIndexRows(Dedup.retractPostingsIndex(bandIndex,
+      Dedup.bandRowsFromPostings(post.filter(col("pid") % 7 === 2),
+        numHashes = 12, rowsPerBand = 3), Seq("bk")))
+  }
+
   val all: Map[String, Q] = Map(
+    "q254_lsh_retract" -> q254,
+    "q253_lsh_upsert" -> q253,
     "q252_fp_retract" -> q252,
     "q251_fp_upsert" -> q251,
     "q250_incremental_payload" -> q250,
@@ -4354,8 +4402,12 @@ object ExtQueries {
     * candidates. Shared by [[minhashBandPairsSql]] (q32/q242) and the
     * q243 cluster oracle (which chains a RECURSIVE reach clustering on
     * top of the pair set). */
-  private def minhashPairCtes(k: Int, numHashes: Int, rowsPerBand: Int,
-      threshold: Double): String = {
+  /** The shingles → signatures → band-key prefix of the MinHash
+    * oracle chain, ending at `banded(pid, band, bkey)` — shared by
+    * [[minhashPairCtes]] (pairs) and [[lshIndexSql]] (the q253/q254
+    * band-index rebuilds). `docWhere` restricts the doc universe. */
+  private def minhashBandedCtes(k: Int, numHashes: Int,
+      rowsPerBand: Int, docWhere: String = ""): String = {
     val P = graft.ext.TextOps.HashPrime
     val sigExprs = Dedup.minhashCoeffs(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
@@ -4370,13 +4422,18 @@ object ExtQueries {
     }.mkString("\n  UNION ALL\n  ")
     s"""sh AS (
        |  SELECT doc_id AS pid, ${shinglesSql(toksSql, k)} AS shs
-       |  FROM documents),
+       |  FROM documents$docWhere),
        |sigs AS (
        |  SELECT pid, shs,
        |  $sigExprs
        |  FROM sh WHERE len(shs) > 0),
        |banded AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  private def minhashPairCtes(k: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): String =
+    s"""${minhashBandedCtes(k, numHashes, rowsPerBand)},
        |cand AS (
        |  SELECT DISTINCT x.pid AS id_a, y.pid AS id_b
        |  FROM banded x JOIN banded y
@@ -4390,7 +4447,19 @@ object ExtQueries {
        |    FROM cand JOIN sigs a ON a.pid = id_a
        |              JOIN sigs b ON b.pid = id_b)
        |  WHERE jac >= $threshold)""".stripMargin
-  }
+
+  /** Fresh MinHash band-index rebuild as oracle SQL — the q253/q254
+    * contract ([[fpIndexSql]]'s sibling on the banded-text modality):
+    * uncapped per-doc-deterministic band keys, so both maintenance
+    * directions must reproduce the fresh rebuild over the
+    * post-maintenance doc set byte-identically. Same canonical
+    * serialization as the Spark side's `lshIndexRows`. */
+  private def lshIndexSql(k: Int, numHashes: Int, rowsPerBand: Int,
+      docWhere: String = ""): String =
+    s"""WITH ${minhashBandedCtes(k, numHashes, rowsPerBand, docWhere)}
+       |SELECT band, bkey,
+       |  array_to_string(list(pid ORDER BY pid), ',') AS pids_str
+       |FROM banded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q32's oracle (and q242's, with the batch-incident filter): the
     * [[minhashPairCtes]] pair set as a standalone statement. */
@@ -7836,6 +7905,13 @@ object ExtQueries {
     "q251_fp_upsert" -> fpIndexSql(),
     "q252_fp_retract" ->
       fpIndexSql(" WHERE doc_id % 5 <> 3 AND doc_id % 7 <> 2"),
+
+    // the same fresh-rebuild contract on the banded-TEXT modality
+    // (q242's band index, k=3 / 12 hashes / 3 rows per band)
+    "q253_lsh_upsert" -> lshIndexSql(3, 12, 3),
+    "q254_lsh_retract" ->
+      lshIndexSql(3, 12, 3,
+        " WHERE doc_id % 5 <> 3 AND doc_id % 7 <> 2"),
 
     "q236_sql_pipe" ->
       """SELECT event_type, user_id % 10 AS cohort,

@@ -306,6 +306,16 @@ object PlanDump {
           "keys drop — equals the fresh retained-corpus rebuild " +
           "exactly (no df bookkeeping, stronger than q247's pinned " +
           "tombstone asymmetry)"),
+      "q253_lsh_upsert" ->
+        ("band-index upsert: the q251 generic merge on the MinHash " +
+          "modality — batch shingles → signatures → band keys, ONE " +
+          "grouped delta + ONE full-outer bk join, map-side " +
+          "array_union; corpus text never rescanned"),
+      "q254_lsh_retract" ->
+        ("band-index retraction, state-only: deleted docs' band keys " +
+          "recompute from the PERSISTED postings table (no text " +
+          "rescan), ONE left bk join + map-side array_except; equals " +
+          "the fresh retained-corpus rebuild exactly"),
       "q132_quantized_ann" ->
         ("quantized-ANN recall (round-10 bound): dequantize ONCE per " +
           "corpus row behind a checkpoint barrier (was once per " +

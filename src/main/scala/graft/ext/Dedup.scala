@@ -1581,6 +1581,22 @@ object Dedup {
       .select(col("b.sl").as("sl"), col("b.sv").as("sv"), col("pid"))
   }
 
+  /** The (pid, bk) band-key rows of a shingle-postings frame — the
+    * MinHash sibling of [[fingerprintPostings]]: the delta shape
+    * [[upsertPostingsIndex]] / [[retractPostingsIndex]] consume to
+    * maintain [[corpusLshIndex]]'s band table. Built on the SAME
+    * signature pipeline ([[minhashSigAggs]] coefficients,
+    * [[bandKeys]] rolling fold) as the index, so maintenance deltas
+    * can never key differently than the index they maintain. Because
+    * the LSH family PERSISTS its postings table, retraction deltas
+    * derive from state alone — a takedown never rescans text. */
+  def bandRowsFromPostings(post: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val aggs = minhashSigAggs(col("sh"), numHashes)
+    bandKeys(post.groupBy("pid").agg(aggs.head, aggs.tail: _*),
+      numHashes, rowsPerBand)
+  }
+
   /** Merge a new batch's postings into a persisted BANDED posting index
     * (key cols → sorted distinct `cpids`) — the upsert half of
     * maintenance for the UNCAPPED grouped-list banded indexes

@@ -358,6 +358,20 @@ class PlanSpec extends SparkSpec {
     assert(ret.contains("array_except"), ret)
   }
 
+  test("band-index maintenance (q253/q254): the generic operators keep " +
+    "the same shape on the MinHash modality — one (bk)-keyed join " +
+    "each, no cartesian/nested-loop; q254's deltas come from the " +
+    "persisted postings (state-only takedown)") {
+    val up = plan(ExtQueries.all("q253_lsh_upsert")(spark, sf0001))
+    assert(!up.contains("CartesianProduct"), up)
+    assert(!up.contains("BroadcastNestedLoopJoin"), up)
+    assert(up.contains("FullOuter"), up)
+    val ret = plan(ExtQueries.all("q254_lsh_retract")(spark, sf0001))
+    assert(!ret.contains("CartesianProduct"), ret)
+    assert(!ret.contains("BroadcastNestedLoopJoin"), ret)
+    assert(ret.contains("array_except"), ret)
+  }
+
   test("lifecycle integration (q248): the chained plan stays all-equi " +
     "— no cartesian/nested-loop anywhere in the five-stage composition") {
     val p = plan(ExtQueries.all("q248_lifecycle")(spark, sf0001))

@@ -925,7 +925,8 @@ object ExtQueries {
     "q211_pq_codes" -> Seq("pqcodes", "pqbooks"),
     "q231_bpe_merges" -> Seq("bpemerges", "bpesegs"),
     "q238_incremental_dedup" -> Seq("exidx", "expairs", "exclusters"),
-    "q250_incremental_payload" -> Seq("fpslices", "fptable"))
+    "q250_incremental_payload" -> Seq("fpslices", "fptable"),
+    "q245_incremental_embed" -> Seq("embidx"))
 
   /** Per-kind scratch generation, folded into every [[scratch]] path.
     * Bench's stall re-run of a shared-scratch OWNER bumps the owner's
@@ -1222,6 +1223,22 @@ object ExtQueries {
     (s.read.parquet(sp), s.read.parquet(fp))
   }
 
+  /** Shared corpus EMBEDDING-LSH state
+    * ([[SimSearch.corpusEmbeddingLshIndex]] over the recrawl-corpus
+    * vectors, q60/q245 parameters) — the fourth modality's persisted
+    * index, in the family shape the other three got in round 10: q245
+    * (owner, first in qNN order) pays the once-per-crawl build and its
+    * incremental query reads the parquet; q255 upsert and q256 retract
+    * maintain the persisted rows. Exploded (vec_id, embedding, bucket)
+    * rows — longs, floats and structs of ints/longs all round-trip
+    * parquet exactly, so sharing cannot move a hash. */
+  private def sharedEmbState(s: SparkSession, d: String): DataFrame =
+    materialized(s, scratch("embidx", d)) {
+      SimSearch.corpusEmbeddingLshIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 5 =!= 3),
+        bits = 16, tables = 4)
+    }
+
   /** The queries that OWN a shared scratch — first in qNN order among
     * their family, they pay the build. Bench's stall re-run treats them
     * specially: a plain re-run would time the cheap parquet read of the
@@ -1284,7 +1301,16 @@ object ExtQueries {
     // corpus fingerprint state (sharedFingerprintState): q250 owns and
     // reads its own family (slice index + fingerprint table); q251
     // upsert and q252 retract maintain the persisted slice index
-    "q250_incremental_payload", "q251_fp_upsert", "q252_fp_retract")
+    "q250_incremental_payload", "q251_fp_upsert", "q252_fp_retract",
+    // corpus embedding-LSH state (sharedEmbState): q245 owns the
+    // exploded-row bucket index; q255 upsert and q256 retract maintain
+    // it — the last of the four modalities' indexes to get
+    // oracle-checked maintenance (round-10 verdict item 2)
+    "q245_incremental_embed", "q255_emb_upsert", "q256_emb_retract",
+    // LSH-path lifecycle chain reads the sharedLshState family end to
+    // end (round-10 verdict item 3 — the q248 composition on the
+    // banded modality)
+    "q257_lsh_lifecycle")
 
   private val q91: Q = (s, d) => {
     val tmp = scratch("orc", d)
@@ -3603,13 +3629,14 @@ object ExtQueries {
     * Hyperplane bucket keys are per-vector-deterministic, so the
     * batch-incident candidate set decomposes exactly (no correction
     * algebra); same parameters as q60, whose full-recompute oracle —
-    * filtered to batch-incident pairs — IS this query's oracle. */
+    * filtered to batch-incident pairs — IS this query's oracle.
+    * OWNER of the [[sharedEmbState]] family (round 11): pays the
+    * once-per-crawl index build; the incremental query itself runs off
+    * the persisted parquet, matching the other three modalities'
+    * owner shape (q238/q242/q250). */
   private val q245: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val index = SimSearch.corpusEmbeddingLshIndex(
-      emb.filter(col("vec_id") % 5 =!= 3), bits = 16, tables = 4)
-    SimSearch.incrementalCosinePairsLsh(index,
-      emb.filter(col("vec_id") % 5 === 3),
+    SimSearch.incrementalCosinePairsLsh(sharedEmbState(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 5 === 3),
       threshold = 0.25, bits = 16, tables = 4)
   }
 
@@ -3846,7 +3873,132 @@ object ExtQueries {
         numHashes = 12, rowsPerBand = 3), Seq("bk")))
   }
 
+  /** Canonical serialization of the exploded-row embedding LSH index
+    * for the oracle hash compare — [[fpIndexRows]]'s sibling on the
+    * (table, bucket, vec_id) key. The embedding payload is pinned by a
+    * 6-dp sequential-fold component sum (the same left-fold DuckDB's
+    * `list_reduce` performs, so the doubles match bitwise before the
+    * round). */
+  private def embIndexRows(idx: DataFrame): DataFrame =
+    idx.select(col("bucket.t").as("t"), col("bucket.bk").as("bk"),
+        col("vec_id"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double")), 6).as("emb_sum"))
+      .orderBy("t", "bk", "vec_id")
+
+  /** q255 — embedding-index upsert
+    * ([[SimSearch.upsertEmbeddingIndex]]): maintenance on the fourth
+    * and last persisted index modality (round-10 verdict item 2 — the
+    * one index whose upsert/retract was a scaladoc assertion, not an
+    * oracle-checked query). Exploded-row state ⇒ anti-join + union,
+    * batch wins on overlapping ids; bucket keys are per-vector
+    * deterministic, so the upserted index equals the fresh
+    * corpus∪batch rebuild EXACTLY — the oracle IS that rebuild. The
+    * corpus side is the persisted [[sharedEmbState]] parquet (q245
+    * owner), never rescanned; batch buckets compute inline (the honest
+    * recrawl input). */
+  private val q255: Q = (s, d) =>
+    embIndexRows(SimSearch.upsertEmbeddingIndex(sharedEmbState(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 5 === 3),
+      bits = 16, tables = 4))
+
+  /** q256 — embedding-index retraction
+    * ([[SimSearch.retractEmbeddingIndex]]): q255's takedown half. The
+    * takedown request's id list is the ONLY input beyond the persisted
+    * index — one anti-join, no band recompute (exploded-row state
+    * carries its keys), embeddings never rescanned — and the retracted
+    * index equals the fresh rebuild over the retained corpus EXACTLY;
+    * the oracle IS that rebuild. With q240/q247, q251/q252 and
+    * q253/q254 this closes oracle-checked maintenance on ALL FOUR
+    * modalities' indexes. */
+  private val q256: Q = (s, d) =>
+    embIndexRows(SimSearch.retractEmbeddingIndex(sharedEmbState(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 7 === 2)
+        .select("vec_id"), "vec_id"))
+
+  /** q257 — END-TO-END incremental-curation lifecycle on the BANDED
+    * (LSH) modality — q248's five-stage composition moved from the
+    * df-capped exact path to the path that actually runs at 100 TB
+    * (round-10 verdict item 3), so the state HANDOFF between stages is
+    * oracle-checked on this modality too, and [[Dedup.upsertClusters]]
+    * is exercised fed by [[Dedup.incrementalMinhashPairs]]:
+    *
+    *   1. persisted corpus state ([[sharedLshState]], q242 owner):
+    *      band index + postings + sizes + cluster table over
+    *      doc_id % 5 ≠ 3;
+    *   2. recrawl batch (doc_id % 5 = 3):
+    *      [[Dedup.incrementalMinhashPairs]] (q242),
+    *      [[Dedup.upsertPostingsIndex]] on the band index (q253),
+    *      [[Dedup.upsertClusters]] (q243); the persisted pair table
+    *      folds forward as corpus pairs ∪ incident pairs — on this
+    *      path that IS the full union recompute (per-doc-deterministic
+    *      band keys, no cap algebra), so unlike q248 there is no
+    *      tombstone asymmetry anywhere in the chain;
+    *   3. takedown (doc_id % 7 = 2, spanning corpus AND batch):
+    *      [[Dedup.retractPostingsIndex]] with deltas derived from the
+    *      PERSISTED postings ∪ batch postings (q254 — text never
+    *      rescanned) + [[Dedup.retractClusters]] (q246);
+    *   4. survivor report hashing BOTH final state tables: per
+    *      retained doc — source, final cluster, and n_peers (its
+    *      distinct band-sharing neighbors in the retracted index: the
+    *      candidate degree, a content-sensitive digest of every band
+    *      list it appears in).
+    *
+    * ONE oracle replays the chain flat in DuckDB: full-universe
+    * MinHash pairs → retained-edge reach clustering; full-universe
+    * banding → retained rows → distinct peer counts. */
+  private val q257: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 5 === 3)
+    // stage 1 — persisted corpus state
+    val (bandIndex0, post0, sizes0, clusters0) = sharedLshState(s, d)
+    // stage 2 — recrawl batch folds forward
+    val newPairs = Dedup.incrementalMinhashPairs(bandIndex0, post0,
+        sizes0, batch, "doc_id", "text", k = 3, numHashes = 12,
+        rowsPerBand = 3, threshold = 0.05)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = false) // consumed by clusters1 + pairs1
+    val batchPost = Dedup.postings(batch, "doc_id", "text", k = 3)
+      .localCheckpoint(eager = false) // consumed by index1 + post1
+    val index1 = Dedup.upsertPostingsIndex(bandIndex0,
+      Dedup.bandRowsFromPostings(batchPost, numHashes = 12,
+        rowsPerBand = 3), Seq("bk"))
+    val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
+      batch.select("doc_id"), "doc_id")
+    val pairs1 = Dedup.minhashBandPairsFromIndex(bandIndex0, post0,
+        sizes0, threshold = 0.05)
+      .select(col("id_a"), col("id_b"))
+      .unionByName(newPairs)
+    // stage 3 — takedown (deltas from persisted ∪ batch postings)
+    val deleted = docs.filter(col("doc_id") % 7 === 2).select("doc_id")
+    val post1 = post0.unionByName(batchPost)
+    val index2 = Dedup.retractPostingsIndex(index1,
+      Dedup.bandRowsFromPostings(
+        post1.join(deleted, post1("pid") === deleted("doc_id"),
+          "left_semi"),
+        numHashes = 12, rowsPerBand = 3), Seq("bk"))
+    val clusters2 = Dedup.retractClusters(clusters1, pairs1, deleted,
+      "doc_id")
+    // stage 4 — survivor report over BOTH final state tables
+    val peers = index2.filter(size(col("cpids")) >= 2)
+      .select(explode(col("cpids")).as("a"), col("cpids"))
+      .select(col("a"), explode(col("cpids")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .dropDuplicates("a", "b")
+      .groupBy("a").agg(count(lit(1)).as("n_peers"))
+      .select(col("a").as("doc_id"), col("n_peers"))
+    clusters2
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .join(peers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("cluster"),
+        coalesce(col("n_peers"), lit(0L)).as("n_peers"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q257_lsh_lifecycle" -> q257,
+    "q256_emb_retract" -> q256,
+    "q255_emb_upsert" -> q255,
     "q254_lsh_retract" -> q254,
     "q253_lsh_upsert" -> q253,
     "q252_fp_retract" -> q252,
@@ -4629,6 +4781,32 @@ object ExtQueries {
 
   private def anyBucketMatch(x: String, y: String, tables: Int): String =
     (0 until tables).map(t => s"$x.b$t = $y.b$t").mkString(" OR ")
+
+  /** Fresh exploded-row embedding-LSH index rebuild as oracle SQL —
+    * the q255/q256 contract ([[fpIndexSql]]'s sibling on the embedding
+    * modality): per-vector-deterministic hyperplane buckets, so both
+    * maintenance directions must reproduce the fresh rebuild over the
+    * post-maintenance vector set exactly. Same canonical serialization
+    * as the Spark side's `embIndexRows` (the component sum is the same
+    * sequential left fold, so the doubles match bitwise before the
+    * 6-dp round). */
+  private def embIndexSql(bits: Int, tables: Int,
+      vecWhere: String = ""): String = {
+    val branches = (0 until tables)
+      .map(t => s"SELECT $t AS t, b$t AS bk, vec_id, embedding FROM b")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${multiBucketCols(bits, tables)}
+       |  FROM embeddings$vecWhere),
+       |e AS (
+       |  $branches)
+       |SELECT CAST(t AS INT) AS t, CAST(bk AS BIGINT) AS bk, vec_id,
+       |  round(COALESCE(list_reduce(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)), (x, y) -> x + y), 0.0), 6)
+       |    AS emb_sum
+       |FROM e ORDER BY t, bk, vec_id""".stripMargin
+  }
 
   /** DuckDB bigram-hash list (order-preserving, duplicates kept —
     * [[graft.functions.ShingleHash]] without the distinct wrap). */
@@ -7912,6 +8090,55 @@ object ExtQueries {
     "q254_lsh_retract" ->
       lshIndexSql(3, 12, 3,
         " WHERE doc_id % 5 <> 3 AND doc_id % 7 <> 2"),
+
+    // exploded-row EMBEDDING index (q245's state): per-vector
+    // deterministic hyperplane buckets, so both maintenance directions
+    // must equal the fresh rebuild over the post-maintenance vector
+    // set — upsert -> all vectors, retract -> the retained corpus
+    "q255_emb_upsert" -> embIndexSql(16, 4),
+    "q256_emb_retract" ->
+      embIndexSql(16, 4, " WHERE vec_id % 5 <> 3 AND vec_id % 7 <> 2"),
+
+    // the whole LSH-path lifecycle replayed flat: the persisted pair
+    // table after the fold IS the full union recompute on this path
+    // (per-doc-deterministic band keys — no tombstone asymmetry, the
+    // q248 contrast); retained-edge reach clustering gives the final
+    // clusters, and the final band index is the full-universe banding
+    // restricted to retained pids (uncapped ⇒ equals the fresh
+    // retained rebuild), digested per doc as its distinct band-peer
+    // count
+    "q257_lsh_lifecycle" ->
+      s"""WITH RECURSIVE
+         |${minhashPairCtes(k = 3, numHashes = 12, rowsPerBand = 3,
+            threshold = 0.05)},
+         |live AS (SELECT id_a, id_b FROM mh_pairs
+         |         WHERE id_a % 7 <> 2 AND id_b % 7 <> 2),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM live
+         |          UNION SELECT id_b, id_a FROM live),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |rband AS (SELECT pid, band, bkey FROM banded
+         |          WHERE pid % 7 <> 2),
+         |np AS (
+         |  SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS n_peers
+         |  FROM (
+         |    SELECT DISTINCT x.pid AS a, y.pid AS b
+         |    FROM rband x JOIN rband y
+         |      ON x.band = y.band AND x.bkey = y.bkey
+         |      AND x.pid <> y.pid)
+         |  GROUP BY 1)
+         |SELECT doc.doc_id, doc.source,
+         |  CAST(least(doc.doc_id, COALESCE(m.mn, doc.doc_id)) AS BIGINT)
+         |    AS cluster,
+         |  CAST(COALESCE(np.n_peers, 0) AS BIGINT) AS n_peers
+         |FROM documents doc
+         |LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |  ON m.s = doc.doc_id
+         |LEFT JOIN np ON np.doc_id = doc.doc_id
+         |WHERE doc.doc_id % 7 <> 2
+         |ORDER BY doc.doc_id""".stripMargin,
 
     "q236_sql_pipe" ->
       """SELECT event_type, user_id % 10 AS cohort,

@@ -903,7 +903,18 @@ object Dedup {
     * is never rescanned, and the postings shuffle scales with the
     * candidate set, not the corpus).
     * Equality with the filtered full recompute is the q242 oracle and
-    * a DedupSpec assertion. */
+    * a DedupSpec assertion.
+    *
+    * Id contract: batch and corpus pid spaces must be DISJOINT (a
+    * crawl assigns fresh ids; the fixtures' % split models this). A
+    * re-crawl that keeps corpus ids must retract the old postings
+    * first ([[retractPostingsIndex]] on the band index plus dropping
+    * the pid's rows from postings/sizes) — the union below would
+    * otherwise double the doc's shingle rows in the verify. The
+    * fingerprint sibling ([[incrementalFingerprintPairs]]) implements
+    * batch-wins directly because its state is one row per pid; here
+    * the persisted state is three tables, so the contract lives with
+    * the state owner. */
   def incrementalMinhashPairs(bandIndex: DataFrame, corpusPost: DataFrame,
       corpusSizes: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, k: Int, numHashes: Int, rowsPerBand: Int,
@@ -1522,7 +1533,17 @@ object Dedup {
     * verify reads the persisted fingerprint table SEMI-JOIN-PRUNED to
     * candidate-incident ids — scaling with the candidate set, not the
     * corpus. Equality with the filtered full recompute is the q250
-    * oracle and a DedupSpec assertion. */
+    * oracle and a DedupSpec assertion.
+    *
+    * Id-overlap contract: the BATCH WINS. A re-crawled doc that keeps
+    * its corpus pid contributes only its fresh batch fingerprint to the
+    * verify (the stale corpus row is anti-joined out before the union),
+    * and index-sourced self-candidates drop — so a recrawl scores
+    * against what the doc IS, not what it was (round-10 advice; the
+    * stale slice-index rows only ever ADD candidates, which the verify
+    * then scores on fresh fingerprints, so no pair is lost). A pipeline
+    * folding the batch forward afterwards retracts the stale postings
+    * via [[retractPostingsIndex]] before [[upsertPostingsIndex]]. */
   def incrementalFingerprintPairs(sliceIndex: DataFrame,
       corpusFps: DataFrame, batchFps: DataFrame, bits: Int, slices: Int,
       maxHamming: Int): DataFrame = {
@@ -1543,16 +1564,24 @@ object Dedup {
       .select(col("x.pid").as("id_a"), col("y.pid").as("id_b"))
     val bc = bBand.join(sliceIndex, Seq("sl", "sv"))
       .select(col("pid").as("bp"), explode(col("cpids")).as("cp"))
+      // a re-crawled pid meets its own stale index rows — drop the
+      // self-candidate rather than emit a degenerate (pid, pid) pair
+      .filter(col("bp") =!= col("cp"))
       .select(least(col("bp"), col("cp")).as("id_a"),
         greatest(col("bp"), col("cp")).as("id_b"))
     val cands = bb.unionByName(bc).dropDuplicates("id_a", "id_b")
       .localCheckpoint(eager = false) // consumed by candIds AND verify
     // prune the persisted fingerprint table to candidate-incident docs
-    // before the verify joins (the incrementalMinhashPairs discipline)
+    // before the verify joins (the incrementalMinhashPairs discipline);
+    // the batch-pid anti-join makes the batch WIN on overlapping ids —
+    // without it a re-crawled doc carries TWO fp rows per pid, fanning
+    // out the verify joins and scoring against its stale fingerprint
     val candIds = cands.select(col("id_a").as("pid"))
       .unionByName(cands.select(col("id_b").as("pid")))
       .dropDuplicates("pid")
-    val allFps = corpusFps.join(candIds, Seq("pid"), "left_semi")
+    val allFps = corpusFps
+      .join(bf.select("pid"), Seq("pid"), "left_anti")
+      .join(candIds, Seq("pid"), "left_semi")
       .unionByName(bf)
     cands
       .join(allFps.select(col("pid").as("id_a"), col("fp").as("fa")),
@@ -1603,8 +1632,11 @@ object Dedup {
     * ([[corpusLshIndex]]'s bk → cpids and [[corpusFingerprintIndex]]'s
     * (sl, sv) → cpids; the third banded state,
     * [[graft.ext.SimSearch.corpusEmbeddingLshIndex]], keeps EXPLODED
-    * rows rather than grouped lists, so its maintenance is a plain
-    * union / anti-join needing no merge operator). Keys are per-doc
+    * rows rather than grouped lists, so its maintenance is the plain
+    * anti-join + union pair
+    * [[graft.ext.SimSearch.upsertEmbeddingIndex]] /
+    * [[graft.ext.SimSearch.retractEmbeddingIndex]], oracle-checked as
+    * q255/q256). Keys are per-doc
     * deterministic and nothing is df-capped, so unlike
     * [[upsertShingleIndex]] there is no cap algebra at all — the merge
     * is a pure per-key set union, and the upserted index equals the
@@ -1620,14 +1652,20 @@ object Dedup {
     * array union — the corpus is never rescanned. */
   def upsertPostingsIndex(index: DataFrame, batchPostings: DataFrame,
       keyCols: Seq[String]): DataFrame = {
+    // the empty-list element type derives from the index's own cpids
+    // schema, so non-bigint pid spaces (string ids etc.) work as long
+    // as index and delta agree — the operator is generic over keyCols
+    // AND pid type (round-10 advice: the old array<bigint> hardcode
+    // failed analysis for any other id type)
+    val ct = index.schema("cpids").dataType.sql
     val bp = batchPostings
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_set(col("pid"))).as("bpids"))
     index.join(bp, keyCols, "full_outer")
       .select(keyCols.map(col) :+
         sort_array(array_union(
-          coalesce(col("cpids"), array().cast("array<bigint>")),
-          coalesce(col("bpids"), array().cast("array<bigint>"))))
+          coalesce(col("cpids"), array().cast(ct)),
+          coalesce(col("bpids"), array().cast(ct))))
           .as("cpids"): _*)
   }
 

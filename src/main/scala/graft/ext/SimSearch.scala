@@ -278,6 +278,43 @@ object SimSearch {
       explode(multiTableBuckets(col("embedding"), bits, tables))
         .as("bucket"))
 
+  /** Merge a new batch of vectors into a persisted
+    * [[corpusEmbeddingLshIndex]] — the maintenance upsert for the
+    * EMBEDDING modality's index state (the exploded-row sibling of
+    * [[graft.ext.Dedup.upsertPostingsIndex]]): because the state keeps
+    * one ROW per (vec_id, table-bucket) rather than grouped lists,
+    * the merge is an anti-join + union, no per-key set algebra at all.
+    * The BATCH WINS on overlapping ids: a re-crawled vec_id's stale
+    * rows are anti-joined out before its fresh rows (bucketed from the
+    * embedding it has NOW) union in, so a re-delivered identical batch
+    * is a no-op and a changed embedding replaces its buckets — and the
+    * upserted index equals the fresh corpus∪batch rebuild EXACTLY
+    * (bucket keys are per-vector deterministic; the q255 oracle IS
+    * that rebuild, and a SimSearchSpec case pins idempotency +
+    * batch-wins).
+    *
+    * Scale shape: ONE id-keyed anti-join (broadcast when the batch is
+    * small) + union — the corpus embeddings are never rescanned; batch
+    * buckets compute map-side. */
+  def upsertEmbeddingIndex(index: DataFrame, batch: DataFrame,
+      bits: Int, tables: Int): DataFrame =
+    index.join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(corpusEmbeddingLshIndex(batch, bits, tables))
+
+  /** Remove deleted vectors from a persisted
+    * [[corpusEmbeddingLshIndex]] — [[upsertEmbeddingIndex]]'s takedown
+    * half, completing maintenance on the fourth and last persisted
+    * index modality. Exploded-row state makes retraction ONE id-keyed
+    * anti-join: no band recompute, no list surgery — the takedown
+    * request's id list is the only input (state-only by construction;
+    * embeddings are never rescanned), a re-delivered takedown is a
+    * no-op, and the retracted index equals the fresh rebuild over the
+    * retained corpus EXACTLY (the q256 oracle IS that rebuild). */
+  def retractEmbeddingIndex(index: DataFrame, deletedIds: DataFrame,
+      idCol: String): DataFrame =
+    index.join(deletedIds.select(col(idCol).as("vec_id")),
+      Seq("vec_id"), "left_anti")
+
   /** Batch-vs-corpus INCREMENTAL embedding near-dup
     * ([[cosineNearDupPairsLsh]]'s recrawl form): given the persisted
     * [[corpusEmbeddingLshIndex]] and a NEW batch of vectors, produce

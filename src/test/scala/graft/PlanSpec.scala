@@ -379,6 +379,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("embedding-index maintenance (q255/q256): ONE vec_id-keyed " +
+    "anti-join each (exploded-row state needs no set algebra) — no " +
+    "cartesian/nested-loop, corpus embeddings never rescanned (the " +
+    "index side is the persisted scratch)") {
+    val up = plan(ExtQueries.all("q255_emb_upsert")(spark, sf0001))
+    assert(!up.contains("CartesianProduct"), up)
+    assert(!up.contains("BroadcastNestedLoopJoin"), up)
+    assert(up.contains("LeftAnti"), up)
+    val ret = plan(ExtQueries.all("q256_emb_retract")(spark, sf0001))
+    assert(!ret.contains("CartesianProduct"), ret)
+    assert(!ret.contains("BroadcastNestedLoopJoin"), ret)
+    assert(ret.contains("LeftAnti"), ret)
+  }
+
+  test("lifecycle integration on the banded path (q257): the chained " +
+    "plan stays all-equi — no cartesian/nested-loop through pairs + " +
+    "index upsert + cluster upsert + retraction + survivor report") {
+    val p = plan(ExtQueries.all("q257_lsh_lifecycle")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed join (q161): sort-merge join with NO exchange on the " +
     "join key — the bucketBy layout carries the partitioning") {
     val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)

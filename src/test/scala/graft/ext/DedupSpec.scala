@@ -835,6 +835,99 @@ class DedupSpec extends SparkSpec {
       Seq("bk"))) == rows(idx))
   }
 
+  test("incrementalFingerprintPairs: the BATCH WINS on a re-crawled " +
+    "pid — the stale corpus fingerprint never reaches the verify, " +
+    "stale index self-candidates drop, and the output equals the full " +
+    "recompute over the batch-wins doc set (round-10 advice)") {
+    // corpus 3 = 0xFF; the batch RE-CRAWLS pid 3 as 0xFB (shares its
+    // own stale slice keys -> self-candidate must drop) and adds 10.
+    // Batch-wins doc set: {1: 0x00, 2: 0x01, 3: 0xFB, 10: 0x03}
+    val corpusFps = Seq((1L, 0x00L), (2L, 0x01L), (3L, 0xFFL))
+      .toDF("pid", "fp")
+    val batchFps = Seq((3L, 0xFBL), (10L, 0x03L)).toDF("pid", "fp")
+    val (idx, cf) = Dedup.corpusFingerprintIndex(corpusFps,
+      bits = 8, slices = 4)
+    val inc = Dedup.incrementalFingerprintPairs(idx, cf, batchFps,
+        bits = 8, slices = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    // no self-pair, no row scored against 3's stale 0xFF (0xFB is
+    // Hamming >3 from everything, so 3 vanishes from the output; 10
+    // pairs with 1 and 2 as usual)
+    assert(inc.toSet == Set((1L, 10L, 2), (2L, 10L, 1)))
+    // == the full recompute over the batch-wins doc set, filtered to
+    // batch-incident pairs
+    val winsDocs = Seq((1L, 0x00L), (2L, 0x01L), (3L, 0xFBL),
+      (10L, 0x03L)).toDF("pid", "fp")
+    val batchIds = Set(3L, 10L)
+    val full = Dedup.fingerprintNearDupPairs(winsDocs, bits = 8,
+        slices = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(inc == full)
+  }
+
+  test("upsertPostingsIndex / retractPostingsIndex are generic over " +
+    "the pid type: a STRING id space maintains exactly like the " +
+    "bigint fixtures (the empty-list element type derives from the " +
+    "index schema — round-10 advice)") {
+    val idx = Seq(("x", Seq("a", "c"))).toDF("bk", "cpids")
+    val bPost = Seq(("x", "b"), ("y", "d")).toDF("bk", "pid")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Seq[String])].collect().toSet
+    val up = Dedup.upsertPostingsIndex(idx, bPost, Seq("bk"))
+    assert(rows(up) == Set("x" -> Seq("a", "b", "c"), "y" -> Seq("d")))
+    // retraction: emptied key drops; round-trip returns to start
+    assert(rows(Dedup.retractPostingsIndex(up,
+      Seq(("y", "d")).toDF("bk", "pid"), Seq("bk")))
+      == Set("x" -> Seq("a", "b", "c")))
+    assert(rows(Dedup.retractPostingsIndex(up, bPost, Seq("bk")))
+      == rows(idx))
+  }
+
+  test("lifecycle chaining on the BANDED path (q257 shape): the batch " +
+    "folds forward through incremental pairs + index upsert + cluster " +
+    "upsert, cluster upsert == fresh components over the union pair " +
+    "set, and retracting the same batch returns BOTH state tables to " +
+    "their starting rows (index byte-identical — uncapped, no " +
+    "tombstone asymmetry on this path)") {
+    val k = 3; val nh = 12; val rpb = 3; val thr = 0.05
+    val docs = graft.engine.Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 3)
+    val batch = docs.filter(col("doc_id") % 5 === 3)
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("bk").cast("string").as("bk"), col("cpids"))
+        .as[(String, Seq[Long])].collect().toSet
+    def clusterRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // stage 1 — corpus state (index + postings + sizes + pairs + clusters)
+    val (idx0, post0, sizes0) = Dedup.corpusLshIndex(corpus, "doc_id",
+      "text", k, nh, rpb)
+    val corpusPairs = Dedup.minhashBandPairsFromIndex(idx0, post0,
+      sizes0, thr).select("id_a", "id_b")
+    val clusters0 = Dedup.dupClusters(corpusPairs,
+      corpus.select("doc_id"), "doc_id")
+    // stage 2 — batch folds forward
+    val newPairs = Dedup.incrementalMinhashPairs(idx0, post0, sizes0,
+      batch, "doc_id", "text", k, nh, rpb, thr).select("id_a", "id_b")
+    assert(newPairs.count() > 0) // the merge below is non-vacuous
+    val bRows = Dedup.bandRowsFromPostings(
+      Dedup.postings(batch, "doc_id", "text", k), nh, rpb)
+    val idx1 = Dedup.upsertPostingsIndex(idx0, bRows, Seq("bk"))
+    val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
+      batch.select("doc_id"), "doc_id")
+    val unionPairs = corpusPairs.unionByName(newPairs)
+    // the handoff law: incremental fold == fresh components over the
+    // union pair set (no cap algebra anywhere on this path)
+    assert(clusterRows(clusters1) == clusterRows(Dedup.dupClusters(
+      unionPairs, docs.select("doc_id"), "doc_id")))
+    // stage 3 — retract the SAME batch: both tables return to start
+    val idx2 = Dedup.retractPostingsIndex(idx1, bRows, Seq("bk"))
+    assert(idxRows(idx2) == idxRows(idx0))
+    val clusters2 = Dedup.retractClusters(clusters1, unionPairs,
+      batch.select("doc_id"), "doc_id")
+    assert(clusterRows(clusters2) == clusterRows(clusters0))
+  }
+
   test("lifecycle chaining (q248 shape): the SAME doc added by " +
     "upsert/incremental-pairs/cluster-upsert then retracted leaves " +
     "both state tables where they started — index round-trips exactly " +

@@ -131,6 +131,50 @@ class SimSearchSpec extends SparkSpec {
     assert(repart == inc)
   }
 
+  test("upsertEmbeddingIndex / retractEmbeddingIndex (q255/q256): both " +
+    "maintenance directions equal the fresh rebuild over the " +
+    "post-maintenance vector set, re-delivery is a no-op in BOTH " +
+    "directions, the batch WINS on a re-crawled id whose embedding " +
+    "changed, and add-then-retract round-trips the index") {
+    val bits = 16; val tables = 4
+    val emb = Tables.embeddings(spark, sf0001)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 3)
+    val batch = emb.filter(col("vec_id") % 5 === 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("bucket.t"), col("bucket.bk"), col("vec_id"))
+        .as[(Int, Long, Long)].collect().toSet
+    def fresh(df: org.apache.spark.sql.DataFrame) =
+      rows(SimSearch.corpusEmbeddingLshIndex(df, bits, tables))
+    val idx = SimSearch.corpusEmbeddingLshIndex(corpus, bits, tables)
+    // upsert == fresh corpus∪batch rebuild
+    val up = SimSearch.upsertEmbeddingIndex(idx, batch, bits, tables)
+    assert(rows(up) == fresh(emb) && rows(up) != rows(idx))
+    // re-delivered upsert: anti-join makes it a no-op
+    assert(rows(SimSearch.upsertEmbeddingIndex(up, batch, bits, tables))
+      == rows(up))
+    // batch WINS on an overlapping id: re-crawl one corpus vector with
+    // a flipped embedding — its rows must be the NEW embedding's
+    // buckets, and every other corpus row must stay put
+    val vid = corpus.select(min("vec_id")).as[Long].head()
+    val recrawl = corpus.filter(col("vec_id") === vid)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val up2 = SimSearch.upsertEmbeddingIndex(idx, recrawl, bits, tables)
+    assert(rows(up2) == fresh(corpus.filter(col("vec_id") =!= vid)
+      .select("vec_id", "embedding").unionByName(recrawl)))
+    // retract == fresh rebuild over the retained vectors
+    val deleted = corpus.filter(col("vec_id") % 7 === 2)
+      .select("vec_id")
+    val ret = SimSearch.retractEmbeddingIndex(idx, deleted, "vec_id")
+    assert(rows(ret) == fresh(corpus.filter(col("vec_id") % 7 =!= 2)))
+    // re-delivered takedown: no-op by anti-join construction
+    assert(rows(SimSearch.retractEmbeddingIndex(ret, deleted, "vec_id"))
+      == rows(ret))
+    // the round-trip law: add then retract the SAME batch == start
+    assert(rows(SimSearch.retractEmbeddingIndex(up,
+      batch.select("vec_id"), "vec_id")) == rows(idx))
+  }
+
   test("lsh_bucket (native) == per-bit lambda form across plane offsets") {
     val emb = Tables.embeddings(spark, sf0001)
     for (off <- Seq(0, 16, 48)) {

@@ -1302,6 +1302,9 @@ object ExtQueries {
     // reads its own family (slice index + fingerprint table); q251
     // upsert and q252 retract maintain the persisted slice index
     "q250_incremental_payload", "q251_fp_upsert", "q252_fp_retract",
+    // fingerprint state again: q258's takedown feed derives from the
+    // persisted fingerprint table (state-only, the streaming twin)
+    "q258_stream_takedown",
     // corpus embedding-LSH state (sharedEmbState): q245 owns the
     // exploded-row bucket index; q255 upsert and q256 retract maintain
     // it — the last of the four modalities' indexes to get
@@ -3995,7 +3998,30 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** q258 — STATE-ONLY takedown feed, batch twin ([[Dedup
+    * .fingerprintPostings]] over the persisted fingerprint table
+    * semi-joined to the takedown id list): the retraction deltas the
+    * q252 index retraction consumes, materialized as their own
+    * artifact — one id-keyed join + one explode, payloads never
+    * rescanned. The same transform runs as a real readStream pipeline
+    * ([[graft.streaming.StreamingOps.streamingRetractPostings]] —
+    * takedown ids arriving as a stream, the q249 pattern applied to
+    * the retraction verb; stateless, so StreamingSpec pins stream ==
+    * batch with NO withheld tail, and folding the drained deltas
+    * through [[Dedup.retractPostingsIndex]] == the q252 retraction).
+    * Reads the [[sharedFingerprintState]] family (q250 owner). */
+  private val q258: Q = (s, d) => {
+    val (_, cfps) = sharedFingerprintState(s, d)
+    val takedown = Tables.documents(s, d)
+      .filter(col("doc_id") % 7 === 2)
+      .select(col("doc_id").as("pid"))
+    Dedup.fingerprintPostings(takedown.join(cfps, Seq("pid")),
+        bits = 32, slices = 4)
+      .orderBy("sl", "sv", "pid")
+  }
+
   val all: Map[String, Q] = Map(
+    "q258_stream_takedown" -> q258,
     "q257_lsh_lifecycle" -> q257,
     "q256_emb_retract" -> q256,
     "q255_emb_upsert" -> q255,
@@ -8090,6 +8116,20 @@ object ExtQueries {
     "q254_lsh_retract" ->
       lshIndexSql(3, 12, 3,
         " WHERE doc_id % 5 <> 3 AND doc_id % 7 <> 2"),
+
+    // the takedown FEED: the deleted corpus docs' slice-key postings,
+    // derived from state alone (the batch twin of the streaming
+    // retraction; the id list spans corpus and batch ids, but only
+    // persisted-state rows have deltas to derive)
+    "q258_stream_takedown" ->
+      s"""WITH ${blockhashFpCtes(" WHERE doc_id % 5 <> 3" +
+            " AND doc_id % 7 = 2")},
+         |banded AS (
+         |  SELECT pid, CAST(t.range AS INT) AS sl,
+         |         (fp >> (CAST(t.range AS INT) * 8)) & 255 AS sv
+         |  FROM fp, range(0, 4) t)
+         |SELECT sl, sv, pid FROM banded
+         |ORDER BY sl, sv, pid""".stripMargin,
 
     // exploded-row EMBEDDING index (q245's state): per-vector
     // deterministic hyperplane buckets, so both maintenance directions

@@ -321,7 +321,28 @@ object PlanDump {
           "corpus row behind a checkpoint barrier (was once per " +
           "row×query through the broadcast join), both precisions " +
           "scored in ONE corpus scan, both ranking windows + the " +
-          "recall aggregate on a SINGLE q_id exchange"))
+          "recall aggregate on a SINGLE q_id exchange"),
+      "q255_emb_upsert" ->
+        ("embedding-index upsert: exploded-row state ⇒ ONE vec_id " +
+          "anti-join (batch wins on re-crawled ids) + union of the " +
+          "batch's freshly bucketed rows; no set algebra, corpus " +
+          "embeddings never rescanned"),
+      "q256_emb_retract" ->
+        ("embedding-index retraction: ONE vec_id anti-join from the " +
+          "takedown id list alone — exploded-row state carries its " +
+          "keys, so no band recompute anywhere"),
+      "q257_lsh_lifecycle" ->
+        ("banded-path lifecycle chain: q242 incremental pairs + q253 " +
+          "band upsert + q243 cluster upsert -> q254 retraction " +
+          "(deltas from persisted ∪ batch postings) + q246 cluster " +
+          "retraction -> survivor report joining BOTH final state " +
+          "tables; every stage the individually-pinned plan, all-equi " +
+          "throughout"),
+      "q258_stream_takedown" ->
+        ("takedown feed, batch twin of the STREAMING retraction: ONE " +
+          "pid-keyed join against the persisted fingerprint table + " +
+          "the fingerprintPostings explode — stateless, so the " +
+          "readStream form has NO watermark state at all"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

@@ -1699,6 +1699,73 @@ object Dedup {
       .filter(size(col("cpids")) >= 1)
   }
 
+  /** Write a banded posting index as HASH-PARTITIONED parquet state
+    * (`pbucket = pmod(hash(keys), numBuckets)` as the partition
+    * column) — the production layout for
+    * [[upsertPostingsIndexPartitioned]]: at 100 TB the index itself is
+    * large, and the single-table [[upsertPostingsIndex]] necessarily
+    * rewrites (and re-sorts) every row per upsert because parquet
+    * state is immutable — a 0.1%-of-keys delta still costs a full
+    * table rewrite. Partitioned state bounds the rewrite to the
+    * partitions the delta touches. */
+  def writePostingsIndexPartitioned(index: DataFrame, path: String,
+      keyCols: Seq[String], numBuckets: Int): Unit =
+    index.withColumn("pbucket",
+        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(path)
+
+  /** [[upsertPostingsIndex]] against hash-partitioned parquet state,
+    * rewriting ONLY the partitions the delta touches: the merge logic
+    * is identical (grouped delta, one key-keyed full-outer join,
+    * map-side `array_union`), but the state side is partition-PRUNED
+    * to the delta's buckets before the join and written back with
+    * dynamic partition overwrite — untouched partitions' files are
+    * never read and never rewritten (DedupSpec pins both directions:
+    * untouched leaf files byte-stable, full post-upsert read equals
+    * the in-memory [[upsertPostingsIndex]] and hence the fresh
+    * rebuild). Returns the touched bucket ids.
+    *
+    * The bucket-id collect is ≤ `numBuckets` ints (KB-bounded by
+    * construction — the partition-pruning literal, same class as the
+    * documented top-k / subtotal collects); the eager checkpoint
+    * before the write is the read-then-overwrite barrier (the merge
+    * output is materialized before its own input partitions are
+    * replaced) and is itself bounded by the touched partitions.
+    * A retraction variant is the same shape with the
+    * [[retractPostingsIndex]] merge body — a takedown delta prunes
+    * identically. */
+  def upsertPostingsIndexPartitioned(statePath: String,
+      batchPostings: DataFrame, keyCols: Seq[String], numBuckets: Int)
+      : Seq[Int] = {
+    val spark = batchPostings.sparkSession
+    val delta = batchPostings
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_set(col("pid"))).as("bpids"))
+      .withColumn("pbucket",
+        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+      .localCheckpoint(eager = true) // consumed by touched AND merge
+    val touched = delta.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val cur = spark.read.parquet(statePath)
+      .filter(col("pbucket").isin(touched: _*))
+    val ct = cur.schema("cpids").dataType.sql
+    val merged = cur.drop("pbucket")
+      .join(delta.drop("pbucket"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        sort_array(array_union(
+          coalesce(col("cpids"), array().cast(ct)),
+          coalesce(col("bpids"), array().cast(ct))))
+          .as("cpids"): _*)
+      .withColumn("pbucket",
+        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+      .localCheckpoint(eager = true) // barrier: materialize BEFORE the
+                                     // overwrite replaces its own input
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(statePath)
+    touched
+  }
+
   /** Exact edit-distance ≤ `maxDist` (1 or 2) self-join via deletion
     * neighborhoods (FastSS / symmetric-delete blocking): every string
     * emits itself plus each deletion variant as candidate keys; two strings

@@ -322,6 +322,25 @@ object StreamingOps {
     graft.ext.Dedup.assignClusters(docs, index, clusters, "doc_id",
       "text", k, threshold, maxDf, streaming = true)
 
+  /** Takedown ids arriving AS A STREAM — the retraction verb's
+    * streaming form (the last lifecycle verb without one; q258's
+    * streaming face, the q246/q252 pattern fed by a live deletion
+    * feed): each arriving id derives its banded-index retraction
+    * deltas from the PERSISTED fingerprint table via ONE stateless
+    * stream-static join + the same [[graft.ext.Dedup
+    * .fingerprintPostings]] explode the batch path uses — payloads are
+    * never rescanned, and because the transform is stateless
+    * (per-id deterministic, no windowed aggregation) the drained
+    * output equals the batch feed row-for-row with NO withheld tail
+    * (StreamingSpec), independent of micro-batch boundaries by
+    * construction. Downstream, the drained deltas fold through
+    * [[graft.ext.Dedup.retractPostingsIndex]] exactly as the batch
+    * ones do (spec-pinned == the q252 retraction). */
+  def streamingRetractPostings(ids: DataFrame, fps: DataFrame,
+      bits: Int, slices: Int): DataFrame =
+    graft.ext.Dedup.fingerprintPostings(
+      ids.select("pid").join(fps, Seq("pid")), bits, slices)
+
   /** Run a transform as a real streaming query over the documents
     * parquet (the [[runStreaming]] harness shape, documents-sourced):
     * a DETERMINISTIC per-doc event time is synthesized

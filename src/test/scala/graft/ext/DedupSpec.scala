@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -833,6 +834,59 @@ class DedupSpec extends SparkSpec {
     // round-trip law on this modality too
     assert(rows(Dedup.retractPostingsIndex(up, bandRows(batch),
       Seq("bk"))) == rows(idx))
+  }
+
+  test("upsertPostingsIndexPartitioned: only delta-touched partitions " +
+    "rewrite (untouched leaf files byte-stable), and the full " +
+    "post-upsert read equals the in-memory upsertPostingsIndex — the " +
+    "production partitioned-state shape for large indexes") {
+    val bits = 8; val slices = 4; val nb = 32
+    val corpusFps = Seq((1L, 0x00L), (2L, 0x01L), (3L, 0xFFL))
+      .toDF("pid", "fp")
+    val batchFps = Seq((10L, 0x03L)).toDF("pid", "fp")
+    val idx = Dedup.corpusFingerprintIndex(corpusFps, bits, slices)._1
+      .localCheckpoint(eager = true) // frozen pre-upsert baseline
+    val bPost = Dedup.fingerprintPostings(batchFps, bits, slices)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx")
+      .toFile.getAbsolutePath + "/state"
+    Dedup.writePostingsIndexPartitioned(idx, dir, Seq("sl", "sv"), nb)
+    def leaves(): Map[String, Seq[(String, Long)]] = {
+      val base = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map { p =>
+          val rel = base.relativize(p).toString
+          rel.substring(0, rel.indexOf('/')) ->
+            (rel, java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        }.toSeq.groupBy(_._1)
+        .map { case (b, xs) => b -> xs.map(_._2).sorted }
+      finally s.close()
+    }
+    val before = leaves()
+    val touched = Dedup.upsertPostingsIndexPartitioned(dir, bPost,
+      Seq("sl", "sv"), nb)
+    val after = leaves()
+    val touchedDirs = touched.map(b => s"pbucket=$b").toSet
+    // the fixture must leave some partitions untouched, or the pin
+    // below is vacuous
+    val untouched = before.keySet -- touchedDirs
+    assert(untouched.nonEmpty && touchedDirs.nonEmpty)
+    // untouched partitions: identical files, never rewritten
+    untouched.foreach(b => assert(after(b) == before(b), b))
+    // touched partitions carry NEW files (fresh part- names); a
+    // touched bucket may be brand-new (key the corpus never had)
+    touchedDirs.filter(before.contains)
+      .foreach(b => assert(after(b).map(_._1) != before(b).map(_._1), b))
+    // the state contract: full read == in-memory merge == fresh rebuild
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("sl", "sv", "cpids")
+        .as[(Int, Long, Seq[Long])].collect().toSet
+    assert(rows(spark.read.parquet(dir)) ==
+      rows(Dedup.upsertPostingsIndex(idx, bPost, Seq("sl", "sv"))))
+    assert(rows(spark.read.parquet(dir)) ==
+      rows(Dedup.corpusFingerprintIndex(
+        corpusFps.unionByName(batchFps), bits, slices)._1))
   }
 
   test("incrementalFingerprintPairs: the BATCH WINS on a re-crawled " +

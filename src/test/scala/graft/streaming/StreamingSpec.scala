@@ -104,6 +104,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming takedown feed (q258): retraction ids arriving as a " +
+    "stream derive their index deltas from persisted state — stream " +
+    "== batch with NO withheld tail (stateless transform), and " +
+    "folding the drained deltas retracts the index exactly (q252)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val corpusFps = graft.ext.Multimodal.blockhashFingerprints(
+      graft.ext.Multimodal.mediaTable(
+        docs.filter(col("doc_id") % 5 =!= 3)), "doc_id", blocks = 32)
+    val (idx, cf) = graft.ext.Dedup.corpusFingerprintIndex(corpusFps,
+      bits = 32, slices = 4)
+    val cfC = cf.localCheckpoint(eager = true)
+    val idxC = idx.localCheckpoint(eager = true)
+    val batchDeltas = graft.ext.Dedup.fingerprintPostings(
+        cfC.filter(col("pid") % 7 === 2), bits = 32, slices = 4)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(batchDeltas.nonEmpty)
+    val streamedDf = StreamingOps.runStreamingDocs(spark, sf0001,
+      s => StreamingOps.streamingRetractPostings(
+        s.filter(col("doc_id") % 7 === 2)
+          .select(col("doc_id").as("pid")),
+        cfC, bits = 32, slices = 4),
+      "t_takedown")
+    // stateless (no windowed agg) => EVERY row emits, including the
+    // max-event-time doc's — no withheld tail to exclude
+    assert(streamedDf.as[(Int, Long, Long)].collect().toSet
+      == batchDeltas)
+    // the lifecycle verb: folding the drained stream through the same
+    // retraction operator equals the batch takedown (q252 semantics —
+    // fresh rebuild over the retained corpus)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("sl", "sv", "cpids")
+        .as[(Int, Long, Seq[Long])].collect().toSet
+    val viaStream = graft.ext.Dedup.retractPostingsIndex(idxC,
+      streamedDf, Seq("sl", "sv"))
+    val retained = graft.ext.Multimodal.blockhashFingerprints(
+      graft.ext.Multimodal.mediaTable(
+        docs.filter(col("doc_id") % 5 =!= 3 && col("doc_id") % 7 =!= 2)),
+      "doc_id", blocks = 32)
+    assert(rows(viaStream) == rows(
+      graft.ext.Dedup.corpusFingerprintIndex(retained,
+        bits = 32, slices = 4)._1))
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val batch = StreamingOps.tumblingCounts(Tables.events(spark, sf0001))
       .collect().toSet

@@ -925,8 +925,9 @@ object ExtQueries {
     "q211_pq_codes" -> Seq("pqcodes", "pqbooks"),
     "q231_bpe_merges" -> Seq("bpemerges", "bpesegs"),
     "q238_incremental_dedup" -> Seq("exidx", "expairs", "exclusters"),
-    "q250_incremental_payload" -> Seq("fpslices", "fptable"),
-    "q245_incremental_embed" -> Seq("embidx"))
+    "q250_incremental_payload" ->
+      Seq("fpslices", "fptable", "fpclusters"),
+    "q245_incremental_embed" -> Seq("embidx", "embclusters"))
 
   /** Per-kind scratch generation, folded into every [[scratch]] path.
     * Bench's stall re-run of a shared-scratch OWNER bumps the owner's
@@ -1208,8 +1209,9 @@ object ExtQueries {
     * generation so the second sample re-times the build, not a memo
     * hit. Longs only — exact parquet round-trip. */
   private def sharedFingerprintState(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = synchronized {
+      : (DataFrame, DataFrame, DataFrame) = synchronized {
     val sp = scratch("fpslices", d); val fp = scratch("fptable", d)
+    val cp = scratch("fpclusters", d)
     if (!scratchDone(sp)) {
       val corpusFps = Multimodal.blockhashFingerprints(
         Multimodal.mediaTable(Tables.documents(s, d)
@@ -1218,9 +1220,18 @@ object ExtQueries {
         bits = 32, slices = 4)
       idx.write.mode("overwrite").parquet(sp)
       f.write.mode("overwrite").parquet(fp)
+      // corpus cluster table from the just-written state alone
+      // (fingerprintPairsFromIndex — payloads scanned exactly ONCE,
+      // for the fingerprints; the sharedLshState shape, round 11)
+      Dedup.dupClusters(
+          Dedup.fingerprintPairsFromIndex(s.read.parquet(sp),
+              s.read.parquet(fp), maxHamming = 3)
+            .select(col("id_a"), col("id_b")),
+          s.read.parquet(fp).select("pid"), "pid")
+        .write.mode("overwrite").parquet(cp)
       scratchDone += sp
     }
-    (s.read.parquet(sp), s.read.parquet(fp))
+    (s.read.parquet(sp), s.read.parquet(fp), s.read.parquet(cp))
   }
 
   /** Shared corpus EMBEDDING-LSH state
@@ -1232,12 +1243,27 @@ object ExtQueries {
     * maintain the persisted rows. Exploded (vec_id, embedding, bucket)
     * rows — longs, floats and structs of ints/longs all round-trip
     * parquet exactly, so sharing cannot move a hash. */
-  private def sharedEmbState(s: SparkSession, d: String): DataFrame =
-    materialized(s, scratch("embidx", d)) {
+  private def sharedEmbState(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = synchronized {
+    val ip = scratch("embidx", d); val cp = scratch("embclusters", d)
+    if (!scratchDone(ip)) {
       SimSearch.corpusEmbeddingLshIndex(
-        Tables.embeddings(s, d).filter(col("vec_id") % 5 =!= 3),
-        bits = 16, tables = 4)
+          Tables.embeddings(s, d).filter(col("vec_id") % 5 =!= 3),
+          bits = 16, tables = 4)
+        .write.mode("overwrite").parquet(ip)
+      // corpus cluster table from the just-written state alone
+      // (cosinePairsFromIndex — the exploded rows carry vectors AND
+      // keys, so embeddings are scanned exactly ONCE, for the index)
+      val idx = s.read.parquet(ip)
+      Dedup.dupClusters(
+          SimSearch.cosinePairsFromIndex(idx, threshold = 0.25)
+            .select(col("id_a"), col("id_b")),
+          idx.select(col("vec_id")).dropDuplicates("vec_id"), "vec_id")
+        .write.mode("overwrite").parquet(cp)
+      scratchDone += ip
     }
+    (s.read.parquet(ip), s.read.parquet(cp))
+  }
 
   /** The queries that OWN a shared scratch — first in qNN order among
     * their family, they pay the build. Bench's stall re-run treats them
@@ -1303,13 +1329,16 @@ object ExtQueries {
     // upsert and q252 retract maintain the persisted slice index
     "q250_incremental_payload", "q251_fp_upsert", "q252_fp_retract",
     // fingerprint state again: q258's takedown feed derives from the
-    // persisted fingerprint table (state-only, the streaming twin)
-    "q258_stream_takedown",
+    // persisted fingerprint table (state-only, the streaming twin);
+    // q260 chains the whole payload lifecycle off the family
+    "q258_stream_takedown", "q260_fp_lifecycle",
     // corpus embedding-LSH state (sharedEmbState): q245 owns the
-    // exploded-row bucket index; q255 upsert and q256 retract maintain
-    // it — the last of the four modalities' indexes to get
-    // oracle-checked maintenance (round-10 verdict item 2)
+    // exploded-row bucket index + cluster table; q255 upsert and q256
+    // retract maintain the index — the last of the four modalities'
+    // indexes to get oracle-checked maintenance (round-10 verdict
+    // item 2) — and q259 chains the whole embedding lifecycle
     "q245_incremental_embed", "q255_emb_upsert", "q256_emb_retract",
+    "q259_emb_lifecycle",
     // LSH-path lifecycle chain reads the sharedLshState family end to
     // end (round-10 verdict item 3 — the q248 composition on the
     // banded modality)
@@ -3638,7 +3667,7 @@ object ExtQueries {
     * the persisted parquet, matching the other three modalities'
     * owner shape (q238/q242/q250). */
   private val q245: Q = (s, d) => {
-    SimSearch.incrementalCosinePairsLsh(sharedEmbState(s, d),
+    SimSearch.incrementalCosinePairsLsh(sharedEmbState(s, d)._1,
       Tables.embeddings(s, d).filter(col("vec_id") % 5 === 3),
       threshold = 0.25, bits = 16, tables = 4)
   }
@@ -3779,7 +3808,7 @@ object ExtQueries {
     * incremental query runs off the persisted parquet — only the
     * batch's fingerprints compute inline, the honest recrawl input. */
   private val q250: Q = (s, d) => {
-    val (idx, cfps) = sharedFingerprintState(s, d)
+    val (idx, cfps, _) = sharedFingerprintState(s, d)
     Dedup.incrementalFingerprintPairs(idx, cfps,
       Multimodal.blockhashFingerprints(
         Multimodal.mediaTable(Tables.documents(s, d)
@@ -3807,7 +3836,7 @@ object ExtQueries {
     * honest recrawl input); the corpus side is the persisted q250
     * scratch, never rescanned. */
   private val q251: Q = (s, d) => {
-    val (idx, _) = sharedFingerprintState(s, d)
+    val (idx, _, _) = sharedFingerprintState(s, d)
     val batchFps = Multimodal.blockhashFingerprints(
       Multimodal.mediaTable(Tables.documents(s, d)
         .filter(col("doc_id") % 5 === 3)), "doc_id", blocks = 32)
@@ -3826,7 +3855,7 @@ object ExtQueries {
     * over the retained corpus EXACTLY; the oracle IS that rebuild.
     * Re-delivered takedowns are no-ops by `array_except` construction. */
   private val q252: Q = (s, d) => {
-    val (idx, cfps) = sharedFingerprintState(s, d)
+    val (idx, cfps, _) = sharedFingerprintState(s, d)
     fpIndexRows(Dedup.retractPostingsIndex(idx,
       Dedup.fingerprintPostings(cfps.filter(col("pid") % 7 === 2),
         bits = 32, slices = 4),
@@ -3901,7 +3930,7 @@ object ExtQueries {
     * owner), never rescanned; batch buckets compute inline (the honest
     * recrawl input). */
   private val q255: Q = (s, d) =>
-    embIndexRows(SimSearch.upsertEmbeddingIndex(sharedEmbState(s, d),
+    embIndexRows(SimSearch.upsertEmbeddingIndex(sharedEmbState(s, d)._1,
       Tables.embeddings(s, d).filter(col("vec_id") % 5 === 3),
       bits = 16, tables = 4))
 
@@ -3915,7 +3944,7 @@ object ExtQueries {
     * q253/q254 this closes oracle-checked maintenance on ALL FOUR
     * modalities' indexes. */
   private val q256: Q = (s, d) =>
-    embIndexRows(SimSearch.retractEmbeddingIndex(sharedEmbState(s, d),
+    embIndexRows(SimSearch.retractEmbeddingIndex(sharedEmbState(s, d)._1,
       Tables.embeddings(s, d).filter(col("vec_id") % 7 === 2)
         .select("vec_id"), "vec_id"))
 
@@ -4011,7 +4040,7 @@ object ExtQueries {
     * through [[Dedup.retractPostingsIndex]] == the q252 retraction).
     * Reads the [[sharedFingerprintState]] family (q250 owner). */
   private val q258: Q = (s, d) => {
-    val (_, cfps) = sharedFingerprintState(s, d)
+    val (_, cfps, _) = sharedFingerprintState(s, d)
     val takedown = Tables.documents(s, d)
       .filter(col("doc_id") % 7 === 2)
       .select(col("doc_id").as("pid"))
@@ -4020,7 +4049,128 @@ object ExtQueries {
       .orderBy("sl", "sv", "pid")
   }
 
+  /** q259 — END-TO-END lifecycle on the EMBEDDING modality: the
+    * q248/q257 five-stage composition in vector space, completing the
+    * chained state-handoff proof on the third of four modalities and
+    * exercising [[Dedup.upsertClusters]] fed by
+    * [[SimSearch.incrementalCosinePairsLsh]]. Stage 1 reads the
+    * [[sharedEmbState]] family (q245 owner — index + cluster table,
+    * both derived from ONE embedding scan); the corpus pair set
+    * derives from state alone ([[SimSearch.cosinePairsFromIndex]] —
+    * the exploded rows carry vectors and keys). Per-vector
+    * deterministic buckets ⇒ the folded pair table IS the full union
+    * recompute (the q257 argument in vector space, no tombstone
+    * asymmetry); the survivor report hashes BOTH final state tables
+    * (per-vector cluster + distinct bucket-peer count). ONE oracle
+    * replays the chain flat. */
+  private val q259: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val batch = emb.filter(col("vec_id") % 5 === 3)
+    // stage 1 — persisted corpus state
+    val (index0, clusters0) = sharedEmbState(s, d)
+    // stage 2 — recrawl batch folds forward
+    val newPairs = SimSearch.incrementalCosinePairsLsh(index0, batch,
+        threshold = 0.25, bits = 16, tables = 4)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = false) // consumed by clusters1 + pairs1
+    val index1 = SimSearch.upsertEmbeddingIndex(index0, batch,
+      bits = 16, tables = 4)
+    val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
+      batch.select("vec_id"), "vec_id")
+    val pairs1 = SimSearch.cosinePairsFromIndex(index0,
+        threshold = 0.25)
+      .select(col("id_a"), col("id_b"))
+      .unionByName(newPairs)
+    // stage 3 — takedown (one anti-join; state carries its keys)
+    val deleted = emb.filter(col("vec_id") % 7 === 2).select("vec_id")
+    val index2 = SimSearch.retractEmbeddingIndex(index1, deleted,
+      "vec_id")
+    val clusters2 = Dedup.retractClusters(clusters1, pairs1, deleted,
+      "vec_id")
+    // stage 4 — survivor report over BOTH final state tables
+    val peers = index2.as("x").join(index2.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .dropDuplicates("a", "b")
+      .groupBy("a").agg(count(lit(1)).as("n_peers"))
+      .select(col("a").as("vec_id"), col("n_peers"))
+    clusters2
+      .join(emb.select("vec_id", "label"), Seq("vec_id"))
+      .join(peers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cluster"),
+        coalesce(col("n_peers"), lit(0L)).as("n_peers"))
+      .orderBy("vec_id")
+  }
+
+  /** q260 — END-TO-END lifecycle on the PAYLOAD modality: the last of
+    * the four modalities' chained compositions — with q248 (exact
+    * text), q257 (banded text) and q259 (embeddings), EVERY dedup
+    * modality now has its build → incremental → upsert → retract
+    * chain proven as one hash-checked handoff, not just
+    * stage-by-stage. Stage 1 reads the [[sharedFingerprintState]]
+    * family (q250 owner — slice index + fingerprint table + cluster
+    * table, all from ONE payload scan); corpus pairs derive from
+    * state alone ([[Dedup.fingerprintPairsFromIndex]]); retraction
+    * deltas derive from the persisted ∪ batch fingerprints (payloads
+    * never rescanned — the q252/q258 posture). Per-payload
+    * deterministic fingerprints ⇒ the folded pair table IS the full
+    * union recompute; the survivor report hashes BOTH final state
+    * tables (per-payload cluster + distinct slice-peer count). */
+  private val q260: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // stage 1 — persisted corpus state
+    val (index0, cfps, clusters0) = sharedFingerprintState(s, d)
+    // stage 2 — recrawl batch folds forward (batch fingerprints
+    // compute inline — the honest recrawl input, the q251 posture)
+    val batchFps = Multimodal.blockhashFingerprints(
+        Multimodal.mediaTable(docs.filter(col("doc_id") % 5 === 3)),
+        "doc_id", blocks = 32)
+      .localCheckpoint(eager = false) // consumed by pairs + index + del
+    val newPairs = Dedup.incrementalFingerprintPairs(index0, cfps,
+        batchFps, bits = 32, slices = 4, maxHamming = 3)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = false) // consumed by clusters1 + pairs1
+    val index1 = Dedup.upsertPostingsIndex(index0,
+      Dedup.fingerprintPostings(batchFps, bits = 32, slices = 4),
+      Seq("sl", "sv"))
+    val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
+      batchFps.select("pid"), "pid")
+    val pairs1 = Dedup.fingerprintPairsFromIndex(index0, cfps,
+        maxHamming = 3)
+      .select(col("id_a"), col("id_b"))
+      .unionByName(newPairs)
+    // stage 3 — takedown (deltas from persisted ∪ batch fingerprints)
+    val deleted = docs.filter(col("doc_id") % 7 === 2)
+      .select(col("doc_id").as("pid"))
+    val fps1 = cfps.unionByName(batchFps.select("pid", "fp"))
+    val index2 = Dedup.retractPostingsIndex(index1,
+      Dedup.fingerprintPostings(
+        fps1.join(deleted, Seq("pid"), "left_semi"),
+        bits = 32, slices = 4), Seq("sl", "sv"))
+    val clusters2 = Dedup.retractClusters(clusters1, pairs1, deleted,
+      "pid")
+    // stage 4 — survivor report over BOTH final state tables
+    val peers = index2.filter(size(col("cpids")) >= 2)
+      .select(explode(col("cpids")).as("a"), col("cpids"))
+      .select(col("a"), explode(col("cpids")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .dropDuplicates("a", "b")
+      .groupBy("a").agg(count(lit(1)).as("n_peers"))
+      .select(col("a").as("pid"), col("n_peers"))
+    clusters2
+      .join(Multimodal.mediaTable(docs)
+        .select(col("doc_id").as("pid"), col("media_type")),
+        Seq("pid"))
+      .join(peers, Seq("pid"), "left")
+      .select(col("pid"), col("media_type"), col("cluster"),
+        coalesce(col("n_peers"), lit(0L)).as("n_peers"))
+      .orderBy("pid")
+  }
+
   val all: Map[String, Q] = Map(
+    "q260_fp_lifecycle" -> q260,
+    "q259_emb_lifecycle" -> q259,
     "q258_stream_takedown" -> q258,
     "q257_lsh_lifecycle" -> q257,
     "q256_emb_retract" -> q256,
@@ -8130,6 +8280,107 @@ object ExtQueries {
          |  FROM fp, range(0, 4) t)
          |SELECT sl, sv, pid FROM banded
          |ORDER BY sl, sv, pid""".stripMargin,
+
+    // the EMBEDDING lifecycle replayed flat (the q257 shape in vector
+    // space): the folded pair table IS the full union recompute
+    // (per-vector-deterministic buckets), retained-edge reach
+    // clustering gives the final clusters, and the final index is the
+    // full-universe bucketing restricted to retained ids, digested per
+    // vector as its distinct bucket-peer count
+    "q259_emb_lifecycle" -> {
+      val eBranches = (0 until 4)
+        .map(t => s"SELECT $t AS t, b$t AS bk, vec_id FROM b " +
+          "WHERE vec_id % 7 <> 2")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH RECURSIVE
+         |b AS (
+         |  SELECT vec_id, embedding,
+         |    ${multiBucketCols(bits = 16, tables = 4)}
+         |  FROM embeddings),
+         |prs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+         |      ${cosineSql("x.embedding", "y.embedding")} AS sim
+         |    FROM b x JOIN b y
+         |      ON x.vec_id < y.vec_id
+         |      AND (${anyBucketMatch("x", "y", 4)}))
+         |  WHERE sim >= 0.25),
+         |live AS (SELECT id_a, id_b FROM prs
+         |         WHERE id_a % 7 <> 2 AND id_b % 7 <> 2),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM live
+         |          UNION SELECT id_b, id_a FROM live),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |eb AS (
+         |  $eBranches),
+         |np AS (
+         |  SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS n_peers
+         |  FROM (
+         |    SELECT DISTINCT x.vec_id AS a, y.vec_id AS bb
+         |    FROM eb x JOIN eb y
+         |      ON x.t = y.t AND x.bk = y.bk
+         |      AND x.vec_id <> y.vec_id)
+         |  GROUP BY 1)
+         |SELECT em.vec_id, em.label,
+         |  CAST(least(em.vec_id, COALESCE(m.mn, em.vec_id)) AS BIGINT)
+         |    AS cluster,
+         |  CAST(COALESCE(np.n_peers, 0) AS BIGINT) AS n_peers
+         |FROM embeddings em
+         |LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |  ON m.s = em.vec_id
+         |LEFT JOIN np ON np.vec_id = em.vec_id
+         |WHERE em.vec_id % 7 <> 2
+         |ORDER BY em.vec_id""".stripMargin
+    },
+
+    // the PAYLOAD lifecycle replayed flat — the last of the four
+    // modalities' chained compositions; same contract (union pairs =
+    // full recompute; final index = full-universe banding restricted
+    // to retained pids)
+    "q260_fp_lifecycle" ->
+      s"""WITH RECURSIVE ${blockhashFpCtes()},
+         |banded AS (
+         |  SELECT pid, fp, CAST(t.range AS INT) AS sl,
+         |         (fp >> (CAST(t.range AS INT) * 8)) & 255 AS sv
+         |  FROM fp, range(0, 4) t),
+         |prs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT DISTINCT x.pid AS id_a, y.pid AS id_b,
+         |      CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS h
+         |    FROM banded x JOIN banded y
+         |      ON x.sl = y.sl AND x.sv = y.sv AND x.pid < y.pid)
+         |  WHERE h <= 3),
+         |live AS (SELECT id_a, id_b FROM prs
+         |         WHERE id_a % 7 <> 2 AND id_b % 7 <> 2),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM live
+         |          UNION SELECT id_b, id_a FROM live),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |rband AS (SELECT pid, sl, sv FROM banded WHERE pid % 7 <> 2),
+         |np AS (
+         |  SELECT a AS pid, CAST(count(*) AS BIGINT) AS n_peers
+         |  FROM (
+         |    SELECT DISTINCT x.pid AS a, y.pid AS bb
+         |    FROM rband x JOIN rband y
+         |      ON x.sl = y.sl AND x.sv = y.sv AND x.pid <> y.pid)
+         |  GROUP BY 1)
+         |SELECT d.doc_id AS pid,
+         |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+         |       WHEN d.doc_id % 3 = 1 THEN 'audio'
+         |       ELSE 'video' END AS media_type,
+         |  CAST(least(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
+         |    AS cluster,
+         |  CAST(COALESCE(np.n_peers, 0) AS BIGINT) AS n_peers
+         |FROM documents d
+         |LEFT JOIN (SELECT s, MIN(d) AS mn FROM reach GROUP BY s) m
+         |  ON m.s = d.doc_id
+         |LEFT JOIN np ON np.pid = d.doc_id
+         |WHERE d.doc_id % 7 <> 2
+         |ORDER BY pid""".stripMargin,
 
     // exploded-row EMBEDDING index (q245's state): per-vector
     // deterministic hyperplane buckets, so both maintenance directions

@@ -342,7 +342,19 @@ object PlanDump {
         ("takedown feed, batch twin of the STREAMING retraction: ONE " +
           "pid-keyed join against the persisted fingerprint table + " +
           "the fingerprintPostings explode — stateless, so the " +
-          "readStream form has NO watermark state at all"))
+          "readStream form has NO watermark state at all"),
+      "q259_emb_lifecycle" ->
+        ("embedding-path lifecycle chain: incremental cosine pairs + " +
+          "index anti-join upsert + cluster upsert -> anti-join " +
+          "retraction (state carries its keys) + cluster retraction " +
+          "-> survivor report joining BOTH final state tables; " +
+          "all-equi throughout"),
+      "q260_fp_lifecycle" ->
+        ("payload-path lifecycle chain (the 4th modality): " +
+          "incremental fingerprint pairs + slice-index upsert + " +
+          "cluster upsert -> retraction with deltas from persisted " +
+          "∪ batch fingerprints (payloads never rescanned) + cluster " +
+          "retraction -> survivor report; all-equi throughout"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

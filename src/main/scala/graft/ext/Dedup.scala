@@ -1522,6 +1522,36 @@ object Dedup {
     (sliceIndex, f)
   }
 
+  /** Full corpus payload near-dup pairs FROM the persisted
+    * [[corpusFingerprintIndex]] — the state-only form of
+    * [[fingerprintNearDupPairs]] (the fingerprint sibling of
+    * [[minhashBandPairsFromIndex]]): candidate pairs generate MAP-SIDE
+    * from each slice bucket's sorted pid list (the keyCandidates
+    * trick), the Hamming verify reads the persisted fingerprint table
+    * — payloads are never rescanned, so a pipeline holding the q250
+    * state derives its corpus pair set (and cluster table) from state
+    * alone. Same slice keys, same verify ⇒ identical output
+    * (DedupSpec). */
+  def fingerprintPairsFromIndex(sliceIndex: DataFrame, fps: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val cands = sliceIndex.filter(size(col("cpids")) >= 2)
+      .select(col("cpids"), posexplode(col("cpids")))
+      .select(col("col").as("id_a"),
+        explode(slice(col("cpids"), col("pos") + lit(2),
+          size(col("cpids")))).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(fps.select(col("pid").as("id_a"), col("fp").as("fa")),
+        Seq("id_a"))
+      .join(fps.select(col("pid").as("id_b"), col("fp").as("fb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Batch-vs-corpus INCREMENTAL payload near-dup — q237's recrawl
     * shape over the persisted [[corpusFingerprintIndex]]: produce
     * exactly the full corpus∪batch [[fingerprintNearDupPairs]] rows

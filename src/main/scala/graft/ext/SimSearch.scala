@@ -278,6 +278,27 @@ object SimSearch {
       explode(multiTableBuckets(col("embedding"), bits, tables))
         .as("bucket"))
 
+  /** Full corpus near-dup pairs FROM the persisted
+    * [[corpusEmbeddingLshIndex]] — the state-only form of
+    * [[cosineNearDupPairsLsh]] (the embedding sibling of
+    * [[graft.ext.Dedup.minhashBandPairsFromIndex]]): the exploded-row
+    * state carries vectors AND bucket keys, so a pipeline holding the
+    * index derives its corpus pair set — and its cluster table — from
+    * state alone; corpus embeddings are never rescanned. Same buckets,
+    * same native cosine verify before the pair-dedupe shuffle ⇒
+    * identical output (SimSearchSpec). */
+  def cosinePairsFromIndex(index: DataFrame, threshold: Double)
+      : DataFrame = {
+    val scored = index.as("x").join(index.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+    scored.dropDuplicates("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Merge a new batch of vectors into a persisted
     * [[corpusEmbeddingLshIndex]] — the maintenance upsert for the
     * EMBEDDING modality's index state (the exploded-row sibling of

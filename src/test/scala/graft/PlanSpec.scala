@@ -401,6 +401,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("lifecycle integration on the embedding and payload paths " +
+    "(q259/q260): both chained plans stay all-equi — the four-modality " +
+    "lifecycle symmetry carries no cartesian/nested-loop anywhere") {
+    val e = plan(ExtQueries.all("q259_emb_lifecycle")(spark, sf0001))
+    assert(!e.contains("CartesianProduct"), e)
+    assert(!e.contains("BroadcastNestedLoopJoin"), e)
+    val f = plan(ExtQueries.all("q260_fp_lifecycle")(spark, sf0001))
+    assert(!f.contains("CartesianProduct"), f)
+    assert(!f.contains("BroadcastNestedLoopJoin"), f)
+  }
+
   test("bucketed join (q161): sort-merge join with NO exchange on the " +
     "join key — the bucketBy layout carries the partitioning") {
     val df = ExtQueries.all("q161_bucketed_join")(spark, sf0001)

@@ -889,6 +889,38 @@ class DedupSpec extends SparkSpec {
         corpusFps.unionByName(batchFps), bits, slices)._1))
   }
 
+  test("fingerprintPairsFromIndex == fingerprintNearDupPairs over the " +
+    "same fingerprints (the state-only pair derivation " +
+    "sharedFingerprintState builds clusters from — payloads scanned " +
+    "once, for the fingerprints)") {
+    // the q250-family fixture: 0x00/0x01 pair up, 0xFF is a candidate
+    // via a shared slice but dies in the Hamming verify
+    val fps = Seq((1L, 0x00L), (2L, 0x01L), (3L, 0xFFL), (10L, 0x03L))
+      .toDF("pid", "fp")
+    val direct = Dedup.fingerprintNearDupPairs(fps, bits = 8,
+        slices = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    val (idx, f) = Dedup.corpusFingerprintIndex(fps, bits = 8,
+      slices = 4)
+    val viaIndex = Dedup.fingerprintPairsFromIndex(idx, f,
+        maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(viaIndex == direct && direct.nonEmpty)
+    // and on the real fixture at the q237/q250 parameters
+    val docs = graft.engine.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 =!= 3)
+    val cfps = Multimodal.blockhashFingerprints(
+      Multimodal.mediaTable(docs), "doc_id", blocks = 32)
+    val d2 = Dedup.fingerprintNearDupPairs(cfps, bits = 32,
+        slices = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    val (idx2, f2) = Dedup.corpusFingerprintIndex(cfps, bits = 32,
+      slices = 4)
+    val v2 = Dedup.fingerprintPairsFromIndex(idx2, f2, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(v2 == d2 && d2.nonEmpty)
+  }
+
   test("incrementalFingerprintPairs: the BATCH WINS on a re-crawled " +
     "pid — the stale corpus fingerprint never reaches the verify, " +
     "stale index self-candidates drop, and the output equals the full " +

@@ -131,6 +131,21 @@ class SimSearchSpec extends SparkSpec {
     assert(repart == inc)
   }
 
+  test("cosinePairsFromIndex == cosineNearDupPairsLsh over the same " +
+    "corpus (the state-only pair derivation sharedEmbState builds " +
+    "clusters from — embeddings scanned once, for the index)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 3)
+    val direct = SimSearch.cosineNearDupPairsLsh(corpus,
+        threshold = 0.25, bits = 16, tables = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    val viaIndex = SimSearch.cosinePairsFromIndex(
+        SimSearch.corpusEmbeddingLshIndex(corpus, bits = 16,
+          tables = 4), threshold = 0.25)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
   test("upsertEmbeddingIndex / retractEmbeddingIndex (q255/q256): both " +
     "maintenance directions equal the fresh rebuild over the " +
     "post-maintenance vector set, re-delivery is a no-op in BOTH " +

@@ -1796,6 +1796,62 @@ object Dedup {
     touched
   }
 
+  /** [[retractPostingsIndex]] against hash-partitioned parquet state —
+    * [[upsertPostingsIndexPartitioned]]'s takedown half, completing
+    * the partitioned-state demonstration in both maintenance
+    * directions: the deletion delta prunes the state read to its
+    * touched buckets, the same left-join + map-side `array_except`
+    * merge runs on the pruned side only (emptied keys drop, exactly
+    * as the in-memory form), and dynamic partition overwrite rewrites
+    * only touched partitions. One retraction-specific edge the upsert
+    * cannot hit: a bucket whose keys ALL empty produces NO output
+    * rows, and dynamic overwrite only replaces partitions PRESENT in
+    * the write — so fully-emptied buckets are dropped explicitly
+    * afterwards (a ≤ numBuckets driver-side directory delete; a table
+    * format does this as a transactional metadata drop). DedupSpec
+    * pins the case. Returns the touched bucket ids. */
+  def retractPostingsIndexPartitioned(statePath: String,
+      deletedPostings: DataFrame, keyCols: Seq[String], numBuckets: Int)
+      : Seq[Int] = {
+    val spark = deletedPostings.sparkSession
+    val delta = deletedPostings
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_set(col("pid")).as("dpids"))
+      .withColumn("pbucket",
+        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+      .localCheckpoint(eager = true) // consumed by touched AND merge
+    val touched = delta.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val cur = spark.read.parquet(statePath)
+      .filter(col("pbucket").isin(touched: _*))
+    val merged = cur.drop("pbucket")
+      .join(delta.drop("pbucket"), keyCols, "left")
+      .select(keyCols.map(col) :+
+        when(col("dpids").isNotNull,
+          array_except(col("cpids"), col("dpids")))
+          .otherwise(col("cpids")).as("cpids"): _*)
+      .filter(size(col("cpids")) >= 1)
+      .withColumn("pbucket",
+        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+      .localCheckpoint(eager = true) // barrier before self-overwrite
+    val remaining = merged.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(statePath)
+    // fully-emptied buckets wrote no rows, so the dynamic overwrite
+    // left their old files in place — drop them (bounded by
+    // numBuckets; the table-format equivalent is a metadata drop)
+    touched.filterNot(remaining).foreach { b =>
+      val dir = new java.io.File(s"$statePath/pbucket=$b")
+      if (dir.exists()) {
+        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+        dir.delete()
+      }
+    }
+    touched
+  }
+
   /** Exact edit-distance ≤ `maxDist` (1 or 2) self-join via deletion
     * neighborhoods (FastSS / symmetric-delete blocking): every string
     * emits itself plus each deletion variant as candidate keys; two strings

@@ -887,6 +887,30 @@ class DedupSpec extends SparkSpec {
     assert(rows(spark.read.parquet(dir)) ==
       rows(Dedup.corpusFingerprintIndex(
         corpusFps.unionByName(batchFps), bits, slices)._1))
+    // retraction half: retract doc 3 (0xFF) — the SOLE member of its
+    // sv=3 slice keys, so keys empty and (if a bucket held only such
+    // keys) whole partitions must drop, not linger as stale files
+    val dPost = Dedup.fingerprintPostings(
+      Seq((3L, 0xFFL)).toDF("pid", "fp"), bits, slices)
+    val beforeRet = leaves()
+    val touchedRet = Dedup.retractPostingsIndexPartitioned(dir, dPost,
+      Seq("sl", "sv"), nb)
+    val afterRet = leaves()
+    val touchedRetDirs = touchedRet.map(b => s"pbucket=$b").toSet
+    (beforeRet.keySet -- touchedRetDirs)
+      .foreach(b => assert(afterRet(b) == beforeRet(b), b))
+    // full read == in-memory retraction == fresh rebuild over retained
+    assert(rows(spark.read.parquet(dir)) ==
+      rows(Dedup.retractPostingsIndex(
+        Dedup.upsertPostingsIndex(idx, bPost, Seq("sl", "sv")),
+        dPost, Seq("sl", "sv"))))
+    assert(rows(spark.read.parquet(dir)) ==
+      rows(Dedup.corpusFingerprintIndex(
+        Seq((1L, 0x00L), (2L, 0x01L), (10L, 0x03L)).toDF("pid", "fp"),
+        bits, slices)._1))
+    // at least one bucket must have fully emptied for the
+    // stale-partition pin above to be non-vacuous
+    assert((beforeRet.keySet -- afterRet.keySet).nonEmpty)
   }
 
   test("fingerprintPairsFromIndex == fingerprintNearDupPairs over the " +

@@ -3905,6 +3905,22 @@ object ExtQueries {
         numHashes = 12, rowsPerBand = 3), Seq("bk")))
   }
 
+  /** Distinct index-peer count per member of a grouped-list posting
+    * index — the survivor-report digest of the final index state
+    * shared by the q257/q260 lifecycle chains: for each id surviving
+    * in the retracted index's lists, how many DISTINCT other retained
+    * ids share at least one key with it (its candidate degree — a
+    * content-sensitive digest of every list it appears in). Bounded
+    * by per-key occupancy; one pair-dedupe shuffle. */
+  private def postingPeers(index: DataFrame, idName: String): DataFrame =
+    index.filter(size(col("cpids")) >= 2)
+      .select(explode(col("cpids")).as("a"), col("cpids"))
+      .select(col("a"), explode(col("cpids")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .dropDuplicates("a", "b")
+      .groupBy("a").agg(count(lit(1)).as("n_peers"))
+      .select(col("a").as(idName), col("n_peers"))
+
   /** Canonical serialization of the exploded-row embedding LSH index
     * for the oracle hash compare — [[fpIndexRows]]'s sibling on the
     * (table, bucket, vec_id) key. The embedding payload is pinned by a
@@ -4012,16 +4028,9 @@ object ExtQueries {
     val clusters2 = Dedup.retractClusters(clusters1, pairs1, deleted,
       "doc_id")
     // stage 4 — survivor report over BOTH final state tables
-    val peers = index2.filter(size(col("cpids")) >= 2)
-      .select(explode(col("cpids")).as("a"), col("cpids"))
-      .select(col("a"), explode(col("cpids")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .dropDuplicates("a", "b")
-      .groupBy("a").agg(count(lit(1)).as("n_peers"))
-      .select(col("a").as("doc_id"), col("n_peers"))
     clusters2
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
-      .join(peers, Seq("doc_id"), "left")
+      .join(postingPeers(index2, "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("cluster"),
         coalesce(col("n_peers"), lit(0L)).as("n_peers"))
       .orderBy("doc_id")
@@ -4151,18 +4160,11 @@ object ExtQueries {
     val clusters2 = Dedup.retractClusters(clusters1, pairs1, deleted,
       "pid")
     // stage 4 — survivor report over BOTH final state tables
-    val peers = index2.filter(size(col("cpids")) >= 2)
-      .select(explode(col("cpids")).as("a"), col("cpids"))
-      .select(col("a"), explode(col("cpids")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .dropDuplicates("a", "b")
-      .groupBy("a").agg(count(lit(1)).as("n_peers"))
-      .select(col("a").as("pid"), col("n_peers"))
     clusters2
       .join(Multimodal.mediaTable(docs)
         .select(col("doc_id").as("pid"), col("media_type")),
         Seq("pid"))
-      .join(peers, Seq("pid"), "left")
+      .join(postingPeers(index2, "pid"), Seq("pid"), "left")
       .select(col("pid"), col("media_type"), col("cluster"),
         coalesce(col("n_peers"), lit(0L)).as("n_peers"))
       .orderBy("pid")

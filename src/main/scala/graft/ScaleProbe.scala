@@ -10,8 +10,11 @@ import graft.ext.{Dedup, Multimodal, SimSearch}
   * sf0.1 documents/embeddings fixtures, run the scale-critical query
   * family at every size, and report t(m×)/t(1×) ratios plus fitted
   * exponents — converting the repo's plan-shape scale arguments into
-  * measurements. Results land in `SCALEPROBE_r11.json` (committed) and
-  * the analysis in `docs/SCALE.md`.
+  * measurements. A single run writes its JSON under the probe dir
+  * (`SPARK_GRAFT_PROBE_JSON` to override); the COMMITTED
+  * `SCALEPROBE_r11.json` is the multi-run adjudicated merge produced
+  * by `scripts/scaleprobe_merge.py` (per-cell min over all samples,
+  * every sample recorded), analyzed in `docs/SCALE.md`.
   *
   * Fixture construction (all deterministic, no RNG):
   *
@@ -22,9 +25,16 @@ import graft.ext.{Dedup, Multimodal, SimSearch}
   *    CIPHER on letters and digits (`i → i·m_r + r mod 26/10`, m_r
   *    coprime to the alphabet). A 1:1 char map preserves length,
   *    token boundaries and within-replica similarity structure
-  *    EXACTLY, while cross-replica token sets are disjoint — so text
-  *    pair/cluster structure replicates ×m with no cross-replica
-  *    near-dups, the same way a real corpus grows by new content.
+  *    EXACTLY, while cross-replica token sets are disjoint up to
+  *    cipher fixed points and tokens with no [a-zA-Z0-9] chars (an
+  *    affine map has ≤ gcd-many fixed letters per (mult, shift);
+  *    unmapped punctuation/unicode passes through) — negligible on
+  *    this alphanumeric fixture, and VERIFIED rather than assumed:
+  *    the probe's own row counts show exact ×m pair replication
+  *    (q31: 260/780/2600/7800). A heavily-non-ASCII corpus would need
+  *    a different transform for the law to hold. Text pair/cluster
+  *    structure thus replicates ×m with no cross-replica near-dups,
+  *    the same way a real corpus grows by new content.
   *  - Replica r of an embedding keeps its vector with a per-replica
   *    deterministic SIGN FLIP per dimension. Flipping dimension j for
   *    every vector in a replica preserves all within-replica dot
@@ -219,8 +229,18 @@ object ScaleProbe {
         val t1 = timed(fn, d)
         if (owners.contains(name)) ExtQueries.resetSharedScratch(name)
         val t2 = timed(fn, d)
+        // the untimed row-count pass releases its blocks too — its
+        // localCheckpoint blocks would otherwise leak INTO the next
+        // query's t1 sample (the exact cross-measurement pollution the
+        // run() cleanup exists to prevent)
         val rows =
-          try fn(spark, d).count() catch { case _: Throwable => -1L }
+          try fn(spark, d).count()
+          catch { case _: Throwable => -1L }
+          finally {
+            spark.sharedState.cacheManager.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = true))
+          }
         // min of the SUCCESSFUL samples; -1 only when both crashed
         val t = Seq(t1, t2).filter(_ >= 0) match {
           case Nil => -1.0; case ok => ok.min
@@ -251,7 +271,9 @@ object ScaleProbe {
         s""""x$m":{"sec":${fmt(t)},"rows":$rows}"""
       }.mkString(",")
       def expo(a: Int, b: Int): String =
-        if (tOf(a, n) <= 0 || tOf(b, n) <= 0) "null"
+        // b == a guard: a single-scale run would divide by log(1) = 0
+        // and emit a bare NaN — invalid JSON
+        if (b == a || tOf(a, n) <= 0 || tOf(b, n) <= 0) "null"
         else fmt(math.log(tOf(b, n) / tOf(a, n)) /
           math.log(b.toDouble / a))
       val ratio =
@@ -262,8 +284,14 @@ object ScaleProbe {
     }.mkString(",")
     val json = s"""{"probe":"scale","base":"$base","scales":[${
       scales.mkString(",")}],"queries":{$q}}"""
+    // single-run output stays under the probe dir: the COMMITTED
+    // SCALEPROBE_rN.json is the multi-run adjudicated merge owned by
+    // scripts/scaleprobe_merge.py (per-cell min + all samples), and a
+    // casual re-run must not clobber that audit trail
+    val outJson = sys.env.getOrElse("SPARK_GRAFT_PROBE_JSON",
+      s"$out/scaleprobe_run.json")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALEPROBE_r11.json"), json + "\n")
+      java.nio.file.Paths.get(outJson), json + "\n")
     println(json)
     spark.stop()
   }

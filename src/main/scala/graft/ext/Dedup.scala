@@ -1840,14 +1840,18 @@ object Dedup {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pbucket").parquet(statePath)
     // fully-emptied buckets wrote no rows, so the dynamic overwrite
-    // left their old files in place — drop them (bounded by
-    // numBuckets; the table-format equivalent is a metadata drop)
+    // left their old files in place — drop them THROUGH THE HADOOP
+    // FILESYSTEM of the state path (java.io would silently no-op on
+    // hdfs://, s3a:// or a differently-resolved relative path, and a
+    // silently surviving partition un-applies a takedown), and fail
+    // loudly if a drop does not succeed (bounded by numBuckets; the
+    // table-format equivalent is a transactional metadata drop)
     touched.filterNot(remaining).foreach { b =>
-      val dir = new java.io.File(s"$statePath/pbucket=$b")
-      if (dir.exists()) {
-        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-        dir.delete()
-      }
+      val p = new org.apache.hadoop.fs.Path(s"$statePath/pbucket=$b")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        require(fs.delete(p, true),
+          s"failed to drop emptied index partition $p")
     }
     touched
   }

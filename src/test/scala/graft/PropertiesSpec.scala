@@ -384,4 +384,76 @@ class PropertiesSpec extends SparkSpec {
       assert(m == ref(w, a, b), s"word=$w pair=($a,$b) got=$m")
     }
   }
+
+  test("banded posting-index maintenance: set-algebra laws on ARBITRARY " +
+    "posting sets (upsert == fresh union rebuild, retract == fresh " +
+    "difference rebuild, both idempotent, add-then-retract == fresh " +
+    "corpus-minus-batch) — incl. overlapping (key, pid) rows the " +
+    "hand fixtures keep disjoint") {
+    val postGen = org.scalacheck.Gen.listOfN(24,
+      org.scalacheck.Gen.zip(org.scalacheck.Gen.chooseNum(0, 5),
+        org.scalacheck.Gen.chooseNum(0L, 9L)))
+    def df(p: Seq[(Int, Long)]) = p.toDF("bk", "pid")
+    def rows(x: org.apache.spark.sql.DataFrame) =
+      x.as[(Int, Seq[Long])].collect().toSet
+    def fresh(p: Seq[(Int, Long)]): Set[(Int, Seq[Long])] =
+      if (p.isEmpty) Set.empty
+      else rows(df(p).groupBy("bk")
+        .agg(sort_array(collect_set(col("pid"))).as("cpids")))
+    val prop = forAll(postGen, postGen) { (c, b) =>
+      val idx = df(c).groupBy("bk")
+        .agg(sort_array(collect_set(col("pid"))).as("cpids"))
+      val up = graft.ext.Dedup.upsertPostingsIndex(idx, df(b), Seq("bk"))
+      val ret = graft.ext.Dedup.retractPostingsIndex(idx, df(b),
+        Seq("bk"))
+      rows(up) == fresh(c ++ b) &&
+        rows(graft.ext.Dedup.upsertPostingsIndex(up, df(b), Seq("bk"))) ==
+          rows(up) &&
+        rows(ret) == fresh(c.filterNot(b.toSet)) &&
+        rows(graft.ext.Dedup.retractPostingsIndex(ret, df(b),
+          Seq("bk"))) == rows(ret) &&
+        rows(graft.ext.Dedup.retractPostingsIndex(up, df(b),
+          Seq("bk"))) == fresh(c.filterNot(b.toSet))
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("embedding-index maintenance: batch-wins and difference laws on " +
+    "ARBITRARY vector sets — a re-crawled id's rows are the NEW " +
+    "embedding's buckets, retraction is exact set difference on ids") {
+    val bits = 4; val tables = 2
+    val entryGen = org.scalacheck.Gen.zip(
+      org.scalacheck.Gen.chooseNum(0L, 7L),
+      org.scalacheck.Gen.listOfN(3,
+        org.scalacheck.Gen.chooseNum(-8f, 8f)))
+    val setGen = org.scalacheck.Gen.listOfN(6, entryGen)
+    def df(p: Seq[(Long, List[Float])]) =
+      p.map { case (id, v) => (id, v.toArray) }
+        .toDF("vec_id", "embedding")
+    def rows(x: org.apache.spark.sql.DataFrame) =
+      x.select(col("bucket.t"), col("bucket.bk"), col("vec_id"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (a, e) => a + e.cast("double")), 5).as("s"))
+        .as[(Int, Long, Long, Double)].collect().toSet
+    def fresh(p: Seq[(Long, List[Float])]) =
+      rows(graft.ext.SimSearch.corpusEmbeddingLshIndex(df(p), bits,
+        tables))
+    val prop = forAll(setGen, setGen) { (c0, b0) =>
+      // one row per id within a side (last write wins, like a table)
+      val c = c0.toMap.toSeq; val b = b0.toMap.toSeq
+      val bIds = b.map(_._1).toSet
+      val idx = graft.ext.SimSearch.corpusEmbeddingLshIndex(df(c), bits,
+        tables)
+      val up = graft.ext.SimSearch.upsertEmbeddingIndex(idx, df(b),
+        bits, tables)
+      val delIds = c.map(_._1).toSet.take(2).toSeq
+      val ret = graft.ext.SimSearch.retractEmbeddingIndex(idx,
+        delIds.toDF("vec_id"), "vec_id")
+      rows(up) == fresh(c.filterNot(e => bIds(e._1)) ++ b) &&
+        rows(graft.ext.SimSearch.upsertEmbeddingIndex(up, df(b), bits,
+          tables)) == rows(up) &&
+        rows(ret) == fresh(c.filterNot(e => delIds.contains(e._1)))
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
 }

@@ -77,6 +77,26 @@ class EntrySpec extends SparkSpec {
     before.foreach { case (n, r) => assert(rows(n) == r, n) }
   }
 
+  test("round-11 scratch families rebuild byte-identically after an " +
+    "owner reset: the embedding-state family (q245 owner — index + " +
+    "cluster table) and the fingerprint family's new cluster kind, " +
+    "with the lifecycle chains as consumers") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect().toSeq
+    val before = Seq("q245_incremental_embed", "q255_emb_upsert",
+      "q259_emb_lifecycle", "q260_fp_lifecycle")
+      .map(n => n -> rows(n)).toMap
+    // both round-11-extended families reset; every consumer must
+    // rebuild into a fresh generation and reproduce the same rows
+    val embPath = ExtQueries.scratchPathFor("embclusters", sf0001)
+    val fpPath = ExtQueries.scratchPathFor("fpclusters", sf0001)
+    Seq("q245_incremental_embed", "q250_incremental_payload")
+      .foreach(ExtQueries.resetSharedScratch)
+    assert(ExtQueries.scratchPathFor("embclusters", sf0001) != embPath)
+    assert(ExtQueries.scratchPathFor("fpclusters", sf0001) != fpPath)
+    before.foreach { case (n, r) => assert(rows(n) == r, n) }
+  }
+
   test("rollbackSharedScratch: a failed owner re-run restores the " +
     "previous generation's path AND memo, so a consumer reads instead " +
     "of rebuilding (round-9 advice)") {

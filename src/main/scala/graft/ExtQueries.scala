@@ -4170,7 +4170,29 @@ object ExtQueries {
       .orderBy("pid")
   }
 
+  /** q261 — index-UPSERT delta feed, batch twin ([[Dedup
+    * .fingerprintPostings]] over the arriving batch's inline-computed
+    * blockhash fingerprints): the upsert deltas the q251 index upsert
+    * consumes, materialized as their own artifact — q258's takedown
+    * feed in the OPPOSITE maintenance direction, closing the streaming
+    * verb set (flags q244, assignment q249, takedown q258, now upsert;
+    * round-11 verdict item 3). Map-only: fingerprint + explode, no
+    * state read — the honest ingest input. The same transform runs as
+    * a real readStream pipeline ([[graft.streaming.StreamingOps
+    * .streamingUpsertPostings]] — stateless, so StreamingSpec pins
+    * stream == batch with NO withheld tail, and folding the drained
+    * deltas through [[Dedup.upsertPostingsIndex]] == the q251 upsert).
+    * Oracle replays the blockhash + slice split from hex(payload). */
+  private val q261: Q = (s, d) =>
+    Dedup.fingerprintPostings(
+        Multimodal.blockhashFingerprints(
+          Multimodal.mediaTable(Tables.documents(s, d)
+            .filter(col("doc_id") % 5 === 3)), "doc_id", blocks = 32),
+        bits = 32, slices = 4)
+      .orderBy("sl", "sv", "pid")
+
   val all: Map[String, Q] = Map(
+    "q261_stream_upsert_feed" -> q261,
     "q260_fp_lifecycle" -> q260,
     "q259_emb_lifecycle" -> q259,
     "q258_stream_takedown" -> q258,
@@ -8276,6 +8298,19 @@ object ExtQueries {
     "q258_stream_takedown" ->
       s"""WITH ${blockhashFpCtes(" WHERE doc_id % 5 <> 3" +
             " AND doc_id % 7 = 2")},
+         |banded AS (
+         |  SELECT pid, CAST(t.range AS INT) AS sl,
+         |         (fp >> (CAST(t.range AS INT) * 8)) & 255 AS sv
+         |  FROM fp, range(0, 4) t)
+         |SELECT sl, sv, pid FROM banded
+         |ORDER BY sl, sv, pid""".stripMargin,
+
+    // the upsert FEED: the arriving batch's slice-key postings,
+    // computed inline from its payloads (no state read — the honest
+    // ingest input; the batch twin of the streaming upsert, q258's
+    // opposite maintenance direction)
+    "q261_stream_upsert_feed" ->
+      s"""WITH ${blockhashFpCtes(" WHERE doc_id % 5 = 3")},
          |banded AS (
          |  SELECT pid, CAST(t.range AS INT) AS sl,
          |         (fp >> (CAST(t.range AS INT) * 8)) & 255 AS sv

@@ -282,7 +282,18 @@ object ScaleProbe {
       s""""$n":{$per,"ratio":$ratio,"alpha":${expo(m0, mN)},""" +
         s""""alpha_tail":${expo(mT, mN)}}"""
     }.mkString(",")
-    val json = s"""{"probe":"scale","base":"$base","scales":[${
+    // env-derived strings are escaped before interpolation into the
+    // JSON document (round-11 advice: a base path containing a quote
+    // or backslash would otherwise emit invalid JSON that the
+    // committed-artifact merge pipeline then fails to parse)
+    def jstr(v: String): String =
+      "\"" + v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val json = s"""{"probe":"scale","base":${jstr(base)},"scales":[${
       scales.mkString(",")}],"queries":{$q}}"""
     // single-run output stays under the probe dir: the COMMITTED
     // SCALEPROBE_rN.json is the multi-run adjudicated merge owned by

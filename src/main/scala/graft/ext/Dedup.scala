@@ -1761,6 +1761,16 @@ object Dedup {
     * before the write is the read-then-overwrite barrier (the merge
     * output is materialized before its own input partitions are
     * replaced) and is itself bounded by the touched partitions.
+    * BARRIER CAVEAT (round-11 advice): `localCheckpoint` blocks are
+    * NON-reliable — safe in this repo's single-process local[n]
+    * harness, but on a real cluster an executor loss during the write
+    * job would trigger lineage recompute that re-reads the state path
+    * mid-overwrite. At scale the merge output must go through a
+    * reliable checkpoint (`sparkContext.setCheckpointDir` +
+    * `checkpoint()`), a staging-path write-then-swap, or — the real
+    * production answer — a table format's transactional commit
+    * (Iceberg/Delta-class), which replaces both the barrier and the
+    * directory surgery below.
     * A retraction variant is the same shape with the
     * [[retractPostingsIndex]] merge body — a takedown delta prunes
     * identically. */
@@ -1809,7 +1819,20 @@ object Dedup {
     * the write — so fully-emptied buckets are dropped explicitly
     * afterwards (a ≤ numBuckets driver-side directory delete; a table
     * format does this as a transactional metadata drop). DedupSpec
-    * pins the case. Returns the touched bucket ids. */
+    * pins the case. Returns the touched bucket ids.
+    *
+    * CRASH-WINDOW AUDIT (round-11 advice): between the
+    * dynamic-overwrite commit and the emptied-bucket drops there is a
+    * window where a failure leaves stale files readable — a silently
+    * surviving partition would UN-apply a takedown until the same
+    * delta is re-delivered. So before returning, the touched buckets
+    * are re-read and every retracted (key, pid) posting is required
+    * absent (cost bounded by the touched partitions; a re-delivered
+    * delta passes the same audit as a no-op). The
+    * [[upsertPostingsIndexPartitioned]] barrier caveat applies here
+    * too: the localCheckpoint barrier is single-process-safe only —
+    * at scale, use a reliable checkpoint / staged swap / table-format
+    * transactional commit. */
   def retractPostingsIndexPartitioned(statePath: String,
       deletedPostings: DataFrame, keyCols: Seq[String], numBuckets: Int)
       : Seq[Int] = {
@@ -1852,6 +1875,26 @@ object Dedup {
       if (fs.exists(p))
         require(fs.delete(p, true),
           s"failed to drop emptied index partition $p")
+    }
+    // post-commit audit: no retracted (key, pid) posting may survive in
+    // the touched buckets (see scaladoc — this closes the crash window
+    // between the overwrite commit and the directory drops)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyPartitionLeft = rootFs.listStatus(root)
+      .exists(_.getPath.getName.startsWith("pbucket="))
+    if (anyPartitionLeft) {
+      val retracted = delta.drop("pbucket")
+        .select(keyCols.map(col) :+ explode(col("dpids")).as("rpid"): _*)
+      val stale = spark.read.parquet(statePath)
+        .filter(col("pbucket").isin(touched: _*))
+        .join(retracted, keyCols)
+        .filter(array_contains(col("cpids"), col("rpid")))
+        .count()
+      require(stale == 0,
+        s"retraction audit failed: $stale retracted postings still " +
+          s"readable under $statePath — stale partition files survived " +
+          "the takedown")
     }
     touched
   }

@@ -341,6 +341,30 @@ object StreamingOps {
     graft.ext.Dedup.fingerprintPostings(
       ids.select("pid").join(fps, Seq("pid")), bits, slices)
 
+  /** Arriving docs' index-UPSERT deltas as a stream —
+    * [[streamingRetractPostings]]'s opposite direction and the LAST
+    * maintenance verb without a streaming face (round-11 verdict
+    * item 3; flags q244, assignment q249 and takedown q258 already
+    * have one): each arriving doc's payload fingerprints MAP-SIDE
+    * ([[graft.ext.Multimodal.blockhashFingerprints]] is one codegen
+    * projection — no state read at all, the ingest-side twin of the
+    * q251 upsert's delta input), then explodes to its (sl, sv, pid)
+    * slice postings through the same [[graft.ext.Dedup
+    * .fingerprintPostings]] the batch path uses, so the delta stream
+    * can never key differently than the index it maintains. Stateless
+    * (not even a stream-static join), so the drained output equals
+    * the batch feed row-for-row with NO withheld tail (StreamingSpec),
+    * independent of micro-batch boundaries by construction.
+    * Downstream, the drained deltas fold through [[graft.ext.Dedup
+    * .upsertPostingsIndex]] exactly as the batch ones do (spec-pinned
+    * == the q251 upsert — fresh corpus∪batch rebuild). */
+  def streamingUpsertPostings(docs: DataFrame, bits: Int,
+      slices: Int): DataFrame =
+    graft.ext.Dedup.fingerprintPostings(
+      graft.ext.Multimodal.blockhashFingerprints(
+        graft.ext.Multimodal.mediaTable(docs), "doc_id", blocks = bits),
+      bits, slices)
+
   /** Run a transform as a real streaming query over the documents
     * parquet (the [[runStreaming]] harness shape, documents-sourced):
     * a DETERMINISTIC per-doc event time is synthesized

@@ -149,6 +149,50 @@ class StreamingSpec extends SparkSpec {
         bits = 32, slices = 4)._1))
   }
 
+  test("streaming upsert feed (q261): arriving docs' index-upsert " +
+    "deltas compute map-side as a stream — stream == batch with NO " +
+    "withheld tail (stateless transform), and folding the drained " +
+    "deltas upserts the index exactly (q251 — fresh corpus∪batch " +
+    "rebuild)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val corpusFps = graft.ext.Multimodal.blockhashFingerprints(
+      graft.ext.Multimodal.mediaTable(
+        docs.filter(col("doc_id") % 5 =!= 3)), "doc_id", blocks = 32)
+    val idxC = graft.ext.Dedup.corpusFingerprintIndex(corpusFps,
+      bits = 32, slices = 4)._1.localCheckpoint(eager = true)
+    val batchDeltas = graft.ext.Dedup.fingerprintPostings(
+        graft.ext.Multimodal.blockhashFingerprints(
+          graft.ext.Multimodal.mediaTable(
+            docs.filter(col("doc_id") % 5 === 3)), "doc_id",
+          blocks = 32), bits = 32, slices = 4)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(batchDeltas.nonEmpty)
+    val streamedDf = StreamingOps.runStreamingDocs(spark, sf0001,
+      s => StreamingOps.streamingUpsertPostings(
+        s.filter(col("doc_id") % 5 === 3), bits = 32, slices = 4),
+      "t_upsert_feed")
+    // stateless map-only transform (no join, no windowed agg) =>
+    // EVERY row emits, including the max-event-time doc's — no
+    // withheld tail to exclude
+    assert(streamedDf.as[(Int, Long, Long)].collect().toSet
+      == batchDeltas)
+    // the lifecycle verb: folding the drained stream through the same
+    // upsert operator equals the batch upsert (q251 semantics — fresh
+    // corpus∪batch rebuild, uncapped banded index)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("sl", "sv", "cpids")
+        .as[(Int, Long, Seq[Long])].collect().toSet
+    val viaStream = graft.ext.Dedup.upsertPostingsIndex(idxC,
+      streamedDf, Seq("sl", "sv"))
+    val allFps = graft.ext.Multimodal.blockhashFingerprints(
+      graft.ext.Multimodal.mediaTable(docs), "doc_id", blocks = 32)
+    assert(rows(viaStream) == rows(
+      graft.ext.Dedup.corpusFingerprintIndex(allFps,
+        bits = 32, slices = 4)._1))
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val batch = StreamingOps.tumblingCounts(Tables.events(spark, sf0001))
       .collect().toSet

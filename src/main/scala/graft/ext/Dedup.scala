@@ -1316,9 +1316,38 @@ object Dedup {
     * corpus ∪ `newIds` ids. */
   def upsertClusters(clusters: DataFrame, newPairs: DataFrame,
       newIds: DataFrame, idCol: String): DataFrame = {
+    val cur = clusters.select(col(idCol).as("id"), col("cluster"))
+    val mapping = clusterMergeMapping(cur, newPairs)
+    // ONE pass over the persisted table: relabel merged clusters
+    val corpusOut = cur
+      .join(mapping, cur("cluster") === mapping("lbl"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("cluster"))
+        .as("cluster"))
+    // batch docs: mapped label if a delta edge touched them (their
+    // current label is their own id), else singleton with own id
+    val batchOut = newIds.select(col(idCol).as("id"))
+      .join(cur.select(col("id")), Seq("id"), "left_anti")
+      .join(mapping.withColumnRenamed("lbl", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("id"))
+        .as("cluster"))
+    corpusOut.unionByName(batchOut)
+      .select(col("id").as(idCol), col("cluster"))
+      .orderBy(idCol)
+  }
+
+  /** The label-space MERGE MAPPING at the heart of [[upsertClusters]],
+    * factored out so [[upsertClustersPartitioned]] can never key its
+    * partition pruning differently than the in-memory merge it
+    * mirrors: given the current (id, cluster) table and the delta
+    * pairs, contract the delta to label space (own id for unseen batch
+    * docs), run components over the CONTRACTED graph only
+    * (≤ 2·|newPairs| nodes regardless of corpus size), and return the
+    * (lbl → new_lbl) rows for labels that actually MERGE — identity
+    * rows drop, so untouched clusters never meet the relabel join. */
+  private def clusterMergeMapping(cur: DataFrame, newPairs: DataFrame)
+      : DataFrame = {
     val pairs = newPairs.select(col("id_a"), col("id_b"))
       .localCheckpoint(eager = false) // consumed by ends AND labelEdges
-    val cur = clusters.select(col(idCol).as("id"), col("cluster"))
     val ends = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id")))
       .dropDuplicates("id")
@@ -1340,26 +1369,9 @@ object Dedup {
     val labelNodes = labelEdges.select(col("id_a").as("lbl"))
       .unionByName(labelEdges.select(col("id_b").as("lbl")))
       .dropDuplicates("lbl")
-    // components of the contracted graph — the label mapping; identity
-    // rows drop out so untouched clusters miss the relabel join below
-    val mapping = dupClusters(labelEdges, labelNodes, "lbl")
+    dupClusters(labelEdges, labelNodes, "lbl")
       .select(col("lbl"), col("cluster").as("new_lbl"))
       .filter(col("new_lbl") =!= col("lbl"))
-    // ONE pass over the persisted table: relabel merged clusters
-    val corpusOut = cur
-      .join(mapping, cur("cluster") === mapping("lbl"), "left")
-      .select(col("id"), coalesce(col("new_lbl"), col("cluster"))
-        .as("cluster"))
-    // batch docs: mapped label if a delta edge touched them (their
-    // current label is their own id), else singleton with own id
-    val batchOut = newIds.select(col(idCol).as("id"))
-      .join(cur.select(col("id")), Seq("id"), "left_anti")
-      .join(mapping.withColumnRenamed("lbl", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("new_lbl"), col("id"))
-        .as("cluster"))
-    corpusOut.unionByName(batchOut)
-      .select(col("id").as(idCol), col("cluster"))
-      .orderBy(idCol)
   }
 
   /** Incremental cluster RETRACTION — the deletion half of the cluster
@@ -1895,6 +1907,304 @@ object Dedup {
         s"retraction audit failed: $stale retracted postings still " +
           s"readable under $statePath — stale partition files survived " +
           "the takedown")
+    }
+    touched
+  }
+
+  /** Drop fully-emptied `pbucket=` partition directories after a
+    * dynamic-partition overwrite (which only replaces partitions
+    * PRESENT in the write) — the shared edge handler of every
+    * partitioned-state op here. Goes through the Hadoop FileSystem of
+    * the state path (java.io would silently no-op on hdfs:// / s3a://
+    * or a differently-resolved relative path) and fails loudly;
+    * bounded by the touched-bucket count. A table format does this as
+    * a transactional metadata drop. */
+  private def dropEmptiedBuckets(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, buckets: Seq[Int]): Unit =
+    buckets.foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$statePath/pbucket=$b")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        require(fs.delete(p, true),
+          s"failed to drop emptied state partition $p")
+    }
+
+  /** True iff the partitioned state path still holds any `pbucket=`
+    * partition — the guard before a post-maintenance read-back audit
+    * (reading a fully-emptied parquet dir throws on schema inference,
+    * and an empty state is trivially consistent). */
+  private def anyBucketLeft(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).exists(_.getPath.getName.startsWith("pbucket="))
+  }
+
+  /** Write a cluster table as HASH-PARTITIONED parquet state
+    * (`pbucket = pmod(hash(cluster), numBuckets)`) — the production
+    * layout for [[upsertClustersPartitioned]] /
+    * [[retractClustersPartitioned]]: the cluster table is the OTHER
+    * state table every lifecycle chain rewrites per maintenance cycle
+    * (round-11 verdict — [[upsertClusters]]' algebra is delta-bounded
+    * but its single-table parquet output is not), and partitioning on
+    * the LABEL bounds the rewrite to the partitions whose labels the
+    * delta actually moves. Partitioning on the label rather than the
+    * id is what makes maintenance prunable: every row that can change
+    * in an upsert has cluster ∈ merged-labels, and every row that can
+    * change in a retraction has cluster ∈ affected-labels — both
+    * delta-bounded label sets. */
+  def writeClustersPartitioned(clusters: DataFrame, path: String,
+      idCol: String, numBuckets: Int): Unit =
+    clusters.select(col(idCol), col("cluster"))
+      .withColumn("pbucket", pmod(hash(col("cluster")), lit(numBuckets)))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(path)
+
+  /** [[upsertClusters]] against hash-partitioned parquet state,
+    * rewriting ONLY the partitions the merge touches. The merge
+    * mapping is the SAME [[clusterMergeMapping]] the in-memory form
+    * uses (contracted label graph — delta-bounded), so the touched
+    * set is exact: a corpus row relabels iff its cluster ∈
+    * mapping.lbl, and relabeled rows LAND in their merged label's
+    * bucket — so the write set is buckets of {mapping.lbl ∪
+    * mapping.new_lbl ∪ batch output labels} and nothing else.
+    * Untouched partitions' files are never read by the merge join and
+    * never rewritten (DedupSpec pins byte-stability and full-read ==
+    * in-memory [[upsertClusters]] == fresh rebuild).
+    *
+    * Two reads the REWRITE bound does not cover, both read-only: the
+    * endpoint-label lookup and the batch-id anti-join scan the full
+    * state (label-partitioned state cannot prune an id-keyed probe) —
+    * each shuffles only delta-sized rows, and a production pipeline
+    * holding the q245-family layout keeps the id-keyed cluster
+    * projection anyway.
+    *
+    * Unlike the postings upsert, a bucket CAN fully empty here — all
+    * of a bucket's labels may merge away into other buckets' labels —
+    * so the emptied-partition drop applies in the UPSERT direction
+    * too (spec-pinned). Bucket-id collects are ≤ numBuckets ints; the
+    * eager checkpoints are the read-before-self-overwrite barrier,
+    * single-process-safe only (see
+    * [[upsertPostingsIndexPartitioned]]'s caveat — at scale use a
+    * reliable checkpoint / staged swap / table-format commit).
+    * Returns the touched bucket ids. */
+  def upsertClustersPartitioned(statePath: String, newPairs: DataFrame,
+      newIds: DataFrame, idCol: String, numBuckets: Int): Seq[Int] = {
+    val spark = newPairs.sparkSession
+    def bucketOf(c: Column): Column = pmod(hash(c), lit(numBuckets))
+    val cur = spark.read.parquet(statePath)
+      .select(col(idCol).as("id"), col("cluster"))
+    val mapping = clusterMergeMapping(cur, newPairs)
+      .localCheckpoint(eager = true) // delta-bounded; read from state,
+                                     // consumed after the overwrite
+    val batchOut = newIds.select(col(idCol).as("id"))
+      .join(cur.select(col("id")), Seq("id"), "left_anti")
+      .join(mapping.withColumnRenamed("lbl", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("id"))
+        .as("cluster"))
+      .localCheckpoint(eager = true) // reads state (anti-join) — must
+                                     // materialize before the overwrite
+    val touched = mapping.select(bucketOf(col("lbl")).as("b"))
+      .unionByName(mapping.select(bucketOf(col("new_lbl")).as("b")))
+      .unionByName(batchOut.select(bucketOf(col("cluster")).as("b")))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val curT = spark.read.parquet(statePath)
+      .filter(col("pbucket").isin(touched: _*))
+      .drop("pbucket")
+    val merged = curT
+      .join(mapping, curT("cluster") === mapping("lbl"), "left")
+      .select(col(idCol),
+        coalesce(col("new_lbl"), curT("cluster")).as("cluster"))
+      .unionByName(batchOut.select(col("id").as(idCol), col("cluster")))
+      .withColumn("pbucket", bucketOf(col("cluster")))
+      .localCheckpoint(eager = true) // barrier before self-overwrite
+    val remaining = merged.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(statePath)
+    dropEmptiedBuckets(spark, statePath, touched.filterNot(remaining))
+    touched
+  }
+
+  /** [[retractClusters]] against hash-partitioned parquet state —
+    * [[upsertClustersPartitioned]]'s takedown half, and the
+    * structurally interesting direction: deletion can SPLIT a
+    * component, and the re-clustered survivors take new labels (min
+    * retained id of each split part) that can hash into partitions
+    * the deletion delta never listed. So the write set is discovered
+    * in two steps — buckets of the AFFECTED labels (where every row
+    * that can change lives; pairs never cross components, so this is
+    * exact) plus buckets of the RELABELED output's labels, known only
+    * after re-clustering the affected components' surviving pair
+    * subgraph. Partitions in neither set are never rewritten
+    * (DedupSpec pins the split-component case: a new label landing in
+    * a bucket the delta didn't list rewrites exactly that bucket and
+    * leaves the rest byte-stable, and the full read equals the
+    * in-memory [[retractClusters]] == fresh components over retained
+    * pairs).
+    *
+    * The id→affected-label lookup scans the full state read-only (as
+    * in the upsert); everything iterative runs on the affected
+    * subgraph only. After the overwrite + emptied-partition drops, a
+    * TAKEDOWN AUDIT re-reads the touched buckets and requires no
+    * deleted id's row is still readable (the
+    * [[retractPostingsIndexPartitioned]] crash-window posture;
+    * affected LABELS may legitimately survive — a split part keeps
+    * label L when L itself is retained — so the audit checks ids, not
+    * labels). Same single-process barrier caveat as the upsert.
+    * Returns the touched bucket ids. */
+  def retractClustersPartitioned(statePath: String, pairs: DataFrame,
+      deletedIds: DataFrame, idCol: String, numBuckets: Int): Seq[Int] = {
+    val spark = deletedIds.sparkSession
+    def bucketOf(c: Column): Column = pmod(hash(c), lit(numBuckets))
+    val del = deletedIds.select(col(idCol).as("id"))
+      .dropDuplicates("id")
+      .localCheckpoint(eager = true) // consumed by affected, survivors,
+                                     // and the post-overwrite audit
+    // only components holding a deleted doc can change structure
+    val affected = spark.read.parquet(statePath)
+      .select(col(idCol).as("id"), col("cluster"))
+      .join(del, Seq("id"), "left_semi")
+      .select("cluster").dropDuplicates("cluster")
+      .localCheckpoint(eager = true)
+    val readBuckets = affected.select(bucketOf(col("cluster")).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    // surviving members of the affected components, from the pruned
+    // buckets only
+    val survivors = spark.read.parquet(statePath)
+      .filter(col("pbucket").isin(readBuckets: _*))
+      .select(col(idCol).as("id"), col("cluster"))
+      .join(affected, Seq("cluster"), "left_semi")
+      .select("id")
+      .join(del, Seq("id"), "left_anti")
+      .localCheckpoint(eager = true) // consumed by sub (×2) + nodes;
+                                     // reads state — barrier
+    val sub = pairs.select(col("id_a"), col("id_b"))
+      .join(survivors.withColumnRenamed("id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(survivors.withColumnRenamed("id", "id_b"), Seq("id_b"),
+        "left_semi")
+    // dupClusters eagerly checkpoints its output — materialized here
+    val relabeled = dupClusters(sub,
+      survivors.select(col("id").as(idCol)), idCol)
+    // split parts can take labels hashing into buckets the delta never
+    // listed — those join the write set and their unchanged rows are
+    // carried through (dynamic overwrite replaces whole partitions)
+    val touched = (readBuckets ++
+      relabeled.select(bucketOf(col("cluster")).as("b")).distinct()
+        .collect().map(_.getInt(0))).distinct.sorted
+    val keep = spark.read.parquet(statePath)
+      .filter(col("pbucket").isin(touched: _*))
+      .drop("pbucket")
+      .join(affected, Seq("cluster"), "left_anti")
+    val out = keep.select(col(idCol), col("cluster"))
+      .unionByName(relabeled.select(col(idCol), col("cluster")))
+      .withColumn("pbucket", bucketOf(col("cluster")))
+      .localCheckpoint(eager = true) // barrier before self-overwrite
+    val remaining = out.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(statePath)
+    dropEmptiedBuckets(spark, statePath, touched.filterNot(remaining))
+    if (anyBucketLeft(spark, statePath)) {
+      val stale = spark.read.parquet(statePath)
+        .filter(col("pbucket").isin(touched: _*))
+        .select(col(idCol).as("id"))
+        .join(del, Seq("id"), "left_semi")
+        .count()
+      require(stale == 0,
+        s"cluster takedown audit failed: $stale deleted ids still " +
+          s"readable under $statePath — stale partition files survived")
+    }
+    touched
+  }
+
+  /** Write any ID-KEYED state table as hash-partitioned parquet
+    * (`pbucket = pmod(hash(id), numBuckets)`) — the generic layout for
+    * the two remaining per-maintenance-cycle full rewrites (round-11
+    * verdict item 4): the embedding exploded-row index
+    * ([[graft.ext.SimSearch.corpusEmbeddingLshIndex]], id = vec_id,
+    * several rows per id) and the fingerprint table
+    * ([[corpusFingerprintIndex]]'s (pid, fp) half, id = pid). Both
+    * maintain by id-keyed anti-join (+ union), so — unlike the
+    * cluster table — rows NEVER change buckets: an id's fresh rows
+    * hash exactly where its stale rows lived, which makes the pruning
+    * trivial and the upsert direction incapable of emptying a bucket.
+    * Schema-generic: every non-id column passes through untouched. */
+  def writeIdKeyedStatePartitioned(state: DataFrame, path: String,
+      idCol: String, numBuckets: Int): Unit =
+    state.withColumn("pbucket", pmod(hash(col(idCol)), lit(numBuckets)))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(path)
+
+  /** Batch-wins UPSERT against [[writeIdKeyedStatePartitioned]] state:
+    * prune the state read to the batch ids' buckets, anti-join the
+    * batch ids' stale rows out, union the fresh rows (same buckets by
+    * construction), dynamic-overwrite only those partitions — the
+    * [[graft.ext.SimSearch.upsertEmbeddingIndex]] semantics with the
+    * rewrite bounded to delta-touched partitions (DedupSpec pins
+    * byte-stability of untouched leaves and full-read == the
+    * in-memory anti-join + union == fresh rebuild). A re-delivered
+    * identical batch rewrites the same buckets to identical contents
+    * (idempotent). No emptied-bucket edge: every touched bucket
+    * receives the fresh rows that made it touched. Single-process
+    * barrier caveat as above. Returns the touched bucket ids. */
+  def upsertIdKeyedStatePartitioned(statePath: String,
+      freshRows: DataFrame, idCol: String, numBuckets: Int): Seq[Int] = {
+    val spark = freshRows.sparkSession
+    val fresh = freshRows
+      .withColumn("pbucket", pmod(hash(col(idCol)), lit(numBuckets)))
+      .localCheckpoint(eager = true) // consumed by touched AND merge
+    val touched = fresh.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val cur = spark.read.parquet(statePath)
+      .filter(col("pbucket").isin(touched: _*))
+    val merged = cur
+      .join(fresh.select(col(idCol)).dropDuplicates(idCol), Seq(idCol),
+        "left_anti")
+      .unionByName(fresh)
+      .localCheckpoint(eager = true) // barrier before self-overwrite
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(statePath)
+    touched
+  }
+
+  /** Takedown RETRACTION against [[writeIdKeyedStatePartitioned]]
+    * state: prune to the deleted ids' buckets, ONE id-keyed anti-join
+    * on the pruned side, dynamic overwrite, drop fully-emptied
+    * partitions, then audit that no deleted id's row is still
+    * readable (the [[retractPostingsIndexPartitioned]] crash-window
+    * posture). [[graft.ext.SimSearch.retractEmbeddingIndex]] semantics
+    * with the rewrite bounded to delta-touched partitions; a
+    * re-delivered takedown is a no-op that passes the same audit.
+    * Returns the touched bucket ids. */
+  def retractIdKeyedStatePartitioned(statePath: String,
+      deletedIds: DataFrame, idCol: String, numBuckets: Int): Seq[Int] = {
+    val spark = deletedIds.sparkSession
+    val del = deletedIds.select(col(idCol)).dropDuplicates(idCol)
+      .withColumn("pbucket", pmod(hash(col(idCol)), lit(numBuckets)))
+      .localCheckpoint(eager = true) // consumed by touched, merge, audit
+    val touched = del.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val merged = spark.read.parquet(statePath)
+      .filter(col("pbucket").isin(touched: _*))
+      .join(del.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint(eager = true) // barrier before self-overwrite
+    val remaining = merged.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(statePath)
+    dropEmptiedBuckets(spark, statePath, touched.filterNot(remaining))
+    if (anyBucketLeft(spark, statePath)) {
+      val stale = spark.read.parquet(statePath)
+        .filter(col("pbucket").isin(touched: _*))
+        .join(del.select(col(idCol)), Seq(idCol), "left_semi")
+        .count()
+      require(stale == 0,
+        s"id-keyed takedown audit failed: $stale deleted ids' rows " +
+          s"still readable under $statePath")
     }
     touched
   }

@@ -1140,4 +1140,211 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(a == b && a == Seq(1L -> 1L, 3L -> 1L, 4L -> 4L, 9L -> 1L))
   }
+
+  /** pbucket of each candidate value under the SAME pmod(hash(.))
+    * Spark computes — the partitioned-state tests pick fixture ids by
+    * their buckets so the pins (untouched byte-stability, emptied
+    * partitions, split-component bucket discovery) are non-vacuous by
+    * CONSTRUCTION, not by luck of the hash. */
+  private def bucketsOf(vals: Seq[Long], nb: Int): Map[Long, Int] =
+    vals.toDF("v")
+      .select(col("v"), pmod(hash(col("v")), lit(nb)).as("b"))
+      .as[(Long, Int)].collect().toMap
+
+  private def leavesUnder(dir: String)
+      : Map[String, Seq[(String, Long)]] = {
+    val base = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.walk(base)
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map { p =>
+        val rel = base.relativize(p).toString
+        rel.substring(0, rel.indexOf('/')) ->
+          (rel, java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }.toSeq.groupBy(_._1)
+      .map { case (b, xs) => b -> xs.map(_._2).sorted }
+    finally s.close()
+  }
+
+  test("upsertClustersPartitioned: only merge-touched partitions " +
+    "rewrite (untouched leaf files byte-stable), a bucket whose only " +
+    "label merges away DROPS (the upsert-side emptied-partition edge " +
+    "the postings demo cannot hit), and the full read equals the " +
+    "in-memory upsertClusters == fresh components over all pairs") {
+    val nb = 32
+    // pick a singleton label S and two bystander singletons A, B whose
+    // buckets are pairwise distinct AND distinct from every other label
+    // the fixture produces (1, 3, the batch ids 100/101)
+    val fixed = Seq(1L, 3L, 100L, 101L)
+    val cands = (1000L to 1200L) ++ fixed
+    val bk = bucketsOf(cands, nb)
+    val fixedB = fixed.map(bk).toSet
+    val free = (1000L to 1200L).filterNot(v => fixedB(bk(v)))
+    val Seq(s0, a0, b0) = free
+      .foldLeft(Seq.empty[Long]) { (acc, v) =>
+        if (acc.size < 3 && !acc.map(bk).contains(bk(v))) acc :+ v
+        else acc
+      }
+    // corpus: component {1,2} (label 1), {3,4} (label 3), singletons
+    // S, A, B
+    val corpusPairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val corpusIds = Seq(1L, 2L, 3L, 4L, s0, a0, b0).toDF("id")
+    val clusters0 = Dedup.dupClusters(corpusPairs, corpusIds, "id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pclu")
+      .toFile.getAbsolutePath + "/state"
+    Dedup.writeClustersPartitioned(clusters0, dir, "id", nb)
+    val before = leavesUnder(dir)
+    // delta: batch docs 100 (pairs into cluster 1) and 101 (clean);
+    // pair (4, S) merges singleton S into cluster 3 — S's bucket holds
+    // no other label, so it must EMPTY and drop
+    val newPairs = Seq((100L, 2L), (4L, s0)).toDF("id_a", "id_b")
+    val newIds = Seq(100L, 101L).toDF("id")
+    val touched = Dedup.upsertClustersPartitioned(dir, newPairs,
+      newIds, "id", nb)
+    val after = leavesUnder(dir)
+    // bystanders' buckets were never listed and are byte-stable
+    Seq(a0, b0).foreach { v =>
+      val b = s"pbucket=${bk(v)}"
+      assert(!touched.contains(bk(v)), v)
+      assert(after(b) == before(b), v)
+    }
+    // S's bucket fully emptied -> directory dropped
+    assert(!after.contains(s"pbucket=${bk(s0)}"))
+    // full read == in-memory merge == fresh rebuild over ALL pairs
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cluster").as[(Long, Long)].collect().toSet
+    val expected = rows(Dedup.upsertClusters(clusters0, newPairs,
+      newIds, "id"))
+    assert(rows(spark.read.parquet(dir)) == expected)
+    assert(rows(Dedup.dupClusters(
+      corpusPairs.unionByName(newPairs),
+      corpusIds.unionByName(newIds), "id")) == expected)
+    // S relabeled into cluster 3, batch doc 100 into cluster 1
+    assert(expected.contains(s0 -> 3L) && expected.contains(100L -> 1L)
+      && expected.contains(101L -> 101L))
+  }
+
+  test("retractClustersPartitioned: deleting a bridge SPLITS a " +
+    "component and the split part's new label lands in a bucket the " +
+    "delta never listed — exactly that bucket joins the write set, " +
+    "bystander buckets stay byte-stable, the deleted id is gone " +
+    "(audit), and the full read equals the in-memory retractClusters") {
+    val nb = 32
+    // component {10, 11, Z} with 11 the only bridge; choose Z (and a
+    // bystander pair {20, 21}) so buckets of label 10, label Z and
+    // label 20 are pairwise distinct — deleting 11 splits {10,11,Z}
+    // into {10} and {Z}, and Z's bucket is one the deletion delta
+    // (affected label = 10) never listed
+    val fixed = Seq(10L, 20L)
+    val cands = (1000L to 1200L) ++ fixed
+    val bk = bucketsOf(cands, nb)
+    val fixedB = fixed.map(bk).toSet
+    val z0 = (1000L to 1200L).find(v => !fixedB(bk(v))).get
+    val pairs0 = Seq((10L, 11L), (11L, z0), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val ids0 = Seq(10L, 11L, z0, 20L, 21L).toDF("id")
+    val clusters0 = Dedup.dupClusters(pairs0, ids0, "id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pclr")
+      .toFile.getAbsolutePath + "/state"
+    Dedup.writeClustersPartitioned(clusters0, dir, "id", nb)
+    val before = leavesUnder(dir)
+    val deleted = Seq(11L).toDF("id")
+    val touched = Dedup.retractClustersPartitioned(dir, pairs0,
+      deleted, "id", nb)
+    val after = leavesUnder(dir)
+    // the split part's bucket was discovered and rewritten...
+    assert(touched.contains(bk(z0)) && touched.contains(bk(10L)))
+    // ...while the bystander component's bucket is byte-stable
+    assert(!touched.contains(bk(20L)))
+    assert(after(s"pbucket=${bk(20L)}") == before(s"pbucket=${bk(20L)}"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cluster").as[(Long, Long)].collect().toSet
+    val expected = rows(Dedup.retractClusters(clusters0, pairs0,
+      deleted, "id"))
+    assert(rows(spark.read.parquet(dir)) == expected)
+    // the split is real: Z is its own cluster now, 10 keeps its label,
+    // and the deleted bridge is gone everywhere
+    assert(expected.contains(z0 -> z0) && expected.contains(10L -> 10L))
+    assert(!expected.exists(_._1 == 11L))
+  }
+
+  test("id-keyed partitioned state (embedding index + fingerprint " +
+    "table): upsert rewrites only the batch ids' buckets (batch wins, " +
+    "idempotent), retraction drops emptied buckets and passes the " +
+    "takedown audit, and every full read equals the in-memory " +
+    "anti-join maintenance == fresh rebuild") {
+    val nb = 16
+    // three corpus vectors + one batch vector, ids chosen so all four
+    // buckets are pairwise distinct (pins non-vacuous)
+    val cands = 1L to 300L
+    val bk = bucketsOf(cands, nb)
+    val Seq(v1, v2, v3, v4) = cands
+      .foldLeft(Seq.empty[Long]) { (acc, v) =>
+        if (acc.size < 4 && !acc.map(bk).contains(bk(v))) acc :+ v
+        else acc
+      }
+    def emb(vid: Long, x: Float) =
+      (vid, Array(x, 1f - x, x / 2, -x))
+    val corpus = Seq(emb(v1, 0.1f), emb(v2, 0.5f), emb(v3, 0.9f))
+      .toDF("vec_id", "embedding")
+    // batch: NEW vector v4 plus a RE-CRAWLED v2 with a changed
+    // embedding (batch must win)
+    val batch = Seq(emb(v4, 0.3f), emb(v2, 0.7f))
+      .toDF("vec_id", "embedding")
+    val bits = 4; val tables = 2
+    val idx0 = SimSearch.corpusEmbeddingLshIndex(corpus, bits, tables)
+      .localCheckpoint(eager = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pide")
+      .toFile.getAbsolutePath + "/state"
+    Dedup.writeIdKeyedStatePartitioned(idx0, dir, "vec_id", nb)
+    val before = leavesUnder(dir)
+    val freshRows = SimSearch.corpusEmbeddingLshIndex(batch, bits,
+      tables)
+    val touched = Dedup.upsertIdKeyedStatePartitioned(dir, freshRows,
+      "vec_id", nb)
+    val after = leavesUnder(dir)
+    assert(touched.toSet == Set(bk(v2), bk(v4)))
+    // v1/v3's buckets never rewritten
+    Seq(v1, v3).foreach { v =>
+      assert(after(s"pbucket=${bk(v)}") == before(s"pbucket=${bk(v)}"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("bucket.t"), col("bucket.bk"))
+        .as[(Long, Int, Long)].collect().toSet
+    val viaMem = rows(SimSearch.upsertEmbeddingIndex(idx0, batch,
+      bits, tables))
+    assert(rows(spark.read.parquet(dir)) == viaMem)
+    // batch wins: v2's buckets come from its NEW embedding only
+    assert(rows(spark.read.parquet(dir)) == rows(
+      SimSearch.corpusEmbeddingLshIndex(
+        corpus.filter(col("vec_id") =!= v2).unionByName(batch),
+        bits, tables)))
+    // idempotent: re-delivering the batch rewrites to identical content
+    Dedup.upsertIdKeyedStatePartitioned(dir, freshRows, "vec_id", nb)
+    assert(rows(spark.read.parquet(dir)) == viaMem)
+    // retraction: v2 leaves; its bucket held only v2's rows -> drops
+    val touchedRet = Dedup.retractIdKeyedStatePartitioned(dir,
+      Seq(v2).toDF("vec_id"), "vec_id", nb)
+    assert(touchedRet == Seq(bk(v2)))
+    assert(!leavesUnder(dir).contains(s"pbucket=${bk(v2)}"))
+    assert(rows(spark.read.parquet(dir)) == rows(
+      SimSearch.corpusEmbeddingLshIndex(
+        corpus.filter(col("vec_id") =!= v2)
+          .unionByName(batch.filter(col("vec_id") =!= v2)),
+        bits, tables)))
+    // schema-genericity: the SAME ops maintain the (pid, fp)
+    // fingerprint table — the other id-keyed state (round-11 verdict
+    // item 4)
+    val fdir = java.nio.file.Files.createTempDirectory("graft_pidf")
+      .toFile.getAbsolutePath + "/state"
+    val fps0 = Seq((v1, 0x00L), (v2, 0x01L)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, fdir, "pid", nb)
+    Dedup.upsertIdKeyedStatePartitioned(fdir,
+      Seq((v2, 0x0FL), (v4, 0x03L)).toDF("pid", "fp"), "pid", nb)
+    Dedup.retractIdKeyedStatePartitioned(fdir, Seq(v1).toDF("pid"),
+      "pid", nb)
+    assert(spark.read.parquet(fdir).select("pid", "fp")
+      .as[(Long, Long)].collect().toSet
+      == Set(v2 -> 0x0FL, v4 -> 0x03L))
+  }
 }

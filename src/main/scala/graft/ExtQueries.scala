@@ -4073,21 +4073,34 @@ object ExtQueries {
     * (per-vector cluster + distinct bucket-peer count). ONE oracle
     * replays the chain flat. */
   private val q259: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val batch = emb.filter(col("vec_id") % 5 === 3)
-    // stage 1 — persisted corpus state
+    // stage 1 — persisted corpus state (q245 owner)
     val (index0, clusters0) = sharedEmbState(s, d)
+    embLifecycleChain(Tables.embeddings(s, d), index0, clusters0,
+      threshold = 0.25, bits = 16, tables = 4)
+  }
+
+  /** The q259 five-stage EMBEDDING lifecycle (stages 2–4),
+    * parameterized over the stage-1 state and the (threshold, bits,
+    * tables) operating point — shared VERBATIM by q259 (the persisted
+    * [[sharedEmbState]] at the q60/q245 parameters) and
+    * [[graft.ScaleProbe]]'s sparse-regime cells (inline state at the
+    * sparse threshold), so the sparse measurement times exactly the
+    * oracle-checked chain plan rather than a re-derivation that could
+    * drift. */
+  private[graft] def embLifecycleChain(emb: DataFrame,
+      index0: DataFrame, clusters0: DataFrame, threshold: Double,
+      bits: Int, tables: Int): DataFrame = {
+    val batch = emb.filter(col("vec_id") % 5 === 3)
     // stage 2 — recrawl batch folds forward
     val newPairs = SimSearch.incrementalCosinePairsLsh(index0, batch,
-        threshold = 0.25, bits = 16, tables = 4)
+        threshold, bits, tables)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(eager = false) // consumed by clusters1 + pairs1
     val index1 = SimSearch.upsertEmbeddingIndex(index0, batch,
-      bits = 16, tables = 4)
+      bits, tables)
     val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
       batch.select("vec_id"), "vec_id")
-    val pairs1 = SimSearch.cosinePairsFromIndex(index0,
-        threshold = 0.25)
+    val pairs1 = SimSearch.cosinePairsFromIndex(index0, threshold)
       .select(col("id_a"), col("id_b"))
       .unionByName(newPairs)
     // stage 3 — takedown (one anti-join; state carries its keys)
@@ -4127,26 +4140,40 @@ object ExtQueries {
     * union recompute; the survivor report hashes BOTH final state
     * tables (per-payload cluster + distinct slice-peer count). */
   private val q260: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    // stage 1 — persisted corpus state
+    // stage 1 — persisted corpus state (q250 owner)
     val (index0, cfps, clusters0) = sharedFingerprintState(s, d)
+    fpLifecycleChain(Tables.documents(s, d), index0, cfps, clusters0,
+      blocks = 32, slices = 4, maxHamming = 3)
+  }
+
+  /** The q260 five-stage PAYLOAD lifecycle (stages 2–4), parameterized
+    * over the stage-1 state and the fingerprint operating point —
+    * [[embLifecycleChain]]'s sibling, shared VERBATIM by q260 (the
+    * persisted [[sharedFingerprintState]] at the q237/q250 parameters)
+    * and [[graft.ScaleProbe]]'s sparse-regime cells (inline state at
+    * the width-scaled fingerprint the production dial prescribes). */
+  private[graft] def fpLifecycleChain(docs: DataFrame,
+      index0: DataFrame, cfps: DataFrame, clusters0: DataFrame,
+      blocks: Int, slices: Int, maxHamming: Int): DataFrame = {
     // stage 2 — recrawl batch folds forward (batch fingerprints
     // compute inline — the honest recrawl input, the q251 posture)
     val batchFps = Multimodal.blockhashFingerprints(
         Multimodal.mediaTable(docs.filter(col("doc_id") % 5 === 3)),
-        "doc_id", blocks = 32)
+        "doc_id", blocks)
       .localCheckpoint(eager = false) // consumed by pairs + index + del
     val newPairs = Dedup.incrementalFingerprintPairs(index0, cfps,
-        batchFps, bits = 32, slices = 4, maxHamming = 3)
+        batchFps, bits = blocks, slices = slices,
+        maxHamming = maxHamming)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(eager = false) // consumed by clusters1 + pairs1
     val index1 = Dedup.upsertPostingsIndex(index0,
-      Dedup.fingerprintPostings(batchFps, bits = 32, slices = 4),
+      Dedup.fingerprintPostings(batchFps, bits = blocks,
+        slices = slices),
       Seq("sl", "sv"))
     val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
       batchFps.select("pid"), "pid")
     val pairs1 = Dedup.fingerprintPairsFromIndex(index0, cfps,
-        maxHamming = 3)
+        maxHamming = maxHamming)
       .select(col("id_a"), col("id_b"))
       .unionByName(newPairs)
     // stage 3 — takedown (deltas from persisted ∪ batch fingerprints)
@@ -4156,7 +4183,7 @@ object ExtQueries {
     val index2 = Dedup.retractPostingsIndex(index1,
       Dedup.fingerprintPostings(
         fps1.join(deleted, Seq("pid"), "left_semi"),
-        bits = 32, slices = 4), Seq("sl", "sv"))
+        bits = blocks, slices = slices), Seq("sl", "sv"))
     val clusters2 = Dedup.retractClusters(clusters1, pairs1, deleted,
       "pid")
     // stage 4 — survivor report over BOTH final state tables

@@ -107,6 +107,105 @@ object ScaleProbe {
                                        // (float stays float; `* -1`
                                        // would promote to double)
 
+  /** Planted-twin id offset for the SPARSE fixtures: < [[Offset]] so
+    * planted ids never collide with any replica's base ids (base ids
+    * are ≤ ~5k ≪ 52.5M), and ≡ 1 (mod 3, 5, 7 AND 8 — 52,500,000 is
+    * divisible by all four), so a twin's recrawl-batch / takedown /
+    * media-type class is its original's shifted by one: planted pairs
+    * land in every split combination (corpus–corpus, corpus–batch,
+    * batch–corpus) and twins are never re-planted (twin % 8 = 2,
+    * planting selects % 8 = 1). */
+  private val PlantOffset = 52500001L
+
+  /** Sign-flip the `k` LOWEST-|x| dimensions of a float vector
+    * (deterministic tiebreak by index) — the sparse fixture's planted
+    * embedding near-dup: norms are unchanged and
+    * cos(x, twin) = 1 − 2·Σ_flipped x²/|x|² ≥ 1 − 2k/d BY THE ORDER-
+    * STATISTIC BOUND (the k smallest squares average at most the
+    * overall mean square), so with k = 2 of d = 64 dims every planted
+    * pair sits at cosine ≥ 0.9375 (typically ≈ 0.99) — above the
+    * sparse threshold 0.6 by construction, while the base fixture has
+    * essentially no background pairs there (docs/SCALE.md: nothing
+    * above sim 0.6). RNG-free. */
+  private[graft] def flipLowest(e: Column, k: Int): Column = {
+    val ranked = slice(array_sort(transform(e,
+      (x, i) => struct(abs(x).as("a"), i.as("i")))), 1, k)
+    val flipSet = transform(ranked, s => s.getField("i"))
+    transform(e, (x, i) =>
+      when(array_contains(flipSet, i), -x).otherwise(x))
+  }
+
+  /** Swap the first two characters of the text — the sparse fixture's
+    * planted PAYLOAD near-dup: the byte multiset is preserved (global
+    * blockhash mean unchanged) and only the blocks covering the
+    * 2-char span can change mean, so the twin's blockhash fingerprint
+    * sits at Hamming ≤ 2 from its original BY CONSTRUCTION — inside
+    * maxHamming = 3 at ANY fingerprint width (slice banding's
+    * pigeonhole recall is exact there), while background fingerprints
+    * at the width-scaled block count collide only incidentally.
+    * Length-preserving and deterministic; adjacent positions keep
+    * every byte outside the span at its offset even for multi-byte
+    * chars. */
+  private[graft] def swapFirstTwo(t: Column): Column =
+    when(length(t) >= 2,
+      concat(substring(t, 2, 1), substring(t, 1, 1),
+        t.substr(lit(3), length(t))))
+      .otherwise(t)
+
+  /** Rotate the text left by a LENGTH-PROPORTIONAL per-replica amount
+    * (⌊len·r/31⌋ — replica 0 is the identity): the payload
+    * decorrelator the sparse documents fixture needs ON TOP of the
+    * affine cipher. A value-only cipher cannot decorrelate blockhash:
+    * block means are dominated by SPACE density, spaces are cipher
+    * fixed points, and space POSITIONS are identical across replicas —
+    * measured on the un-rotated fixture, every doc's m cipher copies
+    * sat within Hamming ≤ 3 of each other (a C(m,2) clique per doc,
+    * exactly the quadratic background the sparse regime must not
+    * have). Rotating by a length fraction moves every block boundary
+    * relative to the space structure, so cross-replica block profiles
+    * decorrelate — while every PLANTED pair is preserved exactly: an
+    * original and its [[swapFirstTwo]] twin have equal length, rotate
+    * by the same amount, and keep their two differing chars adjacent
+    * (or split to the two ends), so their fingerprints stay at
+    * Hamming ≤ 2 in every replica. Used only in the sparse DOCUMENTS
+    * fixture — the payload cells' input; the dense/text fixtures keep
+    * the pure cipher (rotation would split one token per doc and
+    * perturb the exact text-spine replication laws). */
+  private[graft] def rotateFrac(t: Column, r: Int): Column =
+    if (r == 0) t
+    else {
+      val k = floor(length(t).cast("long") * r / 31).cast("int")
+      concat(t.substr(k + lit(1), length(t)), t.substr(lit(1), k))
+    }
+
+  /** Augment base documents with planted payload near-dups: every
+    * doc_id ≡ 1 (mod 8) gains a twin at doc_id + [[PlantOffset]] with
+    * [[swapFirstTwo]] text. Planting happens BEFORE replication, so
+    * the per-replica cipher (a 1:1 char map — it commutes with a
+    * position swap) and the per-replica [[rotateFrac]] (equal lengths
+    * ⇒ equal rotation) preserve every planted pair exactly in every
+    * replica: planted mass grows ×m, the linear law the sparse
+    * regime is built to measure. */
+  private def plantedDocs(docs: DataFrame): DataFrame =
+    docs.unionByName(
+      docs.filter(col("doc_id") % 8 === 1)
+        .select((col("doc_id") + PlantOffset).as("doc_id"),
+          swapFirstTwo(col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+
+  /** Augment base embeddings with planted near-dup vectors: every
+    * vec_id ≡ 1 (mod 8) gains a twin at vec_id + [[PlantOffset]] with
+    * the 2 lowest-magnitude dims sign-flipped ([[flipLowest]]).
+    * Planted before replication; the per-replica sign flip preserves
+    * within-replica cosines exactly, so each replica carries its own
+    * planted pairs and cross-replica cosines stay decorrelated. */
+  private def plantedEmbs(embs: DataFrame): DataFrame =
+    embs.unionByName(
+      embs.filter(col("vec_id") % 8 === 1)
+        .select((col("vec_id") + PlantOffset).as("vec_id"),
+          flipLowest(col("embedding"), 2).as("embedding"),
+          col("label")))
+
   private def genFixture(s: SparkSession, base: String, out: String,
       m: Int): String = {
     val dir = s"$out/x$m"
@@ -121,6 +220,36 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val embs = s.read.parquet(s"$base/embeddings.parquet")
+      (0 until m).map { r =>
+        embs.select((col("vec_id") + lit(r * Offset)).as("vec_id"),
+          signFlip(col("embedding"), r).as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      ok.createNewFile()
+    }
+    dir
+  }
+
+  /** SPARSE-regime blow-up (round-11 verdict item 1): the same
+    * replica laws as [[genFixture]] over the PLANTED base
+    * ([[plantedDocs]] / [[plantedEmbs]]), written to `x<m>s`. The
+    * committed sf fixtures are untouched (260 oracle hashes pin
+    * them); realism lives in the probe blow-ups. */
+  private def genSparseFixture(s: SparkSession, base: String,
+      out: String, m: Int): String = {
+    val dir = s"$out/x${m}s"
+    val ok = new java.io.File(s"$dir/_PROBE_OK")
+    if (!ok.exists()) {
+      val docs = plantedDocs(s.read.parquet(s"$base/documents.parquet"))
+      (0 until m).map { r =>
+        docs.select((col("doc_id") + lit(r * Offset)).as("doc_id"),
+          rotateFrac(cipher(col("text"), r), r).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val embs = plantedEmbs(s.read.parquet(s"$base/embeddings.parquet"))
       (0 until m).map { r =>
         embs.select((col("vec_id") + lit(r * Offset)).as("vec_id"),
           signFlip(col("embedding"), r).as("embedding"), col("label"))
@@ -170,6 +299,82 @@ object ScaleProbe {
         bits = blocks, slices = 4, maxHamming = 3)
     })
 
+  /** SPARSE-regime cells (round-11 verdict item 1) — run against the
+    * `x<m>s` planted fixtures at the operating point where the
+    * threshold actually BINDS, so the qualifying-pair graph is the
+    * sparse one a real corpus has (the dense cells measure the
+    * adversarial worst case — output ~m²; these measure the
+    * production shape — planted output ~m):
+    *
+    *  - embeddings at threshold 0.6 (background ≈ none, planted pairs
+    *    ≥ 0.9375 by [[flipLowest]] construction), q245/q259 parameters
+    *    otherwise (bits 16, tables 4);
+    *  - payloads at the WIDTH-SCALED fingerprint the production dial
+    *    prescribes (blocks = 4·(8 + ⌈log₂ m⌉) — the q250x law), where
+    *    background slice collisions stay rare while planted pairs sit
+    *    at Hamming ≤ 2 by [[swapFirstTwo]] construction (pigeonhole
+    *    recall is exact at ANY width). A fixed-32-bit sparse cell
+    *    would re-measure key-space saturation, which the dense
+    *    q250/q250x pair already adjudicates.
+    *
+    * The chain cells run the EXACT oracle-checked five-stage plans
+    * ([[ExtQueries.embLifecycleChain]] / [[ExtQueries
+    * .fpLifecycleChain]]) with their stage-1 state built inline —
+    * self-consistent across scales, so like the dense chain readings
+    * each number INCLUDES the full corpus state build. */
+  private def sparseProbes(m: Int)
+      : Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val fpBlocks = 4 * (8 + log2ceil(m))
+    Seq(
+      "q245s_emb_sparse" -> { (s: SparkSession, d: String) =>
+        val emb = Tables.embeddings(s, d)
+        SimSearch.incrementalCosinePairsLsh(
+          SimSearch.corpusEmbeddingLshIndex(
+            emb.filter(col("vec_id") % 5 =!= 3), bits = 16, tables = 4),
+          emb.filter(col("vec_id") % 5 === 3),
+          threshold = 0.6, bits = 16, tables = 4)
+      },
+      "q250s_fp_sparse" -> { (s: SparkSession, d: String) =>
+        def fps(dfFilter: Column) = Multimodal.blockhashFingerprints(
+          Multimodal.mediaTable(
+            Tables.documents(s, d).filter(dfFilter)), "doc_id", fpBlocks)
+        val (idx, cf) = Dedup.corpusFingerprintIndex(
+          fps(col("doc_id") % 5 =!= 3), bits = fpBlocks, slices = 4)
+        Dedup.incrementalFingerprintPairs(idx, cf,
+          fps(col("doc_id") % 5 === 3),
+          bits = fpBlocks, slices = 4, maxHamming = 3)
+      },
+      "q259s_emb_sparse_chain" -> { (s: SparkSession, d: String) =>
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") % 5 =!= 3)
+        val index0 = SimSearch.corpusEmbeddingLshIndex(corpus,
+            bits = 16, tables = 4)
+          .localCheckpoint(eager = true) // the inline stage-1 state
+        val clusters0 = Dedup.dupClusters(
+          SimSearch.cosinePairsFromIndex(index0, threshold = 0.6)
+            .select(col("id_a"), col("id_b")),
+          corpus.select("vec_id"), "vec_id")
+        ExtQueries.embLifecycleChain(emb, index0, clusters0,
+          threshold = 0.6, bits = 16, tables = 4)
+      },
+      "q260s_fp_sparse_chain" -> { (s: SparkSession, d: String) =>
+        val docs = Tables.documents(s, d)
+        val cfps = Multimodal.blockhashFingerprints(
+            Multimodal.mediaTable(docs.filter(col("doc_id") % 5 =!= 3)),
+            "doc_id", fpBlocks)
+          .localCheckpoint(eager = true) // the inline stage-1 state
+        val index0 = Dedup.corpusFingerprintIndex(cfps,
+            bits = fpBlocks, slices = 4)._1
+          .localCheckpoint(eager = true)
+        val clusters0 = Dedup.dupClusters(
+          Dedup.fingerprintPairsFromIndex(index0, cfps, maxHamming = 3)
+            .select(col("id_a"), col("id_b")),
+          cfps.select("pid"), "pid")
+        ExtQueries.fpLifecycleChain(docs, index0, cfps, clusters0,
+          blocks = fpBlocks, slices = 4, maxHamming = 3)
+      })
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
@@ -211,21 +416,54 @@ object ScaleProbe {
 
     val byName = SparkEntry.queries
     val owners = ExtQueries.sharedScratchOwners
+    // which cell families to run: "dense" (the round-11 set), "sparse"
+    // (the planted-fixture set), or "all". A sparse-only run neither
+    // generates nor touches the dense blow-ups (and vice versa), so
+    // adding a regime never forces re-measuring the other's committed
+    // exponents.
+    val cellSet = sys.env.getOrElse("SPARK_GRAFT_PROBE_CELLS", "all")
+    require(Set("dense", "sparse", "all")(cellSet),
+      s"SPARK_GRAFT_PROBE_CELLS must be dense|sparse|all, got $cellSet")
+    val withDense = cellSet != "sparse"
+    val withSparse = cellSet != "dense"
 
-    val dirs = scales.map(m => m -> genFixture(spark, base, out, m)).toMap
-    System.err.println(s"[probe] fixtures ready: $dirs")
+    val dirs =
+      if (withDense)
+        scales.map(m => m -> genFixture(spark, base, out, m)).toMap
+      else Map.empty[Int, String]
+    val sparseDirs =
+      if (withSparse)
+        scales.map(m => m -> genSparseFixture(spark, base, out, m)).toMap
+      else Map.empty[Int, String]
+    System.err.println(
+      s"[probe] fixtures ready: dense=$dirs sparse=$sparseDirs")
+
+    // (name, fn, fixture dir) for one scale
+    def cells(m: Int)
+        : Seq[(String, (SparkSession, String) => DataFrame, String)] = {
+      val dense =
+        if (withDense)
+          (ProbeNames.map(n => n -> byName(n)) ++ extraProbes(m))
+            .map { case (n, f) => (n, f, dirs(m)) }
+        else Nil
+      val sparse =
+        if (withSparse)
+          sparseProbes(m).map { case (n, f) => (n, f, sparseDirs(m)) }
+        else Nil
+      dense ++ sparse
+    }
 
     // warm-up: same plans, small data, separate scratch namespace
-    (ProbeNames.map(n => n -> byName(n)) ++ extraProbes(1)).foreach {
-      case (_, fn) => try run(fn, warmDir) catch { case _: Throwable => }
+    // (sparse plans warm on the raw small fixture too — identical
+    // shapes, JIT/codegen is what the warm-up is for)
+    cells(1).foreach { case (_, fn, _) =>
+      try run(fn, warmDir) catch { case _: Throwable => }
     }
     System.err.println("[probe] warm-up done")
 
     // scale -> query -> (tMin, rows)
     val results = scales.map { m =>
-      val d = dirs(m)
-      val perQuery = (ProbeNames.map(n => n -> byName(n)) ++
-        extraProbes(m)).map { case (name, fn) =>
+      val perQuery = cells(m).map { case (name, fn, d) =>
         val t1 = timed(fn, d)
         if (owners.contains(name)) ExtQueries.resetSharedScratch(name)
         val t2 = timed(fn, d)

@@ -354,7 +354,13 @@ object PlanDump {
           "incremental fingerprint pairs + slice-index upsert + " +
           "cluster upsert -> retraction with deltas from persisted " +
           "∪ batch fingerprints (payloads never rescanned) + cluster " +
-          "retraction -> survivor report; all-equi throughout"))
+          "retraction -> survivor report; all-equi throughout"),
+      "q261_stream_upsert_feed" ->
+        ("upsert-delta feed, batch twin of the STREAMING upsert verb: " +
+          "native codegen blockhash + the fingerprintPostings explode " +
+          "inside ONE scan projection — map-only, no state read, no " +
+          "join; the only exchange is the output ORDER BY, so the " +
+          "readStream form is stateless end to end"))
     val out = new StringBuilder
     out ++= "# Physical plans (generated by graft.PlanDump at sf0.001)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"`. Review points " +

@@ -107,6 +107,48 @@ object ScaleProbe {
                                        // (float stays float; `* -1`
                                        // would promote to double)
 
+  /** Per-replica embedding transform for the SPARSE fixture: a cyclic
+    * DIM ROTATION (by (r·23) mod 64 — 23 is invertible mod 64, so
+    * every replica pair is misaligned by a distinct nonzero shift)
+    * composed with a Murmur3-parity SIGN FLIP per (dim, replica).
+    * Both are norm-preserving and uniform across a replica, so
+    * within-replica cosines — and hence every planted pair — are
+    * preserved EXACTLY, while cross-replica correlation is killed by
+    * two complementary mechanisms, each of which alone provably
+    * fails:
+    *
+    *  - the r11 [[signFlip]]'s offset-parity patterns differ across
+    *    replicas only by a constant offset δ = Δr·2964 (mod 8191) and
+    *    disagree only where the addition wraps (probability δ/8191,
+    *    not 1/2) — at Δr = 3, δ = 701 keeps ~91% agreement, so every
+    *    base vector re-appeared at cos ≈ 0.8 three replicas away
+    *    (the measured +629 / +18k background at ×10 / ×30; ×3 was
+    *    exactly linear because max Δr = 2 is safe);
+    *  - even a PERFECT half-flip cannot decorrelate vectors whose
+    *    squared mass concentrates on few dims (measured worst
+    *    cross-replica self-|cos| 0.81 under a true Murmur3 flip —
+    *    sign flips preserve per-dim mass, so a near-one-hot vector
+    *    resembles its copy under any pattern). The rotation moves
+    *    concentrated mass onto disjoint dims; the flip handles the
+    *    flat/periodic vectors rotation alone cannot (an all-equal
+    *    vector is shift-invariant). Worst-case over every replica
+    *    pair × every real fixture vector is spec-pinned below the
+    *    sparse threshold.
+    *
+    * The dense fixture keeps the committed r11 law — its exponents
+    * are already adjudicated against it. Hardcodes the fixture's 64
+    * dims (like the cipher hardcodes the alphabet). */
+  private[graft] def sparseEmbReplica(e: Column, r: Int): Column =
+    if (r == 0) e
+    else {
+      val s = (r * 23) % 64
+      val shifted =
+        if (s == 0) e
+        else concat(slice(e, s + 1, 64 - s), slice(e, 1, s))
+      transform(shifted, (x, i) =>
+        when(pmod(hash(i, lit(r)), lit(2)) === 0, x).otherwise(-x))
+    }
+
   /** Planted-twin id offset for the SPARSE fixtures: < [[Offset]] so
     * planted ids never collide with any replica's base ids (base ids
     * are ≤ ~5k ≪ 52.5M), and ≡ 1 (mod 3, 5, 7 AND 8 — 52,500,000 is
@@ -239,7 +281,9 @@ object ScaleProbe {
   private def genSparseFixture(s: SparkSession, base: String,
       out: String, m: Int): String = {
     val dir = s"$out/x${m}s"
-    val ok = new java.io.File(s"$dir/_PROBE_OK")
+    // _PROBE_OK2: the v1 sparse fixtures (pre-sparseSignFlip) must
+    // regenerate — the marker name versions the fixture law
+    val ok = new java.io.File(s"$dir/_PROBE_OK2")
     if (!ok.exists()) {
       val docs = plantedDocs(s.read.parquet(s"$base/documents.parquet"))
       (0 until m).map { r =>
@@ -252,7 +296,8 @@ object ScaleProbe {
       val embs = plantedEmbs(s.read.parquet(s"$base/embeddings.parquet"))
       (0 until m).map { r =>
         embs.select((col("vec_id") + lit(r * Offset)).as("vec_id"),
-          signFlip(col("embedding"), r).as("embedding"), col("label"))
+          sparseEmbReplica(col("embedding"), r).as("embedding"),
+          col("label"))
       }.reduce(_ unionByName _)
         .repartition(8)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

@@ -206,6 +206,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bit_count"), p) // exact verify stays in-plan
   }
 
+  test("upsert-delta feed (q261): MAP-ONLY — blockhash + the postings " +
+    "explode live in scan-stage projections with no join and no " +
+    "aggregate anywhere; the only exchange is the output sort (what " +
+    "makes the streaming twin stateless end to end)") {
+    val p = plan(ExtQueries.all("q261_stream_upsert_feed")(spark, sf0001))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("blockhash"), p) // the native kernel, not a UDF
+    // exactly one exchange: the deterministic output ordering
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1, p)
+  }
+
   test("incremental dedup (q238): the batch merge is ONE sh-keyed join " +
     "against the PERSISTED index scratch (corpus text never rescanned); " +
     "no cartesian anywhere") {

@@ -101,6 +101,64 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("sparseEmbReplica decorrelates EVERY replica pair: the same " +
+    "base vector's cross-replica cosine stays below the sparse " +
+    "threshold for ALL 0 <= r < r' <= 30 over ALL real fixture " +
+    "vectors, AND within-replica cosines are preserved exactly — " +
+    "the two laws the planted-vs-background split rests on (the r11 " +
+    "offset-parity flip failed at dr=3 with self-cos ~0.8; even a " +
+    "perfect Murmur3 flip alone failed at 0.81 on mass-concentrated " +
+    "vectors)") {
+    // replicate the transform in driver Scala: flip pattern from the
+    // SAME hash Spark evaluates (argument order = the lambda's
+    // hash(i, lit(r))), shift = (r*23) % 64
+    val pat = spark.range(1, 31).select(col("id").cast("int").as("r"))
+      .crossJoin(spark.range(64).select(col("id").cast("int").as("i")))
+      .select(col("r"), col("i"),
+        (pmod(hash(col("i"), col("r")), lit(2)) === 0).as("keep"))
+      .as[(Int, Int, Boolean)].collect()
+    val pats = Array.fill(31, 64)(1)
+    pat.foreach { case (r, i, keep) => pats(r)(i) = if (keep) 1 else -1 }
+    def apply(v: Array[Float], r: Int): Array[Double] = {
+      val s = (r * 23) % 64
+      Array.tabulate(64)(j => pats(r)(j) * v((j + s) % 64).toDouble)
+    }
+    // sanity: the Scala replica matches the real fixture column
+    val probe = Array.tabulate(64)(_.toFloat + 1f)
+    val viaSpark = Seq(Tuple1(probe)).toDF("embedding")
+      .select(ScaleProbe.sparseEmbReplica(col("embedding"), 7))
+      .as[Array[Float]].head()
+    assert(viaSpark.map(_.toDouble).toSeq == apply(probe, 7).toSeq)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("embedding").as[Array[Float]].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var num = 0.0; var da = 0.0; var db = 0.0
+      var j = 0
+      while (j < 64) {
+        num += a(j) * b(j); da += a(j) * a(j); db += b(j) * b(j)
+        j += 1
+      }
+      num / math.sqrt(da * db)
+    }
+    var worst = 0.0
+    for (r <- 0 to 30; r2 <- (r + 1) to 30) {
+      vecs.foreach { v =>
+        val c = math.abs(cos(apply(v, r), apply(v, r2)))
+        if (c > worst) worst = c
+      }
+    }
+    // every cross-replica self-cosine must sit below the sparse
+    // threshold — the exact law the planted-vs-background split needs
+    assert(worst < 0.6, s"worst cross-replica |cos| = $worst")
+    // within-replica preservation: a permutation + uniform sign flip
+    // keeps pairwise cosines bit-exact in double math
+    val (a, b) = (vecs(0), vecs(1))
+    val base = cos(a.map(_.toDouble), b.map(_.toDouble))
+    Seq(1, 7, 29).foreach { r =>
+      assert(math.abs(cos(apply(a, r), apply(b, r)) - base) < 1e-12)
+    }
+  }
+
   test("the sparse regime is REAL on the fixture: at threshold 0.6 the " +
     "base embeddings have (near-)zero qualifying background pairs, " +
     "while every planted twin pair qualifies — the threshold binds " +

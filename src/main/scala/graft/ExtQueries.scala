@@ -4458,6 +4458,12 @@ object ExtQueries {
 
   /** DuckDB oracle SQL per query — moved verbatim to [[ExtOracles]]
     * (round-12 split of the 9.4k-line monolith; strings unchanged so
-    * no oracle hash can move). */
-  val oracles: Map[String, String] = ExtOracles.all
+    * no oracle hash can move). A `def`, deliberately: ExtOracles
+    * reads [[fixturesDir]] back from this object, so a `val` here
+    * would close an object-initialization cycle — whichever side
+    * initialized second would capture the other's partially-built
+    * state (null map / init-lock deadlock under concurrency). As a
+    * def, ExtQueries' initializer never forces ExtOracles and the
+    * dependency is a one-way DAG. */
+  def oracles: Map[String, String] = ExtOracles.all
 }

@@ -280,6 +280,14 @@ object ScaleProbe {
     * them); realism lives in the probe blow-ups. */
   private def genSparseFixture(s: SparkSession, base: String,
       out: String, m: Int): String = {
+    // both sparse decorrelators have finite replica ranges: rotateFrac
+    // degenerates to the identity at r ≥ 31 (k = ⌊len·r/31⌋ ≥ len) and
+    // the dim rotation loses its distinct-shift guarantee at r ≥ 64 —
+    // either silently reintroduces the measured quadratic
+    // cross-replica background, so fail loudly instead
+    require(m <= 31,
+      s"sparse fixtures support at most 31 replicas (got $m): the " +
+        "per-replica rotation laws lose decorrelation beyond that")
     val dir = s"$out/x${m}s"
     // _PROBE_OK2: the v1 sparse fixtures (pre-sparseSignFlip) must
     // regenerate — the marker name versions the fixture law
@@ -500,8 +508,16 @@ object ScaleProbe {
 
     // warm-up: same plans, small data, separate scratch namespace
     // (sparse plans warm on the raw small fixture too — identical
-    // shapes, JIT/codegen is what the warm-up is for)
-    cells(1).foreach { case (_, fn, _) =>
+    // shapes, JIT/codegen is what the warm-up is for). Built WITHOUT
+    // consulting the fixture-dir maps: a single-leg re-measure run
+    // (SPARK_GRAFT_PROBE_SCALES=30 for the merge workflow) has no
+    // scale-1 entry there, and the warm-up must not key into it
+    val warmCells: Seq[(SparkSession, String) => DataFrame] =
+      (if (withDense)
+        ProbeNames.map(byName) ++ extraProbes(1).map(_._2)
+      else Nil) ++
+        (if (withSparse) sparseProbes(1).map(_._2) else Nil)
+    warmCells.foreach { fn =>
       try run(fn, warmDir) catch { case _: Throwable => }
     }
     System.err.println("[probe] warm-up done")

@@ -1323,13 +1323,7 @@ object Dedup {
       .join(mapping, cur("cluster") === mapping("lbl"), "left")
       .select(col("id"), coalesce(col("new_lbl"), col("cluster"))
         .as("cluster"))
-    // batch docs: mapped label if a delta edge touched them (their
-    // current label is their own id), else singleton with own id
-    val batchOut = newIds.select(col(idCol).as("id"))
-      .join(cur.select(col("id")), Seq("id"), "left_anti")
-      .join(mapping.withColumnRenamed("lbl", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("new_lbl"), col("id"))
-        .as("cluster"))
+    val batchOut = batchClusterLabels(cur, mapping, newIds, idCol)
     corpusOut.unionByName(batchOut)
       .select(col("id").as(idCol), col("cluster"))
       .orderBy(idCol)
@@ -1373,6 +1367,22 @@ object Dedup {
       .select(col("lbl"), col("cluster").as("new_lbl"))
       .filter(col("new_lbl") =!= col("lbl"))
   }
+
+  /** Batch docs' cluster labels under a merge mapping — the batch half
+    * of [[upsertClusters]], shared with [[upsertClustersPartitioned]]
+    * for the same reason [[clusterMergeMapping]] is: the partitioned
+    * path must not be ABLE to label a batch doc differently than the
+    * in-memory merge it mirrors. Unseen ids only (the anti-join makes
+    * re-delivery harmless); a doc a delta edge touched maps through
+    * the mapping keyed on its own id (its current label), anyone else
+    * is a singleton with its own id. Returns (id, cluster). */
+  private def batchClusterLabels(cur: DataFrame, mapping: DataFrame,
+      newIds: DataFrame, idCol: String): DataFrame =
+    newIds.select(col(idCol).as("id"))
+      .join(cur.select(col("id")), Seq("id"), "left_anti")
+      .join(mapping.withColumnRenamed("lbl", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("id"))
+        .as("cluster"))
 
   /** Incremental cluster RETRACTION — the deletion half of the cluster
     * lifecycle ([[dupClusters]] builds, [[upsertClusters]] merges, this
@@ -1881,21 +1891,11 @@ object Dedup {
     // silently surviving partition un-applies a takedown), and fail
     // loudly if a drop does not succeed (bounded by numBuckets; the
     // table-format equivalent is a transactional metadata drop)
-    touched.filterNot(remaining).foreach { b =>
-      val p = new org.apache.hadoop.fs.Path(s"$statePath/pbucket=$b")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p))
-        require(fs.delete(p, true),
-          s"failed to drop emptied index partition $p")
-    }
+    dropEmptiedBuckets(spark, statePath, touched.filterNot(remaining))
     // post-commit audit: no retracted (key, pid) posting may survive in
     // the touched buckets (see scaladoc — this closes the crash window
     // between the overwrite commit and the directory drops)
-    val root = new org.apache.hadoop.fs.Path(statePath)
-    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val anyPartitionLeft = rootFs.listStatus(root)
-      .exists(_.getPath.getName.startsWith("pbucket="))
-    if (anyPartitionLeft) {
+    if (anyBucketLeft(spark, statePath)) {
       val retracted = delta.drop("pbucket")
         .select(keyCols.map(col) :+ explode(col("dpids")).as("rpid"): _*)
       val stale = spark.read.parquet(statePath)
@@ -1996,11 +1996,7 @@ object Dedup {
     val mapping = clusterMergeMapping(cur, newPairs)
       .localCheckpoint(eager = true) // delta-bounded; read from state,
                                      // consumed after the overwrite
-    val batchOut = newIds.select(col(idCol).as("id"))
-      .join(cur.select(col("id")), Seq("id"), "left_anti")
-      .join(mapping.withColumnRenamed("lbl", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("new_lbl"), col("id"))
-        .as("cluster"))
+    val batchOut = batchClusterLabels(cur, mapping, newIds, idCol)
       .localCheckpoint(eager = true) // reads state (anti-join) — must
                                      // materialize before the overwrite
     val touched = mapping.select(bucketOf(col("lbl")).as("b"))

@@ -1166,6 +1166,110 @@ class DedupSpec extends SparkSpec {
     finally s.close()
   }
 
+  test("END-TO-END lifecycle over PARTITIONED state: the full payload " +
+    "build -> incremental -> upsert -> retract chain run against the " +
+    "three hash-partitioned state tables (postings by key, clusters " +
+    "by label, fingerprints by id) yields byte-for-byte the same " +
+    "final states as the in-memory q260-shape chain and the fresh " +
+    "rebuilds — the production layout carries the whole lifecycle, " +
+    "not just each verb") {
+    val blocks = 32; val slices = 4; val maxH = 3; val nb = 16
+    val docs = graft.engine.Tables.documents(spark, sf0001)
+    def fps(f: org.apache.spark.sql.Column) =
+      Multimodal.blockhashFingerprints(
+        Multimodal.mediaTable(docs.filter(f)), "doc_id", blocks)
+    val corpusFps = fps(col("doc_id") % 5 =!= 3)
+      .localCheckpoint(eager = true)
+    val batchFps = fps(col("doc_id") % 5 === 3)
+      .localCheckpoint(eager = true)
+    // ---- stage 1: persisted corpus state, partitioned layout ----
+    val index0 = Dedup.corpusFingerprintIndex(corpusFps, blocks,
+      slices)._1.localCheckpoint(eager = true)
+    val clusters0 = Dedup.dupClusters(
+      Dedup.fingerprintPairsFromIndex(index0, corpusFps, maxH)
+        .select("id_a", "id_b"),
+      corpusFps.select(col("pid")), "pid")
+    val base = java.nio.file.Files.createTempDirectory("graft_plife")
+      .toFile.getAbsolutePath
+    val (ip, cp, fp) = (s"$base/postings", s"$base/clusters",
+      s"$base/fps")
+    Dedup.writePostingsIndexPartitioned(index0, ip, Seq("sl", "sv"), nb)
+    Dedup.writeClustersPartitioned(clusters0, cp, "pid", nb)
+    Dedup.writeIdKeyedStatePartitioned(corpusFps, fp, "pid", nb)
+    // ---- stage 2: recrawl batch folds into ALL THREE states ----
+    val newPairs = Dedup.incrementalFingerprintPairs(index0, corpusFps,
+        batchFps, blocks, slices, maxH)
+      .select(col("id_a"), col("id_b")).localCheckpoint(eager = true)
+    Dedup.upsertPostingsIndexPartitioned(ip,
+      Dedup.fingerprintPostings(batchFps, blocks, slices),
+      Seq("sl", "sv"), nb)
+    Dedup.upsertClustersPartitioned(cp, newPairs,
+      batchFps.select(col("pid")), "pid", nb)
+    Dedup.upsertIdKeyedStatePartitioned(fp, batchFps, "pid", nb)
+    val pairs1 = Dedup.fingerprintPairsFromIndex(index0, corpusFps,
+        maxH)
+      .select(col("id_a"), col("id_b")).unionByName(newPairs)
+      .localCheckpoint(eager = true)
+    // ---- stage 3: takedown retracts ALL THREE states (deltas from
+    // the PERSISTED partitioned fingerprint table — state-only) ----
+    val deleted = docs.filter(col("doc_id") % 7 === 2)
+      .select(col("doc_id").as("pid")).localCheckpoint(eager = true)
+    val persistedFps = spark.read.parquet(fp).drop("pbucket")
+    Dedup.retractPostingsIndexPartitioned(ip,
+      Dedup.fingerprintPostings(
+        persistedFps.join(deleted, Seq("pid"), "left_semi"),
+        blocks, slices), Seq("sl", "sv"), nb)
+    Dedup.retractClustersPartitioned(cp, pairs1, deleted, "pid", nb)
+    Dedup.retractIdKeyedStatePartitioned(fp, deleted, "pid", nb)
+    // ---- the in-memory chain (the q260 shape) over the same data ----
+    val index1m = Dedup.upsertPostingsIndex(index0,
+      Dedup.fingerprintPostings(batchFps, blocks, slices),
+      Seq("sl", "sv"))
+    val clusters1m = Dedup.upsertClusters(clusters0, newPairs,
+      batchFps.select(col("pid")), "pid")
+    val fps1m = corpusFps
+      .join(batchFps.select("pid"), Seq("pid"), "left_anti")
+      .unionByName(batchFps)
+    val index2m = Dedup.retractPostingsIndex(index1m,
+      Dedup.fingerprintPostings(
+        fps1m.join(deleted, Seq("pid"), "left_semi"), blocks, slices),
+      Seq("sl", "sv"))
+    val clusters2m = Dedup.retractClusters(clusters1m, pairs1, deleted,
+      "pid")
+    val fps2m = fps1m.join(deleted, Seq("pid"), "left_anti")
+    // ---- equality: every partitioned state == its in-memory twin ----
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("sl", "sv", "cpids")
+        .as[(Int, Long, Seq[Long])].collect().toSet
+    def cluRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "cluster").as[(Long, Long)].collect().toSet
+    def fpRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "fp").as[(Long, Long)].collect().toSet
+    assert(idxRows(spark.read.parquet(ip)) == idxRows(index2m))
+    assert(cluRows(spark.read.parquet(cp)) == cluRows(clusters2m))
+    assert(fpRows(spark.read.parquet(fp)) == fpRows(fps2m))
+    // ---- and == the fresh rebuilds over the retained doc set ----
+    val retained = fps(lit(true)) // corpus ∪ batch = all docs
+      .join(deleted, Seq("pid"), "left_anti")
+      .localCheckpoint(eager = true)
+    assert(idxRows(spark.read.parquet(ip)) == idxRows(
+      Dedup.corpusFingerprintIndex(retained, blocks, slices)._1))
+    assert(fpRows(spark.read.parquet(fp)) == fpRows(retained))
+    // cluster contract: components over the RETAINED persisted pairs
+    // (the pinned tombstone semantics)
+    val retainedPairs = pairs1
+      .join(deleted.withColumnRenamed("pid", "id_a"), Seq("id_a"),
+        "left_anti")
+      .join(deleted.withColumnRenamed("pid", "id_b"), Seq("id_b"),
+        "left_anti")
+    assert(cluRows(spark.read.parquet(cp)) == cluRows(
+      Dedup.dupClusters(retainedPairs, retained.select("pid"), "pid")))
+    // the lifecycle produced real structure at every stage
+    assert(newPairs.count() > 0 && deleted.count() > 0)
+    assert(cluRows(spark.read.parquet(cp)).exists { case (id, cl) =>
+      id != cl })
+  }
+
   test("upsertClustersPartitioned: only merge-touched partitions " +
     "rewrite (untouched leaf files byte-stable), a bucket whose only " +
     "label merges away DROPS (the upsert-side emptied-partition edge " +

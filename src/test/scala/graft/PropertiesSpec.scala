@@ -456,4 +456,60 @@ class PropertiesSpec extends SparkSpec {
     }
     assert(SCTest.check(params, prop).passed)
   }
+
+  test("partitioned cluster maintenance == in-memory on ARBITRARY " +
+    "graphs: random corpus/delta/takedown rounds through the " +
+    "label-hashed parquet state read back equal to upsertClusters / " +
+    "retractClusters and the fresh retained-pair rebuild (merges that " +
+    "move rows across buckets, emptied buckets, splits into unlisted " +
+    "buckets — whatever the generator produces)") {
+    val idGen = Gen.chooseNum(1L, 40L)
+    val pairGen = for {
+      a <- idGen; b <- idGen if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val gen = for {
+      corpusPairs <- Gen.listOfN(8, pairGen)
+      newIds <- Gen.listOfN(3, Gen.chooseNum(100L, 120L))
+      corpusDelta <- Gen.listOfN(3, pairGen)
+      crossDelta <- Gen.listOfN(3, for {
+        a <- idGen; b <- Gen.oneOf(newIds)
+      } yield (a, b))
+      delIds <- Gen.listOfN(3, idGen)
+    } yield (corpusPairs, corpusDelta ++ crossDelta, newIds, delIds)
+    val corpusIds = (1L to 40L).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cluster").as[(Long, Long)].collect().toSet
+    val prop = forAll(gen) { case (cp, dp, ni, del) =>
+      val nb = 8
+      val clusters0 = graft.ext.Dedup.dupClusters(
+        cp.toDF("id_a", "id_b"), corpusIds.toDF("id"), "id")
+      val dir = java.nio.file.Files.createTempDirectory("graft_pprop")
+        .toFile.getAbsolutePath + "/state"
+      graft.ext.Dedup.writeClustersPartitioned(clusters0, dir, "id", nb)
+      // upsert round
+      val (dpDf, niDf) = (dp.toDF("id_a", "id_b"), ni.toDF("id"))
+      graft.ext.Dedup.upsertClustersPartitioned(dir, dpDf, niDf, "id",
+        nb)
+      val mem1 = graft.ext.Dedup.upsertClusters(clusters0, dpDf, niDf,
+        "id").localCheckpoint(eager = true)
+      val ok1 = rows(spark.read.parquet(dir)) == rows(mem1)
+      // takedown round (persisted pair table = corpus ∪ delta pairs)
+      val pairs1 = (cp ++ dp).toDF("id_a", "id_b")
+      graft.ext.Dedup.retractClustersPartitioned(dir, pairs1,
+        del.toDF("id"), "id", nb)
+      val mem2 = graft.ext.Dedup.retractClusters(mem1, pairs1,
+        del.toDF("id"), "id")
+      val ok2 = rows(spark.read.parquet(dir)) == rows(mem2)
+      // == fresh components over the retained pair subgraph
+      val retainedIds = (corpusIds ++ ni).distinct.filterNot(del.contains)
+      val retainedPairs = (cp ++ dp).filter { case (a, b) =>
+        !del.contains(a) && !del.contains(b)
+      }
+      val ok3 = rows(spark.read.parquet(dir)) == rows(
+        graft.ext.Dedup.dupClusters(retainedPairs.toDF("id_a", "id_b"),
+          retainedIds.toDF("id"), "id"))
+      ok1 && ok2 && ok3
+    }
+    assert(SCTest.check(params, prop).passed)
+  }
 }

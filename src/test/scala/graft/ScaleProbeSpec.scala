@@ -159,6 +159,27 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("the COMPOSED planted-pair law holds exactly as the fixture " +
+    "deploys it: blockhash(rotate(cipher(swap(text)))) sits at " +
+    "Hamming <= 2 from blockhash(rotate(cipher(text))) for every doc " +
+    "in every replica's transform — the cipher is a 1:1 ASCII char " +
+    "map, so it commutes with the position swap and preserves the " +
+    "length the rotation keys on") {
+    val docs = Tables.documents(spark, sf0001)
+    def fp(c: org.apache.spark.sql.Column) =
+      Blockhash.blockhash(encode(c, "UTF-8"), 48)
+    Seq(0, 5, 29).foreach { r =>
+      def deployed(t: org.apache.spark.sql.Column) =
+        ScaleProbe.rotateFrac(ScaleProbe.cipher(t, r), r)
+      val worst = docs.select(
+          bit_count(fp(deployed(col("text"))).bitwiseXOR(
+            fp(deployed(ScaleProbe.swapFirstTwo(col("text"))))))
+            .as("h"))
+        .agg(max("h")).head().getInt(0)
+      assert(worst <= 2, s"r=$r worst Hamming=$worst")
+    }
+  }
+
   test("the sparse regime is REAL on the fixture: at threshold 0.6 the " +
     "base embeddings have (near-)zero qualifying background pairs, " +
     "while every planted twin pair qualifies — the threshold binds " +

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * All hashes are the oracle-replicable polynomial hash ([[TextOps.polyHash]]),
   * so every stage (including the LSH band keys) is checkable against DuckDB.
   */
-object Dedup {
+object Dedup extends DedupMaintenance {
 
   import TextOps.HashPrime
 
@@ -535,103 +535,6 @@ object Dedup {
           least(col("pid"), coalesce(col("cl"), col("pid")))
             .as("cluster"))
         .orderBy(idCol)
-  }
-
-  /** Merge a new batch into a persisted [[corpusShingleIndex]] WITHOUT
-    * re-scanning corpus text — the maintenance half of the cross-run
-    * story ([[incrementalJaccardPairs]] consumes the index, this
-    * produces the NEXT run's): dfs add; posting lists concatenate (and
-    * re-sort — corpus and batch ids are disjoint but interleave) while
-    * the merged df stays ≤ cap, and null out once df > cap — exactly
-    * what a fresh build over corpus∪batch would store. A capped row's
-    * list is unrecoverable AND never needed: df only grows, so the
-    * shingle can never re-enter the universe. Equality with the fresh
-    * [[corpusShingleIndex]] over corpus∪batch is the q240 oracle and a
-    * DedupSpec assertion.
-    *
-    * Scale shape: one shuffle groups batch postings; one sh-keyed
-    * full-outer join against the index (zero-exchange SMJ when the
-    * index is bucketed by sh); the merge itself is a map-side array
-    * concat bounded by maxDf. Corpus text is never rescanned — index
-    * maintenance costs O(batch), the recrawl requirement. */
-  def upsertShingleIndex(index: DataFrame, batch: DataFrame,
-      idCol: String, textCol: String, k: Int, maxDf: Int): DataFrame = {
-    val bPost = postings(batch, idCol, textCol, k)
-      .groupBy("sh")
-      .agg(sort_array(collect_list(col("pid"))).as("bpids"))
-    // typed empty array: slice of whichever side is present (full-outer
-    // guarantees one is), so the merge stays generic over the id type
-    def emptyLike = slice(coalesce(col("cpids"), col("bpids")),
-      lit(1), lit(0))
-    val dfNew = coalesce(col("df_c"), lit(0L)) +
-      coalesce(size(col("bpids")).cast("long"), lit(0L))
-    index.join(bPost, Seq("sh"), "full_outer")
-      .select(col("sh"), dfNew.as("df_c"),
-        when(dfNew <= maxDf,
-          sort_array(concat(coalesce(col("cpids"), emptyLike),
-            coalesce(col("bpids"), emptyLike))))
-          .as("cpids"))
-  }
-
-  /** Retract deleted documents from a persisted [[corpusShingleIndex]]
-    * — [[upsertShingleIndex]]'s inverse, completing the index
-    * lifecycle (build / upsert / retract). The takedown request
-    * carries the deleted docs (id + text — a deletion always knows
-    * what it deletes), so their postings recompute exactly: dfs
-    * decrement by each shingle's deleted-member count; ≤-cap posting
-    * lists drop the deleted ids; rows whose df reaches 0 vanish —
-    * for the ≤-cap half this IS the fresh rebuild over the retained
-    * corpus (DedupSpec equality).
-    *
-    * The honest asymmetry, stated not hidden: a HOT row (df > cap,
-    * list dropped at build time) keeps its NULL list even if the
-    * deletion cools its df back under the cap — the members are
-    * unrecoverable from capped state. Its df still decrements (so
-    * later upserts keep exact counts), but the shingle cannot
-    * re-enter the candidate universe: the CONSERVATIVE direction
-    * (pairs are never fabricated, some newly-eligible pairs are
-    * missed until the next full rebuild), the same trade every
-    * tombstone-based production index takes, and the q247 oracle pins
-    * exactly these semantics — including the never-cools-back rule.
-    * CONTRACT: `deletedDocs` ⊆ the corpus the index was built over
-    * (foreign deletions would corrupt dfs). Duplicate rows for the
-    * same id WITHIN one request are tolerated: the request is deduped
-    * by id first, so a doubled row is not a double-decrement (round-9
-    * advice). Re-delivery ACROSS calls stays excluded by the
-    * ⊆-live-corpus contract above — after call one the doc is no
-    * longer in the corpus the index represents — and cannot be made
-    * safe from the index alone: hot rows carry NULL lists, so a
-    * doc's liveness is not derivable here (unlike [[upsertClusters]],
-    * whose anti-join against the persisted table sees every id). A
-    * pipeline retrying takedowns must dedupe against its processed-set
-    * (e.g. the retained-docs table it maintains anyway).
-    *
-    * Scale shape: one shuffle groups the deleted postings (O(deleted));
-    * one sh-keyed LEFT join against the index (zero-exchange SMJ when
-    * the index is bucketed by sh); the list subtraction is a map-side
-    * array_except bounded by the cap. Retained corpus text is never
-    * rescanned. */
-  def retractShingleIndex(index: DataFrame, deletedDocs: DataFrame,
-      idCol: String, textCol: String, k: Int, maxDf: Int): DataFrame = {
-    // dedupe by id BEFORE postings: a re-delivered takedown row would
-    // otherwise double-count in dpids and double-decrement df_c (a row
-    // could be dropped by the df_c >= 1 filter while cpids still holds
-    // live members). O(deleted) — tiny next to the postings explode.
-    val dPost = postings(deletedDocs.dropDuplicates(idCol), idCol,
-        textCol, k)
-      .groupBy("sh")
-      .agg(sort_array(collect_list(col("pid"))).as("dpids"))
-    index.join(dPost, Seq("sh"), "left")
-      .select(col("sh"),
-        (col("df_c") - coalesce(size(col("dpids")).cast("long"),
-          lit(0L))).as("df_c"),
-        when(col("cpids").isNotNull,
-          when(col("dpids").isNull, col("cpids"))
-            // per-shingle pids are distinct, so array_except is exact
-            // set subtraction and preserves the sorted order
-            .otherwise(array_except(col("cpids"), col("dpids"))))
-          .as("cpids"))
-      .filter(col("df_c") >= 1)
   }
 
   /** Directional containment near-dup pairs:
@@ -1282,167 +1185,6 @@ object Dedup {
     }
   }
 
-  /** Incremental CONNECTED-COMPONENT maintenance — the recrawl
-    * end-game on the cluster side. [[incrementalJaccardPairs]] (q238)
-    * and [[incrementalMinhashPairs]] (q242) produce the batch-incident
-    * near-dup pairs; this folds them into the PERSISTED cluster table
-    * without recomputing components from scratch: given `clusters`
-    * (id → cluster = min id of its component, the [[dupClusters]]
-    * output over the corpus pairs) and the `newPairs` delta, return
-    * the cluster table over corpus ∪ `newIds` equal to a fresh
-    * [[dupClusters]] over the FULL pair set (the q240 oracle pattern;
-    * q243 hash-matches the full recompute).
-    *
-    * Why contraction to label space is exact: every old component is
-    * already labeled by its min id, so collapsing each delta edge's
-    * endpoints to their CURRENT labels (own id for unseen batch docs)
-    * yields a graph whose components are exactly the merge groups, and
-    * whose min label = min id of the merged component (each label IS
-    * the min of its old sub-component; batch docs enter as their own
-    * id). Components not incident to any delta edge appear nowhere in
-    * the contracted graph and keep their labels untouched.
-    *
-    * Scale shape: everything iterative runs on the CONTRACTED label
-    * graph — ≤ 2·|newPairs| nodes regardless of corpus size — via the
-    * same pointer-jumping core as [[dupClusters]] (O(log diameter)
-    * rounds over the delta, not the corpus). The persisted cluster
-    * table is touched exactly once, by one relabel join against the
-    * ≤ 2·|newPairs|-row label mapping (broadcast at any realistic
-    * delta size — map-side, no corpus shuffle); corpus pairs and
-    * corpus text are never re-read. CONTRACT: `clusters` covers every
-    * corpus id (dupClusters emits singletons); `newIds` are the batch
-    * doc ids (disjoint from the corpus — known ids are dropped via
-    * anti-join so re-delivery is harmless); `newPairs` touch only
-    * corpus ∪ `newIds` ids. */
-  def upsertClusters(clusters: DataFrame, newPairs: DataFrame,
-      newIds: DataFrame, idCol: String): DataFrame = {
-    val cur = clusters.select(col(idCol).as("id"), col("cluster"))
-    val mapping = clusterMergeMapping(cur, newPairs)
-    // ONE pass over the persisted table: relabel merged clusters
-    val corpusOut = cur
-      .join(mapping, cur("cluster") === mapping("lbl"), "left")
-      .select(col("id"), coalesce(col("new_lbl"), col("cluster"))
-        .as("cluster"))
-    val batchOut = batchClusterLabels(cur, mapping, newIds, idCol)
-    corpusOut.unionByName(batchOut)
-      .select(col("id").as(idCol), col("cluster"))
-      .orderBy(idCol)
-  }
-
-  /** The label-space MERGE MAPPING at the heart of [[upsertClusters]],
-    * factored out so [[upsertClustersPartitioned]] can never key its
-    * partition pruning differently than the in-memory merge it
-    * mirrors: given the current (id, cluster) table and the delta
-    * pairs, contract the delta to label space (own id for unseen batch
-    * docs), run components over the CONTRACTED graph only
-    * (≤ 2·|newPairs| nodes regardless of corpus size), and return the
-    * (lbl → new_lbl) rows for labels that actually MERGE — identity
-    * rows drop, so untouched clusters never meet the relabel join. */
-  private def clusterMergeMapping(cur: DataFrame, newPairs: DataFrame)
-      : DataFrame = {
-    val pairs = newPairs.select(col("id_a"), col("id_b"))
-      .localCheckpoint(eager = false) // consumed by ends AND labelEdges
-    val ends = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id")))
-      .dropDuplicates("id")
-    // current label of each delta endpoint: persisted cluster for
-    // corpus docs, own id for unseen (batch) docs
-    val endLabels = ends.join(cur, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("lbl"))
-      .localCheckpoint(eager = false) // consumed twice (both endpoints)
-    // contract the delta to label space; self-edges (both endpoints
-    // already in one component) vanish here
-    val labelEdges = pairs
-      .join(endLabels.select(col("id").as("id_a"), col("lbl").as("lbl_a")),
-        Seq("id_a"))
-      .join(endLabels.select(col("id").as("id_b"), col("lbl").as("lbl_b")),
-        Seq("id_b"))
-      .select(col("lbl_a").as("id_a"), col("lbl_b").as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-      .localCheckpoint(eager = false) // consumed by nodes AND components
-    val labelNodes = labelEdges.select(col("id_a").as("lbl"))
-      .unionByName(labelEdges.select(col("id_b").as("lbl")))
-      .dropDuplicates("lbl")
-    dupClusters(labelEdges, labelNodes, "lbl")
-      .select(col("lbl"), col("cluster").as("new_lbl"))
-      .filter(col("new_lbl") =!= col("lbl"))
-  }
-
-  /** Batch docs' cluster labels under a merge mapping — the batch half
-    * of [[upsertClusters]], shared with [[upsertClustersPartitioned]]
-    * for the same reason [[clusterMergeMapping]] is: the partitioned
-    * path must not be ABLE to label a batch doc differently than the
-    * in-memory merge it mirrors. Unseen ids only (the anti-join makes
-    * re-delivery harmless); a doc a delta edge touched maps through
-    * the mapping keyed on its own id (its current label), anyone else
-    * is a singleton with its own id. Returns (id, cluster). */
-  private def batchClusterLabels(cur: DataFrame, mapping: DataFrame,
-      newIds: DataFrame, idCol: String): DataFrame =
-    newIds.select(col(idCol).as("id"))
-      .join(cur.select(col("id")), Seq("id"), "left_anti")
-      .join(mapping.withColumnRenamed("lbl", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("new_lbl"), col("id"))
-        .as("cluster"))
-
-  /** Incremental cluster RETRACTION — the deletion half of the cluster
-    * lifecycle ([[dupClusters]] builds, [[upsertClusters]] merges, this
-    * retracts): given the persisted cluster table, the persisted pair
-    * table, and a set of deleted doc ids (takedowns, right-to-be-
-    * forgotten, license revocations — a real obligation for a training
-    * corpus), return the cluster table over the retained docs equal to
-    * a fresh [[dupClusters]] over the retained pair subgraph.
-    *
-    * Deletion is structurally harder than merge: removing a doc can
-    * SPLIT its component (it may have been the only bridge), so labels
-    * cannot be patched algebraically. But the damage is CONTAINED: only
-    * components holding a deleted doc can change (an unaffected
-    * component keeps its members, hence its min-id label), and a pair
-    * can never cross components, so re-clustering the affected
-    * components' surviving pair subgraph — and nothing else — is
-    * exact. Cost: one id-keyed semi-join of the cluster table against
-    * the deleted set, two label-keyed semi/anti joins against the
-    * ≤ |deleted|-cluster affected set (broadcast), two endpoint
-    * semi-joins pruning the pair table, plus pointer jumping over the
-    * affected subgraph only.
-    *
-    * CONTRACT: the persisted PAIR table is the source of truth — the
-    * output is the clustering of the RETAINED pairs. A deletion that
-    * cools a hot shingle back under the df-cap could create pairs that
-    * a from-scratch rerun over the shrunken corpus would newly emit;
-    * a capped index cannot recover those (hot posting lists were
-    * dropped), so this operator is deliberately the CONSERVATIVE
-    * direction every tombstone-based production dedup takes: it never
-    * fabricates a merge, and the q246 oracle (fresh components over
-    * the retained pair set) pins exactly that semantics. */
-  def retractClusters(clusters: DataFrame, pairs: DataFrame,
-      deletedIds: DataFrame, idCol: String): DataFrame = {
-    val del = deletedIds.select(col(idCol).as("id"))
-      .localCheckpoint(eager = false) // consumed by affected + survivors
-    val cur = clusters.select(col(idCol).as("id"), col("cluster"))
-    // only components holding a deleted doc can change structure
-    val affected = cur.join(del, Seq("id"), "left_semi")
-      .select(col("cluster")).dropDuplicates("cluster")
-      .localCheckpoint(eager = false) // consumed by members + untouched
-    val survivors = cur.join(affected, Seq("cluster"), "left_semi")
-      .select(col("id"))
-      .join(del, Seq("id"), "left_anti")
-      .localCheckpoint(eager = false) // consumed by sub (×2) + relabel
-    // surviving pair subgraph of the affected components (pairs never
-    // cross components, so semi-joining both endpoints to affected
-    // survivors is exactly the subgraph that needs re-clustering)
-    val sub = pairs.select(col("id_a"), col("id_b"))
-      .join(survivors.withColumnRenamed("id", "id_a"), Seq("id_a"),
-        "left_semi")
-      .join(survivors.withColumnRenamed("id", "id_b"), Seq("id_b"),
-        "left_semi")
-    val relabeled = dupClusters(sub,
-      survivors.select(col("id").as(idCol)), idCol)
-    val untouched = cur.join(affected, Seq("cluster"), "left_anti")
-      .select(col("id").as(idCol), col("cluster"))
-    untouched.unionByName(relabeled.select(col(idCol), col("cluster")))
-      .orderBy(idCol)
-  }
-
   /** Fingerprint width of [[simhash32]]: token hashes are polynomial hashes
     * mod 1e9+7 < 2^30, so only the low 30 bits carry entropy — iterating
     * bits 30/31 would produce constant-zero fingerprint bits, making any
@@ -1678,532 +1420,6 @@ object Dedup {
       numHashes, rowsPerBand)
   }
 
-  /** Merge a new batch's postings into a persisted BANDED posting index
-    * (key cols → sorted distinct `cpids`) — the upsert half of
-    * maintenance for the UNCAPPED grouped-list banded indexes
-    * ([[corpusLshIndex]]'s bk → cpids and [[corpusFingerprintIndex]]'s
-    * (sl, sv) → cpids; the third banded state,
-    * [[graft.ext.SimSearch.corpusEmbeddingLshIndex]], keeps EXPLODED
-    * rows rather than grouped lists, so its maintenance is the plain
-    * anti-join + union pair
-    * [[graft.ext.SimSearch.upsertEmbeddingIndex]] /
-    * [[graft.ext.SimSearch.retractEmbeddingIndex]], oracle-checked as
-    * q255/q256). Keys are per-doc
-    * deterministic and nothing is df-capped, so unlike
-    * [[upsertShingleIndex]] there is no cap algebra at all — the merge
-    * is a pure per-key set union, and the upserted index equals the
-    * fresh corpus∪batch rebuild EXACTLY (byte-identical, the q251
-    * oracle on the fingerprint modality and a DedupSpec assertion on
-    * the MinHash band modality; no cooled-hot-row asymmetry to pin).
-    * `array_union` makes a RE-DELIVERED batch a no-op (idempotent, the
-    * [[upsertClusters]] posture), and the full-outer join admits keys
-    * the corpus has never seen.
-    *
-    * Scale shape: O(batch) postings shuffle to group the delta, then
-    * ONE key-keyed full-outer join against the index with a map-side
-    * array union — the corpus is never rescanned. */
-  def upsertPostingsIndex(index: DataFrame, batchPostings: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
-    // the empty-list element type derives from the index's own cpids
-    // schema, so non-bigint pid spaces (string ids etc.) work as long
-    // as index and delta agree — the operator is generic over keyCols
-    // AND pid type (round-10 advice: the old array<bigint> hardcode
-    // failed analysis for any other id type)
-    val ct = index.schema("cpids").dataType.sql
-    val bp = batchPostings
-      .groupBy(keyCols.map(col): _*)
-      .agg(sort_array(collect_set(col("pid"))).as("bpids"))
-    index.join(bp, keyCols, "full_outer")
-      .select(keyCols.map(col) :+
-        sort_array(array_union(
-          coalesce(col("cpids"), array().cast(ct)),
-          coalesce(col("bpids"), array().cast(ct))))
-          .as("cpids"): _*)
-  }
-
-  /** Remove deleted docs' postings from a persisted BANDED posting
-    * index — [[upsertPostingsIndex]]'s inverse and the banded sibling
-    * of [[retractShingleIndex]], but with a STRONGER contract: no df
-    * bookkeeping exists, so the retracted index equals the fresh
-    * rebuild over the retained docs EXACTLY (the q252 oracle) — none
-    * of the exact path's pinned cooled-hot-row asymmetry.
-    * `array_except` is set subtraction, so a RE-DELIVERED takedown is
-    * a no-op by construction (no dedupe step needed); keys whose list
-    * empties drop, exactly as a fresh build would never emit them.
-    * CONTRACT: `deletedPostings` keys must come from the SAME
-    * fingerprint/signature the index was built with — which the
-    * persisted fingerprint table supplies for free
-    * ([[fingerprintPostings]] over its deleted rows), so takedowns
-    * never rescan payloads.
-    *
-    * Scale shape: O(deleted) postings shuffle, ONE key-keyed left
-    * join, map-side array subtraction — corpus never rescanned. */
-  def retractPostingsIndex(index: DataFrame, deletedPostings: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
-    val dp = deletedPostings
-      .groupBy(keyCols.map(col): _*)
-      .agg(collect_set(col("pid")).as("dpids"))
-    index.join(dp, keyCols, "left")
-      .select(keyCols.map(col) :+
-        when(col("dpids").isNotNull,
-          array_except(col("cpids"), col("dpids")))
-          .otherwise(col("cpids")).as("cpids"): _*)
-      .filter(size(col("cpids")) >= 1)
-  }
-
-  /** Write a banded posting index as HASH-PARTITIONED parquet state
-    * (`pbucket = pmod(hash(keys), numBuckets)` as the partition
-    * column) — the production layout for
-    * [[upsertPostingsIndexPartitioned]]: at 100 TB the index itself is
-    * large, and the single-table [[upsertPostingsIndex]] necessarily
-    * rewrites (and re-sorts) every row per upsert because parquet
-    * state is immutable — a 0.1%-of-keys delta still costs a full
-    * table rewrite. Partitioned state bounds the rewrite to the
-    * partitions the delta touches. */
-  def writePostingsIndexPartitioned(index: DataFrame, path: String,
-      keyCols: Seq[String], numBuckets: Int): Unit =
-    index.withColumn("pbucket",
-        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
-      .write.mode("overwrite").partitionBy("pbucket").parquet(path)
-
-  /** [[upsertPostingsIndex]] against hash-partitioned parquet state,
-    * rewriting ONLY the partitions the delta touches: the merge logic
-    * is identical (grouped delta, one key-keyed full-outer join,
-    * map-side `array_union`), but the state side is partition-PRUNED
-    * to the delta's buckets before the join and written back with
-    * dynamic partition overwrite — untouched partitions' files are
-    * never read and never rewritten (DedupSpec pins both directions:
-    * untouched leaf files byte-stable, full post-upsert read equals
-    * the in-memory [[upsertPostingsIndex]] and hence the fresh
-    * rebuild). Returns the touched bucket ids.
-    *
-    * The bucket-id collect is ≤ `numBuckets` ints (KB-bounded by
-    * construction — the partition-pruning literal, same class as the
-    * documented top-k / subtotal collects); the eager checkpoint
-    * before the write is the read-then-overwrite barrier (the merge
-    * output is materialized before its own input partitions are
-    * replaced) and is itself bounded by the touched partitions.
-    * BARRIER CAVEAT (round-11 advice): `localCheckpoint` blocks are
-    * NON-reliable — safe in this repo's single-process local[n]
-    * harness, but on a real cluster an executor loss during the write
-    * job would trigger lineage recompute that re-reads the state path
-    * mid-overwrite. At scale the merge output must go through a
-    * reliable checkpoint (`sparkContext.setCheckpointDir` +
-    * `checkpoint()`), a staging-path write-then-swap, or — the real
-    * production answer — a table format's transactional commit
-    * (Iceberg/Delta-class), which replaces both the barrier and the
-    * directory surgery below.
-    * A retraction variant is the same shape with the
-    * [[retractPostingsIndex]] merge body — a takedown delta prunes
-    * identically. */
-  def upsertPostingsIndexPartitioned(statePath: String,
-      batchPostings: DataFrame, keyCols: Seq[String], numBuckets: Int)
-      : Seq[Int] = {
-    val spark = batchPostings.sparkSession
-    val delta = batchPostings
-      .groupBy(keyCols.map(col): _*)
-      .agg(sort_array(collect_set(col("pid"))).as("bpids"))
-      .withColumn("pbucket",
-        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
-      .localCheckpoint(eager = true) // consumed by touched AND merge
-    val touched = delta.select("pbucket").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    val cur = spark.read.parquet(statePath)
-      .filter(col("pbucket").isin(touched: _*))
-    val ct = cur.schema("cpids").dataType.sql
-    val merged = cur.drop("pbucket")
-      .join(delta.drop("pbucket"), keyCols, "full_outer")
-      .select(keyCols.map(col) :+
-        sort_array(array_union(
-          coalesce(col("cpids"), array().cast(ct)),
-          coalesce(col("bpids"), array().cast(ct))))
-          .as("cpids"): _*)
-      .withColumn("pbucket",
-        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
-      .localCheckpoint(eager = true) // barrier: materialize BEFORE the
-                                     // overwrite replaces its own input
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pbucket").parquet(statePath)
-    touched
-  }
-
-  /** [[retractPostingsIndex]] against hash-partitioned parquet state —
-    * [[upsertPostingsIndexPartitioned]]'s takedown half, completing
-    * the partitioned-state demonstration in both maintenance
-    * directions: the deletion delta prunes the state read to its
-    * touched buckets, the same left-join + map-side `array_except`
-    * merge runs on the pruned side only (emptied keys drop, exactly
-    * as the in-memory form), and dynamic partition overwrite rewrites
-    * only touched partitions. One retraction-specific edge the upsert
-    * cannot hit: a bucket whose keys ALL empty produces NO output
-    * rows, and dynamic overwrite only replaces partitions PRESENT in
-    * the write — so fully-emptied buckets are dropped explicitly
-    * afterwards (a ≤ numBuckets driver-side directory delete; a table
-    * format does this as a transactional metadata drop). DedupSpec
-    * pins the case. Returns the touched bucket ids.
-    *
-    * CRASH-WINDOW AUDIT (round-11 advice): between the
-    * dynamic-overwrite commit and the emptied-bucket drops there is a
-    * window where a failure leaves stale files readable — a silently
-    * surviving partition would UN-apply a takedown until the same
-    * delta is re-delivered. So before returning, the touched buckets
-    * are re-read and every retracted (key, pid) posting is required
-    * absent (cost bounded by the touched partitions; a re-delivered
-    * delta passes the same audit as a no-op). The
-    * [[upsertPostingsIndexPartitioned]] barrier caveat applies here
-    * too: the localCheckpoint barrier is single-process-safe only —
-    * at scale, use a reliable checkpoint / staged swap / table-format
-    * transactional commit. */
-  def retractPostingsIndexPartitioned(statePath: String,
-      deletedPostings: DataFrame, keyCols: Seq[String], numBuckets: Int)
-      : Seq[Int] = {
-    val spark = deletedPostings.sparkSession
-    val delta = deletedPostings
-      .groupBy(keyCols.map(col): _*)
-      .agg(collect_set(col("pid")).as("dpids"))
-      .withColumn("pbucket",
-        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
-      .localCheckpoint(eager = true) // consumed by touched AND merge
-    val touched = delta.select("pbucket").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    val cur = spark.read.parquet(statePath)
-      .filter(col("pbucket").isin(touched: _*))
-    val merged = cur.drop("pbucket")
-      .join(delta.drop("pbucket"), keyCols, "left")
-      .select(keyCols.map(col) :+
-        when(col("dpids").isNotNull,
-          array_except(col("cpids"), col("dpids")))
-          .otherwise(col("cpids")).as("cpids"): _*)
-      .filter(size(col("cpids")) >= 1)
-      .withColumn("pbucket",
-        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
-      .localCheckpoint(eager = true) // barrier before self-overwrite
-    val remaining = merged.select("pbucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pbucket").parquet(statePath)
-    // fully-emptied buckets wrote no rows, so the dynamic overwrite
-    // left their old files in place — drop them THROUGH THE HADOOP
-    // FILESYSTEM of the state path (java.io would silently no-op on
-    // hdfs://, s3a:// or a differently-resolved relative path, and a
-    // silently surviving partition un-applies a takedown), and fail
-    // loudly if a drop does not succeed (bounded by numBuckets; the
-    // table-format equivalent is a transactional metadata drop)
-    dropEmptiedBuckets(spark, statePath, touched.filterNot(remaining))
-    // post-commit audit: no retracted (key, pid) posting may survive in
-    // the touched buckets (see scaladoc — this closes the crash window
-    // between the overwrite commit and the directory drops)
-    if (anyBucketLeft(spark, statePath)) {
-      val retracted = delta.drop("pbucket")
-        .select(keyCols.map(col) :+ explode(col("dpids")).as("rpid"): _*)
-      val stale = spark.read.parquet(statePath)
-        .filter(col("pbucket").isin(touched: _*))
-        .join(retracted, keyCols)
-        .filter(array_contains(col("cpids"), col("rpid")))
-        .count()
-      require(stale == 0,
-        s"retraction audit failed: $stale retracted postings still " +
-          s"readable under $statePath — stale partition files survived " +
-          "the takedown")
-    }
-    touched
-  }
-
-  /** Drop fully-emptied `pbucket=` partition directories after a
-    * dynamic-partition overwrite (which only replaces partitions
-    * PRESENT in the write) — the shared edge handler of every
-    * partitioned-state op here. Goes through the Hadoop FileSystem of
-    * the state path (java.io would silently no-op on hdfs:// / s3a://
-    * or a differently-resolved relative path) and fails loudly;
-    * bounded by the touched-bucket count. A table format does this as
-    * a transactional metadata drop. */
-  private def dropEmptiedBuckets(spark: org.apache.spark.sql.SparkSession,
-      statePath: String, buckets: Seq[Int]): Unit =
-    buckets.foreach { b =>
-      val p = new org.apache.hadoop.fs.Path(s"$statePath/pbucket=$b")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p))
-        require(fs.delete(p, true),
-          s"failed to drop emptied state partition $p")
-    }
-
-  /** True iff the partitioned state path still holds any `pbucket=`
-    * partition — the guard before a post-maintenance read-back audit
-    * (reading a fully-emptied parquet dir throws on schema inference,
-    * and an empty state is trivially consistent). */
-  private def anyBucketLeft(spark: org.apache.spark.sql.SparkSession,
-      statePath: String): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(statePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).exists(_.getPath.getName.startsWith("pbucket="))
-  }
-
-  /** Write a cluster table as HASH-PARTITIONED parquet state
-    * (`pbucket = pmod(hash(cluster), numBuckets)`) — the production
-    * layout for [[upsertClustersPartitioned]] /
-    * [[retractClustersPartitioned]]: the cluster table is the OTHER
-    * state table every lifecycle chain rewrites per maintenance cycle
-    * (round-11 verdict — [[upsertClusters]]' algebra is delta-bounded
-    * but its single-table parquet output is not), and partitioning on
-    * the LABEL bounds the rewrite to the partitions whose labels the
-    * delta actually moves. Partitioning on the label rather than the
-    * id is what makes maintenance prunable: every row that can change
-    * in an upsert has cluster ∈ merged-labels, and every row that can
-    * change in a retraction has cluster ∈ affected-labels — both
-    * delta-bounded label sets. */
-  def writeClustersPartitioned(clusters: DataFrame, path: String,
-      idCol: String, numBuckets: Int): Unit =
-    clusters.select(col(idCol), col("cluster"))
-      .withColumn("pbucket", pmod(hash(col("cluster")), lit(numBuckets)))
-      .write.mode("overwrite").partitionBy("pbucket").parquet(path)
-
-  /** [[upsertClusters]] against hash-partitioned parquet state,
-    * rewriting ONLY the partitions the merge touches. The merge
-    * mapping is the SAME [[clusterMergeMapping]] the in-memory form
-    * uses (contracted label graph — delta-bounded), so the touched
-    * set is exact: a corpus row relabels iff its cluster ∈
-    * mapping.lbl, and relabeled rows LAND in their merged label's
-    * bucket — so the write set is buckets of {mapping.lbl ∪
-    * mapping.new_lbl ∪ batch output labels} and nothing else.
-    * Untouched partitions' files are never read by the merge join and
-    * never rewritten (DedupSpec pins byte-stability and full-read ==
-    * in-memory [[upsertClusters]] == fresh rebuild).
-    *
-    * Two reads the REWRITE bound does not cover, both read-only: the
-    * endpoint-label lookup and the batch-id anti-join scan the full
-    * state (label-partitioned state cannot prune an id-keyed probe) —
-    * each shuffles only delta-sized rows, and a production pipeline
-    * holding the q245-family layout keeps the id-keyed cluster
-    * projection anyway.
-    *
-    * Unlike the postings upsert, a bucket CAN fully empty here — all
-    * of a bucket's labels may merge away into other buckets' labels —
-    * so the emptied-partition drop applies in the UPSERT direction
-    * too (spec-pinned). Bucket-id collects are ≤ numBuckets ints; the
-    * eager checkpoints are the read-before-self-overwrite barrier,
-    * single-process-safe only (see
-    * [[upsertPostingsIndexPartitioned]]'s caveat — at scale use a
-    * reliable checkpoint / staged swap / table-format commit).
-    * Returns the touched bucket ids. */
-  def upsertClustersPartitioned(statePath: String, newPairs: DataFrame,
-      newIds: DataFrame, idCol: String, numBuckets: Int): Seq[Int] = {
-    val spark = newPairs.sparkSession
-    def bucketOf(c: Column): Column = pmod(hash(c), lit(numBuckets))
-    val cur = spark.read.parquet(statePath)
-      .select(col(idCol).as("id"), col("cluster"))
-    val mapping = clusterMergeMapping(cur, newPairs)
-      .localCheckpoint(eager = true) // delta-bounded; read from state,
-                                     // consumed after the overwrite
-    val batchOut = batchClusterLabels(cur, mapping, newIds, idCol)
-      .localCheckpoint(eager = true) // reads state (anti-join) — must
-                                     // materialize before the overwrite
-    val touched = mapping.select(bucketOf(col("lbl")).as("b"))
-      .unionByName(mapping.select(bucketOf(col("new_lbl")).as("b")))
-      .unionByName(batchOut.select(bucketOf(col("cluster")).as("b")))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
-    val curT = spark.read.parquet(statePath)
-      .filter(col("pbucket").isin(touched: _*))
-      .drop("pbucket")
-    val merged = curT
-      .join(mapping, curT("cluster") === mapping("lbl"), "left")
-      .select(col(idCol),
-        coalesce(col("new_lbl"), curT("cluster")).as("cluster"))
-      .unionByName(batchOut.select(col("id").as(idCol), col("cluster")))
-      .withColumn("pbucket", bucketOf(col("cluster")))
-      .localCheckpoint(eager = true) // barrier before self-overwrite
-    val remaining = merged.select("pbucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pbucket").parquet(statePath)
-    dropEmptiedBuckets(spark, statePath, touched.filterNot(remaining))
-    touched
-  }
-
-  /** [[retractClusters]] against hash-partitioned parquet state —
-    * [[upsertClustersPartitioned]]'s takedown half, and the
-    * structurally interesting direction: deletion can SPLIT a
-    * component, and the re-clustered survivors take new labels (min
-    * retained id of each split part) that can hash into partitions
-    * the deletion delta never listed. So the write set is discovered
-    * in two steps — buckets of the AFFECTED labels (where every row
-    * that can change lives; pairs never cross components, so this is
-    * exact) plus buckets of the RELABELED output's labels, known only
-    * after re-clustering the affected components' surviving pair
-    * subgraph. Partitions in neither set are never rewritten
-    * (DedupSpec pins the split-component case: a new label landing in
-    * a bucket the delta didn't list rewrites exactly that bucket and
-    * leaves the rest byte-stable, and the full read equals the
-    * in-memory [[retractClusters]] == fresh components over retained
-    * pairs).
-    *
-    * The id→affected-label lookup scans the full state read-only (as
-    * in the upsert); everything iterative runs on the affected
-    * subgraph only. After the overwrite + emptied-partition drops, a
-    * TAKEDOWN AUDIT re-reads the touched buckets and requires no
-    * deleted id's row is still readable (the
-    * [[retractPostingsIndexPartitioned]] crash-window posture;
-    * affected LABELS may legitimately survive — a split part keeps
-    * label L when L itself is retained — so the audit checks ids, not
-    * labels). Same single-process barrier caveat as the upsert.
-    * Returns the touched bucket ids. */
-  def retractClustersPartitioned(statePath: String, pairs: DataFrame,
-      deletedIds: DataFrame, idCol: String, numBuckets: Int): Seq[Int] = {
-    val spark = deletedIds.sparkSession
-    def bucketOf(c: Column): Column = pmod(hash(c), lit(numBuckets))
-    val del = deletedIds.select(col(idCol).as("id"))
-      .dropDuplicates("id")
-      .localCheckpoint(eager = true) // consumed by affected, survivors,
-                                     // and the post-overwrite audit
-    // only components holding a deleted doc can change structure
-    val affected = spark.read.parquet(statePath)
-      .select(col(idCol).as("id"), col("cluster"))
-      .join(del, Seq("id"), "left_semi")
-      .select("cluster").dropDuplicates("cluster")
-      .localCheckpoint(eager = true)
-    val readBuckets = affected.select(bucketOf(col("cluster")).as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
-    // surviving members of the affected components, from the pruned
-    // buckets only
-    val survivors = spark.read.parquet(statePath)
-      .filter(col("pbucket").isin(readBuckets: _*))
-      .select(col(idCol).as("id"), col("cluster"))
-      .join(affected, Seq("cluster"), "left_semi")
-      .select("id")
-      .join(del, Seq("id"), "left_anti")
-      .localCheckpoint(eager = true) // consumed by sub (×2) + nodes;
-                                     // reads state — barrier
-    val sub = pairs.select(col("id_a"), col("id_b"))
-      .join(survivors.withColumnRenamed("id", "id_a"), Seq("id_a"),
-        "left_semi")
-      .join(survivors.withColumnRenamed("id", "id_b"), Seq("id_b"),
-        "left_semi")
-    // dupClusters eagerly checkpoints its output — materialized here
-    val relabeled = dupClusters(sub,
-      survivors.select(col("id").as(idCol)), idCol)
-    // split parts can take labels hashing into buckets the delta never
-    // listed — those join the write set and their unchanged rows are
-    // carried through (dynamic overwrite replaces whole partitions)
-    val touched = (readBuckets ++
-      relabeled.select(bucketOf(col("cluster")).as("b")).distinct()
-        .collect().map(_.getInt(0))).distinct.sorted
-    val keep = spark.read.parquet(statePath)
-      .filter(col("pbucket").isin(touched: _*))
-      .drop("pbucket")
-      .join(affected, Seq("cluster"), "left_anti")
-    val out = keep.select(col(idCol), col("cluster"))
-      .unionByName(relabeled.select(col(idCol), col("cluster")))
-      .withColumn("pbucket", bucketOf(col("cluster")))
-      .localCheckpoint(eager = true) // barrier before self-overwrite
-    val remaining = out.select("pbucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    out.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pbucket").parquet(statePath)
-    dropEmptiedBuckets(spark, statePath, touched.filterNot(remaining))
-    if (anyBucketLeft(spark, statePath)) {
-      val stale = spark.read.parquet(statePath)
-        .filter(col("pbucket").isin(touched: _*))
-        .select(col(idCol).as("id"))
-        .join(del, Seq("id"), "left_semi")
-        .count()
-      require(stale == 0,
-        s"cluster takedown audit failed: $stale deleted ids still " +
-          s"readable under $statePath — stale partition files survived")
-    }
-    touched
-  }
-
-  /** Write any ID-KEYED state table as hash-partitioned parquet
-    * (`pbucket = pmod(hash(id), numBuckets)`) — the generic layout for
-    * the two remaining per-maintenance-cycle full rewrites (round-11
-    * verdict item 4): the embedding exploded-row index
-    * ([[graft.ext.SimSearch.corpusEmbeddingLshIndex]], id = vec_id,
-    * several rows per id) and the fingerprint table
-    * ([[corpusFingerprintIndex]]'s (pid, fp) half, id = pid). Both
-    * maintain by id-keyed anti-join (+ union), so — unlike the
-    * cluster table — rows NEVER change buckets: an id's fresh rows
-    * hash exactly where its stale rows lived, which makes the pruning
-    * trivial and the upsert direction incapable of emptying a bucket.
-    * Schema-generic: every non-id column passes through untouched. */
-  def writeIdKeyedStatePartitioned(state: DataFrame, path: String,
-      idCol: String, numBuckets: Int): Unit =
-    state.withColumn("pbucket", pmod(hash(col(idCol)), lit(numBuckets)))
-      .write.mode("overwrite").partitionBy("pbucket").parquet(path)
-
-  /** Batch-wins UPSERT against [[writeIdKeyedStatePartitioned]] state:
-    * prune the state read to the batch ids' buckets, anti-join the
-    * batch ids' stale rows out, union the fresh rows (same buckets by
-    * construction), dynamic-overwrite only those partitions — the
-    * [[graft.ext.SimSearch.upsertEmbeddingIndex]] semantics with the
-    * rewrite bounded to delta-touched partitions (DedupSpec pins
-    * byte-stability of untouched leaves and full-read == the
-    * in-memory anti-join + union == fresh rebuild). A re-delivered
-    * identical batch rewrites the same buckets to identical contents
-    * (idempotent). No emptied-bucket edge: every touched bucket
-    * receives the fresh rows that made it touched. Single-process
-    * barrier caveat as above. Returns the touched bucket ids. */
-  def upsertIdKeyedStatePartitioned(statePath: String,
-      freshRows: DataFrame, idCol: String, numBuckets: Int): Seq[Int] = {
-    val spark = freshRows.sparkSession
-    val fresh = freshRows
-      .withColumn("pbucket", pmod(hash(col(idCol)), lit(numBuckets)))
-      .localCheckpoint(eager = true) // consumed by touched AND merge
-    val touched = fresh.select("pbucket").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    val cur = spark.read.parquet(statePath)
-      .filter(col("pbucket").isin(touched: _*))
-    val merged = cur
-      .join(fresh.select(col(idCol)).dropDuplicates(idCol), Seq(idCol),
-        "left_anti")
-      .unionByName(fresh)
-      .localCheckpoint(eager = true) // barrier before self-overwrite
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pbucket").parquet(statePath)
-    touched
-  }
-
-  /** Takedown RETRACTION against [[writeIdKeyedStatePartitioned]]
-    * state: prune to the deleted ids' buckets, ONE id-keyed anti-join
-    * on the pruned side, dynamic overwrite, drop fully-emptied
-    * partitions, then audit that no deleted id's row is still
-    * readable (the [[retractPostingsIndexPartitioned]] crash-window
-    * posture). [[graft.ext.SimSearch.retractEmbeddingIndex]] semantics
-    * with the rewrite bounded to delta-touched partitions; a
-    * re-delivered takedown is a no-op that passes the same audit.
-    * Returns the touched bucket ids. */
-  def retractIdKeyedStatePartitioned(statePath: String,
-      deletedIds: DataFrame, idCol: String, numBuckets: Int): Seq[Int] = {
-    val spark = deletedIds.sparkSession
-    val del = deletedIds.select(col(idCol)).dropDuplicates(idCol)
-      .withColumn("pbucket", pmod(hash(col(idCol)), lit(numBuckets)))
-      .localCheckpoint(eager = true) // consumed by touched, merge, audit
-    val touched = del.select("pbucket").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    val merged = spark.read.parquet(statePath)
-      .filter(col("pbucket").isin(touched: _*))
-      .join(del.select(col(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint(eager = true) // barrier before self-overwrite
-    val remaining = merged.select("pbucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pbucket").parquet(statePath)
-    dropEmptiedBuckets(spark, statePath, touched.filterNot(remaining))
-    if (anyBucketLeft(spark, statePath)) {
-      val stale = spark.read.parquet(statePath)
-        .filter(col("pbucket").isin(touched: _*))
-        .join(del.select(col(idCol)), Seq(idCol), "left_semi")
-        .count()
-      require(stale == 0,
-        s"id-keyed takedown audit failed: $stale deleted ids' rows " +
-          s"still readable under $statePath")
-    }
-    touched
-  }
 
   /** Exact edit-distance ≤ `maxDist` (1 or 2) self-join via deletion
     * neighborhoods (FastSS / symmetric-delete blocking): every string

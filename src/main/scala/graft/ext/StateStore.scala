@@ -1,0 +1,364 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Transactional commit protocol for hash-partitioned parquet state —
+  * the round-12 verdict item 1: every partitioned-state maintenance op
+  * previously read its own bucket files and REPLACED them in place
+  * (dynamic partition overwrite) behind a `localCheckpoint` barrier
+  * that is single-process-safe only — on a real cluster an executor
+  * loss during the overwrite job recomputes lineage against the
+  * half-overwritten path — and then dropped fully-emptied partition
+  * directories in a post-commit window a crash could leave half-done.
+  * This store removes both windows structurally, with the standard
+  * write-then-swap design every table format uses (the snapshot +
+  * manifest idea of Iceberg/Delta, reduced to the bucket-partitioned
+  * shape the engine's state tables need):
+  *
+  *  - Data lives in immutable GENERATION directories
+  *    (`gen-000000042/<table>/pbucket=B/part-*.parquet`). A
+  *    maintenance cycle writes its touched buckets into a FRESH
+  *    generation — its input files are never overwritten, so no
+  *    read-before-overwrite barrier is needed at all, on any cluster.
+  *  - The current state is one immutable MANIFEST file
+  *    (`manifest-000000042.txt`) mapping, for each named table, every
+  *    live bucket to the generation dir holding its current files,
+  *    plus each table's read schema (so an all-buckets-emptied table
+  *    stays readable). The current manifest is the highest-numbered
+  *    one present.
+  *  - Commit = write the next manifest to a dot-tmp file, then ONE
+  *    atomic `FileSystem.rename` to its final name. A crash anywhere
+  *    before the rename leaves the previous manifest current and every
+  *    byte of the previous state readable; the aborted generation is
+  *    unreferenced garbage [[vacuum]] reclaims. Emptied buckets simply
+  *    leave the manifest — no directory surgery, no window in which a
+  *    stale partition could resurrect retracted rows.
+  *
+  * A store holds one or more NAMED TABLES committed together — the
+  * multi-table form exists because the cluster state is a label-keyed
+  * table plus an id-keyed projection of the same rows, and maintaining
+  * them under separate commits would leave a crash window in which the
+  * probe side disagrees with the primary (re-delivery then
+  * mis-computes the merge). One manifest rename covers both, so every
+  * committed snapshot is cross-table consistent by construction.
+  *
+  * Readers resolve the current manifest once per read and only ever
+  * open files a committed manifest references, so an in-flight cycle
+  * is invisible until its rename lands. CONTRACT: one writer at a time
+  * per state root (the single-writer discipline every
+  * file-listing-based table format requires without a lock service);
+  * concurrent READERS are always safe, and [[vacuum]] belongs to the
+  * writer (it deletes only what no committed manifest references).
+  *
+  * Scale shape: manifests are O(tables × numBuckets) driver-side
+  * lines; a maintenance cycle's I/O is bounded by its touched buckets
+  * (reads pruned via the manifest's bucket→generation map, write = the
+  * fresh generation); nothing here scans state the caller didn't ask
+  * to read. */
+object StateStore {
+
+  /** The default table name for single-table stores. */
+  val T = "t"
+
+  /** One committed snapshot: per table, bucket id → generation dir
+    * name (relative to the state root) and the full read schema
+    * (pbucket included, last — exactly how reads surface it). */
+  case class Manifest(version: Long, numBuckets: Int,
+      schemas: Map[String, StructType],
+      buckets: Map[String, Map[Int, String]])
+
+  /** Deterministic crash injection for the commit spec: when set, a
+    * commit throws AFTER its generation dir is fully written but
+    * BEFORE the manifest rename — the exact window the old
+    * dynamic-overwrite protocol could not survive. Test-only. */
+  private[graft] object FailPoints {
+    @volatile var beforeManifestSwap: Boolean = false
+  }
+
+  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestName(v: Long): String = f"manifest-$v%09d.txt"
+  private def genName(v: Long): String = f"gen-$v%09d"
+
+  /** Highest-numbered committed manifest version, or None on a virgin
+    * root. */
+  private def currentVersion(fs: FileSystem, root: Path): Option[Long] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("manifest-").stripSuffix(".txt").toLong)
+      .reduceOption(_ max _)
+
+  /** Read and parse the current manifest. Fails loudly on a root that
+    * has never been [[create]]d. */
+  def current(spark: SparkSession, root: String): Manifest = {
+    val (fs, rp) = fsOf(spark, root)
+    val v = currentVersion(fs, rp).getOrElse(
+      sys.error(s"no committed manifest under $root — not a StateStore"))
+    val in = fs.open(new Path(rp, manifestName(v)))
+    val text =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    // flat key=value lines, split on the FIRST '=': atomicity lives in
+    // the rename, so the format optimizes for being un-mis-parseable
+    val kv = text.linesIterator.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('=')
+      require(i > 0, s"malformed manifest line in $root v$v: $l")
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toSeq
+    val m = kv.toMap
+    val schemas = kv.collect {
+      case (k, j) if k.startsWith("schema.") =>
+        k.stripPrefix("schema.") ->
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType]
+    }.toMap
+    val buckets = kv.collect {
+      case (k, g) if k.startsWith("bucket.") =>
+        val Array(t, b) = k.stripPrefix("bucket.").split('.')
+        (t, b.toInt, g)
+    }.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(x => x._2 -> x._3).toMap
+    }
+    Manifest(m("version").toLong, m("numBuckets").toInt, schemas,
+      // a table whose every bucket emptied still exists (schema line,
+      // no bucket lines)
+      schemas.map { case (t, _) =>
+        t -> buckets.getOrElse(t, Map.empty[Int, String])
+      })
+  }
+
+  /** Serialize + atomically publish manifest `m` — the single commit
+    * point of the whole protocol. */
+  private def publish(fs: FileSystem, root: Path, m: Manifest): Unit = {
+    val body = new StringBuilder()
+      .append("version=").append(m.version).append('\n')
+      .append("numBuckets=").append(m.numBuckets).append('\n')
+    m.schemas.toSeq.sortBy(_._1).foreach { case (t, s) =>
+      body.append("schema.").append(t).append('=').append(s.json)
+        .append('\n')
+    }
+    m.buckets.toSeq.sortBy(_._1).foreach { case (t, bs) =>
+      bs.toSeq.sortBy(_._1).foreach { case (b, g) =>
+        body.append("bucket.").append(t).append('.').append(b)
+          .append('=').append(g).append('\n')
+      }
+    }
+    val tmp = new Path(root, s".manifest-${m.version}.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false) // leftover of a crashed try
+    val out = fs.create(tmp, false)
+    try out.write(body.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (FailPoints.beforeManifestSwap)
+      sys.error(s"FAILPOINT: crash before manifest swap at $root " +
+        s"v${m.version} (generation data written, commit NOT published)")
+    val dst = new Path(root, manifestName(m.version))
+    require(!fs.exists(dst) && fs.rename(tmp, dst),
+      s"manifest swap to $dst failed — concurrent writer on $root? " +
+        "(single-writer contract)")
+  }
+
+  /** List the pbucket=<b> partition dirs actually present under one
+    * table of a generation — the write's own ground truth of which
+    * buckets it emitted (an empty merge emits none). Driver-side,
+    * bounded by numBuckets. */
+  private def presentBuckets(fs: FileSystem, tableDir: Path): Seq[Int] =
+    if (!fs.exists(tableDir)) Seq.empty
+    else fs.listStatus(tableDir).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith("pbucket="))
+      .map(_.stripPrefix("pbucket=").toInt)
+      .toSeq.sorted
+
+  /** Read schema = data schema with pbucket moved to the partition
+    * position (last, int). */
+  private def readSchema(df: DataFrame): StructType =
+    StructType(df.schema.fields.filterNot(_.name == "pbucket") :+
+      StructField("pbucket", IntegerType))
+
+  /** Create a new multi-table store at `root`; each frame must carry
+    * the caller's int `pbucket` column (pmod of that table's own
+    * partitioning key — the store never guesses keys). Generation 1
+    * holds every bucket of every table; manifest 1 publishes them
+    * together. Refuses a root that is already a store. */
+  def create(spark: SparkSession, root: String,
+      tables: Map[String, DataFrame], numBuckets: Int): Manifest = {
+    require(tables.nonEmpty)
+    tables.foreach { case (t, df) =>
+      require(df.columns.contains("pbucket"),
+        s"create(): table '$t' lacks the pbucket column")
+      require(!t.contains('.') && !t.contains('/') && t.nonEmpty,
+        s"table name '$t' must be a plain segment")
+    }
+    val (fs, rp) = fsOf(spark, root)
+    require(currentVersion(fs, rp).isEmpty,
+      s"$root already holds a committed StateStore manifest")
+    val gen = genName(1L)
+    val bs = tables.map { case (t, df) =>
+      df.write.mode("errorifexists").partitionBy("pbucket")
+        .parquet(new Path(rp, s"$gen/$t").toString)
+      t -> presentBuckets(fs, new Path(rp, s"$gen/$t"))
+        .map(_ -> gen).toMap
+    }
+    val m = Manifest(1L, numBuckets,
+      tables.map { case (t, df) => t -> readSchema(df) }, bs)
+    publish(fs, rp, m)
+    m
+  }
+
+  /** Single-table sugar for [[create]]. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      numBuckets: Int): Manifest =
+    create(spark, root, Map(T -> df), numBuckets)
+
+  /** Read the given buckets of one table at the current snapshot — the
+    * pruned read every maintenance op starts from. Buckets the
+    * manifest doesn't hold contribute nothing; an entirely-empty
+    * selection returns an empty frame WITH the manifest schema (so an
+    * emptied table or a miss-everything delta still analyzes). The
+    * `pbucket` partition column is preserved via per-generation
+    * basePath reads. */
+  def readBuckets(spark: SparkSession, root: String, table: String,
+      buckets: Seq[Int]): DataFrame = {
+    val m = current(spark, root)
+    val schema = m.schemas.getOrElse(table,
+      sys.error(s"no table '$table' under $root"))
+    val want = buckets.toSet
+    val byGen = m.buckets(table).filter { case (b, _) => want(b) }
+      .toSeq.groupBy(_._2)
+    val parts = byGen.toSeq.sortBy(_._1).map { case (gen, bs) =>
+      spark.read
+        .option("basePath", s"$root/$gen/$table")
+        .parquet(bs.map { case (b, _) =>
+          s"$root/$gen/$table/pbucket=$b"
+        }: _*)
+        .select(schema.fieldNames
+          .map(org.apache.spark.sql.functions.col): _*)
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** Single-table sugar for [[readBuckets]]. */
+  def readBuckets(spark: SparkSession, root: String, buckets: Seq[Int])
+      : DataFrame = readBuckets(spark, root, T, buckets)
+
+  /** Full read of one table at the current snapshot. */
+  def readAll(spark: SparkSession, root: String,
+      table: String = T): DataFrame = {
+    val m = current(spark, root)
+    readBuckets(spark, root, table, m.buckets(table).keys.toSeq)
+  }
+
+  /** Commit one maintenance cycle across one or more tables: for each
+    * table, `merged` (carrying pbucket) is the COMPLETE new content of
+    * its `touched` buckets — rows for any other bucket are a caller
+    * bug this protocol can finally detect (the old dynamic overwrite
+    * would have silently replaced an undeclared partition). Writes one
+    * fresh generation, then swaps in a manifest where every table's
+    * touched buckets point at it — buckets a merge emptied leave the
+    * map; untouched buckets keep their old generation's files
+    * byte-for-byte; tables not in `writes` are carried unchanged. All
+    * tables publish under ONE rename, so readers never observe a
+    * cross-table-inconsistent state. Returns the new manifest. */
+  def commit(spark: SparkSession, root: String,
+      writes: Map[String, (DataFrame, Seq[Int])]): Manifest = {
+    val (fs, rp) = fsOf(spark, root)
+    val cur = current(spark, root)
+    writes.keys.foreach { t =>
+      require(cur.schemas.contains(t),
+        s"commit to unknown table '$t' under $root")
+    }
+    val gen = genName(cur.version + 1)
+    val newBuckets = cur.buckets.map { case (t, old) =>
+      writes.get(t) match {
+        case None => t -> old
+        case Some((merged, touched)) =>
+          merged.write.mode("errorifexists").partitionBy("pbucket")
+            .parquet(new Path(rp, s"$gen/$t").toString)
+          val present = presentBuckets(fs, new Path(rp, s"$gen/$t"))
+          val undeclared = present.filterNot(touched.contains)
+          require(undeclared.isEmpty,
+            s"commit wrote table '$t' buckets $undeclared outside its " +
+              s"declared touched set $touched — the merge is " +
+              "mis-partitioned (caller bug)")
+          t -> (old -- touched ++ present.map(_ -> gen))
+      }
+    }
+    val m = Manifest(cur.version + 1, cur.numBuckets, cur.schemas,
+      newBuckets)
+    publish(fs, rp, m)
+    m
+  }
+
+  /** Single-table sugar for [[commit]]. */
+  def commit(spark: SparkSession, root: String, merged: DataFrame,
+      touched: Seq[Int]): Manifest =
+    commit(spark, root, Map(T -> (merged, touched)))
+
+  /** Compact one bucket's accrued small files (N maintenance cycles ×
+    * one generation each = N part-files per hot bucket) into a single
+    * file in a fresh generation, behind the same atomic swap — the
+    * round-12 verdict item 8 verb. Content-preserving by construction
+    * (one read, one coalesced write, no merge logic); the spec pins
+    * row-set equality and the file-count drop. No-op on a bucket the
+    * manifest doesn't hold. */
+  def compactBucket(spark: SparkSession, root: String, bucket: Int,
+      table: String = T): Manifest = {
+    val cur = current(spark, root)
+    if (!cur.buckets(table).contains(bucket)) cur
+    else commit(spark, root, Map(table ->
+      (readBuckets(spark, root, table, Seq(bucket)).coalesce(1),
+        Seq(bucket))))
+  }
+
+  /** Garbage-collect everything no committed snapshot needs: data
+    * generations the CURRENT manifest doesn't reference (including the
+    * orphan a crashed commit left), manifests older than current, and
+    * stale dot-tmp files. Returns the deleted names. Run by the state
+    * owner between cycles — under the single-writer contract nothing
+    * can be mid-commit while it runs. */
+  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, rp) = fsOf(spark, root)
+    val cur = current(spark, root)
+    val live = cur.buckets.values.flatMap(_.values).toSet
+    val victims = fs.listStatus(rp).iterator.map(_.getPath.getName)
+      .filter { n =>
+        (n.startsWith("gen-") && !live(n)) ||
+          (n.startsWith("manifest-") && n.endsWith(".txt") &&
+            n != manifestName(cur.version)) ||
+          n.startsWith(".manifest-")
+      }.toSeq.sorted
+    victims.foreach { n =>
+      require(fs.delete(new Path(rp, n), true), s"vacuum failed on $n")
+    }
+    victims
+  }
+
+  /** Parquet leaf files per bucket of one table at the CURRENT
+    * snapshot — the spec hook for byte-stability pins (untouched
+    * buckets must keep exactly their old generation's files).
+    * Driver-side listing, bounded by the table's file count. */
+  def leafFiles(spark: SparkSession, root: String, table: String = T)
+      : Map[Int, Seq[(String, Long)]] = {
+    val (fs, rp) = fsOf(spark, root)
+    val cur = current(spark, root)
+    cur.buckets(table).map { case (b, gen) =>
+      val dir = new Path(rp, s"$gen/$table/pbucket=$b")
+      b -> fs.listStatus(dir).iterator
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => (s"$gen/$table/pbucket=$b/${s.getPath.getName}",
+          s.getModificationTime))
+        .toSeq.sortBy(_._1)
+    }
+  }
+}

@@ -481,6 +481,10 @@ class PropertiesSpec extends SparkSpec {
       df.select("id", "cluster").as[(Long, Long)].collect().toSet
     val prop = forAll(gen) { case (cp, dp, ni, del) =>
       val nb = 8
+      def readLbl(dir: String) = graft.ext.StateStore.readAll(spark,
+        dir, graft.ext.Dedup.ClustersByLabel)
+      def readId(dir: String) = graft.ext.StateStore.readAll(spark,
+        dir, graft.ext.Dedup.ClustersById)
       val clusters0 = graft.ext.Dedup.dupClusters(
         cp.toDF("id_a", "id_b"), corpusIds.toDF("id"), "id")
       val dir = java.nio.file.Files.createTempDirectory("graft_pprop")
@@ -492,20 +496,22 @@ class PropertiesSpec extends SparkSpec {
         nb)
       val mem1 = graft.ext.Dedup.upsertClusters(clusters0, dpDf, niDf,
         "id").localCheckpoint(eager = true)
-      val ok1 = rows(spark.read.parquet(dir)) == rows(mem1)
+      val ok1 = rows(readLbl(dir)) == rows(mem1) &&
+        rows(readId(dir)) == rows(mem1) // co-committed projection agrees
       // takedown round (persisted pair table = corpus ∪ delta pairs)
       val pairs1 = (cp ++ dp).toDF("id_a", "id_b")
       graft.ext.Dedup.retractClustersPartitioned(dir, pairs1,
         del.toDF("id"), "id", nb)
       val mem2 = graft.ext.Dedup.retractClusters(mem1, pairs1,
         del.toDF("id"), "id")
-      val ok2 = rows(spark.read.parquet(dir)) == rows(mem2)
+      val ok2 = rows(readLbl(dir)) == rows(mem2) &&
+        rows(readId(dir)) == rows(mem2)
       // == fresh components over the retained pair subgraph
       val retainedIds = (corpusIds ++ ni).distinct.filterNot(del.contains)
       val retainedPairs = (cp ++ dp).filter { case (a, b) =>
         !del.contains(a) && !del.contains(b)
       }
-      val ok3 = rows(spark.read.parquet(dir)) == rows(
+      val ok3 = rows(readLbl(dir)) == rows(
         graft.ext.Dedup.dupClusters(retainedPairs.toDF("id_a", "id_b"),
           retainedIds.toDF("id"), "id"))
       ok1 && ok2 && ok3

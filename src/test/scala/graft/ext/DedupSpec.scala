@@ -2,7 +2,6 @@ package graft.ext
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
-import scala.jdk.CollectionConverters._
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -850,66 +849,54 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_pidx")
       .toFile.getAbsolutePath + "/state"
     Dedup.writePostingsIndexPartitioned(idx, dir, Seq("sl", "sv"), nb)
-    def leaves(): Map[String, Seq[(String, Long)]] = {
-      val base = java.nio.file.Paths.get(dir)
-      val s = java.nio.file.Files.walk(base)
-      try s.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet"))
-        .map { p =>
-          val rel = base.relativize(p).toString
-          rel.substring(0, rel.indexOf('/')) ->
-            (rel, java.nio.file.Files.getLastModifiedTime(p).toMillis)
-        }.toSeq.groupBy(_._1)
-        .map { case (b, xs) => b -> xs.map(_._2).sorted }
-      finally s.close()
-    }
+    def leaves() = StateStore.leafFiles(spark, dir)
     val before = leaves()
     val touched = Dedup.upsertPostingsIndexPartitioned(dir, bPost,
       Seq("sl", "sv"), nb)
     val after = leaves()
-    val touchedDirs = touched.map(b => s"pbucket=$b").toSet
     // the fixture must leave some partitions untouched, or the pin
     // below is vacuous
-    val untouched = before.keySet -- touchedDirs
-    assert(untouched.nonEmpty && touchedDirs.nonEmpty)
-    // untouched partitions: identical files, never rewritten
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty && touched.nonEmpty)
+    // untouched buckets: the manifest still points at the SAME files
+    // of the SAME generation — never read, never rewritten
     untouched.foreach(b => assert(after(b) == before(b), b))
-    // touched partitions carry NEW files (fresh part- names); a
-    // touched bucket may be brand-new (key the corpus never had)
-    touchedDirs.filter(before.contains)
+    // touched buckets now point into the fresh generation; a touched
+    // bucket may be brand-new (key the corpus never had)
+    touched.filter(before.contains)
       .foreach(b => assert(after(b).map(_._1) != before(b).map(_._1), b))
     // the state contract: full read == in-memory merge == fresh rebuild
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("sl", "sv", "cpids")
         .as[(Int, Long, Seq[Long])].collect().toSet
-    assert(rows(spark.read.parquet(dir)) ==
+    assert(rows(StateStore.readAll(spark, dir)) ==
       rows(Dedup.upsertPostingsIndex(idx, bPost, Seq("sl", "sv"))))
-    assert(rows(spark.read.parquet(dir)) ==
+    assert(rows(StateStore.readAll(spark, dir)) ==
       rows(Dedup.corpusFingerprintIndex(
         corpusFps.unionByName(batchFps), bits, slices)._1))
     // retraction half: retract doc 3 (0xFF) — the SOLE member of its
     // sv=3 slice keys, so keys empty and (if a bucket held only such
-    // keys) whole partitions must drop, not linger as stale files
+    // keys) whole BUCKETS must leave the manifest, not linger as
+    // stale readable state
     val dPost = Dedup.fingerprintPostings(
       Seq((3L, 0xFFL)).toDF("pid", "fp"), bits, slices)
     val beforeRet = leaves()
     val touchedRet = Dedup.retractPostingsIndexPartitioned(dir, dPost,
       Seq("sl", "sv"), nb)
     val afterRet = leaves()
-    val touchedRetDirs = touchedRet.map(b => s"pbucket=$b").toSet
-    (beforeRet.keySet -- touchedRetDirs)
+    (beforeRet.keySet -- touchedRet)
       .foreach(b => assert(afterRet(b) == beforeRet(b), b))
     // full read == in-memory retraction == fresh rebuild over retained
-    assert(rows(spark.read.parquet(dir)) ==
+    assert(rows(StateStore.readAll(spark, dir)) ==
       rows(Dedup.retractPostingsIndex(
         Dedup.upsertPostingsIndex(idx, bPost, Seq("sl", "sv")),
         dPost, Seq("sl", "sv"))))
-    assert(rows(spark.read.parquet(dir)) ==
+    assert(rows(StateStore.readAll(spark, dir)) ==
       rows(Dedup.corpusFingerprintIndex(
         Seq((1L, 0x00L), (2L, 0x01L), (10L, 0x03L)).toDF("pid", "fp"),
         bits, slices)._1))
     // at least one bucket must have fully emptied for the
-    // stale-partition pin above to be non-vacuous
+    // stale-state pin above to be non-vacuous
     assert((beforeRet.keySet -- afterRet.keySet).nonEmpty)
   }
 
@@ -1151,21 +1138,6 @@ class DedupSpec extends SparkSpec {
       .select(col("v"), pmod(hash(col("v")), lit(nb)).as("b"))
       .as[(Long, Int)].collect().toMap
 
-  private def leavesUnder(dir: String)
-      : Map[String, Seq[(String, Long)]] = {
-    val base = java.nio.file.Paths.get(dir)
-    val s = java.nio.file.Files.walk(base)
-    try s.iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet"))
-      .map { p =>
-        val rel = base.relativize(p).toString
-        rel.substring(0, rel.indexOf('/')) ->
-          (rel, java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      }.toSeq.groupBy(_._1)
-      .map { case (b, xs) => b -> xs.map(_._2).sorted }
-    finally s.close()
-  }
-
   test("END-TO-END lifecycle over PARTITIONED state: the full payload " +
     "build -> incremental -> upsert -> retract chain run against the " +
     "three hash-partitioned state tables (postings by key, clusters " +
@@ -1214,7 +1186,7 @@ class DedupSpec extends SparkSpec {
     // the PERSISTED partitioned fingerprint table — state-only) ----
     val deleted = docs.filter(col("doc_id") % 7 === 2)
       .select(col("doc_id").as("pid")).localCheckpoint(eager = true)
-    val persistedFps = spark.read.parquet(fp).drop("pbucket")
+    val persistedFps = StateStore.readAll(spark, fp).drop("pbucket")
     Dedup.retractPostingsIndexPartitioned(ip,
       Dedup.fingerprintPostings(
         persistedFps.join(deleted, Seq("pid"), "left_semi"),
@@ -1245,16 +1217,20 @@ class DedupSpec extends SparkSpec {
       df.select("pid", "cluster").as[(Long, Long)].collect().toSet
     def fpRows(df: org.apache.spark.sql.DataFrame) =
       df.select("pid", "fp").as[(Long, Long)].collect().toSet
-    assert(idxRows(spark.read.parquet(ip)) == idxRows(index2m))
-    assert(cluRows(spark.read.parquet(cp)) == cluRows(clusters2m))
-    assert(fpRows(spark.read.parquet(fp)) == fpRows(fps2m))
+    def readClu(t: String) = StateStore.readAll(spark, cp, t)
+    assert(idxRows(StateStore.readAll(spark, ip)) == idxRows(index2m))
+    assert(cluRows(readClu(Dedup.ClustersByLabel)) == cluRows(clusters2m))
+    // the id-keyed projection is committed in the SAME manifest swap
+    // and must agree row-for-row with the primary at every snapshot
+    assert(cluRows(readClu(Dedup.ClustersById)) == cluRows(clusters2m))
+    assert(fpRows(StateStore.readAll(spark, fp)) == fpRows(fps2m))
     // ---- and == the fresh rebuilds over the retained doc set ----
     val retained = fps(lit(true)) // corpus ∪ batch = all docs
       .join(deleted, Seq("pid"), "left_anti")
       .localCheckpoint(eager = true)
-    assert(idxRows(spark.read.parquet(ip)) == idxRows(
+    assert(idxRows(StateStore.readAll(spark, ip)) == idxRows(
       Dedup.corpusFingerprintIndex(retained, blocks, slices)._1))
-    assert(fpRows(spark.read.parquet(fp)) == fpRows(retained))
+    assert(fpRows(StateStore.readAll(spark, fp)) == fpRows(retained))
     // cluster contract: components over the RETAINED persisted pairs
     // (the pinned tombstone semantics)
     val retainedPairs = pairs1
@@ -1262,12 +1238,12 @@ class DedupSpec extends SparkSpec {
         "left_anti")
       .join(deleted.withColumnRenamed("pid", "id_b"), Seq("id_b"),
         "left_anti")
-    assert(cluRows(spark.read.parquet(cp)) == cluRows(
+    assert(cluRows(readClu(Dedup.ClustersByLabel)) == cluRows(
       Dedup.dupClusters(retainedPairs, retained.select("pid"), "pid")))
     // the lifecycle produced real structure at every stage
     assert(newPairs.count() > 0 && deleted.count() > 0)
-    assert(cluRows(spark.read.parquet(cp)).exists { case (id, cl) =>
-      id != cl })
+    assert(cluRows(readClu(Dedup.ClustersByLabel)).exists {
+      case (id, cl) => id != cl })
   }
 
   test("upsertClustersPartitioned: only merge-touched partitions " +
@@ -1279,7 +1255,7 @@ class DedupSpec extends SparkSpec {
     // pick a singleton label S and two bystander singletons A, B whose
     // buckets are pairwise distinct AND distinct from every other label
     // the fixture produces (1, 3, the batch ids 100/101)
-    val fixed = Seq(1L, 3L, 100L, 101L)
+    val fixed = Seq(1L, 2L, 3L, 4L, 100L, 101L)
     val cands = (1000L to 1200L) ++ fixed
     val bk = bucketsOf(cands, nb)
     val fixedB = fixed.map(bk).toSet
@@ -1297,29 +1273,37 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_pclu")
       .toFile.getAbsolutePath + "/state"
     Dedup.writeClustersPartitioned(clusters0, dir, "id", nb)
-    val before = leavesUnder(dir)
+    val before = StateStore.leafFiles(spark, dir, Dedup.ClustersByLabel)
     // delta: batch docs 100 (pairs into cluster 1) and 101 (clean);
     // pair (4, S) merges singleton S into cluster 3 — S's bucket holds
-    // no other label, so it must EMPTY and drop
+    // no other label, so it must EMPTY and leave the manifest
     val newPairs = Seq((100L, 2L), (4L, s0)).toDF("id_a", "id_b")
     val newIds = Seq(100L, 101L).toDF("id")
-    val touched = Dedup.upsertClustersPartitioned(dir, newPairs,
+    val rep = Dedup.upsertClustersPartitioned(dir, newPairs,
       newIds, "id", nb)
-    val after = leavesUnder(dir)
+    val after = StateStore.leafFiles(spark, dir, Dedup.ClustersByLabel)
+    // the id-keyed probe read EXACTLY the delta ids' buckets — the
+    // round-12 item-2 pin that the old full-state scans are gone
+    val probeIds = Seq(100L, 2L, 4L, s0, 101L)
+    assert(rep.projProbed == probeIds.map(bk).distinct.sorted)
+    assert(rep.projProbed.size < nb) // strictly pruned, not a rescan
     // bystanders' buckets were never listed and are byte-stable
     Seq(a0, b0).foreach { v =>
-      val b = s"pbucket=${bk(v)}"
-      assert(!touched.contains(bk(v)), v)
-      assert(after(b) == before(b), v)
+      assert(!rep.touched.contains(bk(v)), v)
+      assert(after(bk(v)) == before(bk(v)), v)
     }
-    // S's bucket fully emptied -> directory dropped
-    assert(!after.contains(s"pbucket=${bk(s0)}"))
-    // full read == in-memory merge == fresh rebuild over ALL pairs
+    // S's bucket fully emptied -> gone from the manifest
+    assert(!after.contains(bk(s0)))
+    // full read == in-memory merge == fresh rebuild over ALL pairs,
+    // and the co-committed id-keyed projection carries the same rows
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "cluster").as[(Long, Long)].collect().toSet
     val expected = rows(Dedup.upsertClusters(clusters0, newPairs,
       newIds, "id"))
-    assert(rows(spark.read.parquet(dir)) == expected)
+    assert(rows(StateStore.readAll(spark, dir, Dedup.ClustersByLabel))
+      == expected)
+    assert(rows(StateStore.readAll(spark, dir, Dedup.ClustersById))
+      == expected)
     assert(rows(Dedup.dupClusters(
       corpusPairs.unionByName(newPairs),
       corpusIds.unionByName(newIds), "id")) == expected)
@@ -1339,7 +1323,7 @@ class DedupSpec extends SparkSpec {
     // label 20 are pairwise distinct — deleting 11 splits {10,11,Z}
     // into {10} and {Z}, and Z's bucket is one the deletion delta
     // (affected label = 10) never listed
-    val fixed = Seq(10L, 20L)
+    val fixed = Seq(10L, 11L, 20L)
     val cands = (1000L to 1200L) ++ fixed
     val bk = bucketsOf(cands, nb)
     val fixedB = fixed.map(bk).toSet
@@ -1351,21 +1335,27 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_pclr")
       .toFile.getAbsolutePath + "/state"
     Dedup.writeClustersPartitioned(clusters0, dir, "id", nb)
-    val before = leavesUnder(dir)
+    val before = StateStore.leafFiles(spark, dir, Dedup.ClustersByLabel)
     val deleted = Seq(11L).toDF("id")
-    val touched = Dedup.retractClustersPartitioned(dir, pairs0,
+    val rep = Dedup.retractClustersPartitioned(dir, pairs0,
       deleted, "id", nb)
-    val after = leavesUnder(dir)
+    val after = StateStore.leafFiles(spark, dir, Dedup.ClustersByLabel)
+    // the deleted-id -> affected-label lookup probed ONLY the deleted
+    // ids' projection buckets (round-12 item 2: no full-state scan)
+    assert(rep.projProbed == Seq(bk(11L)))
     // the split part's bucket was discovered and rewritten...
-    assert(touched.contains(bk(z0)) && touched.contains(bk(10L)))
+    assert(rep.touched.contains(bk(z0)) && rep.touched.contains(bk(10L)))
     // ...while the bystander component's bucket is byte-stable
-    assert(!touched.contains(bk(20L)))
-    assert(after(s"pbucket=${bk(20L)}") == before(s"pbucket=${bk(20L)}"))
+    assert(!rep.touched.contains(bk(20L)))
+    assert(after(bk(20L)) == before(bk(20L)))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "cluster").as[(Long, Long)].collect().toSet
     val expected = rows(Dedup.retractClusters(clusters0, pairs0,
       deleted, "id"))
-    assert(rows(spark.read.parquet(dir)) == expected)
+    assert(rows(StateStore.readAll(spark, dir, Dedup.ClustersByLabel))
+      == expected)
+    assert(rows(StateStore.readAll(spark, dir, Dedup.ClustersById))
+      == expected)
     // the split is real: Z is its own cluster now, 10 keeps its label,
     // and the deleted bridge is gone everywhere
     assert(expected.contains(z0 -> z0) && expected.contains(10L -> 10L))
@@ -1401,37 +1391,39 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_pide")
       .toFile.getAbsolutePath + "/state"
     Dedup.writeIdKeyedStatePartitioned(idx0, dir, "vec_id", nb)
-    val before = leavesUnder(dir)
+    val before = StateStore.leafFiles(spark, dir)
     val freshRows = SimSearch.corpusEmbeddingLshIndex(batch, bits,
       tables)
     val touched = Dedup.upsertIdKeyedStatePartitioned(dir, freshRows,
       "vec_id", nb)
-    val after = leavesUnder(dir)
+    val after = StateStore.leafFiles(spark, dir)
     assert(touched.toSet == Set(bk(v2), bk(v4)))
     // v1/v3's buckets never rewritten
     Seq(v1, v3).foreach { v =>
-      assert(after(s"pbucket=${bk(v)}") == before(s"pbucket=${bk(v)}"))
+      assert(after(bk(v)) == before(bk(v)))
     }
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select(col("vec_id"), col("bucket.t"), col("bucket.bk"))
         .as[(Long, Int, Long)].collect().toSet
     val viaMem = rows(SimSearch.upsertEmbeddingIndex(idx0, batch,
       bits, tables))
-    assert(rows(spark.read.parquet(dir)) == viaMem)
+    assert(rows(StateStore.readAll(spark, dir)) == viaMem)
     // batch wins: v2's buckets come from its NEW embedding only
-    assert(rows(spark.read.parquet(dir)) == rows(
+    assert(rows(StateStore.readAll(spark, dir)) == rows(
       SimSearch.corpusEmbeddingLshIndex(
         corpus.filter(col("vec_id") =!= v2).unionByName(batch),
         bits, tables)))
-    // idempotent: re-delivering the batch rewrites to identical content
+    // idempotent: re-delivering the batch supersedes the same buckets
+    // with identical content
     Dedup.upsertIdKeyedStatePartitioned(dir, freshRows, "vec_id", nb)
-    assert(rows(spark.read.parquet(dir)) == viaMem)
-    // retraction: v2 leaves; its bucket held only v2's rows -> drops
+    assert(rows(StateStore.readAll(spark, dir)) == viaMem)
+    // retraction: v2 leaves; its bucket held only v2's rows -> leaves
+    // the manifest
     val touchedRet = Dedup.retractIdKeyedStatePartitioned(dir,
       Seq(v2).toDF("vec_id"), "vec_id", nb)
     assert(touchedRet == Seq(bk(v2)))
-    assert(!leavesUnder(dir).contains(s"pbucket=${bk(v2)}"))
-    assert(rows(spark.read.parquet(dir)) == rows(
+    assert(!StateStore.leafFiles(spark, dir).contains(bk(v2)))
+    assert(rows(StateStore.readAll(spark, dir)) == rows(
       SimSearch.corpusEmbeddingLshIndex(
         corpus.filter(col("vec_id") =!= v2)
           .unionByName(batch.filter(col("vec_id") =!= v2)),
@@ -1447,7 +1439,7 @@ class DedupSpec extends SparkSpec {
       Seq((v2, 0x0FL), (v4, 0x03L)).toDF("pid", "fp"), "pid", nb)
     Dedup.retractIdKeyedStatePartitioned(fdir, Seq(v1).toDF("pid"),
       "pid", nb)
-    assert(spark.read.parquet(fdir).select("pid", "fp")
+    assert(StateStore.readAll(spark, fdir).select("pid", "fp")
       .as[(Long, Long)].collect().toSet
       == Set(v2 -> 0x0FL, v4 -> 0x03L))
   }

@@ -145,8 +145,8 @@ object ExtQueries {
       .orderBy("event_type")
 
   /** q40 — multimodal plumbing: opaque binary payload column + typed
-    * metadata extraction (§7.4 multimodal; decode itself is stubbed —
-    * see graft.ext.Multimodal). */
+    * metadata extraction (§7.4 multimodal; the media tables proper
+    * carry REAL WAV containers — see graft.ext.Multimodal). */
   private val q40: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("payload", encode(col("text"), "UTF-8"))
@@ -295,12 +295,15 @@ object ExtQueries {
   }
 
   /** q54 — multimodal feature extraction through the mapPartitions batch
-    * path (stubbed decode; §7.4 multimodal). The float histogram features
+    * path (§7.4 multimodal; the payload is a REAL WAV container and the
+    * features compute over the REALLY-decoded samples — graft.functions
+    * .WavCodecUtil's chunk-walking parser). The float histogram features
     * are projected back to exact integer byte-bin counts
     * (count = round(freq · n_bytes), exact because the float only ever
     * encodes count/total), so the output is scalar-only AND the DuckDB
-    * oracle can recompute it byte-for-byte from the hex of the payload
-    * (bin index of a byte = its high hex nibble). */
+    * oracle can recompute it byte-for-byte from the hex of the CONTENT
+    * bytes (bin index of a byte = its high hex nibble) — decode strips
+    * the container, so the oracle never sees header bytes. */
   private val q54: Q = (s, d) => {
     val media = Multimodal.mediaTable(Tables.documents(s, d))
     Multimodal.extractFeatures(s, media).toDF()
@@ -427,11 +430,14 @@ object ExtQueries {
       .orderBy("check")
   }
 
-  /** q59 — video-style frame sampling over binary payloads: tiling
-    * metadata is deterministic and oracle-checked. */
+  /** q59 — video-style frame sampling over binary payloads: the
+    * container is REALLY decoded first (frames are positions in the
+    * CONTENT — tiling the container would shear every boundary by the
+    * header width); tiling metadata is deterministic and
+    * oracle-checked. */
   private val q59: Q = (s, d) =>
     Multimodal.sampleFrames(
-      Multimodal.mediaTable(Tables.documents(s, d)),
+      Multimodal.decodeMedia(Multimodal.mediaTable(Tables.documents(s, d))),
       frameBytes = 64, stride = 2)
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
       .orderBy("doc_id", "frame_idx")

@@ -7,26 +7,89 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("media table: payload round-trips the source bytes") {
+  test("media table: payloads are REAL WAV containers whose decoded " +
+    "samples round-trip the source bytes, and the Catalyst container " +
+    "writer is byte-identical to the Scala codec") {
     val docs = Tables.documents(spark, sf0001).limit(20)
     val media = Multimodal.mediaTable(docs)
+    // decode(container) == source text, on every row
     val bad = media.join(docs, "doc_id")
-      .filter(decode(col("payload"), "UTF-8") =!= col("text")).count()
+      .filter(decode(graft.functions.WavSamples
+        .wav_samples(col("payload")), "UTF-8") =!= col("text")).count()
     assert(bad == 0)
     assert(media.filter(col("n_bytes") <= 0).count() == 0)
+    // container anatomy: RIFF magic, 44-byte header + content + pad
+    assert(media
+      .filter(substring(col("payload"), 1, 4) =!=
+        lit("RIFF".getBytes("US-ASCII"))).count() == 0)
+    assert(media.filter(length(col("payload")) =!=
+      col("n_bytes") + 44 + pmod(col("n_bytes"), lit(2))).count() == 0)
+    // the two writers cannot drift: Catalyst bytes == Scala bytes
+    media.join(docs, "doc_id").select(col("payload"), col("text"))
+      .as[(Array[Byte], String)].collect().foreach { case (p, t) =>
+        assert(p.toSeq ==
+          graft.functions.WavCodecUtil.encode(t.getBytes("UTF-8")).toSeq)
+      }
   }
 
-  test("fakeDecode: deterministic, L1-normalized 16-bin histogram") {
-    val f1 = Multimodal.fakeDecode("hello world".getBytes("UTF-8"))
-    val f2 = Multimodal.fakeDecode("hello world".getBytes("UTF-8"))
+  test("WavCodec: encode/decode round-trips (odd, even, empty), and a " +
+    "HAND-WRITTEN container with a foreign chunk decodes via real " +
+    "chunk walking — not a fixed-offset strip") {
+    import graft.functions.WavCodecUtil
+    for (n <- Seq(0, 1, 2, 7, 100, 101)) {
+      val samples = Array.tabulate[Byte](n)(i => (i * 37 + 5).toByte)
+      val wav = WavCodecUtil.encode(samples)
+      assert(wav.length == 44 + n + (n & 1)) // canonical header + pad
+      assert(WavCodecUtil.samples(wav).toSeq == samples.toSeq)
+    }
+    // hand-written fixture: RIFF( WAVE fmt [LIST junk] data ) — the
+    // LIST chunk (odd-sized, so padded) sits BETWEEN fmt and data;
+    // only a parser that actually walks chunks finds the samples
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte)
+    val data = "abcde".getBytes("US-ASCII") // 5 samples, odd
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++
+      le16(8)
+    val junk = "LIST".getBytes("US-ASCII") ++ le32(3) ++
+      Array[Byte](9, 9, 9, 0) // odd size 3 + pad byte
+    val dataCk = "data".getBytes("US-ASCII") ++ le32(5) ++ data ++
+      Array[Byte](0) // odd size 5 + pad byte
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ junk ++ dataCk
+    val handWritten = "RIFF".getBytes("US-ASCII") ++
+      le32(body.length) ++ body
+    assert(WavCodecUtil.samples(handWritten).toSeq == data.toSeq)
+    // malformed inputs fail LOUDLY with the reason
+    def rejects(bytes: Array[Byte], why: String): Unit = {
+      val e = intercept[Exception](WavCodecUtil.samples(bytes))
+      assert(e.getMessage.contains(why), e.getMessage)
+    }
+    rejects("JUNKJUNKJUNK".getBytes("US-ASCII"), "not a RIFF file")
+    rejects("RIFF".getBytes("US-ASCII") ++ le32(999) ++
+      "WAVE".getBytes("US-ASCII"), "size field")
+    val good = WavCodecUtil.encode("hello".getBytes("US-ASCII"))
+    rejects(good.dropRight(3), "size field") // truncated file
+    val stereo = good.clone(); stereo(22) = 2 // channels = 2
+    rejects(stereo, "unsupported WAV profile")
+    rejects("RIFF".getBytes("US-ASCII") ++ le32(4 + fmt.length) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt, "no data chunk")
+  }
+
+  test("byteHistogram: deterministic, L1-normalized 16-bin histogram") {
+    val f1 = Multimodal.byteHistogram("hello world".getBytes("UTF-8"))
+    val f2 = Multimodal.byteHistogram("hello world".getBytes("UTF-8"))
     assert(f1.toSeq == f2.toSeq)
     assert(f1.length == 16)
     assert(math.abs(f1.sum - 1.0f) < 1e-5)
   }
 
-  test("sampleFrames: frames tile the payload; stride samples correctly") {
+  test("sampleFrames: frames tile the DECODED content; stride samples " +
+    "correctly") {
     val docs = Tables.documents(spark, sf0001).limit(10)
-    val media = Multimodal.mediaTable(docs)
+    val media = Multimodal.decodeMedia(Multimodal.mediaTable(docs))
     val all = Multimodal.sampleFrames(media, frameBytes = 64, stride = 1)
     // frames tile the payload exactly: byte totals and frame counts match
     val bad = all.groupBy("doc_id")
@@ -148,6 +211,8 @@ class MultimodalSpec extends SparkSpec {
     // 600-byte draw had ONE cut — so the spec sizes the block to make
     // the property statistical, not luck)
     val block = rand(2000)
+    // content framed in REAL WAV containers — cdcDedupPairs decodes
+    // before chunking, so the overlap laws hold on the content
     val media = Seq(
       (0L, rand(300) ++ block ++ rand(300)), // container A
       (1L, rand(300) ++ block ++ rand(300)), // container B (different
@@ -155,6 +220,7 @@ class MultimodalSpec extends SparkSpec {
       (2L, block),                           // the embedded clip
       (3L, rand(2000)))                      // unrelated
       .toDF("doc_id", "payload")
+      .withColumn("payload", Multimodal.wavEncode(col("payload")))
     val pairs = Multimodal.cdcDedupPairs(media, "doc_id",
         divisor = 32, threshold = 0.5, maxDf = 100)
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
@@ -167,6 +233,7 @@ class MultimodalSpec extends SparkSpec {
     // exact duplicates: identical payloads → overlap exactly 1.0
     val dup = Seq((0L, block), (1L, block))
       .toDF("doc_id", "payload")
+      .withColumn("payload", Multimodal.wavEncode(col("payload")))
     val dp = Multimodal.cdcDedupPairs(dup, "doc_id",
         divisor = 32, threshold = 0.5, maxDf = 100)
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq

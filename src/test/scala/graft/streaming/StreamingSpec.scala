@@ -526,4 +526,119 @@ class StreamingSpec extends SparkSpec {
     assert(folded == batch)
     assert(batch.nonEmpty)
   }
+
+  test("COMPOSED streaming lifecycle (round-12 item 4): ONE scenario " +
+    "drives arriving docs through flags -> cluster assignment -> " +
+    "upsert deltas folded into the TRANSACTIONAL partitioned state -> " +
+    "a streamed takedown, and the final persisted index equals the " +
+    "batch chain on the same inputs and the fresh rebuild over the " +
+    "retained docs (withheld-tail contract stated per level)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 3)
+    val arriving = docs.filter(col("doc_id") % 5 === 3)
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    // ---- persisted corpus state the stream runs against: text index
+    // + cluster table (the flags/assignment probe side), fingerprint
+    // postings in the partitioned StateStore (the maintained state) ----
+    val shIndex = graft.ext.Dedup.corpusShingleIndex(corpus, "doc_id",
+      "text", k = 3, maxDf = 100).localCheckpoint(eager = true)
+    val clusters0 = graft.ext.Dedup.dupClusters(
+      graft.ext.Dedup.jaccardPairs(corpus, "doc_id", "text", k = 3,
+        threshold = 0.1, maxDf = 100).select("id_a", "id_b"),
+      corpus.select("doc_id"), "doc_id").localCheckpoint(eager = true)
+    val corpusFps = graft.ext.Multimodal.blockhashFingerprints(
+        graft.ext.Multimodal.mediaTable(corpus), "doc_id", blocks = 32)
+      .localCheckpoint(eager = true)
+    val idx0 = graft.ext.Dedup.corpusFingerprintIndex(corpusFps,
+      bits = 32, slices = 4)._1.localCheckpoint(eager = true)
+    val nb = 16
+    val dir = java.nio.file.Files.createTempDirectory("graft_slife")
+      .toFile.getAbsolutePath + "/postings"
+    graft.ext.Dedup.writePostingsIndexPartitioned(idx0, dir,
+      Seq("sl", "sv"), nb)
+    // ---- level 1, FLAGS (one windowed agg => the max-event-time
+    // doc's window may withhold): stream == batch on closed docs ----
+    val batchFlags = graft.ext.Dedup.incrementalFlags(arriving, shIndex,
+        "doc_id", "text", k = 3, threshold = 0.1, maxDf = 100)
+      .collect().toSet
+    val streamedFlags = StreamingOps.runStreamingDocs(spark, sf0001,
+      s => StreamingOps.streamingIncrementalFlags(
+        s.filter(col("doc_id") % 5 === 3), shIndex,
+        k = 3, threshold = 0.1, maxDf = 100),
+      "t_life_flags").collect().toSet
+    def flagDoc(r: org.apache.spark.sql.Row): Long = {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (a % 5 == 3) a else b
+    }
+    assert(streamedFlags.subsetOf(batchFlags))
+    val closedFlags = batchFlags.filter(flagDoc(_) < maxId - 1)
+    assert(closedFlags.nonEmpty && closedFlags.subsetOf(streamedFlags))
+    // ---- level 2, ASSIGNMENT (window-of-window => TWO trailing
+    // windows may withhold): stream == batch on closed docs ----
+    val batchAssign = graft.ext.Dedup.assignClusters(arriving, shIndex,
+        clusters0, "doc_id", "text", k = 3, threshold = 0.1,
+        maxDf = 100)
+      .as[(Long, Long)].collect().toMap
+    val streamedAssign = StreamingOps.runStreamingDocs(spark, sf0001,
+      s => StreamingOps.streamingAssignClusters(
+        s.filter(col("doc_id") % 5 === 3), shIndex, clusters0,
+        k = 3, threshold = 0.1, maxDf = 100),
+      "t_life_assign").as[(Long, Long)].collect().toMap
+    assert(streamedAssign.toSet.subsetOf(batchAssign.toSet))
+    val closedIds = batchAssign.keySet.filter(_ < maxId - 1)
+    assert(closedIds.nonEmpty && closedIds.forall(id =>
+      streamedAssign.get(id).contains(batchAssign(id))))
+    // ---- level 3, UPSERT DELTAS (stateless map-only feed => NO
+    // withheld tail) folded into the partitioned state through the
+    // atomic manifest swap ----
+    val upsertFeed = StreamingOps.runStreamingDocs(spark, sf0001,
+      s => StreamingOps.streamingUpsertPostings(
+        s.filter(col("doc_id") % 5 === 3), bits = 32, slices = 4),
+      "t_life_upsert").localCheckpoint(eager = true)
+    graft.ext.Dedup.upsertPostingsIndexPartitioned(dir, upsertFeed,
+      Seq("sl", "sv"), nb)
+    // ---- level 4, TAKEDOWN (stateless stream-static join => NO
+    // withheld tail): deletion ids arrive as a stream, their deltas
+    // derive from the post-upsert fingerprint table, and the
+    // retraction commits through the same swap ----
+    val fps1 = corpusFps.unionByName(
+        graft.ext.Multimodal.blockhashFingerprints(
+          graft.ext.Multimodal.mediaTable(arriving), "doc_id",
+          blocks = 32))
+      .localCheckpoint(eager = true)
+    val takedownFeed = StreamingOps.runStreamingDocs(spark, sf0001,
+      s => StreamingOps.streamingRetractPostings(
+        s.filter(col("doc_id") % 7 === 2)
+          .select(col("doc_id").as("pid")),
+        fps1, bits = 32, slices = 4),
+      "t_life_takedown").localCheckpoint(eager = true)
+    graft.ext.Dedup.retractPostingsIndexPartitioned(dir, takedownFeed,
+      Seq("sl", "sv"), nb)
+    // ---- final state: the partitioned store equals the in-memory
+    // batch chain (q251 upsert then q252 takedown) AND the fresh
+    // rebuild over the retained docs — the whole streamed lifecycle
+    // left exactly the state the batch lifecycle leaves ----
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("sl", "sv", "cpids")
+        .as[(Int, Long, Seq[Long])].collect().toSet
+    val batchChain = graft.ext.Dedup.retractPostingsIndex(
+      graft.ext.Dedup.upsertPostingsIndex(idx0,
+        graft.ext.Dedup.fingerprintPostings(
+          fps1.join(arriving.select(col("doc_id").as("pid")),
+            Seq("pid"), "left_semi"), bits = 32, slices = 4),
+        Seq("sl", "sv")),
+      graft.ext.Dedup.fingerprintPostings(
+        fps1.filter(col("pid") % 7 === 2), bits = 32, slices = 4),
+      Seq("sl", "sv"))
+    val finalState = rows(graft.ext.StateStore.readAll(spark, dir))
+    assert(finalState == rows(batchChain))
+    val retainedFps = graft.ext.Multimodal.blockhashFingerprints(
+      graft.ext.Multimodal.mediaTable(
+        docs.filter(col("doc_id") % 7 =!= 2)), "doc_id", blocks = 32)
+    assert(finalState == rows(graft.ext.Dedup.corpusFingerprintIndex(
+      retainedFps, bits = 32, slices = 4)._1))
+    assert(finalState.nonEmpty && takedownFeed.count() > 0)
+  }
 }

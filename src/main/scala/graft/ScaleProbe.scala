@@ -428,6 +428,149 @@ object ScaleProbe {
       })
   }
 
+  /** PARTITIONED-STATE cells (round-12 verdict item 3): measure the
+    * bucket-pruned maintenance forms against the full-rewrite forms,
+    * state held at scale (rows ∝ m), delta held CONSTANT — the
+    * production recrawl shape. The state is SYNTHETIC (spark.range):
+    * a banded posting index of m·1M singleton-list keys and a cluster
+    * table of m·1M singleton rows, because the real 32-bit blockhash
+    * index is KEY-SPACE-BOUNDED (4 slices × 256 slice values = ≤1024
+    * rows no matter the corpus — a first probe run measured its full
+    * rewrite flat at ~0.4 s to ×30, which says "widen the fingerprint
+    * with the corpus", the q250x dial, not "partitioning wins").
+    * Deltas: 32 fixed keys (upsert merges new pids in; retract empties
+    * exactly those keys) and 8 fixed cluster merges — identical at
+    * every scale, ids chosen inside the ×1 key space so they exist at
+    * all scales.
+    *
+    * Protocol: one pristine state build per scale, memoized under
+    * `_STATE_OK` (the probe's min-of-two sampling then reports
+    * maintenance-only cost — sample 1 pays the build); full-rewrite
+    * comparators read the plain-parquet state and write their merge to
+    * scratch (the honest read-everything-write-everything cost, input
+    * never mutated); partitioned cells RESET to snapshot v1 via
+    * [[graft.ext.StateStore.rollbackTo]] at sample start (manifest
+    * deletes + vacuum — the cheap direction of immutable generations),
+    * so every sample runs against identical state.
+    *
+    * Expected laws, written down BEFORE measurement: full rewrite
+    * reads+writes ∝ m. The partitioned form reads+writes only the
+    * delta's buckets — touched-bucket COUNT is delta-bounded and flat
+    * (the `rows` column records it), but at FIXED numBuckets (256)
+    * each bucket's volume grows ∝ m, so partitioned cost is ∝ m with a
+    * ≈ NB/touched constant-factor win over full; holding PER-BUCKET
+    * volume constant (numBuckets ∝ corpus — the production dial, the
+    * same occupancy-normalized law as q245x/q250x) is what makes
+    * maintenance flat. There is also a fixed per-cycle protocol
+    * overhead (manifest IO, commit, audits — a dozen small Spark jobs)
+    * that dominates BELOW a state-size crossover; whatever the numbers
+    * say about where that crossover sits goes in docs/SCALE.md. */
+  private val StNb = 256
+  private val StRows = 1000000L // per ×1 replica
+
+  private def rmrf(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** The constant deltas: 32 posting keys / 8 cluster merges, all
+    * inside the ×1 key space (31337 is odd ⇒ no collisions mod 1M
+    * among 32 multiples; new ids start at 10⁹ ≫ any scale's ids). */
+  private def deltaKeys: Seq[Long] =
+    (0 until 32).map(j => j * 31337L % StRows)
+
+  /** Build (once per scale) the pristine synthetic states + deltas —
+    * marker-memoized like the fixture generators. */
+  private def ensureState(s: SparkSession, root: String, m: Int)
+      : Unit = {
+    val ok = new java.io.File(s"$root/_STATE_OK")
+    if (ok.exists()) return
+    rmrf(s, root)
+    new java.io.File(root).mkdirs()
+    import s.implicits._
+    // banded posting index: key → [key] (one posting per key — the
+    // realistic production shape where a fingerprint at honest width
+    // has ~one key per doc)
+    val idx = s.range(m * StRows)
+      .select(col("id").as("bk"), array(col("id")).as("cpids"))
+    idx.write.parquet(s"$root/post_full")
+    Dedup.writePostingsIndexPartitioned(s.read.parquet(s"$root/post_full"),
+      s"$root/post_part", Seq("bk"), StNb)
+    // constant deltas
+    deltaKeys.map(k => (k, 1000000000L + k)).toDF("bk", "pid")
+      .write.parquet(s"$root/post_up")
+    deltaKeys.map(k => (k, k)).toDF("bk", "pid")
+      .write.parquet(s"$root/post_del")
+    // cluster table: m·1M singletons
+    val clusters0 = s.range(m * StRows)
+      .select(col("id"), col("id").as("cluster"))
+    clusters0.write.parquet(s"$root/clu_full")
+    Dedup.writeClustersPartitioned(s.read.parquet(s"$root/clu_full"),
+      s"$root/clu_part", "id", StNb)
+    deltaKeys.take(8).map(k => (1000000000L + k, k))
+      .toDF("id_a", "id_b").write.parquet(s"$root/clu_pairs")
+    deltaKeys.take(8).map(k => 1000000000L + k).toDF("id")
+      .write.parquet(s"$root/clu_ids")
+    ok.createNewFile()
+    ()
+  }
+
+  private def resetPart(s: SparkSession, root: String): Unit =
+    if (graft.ext.StateStore.current(s, root).version != 1L)
+      graft.ext.StateStore.rollbackTo(s, root, 1L)
+
+  private def stateProbes(out: String, m: Int)
+      : Seq[(String, (SparkSession, String) => DataFrame)] = {
+    def withState(s: SparkSession): String = {
+      val root = s"$out/state/x$m"; ensureState(s, root, m); root
+    }
+    Seq(
+      "statef_post_upsert" -> { (s: SparkSession, _: String) =>
+        val r = withState(s)
+        Dedup.upsertPostingsIndex(s.read.parquet(s"$r/post_full"),
+            s.read.parquet(s"$r/post_up"), Seq("bk"))
+          .write.mode("overwrite").parquet(s"$r/scratch_pu")
+        s.range(1).toDF()
+      },
+      "statep_post_upsert" -> { (s: SparkSession, _: String) =>
+        val r = withState(s); resetPart(s, s"$r/post_part")
+        val touched = Dedup.upsertPostingsIndexPartitioned(
+          s"$r/post_part", s.read.parquet(s"$r/post_up"),
+          Seq("bk"), StNb)
+        s.range(touched.size.toLong).toDF() // rows = touched buckets
+      },
+      "statef_post_retract" -> { (s: SparkSession, _: String) =>
+        val r = withState(s)
+        Dedup.retractPostingsIndex(s.read.parquet(s"$r/post_full"),
+            s.read.parquet(s"$r/post_del"), Seq("bk"))
+          .write.mode("overwrite").parquet(s"$r/scratch_pr")
+        s.range(1).toDF()
+      },
+      "statep_post_retract" -> { (s: SparkSession, _: String) =>
+        val r = withState(s); resetPart(s, s"$r/post_part")
+        val touched = Dedup.retractPostingsIndexPartitioned(
+          s"$r/post_part", s.read.parquet(s"$r/post_del"),
+          Seq("bk"), StNb)
+        s.range(touched.size.toLong).toDF()
+      },
+      "statef_clu_upsert" -> { (s: SparkSession, _: String) =>
+        val r = withState(s)
+        Dedup.upsertClusters(s.read.parquet(s"$r/clu_full"),
+            s.read.parquet(s"$r/clu_pairs"),
+            s.read.parquet(s"$r/clu_ids"), "id")
+          .write.mode("overwrite").parquet(s"$r/scratch_cu")
+        s.range(1).toDF()
+      },
+      "statep_clu_upsert" -> { (s: SparkSession, _: String) =>
+        val r = withState(s); resetPart(s, s"$r/clu_part")
+        val rep = Dedup.upsertClustersPartitioned(s"$r/clu_part",
+          s.read.parquet(s"$r/clu_pairs"),
+          s.read.parquet(s"$r/clu_ids"), "id", StNb)
+        s.range(rep.touched.size.toLong).toDF()
+      })
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
@@ -475,10 +618,12 @@ object ScaleProbe {
     // adding a regime never forces re-measuring the other's committed
     // exponents.
     val cellSet = sys.env.getOrElse("SPARK_GRAFT_PROBE_CELLS", "all")
-    require(Set("dense", "sparse", "all")(cellSet),
-      s"SPARK_GRAFT_PROBE_CELLS must be dense|sparse|all, got $cellSet")
-    val withDense = cellSet != "sparse"
-    val withSparse = cellSet != "dense"
+    require(Set("dense", "sparse", "state", "all")(cellSet),
+      s"SPARK_GRAFT_PROBE_CELLS must be dense|sparse|state|all, " +
+        s"got $cellSet")
+    val withDense = cellSet == "dense" || cellSet == "all"
+    val withSparse = cellSet == "sparse" || cellSet == "all"
+    val withState = cellSet == "state" || cellSet == "all"
 
     val dirs =
       if (withDense)
@@ -503,7 +648,11 @@ object ScaleProbe {
         if (withSparse)
           sparseProbes(m).map { case (n, f) => (n, f, sparseDirs(m)) }
         else Nil
-      dense ++ sparse
+      val state = // synthetic state — the data dir is unused
+        if (withState)
+          stateProbes(out, m).map { case (n, f) => (n, f, base) }
+        else Nil
+      dense ++ sparse ++ state
     }
 
     // warm-up: same plans, small data, separate scratch namespace
@@ -516,7 +665,8 @@ object ScaleProbe {
       (if (withDense)
         ProbeNames.map(byName) ++ extraProbes(1).map(_._2)
       else Nil) ++
-        (if (withSparse) sparseProbes(1).map(_._2) else Nil)
+        (if (withSparse) sparseProbes(1).map(_._2) else Nil) ++
+        (if (withState) stateProbes(out, 1).map(_._2) else Nil)
     warmCells.foreach { fn =>
       try run(fn, warmDir) catch { case _: Throwable => }
     }

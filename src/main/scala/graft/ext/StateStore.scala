@@ -321,6 +321,31 @@ object StateStore {
         Seq(bucket))))
   }
 
+  /** Roll the store back to an earlier committed snapshot — possible
+    * (and CHEAP: manifest-file deletes plus a [[vacuum]], no data
+    * copied) precisely because generations are immutable and every
+    * manifest is self-contained. The table-format "time travel"
+    * capability, used operationally to abandon a bad maintenance cycle
+    * and by the scale probe to reset state between timed samples.
+    * Writer-side verb under the single-writer contract; rolls forward
+    * nothing — `version` must be a still-present manifest. */
+  def rollbackTo(spark: SparkSession, root: String, version: Long)
+      : Unit = {
+    val (fs, rp) = fsOf(spark, root)
+    require(fs.exists(new Path(rp, manifestName(version))),
+      s"cannot roll back to v$version under $root: manifest missing " +
+        "(already vacuumed?)")
+    fs.listStatus(rp).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".txt") &&
+        n.stripPrefix("manifest-").stripSuffix(".txt").toLong > version)
+      .foreach { n =>
+        require(fs.delete(new Path(rp, n), false),
+          s"rollback failed deleting $n")
+      }
+    vacuum(spark, root)
+    ()
+  }
+
   /** Garbage-collect everything no committed snapshot needs: data
     * generations the CURRENT manifest doesn't reference (including the
     * orphan a crashed commit left), manifests older than current, and

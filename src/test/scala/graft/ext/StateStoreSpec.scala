@@ -149,6 +149,33 @@ class StateStoreSpec extends SparkSpec {
     assert(StateStore.current(spark, dir).version == v)
   }
 
+  test("rollbackTo: a later maintenance cycle is abandoned CHEAPLY " +
+    "(manifest deletes + vacuum, no data copied) and the earlier " +
+    "snapshot reads back exactly; vacuumed history refuses rollback") {
+    val nb = 8
+    val dir = tmp("graft_ss_rb")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb)
+    val v1Rows = fpRows(StateStore.readAll(spark, dir))
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 999L), (50L, 5L)).toDF("pid", "fp"), "pid", nb)
+    assert(fpRows(StateStore.readAll(spark, dir)) != v1Rows)
+    StateStore.rollbackTo(spark, dir, 1L)
+    assert(StateStore.current(spark, dir).version == 1L)
+    assert(fpRows(StateStore.readAll(spark, dir)) == v1Rows)
+    // the abandoned generation is gone; the store keeps working
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((2L, 222L)).toDF("pid", "fp"), "pid", nb)
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      v1Rows.filterNot(_._1 == 2L) + (2L -> 222L))
+    // vacuum drops manifest v1 -> rolling back to it must refuse
+    StateStore.vacuum(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      StateStore.rollbackTo(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("manifest missing"))
+  }
+
   test("a table whose every bucket empties stays READABLE with its " +
     "schema (manifest carries the schema, not the files), and a " +
     "subsequent upsert repopulates it") {

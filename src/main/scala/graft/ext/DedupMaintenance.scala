@@ -387,6 +387,7 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
       batchPostings: DataFrame, keyCols: Seq[String], numBuckets: Int)
       : Seq[Int] = {
     val spark = batchPostings.sparkSession
+    StateStore.requireNumBuckets(spark, statePath, numBuckets)
     val delta = batchPostings
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_set(col("pid"))).as("bpids"))
@@ -428,6 +429,7 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
       deletedPostings: DataFrame, keyCols: Seq[String], numBuckets: Int)
       : Seq[Int] = {
     val spark = deletedPostings.sparkSession
+    StateStore.requireNumBuckets(spark, statePath, numBuckets)
     val delta = deletedPostings
       .groupBy(keyCols.map(col): _*)
       .agg(collect_set(col("pid")).as("dpids"))
@@ -521,6 +523,7 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
       newIds: DataFrame, idCol: String, numBuckets: Int)
       : ClusterMaintenanceReport = {
     val spark = newPairs.sparkSession
+    StateStore.requireNumBuckets(spark, statePath, numBuckets)
     def bucketOf(c: Column): Column = pmod(hash(c), lit(numBuckets))
     // every id whose current label or presence the merge must know
     val probeIds = newPairs.select(col("id_a").as("id"))
@@ -543,16 +546,23 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
     val curT = StateStore
       .readBuckets(spark, statePath, ClustersByLabel, touched)
       .drop("pbucket")
-    val merged = curT
+    // ONE relabel pass over the touched buckets feeds BOTH the primary
+    // merge and the projection delta (review fix: deriving `changed`
+    // from a second curT⋈mapping join re-read the touched buckets —
+    // the hot path the partitioning exists to bound)
+    val relabel = curT
       .join(mapping, curT("cluster") === mapping("lbl"), "left")
+      .select(col(idCol), col("new_lbl"),
+        curT("cluster").as("old_cluster"))
+      .localCheckpoint(eager = true) // memo: merged AND changed
+    val merged = relabel
       .select(col(idCol),
-        coalesce(col("new_lbl"), curT("cluster")).as("cluster"))
+        coalesce(col("new_lbl"), col("old_cluster")).as("cluster"))
       .unionByName(batchOut.select(col("id").as(idCol), col("cluster")))
       .withColumn("pbucket", bucketOf(col("cluster")))
     // projection delta: exactly the rows whose label changed — the
-    // relabeled corpus rows (inner mapping join) plus the batch rows
-    val changed = curT
-      .join(mapping, curT("cluster") === mapping("lbl"))
+    // relabeled corpus rows (non-null new_lbl) plus the batch rows
+    val changed = relabel.filter(col("new_lbl").isNotNull)
       .select(col(idCol), col("new_lbl").as("cluster"))
       .unionByName(batchOut.select(col("id").as(idCol), col("cluster")))
       .localCheckpoint(eager = true) // memo: projTouched AND projMerged
@@ -599,6 +609,7 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
       deletedIds: DataFrame, idCol: String, numBuckets: Int)
       : ClusterMaintenanceReport = {
     val spark = deletedIds.sparkSession
+    StateStore.requireNumBuckets(spark, statePath, numBuckets)
     def bucketOf(c: Column): Column = pmod(hash(c), lit(numBuckets))
     val del = deletedIds.select(col(idCol).as("id"))
       .dropDuplicates("id")
@@ -709,6 +720,7 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
   def upsertIdKeyedStatePartitioned(statePath: String,
       freshRows: DataFrame, idCol: String, numBuckets: Int): Seq[Int] = {
     val spark = freshRows.sparkSession
+    StateStore.requireNumBuckets(spark, statePath, numBuckets)
     val fresh = freshRows
       .withColumn("pbucket", pmod(hash(col(idCol)), lit(numBuckets)))
       .localCheckpoint(eager = true) // memo: touched AND merge
@@ -734,6 +746,7 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
   def retractIdKeyedStatePartitioned(statePath: String,
       deletedIds: DataFrame, idCol: String, numBuckets: Int): Seq[Int] = {
     val spark = deletedIds.sparkSession
+    StateStore.requireNumBuckets(spark, statePath, numBuckets)
     val del = deletedIds.select(col(idCol)).dropDuplicates(idCol)
       .withColumn("pbucket", pmod(hash(col(idCol)), lit(numBuckets)))
       .localCheckpoint(eager = true) // memo: touched, merge, audit

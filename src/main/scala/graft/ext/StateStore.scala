@@ -202,6 +202,10 @@ object StateStore {
     require(currentVersion(fs, rp).isEmpty,
       s"$root already holds a committed StateStore manifest")
     val gen = genName(1L)
+    // a crashed earlier create can have left this generation's data
+    // without its manifest — uncommitted by construction (no manifest
+    // references it), so the retry clears and rewrites it
+    if (fs.exists(new Path(rp, gen))) fs.delete(new Path(rp, gen), true)
     val bs = tables.map { case (t, df) =>
       df.write.mode("errorifexists").partitionBy("pbucket")
         .parquet(new Path(rp, s"$gen/$t").toString)
@@ -248,6 +252,20 @@ object StateStore {
     else parts.reduce(_ unionByName _)
   }
 
+  /** Require the caller's bucket-space width to match the one the
+    * store was created with — a mismatched modulus would prune the
+    * WRONG buckets and silently duplicate keys (the mis-partitioned-
+    * merge bug class the commit contract exists to catch; this catches
+    * it before any data moves). Every partitioned maintenance op calls
+    * this first. */
+  def requireNumBuckets(spark: SparkSession, root: String,
+      numBuckets: Int): Unit = {
+    val m = current(spark, root)
+    require(m.numBuckets == numBuckets,
+      s"$root was created with numBuckets=${m.numBuckets} but the " +
+        s"caller passed $numBuckets — the pruning moduli would disagree")
+  }
+
   /** Single-table sugar for [[readBuckets]]. */
   def readBuckets(spark: SparkSession, root: String, buckets: Seq[Int])
       : DataFrame = readBuckets(spark, root, T, buckets)
@@ -279,6 +297,11 @@ object StateStore {
         s"commit to unknown table '$t' under $root")
     }
     val gen = genName(cur.version + 1)
+    // a crashed earlier commit can have left gen (cur.version+1) fully
+    // or partially written without publishing its manifest; under the
+    // single-writer contract nothing references it, so the retried
+    // cycle clears and rewrites it — retry needs no manual vacuum
+    if (fs.exists(new Path(rp, gen))) fs.delete(new Path(rp, gen), true)
     val newBuckets = cur.buckets.map { case (t, old) =>
       writes.get(t) match {
         case None => t -> old
@@ -328,7 +351,8 @@ object StateStore {
     * capability, used operationally to abandon a bad maintenance cycle
     * and by the scale probe to reset state between timed samples.
     * Writer-side verb under the single-writer contract; rolls forward
-    * nothing — `version` must be a still-present manifest. */
+    * nothing — `version` must be a still-present manifest, i.e. not
+    * yet forfeited to [[vacuum]] (the spec pins the refusal). */
   def rollbackTo(spark: SparkSession, root: String, version: Long)
       : Unit = {
     val (fs, rp) = fsOf(spark, root)
@@ -346,12 +370,18 @@ object StateStore {
     ()
   }
 
-  /** Garbage-collect everything no committed snapshot needs: data
-    * generations the CURRENT manifest doesn't reference (including the
-    * orphan a crashed commit left), manifests older than current, and
-    * stale dot-tmp files. Returns the deleted names. Run by the state
-    * owner between cycles — under the single-writer contract nothing
-    * can be mid-commit while it runs. */
+  /** Garbage-collect everything the CURRENT snapshot doesn't need:
+    * data generations its manifest doesn't reference (including the
+    * orphan a crashed commit left), SUPERSEDED manifests, and stale
+    * dot-tmp files. Returns the deleted names. Run by the state owner
+    * between cycles — under the single-writer contract nothing can be
+    * mid-commit while it runs. THE TRADE, stated plainly: superseded
+    * manifests are what [[rollbackTo]] rolls back to, so vacuuming
+    * FORFEITS rollback to everything before the current snapshot
+    * (table formats expose this as a retention window; this store's
+    * dial is simply "vacuum once you no longer need the history" —
+    * crash recovery never needs it, because a crashed commit is
+    * invisible rather than rolled back). */
   def vacuum(spark: SparkSession, root: String): Seq[String] = {
     val (fs, rp) = fsOf(spark, root)
     val cur = current(spark, root)

@@ -111,7 +111,10 @@ object WavCodecUtil {
     while (off + 8 <= bytes.length) {
       val id = ascii(bytes, off)
       val sz = le32(bytes, off + 4)
-      require(sz >= 0 && off + 8 + sz <= bytes.length,
+      // long arithmetic: a hostile ~2^31 size would wrap an int sum
+      // negative and sail past the guard (the failure would still be
+      // an exception, but an uncontrolled one, not this diagnostic)
+      require(sz >= 0 && off + 8L + sz <= bytes.length,
         s"truncated '$id' chunk at offset $off: size $sz overruns " +
           s"${bytes.length}-byte file")
       id match {
@@ -133,6 +136,7 @@ object WavCodecUtil {
                   // real RIFF reader
       }
       off += 8 + sz + (sz & 1) // odd chunk sizes pad to even offsets
+                               // (bounded by the long-checked guard)
     }
     sys.error("no data chunk found in WAVE file")
   }

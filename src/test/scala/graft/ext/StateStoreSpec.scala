@@ -39,15 +39,18 @@ class StateStoreSpec extends SparkSpec {
     // the crashed cycle is invisible: same version, same rows
     assert(StateStore.current(spark, dir).version == v0)
     assert(fpRows(StateStore.readAll(spark, dir)) == before)
-    // the orphan generation (and its tmp manifest) are reclaimable
-    val removed = StateStore.vacuum(spark, dir)
-    assert(removed.exists(_.startsWith("gen-")))
-    assert(fpRows(StateStore.readAll(spark, dir)) == before)
-    // the retried cycle lands; batch wins over the stale pid-2 row
+    // the retried cycle lands WITHOUT any manual cleanup — the commit
+    // clears the crashed attempt's orphaned generation itself (review
+    // fix: errorifexists on the stale dir used to block every retry)
     Dedup.upsertIdKeyedStatePartitioned(dir, batch, "pid", nb)
     assert(fpRows(StateStore.readAll(spark, dir)) ==
       before.filterNot(_._1 == 2L) + (2L -> 999L) + (100L -> 111L))
     assert(StateStore.current(spark, dir).version == v0 + 1)
+    // vacuum afterwards reclaims the superseded manifest; reads stable
+    val removed = StateStore.vacuum(spark, dir)
+    assert(removed.exists(_.startsWith("manifest-")))
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      before.filterNot(_._1 == 2L) + (2L -> 999L) + (100L -> 111L))
   }
 
   test("CRASH INJECTION on the two-table cluster state: primary AND " +
@@ -71,7 +74,7 @@ class StateStoreSpec extends SparkSpec {
     } finally StateStore.FailPoints.beforeManifestSwap = false
     assert(rows(Dedup.ClustersByLabel) == before)
     assert(rows(Dedup.ClustersById) == before)
-    StateStore.vacuum(spark, dir)
+    // retry directly — no vacuum needed (the commit clears the orphan)
     Dedup.upsertClustersPartitioned(dir, newPairs, newIds, "id", nb)
     val expected = Dedup.upsertClusters(clusters0, newPairs, newIds,
       "id").select("id", "cluster").as[(Long, Long)].collect().toSet
@@ -147,6 +150,22 @@ class StateStoreSpec extends SparkSpec {
     val v = StateStore.current(spark, dir).version
     StateStore.compactBucket(spark, dir, nb + 7)
     assert(StateStore.current(spark, dir).version == v)
+  }
+
+  test("a mismatched numBuckets is REJECTED before any data moves — " +
+    "the wrong-modulus pruning bug that would silently duplicate keys") {
+    val dir = tmp("graft_ss_nb")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", 8)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.upsertIdKeyedStatePartitioned(dir,
+        Seq((1L, 2L)).toDF("pid", "fp"), "pid", 16)
+    }
+    assert(e.getMessage.contains("numBuckets=8"))
+    // nothing changed
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      (1L to 20L).map(i => i -> i).toSet)
+    assert(StateStore.current(spark, dir).version == 1L)
   }
 
   test("rollbackTo: a later maintenance cycle is abandoned CHEAPLY " +

@@ -203,6 +203,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("blockhash"), p) // the native kernel, not a UDF
+    // the round-13 REAL container decode composes as a second codegen
+    // scalar in the same projection — no UDF, no typed round-trip, no
+    // extra exchange anywhere in the plan
+    assert(p.contains("wavsamples"), p)
     assert(p.contains("bit_count"), p) // exact verify stays in-plan
   }
 

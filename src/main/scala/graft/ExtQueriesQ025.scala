@@ -421,14 +421,17 @@ private[graft] trait ExtQueriesQ025 extends ExtQueriesShared {
       .orderBy("check")
   }
 
-  /** q59 — video-style frame sampling over binary payloads: the
-    * container is REALLY decoded first (frames are positions in the
-    * CONTENT — tiling the container would shear every boundary by the
-    * header width); tiling metadata is deterministic and
-    * oracle-checked. */
+  /** q59 — video-style frame sampling over binary payloads AT THE
+    * CONTAINER OFFSET: the validating chunk walk locates the data span
+    * and every frame substrings the container directly — frames are
+    * still positions in the CONTENT (the span offset un-shears the
+    * header width) but the full decoded copy the r13 plan materialized
+    * per row is gone (its decode pass was q59's whole 2.9× regression;
+    * MultimodalSpec pins row-set equality with the decode-first plan).
+    * Tiling metadata is deterministic and oracle-checked. */
   private[graft] val q59: Q = (s, d) =>
-    Multimodal.sampleFrames(
-      Multimodal.decodeMedia(Multimodal.mediaTable(Tables.documents(s, d))),
+    Multimodal.sampleFramesInContainer(
+      Multimodal.mediaTable(Tables.documents(s, d)),
       frameBytes = 64, stride = 2)
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
       .orderBy("doc_id", "frame_idx")

@@ -62,8 +62,14 @@ object Dedup extends DedupMaintenance with DedupLinkage {
   /** Exploded (doc_id, shingle hash) posting list. */
   def postings(df: DataFrame, idCol: String, textCol: String, k: Int)
       : DataFrame =
+    // explode_OUTER + isNotNull, deliberately: plain explode makes the
+    // optimizer infer a size(...) > 0 filter below the Generate whose
+    // alias substitution re-evaluates the WHOLE shingle pipeline a
+    // second time per row; outer infers no filter, and the null row an
+    // empty doc emits drops on the generator OUTPUT column (cheap)
     df.select(col(idCol).as("pid"),
-        explode(shingleHashes(col(textCol), k)).as("sh"))
+        explode_outer(shingleHashes(col(textCol), k)).as("sh"))
+      .filter(col("sh").isNotNull)
 
   /** n-gram Jaccard near-duplicate pairs via a grouped inverted index:
     * J(a,b) = |A∩B| / (|A|+|B|−|A∩B|) over distinct k-shingles.

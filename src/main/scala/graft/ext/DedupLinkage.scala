@@ -63,8 +63,13 @@ private[graft] trait DedupLinkage { this: Dedup.type =>
       if (maxDist == 1) concat(array(col("s")), d1)
       else concat(array(col("s")), d1,
         flatten(transform(d1, v => delVariants(v))))
+    // explode_OUTER + isNotNull (not plain explode): the inferred
+    // size(...) > 0 filter would re-build the whole L²-key deletion
+    // neighborhood a second time per row — see
+    // [[graft.ext.Multimodal.sampleFramesInContainer]] on the pattern
     val keyed = named.select(col("eid"),
-      explode(array_distinct(keys)).as("vkey"))
+        explode_outer(array_distinct(keys)).as("vkey"))
+      .filter(col("vkey").isNotNull)
     val candidates = keyed.as("a").join(keyed.as("b"),
         col("a.vkey") === col("b.vkey") && col("a.eid") < col("b.eid"))
       .select(col("a.eid").as("id_a"), col("b.eid").as("id_b"))

@@ -113,8 +113,62 @@ object Multimodal {
         s"transform(sequence(0, int(ceil(n_bytes / ${frameBytes}D)) - 1), " +
         s"i -> substring(payload, i * $frameBytes + 1, $frameBytes)) " +
         s"ELSE array() END"))
+    // posexplode_OUTER for the same inferred-filter reason as
+    // [[sampleFramesInContainer]] — with a DECODED payload the pushed
+    // filter re-ran the full decode per frame element; the stride
+    // predicate drops the null row an empty payload emits.
     framed.select(col("doc_id"), col("media_type"),
-        posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        posexplode_outer(col("frames")).as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % stride === 0)
+      .withColumn("frame_bytes", length(col("frame")))
+  }
+
+  /** [[sampleFrames]] directly AT THE CONTAINER OFFSET — identical
+    * output (MultimodalSpec pins row-set equality with
+    * `sampleFrames(decodeMedia(…))`), cheaper plan: the validating
+    * chunk walk locates the data span (O(header) per row, no copy —
+    * [[graft.functions.WavCodecUtil.dataSpan]]) and each frame
+    * substrings its own byte range out of the CONTAINER, so the full
+    * decoded copy [[decodeMedia]] materializes is never built. Frames
+    * are still positions in the CONTENT — the span offset is what
+    * un-shears the header width. Callers pass the ENCODED media table.
+    * The frame count and every frame length derive from the
+    * container's own size field (not the n_bytes metadata), so a
+    * container whose data chunk disagrees with its metadata cannot
+    * silently mis-frame. Content-HASHING consumers (blockhash, CDC)
+    * keep the decode: they fold over every sample byte anyway, so a
+    * span view would save one array copy, not a pass. */
+  def sampleFramesInContainer(media: DataFrame, frameBytes: Int,
+      stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    // _span = (data offset << 32) | sample count, unpacked to plain int
+    // columns BEFORE the lambda: higher-order functions evaluate their
+    // embedded subexpressions per ELEMENT (no per-element CSE), so a
+    // span reference inside the lambda would re-walk the container per
+    // frame. The 0-length guard mirrors sampleFrames (sequence(0, -1)
+    // would emit a phantom frame).
+    val framed = media
+      .withColumn("_span",
+        graft.functions.WavSamples.wav_data_span(col("payload")))
+      .withColumn("_off", shiftright(col("_span"), 32).cast("int"))
+      .withColumn("_len",
+        col("_span").bitwiseAND(lit(4294967295L)).cast("int"))
+      .withColumn("frames", expr(
+        s"CASE WHEN _len > 0 THEN " +
+          s"transform(sequence(0, int(ceil(_len / ${frameBytes}D)) - 1), " +
+          s"i -> substring(payload, _off + i * $frameBytes + 1, " +
+          s"least($frameBytes, _len - i * $frameBytes))) " +
+          s"ELSE array() END"))
+    // posexplode_OUTER, deliberately: plain posexplode makes the
+    // optimizer infer a `size(frames) > 0` filter and push it below
+    // the projections, where alias substitution re-inlines the WHOLE
+    // frames expression — container build, span walk, per-element
+    // substrings — a second, per-element-quadratic evaluation per row
+    // (measured 2× on q59). outer=true infers no filter; the stride
+    // predicate below already drops the null row an empty payload
+    // emits (null % stride is null).
+    framed.select(col("doc_id"), col("media_type"),
+        posexplode_outer(col("frames")).as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % stride === 0)
       .withColumn("frame_bytes", length(col("frame")))
   }
@@ -178,11 +232,15 @@ object Multimodal {
       divisor: Int = 64, threshold: Double = 0.5,
       maxDf: Int = 100): DataFrame = {
     require(threshold > 0, "containment threshold must be positive")
+    // explode_OUTER + isNotNull (not plain explode): the inferred
+    // size(...) > 0 filter would re-run the full decode + CDC chunking
+    // a second time per row — see [[sampleFramesInContainer]]
     val post = media.select(col(idCol).as("pid"),
-      explode(array_distinct(transform(
+      explode_outer(array_distinct(transform(
         cdcChunks(WavSamples.wav_samples(col("payload")), window,
           divisor),
         c => c.getField("hash")))).as("key"))
+      .filter(col("key").isNotNull)
     val (sizes, shared) = Dedup.keyCandidates(post, maxDf)
     shared
       .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),

@@ -87,36 +87,48 @@ object WavCodecUtil {
     out
   }
 
-  /** Decode a WAV container to its raw samples — a real RIFF parser:
-    * validates the RIFF magic and size field, the WAVE form type, then
-    * WALKS the chunk list (8-byte headers, little-endian sizes, odd
-    * sizes padded to even) skipping chunks it doesn't know, validates
-    * the `fmt ` chunk (PCM, mono, 8-bit — the one profile this engine
-    * carries) and returns the `data` chunk's samples. Fails loudly on
+  /** Locate the `data` chunk WITHOUT copying — the same validating
+    * RIFF walk as [[samples]] (magic + size field, WAVE form, 8-byte
+    * chunk headers with odd-size padding, `fmt ` profile validation),
+    * returning the span of the raw samples inside the container packed
+    * as `(offset << 32) | sampleCount`. This is the CONTAINER-OFFSET
+    * VIEW for operators that only slice byte ranges (frame sampling):
+    * they substring the container directly, so the full decoded copy
+    * [[samples]] materializes is never built — O(header) per row
+    * instead of O(content). Content-hashing consumers (blockhash, CDC)
+    * keep [[samples]]: they fold over every byte anyway.
+    *
+    * Tolerance, per real canonical files: bytes may TRAIL the RIFF
+    * chunk (ID3 tags some encoders append) — the size field bounds the
+    * chunk walk, not the file length — but a size field OVERRUNNING
+    * the buffer (a truncated file) still fails loudly. Fails loudly on
     * anything malformed — truncated chunks, missing fmt/data, a
     * non-PCM profile — because silently mis-decoded media is worse
     * than a dead task. */
-  def samples(bytes: Array[Byte]): Array[Byte] = {
+  def dataSpan(bytes: Array[Byte]): Long = {
     require(bytes.length >= 12,
       s"not a RIFF file: ${bytes.length} bytes < 12-byte RIFF header")
     require(ascii(bytes, 0) == "RIFF",
       s"not a RIFF file: magic '${ascii(bytes, 0)}'")
     val riffSize = le32(bytes, 4)
-    require(riffSize == bytes.length - 8,
-      s"RIFF size field $riffSize != actual ${bytes.length - 8}")
+    require(riffSize >= 4 && riffSize <= bytes.length - 8,
+      s"RIFF size field $riffSize invalid for ${bytes.length}-byte " +
+        "file (must cover WAVE and fit the buffer; trailing bytes " +
+        "after the RIFF chunk are tolerated)")
+    val end = 8 + riffSize // the walk is bounded by the SIZE FIELD
     require(ascii(bytes, 8) == "WAVE",
       s"not a WAVE form: '${ascii(bytes, 8)}'")
     var off = 12
     var fmtSeen = false
-    while (off + 8 <= bytes.length) {
+    while (off + 8 <= end) {
       val id = ascii(bytes, off)
       val sz = le32(bytes, off + 4)
       // long arithmetic: a hostile ~2^31 size would wrap an int sum
       // negative and sail past the guard (the failure would still be
       // an exception, but an uncontrolled one, not this diagnostic)
-      require(sz >= 0 && off + 8L + sz <= bytes.length,
+      require(sz >= 0 && off + 8L + sz <= end,
         s"truncated '$id' chunk at offset $off: size $sz overruns " +
-          s"${bytes.length}-byte file")
+          s"the $end-byte RIFF chunk")
       id match {
         case "fmt " =>
           require(sz >= 16, s"fmt chunk too short: $sz")
@@ -130,8 +142,7 @@ object WavCodecUtil {
           fmtSeen = true
         case "data" =>
           require(fmtSeen, "data chunk before fmt chunk")
-          return java.util.Arrays.copyOfRange(bytes, off + 8,
-            off + 8 + sz)
+          return ((off + 8).toLong << 32) | sz.toLong
         case _ => // unknown chunk (LIST, INFO, …): skip, like any
                   // real RIFF reader
       }
@@ -139,6 +150,15 @@ object WavCodecUtil {
                                // (bounded by the long-checked guard)
     }
     sys.error("no data chunk found in WAVE file")
+  }
+
+  /** Decode a WAV container to its raw samples — [[dataSpan]]'s
+    * validating chunk walk plus one content copy. */
+  def samples(bytes: Array[Byte]): Array[Byte] = {
+    val span = dataSpan(bytes)
+    val off = (span >>> 32).toInt
+    val len = (span & 0xFFFFFFFFL).toInt
+    java.util.Arrays.copyOfRange(bytes, off, off + len)
   }
 }
 
@@ -176,4 +196,39 @@ case class WavSamplesExpr(child: Expression) extends UnaryExpression {
 object WavSamples {
   def wav_samples(payload: Column): Column =
     shim.toColumn(WavSamplesExpr(shim.toExpression(payload)))
+
+  def wav_data_span(payload: Column): Column =
+    shim.toColumn(WavDataSpanExpr(shim.toExpression(payload)))
+}
+
+/** `wav_data_span(payload)`: locate a WAV container's data chunk
+  * without copying — `(offset << 32) | sampleCount`, see
+  * [[WavCodecUtil.dataSpan]]. O(header) codegen walk per row; frame
+  * sampling composes `substring(payload, …)` on top so byte-range
+  * consumers never materialize the decoded copy
+  * ([[graft.ext.Multimodal.sampleFramesInContainer]]). */
+case class WavDataSpanExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("wav_data_span requires a binary column")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    WavCodecUtil.dataSpan(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WavCodecUtil.dataSpan($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WavDataSpanExpr = copy(child = newChild)
 }

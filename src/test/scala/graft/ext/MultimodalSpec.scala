@@ -106,6 +106,44 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.count() < all.count())
   }
 
+  test("sampleFramesInContainer == sampleFrames(decodeMedia(...)) " +
+    "row-for-row — the container-offset plan slices the SAME frames " +
+    "without materializing the decoded copy (q59's r14 plan)") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val media = Multimodal.mediaTable(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("media_type"), col("frame_idx"),
+          hex(col("frame")).as("f"), col("frame_bytes"))
+        .as[(Long, String, Int, String, Int)].collect().toSet
+    for ((fb, st) <- Seq((64, 2), (64, 1), (7, 3))) {
+      val viaDecode = rows(Multimodal.sampleFrames(
+        Multimodal.decodeMedia(media), fb, st))
+      val viaSpan = rows(Multimodal.sampleFramesInContainer(media, fb, st))
+      assert(viaSpan == viaDecode)
+      assert(viaSpan.nonEmpty)
+    }
+  }
+
+  test("WavCodec tolerance: trailing bytes AFTER the RIFF chunk (ID3 " +
+    "tags some encoders append) decode fine — the size field bounds " +
+    "the walk — while a size field overrunning the buffer still " +
+    "fails loudly") {
+    import graft.functions.WavCodecUtil
+    val content = "hello world".getBytes("US-ASCII")
+    val wav = WavCodecUtil.encode(content)
+    val tagged = wav ++ "TAG0123456789".getBytes("US-ASCII")
+    assert(WavCodecUtil.samples(tagged).toSeq == content.toSeq)
+    // the span is identical with or without the trailer (the walk
+    // never looks past 8 + riffSize)
+    assert(WavCodecUtil.dataSpan(tagged) == WavCodecUtil.dataSpan(wav))
+    assert((WavCodecUtil.dataSpan(wav) >>> 32).toInt == 44) // canonical
+    assert((WavCodecUtil.dataSpan(wav) & 0xFFFFFFFFL).toInt ==
+      content.length)
+    // truncation (size field overruns the buffer) still rejects loudly
+    val e = intercept[Exception](WavCodecUtil.samples(wav.dropRight(3)))
+    assert(e.getMessage.contains("size field"), e.getMessage)
+  }
+
   test("blockhash: hand-computed fingerprints, edit tolerance, " +
     "determinism") {
     import graft.functions.BlockhashUtil.blockhash

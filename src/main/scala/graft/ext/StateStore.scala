@@ -46,11 +46,37 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   *
   * Readers resolve the current manifest once per read and only ever
   * open files a committed manifest references, so an in-flight cycle
-  * is invisible until its rename lands. CONTRACT: one writer at a time
-  * per state root (the single-writer discipline every
-  * file-listing-based table format requires without a lock service);
-  * concurrent READERS are always safe, and [[vacuum]] belongs to the
-  * writer (it deletes only what no committed manifest references).
+  * is invisible until its rename lands. CONTRACTS, stated precisely:
+  *
+  *  - FILESYSTEM: the commit point is one `rename` to a fresh name,
+  *    so the store requires a filesystem with ATOMIC RENAME — HDFS
+  *    and local filesystems qualify (the same caveat Spark's streaming
+  *    CheckpointFileManager documents); S3A and most object stores do
+  *    NOT (rename is a non-atomic copy+delete there, and no-overwrite
+  *    cannot be enforced) — on an object store this manifest swap must
+  *    be replaced by a conditional PUT or a lock service. The tmp
+  *    manifest is hflush/hsync'd before the rename, and [[current]]
+  *    falls back LOUDLY to the newest PARSEABLE manifest, so even a
+  *    torn highest-numbered manifest (crash mid-rename on a weaker FS)
+  *    degrades reads to the previous committed snapshot instead of
+  *    bricking them.
+  *  - ONE WRITER at a time per state root (the single-writer
+  *    discipline every file-listing-based table format requires
+  *    without a lock service). The swap itself uses the strongest
+  *    guard the FS API offers (a no-overwrite rename), so if two
+  *    writers DO race one version, exactly one publishes and the other
+  *    fails loudly with the winner's snapshot intact (spec-pinned) —
+  *    best-effort detection of a contract breach, not a license to run
+  *    two writers.
+  *  - READERS are safe against concurrent COMMITS unconditionally (a
+  *    commit only adds files). They are NOT unconditionally safe
+  *    against [[vacuum]]: a reader that resolved manifest v(N) can
+  *    lose generation files mid-scan to a writer that commits v(N+1)
+  *    and vacuums. The `retain` window on [[vacuum]] is the dial —
+  *    keeping the last K snapshots' manifests and generations bounds
+  *    reader exposure exactly as table-format retention windows do;
+  *    the operational rule is "vacuum no deeper than your longest
+  *    reader".
   *
   * Scale shape: manifests are O(tables × numBuckets) driver-side
   * lines; a maintenance cycle's I/O is bounded by its touched buckets
@@ -72,9 +98,14 @@ object StateStore {
   /** Deterministic crash injection for the commit spec: when set, a
     * commit throws AFTER its generation dir is fully written but
     * BEFORE the manifest rename — the exact window the old
-    * dynamic-overwrite protocol could not survive. Test-only. */
+    * dynamic-overwrite protocol could not survive. `beforeSwapHook`
+    * runs INSIDE the publish, between the destination-existence check
+    * and the rename itself — the TOCTOU window — so the race spec can
+    * deterministically interleave a competing committer there.
+    * Test-only. */
   private[graft] object FailPoints {
     @volatile var beforeManifestSwap: Boolean = false
+    @volatile var beforeSwapHook: () => Unit = null
   }
 
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
@@ -85,23 +116,23 @@ object StateStore {
   private def manifestName(v: Long): String = f"manifest-$v%09d.txt"
   private def genName(v: Long): String = f"gen-$v%09d"
 
-  /** Highest-numbered committed manifest version, or None on a virgin
-    * root. */
-  private def currentVersion(fs: FileSystem, root: Path): Option[Long] =
-    if (!fs.exists(root)) None
+  /** All committed manifest versions present under the root,
+    * descending; empty on a virgin root. Driver-side listing, bounded
+    * by the manifest history (itself bounded by the vacuum cadence). */
+  private def manifestVersions(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).iterator
       .map(_.getPath.getName)
       .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
       .map(n => n.stripPrefix("manifest-").stripSuffix(".txt").toLong)
-      .reduceOption(_ max _)
+      .toSeq.sorted.reverse
 
-  /** Read and parse the current manifest. Fails loudly on a root that
-    * has never been [[create]]d. */
-  def current(spark: SparkSession, root: String): Manifest = {
-    val (fs, rp) = fsOf(spark, root)
-    val v = currentVersion(fs, rp).getOrElse(
-      sys.error(s"no committed manifest under $root — not a StateStore"))
-    val in = fs.open(new Path(rp, manifestName(v)))
+  /** Read and parse manifest `v`. Throws on a torn or malformed file —
+    * [[current]] turns that into a loud fallback, [[publish]] into a
+    * crashed-rename self-heal. */
+  private def parseManifest(fs: FileSystem, root: Path, v: Long)
+      : Manifest = {
+    val in = fs.open(new Path(root, manifestName(v)))
     val text =
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -127,12 +158,43 @@ object StateStore {
     }.groupBy(_._1).map { case (t, xs) =>
       t -> xs.map(x => x._2 -> x._3).toMap
     }
-    Manifest(m("version").toLong, m("numBuckets").toInt, schemas,
+    // the version line is the parse's own integrity check: a manifest
+    // whose body disagrees with its file name is torn or foreign
+    require(m("version").toLong == v,
+      s"manifest $v under $root carries version=${m("version")}")
+    require(schemas.nonEmpty, s"manifest $v under $root has no tables")
+    Manifest(v, m("numBuckets").toInt, schemas,
       // a table whose every bucket emptied still exists (schema line,
       // no bucket lines)
       schemas.map { case (t, _) =>
         t -> buckets.getOrElse(t, Map.empty[Int, String])
       })
+  }
+
+  /** Read the current snapshot: the newest PARSEABLE manifest. A torn
+    * newest manifest (a crash mid-rename on a filesystem without
+    * atomic rename, or a torn write) degrades reads LOUDLY to the
+    * previous committed snapshot instead of bricking them — the
+    * fallback is announced on stderr per skipped version, and if NO
+    * manifest parses the last failure propagates. Fails loudly on a
+    * root that has never been [[create]]d. */
+  def current(spark: SparkSession, root: String): Manifest = {
+    val (fs, rp) = fsOf(spark, root)
+    val versions = manifestVersions(fs, rp)
+    if (versions.isEmpty)
+      sys.error(s"no committed manifest under $root — not a StateStore")
+    versions.iterator.zipWithIndex.map { case (v, i) =>
+      try Some(parseManifest(fs, rp, v))
+      catch {
+        // the OLDEST version's failure propagates (guard false): with
+        // nothing left to fall back to, degrading is impossible
+        case e: Throwable if i < versions.size - 1 =>
+          System.err.println(s"[statestore] manifest v$v under $root " +
+            s"is unreadable (${e.getMessage}); falling back to " +
+            s"v${versions(i + 1)}")
+          None
+      }
+    }.collectFirst { case Some(m) => m }.get
   }
 
   /** Serialize + atomically publish manifest `m` — the single commit
@@ -154,16 +216,60 @@ object StateStore {
     val tmp = new Path(root, s".manifest-${m.version}.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, false) // leftover of a crashed try
     val out = fs.create(tmp, false)
-    try out.write(body.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    try {
+      out.write(body.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // durability before visibility: flush to the datanode pipeline
+      // and (where the stream supports it) to disk, so an OS/node
+      // crash right after the rename cannot leave a torn manifest at
+      // the COMMITTED name. On streams without sync support,
+      // FSDataOutputStream degrades these to flushes.
+      out.hflush()
+      out.hsync()
+    } finally out.close()
     if (FailPoints.beforeManifestSwap)
       sys.error(s"FAILPOINT: crash before manifest swap at $root " +
         s"v${m.version} (generation data written, commit NOT published)")
     val dst = new Path(root, manifestName(m.version))
-    require(!fs.exists(dst) && fs.rename(tmp, dst),
-      s"manifest swap to $dst failed — concurrent writer on $root? " +
-        "(single-writer contract)")
+    if (fs.exists(dst)) {
+      // a PARSEABLE destination is a competing committer's published
+      // manifest (single-writer contract breach) — fail with their
+      // snapshot intact. An UNPARSEABLE one is the torn leftover of a
+      // crashed rename on a weaker filesystem: garbage under the
+      // single-writer contract (current() already fell back past it),
+      // cleared so the retried cycle can publish.
+      val parseable =
+        try { parseManifest(fs, root, m.version); true }
+        catch { case _: Throwable => false }
+      if (parseable)
+        sys.error(s"manifest ${manifestName(m.version)} already " +
+          s"published under $root — concurrent writer " +
+          "(single-writer contract)")
+      System.err.println(s"[statestore] clearing torn manifest " +
+        s"v${m.version} under $root (crashed rename leftover)")
+      require(fs.delete(dst, false), s"could not clear torn $dst")
+    }
+    if (FailPoints.beforeSwapHook != null) FailPoints.beforeSwapHook()
+    // the strongest no-overwrite swap the FS API offers: FileContext
+    // rename WITHOUT Options.Rename.OVERWRITE fails (atomically with
+    // the rename itself on HDFS) if dst appeared since the check above
+    // — so even a racing writer that slips into the TOCTOU window
+    // loses loudly instead of clobbering the winner's manifest
+    try org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, dst)
+    catch {
+      case e: java.io.IOException =>
+        sys.error(s"manifest swap to $dst failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+          s"concurrent writer on $root? (single-writer contract)")
+    }
+    // local ChecksumFileSystem writes a .crc sibling for the tmp file;
+    // the FileContext rename moves only the manifest itself, so drop
+    // the orphan (best-effort — it is invisible to reads either way)
+    val crcTmp = new Path(root, s"..manifest-${m.version}.tmp.crc")
+    try { if (fs.exists(crcTmp)) { fs.delete(crcTmp, false); () } }
+    catch { case _: Throwable => () }
   }
 
   /** List the pbucket=<b> partition dirs actually present under one
@@ -199,7 +305,7 @@ object StateStore {
         s"table name '$t' must be a plain segment")
     }
     val (fs, rp) = fsOf(spark, root)
-    require(currentVersion(fs, rp).isEmpty,
+    require(manifestVersions(fs, rp).isEmpty,
       s"$root already holds a committed StateStore manifest")
     val gen = genName(1L)
     // a crashed earlier create can have left this generation's data
@@ -370,27 +476,49 @@ object StateStore {
     ()
   }
 
-  /** Garbage-collect everything the CURRENT snapshot doesn't need:
-    * data generations its manifest doesn't reference (including the
-    * orphan a crashed commit left), SUPERSEDED manifests, and stale
-    * dot-tmp files. Returns the deleted names. Run by the state owner
-    * between cycles — under the single-writer contract nothing can be
-    * mid-commit while it runs. THE TRADE, stated plainly: superseded
-    * manifests are what [[rollbackTo]] rolls back to, so vacuuming
-    * FORFEITS rollback to everything before the current snapshot
-    * (table formats expose this as a retention window; this store's
-    * dial is simply "vacuum once you no longer need the history" —
-    * crash recovery never needs it, because a crashed commit is
-    * invisible rather than rolled back). */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+  /** Garbage-collect everything the newest `retain` snapshots don't
+    * need: data generations none of their manifests reference
+    * (including the orphan a crashed commit left), manifests OLDER
+    * than the retention window, TORN manifests (unparseable — crashed-
+    * rename leftovers, garbage by definition), and stale dot-tmp
+    * files. Returns the deleted names. Run by the state owner between
+    * cycles — under the single-writer contract nothing can be
+    * mid-commit while it runs.
+    *
+    * `retain` is the RETENTION WINDOW, the two-sided dial every table
+    * format exposes: retained manifests are what [[rollbackTo]] rolls
+    * back to AND what in-flight READERS of recent snapshots depend on
+    * (a reader that resolved v(N) scans v(N)'s generation files — a
+    * vacuum retaining fewer than the reader's snapshot deletes them
+    * mid-scan). So vacuuming FORFEITS rollback beyond the window and
+    * is only reader-safe down to it: keep `retain` ≥ 1 + the number of
+    * commits that can land while your slowest reader scans. Crash
+    * recovery never needs history — a crashed commit is invisible
+    * rather than rolled back — so retain=1 (the default) is safe
+    * whenever nothing reads concurrently with the writer's
+    * commit+vacuum cycle. */
+  def vacuum(spark: SparkSession, root: String, retain: Int = 1)
+      : Seq[String] = {
+    require(retain >= 1,
+      s"retain must keep at least the current snapshot (got $retain)")
     val (fs, rp) = fsOf(spark, root)
-    val cur = current(spark, root)
-    val live = cur.buckets.values.flatMap(_.values).toSet
+    // retained = the newest `retain` PARSEABLE manifests (newest
+    // first); O(history) tiny driver-side reads, history itself
+    // bounded by the vacuum cadence
+    val parseable = manifestVersions(fs, rp).flatMap { v =>
+      try Some(parseManifest(fs, rp, v))
+      catch { case _: Throwable => None }
+    }
+    require(parseable.nonEmpty,
+      s"no committed manifest under $root — not a StateStore")
+    val keep = parseable.take(retain)
+    val keepNames = keep.map(m => manifestName(m.version)).toSet
+    val live = keep.flatMap(_.buckets.values.flatMap(_.values)).toSet
     val victims = fs.listStatus(rp).iterator.map(_.getPath.getName)
       .filter { n =>
         (n.startsWith("gen-") && !live(n)) ||
           (n.startsWith("manifest-") && n.endsWith(".txt") &&
-            n != manifestName(cur.version)) ||
+            !keepNames(n)) ||
           n.startsWith(".manifest-")
       }.toSeq.sorted
     victims.foreach { n =>

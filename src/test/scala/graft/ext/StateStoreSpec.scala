@@ -195,6 +195,108 @@ class StateStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("manifest missing"))
   }
 
+  test("TORN newest manifest (crashed rename on a weaker filesystem): " +
+    "reads fall back LOUDLY to the previous committed snapshot, the " +
+    "next commit self-heals by republishing the version, and vacuum " +
+    "deletes the torn file") {
+    val nb = 8
+    val dir = tmp("graft_ss_torn")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb)
+    val before = fpRows(StateStore.readAll(spark, dir))
+    // simulate the torn write a non-atomic rename can leave: a
+    // higher-numbered manifest file with garbage content
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifest-000000002.txt"),
+      "version=2\nnumBuck") // truncated mid-line
+    assert(StateStore.current(spark, dir).version == 1L) // fallback
+    assert(fpRows(StateStore.readAll(spark, dir)) == before)
+    // the retried cycle publishes v2 OVER the torn leftover
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((2L, 999L)).toDF("pid", "fp"), "pid", nb)
+    assert(StateStore.current(spark, dir).version == 2L)
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      before.filterNot(_._1 == 2L) + (2L -> 999L))
+    // a torn file that is NOT the retried version: vacuum deletes it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifest-000000009.txt"), "junk")
+    assert(StateStore.current(spark, dir).version == 2L)
+    val removed = StateStore.vacuum(spark, dir)
+    assert(removed.contains("manifest-000000009.txt"))
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      before.filterNot(_._1 == 2L) + (2L -> 999L))
+  }
+
+  test("RACING COMMITTERS on one version (single-writer contract " +
+    "breach, interleaved deterministically in the TOCTOU window): " +
+    "exactly one publishes, the loser fails loudly with the winner's " +
+    "snapshot intact, and the loser's retry lands on the next version") {
+    val nb = 8
+    val dir = tmp("graft_ss_race")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb)
+    val base = fpRows(StateStore.readAll(spark, dir))
+    // writer B slips its ENTIRE commit of v2 into writer A's window
+    // between the destination-existence check and the rename — the
+    // exact interleaving the no-overwrite rename exists to lose safely
+    StateStore.FailPoints.beforeSwapHook = () => {
+      StateStore.FailPoints.beforeSwapHook = null // B publishes plainly
+      Dedup.upsertIdKeyedStatePartitioned(dir,
+        Seq((7L, 777L)).toDF("pid", "fp"), "pid", nb)
+      ()
+    }
+    val e =
+      try intercept[RuntimeException] {
+        Dedup.upsertIdKeyedStatePartitioned(dir,
+          Seq((3L, 333L)).toDF("pid", "fp"), "pid", nb)
+      } finally StateStore.FailPoints.beforeSwapHook = null
+    assert(e.getMessage.contains("manifest swap") ||
+      e.getMessage.contains("concurrent writer"), e.getMessage)
+    // the winner's snapshot is current and intact; the loser's
+    // generation is unreferenced garbage
+    assert(StateStore.current(spark, dir).version == 2L)
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      base.filterNot(_._1 == 7L) + (7L -> 777L))
+    // the losing writer's retry re-reads current state and lands on v3
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((3L, 333L)).toDF("pid", "fp"), "pid", nb)
+    assert(StateStore.current(spark, dir).version == 3L)
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      base.filterNot(x => x._1 == 7L || x._1 == 3L) +
+        (7L -> 777L) + (3L -> 333L))
+  }
+
+  test("vacuum RETENTION window: retain=K keeps the newest K " +
+    "snapshots' manifests and generations (rollback inside the window " +
+    "still works; beyond it refuses), and retained reads are stable") {
+    val nb = 8
+    val dir = tmp("graft_ss_retain")
+    val fps0 = (1L to 40L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    Seq(1L, 2L, 3L).foreach { k => // v2, v3, v4
+      Dedup.upsertIdKeyedStatePartitioned(dir,
+        Seq((k, k * 100L)).toDF("pid", "fp"), "pid", nb)
+    }
+    val atV4 = fpRows(StateStore.readAll(spark, dir))
+    val removed = StateStore.vacuum(spark, dir, retain = 2)
+    // v1 and v2 leave; v3 and v4 stay
+    assert(removed.count(_.startsWith("manifest-")) == 2)
+    assert(!removed.contains("manifest-000000003.txt"))
+    assert(StateStore.current(spark, dir).version == 4L)
+    assert(fpRows(StateStore.readAll(spark, dir)) == atV4)
+    // rollback INSIDE the window works and reads exactly v3's state
+    StateStore.rollbackTo(spark, dir, 3L)
+    assert(StateStore.current(spark, dir).version == 3L)
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      (1L to 40L).map(i => i -> i).toSet
+        .filterNot(x => x._1 <= 2L) + (1L -> 100L) + (2L -> 200L))
+    // beyond the window: forfeited
+    val e = intercept[IllegalArgumentException] {
+      StateStore.rollbackTo(spark, dir, 2L)
+    }
+    assert(e.getMessage.contains("manifest missing"))
+  }
+
   test("a table whose every bucket empties stays READABLE with its " +
     "schema (manifest carries the schema, not the files), and a " +
     "subsequent upsert repopulates it") {

@@ -520,6 +520,25 @@ object ScaleProbe {
     if (graft.ext.StateStore.current(s, root).version != 1L)
       graft.ext.StateStore.rollbackTo(s, root, 1L)
 
+  /** Untimed per-sample SETUP of the partitioned-state cells: the
+    * snapshot reset (rollbackTo + vacuum — several driver-side FS
+    * operations) runs OUTSIDE the timed region, so statep_* samples
+    * time exactly one maintenance cycle, comparable to the statef_*
+    * comparators which carry no reset (round-13 advice: the in-sample
+    * reset biased the partitioned cells' fixed overhead upward). */
+  private def stateSetups(out: String, m: Int)
+      : Map[String, SparkSession => Unit] = {
+    def setup(store: String)(s: SparkSession): Unit = {
+      val root = s"$out/state/x$m"
+      ensureState(s, root, m)
+      resetPart(s, s"$root/$store")
+    }
+    Map(
+      "statep_post_upsert" -> setup("post_part") _,
+      "statep_post_retract" -> setup("post_part") _,
+      "statep_clu_upsert" -> setup("clu_part") _)
+  }
+
   private def stateProbes(out: String, m: Int)
       : Seq[(String, (SparkSession, String) => DataFrame)] = {
     def withState(s: SparkSession): String = {
@@ -534,7 +553,7 @@ object ScaleProbe {
         s.range(1).toDF()
       },
       "statep_post_upsert" -> { (s: SparkSession, _: String) =>
-        val r = withState(s); resetPart(s, s"$r/post_part")
+        val r = withState(s) // reset happens in the untimed setup hook
         val touched = Dedup.upsertPostingsIndexPartitioned(
           s"$r/post_part", s.read.parquet(s"$r/post_up"),
           Seq("bk"), StNb)
@@ -548,7 +567,7 @@ object ScaleProbe {
         s.range(1).toDF()
       },
       "statep_post_retract" -> { (s: SparkSession, _: String) =>
-        val r = withState(s); resetPart(s, s"$r/post_part")
+        val r = withState(s)
         val touched = Dedup.retractPostingsIndexPartitioned(
           s"$r/post_part", s.read.parquet(s"$r/post_del"),
           Seq("bk"), StNb)
@@ -563,12 +582,133 @@ object ScaleProbe {
         s.range(1).toDF()
       },
       "statep_clu_upsert" -> { (s: SparkSession, _: String) =>
-        val r = withState(s); resetPart(s, s"$r/clu_part")
+        val r = withState(s)
         val rep = Dedup.upsertClustersPartitioned(s"$r/clu_part",
           s.read.parquet(s"$r/clu_pairs"),
           s.read.parquet(s"$r/clu_ids"), "id", StNb)
         s.range(rep.touched.size.toLong).toDF()
       })
+  }
+
+  /** COMMIT-PROTOCOL BREAKDOWN cells (round-13 verdict item 6): one
+    * instrumented partitioned maintenance cycle per sample, decomposed
+    * through [[graft.ext.StateStore.Timing]] into
+    *
+    *  - `manifest_read`  — every [[graft.ext.StateStore.current]]
+    *    resolution the cycle makes (requireNumBuckets, the pruned
+    *    reads' manifest lookups, commit's own);
+    *  - `gen_write`      — the Spark job writing the fresh generation,
+    *    which FUSES the pruned probe read and the merge (the
+    *    data-dependent phase);
+    *  - `publish`        — manifest serialize + hsync + atomic swap;
+    *  - `residual`       — everything else: delta prep + its eager
+    *    checkpoint, touched-bucket collects, post-commit audits.
+    *
+    * The fixed protocol overhead is manifest_read + publish (+ the
+    * audit part of residual); gen_write is what scales with bucket
+    * volume — the split docs/SCALE.md uses to state what the ×1
+    * constant cost buys and when it is paid back. Emits merge-script-
+    * format `[probe]` lines; excluded from the single-run JSON (the
+    * committed artifact is the multi-run merge). */
+  private def runBreakdown(s: SparkSession, out: String, m: Int): Unit = {
+    val root = s"$out/state/x$m"
+    ensureState(s, root, m)
+    val T = graft.ext.StateStore.Timing
+    def cycle(store: String, run: () => Unit): Map[String, Double] = {
+      resetPart(s, s"$root/$store") // untimed, like the statep_* setup
+      T.reset()
+      val t0 = System.nanoTime()
+      run()
+      val total = (System.nanoTime() - t0) / 1e9
+      val (mr, gw, pb) =
+        (T.currentSec.sum(), T.writeSec.sum(), T.publishSec.sum())
+      Map("total" -> total, "manifest_read" -> mr, "gen_write" -> gw,
+        "publish" -> pb, "residual" -> (total - mr - gw - pb))
+    }
+    val cells = Seq(
+      ("stateb_up", "post_part", () => {
+        Dedup.upsertPostingsIndexPartitioned(s"$root/post_part",
+          s.read.parquet(s"$root/post_up"), Seq("bk"), StNb)
+        ()
+      }),
+      ("stateb_clu", "clu_part", () => {
+        Dedup.upsertClustersPartitioned(s"$root/clu_part",
+          s.read.parquet(s"$root/clu_pairs"),
+          s.read.parquet(s"$root/clu_ids"), "id", StNb)
+        ()
+      }))
+    cells.foreach { case (name, store, run) =>
+      val s1 = cycle(store, run)
+      val s2 = cycle(store, run)
+      Seq("total", "manifest_read", "gen_write", "publish", "residual")
+        .foreach { p =>
+          System.err.println(f"[probe] x$m ${s"${name}_$p"}%-24s " +
+            f"t1=${s1(p)}%7.2f t2=${s2(p)}%7.2f rows=${-1L}%9d")
+        }
+    }
+  }
+
+  /** COMPACTION-CADENCE cells (round-13 verdict item 5): 50
+    * maintenance cycles against a FRESH partitioned postings store —
+    * the same constant 32-key delta every cycle, the hot-bucket
+    * recrawl shape — run twice: once with NO housekeeping (generations
+    * and manifests accrue unboundedly) and once with the operational
+    * cadence (every 10 cycles: [[graft.ext.StateStore.compactBuckets]]
+    * over the touched buckets + vacuum). Per-cycle accrual curves go
+    * to stderr as `[probeops]` lines (manifest count, generation-dir
+    * count, parquet files on disk, current-snapshot files); the
+    * summary `[probe]` line carries total seconds and rows = parquet
+    * files ON DISK at the end — the unbounded-vs-bounded headline. */
+  private def runCompactCells(s: SparkSession, out: String, m: Int)
+      : Unit = {
+    val root = s"$out/state/x$m"
+    ensureState(s, root, m)
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+    val fs = fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def diskStats(path: String): (Int, Int, Int) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val names = fs.listStatus(p).map(_.getPath.getName)
+      val manifests = names.count(n =>
+        n.startsWith("manifest-") && n.endsWith(".txt"))
+      val gens = names.count(_.startsWith("gen-"))
+      var files = 0
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+      }
+      (manifests, gens, files)
+    }
+    def variant(name: String, compactEvery: Int): Unit = {
+      val path = s"$root/cadence_$name"
+      rmrf(s, path)
+      Dedup.writePostingsIndexPartitioned(
+        s.read.parquet(s"$root/post_full"), path, Seq("bk"), StNb)
+      val delta = s.read.parquet(s"$root/post_up")
+      val t0 = System.nanoTime()
+      var touched = Set.empty[Int]
+      (1 to 50).foreach { c =>
+        touched ++= Dedup.upsertPostingsIndexPartitioned(path, delta,
+          Seq("bk"), StNb)
+        if (compactEvery > 0 && c % compactEvery == 0) {
+          graft.ext.StateStore.compactBuckets(s, path, touched.toSeq)
+          graft.ext.StateStore.vacuum(s, path)
+          ()
+        }
+        val (mf, gn, df) = diskStats(path)
+        val cur = graft.ext.StateStore.leafFiles(s, path)
+        System.err.println(f"[probeops] x$m statec_$name cycle=$c%2d " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%7.2f " +
+          f"manifests=$mf%3d gens=$gn%3d disk_files=$df%5d " +
+          f"cur_files=${cur.values.map(_.size).sum}%4d " +
+          f"hot_bucket_files=${cur.values.map(_.size).max}%3d")
+      }
+      val total = (System.nanoTime() - t0) / 1e9
+      val (_, _, df) = diskStats(path)
+      System.err.println(f"[probe] x$m ${s"statec_$name"}%-24s " +
+        f"t1=$total%7.2f t2=${-1.0}%7.2f rows=${df.toLong}%9d")
+    }
+    variant("nocompact", 0)
+    variant("compact10", 10)
   }
 
   def main(args: Array[String]): Unit = {
@@ -617,13 +757,22 @@ object ScaleProbe {
     // generates nor touches the dense blow-ups (and vice versa), so
     // adding a regime never forces re-measuring the other's committed
     // exponents.
+    // comma-separated set; "all" = the r11-r13 trio (dense, sparse,
+    // state — the committed-exponent cells). The round-14 longitudinal
+    // cells (compact, breakdown) are opt-in: they measure cadence and
+    // protocol phases, not data-scaling exponents
     val cellSet = sys.env.getOrElse("SPARK_GRAFT_PROBE_CELLS", "all")
-    require(Set("dense", "sparse", "state", "all")(cellSet),
-      s"SPARK_GRAFT_PROBE_CELLS must be dense|sparse|state|all, " +
-        s"got $cellSet")
-    val withDense = cellSet == "dense" || cellSet == "all"
-    val withSparse = cellSet == "sparse" || cellSet == "all"
-    val withState = cellSet == "state" || cellSet == "all"
+      .split(",").map(_.trim).toSet
+    val known = Set("dense", "sparse", "state", "compact", "breakdown",
+      "all")
+    require(cellSet.nonEmpty && cellSet.subsetOf(known),
+      "SPARK_GRAFT_PROBE_CELLS must be a comma-separated subset of " +
+        s"dense|sparse|state|compact|breakdown|all, got $cellSet")
+    val withDense = cellSet("dense") || cellSet("all")
+    val withSparse = cellSet("sparse") || cellSet("all")
+    val withState = cellSet("state") || cellSet("all")
+    val withCompact = cellSet("compact")
+    val withBreakdown = cellSet("breakdown")
 
     val dirs =
       if (withDense)
@@ -674,10 +823,18 @@ object ScaleProbe {
 
     // scale -> query -> (tMin, rows)
     val results = scales.map { m =>
+      val setups = if (withState) stateSetups(out, m)
+        else Map.empty[String, SparkSession => Unit]
       val perQuery = cells(m).map { case (name, fn, d) =>
+        // partitioned-state cells: snapshot reset OUTSIDE the timed
+        // region, before EVERY invocation (round-13 advice)
+        val setup = setups.get(name)
+        setup.foreach(_(spark))
         val t1 = timed(fn, d)
         if (owners.contains(name)) ExtQueries.resetSharedScratch(name)
+        setup.foreach(_(spark))
         val t2 = timed(fn, d)
+        setup.foreach(_(spark))
         // the untimed row-count pass releases its blocks too — its
         // localCheckpoint blocks would otherwise leak INTO the next
         // query's t1 sample (the exact cross-measurement pollution the
@@ -700,6 +857,12 @@ object ScaleProbe {
       }
       m -> perQuery
     }
+
+    // round-14 longitudinal cells: merge-script-format [probe] lines
+    // only (the committed SCALEPROBE artifact is the multi-run merge;
+    // these cells are absent from the single-run JSON by design)
+    if (withBreakdown) scales.foreach(m => runBreakdown(spark, out, m))
+    if (withCompact) scales.foreach(m => runCompactCells(spark, out, m))
 
     // one JSON document: per query, per scale, time + rows + two
     // exponents — alpha over the full span (min→max scale; includes

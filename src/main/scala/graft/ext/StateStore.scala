@@ -108,6 +108,28 @@ object StateStore {
     @volatile var beforeSwapHook: () => Unit = null
   }
 
+  /** Driver-side phase accounting for the scale probe's commit-
+    * protocol breakdown (round-13 verdict item 6): cumulative
+    * wall-clock of manifest resolutions ([[current]]), generation
+    * writes (the Spark write job — which FUSES the pruned probe read,
+    * so this is the data-dependent phase) and manifest publishes
+    * (serialize + hsync + swap) since the last [[Timing.reset]].
+    * Probe-only observability: three nanoTime pairs per commit, no
+    * behavior change. */
+  private[graft] object Timing {
+    val currentSec = new java.util.concurrent.atomic.DoubleAdder
+    val writeSec = new java.util.concurrent.atomic.DoubleAdder
+    val publishSec = new java.util.concurrent.atomic.DoubleAdder
+    def reset(): Unit = {
+      currentSec.reset(); writeSec.reset(); publishSec.reset()
+    }
+    private[StateStore] def timed[A](
+        acc: java.util.concurrent.atomic.DoubleAdder)(f: => A): A = {
+      val t0 = System.nanoTime()
+      try f finally acc.add((System.nanoTime() - t0) / 1e9)
+    }
+  }
+
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -178,7 +200,8 @@ object StateStore {
     * fallback is announced on stderr per skipped version, and if NO
     * manifest parses the last failure propagates. Fails loudly on a
     * root that has never been [[create]]d. */
-  def current(spark: SparkSession, root: String): Manifest = {
+  def current(spark: SparkSession, root: String): Manifest =
+    Timing.timed(Timing.currentSec) {
     val (fs, rp) = fsOf(spark, root)
     val versions = manifestVersions(fs, rp)
     if (versions.isEmpty)
@@ -199,7 +222,8 @@ object StateStore {
 
   /** Serialize + atomically publish manifest `m` — the single commit
     * point of the whole protocol. */
-  private def publish(fs: FileSystem, root: Path, m: Manifest): Unit = {
+  private def publish(fs: FileSystem, root: Path, m: Manifest): Unit =
+    Timing.timed(Timing.publishSec) {
     val body = new StringBuilder()
       .append("version=").append(m.version).append('\n')
       .append("numBuckets=").append(m.numBuckets).append('\n')
@@ -408,19 +432,21 @@ object StateStore {
     // single-writer contract nothing references it, so the retried
     // cycle clears and rewrites it — retry needs no manual vacuum
     if (fs.exists(new Path(rp, gen))) fs.delete(new Path(rp, gen), true)
-    val newBuckets = cur.buckets.map { case (t, old) =>
-      writes.get(t) match {
-        case None => t -> old
-        case Some((merged, touched)) =>
-          merged.write.mode("errorifexists").partitionBy("pbucket")
-            .parquet(new Path(rp, s"$gen/$t").toString)
-          val present = presentBuckets(fs, new Path(rp, s"$gen/$t"))
-          val undeclared = present.filterNot(touched.contains)
-          require(undeclared.isEmpty,
-            s"commit wrote table '$t' buckets $undeclared outside its " +
-              s"declared touched set $touched — the merge is " +
-              "mis-partitioned (caller bug)")
-          t -> (old -- touched ++ present.map(_ -> gen))
+    val newBuckets = Timing.timed(Timing.writeSec) {
+      cur.buckets.map { case (t, old) =>
+        writes.get(t) match {
+          case None => t -> old
+          case Some((merged, touched)) =>
+            merged.write.mode("errorifexists").partitionBy("pbucket")
+              .parquet(new Path(rp, s"$gen/$t").toString)
+            val present = presentBuckets(fs, new Path(rp, s"$gen/$t"))
+            val undeclared = present.filterNot(touched.contains)
+            require(undeclared.isEmpty,
+              s"commit wrote table '$t' buckets $undeclared outside " +
+                s"its declared touched set $touched — the merge is " +
+                "mis-partitioned (caller bug)")
+            t -> (old -- touched ++ present.map(_ -> gen))
+        }
       }
     }
     val m = Manifest(cur.version + 1, cur.numBuckets, cur.schemas,
@@ -434,20 +460,36 @@ object StateStore {
       touched: Seq[Int]): Manifest =
     commit(spark, root, Map(T -> (merged, touched)))
 
-  /** Compact one bucket's accrued small files (N maintenance cycles ×
-    * one generation each = N part-files per hot bucket) into a single
-    * file in a fresh generation, behind the same atomic swap — the
-    * round-12 verdict item 8 verb. Content-preserving by construction
-    * (one read, one coalesced write, no merge logic); the spec pins
-    * row-set equality and the file-count drop. No-op on a bucket the
-    * manifest doesn't hold. */
+  /** Compact one bucket's small files (a parallel merge write leaves
+    * up to one part-file per task per bucket) into a single file in a
+    * fresh generation, behind the same atomic swap — the round-12
+    * verdict item 8 verb. Content-preserving by construction (one
+    * read, one coalesced write, no merge logic); the spec pins row-set
+    * equality and the file-count drop. No-op on a bucket the manifest
+    * doesn't hold. */
   def compactBucket(spark: SparkSession, root: String, bucket: Int,
-      table: String = T): Manifest = {
+      table: String = T): Manifest =
+    compactBuckets(spark, root, Seq(bucket), table)
+
+  /** Compact SEVERAL buckets of one table under ONE commit — the
+    * OPERATIONAL form of [[compactBucket]] (a maintenance cadence
+    * compacts every hot bucket as one atomic swap, not one commit per
+    * bucket — N commits would add N manifests and N generations, the
+    * very accrual compaction exists to curb; ScaleProbe's cadence
+    * cells measure the loop). The repartition lands each bucket's rows
+    * in one task, so every compacted bucket emerges as ONE file;
+    * buckets the manifest doesn't hold are ignored; no-op (current
+    * manifest returned) when none are held. */
+  def compactBuckets(spark: SparkSession, root: String,
+      buckets: Seq[Int], table: String = T): Manifest = {
     val cur = current(spark, root)
-    if (!cur.buckets(table).contains(bucket)) cur
+    val held = buckets.distinct.filter(cur.buckets(table).contains)
+    if (held.isEmpty) cur
     else commit(spark, root, Map(table ->
-      (readBuckets(spark, root, table, Seq(bucket)).coalesce(1),
-        Seq(bucket))))
+      (readBuckets(spark, root, table, held)
+        .repartition(held.size,
+          org.apache.spark.sql.functions.col("pbucket")),
+        held)))
   }
 
   /** Roll the store back to an earlier committed snapshot — possible

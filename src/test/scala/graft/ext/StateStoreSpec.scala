@@ -152,6 +152,32 @@ class StateStoreSpec extends SparkSpec {
     assert(StateStore.current(spark, dir).version == v)
   }
 
+  test("compactBuckets collapses SEVERAL buckets under ONE commit " +
+    "(one manifest, one generation — the operational cadence form): " +
+    "row set identical, each compacted bucket one file, others " +
+    "byte-stable") {
+    val nb = 4
+    val dir = tmp("graft_ss_compN")
+    val df = (1L to 400L).map(i => (i, i)).toDF("pid", "fp")
+      .repartition(4)
+      .withColumn("pbucket", pmod(hash(col("pid")), lit(nb)))
+    StateStore.create(spark, dir, df, nb)
+    val before = StateStore.leafFiles(spark, dir)
+    val targets = before.keys.toSeq.sorted.take(2)
+    assert(targets.forall(before(_).size > 1)) // non-vacuous
+    val expect = fpRows(StateStore.readAll(spark, dir))
+    val v0 = StateStore.current(spark, dir).version
+    StateStore.compactBuckets(spark, dir, targets ++ Seq(nb + 9))
+    assert(StateStore.current(spark, dir).version == v0 + 1) // ONE commit
+    val after = StateStore.leafFiles(spark, dir)
+    targets.foreach(b => assert(after(b).size == 1))
+    (before.keySet -- targets).foreach(o => assert(after(o) == before(o)))
+    assert(fpRows(StateStore.readAll(spark, dir)) == expect)
+    // nothing held: no-op, no commit
+    StateStore.compactBuckets(spark, dir, Seq(nb + 7, nb + 8))
+    assert(StateStore.current(spark, dir).version == v0 + 1)
+  }
+
   test("a mismatched numBuckets is REJECTED before any data moves — " +
     "the wrong-modulus pruning bug that would silently duplicate keys") {
     val dir = tmp("graft_ss_nb")

@@ -641,4 +641,85 @@ class StreamingSpec extends SparkSpec {
       retainedFps, bits = 32, slices = 4)._1))
     assert(finalState.nonEmpty && takedownFeed.count() > 0)
   }
+
+  test("COMPOSED streamed CLUSTER lifecycle (round-13 item 2): " +
+    "streamed assignment-delta pairs fold through the TWO-TABLE " +
+    "transactional store (upsertClustersPartitioned), a streamed " +
+    "takedown folds through retractClustersPartitioned, and the final " +
+    "ClustersByLabel == ClustersById == the in-memory batch chain == " +
+    "the fresh rebuild over the retained pair subgraph") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 3)
+    val arriving = docs.filter(col("doc_id") % 5 === 3)
+    // ---- persisted corpus state: shingle index (the stream's probe
+    // side), pair table, and the TWO-TABLE partitioned cluster store ----
+    val shIndex = graft.ext.Dedup.corpusShingleIndex(corpus, "doc_id",
+      "text", k = 3, maxDf = 100).localCheckpoint(eager = true)
+    val corpusPairs = graft.ext.Dedup.jaccardPairs(corpus, "doc_id",
+        "text", k = 3, threshold = 0.1, maxDf = 100)
+      .select("id_a", "id_b").localCheckpoint(eager = true)
+    val clusters0 = graft.ext.Dedup.dupClusters(corpusPairs,
+      corpus.select("doc_id"), "doc_id").localCheckpoint(eager = true)
+    val nb = 16
+    val dir = java.nio.file.Files.createTempDirectory("graft_sclife")
+      .toFile.getAbsolutePath + "/clusters"
+    graft.ext.Dedup.writeClustersPartitioned(clusters0, dir, "doc_id", nb)
+    // ---- streamed ARRIVALS: the flags pipeline's (id_a, id_b) pairs
+    // are exactly the delta edges the cluster upsert folds in (one
+    // windowed agg => the trailing doc's window may withhold; whatever
+    // DID emit is the delta both the partitioned and the in-memory
+    // chain consume, so the three-way equality is exact) ----
+    val streamedPairs = StreamingOps.runStreamingDocs(spark, sf0001,
+      s => StreamingOps.streamingIncrementalFlags(
+        s.filter(col("doc_id") % 5 === 3), shIndex,
+        k = 3, threshold = 0.1, maxDf = 100),
+      "t_clife_pairs").select("id_a", "id_b")
+      .localCheckpoint(eager = true)
+    assert(streamedPairs.count() > 0)
+    val rep = graft.ext.Dedup.upsertClustersPartitioned(dir,
+      streamedPairs, arriving.select("doc_id"), "doc_id", nb)
+    assert(rep.touched.nonEmpty && rep.projTouched.nonEmpty)
+    // ---- streamed TAKEDOWN ids (stateless map-only feed => NO
+    // withheld tail) retract through the same two-table commit; the
+    // persisted pair table (corpus ∪ streamed deltas) is the source
+    // of truth the re-cluster runs over ----
+    val delIds = StreamingOps.runStreamingDocs(spark, sf0001,
+      s => s.filter(col("doc_id") % 7 === 2).select("doc_id"),
+      "t_clife_del").localCheckpoint(eager = true)
+    assert(delIds.count() > 0)
+    val pairTable = corpusPairs.unionByName(streamedPairs)
+      .localCheckpoint(eager = true)
+    graft.ext.Dedup.retractClustersPartitioned(dir, pairTable, delIds,
+      "doc_id", nb)
+    // ---- final state: BOTH orientations of the partitioned store
+    // agree with each other, with the in-memory batch chain (q243-
+    // style upsert then q246-style retract on the same deltas), and
+    // with the fresh rebuild over the retained pair subgraph ----
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("cluster"))
+        .as[(Long, Long)].collect().toSet
+    val byLabel = rows(graft.ext.StateStore.readAll(spark, dir,
+      graft.ext.Dedup.ClustersByLabel))
+    val byId = rows(graft.ext.StateStore.readAll(spark, dir,
+      graft.ext.Dedup.ClustersById))
+    assert(byLabel == byId) // the projection never disagrees
+    val batchChain = rows(graft.ext.Dedup.retractClusters(
+      graft.ext.Dedup.upsertClusters(clusters0, streamedPairs,
+        arriving.select("doc_id"), "doc_id"),
+      pairTable, delIds, "doc_id"))
+    assert(byLabel == batchChain)
+    val retained = docs.filter(col("doc_id") % 7 =!= 2)
+      .select("doc_id").localCheckpoint(eager = true)
+    val retainedPairs = pairTable
+      .join(retained.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(retained.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+        "left_semi")
+    val fresh = rows(graft.ext.Dedup.dupClusters(retainedPairs,
+      retained, "doc_id"))
+    assert(byLabel == fresh)
+    assert(byLabel.nonEmpty)
+  }
 }

@@ -520,6 +520,18 @@ object ScaleProbe {
     if (graft.ext.StateStore.current(s, root).version != 1L)
       graft.ext.StateStore.rollbackTo(s, root, 1L)
 
+  /** Release every cached/checkpointed block — the measurement-loop
+    * cleanup (`run()`'s finally), needed by ANY code that drives
+    * maintenance cycles outside `timed`: each cycle's eager
+    * localCheckpoint memos otherwise accumulate for the whole run
+    * (measured: the 50-cycle cadence crawled to ~30 s/cycle from
+    * leaked blocks before this was applied there). */
+  private def releaseBlocks(s: SparkSession): Unit = {
+    s.sharedState.cacheManager.clearCache()
+    s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   /** Untimed per-sample SETUP of the partitioned-state cells: the
     * snapshot reset (rollbackTo + vacuum — several driver-side FS
     * operations) runs OUTSIDE the timed region, so statep_* samples
@@ -616,6 +628,7 @@ object ScaleProbe {
     val T = graft.ext.StateStore.Timing
     def cycle(store: String, run: () => Unit): Map[String, Double] = {
       resetPart(s, s"$root/$store") // untimed, like the statep_* setup
+      releaseBlocks(s) // leaked checkpoints would pollute later cells
       T.reset()
       val t0 = System.nanoTime()
       run()
@@ -694,6 +707,8 @@ object ScaleProbe {
           graft.ext.StateStore.vacuum(s, path)
           ()
         }
+        releaseBlocks(s) // drop the cycle's checkpoint memos (leaked
+                         // blocks measurably throttled later cycles)
         val (mf, gn, df) = diskStats(path)
         val cur = graft.ext.StateStore.leafFiles(s, path)
         System.err.println(f"[probeops] x$m statec_$name cycle=$c%2d " +

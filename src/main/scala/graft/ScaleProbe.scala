@@ -676,20 +676,39 @@ object ScaleProbe {
       : Unit = {
     val root = s"$out/state/x$m"
     ensureState(s, root, m)
-    val fsRoot = new org.apache.hadoop.fs.Path(root)
-    val fs = fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // stats via java.nio, NOT the Hadoop FS: the located-status
+    // recursive listing cost ~28 s per cycle over ~8k local files and
+    // dwarfed the ~1 s maintenance cycle it was annotating (this probe
+    // is local-only; the engine itself never lists recursively)
     def diskStats(path: String): (Int, Int, Int) = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val names = fs.listStatus(p).map(_.getPath.getName)
-      val manifests = names.count(n =>
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val top = Files.list(Paths.get(path)).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      val manifests = top.count(n =>
         n.startsWith("manifest-") && n.endsWith(".txt"))
-      val gens = names.count(_.startsWith("gen-"))
-      var files = 0
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) files += 1
-      }
+      val gens = top.count(_.startsWith("gen-"))
+      val walk = Files.walk(Paths.get(path))
+      val files =
+        try walk.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        finally walk.close()
       (manifests, gens, files)
+    }
+    def curFiles(path: String): Map[Int, Int] = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val cur = graft.ext.StateStore.current(s, path)
+      cur.buckets(graft.ext.StateStore.T).map { case (b, gen) =>
+        val dir = Paths.get(path, gen, graft.ext.StateStore.T,
+          s"pbucket=$b")
+        val ls = Files.list(dir)
+        val n =
+          try ls.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))
+          finally ls.close()
+        b -> n
+      }
     }
     def variant(name: String, compactEvery: Int): Unit = {
       val path = s"$root/cadence_$name"
@@ -700,22 +719,27 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       var touched = Set.empty[Int]
       (1 to 50).foreach { c =>
+        val tu0 = System.nanoTime()
         touched ++= Dedup.upsertPostingsIndexPartitioned(path, delta,
           Seq("bk"), StNb)
+        val upSec = (System.nanoTime() - tu0) / 1e9
+        val tc0 = System.nanoTime()
         if (compactEvery > 0 && c % compactEvery == 0) {
           graft.ext.StateStore.compactBuckets(s, path, touched.toSeq)
           graft.ext.StateStore.vacuum(s, path)
           ()
         }
+        val cpSec = (System.nanoTime() - tc0) / 1e9
         releaseBlocks(s) // drop the cycle's checkpoint memos (leaked
                          // blocks measurably throttled later cycles)
         val (mf, gn, df) = diskStats(path)
-        val cur = graft.ext.StateStore.leafFiles(s, path)
+        val cur = curFiles(path)
         System.err.println(f"[probeops] x$m statec_$name cycle=$c%2d " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%7.2f " +
+          f"up=$upSec%6.2f comp=$cpSec%6.2f " +
           f"manifests=$mf%3d gens=$gn%3d disk_files=$df%5d " +
-          f"cur_files=${cur.values.map(_.size).sum}%4d " +
-          f"hot_bucket_files=${cur.values.map(_.size).max}%3d")
+          f"cur_files=${cur.values.sum}%4d " +
+          f"hot_bucket_files=${cur.values.max}%3d")
       }
       val total = (System.nanoTime() - t0) / 1e9
       val (_, _, df) = diskStats(path)

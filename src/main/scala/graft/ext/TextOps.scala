@@ -20,7 +20,16 @@ object TextOps {
 
   val HashPrime = 1000000007L
 
-  /** Whitespace tokenization (the baseline token counter). */
+  /** Whitespace tokenization (the baseline token counter).
+    *
+    * Every explode over `tokens`/`bigrams` in this file uses the
+    * `_outer` generator + a null/length drop on the generator OUTPUT,
+    * deliberately: plain explode makes the optimizer infer a
+    * `size(...) > 0` filter below the Generate, whose alias
+    * substitution re-runs the whole tokenization a second time per
+    * row (see [[graft.ext.Multimodal.sampleFramesInContainer]] for
+    * the measured pathology). outer infers no filter; the output-side
+    * drop costs one null check per row. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** Pairwise vocabulary overlap between groups (sources, languages,
@@ -34,7 +43,7 @@ object TextOps {
   def vocabOverlap(docs: DataFrame, groupCol: String, textCol: String)
       : DataFrame = {
     val vocab = docs.select(col(groupCol).as("g"),
-        explode(tokens(col(textCol))).as("tok"))
+        explode_outer(tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
       .localCheckpoint(eager = false) // sizes + both pair-join sides
@@ -166,8 +175,9 @@ object TextOps {
   def tfidfRelational(df: DataFrame, idCol: String, textCol: String,
       numFeatures: Int = 1 << 12, maxDf: Int = Int.MaxValue): DataFrame = {
     val terms = df.select(col(idCol),
-        explode(filter(tokens(col(textCol)),
+        explode_outer(filter(tokens(col(textCol)),
           w => !w.isin(stopwords: _*) && length(w) > 0)).as("tok"))
+      .filter(col("tok").isNotNull)
       .withColumn("term_hash", pmod(polyHash(col("tok")),
         lit(numFeatures.toLong)))
     val tf = terms.groupBy(col(idCol), col("term_hash"))
@@ -201,15 +211,17 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(col("n").desc, col("tok").asc)
     val vocab = df
-      .select(explode(filter(tokens(col(textCol)), w => length(w) > 0))
-        .as("tok"))
+      .select(explode_outer(filter(tokens(col(textCol)),
+          w => length(w) > 0)).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(ord: _*).limit(vocabSize)
       .withColumn("token_id", row_number().over(Window.orderBy(ord: _*)))
       .select("tok", "token_id")
     df.select(col(idCol),
-        posexplode(filter(tokens(col(textCol)), w => length(w) > 0))
-          .as(Seq("pos", "tok")))
+        posexplode_outer(filter(tokens(col(textCol)),
+          w => length(w) > 0)).as(Seq("pos", "tok")))
+      .filter(col("tok").isNotNull)
       .join(broadcast(vocab), Seq("tok"), "left")
       .select(col(idCol), col("pos"),
         coalesce(col("token_id"), lit(unkId)).as("token_id"))
@@ -317,7 +329,9 @@ object TextOps {
       : DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val toks = df.select(col(idCol).as("did"),
-      explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("tok"))
+        explode_outer(filter(tokens(col(textCol)),
+          w => length(w) > 0)).as("tok"))
+      .filter(col("tok").isNotNull)
     val dl = toks.groupBy("did").agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -351,8 +365,9 @@ object TextOps {
   def vocabCoverage(df: DataFrame, textCol: String, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val freq = df
-      .select(explode(filter(tokens(col(textCol)), w => length(w) > 0))
-        .as("tok"))
+      .select(explode_outer(filter(tokens(col(textCol)),
+          w => length(w) > 0)).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("n"))
     val total = freq.agg(sum(col("n")).as("n_total"))
     val ord = Seq(col("n").desc, col("tok").asc)
@@ -393,8 +408,9 @@ object TextOps {
   def stopwordDiscovery(df: DataFrame, idCol: String, textCol: String,
       minDocFrac: Double): DataFrame = {
     val docTok = df.select(col(idCol).as("did"),
-        explode(array_distinct(
+        explode_outer(array_distinct(
           filter(tokens(col(textCol)), w => length(w) > 0))).as("tok"))
+      .filter(col("tok").isNotNull)
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     docTok.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -423,7 +439,9 @@ object TextOps {
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val toks = df.select(col(idCol).as("did"),
-      explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("tok"))
+        explode_outer(filter(tokens(col(textCol)),
+          w => length(w) > 0)).as("tok"))
+      .filter(col("tok").isNotNull)
     val cnt = toks.groupBy("did", "tok").agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy("did").agg(sum(col("c")).as("n"))
     cnt.join(tot, "did")
@@ -456,7 +474,9 @@ object TextOps {
   def unigramNll(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val toks = df.select(col(idCol).as("did"),
-      explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("tok"))
+        explode_outer(filter(tokens(col(textCol)),
+          w => length(w) > 0)).as("tok"))
+      .filter(col("tok").isNotNull)
     // checkpoint the MODEL, not the token stream: counts are consumed
     // twice (the totals aggregate and the scoring join)
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
@@ -495,7 +515,9 @@ object TextOps {
   def sourceDrift(df: DataFrame, sourceCol: String, textCol: String)
       : DataFrame = {
     val toks = df.select(col(sourceCol).as("src"),
-      explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("tok"))
+        explode_outer(filter(tokens(col(textCol)),
+          w => length(w) > 0)).as("tok"))
+      .filter(col("tok").isNotNull)
     // corpus model: consumed by the totals agg and the expansion join
     val corpus = toks.groupBy("tok").agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = true)
@@ -536,13 +558,15 @@ object TextOps {
     val n1 = greatest(size(toks) - 1, lit(0))
     val prs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val pairs = df.select(col(idCol).as("did"), explode(prs).as("pr"))
+    val pairs = df.select(col(idCol).as("did"),
+        explode_outer(prs).as("pr"))
+      .filter(col("pr").isNotNull)
       .select(col("did"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint(eager = true) // consumed twice: contexts + join
     val left = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val vocab = df.select(explode(toks).as("tok")).agg(
-      countDistinct(col("tok")).as("v"))
+    val vocab = df.select(explode_outer(toks).as("tok")).agg(
+      countDistinct(col("tok")).as("v")) // countDistinct skips nulls
     val model = big.join(left, "w1").crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         ((col("c12") + 1).cast("double") / (col("c1") + col("v")))
@@ -572,7 +596,8 @@ object TextOps {
   def pmiPairs(df: DataFrame, idCol: String, textCol: String,
       minDf: Long, vocabTop: Int, minCo: Long): DataFrame = {
     val toks = df.select(col(idCol).as("pid"),
-      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+        explode_outer(array_distinct(tokens(col(textCol)))).as("tok"))
+      .filter(col("tok").isNotNull)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("df_t"))
       .filter(col("df_t") >= minDf)
       .orderBy(col("df_t").desc, col("tok")).limit(vocabTop)
@@ -582,11 +607,12 @@ object TextOps {
       .agg(sort_array(collect_list(struct(col("tok"), col("df_t"))))
         .as("vs"))
       .filter(size(col("vs")) >= 2)
-    val pairs = hits.select(explode(flatten(
-      transform(sequence(lit(0), size(col("vs")) - 2), i =>
-        transform(sequence(i + 1, size(col("vs")) - 1), j =>
-          struct(element_at(col("vs"), i + 1).as("a"),
-            element_at(col("vs"), j + 1).as("b")))))).as("p"))
+    val pairs = hits.select(explode_outer(flatten(
+        transform(sequence(lit(0), size(col("vs")) - 2), i =>
+          transform(sequence(i + 1, size(col("vs")) - 1), j =>
+            struct(element_at(col("vs"), i + 1).as("a"),
+              element_at(col("vs"), j + 1).as("b")))))).as("p"))
+      .filter(col("p").isNotNull)
     pairs
       .groupBy(col("p.a.tok").as("tok_a"), col("p.b.tok").as("tok_b"),
         col("p.a.df_t").as("df_a"), col("p.b.df_t").as("df_b"))
@@ -619,7 +645,7 @@ object TextOps {
     * accumulation), ties break on the words — fully oracle-replicable. */
   def llrCollocations(df: DataFrame, textCol: String, minCo: Long,
       topK: Int): DataFrame = {
-    val bg = df.select(explode(bigrams(col(textCol))).as("bg"))
+    val bg = df.select(explode_outer(bigrams(col(textCol))).as("bg"))
       .select(split(col("bg"), " ").getItem(0).as("w1"),
         split(col("bg"), " ").getItem(1).as("w2"))
       .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
@@ -653,7 +679,8 @@ object TextOps {
     * counts n-gram LM estimation and contamination screens start from.
     * One explode + one hash-agg shuffle; top-K via TakeOrdered. */
   def bigramCounts(df: DataFrame, textCol: String, topK: Int): DataFrame =
-    df.select(explode(bigrams(col(textCol))).as("bigram"))
+    df.select(explode_outer(bigrams(col(textCol))).as("bigram"))
+      .filter(col("bigram").isNotNull)
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(topK)
@@ -678,7 +705,7 @@ object TextOps {
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val tks = docs.select(col(idCol).as("doc"),
-        explode(tokens(col(textCol))).as("tok"))
+        explode_outer(tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
     val pd = tks.groupBy("doc").agg(count(lit(1)).as("n_toks"))
     val fo = tks.groupBy("tok").agg(min(col("doc")).as("doc"))
@@ -772,7 +799,8 @@ object TextOps {
   def bpeTrain(df: DataFrame, textCol: String, rounds: Int)
       : (DataFrame, DataFrame) = {
     require(rounds >= 1, s"need at least one round, got $rounds")
-    val vocab = df.select(explode(tokens(col(textCol))).as("word"))
+    val vocab = df.select(explode_outer(tokens(col(textCol)))
+        .as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var syms = vocab
@@ -780,10 +808,11 @@ object TextOps {
       .localCheckpoint(eager = false)
     val merged = (0 until rounds).map { r =>
       val pairs = syms.filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(
+        .select(col("freq"), explode_outer(
           transform(sequence(lit(0), size(col("syms")) - 2),
             i => struct(element_at(col("syms"), i + 1).as("a"),
               element_at(col("syms"), i + 2).as("b")))).as("p"))
+        .filter(col("p").isNotNull)
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
       val top = pairs
@@ -822,7 +851,7 @@ object TextOps {
     val segs = segsIn.getOrElse(bpeTrain(df, textCol, rounds)._2)
       .select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
     val perGroup = df.select(col(groupCol),
-        explode(tokens(col(textCol))).as("word"))
+        explode_outer(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col(groupCol), col("word"))
       .agg(count(lit(1)).as("n"))

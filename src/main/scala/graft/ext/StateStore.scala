@@ -130,6 +130,27 @@ object StateStore {
     }
   }
 
+  /** Write one table's generation directory with the store's LAYOUT
+    * INVARIANT: each held bucket lands as ONE parquet file (its rows
+    * hash-shuffled to a single task via `repartition(n, pbucket)` —
+    * an explicit partition count, which AQE never coalesces away).
+    * Without this, a `partitionBy` write fans out to one part-file
+    * per upstream task per bucket — at production width that is
+    * O(tasks × buckets) files PER CYCLE (the round-14 cadence probe
+    * measured the un-shuffled form leaving 32 files per bucket), the
+    * file-count explosion that kills object-store listings and
+    * per-bucket pruned reads at 100 TB. With numBuckets scaled to the
+    * corpus (the production dial — buckets stay ~GB), one file per
+    * bucket is the parquet sweet spot; a genuinely fat bucket can
+    * still split via `spark.sql.files.maxRecordsPerFile`, which
+    * splits FILES within the bucket's single task without breaking
+    * the one-task-per-bucket shuffle. */
+  private def writeGeneration(df: DataFrame, parts: Int,
+      dest: Path): Unit =
+    df.repartition(parts, org.apache.spark.sql.functions.col("pbucket"))
+      .write.mode("errorifexists").partitionBy("pbucket")
+      .parquet(dest.toString)
+
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -337,8 +358,7 @@ object StateStore {
     // references it), so the retry clears and rewrites it
     if (fs.exists(new Path(rp, gen))) fs.delete(new Path(rp, gen), true)
     val bs = tables.map { case (t, df) =>
-      df.write.mode("errorifexists").partitionBy("pbucket")
-        .parquet(new Path(rp, s"$gen/$t").toString)
+      writeGeneration(df, numBuckets, new Path(rp, s"$gen/$t"))
       t -> presentBuckets(fs, new Path(rp, s"$gen/$t"))
         .map(_ -> gen).toMap
     }
@@ -437,8 +457,8 @@ object StateStore {
         writes.get(t) match {
           case None => t -> old
           case Some((merged, touched)) =>
-            merged.write.mode("errorifexists").partitionBy("pbucket")
-              .parquet(new Path(rp, s"$gen/$t").toString)
+            writeGeneration(merged, math.max(touched.size, 1),
+              new Path(rp, s"$gen/$t"))
             val present = presentBuckets(fs, new Path(rp, s"$gen/$t"))
             val undeclared = present.filterNot(touched.contains)
             require(undeclared.isEmpty,
@@ -460,36 +480,37 @@ object StateStore {
       touched: Seq[Int]): Manifest =
     commit(spark, root, Map(T -> (merged, touched)))
 
-  /** Compact one bucket's small files (a parallel merge write leaves
-    * up to one part-file per task per bucket) into a single file in a
-    * fresh generation, behind the same atomic swap — the round-12
-    * verdict item 8 verb. Content-preserving by construction (one
-    * read, one coalesced write, no merge logic); the spec pins row-set
-    * equality and the file-count drop. No-op on a bucket the manifest
-    * doesn't hold. */
+  /** Single-bucket sugar for [[compactBuckets]] — the round-12
+    * verdict item 8 verb. */
   def compactBucket(spark: SparkSession, root: String, bucket: Int,
       table: String = T): Manifest =
     compactBuckets(spark, root, Seq(bucket), table)
 
-  /** Compact SEVERAL buckets of one table under ONE commit — the
-    * OPERATIONAL form of [[compactBucket]] (a maintenance cadence
-    * compacts every hot bucket as one atomic swap, not one commit per
-    * bucket — N commits would add N manifests and N generations, the
-    * very accrual compaction exists to curb; ScaleProbe's cadence
-    * cells measure the loop). The repartition lands each bucket's rows
-    * in one task, so every compacted bucket emerges as ONE file;
-    * buckets the manifest doesn't hold are ignored; no-op (current
-    * manifest returned) when none are held. */
+  /** RE-HOME several buckets of one table into one fresh generation,
+    * under ONE commit. Since round 14 every generation already lands
+    * one file per held bucket (the [[writeGeneration]] layout
+    * invariant), so this verb's job is no longer per-bucket defrag —
+    * it is GENERATION CONSOLIDATION: a generation whose buckets have
+    * been partially superseded by later cycles cannot be deleted by
+    * [[vacuum]] while ANY bucket still references it, stranding the
+    * superseded buckets' dead files inside it indefinitely (the
+    * round-14 cadence probe measured the initial generation pinning
+    * its dead hot-bucket files across all 50 cycles). Re-homing every
+    * bucket of such a generation moves the live rows into a fresh
+    * generation — content-preserving by construction (one pruned
+    * read, one write, no merge logic) — after which vacuum reclaims
+    * the old generation whole. One commit for N buckets, not N (N
+    * commits would add N manifests + N generations, the very accrual
+    * the cadence exists to curb). Buckets the manifest doesn't hold
+    * are ignored; no-op (current manifest returned) when none are
+    * held. */
   def compactBuckets(spark: SparkSession, root: String,
       buckets: Seq[Int], table: String = T): Manifest = {
     val cur = current(spark, root)
     val held = buckets.distinct.filter(cur.buckets(table).contains)
     if (held.isEmpty) cur
     else commit(spark, root, Map(table ->
-      (readBuckets(spark, root, table, held)
-        .repartition(held.size,
-          org.apache.spark.sql.functions.col("pbucket")),
-        held)))
+      (readBuckets(spark, root, table, held), held)))
   }
 
   /** Roll the store back to an earlier committed snapshot — possible

@@ -127,51 +127,67 @@ class StateStoreSpec extends SparkSpec {
     assert(StateStore.vacuum(spark, dir).isEmpty)
   }
 
-  test("compactBucket collapses a bucket's small files to ONE behind " +
-    "the same atomic swap: row set identical, other buckets " +
-    "byte-stable — the round-12 item-8 verb") {
+  test("LAYOUT INVARIANT: create and commit land each held bucket as " +
+    "exactly ONE parquet file regardless of input partitioning — the " +
+    "round-14 file-count fix (an un-shuffled partitionBy write fans " +
+    "out one part-file per upstream task per bucket)") {
     val nb = 4
-    val dir = tmp("graft_ss_comp")
-    // a 4-way-parallel write leaves several part-files per bucket
+    val dir = tmp("graft_ss_layout")
+    // 4-way-parallel input: the pre-fix write left up to 4 files/bucket
     val df = (1L to 400L).map(i => (i, i)).toDF("pid", "fp")
       .repartition(4)
       .withColumn("pbucket", pmod(hash(col("pid")), lit(nb)))
     StateStore.create(spark, dir, df, nb)
-    val before = StateStore.leafFiles(spark, dir)
-    val b = before.keys.min
-    assert(before(b).size > 1) // non-vacuous
+    val created = StateStore.leafFiles(spark, dir)
+    assert(created.keySet == (0 until nb).toSet)
+    created.foreach { case (_, fs) => assert(fs.size == 1) }
+    // a commit whose merged frame spans many partitions: same invariant
     val expect = fpRows(StateStore.readAll(spark, dir))
-    StateStore.compactBucket(spark, dir, b)
+    val touched = Seq(0, 1)
+    val merged = StateStore.readBuckets(spark, dir, StateStore.T, touched)
+      .repartition(8) // deliberately scatter before the commit
+    StateStore.commit(spark, dir, merged, touched)
     val after = StateStore.leafFiles(spark, dir)
-    assert(after(b).size == 1)
-    (before.keySet - b).foreach(o => assert(after(o) == before(o)))
+    touched.foreach(b => assert(after(b).size == 1))
+    (created.keySet -- touched).foreach(o => assert(after(o) == created(o)))
     assert(fpRows(StateStore.readAll(spark, dir)) == expect)
-    // compacting a bucket the manifest no longer holds is a no-op
-    val v = StateStore.current(spark, dir).version
-    StateStore.compactBucket(spark, dir, nb + 7)
-    assert(StateStore.current(spark, dir).version == v)
   }
 
-  test("compactBuckets collapses SEVERAL buckets under ONE commit " +
-    "(one manifest, one generation — the operational cadence form): " +
-    "row set identical, each compacted bucket one file, others " +
-    "byte-stable") {
+  test("compactBuckets RE-HOMES buckets under ONE commit so vacuum " +
+    "can reclaim partially-superseded generations: a generation with " +
+    "any live bucket strands its dead files (pinned), re-homing all " +
+    "its buckets frees it whole; row set identical throughout") {
     val nb = 4
     val dir = tmp("graft_ss_compN")
+    def parquetOnDisk(): Int = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+      } finally walk.close()
+    }
     val df = (1L to 400L).map(i => (i, i)).toDF("pid", "fp")
-      .repartition(4)
       .withColumn("pbucket", pmod(hash(col("pid")), lit(nb)))
-    StateStore.create(spark, dir, df, nb)
-    val before = StateStore.leafFiles(spark, dir)
-    val targets = before.keys.toSeq.sorted.take(2)
-    assert(targets.forall(before(_).size > 1)) // non-vacuous
+    StateStore.create(spark, dir, df, nb) // gen-1: nb single files
     val expect = fpRows(StateStore.readAll(spark, dir))
+    // supersede ONE bucket (content-identical rewrite) -> gen-2
+    val b = 0
+    StateStore.commit(spark, dir,
+      StateStore.readBuckets(spark, dir, StateStore.T, Seq(b)), Seq(b))
+    StateStore.vacuum(spark, dir)
+    // gen-1 still holds 3 live buckets, so vacuum CANNOT delete it and
+    // bucket b's dead gen-1 file stays on disk: nb live + 1 stranded
+    assert(parquetOnDisk() == nb + 1)
     val v0 = StateStore.current(spark, dir).version
-    StateStore.compactBuckets(spark, dir, targets ++ Seq(nb + 9))
-    assert(StateStore.current(spark, dir).version == v0 + 1) // ONE commit
+    // re-home EVERY bucket (unheld ids ignored) -> ONE commit
+    StateStore.compactBuckets(spark, dir, (0 until nb) :+ (nb + 9))
+    assert(StateStore.current(spark, dir).version == v0 + 1)
     val after = StateStore.leafFiles(spark, dir)
-    targets.foreach(b => assert(after(b).size == 1))
-    (before.keySet -- targets).foreach(o => assert(after(o) == before(o)))
+    (0 until nb).foreach(b => assert(after(b).size == 1))
+    StateStore.vacuum(spark, dir)
+    // old generations now fully unreferenced: disk == the live files
+    assert(parquetOnDisk() == nb)
     assert(fpRows(StateStore.readAll(spark, dir)) == expect)
     // nothing held: no-op, no commit
     StateStore.compactBuckets(spark, dir, Seq(nb + 7, nb + 8))

@@ -209,6 +209,15 @@ object PlanDump {
           "the scan projection, 4-slice explode → slice-bucket " +
           "equi-join, Hamming bit_count verify map-side BEFORE the " +
           "pair-dedupe aggregate — never |payloads|²"),
+      "q59_frame_sample" ->
+        ("container-offset frame sampling (round-14 re-anchor): " +
+          "wav_data_span locates the data chunk with a no-copy codegen " +
+          "span walk, frames substring straight out of the CONTAINER " +
+          "(no materialized decoded copy), and the Generate is " +
+          "posexplode_OUTER — plain posexplode makes the optimizer " +
+          "infer a size(frames)>0 filter below it, where alias " +
+          "substitution re-evaluates the whole frames expression per " +
+          "element (measured 2× before the fix)"),
       "q238_incremental_dedup" ->
         ("cross-run incremental dedup: batch postings join the corpus " +
           "shingle index on sh (zero-exchange SMJ once the index is " +

@@ -153,6 +153,36 @@ class StateStoreSpec extends SparkSpec {
     assert(fpRows(StateStore.readAll(spark, dir)) == expect)
   }
 
+  test("LAYOUT INVARIANT composes with the fat-bucket escape: " +
+    "spark.sql.files.maxRecordsPerFile splits a bucket's single task " +
+    "into bounded files, reads stay exact, and clearing the conf " +
+    "restores one file per bucket") {
+    val nb = 4
+    val dir = tmp("graft_ss_maxrec")
+    val df = (1L to 400L).map(i => (i, i)).toDF("pid", "fp")
+      .withColumn("pbucket", pmod(hash(col("pid")), lit(nb)))
+    val key = "spark.sql.files.maxRecordsPerFile"
+    spark.conf.set(key, 30L)
+    try {
+      StateStore.create(spark, dir, df, nb)
+      val created = StateStore.leafFiles(spark, dir)
+      // ~100 rows per bucket at max 30/file: several files, bounded
+      created.foreach { case (_, fs) =>
+        assert(fs.size > 1 && fs.size <= 5)
+      }
+      assert(fpRows(StateStore.readAll(spark, dir)) ==
+        (1L to 400L).map(i => i -> i).toSet)
+    } finally spark.conf.unset(key)
+    // next commit without the conf: back to one file per bucket
+    val touched = Seq(0, 1)
+    StateStore.commit(spark, dir,
+      StateStore.readBuckets(spark, dir, StateStore.T, touched), touched)
+    val after = StateStore.leafFiles(spark, dir)
+    touched.foreach(b => assert(after(b).size == 1))
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      (1L to 400L).map(i => i -> i).toSet)
+  }
+
   test("compactBuckets RE-HOMES buckets under ONE commit so vacuum " +
     "can reclaim partially-superseded generations: a generation with " +
     "any live bucket strands its dead files (pinned), re-homing all " +

@@ -683,8 +683,10 @@ object ScaleProbe {
     def diskStats(path: String): (Int, Int, Int) = {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
-      val top = Files.list(Paths.get(path)).iterator().asScala
-        .map(_.getFileName.toString).toSeq
+      val ls = Files.list(Paths.get(path))
+      val top =
+        try ls.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally ls.close()
       val manifests = top.count(n =>
         n.startsWith("manifest-") && n.endsWith(".txt"))
       val gens = top.count(_.startsWith("gen-"))
@@ -772,11 +774,7 @@ object ScaleProbe {
     // leak across measurements
     def run(fn: (SparkSession, String) => DataFrame, d: String): Unit =
       try fn(spark, d).write.format("noop").mode("overwrite").save()
-      finally {
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-      }
+      finally releaseBlocks(spark)
     // Bench's failure discipline: a crashed sample records -1, the
     // probe continues (one scale's blow-up must not lose the run)
     def timed(fn: (SparkSession, String) => DataFrame, d: String)
@@ -881,11 +879,7 @@ object ScaleProbe {
         val rows =
           try fn(spark, d).count()
           catch { case _: Throwable => -1L }
-          finally {
-            spark.sharedState.cacheManager.clearCache()
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = true))
-          }
+          finally releaseBlocks(spark)
         // min of the SUCCESSFUL samples; -1 only when both crashed
         val t = Seq(t1, t2).filter(_ >= 0) match {
           case Nil => -1.0; case ok => ok.min

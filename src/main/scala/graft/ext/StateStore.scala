@@ -173,45 +173,69 @@ object StateStore {
   /** Read and parse manifest `v`. Throws on a torn or malformed file —
     * [[current]] turns that into a loud fallback, [[publish]] into a
     * crashed-rename self-heal. */
+  /** A manifest whose CONTENT failed validation — the truncated/
+    * garbage body a crashed write or a mid-rename crash on a
+    * copy+delete filesystem leaves behind. This is the ONLY failure
+    * class the torn-handling paths ([[current]]'s fallback,
+    * [[publish]]'s destination probe, [[vacuum]]'s garbage
+    * classification) may treat as garbage: an I/O failure READING a
+    * manifest (network blip, missing block, token expiry) says
+    * nothing about its content, and classifying it as torn would let
+    * a transient error delete or silently supersede a live committed
+    * snapshot — so I/O exceptions propagate loudly everywhere. */
+  final class TornManifestException(msg: String, cause: Throwable)
+      extends RuntimeException(msg, cause)
+
   private def parseManifest(fs: FileSystem, root: Path, v: Long)
       : Manifest = {
+    // I/O phase: failures here propagate untouched (NOT torn)
     val in = fs.open(new Path(root, manifestName(v)))
     val text =
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    // flat key=value lines, split on the FIRST '=': atomicity lives in
-    // the rename, so the format optimizes for being un-mis-parseable
-    val kv = text.linesIterator.filter(_.nonEmpty).map { l =>
-      val i = l.indexOf('=')
-      require(i > 0, s"malformed manifest line in $root v$v: $l")
-      l.substring(0, i) -> l.substring(i + 1)
-    }.toSeq
-    val m = kv.toMap
-    val schemas = kv.collect {
-      case (k, j) if k.startsWith("schema.") =>
-        k.stripPrefix("schema.") ->
-          org.apache.spark.sql.types.DataType.fromJson(j)
-            .asInstanceOf[StructType]
-    }.toMap
-    val buckets = kv.collect {
-      case (k, g) if k.startsWith("bucket.") =>
-        val Array(t, b) = k.stripPrefix("bucket.").split('.')
-        (t, b.toInt, g)
-    }.groupBy(_._1).map { case (t, xs) =>
-      t -> xs.map(x => x._2 -> x._3).toMap
+    // content phase: ANY failure below means the bytes themselves are
+    // not a valid manifest for this name — the torn classification
+    try {
+      // flat key=value lines, split on the FIRST '=': atomicity lives
+      // in the rename, so the format optimizes for being
+      // un-mis-parseable
+      val kv = text.linesIterator.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('=')
+        require(i > 0, s"malformed manifest line in $root v$v: $l")
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toSeq
+      val m = kv.toMap
+      val schemas = kv.collect {
+        case (k, j) if k.startsWith("schema.") =>
+          k.stripPrefix("schema.") ->
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[StructType]
+      }.toMap
+      val buckets = kv.collect {
+        case (k, g) if k.startsWith("bucket.") =>
+          val Array(t, b) = k.stripPrefix("bucket.").split('.')
+          (t, b.toInt, g)
+      }.groupBy(_._1).map { case (t, xs) =>
+        t -> xs.map(x => x._2 -> x._3).toMap
+      }
+      // the version line is the parse's own integrity check: a
+      // manifest whose body disagrees with its file name is torn or
+      // foreign
+      require(m("version").toLong == v,
+        s"manifest $v under $root carries version=${m("version")}")
+      require(schemas.nonEmpty, s"manifest $v under $root has no tables")
+      Manifest(v, m("numBuckets").toInt, schemas,
+        // a table whose every bucket emptied still exists (schema
+        // line, no bucket lines)
+        schemas.map { case (t, _) =>
+          t -> buckets.getOrElse(t, Map.empty[Int, String])
+        })
+    } catch {
+      case e: Throwable => throw new TornManifestException(
+        s"manifest $v under $root is torn/malformed: ${e.getMessage}",
+        e)
     }
-    // the version line is the parse's own integrity check: a manifest
-    // whose body disagrees with its file name is torn or foreign
-    require(m("version").toLong == v,
-      s"manifest $v under $root carries version=${m("version")}")
-    require(schemas.nonEmpty, s"manifest $v under $root has no tables")
-    Manifest(v, m("numBuckets").toInt, schemas,
-      // a table whose every bucket emptied still exists (schema line,
-      // no bucket lines)
-      schemas.map { case (t, _) =>
-        t -> buckets.getOrElse(t, Map.empty[Int, String])
-      })
   }
 
   /** Read the current snapshot: the newest PARSEABLE manifest. A torn
@@ -230,11 +254,15 @@ object StateStore {
     versions.iterator.zipWithIndex.map { case (v, i) =>
       try Some(parseManifest(fs, rp, v))
       catch {
-        // the OLDEST version's failure propagates (guard false): with
-        // nothing left to fall back to, degrading is impossible
-        case e: Throwable if i < versions.size - 1 =>
+        // ONLY a torn body falls back (an I/O failure propagates —
+        // serving the previous snapshot on a read blip would let a
+        // committing writer rebuild a stale version and resurface
+        // retracted rows); the OLDEST version's tear propagates too
+        // (guard false): with nothing left to fall back to, degrading
+        // is impossible
+        case e: TornManifestException if i < versions.size - 1 =>
           System.err.println(s"[statestore] manifest v$v under $root " +
-            s"is unreadable (${e.getMessage}); falling back to " +
+            s"is torn (${e.getMessage}); falling back to " +
             s"v${versions(i + 1)}")
           None
       }
@@ -279,13 +307,15 @@ object StateStore {
     if (fs.exists(dst)) {
       // a PARSEABLE destination is a competing committer's published
       // manifest (single-writer contract breach) — fail with their
-      // snapshot intact. An UNPARSEABLE one is the torn leftover of a
-      // crashed rename on a weaker filesystem: garbage under the
+      // snapshot intact. A TORN one is the leftover of a crashed
+      // rename on a weaker filesystem: garbage under the
       // single-writer contract (current() already fell back past it),
-      // cleared so the retried cycle can publish.
+      // cleared so the retried cycle can publish. An I/O failure
+      // probing it propagates — deleting a manifest we merely FAILED
+      // TO READ would be a silent lost update.
       val parseable =
         try { parseManifest(fs, root, m.version); true }
-        catch { case _: Throwable => false }
+        catch { case _: TornManifestException => false }
       if (parseable)
         sys.error(s"manifest ${manifestName(m.version)} already " +
           s"published under $root — concurrent writer " +
@@ -528,6 +558,13 @@ object StateStore {
     require(fs.exists(new Path(rp, manifestName(version))),
       s"cannot roll back to v$version under $root: manifest missing " +
         "(already vacuumed?)")
+    // the target must PARSE before anything newer is deleted: a torn
+    // target (its file exists — e.g. a crashed-rename leftover) would
+    // otherwise pass the exists check, and the trailing vacuum would
+    // then discard it and land the store SILENTLY below the requested
+    // version. TornManifestException (and any I/O failure) propagates
+    // with nothing yet deleted.
+    parseManifest(fs, rp, version)
     fs.listStatus(rp).iterator.map(_.getPath.getName)
       .filter(n => n.startsWith("manifest-") && n.endsWith(".txt") &&
         n.stripPrefix("manifest-").stripSuffix(".txt").toLong > version)
@@ -568,9 +605,12 @@ object StateStore {
     // retained = the newest `retain` PARSEABLE manifests (newest
     // first); O(history) tiny driver-side reads, history itself
     // bounded by the vacuum cadence
+    // ONLY torn bodies classify as garbage; an I/O failure aborts the
+    // vacuum loudly BEFORE anything is deleted (a read blip on the
+    // newest manifest must not destroy the current snapshot)
     val parseable = manifestVersions(fs, rp).flatMap { v =>
       try Some(parseManifest(fs, rp, v))
-      catch { case _: Throwable => None }
+      catch { case _: TornManifestException => None }
     }
     require(parseable.nonEmpty,
       s"no committed manifest under $root — not a StateStore")

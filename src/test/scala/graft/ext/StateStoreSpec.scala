@@ -299,6 +299,43 @@ class StateStoreSpec extends SparkSpec {
       before.filterNot(_._1 == 2L) + (2L -> 999L))
   }
 
+  test("rollbackTo REFUSES a torn target before deleting anything: " +
+    "the exists check alone would pass, the trailing vacuum would " +
+    "discard the torn target, and the store would land SILENTLY " +
+    "below the requested version (review finding)") {
+    val nb = 8
+    val dir = tmp("graft_ss_rbtorn")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb)
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((2L, 999L)).toDF("pid", "fp"), "pid", nb) // v2
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((3L, 888L)).toDF("pid", "fp"), "pid", nb) // v3
+    val v3 = fpRows(StateStore.readAll(spark, dir))
+    // tear v2 IN PLACE (its file still exists). The stale Hadoop CRC
+    // sidecar must go too: with it, the checksummed local FS throws
+    // ChecksumException at READ time — an I/O-phase failure, which
+    // correctly PROPAGATES rather than classifying as torn (the
+    // conservative side of the round-14 torn-vs-I/O split).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifest-000000002.txt"),
+      "version=2\nnumBuck")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".manifest-000000002.txt.crc"))
+    val e = intercept[StateStore.TornManifestException] {
+      StateStore.rollbackTo(spark, dir, 2L)
+    }
+    assert(e.getMessage.contains("torn"))
+    // NOTHING was deleted: v3 is still current and fully readable
+    assert(StateStore.current(spark, dir).version == 3L)
+    assert(fpRows(StateStore.readAll(spark, dir)) == v3)
+    // rolling back PAST the torn version still works
+    StateStore.rollbackTo(spark, dir, 1L)
+    assert(StateStore.current(spark, dir).version == 1L)
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      (1L to 20L).map(i => i -> i).toSet)
+  }
+
   test("RACING COMMITTERS on one version (single-writer contract " +
     "breach, interleaved deterministically in the TOCTOU window): " +
     "exactly one publishes, the loser fails loudly with the winner's " +

@@ -720,6 +720,11 @@ object ScaleProbe {
       val delta = s.read.parquet(s"$root/post_up")
       val t0 = System.nanoTime()
       var touched = Set.empty[Int]
+      var maintSec = 0.0 // upserts + compaction ONLY — the summary
+      // line must not charge the per-cycle stats collection (walk +
+      // 256 listings), whose cost GROWS with the accrued file count
+      // and would bias the nocompact-vs-compact comparison the cell
+      // exists to make (review finding)
       (1 to 50).foreach { c =>
         val tu0 = System.nanoTime()
         touched ++= Dedup.upsertPostingsIndexPartitioned(path, delta,
@@ -732,6 +737,7 @@ object ScaleProbe {
           ()
         }
         val cpSec = (System.nanoTime() - tc0) / 1e9
+        maintSec += upSec + cpSec
         releaseBlocks(s) // drop the cycle's checkpoint memos (leaked
                          // blocks measurably throttled later cycles)
         val (mf, gn, df) = diskStats(path)
@@ -745,8 +751,11 @@ object ScaleProbe {
       }
       val total = (System.nanoTime() - t0) / 1e9
       val (_, _, df) = diskStats(path)
+      System.err.println(f"[probeops] x$m statec_$name " +
+        f"wall=$total%7.2f maint=$maintSec%7.2f " +
+        "(wall - maint = stats collection)")
       System.err.println(f"[probe] x$m ${s"statec_$name"}%-24s " +
-        f"t1=$total%7.2f t2=${-1.0}%7.2f rows=${df.toLong}%9d")
+        f"t1=$maintSec%7.2f t2=${-1.0}%7.2f rows=${df.toLong}%9d")
     }
     variant("nocompact", 0)
     variant("compact10", 10)
@@ -864,14 +873,25 @@ object ScaleProbe {
         else Map.empty[String, SparkSession => Unit]
       val perQuery = cells(m).map { case (name, fn, d) =>
         // partitioned-state cells: snapshot reset OUTSIDE the timed
-        // region, before EVERY invocation (round-13 advice)
+        // region, before EVERY invocation (round-13 advice). Setup
+        // failures are contained like sample failures (review
+        // finding): an escaping exception here would abort the WHOLE
+        // run — the loss mode timed()'s catch exists to prevent; a
+        // failed setup just leaves the sample to fail and record -1.
         val setup = setups.get(name)
-        setup.foreach(_(spark))
+        def trySetup(): Unit = setup.foreach { s =>
+          try s(spark)
+          catch { case e: Throwable =>
+            System.err.println(s"[probe] setup for $name failed: " +
+              e.getMessage)
+          }
+        }
+        trySetup()
         val t1 = timed(fn, d)
         if (owners.contains(name)) ExtQueries.resetSharedScratch(name)
-        setup.foreach(_(spark))
+        trySetup()
         val t2 = timed(fn, d)
-        setup.foreach(_(spark))
+        trySetup()
         // the untimed row-count pass releases its blocks too — its
         // localCheckpoint blocks would otherwise leak INTO the next
         // query's t1 sample (the exact cross-measurement pollution the

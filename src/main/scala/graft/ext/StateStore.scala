@@ -27,7 +27,9 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   *    live bucket to the generation dir holding its current files,
   *    plus each table's read schema (so an all-buckets-emptied table
   *    stays readable). The current manifest is the highest-numbered
-  *    one present.
+  *    PARSEABLE one present (a torn highest-numbered leftover of a
+  *    crashed rename is skipped with a loud fallback — see the
+  *    FILESYSTEM contract below).
   *  - Commit = write the next manifest to a dot-tmp file, then ONE
   *    atomic `FileSystem.rename` to its final name. A crash anywhere
   *    before the rename leaves the previous manifest current and every
@@ -232,9 +234,13 @@ object StateStore {
           t -> buckets.getOrElse(t, Map.empty[Int, String])
         })
     } catch {
-      case e: Throwable => throw new TornManifestException(
-        s"manifest $v under $root is torn/malformed: ${e.getMessage}",
-        e)
+      // NonFatal only: an OOM/VM error during parse says nothing
+      // about the body — wrapping it as torn would let vacuum delete
+      // a live snapshot under memory pressure
+      case scala.util.control.NonFatal(e) =>
+        throw new TornManifestException(
+          s"manifest $v under $root is torn/malformed: ${e.getMessage}",
+          e)
     }
   }
 
@@ -334,10 +340,17 @@ object StateStore {
       .getFileContext(fs.getUri, fs.getConf)
       .rename(tmp, dst)
     catch {
+      // the commit FAILS either way (loud, winner's snapshot intact);
+      // the diagnosis must not assert the racing-writer cause as the
+      // only one — the same catch sees genuine FS errors (transient
+      // HDFS failover IOException, UnsupportedFileSystemException on
+      // an FS without an AbstractFileSystem binding), so name the
+      // alternatives and keep the cause chained
       case e: java.io.IOException =>
-        sys.error(s"manifest swap to $dst failed " +
-          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
-          s"concurrent writer on $root? (single-writer contract)")
+        throw new RuntimeException(s"manifest swap to $dst failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — either " +
+          s"a concurrent writer on $root (single-writer contract) or " +
+          "a filesystem error; inspect the cause", e)
     }
     // local ChecksumFileSystem writes a .crc sibling for the tmp file;
     // the FileContext rename moves only the manifest itself, so drop
@@ -551,9 +564,14 @@ object StateStore {
     * and by the scale probe to reset state between timed samples.
     * Writer-side verb under the single-writer contract; rolls forward
     * nothing — `version` must be a still-present manifest, i.e. not
-    * yet forfeited to [[vacuum]] (the spec pins the refusal). */
-  def rollbackTo(spark: SparkSession, root: String, version: Long)
-      : Unit = {
+    * yet forfeited to [[vacuum]] (the spec pins the refusal).
+    * `retain` is passed through to the trailing vacuum: an operator
+    * holding a retention window of K for in-flight readers must roll
+    * back with the same K, or the default retain=1 would silently
+    * collapse the window (deleting the older snapshots' generations
+    * mid-scan — the reader-vs-vacuum caveat). */
+  def rollbackTo(spark: SparkSession, root: String, version: Long,
+      retain: Int = 1): Unit = {
     val (fs, rp) = fsOf(spark, root)
     require(fs.exists(new Path(rp, manifestName(version))),
       s"cannot roll back to v$version under $root: manifest missing " +
@@ -572,7 +590,7 @@ object StateStore {
         require(fs.delete(new Path(rp, n), false),
           s"rollback failed deleting $n")
       }
-    vacuum(spark, root)
+    vacuum(spark, root, retain)
     ()
   }
 

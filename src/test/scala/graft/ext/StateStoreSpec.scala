@@ -299,6 +299,34 @@ class StateStoreSpec extends SparkSpec {
       before.filterNot(_._1 == 2L) + (2L -> 999L))
   }
 
+  test("rollbackTo(retain = K) preserves the retention window its " +
+    "trailing vacuum would otherwise collapse: history below the " +
+    "target stays rollback-able to depth K (review finding)") {
+    val nb = 8
+    val dir = tmp("graft_ss_rbretain")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    (2L to 4L).foreach { v =>
+      Dedup.upsertIdKeyedStatePartitioned(dir,
+        Seq((v, v * 111L)).toDF("pid", "fp"), "pid", nb) // v2..v4
+    }
+    // abandon v4 but KEEP a 2-deep window: v3 (target) + v2
+    StateStore.rollbackTo(spark, dir, 3L, retain = 2)
+    assert(StateStore.current(spark, dir).version == 3L)
+    // v2 survived the trailing vacuum — a second rollback reaches it
+    StateStore.rollbackTo(spark, dir, 2L)
+    assert(StateStore.current(spark, dir).version == 2L)
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      (1L to 20L).map(i => i -> i).toSet
+        .filterNot(_._1 == 2L) + (2L -> 222L))
+    // contrast: the default retain=1 forfeits everything below the
+    // target (v1 gone after the v2 rollback above used the default)
+    val e = intercept[IllegalArgumentException] {
+      StateStore.rollbackTo(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("manifest missing"))
+  }
+
   test("rollbackTo REFUSES a torn target before deleting anything: " +
     "the exists check alone would pass, the trailing vacuum would " +
     "discard the torn target, and the store would land SILENTLY " +

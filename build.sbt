@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Artifact-capture contract (Bench/Verify drive-by-stdout): route the
+// forked program's stdout through UNPREFIXED (no "[info] " logger
+// decoration) and drop sbt's trailing "[success] Total time" footer,
+// so the LAST stdout line of `sbt runMain graft.Bench` is Bench's own
+// compact JSON summary — parseable from a bounded tail window with a
+// plain json.loads. (Every prior round's harness capture showed
+// parsed:null because the footer displaced the line.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — lint
+// can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -105,6 +105,32 @@ object Bench {
       .getOrElse(FallbackThresholdSec)
   }
 
+  /** A full run with more stall re-runs than this is NOT a clean
+    * anchor-basis run: the per-query stall machinery fired repeatedly,
+    * i.e. the host window was bad for the whole run, and admitting it
+    * into the anchor median drags the committed number (round-14: the
+    * r14 anchor median included a run with 18 re-runs at 343.5 s
+    * against two clean runs at 288.5/303.9). The bound is deliberately
+    * loose — one or two re-runs happen on any shared host; a run in
+    * the double digits is a window, not a measurement. */
+  private[graft] val MaxCleanAnchorReruns = 6
+
+  /** The committed-anchor basis rule (round-14 verdict item 5),
+    * spec-pinned so future rounds compute the closing anchor the same
+    * way: median of the CLEAN runs (reruns ≤ [[MaxCleanAnchorReruns]]);
+    * when fewer than two runs are clean the gate can't adjudicate, so
+    * fall back to the median of ALL runs (conservative — same as the
+    * old rule) rather than anchoring on a single sample. Each run is
+    * (engineTotalSec, rerunCount) from its bench_full.json. */
+  private[graft] def anchorBasis(runs: Seq[(Double, Int)]): Double = {
+    require(runs.nonEmpty, "anchorBasis of no runs")
+    val clean = runs.filter(_._2 <= MaxCleanAnchorReruns).map(_._1)
+    val basis = if (clean.size >= 2) clean else runs.map(_._1)
+    val s = basis.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -263,7 +289,20 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$slowest,"n_queries":${results.size},$comparisonField"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"queries_file":"bench_full.json","sf":"$sfDir"}""")
+    val compactLine = s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$slowest,"n_queries":${results.size},$comparisonField"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"queries_file":"bench_full.json","sf":"$sfDir"}"""
+    // fixed-name sidecar a consumer can read without scraping stdout
+    // (round-14 verdict item 6: the stdout tail parse has failed every
+    // round because trailing build-tool output displaced the line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_compact.json"), compactLine + "\n")
+    catch { case _: Throwable => () }
+    // stop BEFORE the final println so no Spark shutdown output can
+    // land after it; build.sbt additionally silences sbt's trailing
+    // "[success]" footer (showSuccess := false) and routes forked
+    // stdout through unprefixed (outputStrategy := StdoutOutput), so
+    // this compact line IS the process's last stdout line — parseable
+    // from a bounded tail with plain json.loads
     spark.stop()
+    println(compactLine)
   }
 }

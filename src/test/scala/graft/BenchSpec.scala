@@ -65,4 +65,26 @@ class BenchSpec extends AnyFunSuite {
       s"committed bench_full.json anchors too few queries — " +
         s"subset artifact? missing: $missing")
   }
+
+  test("anchorBasis excludes stall-heavy runs from the anchor median " +
+    "(round-14 item 5: median-of-3 admitted a run with 18 re-runs at " +
+    "343.5 s and dragged the committed anchor), falls back to " +
+    "all-runs median when fewer than two runs are clean") {
+    // the r14 shape: two clean runs + one stall-heavy run. Old rule:
+    // median of all three = 303.9; gated rule: median of the two
+    // clean runs
+    val r14 = Seq((288.5, 2), (303.9, 1), (343.5, 18))
+    assert(Bench.anchorBasis(r14) == (288.5 + 303.9) / 2)
+    // all clean: plain median
+    assert(Bench.anchorBasis(Seq((10.0, 0), (12.0, 1), (11.0, 2))) == 11.0)
+    // boundary: exactly MaxCleanAnchorReruns is still clean
+    assert(Bench.anchorBasis(
+      Seq((10.0, Bench.MaxCleanAnchorReruns), (12.0, 0),
+        (100.0, Bench.MaxCleanAnchorReruns + 1))) == 11.0)
+    // fewer than two clean runs: the gate can't adjudicate — median of
+    // ALL runs, never a single-sample anchor
+    assert(Bench.anchorBasis(
+      Seq((10.0, 9), (12.0, 0), (14.0, 9))) == 12.0)
+    assert(Bench.anchorBasis(Seq((10.0, 9), (14.0, 9))) == 12.0)
+  }
 }

@@ -827,9 +827,9 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * replays the chain flat. */
   private[graft] val q259: Q = (s, d) => {
     // stage 1 — persisted corpus state (q245 owner)
-    val (index0, clusters0) = sharedEmbState(s, d)
-    embLifecycleChain(Tables.embeddings(s, d), index0, clusters0,
-      threshold = 0.25, bits = 16, tables = 4)
+    val (index0, pairs0, clusters0) = sharedEmbState(s, d)
+    embLifecycleChain(Tables.embeddings(s, d), index0, pairs0,
+      clusters0, threshold = 0.25, bits = 16, tables = 4)
   }
 
   /** q260 — END-TO-END lifecycle on the PAYLOAD modality: the last of

@@ -64,7 +64,7 @@ private[graft] trait ExtQueriesShared {
     "q238_incremental_dedup" -> Seq("exidx", "expairs", "exclusters"),
     "q250_incremental_payload" ->
       Seq("fpslices", "fptable", "fpclusters"),
-    "q245_incremental_embed" -> Seq("embidx", "embclusters"))
+    "q245_incremental_embed" -> Seq("embidx", "embpairs", "embclusters"))
 
   /** Per-kind scratch generation, folded into every [[scratch]] path.
     * Bench's stall re-run of a shared-scratch OWNER bumps the owner's
@@ -381,25 +381,35 @@ private[graft] trait ExtQueriesShared {
     * rows — longs, floats and structs of ints/longs all round-trip
     * parquet exactly, so sharing cannot move a hash. */
   private[graft] def sharedEmbState(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = synchronized {
+      : (DataFrame, DataFrame, DataFrame) = synchronized {
     val ip = scratch("embidx", d); val cp = scratch("embclusters", d)
+    val pp = scratch("embpairs", d)
     if (!scratchDone(ip)) {
       SimSearch.corpusEmbeddingLshIndex(
           Tables.embeddings(s, d).filter(col("vec_id") % 5 =!= 3),
           bits = 16, tables = 4)
         .write.mode("overwrite").parquet(ip)
-      // corpus cluster table from the just-written state alone
+      // corpus PAIR table from the just-written state alone
       // (cosinePairsFromIndex — the exploded rows carry vectors AND
-      // keys, so embeddings are scanned exactly ONCE, for the index)
+      // keys, so embeddings are scanned exactly ONCE, for the index).
+      // Persisted as its own family member (round-14 verdict item 8):
+      // the owner computed this pair set anyway to build the cluster
+      // table, but used to DISCARD it — and q259's lifecycle chain
+      // then re-ran the corpus self-join (the chain's most expensive
+      // stage) to get the identical rows back. Persist once, read
+      // twice.
       val idx = s.read.parquet(ip)
+      SimSearch.cosinePairsFromIndex(idx, threshold = 0.25)
+        .select(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet(pp)
+      // corpus cluster table from the persisted pairs
       Dedup.dupClusters(
-          SimSearch.cosinePairsFromIndex(idx, threshold = 0.25)
-            .select(col("id_a"), col("id_b")),
+          s.read.parquet(pp),
           idx.select(col("vec_id")).dropDuplicates("vec_id"), "vec_id")
         .write.mode("overwrite").parquet(cp)
       scratchDone += ip
     }
-    (s.read.parquet(ip), s.read.parquet(cp))
+    (s.read.parquet(ip), s.read.parquet(pp), s.read.parquet(cp))
   }
 
   /** The queries that OWN a shared scratch — first in qNN order among
@@ -630,8 +640,8 @@ private[graft] trait ExtQueriesShared {
     * oracle-checked chain plan rather than a re-derivation that could
     * drift. */
   private[graft] def embLifecycleChain(emb: DataFrame,
-      index0: DataFrame, clusters0: DataFrame, threshold: Double,
-      bits: Int, tables: Int): DataFrame = {
+      index0: DataFrame, corpusPairs0: DataFrame, clusters0: DataFrame,
+      threshold: Double, bits: Int, tables: Int): DataFrame = {
     val batch = emb.filter(col("vec_id") % 5 === 3)
     // stage 2 — recrawl batch folds forward
     val newPairs = SimSearch.incrementalCosinePairsLsh(index0, batch,
@@ -642,7 +652,11 @@ private[graft] trait ExtQueriesShared {
       bits, tables)
     val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
       batch.select("vec_id"), "vec_id")
-    val pairs1 = SimSearch.cosinePairsFromIndex(index0, threshold)
+    // corpus pairs arrive AS STATE (q259 reads the owner's persisted
+    // pair table; the probe's inline cell passes its own checkpointed
+    // frame) — the chain must not re-run the corpus self-join the
+    // stage-1 owner already paid for (round-14 verdict item 8)
+    val pairs1 = corpusPairs0
       .select(col("id_a"), col("id_b"))
       .unionByName(newPairs)
     // stage 3 — takedown (one anti-join; state carries its keys)

@@ -403,11 +403,17 @@ object ScaleProbe {
         val index0 = SimSearch.corpusEmbeddingLshIndex(corpus,
             bits = 16, tables = 4)
           .localCheckpoint(eager = true) // the inline stage-1 state
+        // pairs computed ONCE and handed to both consumers (clusters0
+        // build + the chain's retraction fold) — the same
+        // compute-once posture q259 gets from the persisted
+        // embpairs scratch (round-14 verdict item 8)
+        val pairs0 = SimSearch.cosinePairsFromIndex(index0,
+            threshold = 0.6)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(eager = true)
         val clusters0 = Dedup.dupClusters(
-          SimSearch.cosinePairsFromIndex(index0, threshold = 0.6)
-            .select(col("id_a"), col("id_b")),
-          corpus.select("vec_id"), "vec_id")
-        ExtQueries.embLifecycleChain(emb, index0, clusters0,
+          pairs0, corpus.select("vec_id"), "vec_id")
+        ExtQueries.embLifecycleChain(emb, index0, pairs0, clusters0,
           threshold = 0.6, bits = 16, tables = 4)
       },
       "q260s_fp_sparse_chain" -> { (s: SparkSession, d: String) =>
@@ -712,12 +718,21 @@ object ScaleProbe {
         b -> n
       }
     }
-    def variant(name: String, compactEvery: Int): Unit = {
+    def variant(name: String, compactEvery: Int,
+        policy: Option[graft.ext.StateStore.MaintenancePolicy] = None)
+        : Unit = {
       val path = s"$root/cadence_$name"
       rmrf(s, path)
       Dedup.writePostingsIndexPartitioned(
         s.read.parquet(s"$root/post_full"), path, Seq("bk"), StNb)
       val delta = s.read.parquet(s"$root/post_up")
+      // the auto variant hands housekeeping to the store's own policy
+      // (round-14 verdict item 3): NOTHING in this loop schedules
+      // compaction or vacuum — bounded accrual must come from the
+      // policy firing inside commit, or the cell fails its point
+      val prevPolicy = policy.map(p =>
+        graft.ext.StateStore.setMaintenancePolicy(Some(p)))
+      try {
       val t0 = System.nanoTime()
       var touched = Set.empty[Int]
       var maintSec = 0.0 // upserts + compaction ONLY — the summary
@@ -754,11 +769,27 @@ object ScaleProbe {
       System.err.println(f"[probeops] x$m statec_$name " +
         f"wall=$total%7.2f maint=$maintSec%7.2f " +
         "(wall - maint = stats collection)")
+      // TWO cells per variant so the merged artifact is explicit
+      // about metric kind (round-14 advice: statec t1 was
+      // maintenance-only while every other cell's t1 is wall-clock,
+      // with nothing in the committed JSON saying so): `statec_<v>`
+      // keeps the r14 maintenance-only semantics for cross-round
+      // comparability, `statec_<v>_wall` carries the wall-clock total
+      // (maintenance + per-cycle stats collection)
       System.err.println(f"[probe] x$m ${s"statec_$name"}%-24s " +
         f"t1=$maintSec%7.2f t2=${-1.0}%7.2f rows=${df.toLong}%9d")
+      System.err.println(f"[probe] x$m ${s"statec_${name}_wall"}%-24s " +
+        f"t1=$total%7.2f t2=${-1.0}%7.2f rows=${df.toLong}%9d")
+      } finally prevPolicy.foreach(prev =>
+        graft.ext.StateStore.setMaintenancePolicy(prev))
     }
     variant("nocompact", 0)
     variant("compact10", 10)
+    // the un-hand-scheduled cadence: the store's own policy must bound
+    // accrual on its own (dials ≈ the measured every-10 cadence: at
+    // one generation per cycle, re-home fires roughly every 5 cycles)
+    variant("auto", 0, Some(graft.ext.StateStore.MaintenancePolicy(
+      maxGenerations = 10, maxManifests = 16)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -876,30 +907,35 @@ object ScaleProbe {
         // region, before EVERY invocation (round-13 advice). Setup
         // failures are contained like sample failures (review
         // finding): an escaping exception here would abort the WHOLE
-        // run — the loss mode timed()'s catch exists to prevent; a
-        // failed setup just leaves the sample to fail and record -1.
+        // run — the loss mode timed()'s catch exists to prevent. A
+        // failed setup MARKS ITS SAMPLE FAILED (-1) rather than
+        // proceeding to time against un-reset state (round-14 advice:
+        // a PARTIALLY applied reset — rollbackTo that deleted newer
+        // manifests then crashed before its vacuum — leaves a
+        // readable-but-wrong store, and the sample would then succeed
+        // and record a valid-looking time against the wrong fixture).
         val setup = setups.get(name)
-        def trySetup(): Unit = setup.foreach { s =>
-          try s(spark)
+        def trySetup(): Boolean = setup.forall { s =>
+          try { s(spark); true }
           catch { case e: Throwable =>
-            System.err.println(s"[probe] setup for $name failed: " +
-              e.getMessage)
+            System.err.println(s"[probe] setup for $name failed " +
+              s"(sample marked -1): ${e.getMessage}")
+            false
           }
         }
-        trySetup()
-        val t1 = timed(fn, d)
+        val t1 = if (trySetup()) timed(fn, d) else -1.0
         if (owners.contains(name)) ExtQueries.resetSharedScratch(name)
-        trySetup()
-        val t2 = timed(fn, d)
-        trySetup()
+        val t2 = if (trySetup()) timed(fn, d) else -1.0
         // the untimed row-count pass releases its blocks too — its
         // localCheckpoint blocks would otherwise leak INTO the next
         // query's t1 sample (the exact cross-measurement pollution the
         // run() cleanup exists to prevent)
         val rows =
-          try fn(spark, d).count()
-          catch { case _: Throwable => -1L }
-          finally releaseBlocks(spark)
+          if (!trySetup()) -1L
+          else
+            try fn(spark, d).count()
+            catch { case _: Throwable => -1L }
+            finally releaseBlocks(spark)
         // min of the SUCCESSFUL samples; -1 only when both crashed
         val t = Seq(t1, t2).filter(_ >= 0) match {
           case Nil => -1.0; case ok => ok.min

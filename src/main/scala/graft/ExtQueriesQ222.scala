@@ -816,10 +816,11 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * chained state-handoff proof on the third of four modalities and
     * exercising [[Dedup.upsertClusters]] fed by
     * [[SimSearch.incrementalCosinePairsLsh]]. Stage 1 reads the
-    * [[sharedEmbState]] family (q245 owner — index + cluster table,
-    * both derived from ONE embedding scan); the corpus pair set
-    * derives from state alone ([[SimSearch.cosinePairsFromIndex]] —
-    * the exploded rows carry vectors and keys). Per-vector
+    * [[sharedEmbState]] family (q245 owner — index, corpus pair set
+    * and cluster table, all derived from ONE embedding scan); the
+    * corpus pair set rides STATE ([[SimSearch.cosinePairsFromIndex]]
+    * computed once by the owner, persisted as `embpairs` — round 15;
+    * the chain no longer re-runs the corpus self-join). Per-vector
     * deterministic buckets ⇒ the folded pair table IS the full union
     * recompute (the q257 argument in vector space, no tombstone
     * asymmetry); the survivor report hashes BOTH final state tables

@@ -674,6 +674,72 @@ class StateStoreCasSpec extends StateStoreBattery {
         .filterNot(_._1 == 5L) + (5L -> 555L))
   }
 
+  test("NEGATIVE CONTRAST — a naive copy+delete swap (an object " +
+    "store's actual rename) lets a racing writer silently CLOBBER " +
+    "the winner's manifest: the loss mode the CAS guard's exclusive " +
+    "create exists to prevent, demonstrated rather than asserted") {
+    // the guard S3A-style rename actually gives you: stream tmp to
+    // dst unconditionally (no exclusivity), then delete tmp
+    object NaiveCopyDeleteGuard extends StateStore.CommitGuard {
+      val name = "naive"
+      def swap(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Unit = {
+        val in = fs.open(tmp)
+        val body = try in.readAllBytes() finally in.close()
+        val out = fs.create(dst, true) // overwrite — no claim step
+        try { out.write(body); out.hflush(); out.hsync() }
+        finally out.close()
+        try { fs.delete(tmp, false); () }
+        catch { case _: Throwable => () }
+      }
+    }
+    val nb = 8
+    val dir = tmp("graft_cas_naive")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb)
+    val v1Rows = fpRows(StateStore.readAll(spark, dir))
+    // writer B commits v2 normally (the WINNER — pid 7 updated)
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((7L, 777L)).toDF("pid", "fp"), "pid", nb)
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      v1Rows.filterNot(_._1 == 7L) + (7L -> 777L))
+    // writer A — a lagging racer that resolved v1 before B's commit —
+    // arrives at the swap with ITS OWN v2 body (v1's content, version
+    // bumped; well-framed, so it parses clean)
+    import java.nio.file.{Files, Paths}
+    val m1 = Files.readString(Paths.get(dir, "manifest-000000001.txt"))
+      .linesIterator.filter(_.nonEmpty)
+      .map(l => if (l.startsWith("version=")) "version=2" else l)
+      .mkString("", "\n", "\n")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def staleTmp(name: String): org.apache.hadoop.fs.Path = {
+      val p = Paths.get(dir, name)
+      Files.deleteIfExists(Paths.get(dir, s".$name.crc"))
+      Files.writeString(p, m1)
+      new org.apache.hadoop.fs.Path(p.toString)
+    }
+    val dst = new org.apache.hadoop.fs.Path(dir, "manifest-000000002.txt")
+    // under the REAL guards A loses LOUDLY with B's snapshot intact
+    intercept[RuntimeException] {
+      StateStore.RenameCommitGuard.swap(fs, staleTmp(".naive-a.tmp"), dst)
+    }
+    intercept[RuntimeException] {
+      StateStore.CasCommitGuard.swap(fs, staleTmp(".naive-b.tmp"), dst)
+    }
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      v1Rows.filterNot(_._1 == 7L) + (7L -> 777L))
+    // under the NAIVE swap A succeeds — and B's committed update is
+    // silently GONE: v2 now carries A's stale body, reads serve v1's
+    // rows, nobody errored. This is the lost update the commit point
+    // must be an atomic no-overwrite rename or a conditional PUT to
+    // prevent — demonstrated, not asserted.
+    NaiveCopyDeleteGuard.swap(fs, staleTmp(".naive-c.tmp"), dst)
+    assert(StateStore.current(spark, dir).version == 2L)
+    assert(fpRows(StateStore.readAll(spark, dir)) == v1Rows)
+  }
+
   test("UNSUPPORTED FORMAT is loud, not torn: a future-format " +
     "manifest is never served, never fallen back past silently, and " +
     "NEVER classified as vacuumable garbage (round-14 advice)") {

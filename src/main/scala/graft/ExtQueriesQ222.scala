@@ -402,7 +402,7 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * state build; the incremental query itself runs off the persisted
     * parquet, the production shape. */
   private[graft] val q242: Q = (s, d) => {
-    val (bandIndex, post, sizes, _) = sharedLshState(s, d)
+    val (bandIndex, post, sizes, _, _) = sharedLshState(s, d)
     Dedup.incrementalMinhashPairs(bandIndex, post, sizes,
       Tables.documents(s, d).filter(col("doc_id") % 5 === 3),
       "doc_id", "text",
@@ -427,7 +427,8 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * per-query rebuild of the persisted corpus state (the r9 verdict's
     * measurement-fidelity note). */
   private[graft] val q243: Q = (s, d) => {
-    val (bandIndex, post, sizes, corpusClusters) = sharedLshState(s, d)
+    val (bandIndex, post, sizes, _, corpusClusters) =
+      sharedLshState(s, d)
     val batch = Tables.documents(s, d).filter(col("doc_id") % 5 === 3)
     val newPairs = Dedup.incrementalMinhashPairs(bandIndex, post, sizes,
       batch, "doc_id", "text", k = 3, numHashes = 12, rowsPerBand = 3,
@@ -607,7 +608,7 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * incremental query runs off the persisted parquet — only the
     * batch's fingerprints compute inline, the honest recrawl input. */
   private[graft] val q250: Q = (s, d) => {
-    val (idx, cfps, _) = sharedFingerprintState(s, d)
+    val (idx, cfps, _, _) = sharedFingerprintState(s, d)
     Dedup.incrementalFingerprintPairs(idx, cfps,
       Multimodal.blockhashFingerprints(
         Multimodal.mediaTable(Tables.documents(s, d)
@@ -626,7 +627,7 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * honest recrawl input); the corpus side is the persisted q250
     * scratch, never rescanned. */
   private[graft] val q251: Q = (s, d) => {
-    val (idx, _, _) = sharedFingerprintState(s, d)
+    val (idx, _, _, _) = sharedFingerprintState(s, d)
     val batchFps = Multimodal.blockhashFingerprints(
       Multimodal.mediaTable(Tables.documents(s, d)
         .filter(col("doc_id") % 5 === 3)), "doc_id", blocks = 32)
@@ -645,7 +646,7 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * over the retained corpus EXACTLY; the oracle IS that rebuild.
     * Re-delivered takedowns are no-ops by `array_except` construction. */
   private[graft] val q252: Q = (s, d) => {
-    val (idx, cfps, _) = sharedFingerprintState(s, d)
+    val (idx, cfps, _, _) = sharedFingerprintState(s, d)
     fpIndexRows(Dedup.retractPostingsIndex(idx,
       Dedup.fingerprintPostings(cfps.filter(col("pid") % 7 === 2),
         bits = 32, slices = 4),
@@ -662,7 +663,7 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * batch's shingles ([[Dedup.bandRowsFromPostings]], the honest
     * recrawl input); the corpus side is the persisted q242 scratch. */
   private[graft] val q253: Q = (s, d) => {
-    val (bandIndex, _, _, _) = sharedLshState(s, d)
+    val (bandIndex, _, _, _, _) = sharedLshState(s, d)
     val batchPost = Dedup.postings(
       Tables.documents(s, d).filter(col("doc_id") % 5 === 3),
       "doc_id", "text", k = 3)
@@ -681,7 +682,7 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * the generic maintenance pair oracle-checked on BOTH grouped-list
     * banded modalities. */
   private[graft] val q254: Q = (s, d) => {
-    val (bandIndex, post, _, _) = sharedLshState(s, d)
+    val (bandIndex, post, _, _, _) = sharedLshState(s, d)
     lshIndexRows(Dedup.retractPostingsIndex(bandIndex,
       Dedup.bandRowsFromPostings(post.filter(col("pid") % 7 === 2),
         numHashes = 12, rowsPerBand = 3), Seq("bk")))
@@ -725,7 +726,9 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * is exercised fed by [[Dedup.incrementalMinhashPairs]]:
     *
     *   1. persisted corpus state ([[sharedLshState]], q242 owner):
-    *      band index + postings + sizes + cluster table over
+    *      band index + postings + sizes + corpus pair table
+    *      (`lshpairs`, round 15 — the chain reads it instead of
+    *      re-running the banded self-join) + cluster table over
     *      doc_id % 5 ≠ 3;
     *   2. recrawl batch (doc_id % 5 = 3):
     *      [[Dedup.incrementalMinhashPairs]] (q242),
@@ -752,7 +755,8 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     val docs = Tables.documents(s, d)
     val batch = docs.filter(col("doc_id") % 5 === 3)
     // stage 1 — persisted corpus state
-    val (bandIndex0, post0, sizes0, clusters0) = sharedLshState(s, d)
+    val (bandIndex0, post0, sizes0, pairs0, clusters0) =
+      sharedLshState(s, d)
     // stage 2 — recrawl batch folds forward
     val newPairs = Dedup.incrementalMinhashPairs(bandIndex0, post0,
         sizes0, batch, "doc_id", "text", k = 3, numHashes = 12,
@@ -766,8 +770,9 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
         rowsPerBand = 3), Seq("bk"))
     val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
       batch.select("doc_id"), "doc_id")
-    val pairs1 = Dedup.minhashBandPairsFromIndex(bandIndex0, post0,
-        sizes0, threshold = 0.05)
+    // corpus pairs ride STATE (the owner's persisted lshpairs table —
+    // round 15; the chain no longer re-runs the banded self-join)
+    val pairs1 = pairs0
       .select(col("id_a"), col("id_b"))
       .unionByName(newPairs)
     // stage 3 — takedown (deltas from persisted ∪ batch postings)
@@ -802,7 +807,7 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * through [[Dedup.retractPostingsIndex]] == the q252 retraction).
     * Reads the [[sharedFingerprintState]] family (q250 owner). */
   private[graft] val q258: Q = (s, d) => {
-    val (_, cfps, _) = sharedFingerprintState(s, d)
+    val (_, cfps, _, _) = sharedFingerprintState(s, d)
     val takedown = Tables.documents(s, d)
       .filter(col("doc_id") % 7 === 2)
       .select(col("doc_id").as("pid"))
@@ -839,9 +844,10 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * modality now has its build → incremental → upsert → retract
     * chain proven as one hash-checked handoff, not just
     * stage-by-stage. Stage 1 reads the [[sharedFingerprintState]]
-    * family (q250 owner — slice index + fingerprint table + cluster
-    * table, all from ONE payload scan); corpus pairs derive from
-    * state alone ([[Dedup.fingerprintPairsFromIndex]]); retraction
+    * family (q250 owner — slice index + fingerprint table + corpus
+    * pair table + cluster table, all from ONE payload scan); corpus
+    * pairs ride STATE ([[Dedup.fingerprintPairsFromIndex]] computed
+    * once by the owner, persisted as `fppairs` — round 15); retraction
     * deltas derive from the persisted ∪ batch fingerprints (payloads
     * never rescanned — the q252/q258 posture). Per-payload
     * deterministic fingerprints ⇒ the folded pair table IS the full
@@ -849,9 +855,9 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * tables (per-payload cluster + distinct slice-peer count). */
   private[graft] val q260: Q = (s, d) => {
     // stage 1 — persisted corpus state (q250 owner)
-    val (index0, cfps, clusters0) = sharedFingerprintState(s, d)
-    fpLifecycleChain(Tables.documents(s, d), index0, cfps, clusters0,
-      blocks = 32, slices = 4, maxHamming = 3)
+    val (index0, cfps, pairs0, clusters0) = sharedFingerprintState(s, d)
+    fpLifecycleChain(Tables.documents(s, d), index0, cfps, pairs0,
+      clusters0, blocks = 32, slices = 4, maxHamming = 3)
   }
 
   /** q261 — index-UPSERT delta feed, batch twin ([[Dedup

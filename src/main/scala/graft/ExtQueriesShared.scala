@@ -58,12 +58,12 @@ private[graft] trait ExtQueriesShared {
     "q161_bucketed_join" -> Seq("bucket_o", "bucket_c"),
     "q194_mutual_knn" -> Seq("mknn"),
     "q242_incremental_lsh" ->
-      Seq("lshband", "lshpost", "lshsizes", "lshclusters"),
+      Seq("lshband", "lshpost", "lshsizes", "lshpairs", "lshclusters"),
     "q211_pq_codes" -> Seq("pqcodes", "pqbooks"),
     "q231_bpe_merges" -> Seq("bpemerges", "bpesegs"),
     "q238_incremental_dedup" -> Seq("exidx", "expairs", "exclusters"),
     "q250_incremental_payload" ->
-      Seq("fpslices", "fptable", "fpclusters"),
+      Seq("fpslices", "fptable", "fppairs", "fpclusters"),
     "q245_incremental_embed" -> Seq("embidx", "embpairs", "embclusters"))
 
   /** Per-kind scratch generation, folded into every [[scratch]] path.
@@ -280,9 +280,11 @@ private[graft] trait ExtQueriesShared {
     * its cost is the honest state-only derivation. All columns are
     * longs / long arrays — exact parquet round-trip, hashes unmoved. */
   private[graft] def sharedLshState(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = synchronized {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+      synchronized {
     val bp = scratch("lshband", d); val pp = scratch("lshpost", d)
     val zp = scratch("lshsizes", d); val cp = scratch("lshclusters", d)
+    val rp = scratch("lshpairs", d)
     if (!scratchDone(bp)) {
       val corpus = Tables.documents(s, d)
         .filter(col("doc_id") % 5 =!= 3)
@@ -291,15 +293,22 @@ private[graft] trait ExtQueriesShared {
       bandIndex.write.mode("overwrite").parquet(bp)
       post.write.mode("overwrite").parquet(pp)
       sizes.write.mode("overwrite").parquet(zp)
-      Dedup.dupClusters(
-          Dedup.minhashBandPairsFromIndex(s.read.parquet(bp),
-            s.read.parquet(pp), s.read.parquet(zp), threshold = 0.05),
+      // corpus PAIR table persisted as its own family member (round
+      // 15, the q248/embpairs posture): the owner computed it anyway
+      // for the cluster build but used to discard it — and q257's
+      // lifecycle chain then re-ran the banded self-join to get the
+      // identical rows back. Persist once, read twice.
+      Dedup.minhashBandPairsFromIndex(s.read.parquet(bp),
+          s.read.parquet(pp), s.read.parquet(zp), threshold = 0.05)
+        .select(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet(rp)
+      Dedup.dupClusters(s.read.parquet(rp),
           corpus.select("doc_id"), "doc_id")
         .write.mode("overwrite").parquet(cp)
       scratchDone += bp
     }
     (s.read.parquet(bp), s.read.parquet(pp), s.read.parquet(zp),
-      s.read.parquet(cp))
+      s.read.parquet(rp), s.read.parquet(cp))
   }
 
   /** Shared EXACT-path corpus recrawl state — the sibling of
@@ -346,9 +355,9 @@ private[graft] trait ExtQueriesShared {
     * generation so the second sample re-times the build, not a memo
     * hit. Longs only — exact parquet round-trip. */
   private[graft] def sharedFingerprintState(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = synchronized {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = synchronized {
     val sp = scratch("fpslices", d); val fp = scratch("fptable", d)
-    val cp = scratch("fpclusters", d)
+    val cp = scratch("fpclusters", d); val rp = scratch("fppairs", d)
     if (!scratchDone(sp)) {
       val corpusFps = Multimodal.blockhashFingerprints(
         Multimodal.mediaTable(Tables.documents(s, d)
@@ -357,18 +366,22 @@ private[graft] trait ExtQueriesShared {
         bits = 32, slices = 4)
       idx.write.mode("overwrite").parquet(sp)
       f.write.mode("overwrite").parquet(fp)
-      // corpus cluster table from the just-written state alone
+      // corpus PAIR table from the just-written state alone
       // (fingerprintPairsFromIndex — payloads scanned exactly ONCE,
-      // for the fingerprints; the sharedLshState shape, round 11)
-      Dedup.dupClusters(
-          Dedup.fingerprintPairsFromIndex(s.read.parquet(sp),
-              s.read.parquet(fp), maxHamming = 3)
-            .select(col("id_a"), col("id_b")),
+      // for the fingerprints). Persisted as its own family member
+      // (round 15, the q248/embpairs posture): q260's chain reads it
+      // instead of re-running the Hamming slice self-join.
+      Dedup.fingerprintPairsFromIndex(s.read.parquet(sp),
+          s.read.parquet(fp), maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet(rp)
+      Dedup.dupClusters(s.read.parquet(rp),
           s.read.parquet(fp).select("pid"), "pid")
         .write.mode("overwrite").parquet(cp)
       scratchDone += sp
     }
-    (s.read.parquet(sp), s.read.parquet(fp), s.read.parquet(cp))
+    (s.read.parquet(sp), s.read.parquet(fp), s.read.parquet(rp),
+      s.read.parquet(cp))
   }
 
   /** Shared corpus EMBEDDING-LSH state
@@ -688,7 +701,8 @@ private[graft] trait ExtQueriesShared {
     * and [[graft.ScaleProbe]]'s sparse-regime cells (inline state at
     * the width-scaled fingerprint the production dial prescribes). */
   private[graft] def fpLifecycleChain(docs: DataFrame,
-      index0: DataFrame, cfps: DataFrame, clusters0: DataFrame,
+      index0: DataFrame, cfps: DataFrame, corpusPairs0: DataFrame,
+      clusters0: DataFrame,
       blocks: Int, slices: Int, maxHamming: Int): DataFrame = {
     // stage 2 — recrawl batch folds forward (batch fingerprints
     // compute inline — the honest recrawl input, the q251 posture)
@@ -707,8 +721,11 @@ private[graft] trait ExtQueriesShared {
       Seq("sl", "sv"))
     val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
       batchFps.select("pid"), "pid")
-    val pairs1 = Dedup.fingerprintPairsFromIndex(index0, cfps,
-        maxHamming = maxHamming)
+    // corpus pairs arrive AS STATE (q260 reads the owner's persisted
+    // pair table; the probe's inline cell passes its own checkpointed
+    // frame) — the chain must not re-run the slice self-join the
+    // stage-1 owner already paid for (round 15)
+    val pairs1 = corpusPairs0
       .select(col("id_a"), col("id_b"))
       .unionByName(newPairs)
     // stage 3 — takedown (deltas from persisted ∪ batch fingerprints)

@@ -425,12 +425,18 @@ object ScaleProbe {
         val index0 = Dedup.corpusFingerprintIndex(cfps,
             bits = fpBlocks, slices = 4)._1
           .localCheckpoint(eager = true)
+        // pairs computed ONCE and handed to both consumers (clusters0
+        // build + the chain's retraction fold) — the same
+        // compute-once posture q260 gets from the persisted fppairs
+        // scratch (round 15)
+        val pairs0 = Dedup.fingerprintPairsFromIndex(index0, cfps,
+            maxHamming = 3)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(eager = true)
         val clusters0 = Dedup.dupClusters(
-          Dedup.fingerprintPairsFromIndex(index0, cfps, maxHamming = 3)
-            .select(col("id_a"), col("id_b")),
-          cfps.select("pid"), "pid")
-        ExtQueries.fpLifecycleChain(docs, index0, cfps, clusters0,
-          blocks = fpBlocks, slices = 4, maxHamming = 3)
+          pairs0, cfps.select("pid"), "pid")
+        ExtQueries.fpLifecycleChain(docs, index0, cfps, pairs0,
+          clusters0, blocks = fpBlocks, slices = 4, maxHamming = 3)
       })
   }
 

@@ -244,7 +244,16 @@ object StateStore {
         s"manifest $v under $root is torn/malformed: $why", null)
     lines.headOption match {
       case Some(l) if l.startsWith("format=") =>
-        if (l.stripPrefix("format=") != FormatVersion.toString)
+        val ver = l.stripPrefix("format=")
+        // only a COMPLETE declaration (non-empty, all digits) of a
+        // different version is "future format" — an empty or
+        // non-numeric value is a format line cut mid-token by a torn
+        // write, and must classify TORN (the exhaustive-truncation
+        // spec found exactly this: the 7-byte prefix "format=" must
+        // not be something vacuum refuses to ever reclaim)
+        if (ver.isEmpty || !ver.forall(_.isDigit))
+          torn(s"format declaration '$l' is cut mid-token")
+        if (ver != FormatVersion.toString)
           throw new UnsupportedManifestFormatException(
             s"manifest $v under $root declares ${l} but this reader " +
               s"implements format=$FormatVersion — refusing to guess " +

@@ -740,6 +740,60 @@ class StateStoreCasSpec extends StateStoreBattery {
     assert(fpRows(StateStore.readAll(spark, dir)) == v1Rows)
   }
 
+  test("EXHAUSTIVE TRUNCATION: EVERY strict byte-prefix of a real " +
+    "committed multi-table manifest classifies torn — no prefix " +
+    "parses as a silently-smaller snapshot (the framing's whole " +
+    "guarantee, checked at every byte rather than argued)") {
+    import java.nio.file.{Files, Paths}
+    // a real two-table store so the manifest carries several schema
+    // AND bucket lines (the interesting truncation targets)
+    val nb = 4
+    val dir = tmp("graft_cas_trunc")
+    val a = (1L to 40L).map(i => (i, i)).toDF("id", "v")
+      .withColumn("pbucket", pmod(hash(col("id")), lit(nb)))
+    val b = (1L to 40L).map(i => (i, -i)).toDF("id", "w")
+      .withColumn("pbucket", pmod(hash(col("id")), lit(nb)))
+    StateStore.create(spark, dir, Map("ta" -> a, "tb" -> b), nb)
+    val bytes = Files.readAllBytes(
+      Paths.get(dir, "manifest-000000001.txt"))
+    assert(bytes.length > 100)
+    // stage each prefix as another root's v1 manifest; generations
+    // are irrelevant — only the parse verdict is under test
+    val root2 = tmp("graft_cas_trunc2")
+    Files.createDirectories(Paths.get(root2))
+    val p2 = Paths.get(root2, "manifest-000000001.txt")
+    // the full bytes parse back to the exact committed manifest
+    Files.write(p2, bytes)
+    val full = StateStore.readAt(spark, root2, 1L).manifest
+    assert(full.version == 1L && full.numBuckets == nb &&
+      full.schemas.keySet == Set("ta", "tb") &&
+      full.buckets.values.forall(_.nonEmpty))
+    // THE INVARIANT: every strict byte-prefix either classifies TORN
+    // or parses to a manifest EQUAL to the full one (only the
+    // trailing-newline prefix does — content-identical, harmless);
+    // no prefix may ever parse as a silently-smaller snapshot, and
+    // none may classify as an unsupported FUTURE format (which vacuum
+    // refuses to reclaim — a torn leftover must stay reclaimable)
+    var parsedEqual = 0
+    (0 until bytes.length).foreach { k =>
+      Files.write(p2, java.util.Arrays.copyOf(bytes, k))
+      try {
+        val m = StateStore.readAt(spark, root2, 1L).manifest
+        assert(m == full,
+          s"prefix of $k/${bytes.length} bytes parsed a DIFFERENT " +
+            s"manifest: $m")
+        parsedEqual += 1
+      } catch {
+        case _: StateStore.TornManifestException => // the verdict
+        case e: Exception =>
+          fail(s"prefix of $k/${bytes.length} bytes raised " +
+            s"${e.getClass.getSimpleName} instead of torn: " +
+            e.getMessage)
+      }
+    }
+    assert(parsedEqual <= 1) // only the missing-final-newline prefix
+  }
+
   test("UNSUPPORTED FORMAT is loud, not torn: a future-format " +
     "manifest is never served, never fallen back past silently, and " +
     "NEVER classified as vacuumable garbage (round-14 advice)") {

@@ -761,7 +761,9 @@ object StateStore {
     def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame =
       readBuckets(spark, T, buckets)
     def readAll(spark: SparkSession, table: String = T): DataFrame =
-      readBuckets(spark, table, manifest.buckets(table).keys.toSeq)
+      readBuckets(spark, table,
+        manifest.buckets.getOrElse(table,
+          sys.error(s"no table '$table' under $root")).keys.toSeq)
   }
 
   /** Pin the snapshot at an explicit `version` — time travel within

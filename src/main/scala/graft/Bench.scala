@@ -122,6 +122,15 @@ object Bench {
     * fall back to the median of ALL runs (conservative — same as the
     * old rule) rather than anchoring on a single sample. Each run is
     * (engineTotalSec, rerunCount) from its bench_full.json. */
+  /** The run-level cleanliness verdict emitted as `"clean":true/false`
+    * in BOTH JSON lines (round-15 verdict item 4): the anchor-basis
+    * gate applied to the run itself, so a consumer of BENCH_rN.json or
+    * bench_full.json can see "this run's total is anchor-INELIGIBLE"
+    * without knowing [[MaxCleanAnchorReruns]]. Same constant as
+    * [[anchorBasis]] by construction. */
+  private[graft] def isCleanRun(reruns: Int): Boolean =
+    reruns <= MaxCleanAnchorReruns
+
   private[graft] def anchorBasis(runs: Seq[(Double, Int)]): Double = {
     require(runs.nonEmpty, "anchorBasis of no runs")
     val clean = runs.filter(_._2 <= MaxCleanAnchorReruns).map(_._1)
@@ -281,7 +290,13 @@ object Bench {
         "\"" + keyOf(k) + "\":[" + fmt(a) + "," + fmt(b) + "]"
       }.mkString(""""rerun_samples":{""", ",", "},")
     }
-    val fullLine = s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$qs,$comparisonField$rerunField"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"sf":"$sfDir"}"""
+    // "clean": the anchor-basis gate applied to THIS run (round-15
+    // verdict item 4) — false means the stall machinery fired more
+    // than MaxCleanAnchorReruns times, i.e. a degraded host window
+    // whose total is anchor-INELIGIBLE; consumers no longer need to
+    // know the gate constant to interpret "reruns"
+    val clean = isCleanRun(reruns)
+    val fullLine = s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$qs,$comparisonField$rerunField"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"clean":$clean,"sf":"$sfDir"}"""
     println(fullLine)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
@@ -289,7 +304,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$slowest,"n_queries":${results.size},$comparisonField"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"queries_file":"bench_full.json","sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$slowest,"n_queries":${results.size},$comparisonField"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"clean":$clean,"queries_file":"bench_full.json","sf":"$sfDir"}"""
     // fixed-name sidecar a consumer can read without scraping stdout
     // (round-14 verdict item 6: the stdout tail parse has failed every
     // round because trailing build-tool output displaced the line)

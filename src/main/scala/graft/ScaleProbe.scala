@@ -650,26 +650,42 @@ object ScaleProbe {
       Map("total" -> total, "manifest_read" -> mr, "gen_write" -> gw,
         "publish" -> pb, "residual" -> (total - mr - gw - pb))
     }
+    val upCycle = () => {
+      Dedup.upsertPostingsIndexPartitioned(s"$root/post_part",
+        s.read.parquet(s"$root/post_up"), Seq("bk"), StNb)
+      ()
+    }
+    // guard=None runs under whatever is installed (the default rename
+    // guard). The `stateb_upcas` twin re-measures the SAME cycle under
+    // [[graft.ext.StateStore.CasCommitGuard]] (round-15 verdict item
+    // 3): it is the commit point a real object-store deployment runs,
+    // and it streams the manifest body TWICE (read tmp + write dst)
+    // where the rename guard moves a name — the cell says whether
+    // publish stays ~flat under that shape.
     val cells = Seq(
-      ("stateb_up", "post_part", () => {
-        Dedup.upsertPostingsIndexPartitioned(s"$root/post_part",
-          s.read.parquet(s"$root/post_up"), Seq("bk"), StNb)
-        ()
-      }),
+      ("stateb_up", "post_part", upCycle, None),
+      ("stateb_upcas", "post_part", upCycle,
+        Some(graft.ext.StateStore.CasCommitGuard)),
       ("stateb_clu", "clu_part", () => {
         Dedup.upsertClustersPartitioned(s"$root/clu_part",
           s.read.parquet(s"$root/clu_pairs"),
           s.read.parquet(s"$root/clu_ids"), "id", StNb)
         ()
-      }))
-    cells.foreach { case (name, store, run) =>
-      val s1 = cycle(store, run)
-      val s2 = cycle(store, run)
-      Seq("total", "manifest_read", "gen_write", "publish", "residual")
-        .foreach { p =>
-          System.err.println(f"[probe] x$m ${s"${name}_$p"}%-24s " +
-            f"t1=${s1(p)}%7.2f t2=${s2(p)}%7.2f rows=${-1L}%9d")
-        }
+      }, None))
+    cells.foreach { case (name, store, run, guard) =>
+      val prev = guard.map(graft.ext.StateStore.setCommitGuard)
+      try {
+        val s1 = cycle(store, run)
+        val s2 = cycle(store, run)
+        Seq("total", "manifest_read", "gen_write", "publish", "residual")
+          .foreach { p =>
+            System.err.println(f"[probe] x$m ${s"${name}_$p"}%-24s " +
+              f"t1=${s1(p)}%7.2f t2=${s2(p)}%7.2f rows=${-1L}%9d")
+          }
+      } finally {
+        prev.foreach(graft.ext.StateStore.setCommitGuard)
+        ()
+      }
     }
   }
 
@@ -929,19 +945,27 @@ object ScaleProbe {
             false
           }
         }
-        val t1 = if (trySetup()) timed(fn, d) else -1.0
+        // releaseBlocks runs UNCONDITIONALLY around every pass
+        // (round-15 advice): a trySetup() that fails may have
+        // PARTIALLY applied (ensureState's localCheckpoint blocks,
+        // an interrupted rollback), and the failed-setup early-out
+        // used to skip the release — leaking those blocks into the
+        // next measurement, the exact cross-sample pollution the
+        // run() cleanup exists to prevent. Double-release after a
+        // successful timed() (whose run() already releases) is a
+        // cheap no-op.
+        def guarded[A](fail: A)(pass: => A): A =
+          try { if (trySetup()) pass else fail }
+          finally releaseBlocks(spark)
+        val t1 = guarded(-1.0)(timed(fn, d))
         if (owners.contains(name)) ExtQueries.resetSharedScratch(name)
-        val t2 = if (trySetup()) timed(fn, d) else -1.0
+        val t2 = guarded(-1.0)(timed(fn, d))
         // the untimed row-count pass releases its blocks too — its
         // localCheckpoint blocks would otherwise leak INTO the next
-        // query's t1 sample (the exact cross-measurement pollution the
-        // run() cleanup exists to prevent)
-        val rows =
-          if (!trySetup()) -1L
-          else
-            try fn(spark, d).count()
-            catch { case _: Throwable => -1L }
-            finally releaseBlocks(spark)
+        // query's t1 sample
+        val rows = guarded(-1L)(
+          try fn(spark, d).count()
+          catch { case _: Throwable => -1L })
         // min of the SUCCESSFUL samples; -1 only when both crashed
         val t = Seq(t1, t2).filter(_ >= 0) match {
           case Nil => -1.0; case ok => ok.min

@@ -87,4 +87,33 @@ class BenchSpec extends AnyFunSuite {
       Seq((10.0, 9), (12.0, 0), (14.0, 9))) == 12.0)
     assert(Bench.anchorBasis(Seq((10.0, 9), (14.0, 9))) == 12.0)
   }
+
+  test("isCleanRun is the emitted \"clean\" flag and agrees with the " +
+    "anchorBasis gate at the boundary (round-15 item 4: a consumer of " +
+    "the JSON line must not need to know MaxCleanAnchorReruns)") {
+    assert(Bench.isCleanRun(0))
+    assert(Bench.isCleanRun(Bench.MaxCleanAnchorReruns))
+    assert(!Bench.isCleanRun(Bench.MaxCleanAnchorReruns + 1))
+    // a run isCleanRun rejects is exactly one anchorBasis excludes:
+    // same constant, pinned from both sides
+    val runs = Seq((10.0, Bench.MaxCleanAnchorReruns),
+      (12.0, 0), (100.0, Bench.MaxCleanAnchorReruns + 1))
+    assert(Bench.anchorBasis(runs) ==
+      runs.filter(r => Bench.isCleanRun(r._2)).map(_._1).sorted.apply(1)
+        / 2 + runs.filter(r => Bench.isCleanRun(r._2))
+        .map(_._1).sorted.head / 2)
+  }
+
+  test("the committed bench_full.json carries the \"clean\" flag, " +
+    "consistent with its own \"reruns\" count") {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("bench_full.json"))
+    val reruns = """"reruns":(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+    val clean = """"clean":(true|false)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toBoolean)
+    assert(reruns.nonEmpty, "bench_full.json lacks a reruns count")
+    assert(clean.nonEmpty, "bench_full.json lacks the clean flag")
+    assert(clean.get == Bench.isCleanRun(reruns.get))
+  }
 }

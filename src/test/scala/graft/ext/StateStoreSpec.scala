@@ -36,6 +36,36 @@ abstract class StateStoreBattery extends SparkSpec {
   protected def fpRows(df: org.apache.spark.sql.DataFrame) =
     df.select("pid", "fp").as[(Long, Long)].collect().toSet
 
+  /** 8-hex CRC32 over UTF-8 bytes — the manifest checksum, replicated
+    * so specs can author well-formed format-2 bodies (and bodies whose
+    * checksum is deliberately the only valid part). */
+  protected def crcHex(s: String): String = {
+    val c = new java.util.zip.CRC32()
+    c.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f"${c.getValue}%08x"
+  }
+
+  /** Frame the given post-crc lines (content ± eof — VERBATIM, no
+    * fixing up) as a format-2 body with a CORRECT checksum: the way a
+    * spec isolates one framing check (eof, content) from the crc
+    * check that would otherwise fire first. */
+  protected def frame2(afterCrc: Seq[String]): String = {
+    val tail = afterCrc.mkString("", "\n", "\n")
+    s"format=2\ncrc=${crcHex(tail)}\n$tail"
+  }
+
+  /** The committed manifest's lines with the frame (format + crc +
+    * eof) stripped — i.e. exactly the content a LEGACY (format 0)
+    * writer would have produced for the same snapshot. */
+  protected def manifestContentLines(path: java.nio.file.Path)
+      : Seq[String] = {
+    val lines = java.nio.file.Files.readString(path)
+      .linesIterator.filter(_.nonEmpty).toSeq
+    assert(lines.head == "format=2" && lines(1).startsWith("crc=") &&
+      lines.last.startsWith("eof="), s"unexpected frame: ${lines.head}")
+    lines.drop(2).dropRight(1)
+  }
+
   test("CRASH INJECTION between generation write and manifest swap: " +
     "the old snapshot stays fully readable (state == pre-maintenance), " +
     "vacuum reclaims the orphan generation, and the retried cycle " +
@@ -564,6 +594,136 @@ abstract class StateStoreBattery extends SparkSpec {
         manifestsOnDisk() < 21)
     } finally StateStore.setMaintenancePolicy(prev)
   }
+
+  test("IN-LINE CORRUPTION (round-15 verdict item 2): a flipped byte " +
+    "INSIDE a well-formed line — a damaged generation digit that " +
+    "re-homes a bucket to a directory never written — passes the " +
+    "format line and the eof sentinel; the crc line classifies it " +
+    "torn, reads fall back, and the retried cycle self-heals") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_ss_crc")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    val atV1 = fpRows(StateStore.readAll(spark, dir))
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 100L)).toDF("pid", "fp"), "pid", nb) // v2
+    val p2 = Paths.get(dir, "manifest-000000002.txt")
+    val original = Files.readString(p2)
+    def corrupt(edit: String => String): Unit = {
+      Files.writeString(p2, edit(original))
+      Files.deleteIfExists(Paths.get(dir, ".manifest-000000002.txt.crc"))
+    }
+    // flip the last digit of one bucket line's generation value:
+    // every line stays individually well-formed, the line COUNT is
+    // unchanged (eof passes), and without the checksum this parses
+    // clean and silently serves a bucket out of a generation that was
+    // never written
+    val damaged = original.linesIterator.map { l =>
+      if (l.startsWith("bucket.") && l.endsWith("2"))
+        l.dropRight(1) + "3"
+      else l
+    }.mkString("", "\n", "\n")
+    assert(damaged != original, "edit must hit at least one line")
+    corrupt(_ => damaged)
+    // fallback, not silent wrong: v1's exact rows
+    assert(StateStore.current(spark, dir).version == 1L)
+    assert(fpRows(StateStore.readAll(spark, dir)) == atV1)
+    // the retried cycle merges against the SERVED snapshot (v1),
+    // clears the torn v2 and republishes it — self-heal
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((2L, 200L)).toDF("pid", "fp"), "pid", nb)
+    assert(StateStore.current(spark, dir).version == 2L)
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      atV1.filterNot(_._1 == 2L) + (2L -> 200L))
+    // corruption in the crc VALUE itself is equally torn (the line
+    // no longer matches the body it frames)
+    val healed = Files.readString(p2)
+    val crcFlipped = healed.linesIterator.map { l =>
+      if (l.startsWith("crc="))
+        "crc=" + l.stripPrefix("crc=").map(c =>
+          if (c == '0') '1' else '0')
+      else l
+    }.mkString("", "\n", "\n")
+    Files.writeString(p2, crcFlipped)
+    Files.deleteIfExists(Paths.get(dir, ".manifest-000000002.txt.crc"))
+    assert(StateStore.current(spark, dir).version == 1L)
+    assert(fpRows(StateStore.readAll(spark, dir)) == atV1)
+    // repairing the bytes (an operator restoring from a replica)
+    // restores the snapshot — the verdict was about CONTENT, not name
+    Files.writeString(p2, healed)
+    Files.deleteIfExists(Paths.get(dir, ".manifest-000000002.txt.crc"))
+    assert(StateStore.current(spark, dir).version == 2L)
+  }
+
+  test("LEGACY FORMAT 0 (round-15 advice, medium): a headerless " +
+    "manifest written by the pre-framing build parses — NEVER torn — " +
+    "so reads serve it, vacuum does not delete it, and the next " +
+    "commit upgrades the store to the current format in place") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_ss_legacy")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb)
+    val atV1 = fpRows(StateStore.readAll(spark, dir))
+    // rewrite manifest 1 as EXACTLY the legacy body the old build
+    // wrote: the same content lines, no format line, no crc, no eof
+    val p1 = Paths.get(dir, "manifest-000000001.txt")
+    Files.writeString(p1,
+      manifestContentLines(p1).mkString("", "\n", "\n"))
+    Files.deleteIfExists(Paths.get(dir, ".manifest-000000001.txt.crc"))
+    // the legacy snapshot SERVES — the upgrade path that classified
+    // it torn would have vacuumed committed data here
+    assert(StateStore.current(spark, dir).version == 1L)
+    assert(fpRows(StateStore.readAll(spark, dir)) == atV1)
+    // vacuum treats it as the live snapshot it is
+    StateStore.vacuum(spark, dir)
+    assert(Files.exists(p1))
+    assert(fpRows(StateStore.readAll(spark, dir)) == atV1)
+    // the next commit publishes the CURRENT format; the legacy
+    // manifest stays readable history until vacuum retires it
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 111L)).toDF("pid", "fp"), "pid", nb)
+    val m2 = Files.readString(Paths.get(dir, "manifest-000000002.txt"))
+    assert(m2.linesIterator.next() == "format=2")
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      atV1.filterNot(_._1 == 1L) + (1L -> 111L))
+    assert(StateStore.readAt(spark, dir, 1L).version == 1L)
+  }
+
+  test("FORMAT 1 BACK-COMPAT: a framed-but-unchecksummed manifest " +
+    "from the previous build parses with its own (truncation-only) " +
+    "integrity, and the next commit publishes format 2") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_ss_fmt1")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb)
+    val atV1 = fpRows(StateStore.readAll(spark, dir))
+    // rewrite manifest 1 as the format-1 body the r15 build wrote:
+    // format line + content + eof counting every preceding line
+    val p1 = Paths.get(dir, "manifest-000000001.txt")
+    val content = manifestContentLines(p1)
+    Files.writeString(p1, ("format=1" +: content :+
+      s"eof=${content.size + 1}").mkString("", "\n", "\n"))
+    Files.deleteIfExists(Paths.get(dir, ".manifest-000000001.txt.crc"))
+    assert(StateStore.current(spark, dir).version == 1L)
+    assert(fpRows(StateStore.readAll(spark, dir)) == atV1)
+    // its eof sentinel still rejects line-boundary truncation
+    Files.writeString(p1, ("format=1" +: content.dropRight(1) :+
+      s"eof=${content.size + 1}").mkString("", "\n", "\n"))
+    intercept[StateStore.TornManifestException] {
+      StateStore.readAt(spark, dir, 1L)
+    }
+    Files.writeString(p1, ("format=1" +: content :+
+      s"eof=${content.size + 1}").mkString("", "\n", "\n"))
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 111L)).toDF("pid", "fp"), "pid", nb)
+    val m2 = Files.readString(Paths.get(dir, "manifest-000000002.txt"))
+    assert(m2.linesIterator.next() == "format=2")
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      atV1.filterNot(_._1 == 1L) + (1L -> 111L))
+  }
 }
 
 /** The battery under the default atomic-rename commit point. */
@@ -619,16 +779,17 @@ class StateStoreCasSpec extends StateStoreBattery {
     val before = fpRows(StateStore.readAll(spark, dir))
     // build the dangerous prefix from the REAL committed manifest:
     // bump its version line, drop the last bucket line AND the eof
-    // sentinel — every remaining line is individually well-formed
+    // sentinel — every remaining line is individually well-formed —
+    // then RE-FRAME with a CORRECT checksum, so the eof sentinel is
+    // provably the check doing the rejecting (not a crc mismatch the
+    // edit would otherwise cause)
     val p1 = java.nio.file.Paths.get(dir, "manifest-000000001.txt")
-    val lines = java.nio.file.Files.readString(p1).linesIterator
-      .filter(_.nonEmpty).toSeq
-    assert(lines.head == "format=1" && lines.last.startsWith("eof="))
-    val torn = lines.dropRight(2)
+    val content = manifestContentLines(p1)
+      .dropRight(1) // the last bucket line
       .map(l => if (l.startsWith("version=")) "version=2" else l)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "manifest-000000002.txt"),
-      torn.mkString("", "\n", "\n"))
+      frame2(content))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, ".manifest-000000002.txt.crc"))
     // without the sentinel this would SERVE v2 with a bucket missing;
@@ -708,10 +869,9 @@ class StateStoreCasSpec extends StateStoreBattery {
     // arrives at the swap with ITS OWN v2 body (v1's content, version
     // bumped; well-framed, so it parses clean)
     import java.nio.file.{Files, Paths}
-    val m1 = Files.readString(Paths.get(dir, "manifest-000000001.txt"))
-      .linesIterator.filter(_.nonEmpty)
+    val c1 = manifestContentLines(Paths.get(dir, "manifest-000000001.txt"))
       .map(l => if (l.startsWith("version=")) "version=2" else l)
-      .mkString("", "\n", "\n")
+    val m1 = frame2(c1 :+ s"eof=${c1.size + 2}")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def staleTmp(name: String): org.apache.hadoop.fs.Path = {
@@ -801,16 +961,17 @@ class StateStoreCasSpec extends StateStoreBattery {
     val dir = tmp("graft_cas_fmt")
     val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
     Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb)
-    // a well-framed manifest from a NEWER writer
+    // a well-framed manifest from a NEWER writer (format 3 — this
+    // build writes 2 and reads 0..2)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "manifest-000000002.txt"),
-      "format=2\nversion=2\nnumBuckets=8\neof=3\n")
+      "format=3\nversion=2\nnumBuckets=8\neof=3\n")
     // reads refuse loudly (serving v1 could resurrect retracted rows;
     // deleting v2 as torn would discard a committed snapshot)
     val e1 = intercept[StateStore.UnsupportedManifestFormatException] {
       StateStore.current(spark, dir)
     }
-    assert(e1.getMessage.contains("format=2"))
+    assert(e1.getMessage.contains("format=3"))
     // vacuum refuses too — BEFORE deleting anything
     intercept[StateStore.UnsupportedManifestFormatException] {
       StateStore.vacuum(spark, dir)

@@ -954,6 +954,111 @@ class StateStoreCasSpec extends StateStoreBattery {
     assert(parsedEqual <= 1) // only the missing-final-newline prefix
   }
 
+  test("EXHAUSTIVE TRUNCATION of a FORMAT-1 body (the r15 build's " +
+    "frame, read via the back-compat path): every strict byte-prefix " +
+    "classifies torn or parses equal — the eof sentinel carries the " +
+    "same guarantee it had when format 1 was current") {
+    import java.nio.file.{Files, Paths}
+    val nb = 4
+    val dir = tmp("graft_cas_trunc1")
+    val a = (1L to 40L).map(i => (i, i)).toDF("id", "v")
+      .withColumn("pbucket", pmod(hash(col("id")), lit(nb)))
+    StateStore.create(spark, dir, Map("ta" -> a), nb)
+    // reconstruct the format-1 body the r15 writer would have
+    // published for this snapshot
+    val content = manifestContentLines(
+      Paths.get(dir, "manifest-000000001.txt"))
+    val bytes = ("format=1" +: content :+ s"eof=${content.size + 1}")
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val root2 = tmp("graft_cas_trunc1b")
+    Files.createDirectories(Paths.get(root2))
+    val p2 = Paths.get(root2, "manifest-000000001.txt")
+    Files.write(p2, bytes)
+    val full = StateStore.readAt(spark, root2, 1L).manifest
+    assert(full.schemas.keySet == Set("ta"))
+    var parsedEqual = 0
+    (0 until bytes.length).foreach { k =>
+      Files.write(p2, java.util.Arrays.copyOf(bytes, k))
+      try {
+        val m = StateStore.readAt(spark, root2, 1L).manifest
+        assert(m == full,
+          s"format-1 prefix of $k/${bytes.length} bytes parsed a " +
+            s"DIFFERENT manifest: $m")
+        parsedEqual += 1
+      } catch {
+        case _: StateStore.TornManifestException => // the verdict
+        case e: Exception =>
+          fail(s"format-1 prefix of $k/${bytes.length} bytes raised " +
+            s"${e.getClass.getSimpleName} instead of torn: " +
+            e.getMessage)
+      }
+    }
+    assert(parsedEqual <= 1) // only the missing-final-newline prefix
+  }
+
+  test("EXHAUSTIVE TRUNCATION of a LEGACY (format 0) body: the " +
+    "documented weaker guarantee, CHARACTERIZED at every byte — a " +
+    "prefix either classifies torn or parses to a manifest whose " +
+    "every field is the full value or a truncation of it (including " +
+    "the silently-smaller line-boundary parses legacy was always " +
+    "exposed to; the walk proves they exist AND that nothing worse — " +
+    "a wrong version, a foreign table, an invented bucket — can)") {
+    import java.nio.file.{Files, Paths}
+    val nb = 4
+    val dir = tmp("graft_cas_trunc0")
+    val a = (1L to 40L).map(i => (i, i)).toDF("id", "v")
+      .withColumn("pbucket", pmod(hash(col("id")), lit(nb)))
+    StateStore.create(spark, dir, Map("ta" -> a), nb)
+    val content = manifestContentLines(
+      Paths.get(dir, "manifest-000000001.txt"))
+    val bytes = content.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val root2 = tmp("graft_cas_trunc0b")
+    Files.createDirectories(Paths.get(root2))
+    val p2 = Paths.get(root2, "manifest-000000001.txt")
+    Files.write(p2, bytes)
+    val full = StateStore.readAt(spark, root2, 1L).manifest
+    val fullBuckets = full.buckets("ta")
+    var silentlySmaller = 0
+    (0 until bytes.length).foreach { k =>
+      Files.write(p2, java.util.Arrays.copyOf(bytes, k))
+      try {
+        val m = StateStore.readAt(spark, root2, 1L).manifest
+        // what a legacy prefix can NEVER do, even parsed:
+        assert(m.version == full.version) // name check enforces this
+        // numBuckets: the full value or a cut-mid-digits truncation
+        assert(full.numBuckets.toString
+          .startsWith(m.numBuckets.toString),
+          s"prefix $k invented numBuckets ${m.numBuckets}")
+        assert(m.schemas.keySet.subsetOf(full.schemas.keySet) &&
+          m.schemas.forall { case (t, s) => s == full.schemas(t) },
+          s"prefix $k invented or altered a schema") // torn json never
+                                                     // parses, so
+                                                     // schemas are
+                                                     // all-or-nothing
+        m.buckets("ta").foreach { case (b, g) =>
+          assert(fullBuckets.contains(b) &&
+            fullBuckets(b).startsWith(g),
+            s"prefix $k invented bucket $b -> $g")
+        }
+        if (m != full) silentlySmaller += 1
+      } catch {
+        case _: StateStore.TornManifestException => // fine: torn
+        case e: Exception =>
+          fail(s"legacy prefix of $k/${bytes.length} bytes raised " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    // the weakness is REAL (this is why format >= 1 frames the body):
+    // line-boundary prefixes holding version+numBuckets+schema parse
+    // clean minus tail buckets — count them, don't hide them
+    assert(silentlySmaller > 0,
+      "expected legacy line-boundary prefixes to parse silently " +
+        "smaller — if this stops happening, the legacy path is no " +
+        "longer parsing with the old rules and the doc is stale")
+  }
+
   test("UNSUPPORTED FORMAT is loud, not torn: a future-format " +
     "manifest is never served, never fallen back past silently, and " +
     "NEVER classified as vacuumable garbage (round-14 advice)") {

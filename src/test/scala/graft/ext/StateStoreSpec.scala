@@ -595,6 +595,51 @@ abstract class StateStoreBattery extends SparkSpec {
     } finally StateStore.setMaintenancePolicy(prev)
   }
 
+  test("PIN vs MAINTENANCE POLICY (round-15 advice): the policy's " +
+    "in-commit vacuum with the default retain=1 BREAKS an older pin " +
+    "at its first firing — and a retain sized to the pin's depth " +
+    "keeps the same pin alive through the same firings; both sides " +
+    "of the composition rule the scaladoc states, pinned") {
+    import spark.implicits._
+    def drive(retain: Int): (Boolean, Long) = {
+      val nb = 8
+      val dir = tmp(s"graft_ss_pinpol$retain")
+      val fps0 = (1L to 64L).map(i => (i, i)).toDF("pid", "fp")
+      Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+      val pinned = StateStore.pin(spark, dir) // depth grows each commit
+      val prev = StateStore.setMaintenancePolicy(Some(
+        StateStore.MaintenancePolicy(maxGenerations = 4,
+          maxManifests = 6, retain = retain)))
+      try {
+        // enough cycles that the generation trigger fires (each
+        // upsert adds a generation; the policy re-homes + vacuums)
+        (1 to 8).foreach { c =>
+          Dedup.upsertIdKeyedStatePartitioned(dir,
+            Seq((c.toLong, c * 1000L)).toDF("pid", "fp"), "pid", nb)
+        }
+      } finally StateStore.setMaintenancePolicy(prev)
+      val alive =
+        try {
+          fpRows(pinned.readAll(spark)) ==
+            (1L to 64L).map(i => i -> i).toSet
+        } catch { case _: Exception => false }
+      (alive, pinned.version)
+    }
+    // default-depth policy: the first firing vacuums v1's manifest
+    // and generations out from under the pin — the silent break the
+    // advice flagged (silent to the WRITER; the reader fails loudly)
+    val (aliveShallow, _) = drive(retain = 1)
+    assert(!aliveShallow,
+      "retain=1 should have broken the v1 pin — if it survives, the " +
+        "policy stopped vacuuming and the scaladoc hazard is stale")
+    // retain >= the pin's depth (8 upserts + interleaved re-home
+    // commits stay under 16 snapshots): the SAME pin survives every
+    // firing — 'vacuum no deeper than your longest reader', applied
+    // to the policy dial
+    val (aliveDeep, v) = drive(retain = 16)
+    assert(aliveDeep, s"retain=16 should cover the v$v pin")
+  }
+
   test("IN-LINE CORRUPTION (round-15 verdict item 2): a flipped byte " +
     "INSIDE a well-formed line — a damaged generation digit that " +
     "re-homes a bucket to a directory never written — passes the " +

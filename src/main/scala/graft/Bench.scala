@@ -115,25 +115,26 @@ object Bench {
     * the double digits is a window, not a measurement. */
   private[graft] val MaxCleanAnchorReruns = 6
 
-  /** The committed-anchor basis rule (round-14 verdict item 5),
-    * spec-pinned so future rounds compute the closing anchor the same
-    * way: median of the CLEAN runs (reruns ≤ [[MaxCleanAnchorReruns]]);
-    * when fewer than two runs are clean the gate can't adjudicate, so
-    * fall back to the median of ALL runs (conservative — same as the
-    * old rule) rather than anchoring on a single sample. Each run is
-    * (engineTotalSec, rerunCount) from its bench_full.json. */
   /** The run-level cleanliness verdict emitted as `"clean":true/false`
     * in BOTH JSON lines (round-15 verdict item 4): the anchor-basis
     * gate applied to the run itself, so a consumer of BENCH_rN.json or
     * bench_full.json can see "this run's total is anchor-INELIGIBLE"
-    * without knowing [[MaxCleanAnchorReruns]]. Same constant as
-    * [[anchorBasis]] by construction. */
+    * without knowing [[MaxCleanAnchorReruns]]. [[anchorBasis]] filters
+    * through THIS predicate, so the emitted flag and the anchor gate
+    * cannot desynchronize. */
   private[graft] def isCleanRun(reruns: Int): Boolean =
     reruns <= MaxCleanAnchorReruns
 
+  /** The committed-anchor basis rule (round-14 verdict item 5),
+    * spec-pinned so future rounds compute the closing anchor the same
+    * way: median of the CLEAN runs ([[isCleanRun]]); when fewer than
+    * two runs are clean the gate can't adjudicate, so fall back to
+    * the median of ALL runs (conservative — same as the old rule)
+    * rather than anchoring on a single sample. Each run is
+    * (engineTotalSec, rerunCount) from its bench_full.json. */
   private[graft] def anchorBasis(runs: Seq[(Double, Int)]): Double = {
     require(runs.nonEmpty, "anchorBasis of no runs")
-    val clean = runs.filter(_._2 <= MaxCleanAnchorReruns).map(_._1)
+    val clean = runs.filter(r => isCleanRun(r._2)).map(_._1)
     val basis = if (clean.size >= 2) clean else runs.map(_._1)
     val s = basis.sorted
     if (s.size % 2 == 1) s(s.size / 2)

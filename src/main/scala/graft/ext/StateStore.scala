@@ -325,16 +325,36 @@ object StateStore {
         // not be something vacuum refuses to ever reclaim)
         if (ver.isEmpty || !ver.forall(_.isDigit))
           torn(s"format declaration '$l' is cut mid-token")
-        if (ver != "1" && ver != "2")
+        // derived from FormatVersion so a future bump cannot leave the
+        // check behind (review finding: the hardcoded set would have
+        // made a format-3 writer brick its own reads). An explicit
+        // "format=0" is NOT in the set: the legacy writer never wrote
+        // a format line, so a body declaring 0 is foreign — refusing
+        // loudly (non-vacuumable) is the conservative verdict.
+        if (!(1 to FormatVersion).map(_.toString).contains(ver))
           throw new UnsupportedManifestFormatException(
             s"manifest $v under $root declares ${l} but this reader " +
-              s"implements formats 0..$FormatVersion — refusing to " +
-              "guess (upgrade the reader; NOT classified torn, so " +
-              "vacuum and fallback will not discard it)")
+              s"implements formats 1..$FormatVersion (plus headerless " +
+              "legacy bodies, format 0) — refusing to guess (upgrade " +
+              "the reader; NOT classified torn, so vacuum and " +
+              "fallback will not discard it)")
         if (lines.last != s"eof=${lines.size - 1}")
           torn("missing or wrong eof sentinel (last line " +
             s"'${lines.last}', expected 'eof=${lines.size - 1}') — " +
             "prefix truncation")
+        // DOWNGRADE GUARD (review finding): a single damaged byte in
+        // the format line can turn "format=2" into "format=1", which
+        // would route a CHECKSUMMED body down the un-checksummed
+        // format-1 path — the eof count still matches (same lines)
+        // and the crc line would be swallowed by the content phase as
+        // an ignored kv pair, silently disabling the very protection
+        // format 2 added. No format-1 writer ever produced a crc
+        // line, so its presence under a format-1 declaration is
+        // corruption by construction → torn.
+        if (ver == "1" && lines.size > 1 && lines(1).startsWith("crc="))
+          torn("format=1 body carries a crc line — a format-1 writer " +
+            "never produced one; corrupted format declaration " +
+            "(downgraded format-2 body)")
         if (ver == "2") {
           val crcLine = lines(1) // exists: the eof check passed, so
                                  // the body has ≥ 2 lines

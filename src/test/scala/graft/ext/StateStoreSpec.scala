@@ -699,6 +699,23 @@ abstract class StateStoreBattery extends SparkSpec {
     Files.writeString(p2, healed)
     Files.deleteIfExists(Paths.get(dir, ".manifest-000000002.txt.crc"))
     assert(StateStore.current(spark, dir).version == 2L)
+    // DOWNGRADE GUARD (review finding): corruption flipping the
+    // format digit '2'->'1' must NOT route the checksummed body down
+    // the un-checksummed format-1 path (where the eof count still
+    // matches and the crc line parses as an ignored kv pair,
+    // silently disabling the checksum). A format-1 body carrying a
+    // crc line is corruption by construction -> torn, fallback.
+    val downgraded = healed.linesIterator.map { l =>
+      if (l == "format=2") "format=1" else l
+    }.mkString("", "\n", "\n")
+    assert(downgraded != healed)
+    Files.writeString(p2, downgraded)
+    Files.deleteIfExists(Paths.get(dir, ".manifest-000000002.txt.crc"))
+    assert(StateStore.current(spark, dir).version == 1L)
+    assert(fpRows(StateStore.readAll(spark, dir)) == atV1)
+    Files.writeString(p2, healed)
+    Files.deleteIfExists(Paths.get(dir, ".manifest-000000002.txt.crc"))
+    assert(StateStore.current(spark, dir).version == 2L)
   }
 
   test("LEGACY FORMAT 0 (round-15 advice, medium): a headerless " +
@@ -1176,6 +1193,19 @@ class StateStoreCasSpec extends StateStoreBattery {
       StateStore.current(spark, dir)
     }
     assert(e1.getMessage.contains("format=3"))
+    // an EXPLICIT "format=0" declaration is unsupported too (review
+    // finding follow-up): the legacy writer never wrote a format
+    // line, so a body declaring 0 is foreign — loud and
+    // non-vacuumable, the conservative verdict
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifest-000000003.txt"),
+      "format=0\nversion=3\nnumBuckets=8\neof=3\n")
+    val e0 = intercept[StateStore.UnsupportedManifestFormatException] {
+      StateStore.readAt(spark, dir, 3L)
+    }
+    assert(e0.getMessage.contains("format=0"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "manifest-000000003.txt"))
     // vacuum refuses too — BEFORE deleting anything
     intercept[StateStore.UnsupportedManifestFormatException] {
       StateStore.vacuum(spark, dir)

@@ -500,10 +500,10 @@ abstract class StateStoreBattery extends SparkSpec {
     assert(fpRows(StateStore.readAll(spark, dir)) == Set(3L -> 30L))
   }
 
-  test("SNAPSHOT-PINNED READS (readAt/pin): a pin resolves its " +
-    "manifest once and survives later commits plus vacuums whose " +
-    "retain window covers it; a deeper vacuum legitimately breaks it " +
-    "— both sides of the documented reader-vs-vacuum rule, pinned") {
+  test("SNAPSHOT-PINNED READS (readAt/pin) are ENFORCED (round-16 " +
+    "verdict item 2): a registered pin survives later commits plus " +
+    "vacuums of ANY depth — retain=1 included — and only after " +
+    "release() does the next vacuum reclaim its snapshot") {
     val nb = 8
     val dir = tmp("graft_ss_pin")
     val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
@@ -512,9 +512,9 @@ abstract class StateStoreBattery extends SparkSpec {
       Seq((1L, 100L)).toDF("pid", "fp"), "pid", nb) // v2
     val atV2 = fpRows(StateStore.readAll(spark, dir))
     val pinned = StateStore.readAt(spark, dir, 2L)
-    assert(pinned.version == 2L)
+    assert(pinned.version == 2L && pinned.pinFile.nonEmpty)
     // the writer moves on: two more commits, then a vacuum whose
-    // window still covers the pin (v2..v4 = depth 3)
+    // window covers the pin anyway (v2..v4 = depth 3)
     Dedup.upsertIdKeyedStatePartitioned(dir,
       Seq((1L, 111L)).toDF("pid", "fp"), "pid", nb) // v3
     Dedup.upsertIdKeyedStatePartitioned(dir,
@@ -524,21 +524,99 @@ abstract class StateStoreBattery extends SparkSpec {
     assert(fpRows(pinned.readAll(spark)) == atV2)
     assert(fpRows(StateStore.readAll(spark, dir)) != atV2)
     // pin().version matches current; readAt an already-vacuumed
-    // version refuses loudly (v1 left in the retain=3 vacuum)
-    assert(StateStore.pin(spark, dir).version == 4L)
+    // version refuses loudly (v1 — unpinned — left in that vacuum)
+    val cur = StateStore.pin(spark, dir)
+    assert(cur.version == 4L)
+    cur.release(spark)
     val gone = intercept[IllegalArgumentException] {
       StateStore.readAt(spark, dir, 1L)
     }
     assert(gone.getMessage.contains("already vacuumed"))
-    // the contrast case: vacuum(retain=1) keeps only v4 — the pinned
-    // v2's superseded generation files are legitimately deleted and
-    // the pin now FAILS (vacuum no deeper than your longest reader)
+    // ENFORCEMENT: a vacuum DEEPER than the pin (retain=1 keeps only
+    // v4) must still keep the pinned v2 — manifest and generations —
+    // where the advisory contract used to delete them mid-scan
     StateStore.vacuum(spark, dir, retain = 1)
-    intercept[Exception] { pinned.readAll(spark).count() }
-    // current reads are of course unaffected
+    assert(fpRows(pinned.readAll(spark)) == atV2)
+    // released, the same depth reclaims it: manifest gone, readAt
+    // refuses, a fresh vacuum names nothing pinned
+    pinned.release(spark)
+    StateStore.vacuum(spark, dir, retain = 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "manifest-000000002.txt")))
+    intercept[IllegalArgumentException] {
+      StateStore.readAt(spark, dir, 2L)
+    }
+    // current reads are of course unaffected throughout
     assert(fpRows(StateStore.readAll(spark, dir)) ==
       (1L to 20L).map(i => i -> i).toSet
         .filterNot(x => x._1 <= 2) + (1L -> 111L) + (2L -> 222L))
+  }
+
+  test("STALE-PIN EXPIRY (the crash-semantics rule): a pin file " +
+    "whose mtime ages past the TTL is treated as leaked by a crashed " +
+    "reader — vacuum deletes it and reclaims; refresh() resets the " +
+    "clock and keeps the pin enforced") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val nb = 8
+    val dir = tmp("graft_ss_pinttl")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    val atV1 = fpRows(StateStore.readAll(spark, dir))
+    val pinned = StateStore.pin(spark, dir)
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 100L)).toDF("pid", "fp"), "pid", nb) // v2
+    def pinFiles(): Seq[java.nio.file.Path] = {
+      val ls = Files.list(Paths.get(dir))
+      try ls.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("pin-") && n.endsWith(".pin")
+      }.toSeq
+      finally ls.close()
+    }
+    def age(ms: Long): Unit = pinFiles().foreach { p =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ms))
+    }
+    // a REFRESHED old pin stays live: age it to the TTL's edge, then
+    // refresh — vacuum keeps v1
+    age(23L * 3600 * 1000)
+    pinned.refresh(spark)
+    StateStore.vacuum(spark, dir, retain = 1)
+    assert(fpRows(pinned.readAll(spark)) == atV1)
+    // aged PAST the default 24 h TTL: vacuum classifies the pin as a
+    // crashed reader's leak, deletes the pin file, and reclaims v1 —
+    // delayed reclamation, never a wedged store
+    age(25L * 3600 * 1000)
+    StateStore.vacuum(spark, dir, retain = 1)
+    assert(pinFiles().isEmpty, "stale pin file should be expired")
+    assert(!Files.exists(Paths.get(dir, "manifest-000000001.txt")))
+    // double-release of an expired pin is a harmless no-op
+    pinned.release(spark)
+  }
+
+  test("rollbackTo REFUSES while a live pin references a version it " +
+    "would delete; after release the same rollback lands") {
+    val nb = 8
+    val dir = tmp("graft_ss_pinrb")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 100L)).toDF("pid", "fp"), "pid", nb) // v2
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((2L, 200L)).toDF("pid", "fp"), "pid", nb) // v3
+    val pinned = StateStore.readAt(spark, dir, 3L)
+    val e = intercept[IllegalArgumentException] {
+      StateStore.rollbackTo(spark, dir, 2L, retain = 2)
+    }
+    assert(e.getMessage.contains("live pins"))
+    assert(fpRows(pinned.readAll(spark)) ==
+      (1L to 20L).map(i => i -> i).toSet
+        .filterNot(x => x._1 <= 2) + (1L -> 100L) + (2L -> 200L))
+    pinned.release(spark)
+    StateStore.rollbackTo(spark, dir, 2L, retain = 2)
+    assert(StateStore.current(spark, dir).version == 2L)
   }
 
   test("MAINTENANCE POLICY: with no hand-scheduled compaction or " +
@@ -595,49 +673,52 @@ abstract class StateStoreBattery extends SparkSpec {
     } finally StateStore.setMaintenancePolicy(prev)
   }
 
-  test("PIN vs MAINTENANCE POLICY (round-15 advice): the policy's " +
-    "in-commit vacuum with the default retain=1 BREAKS an older pin " +
-    "at its first firing — and a retain sized to the pin's depth " +
-    "keeps the same pin alive through the same firings; both sides " +
-    "of the composition rule the scaladoc states, pinned") {
+  test("PIN vs MAINTENANCE POLICY is ENFORCED (round-16 verdict item " +
+    "2): with the DEFAULT retain=1, an active pin's snapshot survives " +
+    "every in-commit policy firing; once released, the next firing " +
+    "reclaims it — under both guards (battery)") {
     import spark.implicits._
-    def drive(retain: Int): (Boolean, Long) = {
-      val nb = 8
-      val dir = tmp(s"graft_ss_pinpol$retain")
-      val fps0 = (1L to 64L).map(i => (i, i)).toDF("pid", "fp")
-      Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
-      val pinned = StateStore.pin(spark, dir) // depth grows each commit
-      val prev = StateStore.setMaintenancePolicy(Some(
-        StateStore.MaintenancePolicy(maxGenerations = 4,
-          maxManifests = 6, retain = retain)))
-      try {
-        // enough cycles that the generation trigger fires (each
-        // upsert adds a generation; the policy re-homes + vacuums)
-        (1 to 8).foreach { c =>
-          Dedup.upsertIdKeyedStatePartitioned(dir,
-            Seq((c.toLong, c * 1000L)).toDF("pid", "fp"), "pid", nb)
-        }
-      } finally StateStore.setMaintenancePolicy(prev)
-      val alive =
-        try {
-          fpRows(pinned.readAll(spark)) ==
-            (1L to 64L).map(i => i -> i).toSet
-        } catch { case _: Exception => false }
-      (alive, pinned.version)
-    }
-    // default-depth policy: the first firing vacuums v1's manifest
-    // and generations out from under the pin — the silent break the
-    // advice flagged (silent to the WRITER; the reader fails loudly)
-    val (aliveShallow, _) = drive(retain = 1)
-    assert(!aliveShallow,
-      "retain=1 should have broken the v1 pin — if it survives, the " +
-        "policy stopped vacuuming and the scaladoc hazard is stale")
-    // retain >= the pin's depth (8 upserts + interleaved re-home
-    // commits stay under 16 snapshots): the SAME pin survives every
-    // firing — 'vacuum no deeper than your longest reader', applied
-    // to the policy dial
-    val (aliveDeep, v) = drive(retain = 16)
-    assert(aliveDeep, s"retain=16 should cover the v$v pin")
+    val nb = 8
+    val dir = tmp("graft_ss_pinpol")
+    val fps0 = (1L to 64L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    val pinned = StateStore.pin(spark, dir) // depth grows each commit
+    val atV1 = (1L to 64L).map(i => i -> i).toSet
+    val prev = StateStore.setMaintenancePolicy(Some(
+      StateStore.MaintenancePolicy(maxGenerations = 4,
+        maxManifests = 6, retain = 1)))
+    try {
+      // enough cycles that the generation trigger fires repeatedly
+      // (each upsert adds a generation; the policy re-homes + vacuums
+      // from INSIDE commit — the exact composition that used to break
+      // the pin). The pin must hold the line EVERY cycle, not just at
+      // the end.
+      (1 to 8).foreach { c =>
+        Dedup.upsertIdKeyedStatePartitioned(dir,
+          Seq((c.toLong, c * 1000L)).toDF("pid", "fp"), "pid", nb)
+        assert(fpRows(pinned.readAll(spark)) == atV1,
+          s"cycle $c: the retain=1 policy broke an ACTIVE pin")
+      }
+      // the policy did fire (manifests were vacuumed below the cycle
+      // count), so the pin's survival was enforcement, not inactivity
+      val onDisk = {
+        import scala.jdk.CollectionConverters._
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try ls.iterator().asScala.count { p =>
+          val n = p.getFileName.toString
+          n.startsWith("manifest-") && n.endsWith(".txt")
+        } finally ls.close()
+      }
+      assert(onDisk < 9, s"policy never vacuumed ($onDisk manifests)")
+      // released: the NEXT firing (or a manual vacuum) reclaims v1
+      pinned.release(spark)
+      Dedup.upsertIdKeyedStatePartitioned(dir,
+        Seq((99L, 999L)).toDF("pid", "fp"), "pid", nb)
+      StateStore.vacuum(spark, dir, retain = 1)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "manifest-000000001.txt")),
+        "released pin should no longer hold v1")
+    } finally StateStore.setMaintenancePolicy(prev)
   }
 
   test("IN-LINE CORRUPTION (round-15 verdict item 2): a flipped byte " +
@@ -786,6 +867,158 @@ abstract class StateStoreBattery extends SparkSpec {
     assert(fpRows(StateStore.readAll(spark, dir)) ==
       atV1.filterNot(_._1 == 1L) + (1L -> 111L))
   }
+
+  /** readAt that does NOT leave a pin behind — for content
+    * comparisons in tests that later exercise vacuum. */
+  protected def manifestAt(dir: String, v: Long): StateStore.Manifest = {
+    val s = StateStore.readAt(spark, dir, v)
+    s.release(spark)
+    s.manifest
+  }
+
+  test("MIGRATE (round-16 verdict item 3): a store holding format-0, " +
+    "format-1 and format-2 manifests ends ALL format-2, " +
+    "content-identical per version, generations byte-untouched, " +
+    "vacuum unaffected; the second sweep is a no-op") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_ss_migrate")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 100L)).toDF("pid", "fp"), "pid", nb) // v2
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((2L, 200L)).toDF("pid", "fp"), "pid", nb) // v3
+    // rewrite v1 as LEGACY (format 0) and v2 as format 1 — the mixed
+    // history a long-lived store carries mid-upgrade
+    def downgrade(v: Int, legacy: Boolean): Unit = {
+      val p = Paths.get(dir, f"manifest-$v%09d.txt")
+      val content = manifestContentLines(p)
+      val body =
+        if (legacy) content.mkString("", "\n", "\n")
+        else ("format=1" +: content :+ s"eof=${content.size + 1}")
+          .mkString("", "\n", "\n")
+      Files.writeString(p, body)
+      Files.deleteIfExists(Paths.get(dir, f".manifest-$v%09d.txt.crc"))
+    }
+    downgrade(1, legacy = true)
+    downgrade(2, legacy = false)
+    val before = (1L to 3L).map(v => v -> manifestAt(dir, v)).toMap
+    val rowsBefore = fpRows(StateStore.readAll(spark, dir))
+    val leavesBefore = StateStore.leafFiles(spark, dir)
+    assert(StateStore.migrate(spark, dir) == Seq(1L, 2L))
+    (1 to 3).foreach { v =>
+      val txt = Files.readString(Paths.get(dir, f"manifest-$v%09d.txt"))
+      assert(txt.startsWith("format=2\n"), s"v$v not re-published")
+      assert(manifestAt(dir, v.toLong) == before(v.toLong),
+        s"v$v content changed across migration")
+    }
+    assert(fpRows(StateStore.readAll(spark, dir)) == rowsBefore)
+    assert(StateStore.leafFiles(spark, dir) == leavesBefore,
+      "migrate must not touch generation data")
+    // idempotent: nothing left to rewrite
+    assert(StateStore.migrate(spark, dir).isEmpty)
+    // vacuum afterwards behaves exactly as on a native-format store
+    StateStore.vacuum(spark, dir, retain = 2)
+    assert(!Files.exists(Paths.get(dir, "manifest-000000001.txt")))
+    assert(StateStore.current(spark, dir).version == 3L)
+  }
+
+  test("MIGRATE crash BEFORE the in-place replace: every manifest " +
+    "byte-untouched, the store keeps reading in its old formats, and " +
+    "the RE-RUN completes the sweep (the crash-recovery rule)") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_ss_migcrash")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 100L)).toDF("pid", "fp"), "pid", nb) // v2
+    val p1 = Paths.get(dir, "manifest-000000001.txt")
+    val content = manifestContentLines(p1)
+    Files.writeString(p1, content.mkString("", "\n", "\n")) // legacy
+    Files.deleteIfExists(Paths.get(dir, ".manifest-000000001.txt.crc"))
+    val bytesBefore = Files.readAllBytes(p1).toSeq
+    val rowsBefore = fpRows(StateStore.readAll(spark, dir))
+    StateStore.FailPoints.beforeMigrateReplace = true
+    val e =
+      try intercept[RuntimeException] { StateStore.migrate(spark, dir) }
+      finally StateStore.FailPoints.beforeMigrateReplace = false
+    assert(e.getMessage.contains("FAILPOINT"))
+    // nothing replaced; the intent file is durable; reads unaffected
+    assert(Files.readAllBytes(p1).toSeq == bytesBefore)
+    assert(Files.exists(Paths.get(dir, ".manifest-000000001.mig")))
+    assert(fpRows(StateStore.readAll(spark, dir)) == rowsBefore)
+    assert(manifestAt(dir, 1L).version == 1L)
+    // the re-run finishes the job and consumes the intent
+    assert(StateStore.migrate(spark, dir) == Seq(1L))
+    assert(Files.readString(p1).startsWith("format=2\n"))
+    assert(!Files.exists(Paths.get(dir, ".manifest-000000001.mig")))
+    assert(fpRows(StateStore.readAll(spark, dir)) == rowsBefore)
+  }
+
+  test("LINE-STRUCTURE DAMAGE classifies torn (round-16 advice): a " +
+    "'\\n' flipped to '\\r' and an injected blank line both leave the " +
+    "parsed lines identical — the raw-byte checksum catches what the " +
+    "rejoined-lines check could not") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_ss_rawcrc")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 100L)).toDF("pid", "fp"), "pid", nb) // v2
+    val atV1 = manifestAt(dir, 1L)
+    val p2 = Paths.get(dir, "manifest-000000002.txt")
+    val good = Files.readString(p2)
+    def corrupt(bad: String): Unit = {
+      Files.writeString(p2, bad)
+      Files.deleteIfExists(Paths.get(dir, ".manifest-000000002.txt.crc"))
+      // torn, not unsupported/IO: current() falls back LOUDLY to v1
+      assert(StateStore.current(spark, dir).version == 1L)
+      assert(StateStore.current(spark, dir).numBuckets == atV1.numBuckets)
+      intercept[StateStore.TornManifestException] {
+        StateStore.readAt(spark, dir, 2L)
+      }
+    }
+    // a content '\n' flipped to '\r': linesIterator still splits on
+    // it, so every parsed line — and the eof count — is unchanged
+    val nl = good.indexOf('\n', good.indexOf("version="))
+    corrupt(good.substring(0, nl) + "\r" + good.substring(nl + 1))
+    // an injected blank line: filtered out of the parsed lines, but
+    // present in the raw bytes under the checksum
+    corrupt(good.replaceFirst("\nversion=", "\n\nversion="))
+    // restore: the store serves v2 again
+    Files.writeString(p2, good)
+    assert(StateStore.current(spark, dir).version == 2L)
+  }
+
+  test("LEADING-ZERO format declaration is TORN, not a vacuum-brick " +
+    "(round-16 advice): no writer produces 'format=02', so it is " +
+    "corruption — fallback + reclaim, not a permanent loud refusal") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_ss_zerofmt")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    val c1 = manifestContentLines(Paths.get(dir, "manifest-000000001.txt"))
+      .map(l => if (l.startsWith("version=")) "version=2" else l)
+    val body = frame2(c1 :+ s"eof=${c1.size + 2}")
+      .replaceFirst("format=2", "format=02")
+    Files.writeString(Paths.get(dir, "manifest-000000002.txt"), body)
+    // reads fall back past it (torn), never the unsupported-format
+    // refusal that would make the root permanently non-vacuumable
+    assert(StateStore.current(spark, dir).version == 1L)
+    intercept[StateStore.TornManifestException] {
+      StateStore.readAt(spark, dir, 2L)
+    }
+    // vacuum reclaims it as garbage — the self-heal the advice asked
+    // for (an unsupported-format classification would throw here and
+    // brick every future vacuum until manual repair)
+    val removed = StateStore.vacuum(spark, dir, retain = 1)
+    assert(removed.contains("manifest-000000002.txt"))
+    assert(StateStore.current(spark, dir).version == 1L)
+  }
 }
 
 /** The battery under the default atomic-rename commit point. */
@@ -916,6 +1149,9 @@ class StateStoreCasSpec extends StateStoreBattery {
         try { fs.delete(tmp, false); () }
         catch { case _: Throwable => () }
       }
+      def replace(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Unit = swap(fs, tmp, dst)
     }
     val nb = 8
     val dir = tmp("graft_cas_naive")
@@ -1214,5 +1450,47 @@ class StateStoreCasSpec extends StateStoreBattery {
       java.nio.file.Paths.get(dir, "manifest-000000002.txt")))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "manifest-000000001.txt")))
+  }
+
+  test("MIGRATE torn mid-PUT (the CAS simulation's only replace " +
+    "window): the torn manifest is RESTORED from its intent file on " +
+    "re-run — committed history recovered, not forfeited to vacuum") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_cas_migtorn")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 100L)).toDF("pid", "fp"), "pid", nb) // v2
+    // v1 becomes the format-1 history migrate must rewrite
+    val p1 = Paths.get(dir, "manifest-000000001.txt")
+    val content = manifestContentLines(p1)
+    Files.writeString(p1, ("format=1" +: content :+
+      s"eof=${content.size + 1}").mkString("", "\n", "\n"))
+    Files.deleteIfExists(Paths.get(dir, ".manifest-000000001.txt.crc"))
+    val v1Before = manifestAt(dir, 1L)
+    // crash mid-PUT while replacing v1 in place: the committed name
+    // is TORN — exactly what a non-atomic overwrite leaves behind
+    StateStore.CasCommitGuard.FailPoints.truncateBodyAt = 40L
+    val e =
+      try intercept[RuntimeException] { StateStore.migrate(spark, dir) }
+      finally StateStore.CasCommitGuard.FailPoints.truncateBodyAt = -1L
+    assert(e.getMessage.contains("FAILPOINT"))
+    intercept[StateStore.TornManifestException] {
+      StateStore.readAt(spark, dir, 1L)
+    }
+    // the CURRENT snapshot is unaffected (v2 was already format 2)
+    assert(StateStore.current(spark, dir).version == 2L)
+    // re-run BEFORE any vacuum (the stated recovery order): v1 is
+    // restored from the intent, content-identical, format 2
+    assert(StateStore.migrate(spark, dir) == Seq(1L))
+    assert(Files.readString(p1).startsWith("format=2\n"))
+    assert(manifestAt(dir, 1L) == v1Before)
+    assert(!Files.exists(Paths.get(dir, ".manifest-000000001.mig")))
+    // the negative contrast the scaladoc states: had vacuum run
+    // FIRST, the torn v1 (outside retain=1) would have been garbage —
+    // which is why the recovery order is migrate-then-vacuum
+    StateStore.vacuum(spark, dir, retain = 2)
+    assert(Files.exists(p1))
   }
 }

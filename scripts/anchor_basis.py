@@ -30,9 +30,17 @@ def main(paths):
     for p in paths:
         with open(p) as f:
             d = json.load(f)
-        runs.append((p, float(d["value"]), int(d.get("reruns", 0))))
-    for p, v, r in runs:
-        print(f"  {v:8.2f} s  reruns={r:3d}  {p}")
+        runs.append((p, float(d["value"]), int(d.get("reruns", 0)),
+                     int(d.get("failed", 0))))
+    for p, v, r, fl in runs:
+        print(f"  {v:8.2f} s  reruns={r:3d}  failed={fl}  {p}")
+    # a failed run is refused outright (round-16 advice: "clean" now
+    # folds failed==0 in; the basis must apply the same rule) — its
+    # total omits the failed query's cost, so it is not comparable
+    for p, _, _, fl in runs:
+        if fl > 0:
+            print(f"gate: REFUSING failed run {p} (failed={fl})")
+    runs = [(p, v, r) for p, v, r, fl in runs if fl == 0]
     clean = [(p, v) for p, v, r in runs if r <= MAX_CLEAN_RERUNS]
     if len(clean) >= 2:
         basis = clean

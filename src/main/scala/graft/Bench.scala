@@ -125,6 +125,57 @@ object Bench {
   private[graft] def isCleanRun(reruns: Int): Boolean =
     reruns <= MaxCleanAnchorReruns
 
+  /** What the JSON lines actually EMIT as `"clean"` (round-16 advice):
+    * the stall-gate verdict AND `failed == 0` — a run with a failed
+    * query is not a valid anchor no matter how quiet the host was,
+    * and a consumer reading the flag as "anchor-eligible" must not
+    * need to also remember to check `failed`. [[anchorBasis]] keeps
+    * its reruns-only signature — battery tooling feeds it runs it has
+    * already screened for failures (anchor_basis.py refuses a
+    * failed>0 run outright). */
+  private[graft] def emittedClean(reruns: Int, failed: Int): Boolean =
+    isCleanRun(reruns) && failed == 0
+
+  /** HOST-HEALTH PREFLIGHT (round-16 verdict item 5): the closing
+    * battery used to discover a degraded host window only AFTER
+    * paying a full ~6-minute run the anchor gate then discarded
+    * (round 16 burned 8 runs for 4 usable). Before the timed pass,
+    * run [[PreflightSamples]] samples of a pinned fixture-independent
+    * calibration job — a 64M-row hash-mod range aggregate: pure CPU +
+    * shuffle machinery, no disk reads, so it measures the HOST, not
+    * the data — and take the MEDIAN (a single stall must not fail a
+    * healthy window, exactly the suite's own re-run reasoning). The
+    * median is always emitted as `"preflight_sec"` in both JSON
+    * lines; the SKIP behavior is opt-in via
+    * SPARK_GRAFT_BENCH_PREFLIGHT_GATE (set by
+    * scripts/bench_battery.sh, never by the driver — a driver round
+    * must always produce its artifact, degraded window or not).
+    * [[PreflightBandSec]] is pinned at ~3× the idle-host median
+    * (measured 2026-08-16: 0.51 s cold-JVM — the first sample carries
+    * JIT warm-up, which the median mostly absorbs — and 0.35 s warm),
+    * the same multiple the per-query stall threshold uses — a host
+    * running 3× slow on a CPU-bound kernel is exactly the window
+    * whose full runs the gate has been discarding after the fact. */
+  private[graft] val PreflightSamples = 5
+  private[graft] val PreflightRows = 64L * 1000 * 1000
+  private[graft] val PreflightBandSec = 1.5
+  private[graft] def preflightOk(medianSec: Double): Boolean =
+    medianSec <= PreflightBandSec
+  private[graft] def preflightMedian(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(PreflightRows)
+        .select((col("id") % 1021).as("k"), col("id"))
+        .groupBy("k").agg(sum("id").as("s"))
+        .agg(sum("s"), max("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val xs = Seq.fill(PreflightSamples)(once()).sorted
+    xs(PreflightSamples / 2)
+  }
+
   /** The committed-anchor basis rule (round-14 verdict item 5),
     * spec-pinned so future rounds compute the closing anchor the same
     * way: median of the CLEAN runs ([[isCleanRun]]); when fewer than
@@ -159,6 +210,30 @@ object Bench {
     // round 3's WARN flood (localCheckpoint lineage, CSVHeaderChecker,
     // WindowExec) pushed the JSON line out of the captured window
     spark.sparkContext.setLogLevel("ERROR")
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // host-health preflight: always measured + emitted; gating is
+    // opt-in (battery harness only — see the scaladoc above). The
+    // band can be tightened/loosened per battery via
+    // SPARK_GRAFT_PREFLIGHT_BAND (dev-only; also how the skip path is
+    // exercised end-to-end without waiting for a degraded window).
+    val band = sys.env.get("SPARK_GRAFT_PREFLIGHT_BAND")
+      .map(_.toDouble).getOrElse(PreflightBandSec)
+    val preflight = preflightMedian(spark)
+    System.err.println(f"[bench] preflight median $preflight%.3f s " +
+      f"(band $band%.2f s, ok=${preflight <= band})")
+    if (sys.env.contains("SPARK_GRAFT_BENCH_PREFLIGHT_GATE") &&
+        preflight > band) {
+      // log-and-skip: the run is not paid for. bench_full.json is NOT
+      // touched (the committed anchors stay), and the skip line is the
+      // process's last stdout line, machine-readable by the harness.
+      val skipLine = s"""{"metric":"preflight_skip","preflight_sec":${
+        fmt(preflight)},"band_sec":${fmt(band)},"sf":"$sfDir"}"""
+      println(skipLine)
+      spark.stop()
+      println(skipLine)
+      return
+    }
     // noop sink: materializes EVERY output column (count() lets Catalyst
     // prune unreferenced projections, under-measuring projection-heavy
     // queries like string ops / casts / quantization)
@@ -247,10 +322,8 @@ object Bench {
     val collision =
       results.map(_._1).groupBy(short).exists(_._2.size > 1)
     def keyOf(k: String): String = if (collision) k else short(k)
-    // Locale.ROOT: f"%.3f" uses the JVM default locale, and a comma
-    // decimal separator would corrupt the JSON line
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // fmt (defined at the top of main): Locale.ROOT so a comma decimal
+    // separator cannot corrupt the JSON line
     val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
@@ -291,13 +364,13 @@ object Bench {
         "\"" + keyOf(k) + "\":[" + fmt(a) + "," + fmt(b) + "]"
       }.mkString(""""rerun_samples":{""", ",", "},")
     }
-    // "clean": the anchor-basis gate applied to THIS run (round-15
-    // verdict item 4) — false means the stall machinery fired more
-    // than MaxCleanAnchorReruns times, i.e. a degraded host window
-    // whose total is anchor-INELIGIBLE; consumers no longer need to
-    // know the gate constant to interpret "reruns"
-    val clean = isCleanRun(reruns)
-    val fullLine = s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$qs,$comparisonField$rerunField"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"clean":$clean,"sf":"$sfDir"}"""
+    // "clean": anchor-eligibility of THIS run (round-15 verdict item
+    // 4; round-16 advice folded failed==0 in) — false means the stall
+    // machinery fired more than MaxCleanAnchorReruns times OR a query
+    // failed; consumers need to know neither the gate constant nor
+    // the failed-run rule to interpret it
+    val clean = emittedClean(reruns, failed)
+    val fullLine = s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$qs,$comparisonField$rerunField"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"clean":$clean,"preflight_sec":${fmt(preflight)},"sf":"$sfDir"}"""
     println(fullLine)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
@@ -305,7 +378,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$slowest,"n_queries":${results.size},$comparisonField"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"clean":$clean,"queries_file":"bench_full.json","sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"engine_total","value":${fmt(engine)},"unit":"sec","queries":$slowest,"n_queries":${results.size},$comparisonField"total_sec":${fmt(engine + comparison)},"failed":$failed,"reruns":$reruns,"clean":$clean,"preflight_sec":${fmt(preflight)},"queries_file":"bench_full.json","sf":"$sfDir"}"""
     // fixed-name sidecar a consumer can read without scraping stdout
     // (round-14 verdict item 6: the stdout tail parse has failed every
     // round because trailing build-tool output displaced the line)

@@ -812,6 +812,24 @@ object ScaleProbe {
     // one generation per cycle, re-home fires roughly every 5 cycles)
     variant("auto", 0, Some(graft.ext.StateStore.MaintenancePolicy(
       maxGenerations = 10, maxManifests = 16)))
+    // round-16 verdict item 4: the SAME unattended-policy cadence
+    // under the CAS commit guard — the stateb_upcas breakdown cells
+    // measured its per-commit publish flat, but its copy-shaped
+    // publish (read tmp + write dst, no rename) is the one that
+    // matters ACCRUED over 50 cycles on an object store; this cell
+    // says whether file accrual and maintenance time match the
+    // rename-guard cadence
+    locally {
+      val prev = graft.ext.StateStore.setCommitGuard(
+        graft.ext.StateStore.CasCommitGuard)
+      try variant("auto_cas", 0,
+        Some(graft.ext.StateStore.MaintenancePolicy(
+          maxGenerations = 10, maxManifests = 16)))
+      finally {
+        graft.ext.StateStore.setCommitGuard(prev)
+        ()
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {

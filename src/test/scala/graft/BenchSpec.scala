@@ -88,9 +88,34 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.anchorBasis(Seq((10.0, 9), (14.0, 9))) == 12.0)
   }
 
-  test("isCleanRun is the emitted \"clean\" flag and agrees with the " +
-    "anchorBasis gate at the boundary (round-15 item 4: a consumer of " +
-    "the JSON line must not need to know MaxCleanAnchorReruns)") {
+  test("emittedClean folds failed==0 into the emitted flag (round-16 " +
+    "advice: a failed run is not anchor-eligible no matter how quiet " +
+    "the host was), and agrees with the stall gate when failed==0") {
+    assert(Bench.emittedClean(0, 0))
+    assert(Bench.emittedClean(Bench.MaxCleanAnchorReruns, 0))
+    assert(!Bench.emittedClean(Bench.MaxCleanAnchorReruns + 1, 0))
+    assert(!Bench.emittedClean(0, 1))
+    assert(!Bench.emittedClean(Bench.MaxCleanAnchorReruns + 1, 3))
+  }
+
+  test("preflight gate pins (round-16 verdict item 5): the band is a " +
+    "positive host-speed bound, the verdict is a pure threshold on " +
+    "the median, and the sample count gives a real median") {
+    assert(Bench.PreflightBandSec > 0)
+    assert(Bench.PreflightSamples >= 3 && Bench.PreflightSamples % 2 == 1)
+    assert(Bench.preflightOk(Bench.PreflightBandSec))
+    assert(Bench.preflightOk(Bench.PreflightBandSec / 3))
+    assert(!Bench.preflightOk(Bench.PreflightBandSec * 1.01))
+    // the calibration job is sized to stay ~a few hundred ms on a
+    // healthy host: rows pinned so nobody shrinks it into pure noise
+    // or grows it into a second bench
+    assert(Bench.PreflightRows == 64L * 1000 * 1000)
+  }
+
+  test("isCleanRun is the stall-gate half of the emitted flag and " +
+    "agrees with the anchorBasis gate at the boundary (round-15 item " +
+    "4: a consumer of the JSON line must not need to know " +
+    "MaxCleanAnchorReruns)") {
     assert(Bench.isCleanRun(0))
     assert(Bench.isCleanRun(Bench.MaxCleanAnchorReruns))
     assert(!Bench.isCleanRun(Bench.MaxCleanAnchorReruns + 1))
@@ -105,15 +130,24 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("the committed bench_full.json carries the \"clean\" flag, " +
-    "consistent with its own \"reruns\" count") {
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get("bench_full.json"))
+    "consistent with its own \"reruns\" and \"failed\" counts") {
+    // assume, not assert, on the artifact's PRESENCE (round-16
+    // advice): this is a consistency pin on the committed artifact
+    // when one is committed and the suite runs from the repo root —
+    // a missing file or absent fields cancels the test rather than
+    // coupling the unit suite to the working directory
+    val p = java.nio.file.Paths.get("bench_full.json")
+    assume(java.nio.file.Files.exists(p),
+      "no committed bench_full.json in the working directory")
+    val txt = java.nio.file.Files.readString(p)
     val reruns = """"reruns":(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+    val failed = """"failed":(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt)
     val clean = """"clean":(true|false)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toBoolean)
-    assert(reruns.nonEmpty, "bench_full.json lacks a reruns count")
-    assert(clean.nonEmpty, "bench_full.json lacks the clean flag")
-    assert(clean.get == Bench.isCleanRun(reruns.get))
+    assume(reruns.nonEmpty && failed.nonEmpty && clean.nonEmpty,
+      "bench_full.json lacks the reruns/failed/clean fields")
+    assert(clean.get == Bench.emittedClean(reruns.get, failed.get))
   }
 }

@@ -8,14 +8,18 @@
 # degraded-window run (4 of its 8 runs were gate-excluded after the
 # fact).
 #
-# Usage: scripts/bench_battery.sh [N_RUNS] [OUT_DIR]
+# Usage: scripts/bench_battery.sh [N_RUNS] [OUT_DIR] [START_INDEX]
 # Then:  python3 scripts/anchor_basis.py OUT_DIR/bench_full_run*.json
+# START_INDEX lets a battery be extended run-by-run (degraded-host
+# rule: keep going until >=2 clean runs) without clobbering earlier
+# runs' artifacts.
 set -u
 N="${1:-4}"
 OUT="${2:-/tmp/battery}"
+START="${3:-1}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 mkdir -p "$OUT"
-for i in $(seq 1 "$N"); do
+for i in $(seq "$START" $((START + N - 1))); do
   rm -rf target/scratch
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_PREFLIGHT_GATE=1 \
     sbt -batch "runMain graft.Bench" >"$OUT/bench$i.log" 2>&1
@@ -26,7 +30,10 @@ for i in $(seq 1 "$N"); do
   fi
   if [ -f bench_full.json ] && ! git diff --quiet -- bench_full.json; then
     cp bench_full.json "$OUT/bench_full_run$i.json"
-    git checkout -- bench_full.json bench_compact.json 2>/dev/null || true
+    # bench_compact.json is untracked — naming it here would abort the
+    # whole checkout with a pathspec error and leave the anchors
+    # clobbered for the next run
+    git checkout -- bench_full.json || true
     echo "run $i: $(grep -o '"value":[0-9.]*\|"reruns":[0-9]*\|"clean":[a-z]*\|"failed":[0-9]*\|"preflight_sec":[0-9.]*' \
       "$OUT/bench_full_run$i.json" | tr '\n' ' ')"
   else

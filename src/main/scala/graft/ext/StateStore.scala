@@ -1026,8 +1026,18 @@ object StateStore {
     val prev = pinTtlMs; pinTtlMs = ms; prev
   }
 
-  private def pinName(n: String): Boolean =
-    n.startsWith("pin-") && n.endsWith(".pin")
+  /** Well-formed pin-file names only: `pin-<digits>-<nonce>.pin`. A
+    * file merely PREFIX-matching the namespace but not this shape is
+    * foreign (nothing this code wrote — file NAMES are atomic at
+    * create, unlike contents, so there is no torn-name failure mode);
+    * parsing it with a bare split-toLong would throw and brick every
+    * vacuum on one stray file — the same
+    * one-corrupt-byte-disables-reclamation hazard class the
+    * leading-zero format guard closes. Foreign files are IGNORED
+    * (announced, not deleted: this store doesn't reclaim files it
+    * cannot prove it owns). */
+  private val PinName = """pin-(\d{1,18})-[0-9a-f]+\.pin""".r // ≤18
+  // digits: any longer digit run would overflow toLong — foreign
 
   /** Versions protected by LIVE (non-expired) pin files under the
     * root. Expired pins are deleted here as they are met — the crash-
@@ -1038,15 +1048,23 @@ object StateStore {
     if (!fs.exists(rp)) return Set.empty
     val now = System.currentTimeMillis()
     fs.listStatus(rp).iterator
-      .filter(s => pinName(s.getPath.getName))
       .flatMap { s =>
-        if (now - s.getModificationTime > pinTtlMs) {
-          System.err.println(s"[statestore] expiring stale pin " +
-            s"${s.getPath.getName} (unrefreshed past the " +
-            s"$pinTtlMs ms TTL — crashed reader)")
-          fs.delete(s.getPath, false)
-          None
-        } else Some(s.getPath.getName.split('-')(1).toLong)
+        s.getPath.getName match {
+          case PinName(v) =>
+            if (now - s.getModificationTime > pinTtlMs) {
+              System.err.println(s"[statestore] expiring stale pin " +
+                s"${s.getPath.getName} (unrefreshed past the " +
+                s"$pinTtlMs ms TTL — crashed reader)")
+              fs.delete(s.getPath, false)
+              None
+            } else Some(v.toLong)
+          case n if n.startsWith("pin-") && n.endsWith(".pin") =>
+            System.err.println(s"[statestore] ignoring foreign file " +
+              s"'$n' in the pin namespace under $rp (not a " +
+              "well-formed pin name; not honored, not deleted)")
+            None
+          case _ => None
+        }
       }.toSet
   }
 

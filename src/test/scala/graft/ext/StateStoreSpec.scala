@@ -585,12 +585,21 @@ abstract class StateStoreBattery extends SparkSpec {
     pinned.refresh(spark)
     StateStore.vacuum(spark, dir, retain = 1)
     assert(fpRows(pinned.readAll(spark)) == atV1)
+    // a FOREIGN file in the pin namespace (malformed name — nothing
+    // this code writes; names are atomic at create so there is no
+    // torn-name mode) must neither brick vacuum with a parse error
+    // nor be honored nor deleted: ignored, announced
+    Files.writeString(Paths.get(dir, "pin-garbage.pin"), "x")
+    Files.writeString(Paths.get(dir,
+      "pin-99999999999999999999-ab.pin"), "x") // > Long.MaxValue digits
     // aged PAST the default 24 h TTL: vacuum classifies the pin as a
     // crashed reader's leak, deletes the pin file, and reclaims v1 —
     // delayed reclamation, never a wedged store
     age(25L * 3600 * 1000)
     StateStore.vacuum(spark, dir, retain = 1)
-    assert(pinFiles().isEmpty, "stale pin file should be expired")
+    assert(pinFiles().map(_.getFileName.toString).toSet ==
+      Set("pin-garbage.pin", "pin-99999999999999999999-ab.pin"),
+      "real stale pin expired; foreign files ignored, not deleted")
     assert(!Files.exists(Paths.get(dir, "manifest-000000001.txt")))
     // double-release of an expired pin is a harmless no-op
     pinned.release(spark)

@@ -18,10 +18,18 @@ N="${1:-4}"
 OUT="${2:-/tmp/battery}"
 START="${3:-1}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+# Battery band 0.6 s (the code's pinned 1.5 s stays the conservative
+# default): round-17 evidence — the four sub-330 clean runs preflighted
+# 0.44-0.51 s while every stall-storm or elevated run preflighted
+# 0.64-0.80 s; at 0.6 the battery would have skipped all four excluded
+# windows before paying for them. Override per-battery if the host is
+# legitimately busy all day.
+BAND="${SPARK_GRAFT_PREFLIGHT_BAND:-0.6}"
 mkdir -p "$OUT"
 for i in $(seq "$START" $((START + N - 1))); do
   rm -rf target/scratch
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_PREFLIGHT_GATE=1 \
+    SPARK_GRAFT_PREFLIGHT_BAND="$BAND" \
     sbt -batch "runMain graft.Bench" >"$OUT/bench$i.log" 2>&1
   if grep -q '"metric":"preflight_skip"' "$OUT/bench$i.log"; then
     echo "run $i: SKIPPED by preflight gate:" \

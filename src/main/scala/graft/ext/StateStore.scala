@@ -251,6 +251,32 @@ object StateStore {
 
   private def manifestName(v: Long): String = f"manifest-$v%09d.txt"
   private def genName(v: Long): String = f"gen-$v%09d"
+  /** [[migrate]]'s per-version INTENT file (the current-format bytes,
+    * durable before the in-place replace). Lives in the dot-manifest
+    * namespace; [[vacuum]] treats one as garbage UNLESS its manifest
+    * is torn (a pending restore). */
+  private def migIntentName(v: Long): String = f".manifest-$v%09d.mig"
+
+  /** The pending-restore validity check [[migrate]] and [[vacuum]]
+    * share: the intent file parses under the full manifest rules AND
+    * declares the current format AND carries exactly version `v`.
+    * Anything else is garbage, not a restore source. */
+  private def parseIntent(fs: FileSystem, root: Path, v: Long)
+      : Option[Manifest] = {
+    val ip = new Path(root, migIntentName(v))
+    if (!fs.exists(ip)) None
+    else {
+      val in = fs.open(ip)
+      val text =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      try {
+        val (m, fmt) = parseManifestText(text, root, v)
+        if (fmt == FormatVersion && m.version == v) Some(m) else None
+      } catch { case _: TornManifestException => None }
+    }
+  }
 
   /** All committed manifest versions present under the root,
     * descending; empty on a virgin root. Driver-side listing, bounded
@@ -300,6 +326,15 @@ object StateStore {
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
+    parseManifestText(text, root, v)
+  }
+
+  /** The byte-level parse both [[parseManifestFmt]] (the manifest at
+    * its committed name) and [[vacuum]]'s pending-restore probe (a
+    * migrate INTENT file's body, which must validate to the same
+    * rules before vacuum spares a torn manifest for it) share. */
+  private def parseManifestText(text: String, root: Path, v: Long)
+      : (Manifest, Int) = {
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
     // FRAMING phase, checked BEFORE the generic torn wrapping so its
     // outcomes are explicit, not incidental:
@@ -1373,13 +1408,16 @@ object StateStore {
     * RESTORED from its intent file (checked to be a current-format
     * body carrying that version) instead of being forfeited; a crash
     * before the replace leaves the original manifest untouched and
-    * the sweep simply redoes it. Run the re-run BEFORE any vacuum:
-    * intent files live in the dot-manifest namespace vacuum sweeps as
-    * garbage, and a vacuum that runs first classifies the torn
-    * manifest itself as garbage too — for every version except the
-    * newest that only forfeits pinnable history inside the retention
-    * window (the newest is protected by re-running migrate first, as
-    * stated). Concurrent READERS of a version mid-replace see old
+    * the sweep simply redoes it. The recovery does NOT depend on
+    * running before the next vacuum: [[vacuum]] recognizes a PENDING
+    * RESTORE — a torn manifest whose intent file is present — and
+    * keeps BOTH files (announcing the pending migrate) instead of
+    * classifying them garbage; without that, a vacuum racing the
+    * recovery would forfeit the torn version's history — or, were it
+    * the NEWEST manifest, the latest committed snapshot itself.
+    * Intent files whose manifest is healthy again (migrated, or
+    * re-published by a commit) are stale and vacuum reclaims them as
+    * before. Concurrent READERS of a version mid-replace see old
     * bytes, new bytes, or (CAS simulation only) a torn body whose
     * [[current]] fallback serves the previous committed snapshot
     * loudly — never silently wrong data. Manifests in a FUTURE format
@@ -1394,8 +1432,7 @@ object StateStore {
       s"no committed manifest under $root — not a StateStore")
     versions.flatMap { v =>
       val dst = new Path(rp, manifestName(v))
-      val intent = f".manifest-$v%09d.mig"
-      val intentPath = new Path(rp, intent)
+      val intentPath = new Path(rp, migIntentName(v))
       def verify(): Unit = {
         val (m2, f2) = parseManifestFmt(fs, rp, v)
         require(f2 == FormatVersion && m2.version == v,
@@ -1410,7 +1447,8 @@ object StateStore {
           if (fs.exists(intentPath)) fs.delete(intentPath, false)
           None
         } else {
-          val tmp = writeTmp(fs, rp, intent, serializeManifest(m))
+          val tmp = writeTmp(fs, rp, migIntentName(v),
+            serializeManifest(m))
           if (FailPoints.beforeMigrateReplace)
             sys.error(s"FAILPOINT: crash after migrate intent for " +
               s"v$v, before its in-place replace")
@@ -1420,11 +1458,11 @@ object StateStore {
         }
       } catch {
         case e: TornManifestException =>
-          if (fs.exists(intentPath)) {
+          if (parseIntent(fs, rp, v).nonEmpty) {
             // torn mid-replace by a crashed earlier sweep: the intent
-            // holds the full current-format bytes — restore in place.
-            // The verify step rejects an intent that is itself
-            // garbage or carries the wrong version.
+            // validated as the full current-format bytes for this
+            // exact version — restore in place (verify re-checks the
+            // landed result).
             System.err.println(s"[statestore] migrate: restoring " +
               s"torn manifest v$v under $root from its intent file")
             commitGuard.replace(fs, intentPath, dst)
@@ -1432,8 +1470,8 @@ object StateStore {
             Some(v)
           } else {
             System.err.println(s"[statestore] migrate: skipping torn " +
-              s"manifest v$v under $root (no intent file — vacuum's " +
-              s"garbage): ${e.getMessage}")
+              s"manifest v$v under $root (no valid intent file — " +
+              s"vacuum's garbage): ${e.getMessage}")
             None
           }
       }
@@ -1494,10 +1532,32 @@ object StateStore {
     // livePinVersions; a pin whose manifest no longer parses protects
     // nothing and is ignored (its file stays until the TTL sweeps it).
     val pinnedVs = livePinVersions(fs, rp)
+    // PENDING RESTORES: a torn manifest whose migrate INTENT file
+    // validates (current format, same version) is mid-migration, not
+    // garbage — a crashed [[migrate]] whose recovery is re-running
+    // it. Classifying the pair as garbage here would lose the race
+    // the recovery depends on: the torn version's history forfeited,
+    // or — were it the NEWEST manifest — the latest committed
+    // snapshot itself. Keep the manifest, the intent, and the
+    // generations the INTENT references (the torn body can't say;
+    // the validated intent is the same snapshot's content).
+    val parsedVs = parseable.map(_.version).toSet
+    val pending = manifestVersions(fs, rp)
+      .filterNot(parsedVs)
+      .flatMap(v => parseIntent(fs, rp, v).map(v -> _))
+      .toMap
+    if (pending.nonEmpty)
+      System.err.println(s"[statestore] vacuum: keeping " +
+        s"v${pending.keys.toSeq.sorted.mkString(",v")} under $root — " +
+        "torn manifest with a valid migrate intent (pending restore; " +
+        "run StateStore.migrate)")
     val keep = parseable.take(retain) ++
       parseable.filter(m => pinnedVs.contains(m.version))
-    val keepNames = keep.map(m => manifestName(m.version)).toSet
-    val live = keep.flatMap(_.buckets.values.flatMap(_.values)).toSet
+    val keepNames = keep.map(m => manifestName(m.version)).toSet ++
+      pending.keys.map(manifestName)
+    val keepIntents = pending.keys.map(migIntentName).toSet
+    val live = keep.flatMap(_.buckets.values.flatMap(_.values)).toSet ++
+      pending.values.flatMap(_.buckets.values.flatMap(_.values))
     val victims = fs.listStatus(rp).iterator.map(_.getPath.getName)
       .filter { n =>
         (n.startsWith("gen-") && !live(n)) ||
@@ -1505,8 +1565,9 @@ object StateStore {
             !keepNames(n)) ||
           // stale dot-tmp files and their local-FS checksum sidecars
           // (a crash between the CAS guard's PUT and its source
-          // cleanup leaves both)
-          n.startsWith(".manifest-") || n.startsWith("..manifest-")
+          // cleanup leaves both) — except a pending restore's intent
+          ((n.startsWith(".manifest-") || n.startsWith("..manifest-"))
+            && !keepIntents(n))
       }.toSeq.sorted
     victims.foreach { n =>
       require(fs.delete(new Path(rp, n), true), s"vacuum failed on $n")

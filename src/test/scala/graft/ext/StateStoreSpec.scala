@@ -1502,4 +1502,51 @@ class StateStoreCasSpec extends StateStoreBattery {
     StateStore.vacuum(spark, dir, retain = 2)
     assert(Files.exists(p1))
   }
+
+  test("VACUUM vs PENDING RESTORE: a vacuum racing migrate's crash " +
+    "recovery keeps a torn NEWEST manifest, its valid intent, and the " +
+    "generations the intent references — the latest committed " +
+    "snapshot is never forfeited to the race; migrate then restores") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_cas_pendres")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 100L)).toDF("pid", "fp"), "pid", nb) // v2 (newest)
+    val atV2 = fpRows(StateStore.readAll(spark, dir))
+    // the NEWEST manifest becomes the format-1 history migrate must
+    // rewrite — the case where losing it loses the latest snapshot
+    val p2 = Paths.get(dir, "manifest-000000002.txt")
+    val content = manifestContentLines(p2)
+    Files.writeString(p2, ("format=1" +: content :+
+      s"eof=${content.size + 1}").mkString("", "\n", "\n"))
+    Files.deleteIfExists(Paths.get(dir, ".manifest-000000002.txt.crc"))
+    val v2Before = manifestAt(dir, 2L)
+    // crash mid-PUT replacing v2 in place: newest torn, intent durable
+    StateStore.CasCommitGuard.FailPoints.truncateBodyAt = 40L
+    try intercept[RuntimeException] { StateStore.migrate(spark, dir) }
+    finally StateStore.CasCommitGuard.FailPoints.truncateBodyAt = -1L
+    // reads degrade loudly to v1 — the documented torn-newest posture
+    assert(StateStore.current(spark, dir).version == 1L)
+    // THE RACE: vacuum runs before the migrate re-run, at the default
+    // depth. It must keep the torn manifest, the intent, AND gen-2
+    // (referenced only by v2 — the intent says so; the torn body
+    // cannot), while still reclaiming true garbage.
+    val removed = StateStore.vacuum(spark, dir, retain = 1)
+    assert(Files.exists(p2), "torn newest manifest forfeited to vacuum")
+    assert(Files.exists(Paths.get(dir, ".manifest-000000002.mig")),
+      "pending restore's intent swept")
+    assert(Files.exists(Paths.get(dir, "gen-000000002")),
+      "pending restore's generation swept")
+    assert(!removed.contains("manifest-000000002.txt"))
+    // recovery completes: v2 restored content-identical, current again
+    assert(StateStore.migrate(spark, dir) == Seq(2L))
+    assert(StateStore.current(spark, dir).version == 2L)
+    assert(manifestAt(dir, 2L) == v2Before)
+    assert(fpRows(StateStore.readAll(spark, dir)) == atV2)
+    // and with the restore landed, the stale-intent sweep is garbage
+    // again: nothing pending, vacuum reclaims dot-manifest leftovers
+    assert(!Files.exists(Paths.get(dir, ".manifest-000000002.mig")))
+  }
 }

@@ -1167,23 +1167,34 @@ object StateStore {
   }
 
   /** Register `version`'s pin file, then re-verify the manifest still
-    * parses: a vacuum that listed pins BEFORE ours became visible may
-    * already be reclaiming the version, and handing the caller a pin
-    * on deleted files would be silently wrong — the classic
-    * register-then-validate race closure. On failure the useless pin
-    * file is released and the error propagates. */
+    * parses. WHAT THIS GUARANTEES, precisely: a vacuum that STARTS
+    * (lists pins) after the pin file is durable honors it fully — the
+    * enforcement contract. Against a vacuum already IN FLIGHT when
+    * the pin lands (it listed pins before ours existed), the re-parse
+    * narrows the race: a version whose manifest that vacuum already
+    * deleted fails HERE, loudly, instead of handing out a dead pin.
+    * It does not close it — the in-flight vacuum may still delete the
+    * version's generation files after our re-parse succeeded, in
+    * which case the pinned reads themselves fail loudly (missing
+    * files, never wrong data) and the reader re-pins. That residual
+    * window exists only against concurrent writer-side reclamation,
+    * i.e. exactly the old retain-window exposure, now loud at every
+    * surface. On re-parse failure the useless pin file is released
+    * and the error propagates. */
   private def pinned(spark: SparkSession, root: String, m: Manifest)
       : Snapshot = {
     val (fs, rp) = fsOf(spark, root)
     val name = registerPin(fs, rp, m.version)
     try { parseManifest(fs, rp, m.version); () }
     catch {
-      case e: Throwable =>
+      // NonFatal: a VM error must propagate as itself; its leaked pin
+      // file is the TTL's job, like any crashed reader's
+      case scala.util.control.NonFatal(e) =>
         try { fs.delete(new Path(rp, name), false); () }
         catch { case scala.util.control.NonFatal(_) => () }
         throw new IllegalStateException(s"pin on v${m.version} under " +
-          s"$root lost a race with vacuum (manifest gone before the " +
-          "pin became visible) — re-resolve and retry", e)
+          s"$root lost a race with an in-flight vacuum (manifest gone " +
+          "before the pin became visible) — re-resolve and retry", e)
     }
     Snapshot(root, m, Some(name))
   }

@@ -41,6 +41,11 @@ def main(paths):
         if fl > 0:
             print(f"gate: REFUSING failed run {p} (failed={fl})")
     runs = [(p, v, r) for p, v, r, fl in runs if fl == 0]
+    # an explicit refusal beats a StatisticsError traceback when the
+    # failed-run gate refused every input (round-17 advice)
+    if not runs:
+        sys.exit("all runs refused (failed>0 in every input) — "
+                 "no basis; collect clean runs first")
     clean = [(p, v) for p, v, r in runs if r <= MAX_CLEAN_RERUNS]
     if len(clean) >= 2:
         basis = clean

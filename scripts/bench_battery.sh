@@ -18,13 +18,15 @@ N="${1:-4}"
 OUT="${2:-/tmp/battery}"
 START="${3:-1}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
-# Battery band 0.6 s (the code's pinned 1.5 s stays the conservative
-# default): round-17 evidence — the four sub-330 clean runs preflighted
-# 0.44-0.51 s while every stall-storm or elevated run preflighted
-# 0.64-0.80 s; at 0.6 the battery would have skipped all four excluded
-# windows before paying for them. Override per-battery if the host is
-# legitimately busy all day.
-BAND="${SPARK_GRAFT_PREFLIGHT_BAND:-0.6}"
+# ANCHOR-GRADE preflight band, read from its ONE source of truth:
+# Bench.AnchorPreflightBandSec (the in-code PreflightBandSec 1.5 s is
+# the looser stall-grade default — the two-band rationale lives in the
+# Bench scaladoc). Override per-battery via SPARK_GRAFT_PREFLIGHT_BAND
+# if the host is legitimately busy all day.
+DEFAULT_BAND="$(grep -o 'AnchorPreflightBandSec = [0-9.]*' \
+  src/main/scala/graft/Bench.scala | grep -o '[0-9.]*$')"
+BAND="${SPARK_GRAFT_PREFLIGHT_BAND:-${DEFAULT_BAND:-0.6}}"
+echo "preflight band: $BAND s (default from Bench.AnchorPreflightBandSec)"
 mkdir -p "$OUT"
 for i in $(seq "$START" $((START + N - 1))); do
   rm -rf target/scratch

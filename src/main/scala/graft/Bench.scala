@@ -158,7 +158,28 @@ object Bench {
     * whose full runs the gate has been discarding after the fact. */
   private[graft] val PreflightSamples = 5
   private[graft] val PreflightRows = 64L * 1000 * 1000
+
+  /** TWO BANDS, one source of truth (round-17 verdict item 5). The
+    * preflight median is compared against a band whose right value
+    * depends on WHO is asking:
+    *  - [[PreflightBandSec]] (1.5 s ≈ 3× the idle median) is the
+    *    STALL-GRADE default compiled into Bench — loose on purpose: a
+    *    driver round must always produce its artifact, so the only
+    *    windows worth skipping even when gating is enabled are the
+    *    unambiguous ones (host 3× slow on a pure-CPU kernel).
+    *  - [[AnchorPreflightBandSec]] (0.6 s) is the ANCHOR-GRADE band
+    *    `scripts/bench_battery.sh` uses for closing-anchor batteries,
+    *    where a skipped run costs ~10 s and an admitted degraded run
+    *    costs a full suite pass the anchor gate then discards anyway.
+    *    Round-17 evidence: every sub-330 s clean run preflighted
+    *    0.44–0.51 s while every stall-storm window preflighted
+    *    0.64–0.80 s — 0.6 separates them cleanly. The script reads
+    *    this constant out of this file (greps the `val` below) so the
+    *    figure lives HERE and nowhere else; BenchSpec pins both the
+    *    ordering (anchor-grade stricter than stall-grade) and the
+    *    script's reference to the constant's name. */
   private[graft] val PreflightBandSec = 1.5
+  private[graft] val AnchorPreflightBandSec = 0.6
   private[graft] def preflightOk(medianSec: Double): Boolean =
     medianSec <= PreflightBandSec
   private[graft] def preflightMedian(spark: SparkSession): Double = {
@@ -175,6 +196,18 @@ object Bench {
     val xs = Seq.fill(PreflightSamples)(once()).sorted
     xs(PreflightSamples / 2)
   }
+
+  /** RERUN VALUE PROVENANCE (round-17 verdict item 6, spec-pinned):
+    * the per-query value the full JSON line COMMITS after a stall
+    * re-run is min(first, retry) — the suite's standing
+    * min-of-samples discipline — except when the retry FAILED
+    * (retry < 0), where the first sample is kept: a crash says
+    * nothing about the first sample's honesty, and recording the
+    * smaller `-1` would turn a host blip into a fake win. Both raw
+    * samples are always recorded in `rerun_samples`, so adjudication
+    * never has to re-derive which one the committed line carries. */
+  private[graft] def committedValue(first: Double, retry: Double)
+      : Double = if (retry < 0) first else math.min(first, retry)
 
   /** The committed-anchor basis rule (round-14 verdict item 5),
     * spec-pinned so future rounds compute the closing anchor the same
@@ -310,7 +343,7 @@ object Bench {
           if (t2 < 0 && ScratchOwners.contains(name))
             ExtQueries.rollbackSharedScratch(name, sfDir)
           rerunSamples += ((name, t, t2))
-          name -> (if (t2 < 0) t else math.min(t, t2))
+          name -> committedValue(t, t2)
         } else name -> t
     }
     // The harness keeps only a short tail of stdout, so the JSON line must

@@ -3926,7 +3926,7 @@ object ExtOracles {
          |    FROM b x JOIN b y
          |      ON x.vec_id < y.vec_id
          |      AND (${anyBucketMatch("x", "y", 4)}))
-         |  WHERE sim >= 0.25),
+         |  WHERE sim >= 0.6),
          |live AS (SELECT id_a, id_b FROM prs
          |         WHERE id_a % 7 <> 2 AND id_b % 7 <> 2),
          |edges AS (SELECT id_a AS s, id_b AS d FROM live

@@ -392,7 +392,20 @@ private[graft] trait ExtQueriesShared {
     * incremental query reads the parquet; q255 upsert and q256 retract
     * maintain the persisted rows. Exploded (vec_id, embedding, bucket)
     * rows — longs, floats and structs of ints/longs all round-trip
-    * parquet exactly, so sharing cannot move a hash. */
+    * parquet exactly, so sharing cannot move a hash.
+    *
+    * The PAIR and CLUSTER members are built at the SPARSE operating
+    * threshold 0.6 (round-17 verdict item 1): they are consumed ONLY
+    * by q259's lifecycle chain, whose benched form now measures the
+    * production-shaped sparse regime — at 0.6 the threshold BINDS on
+    * the synthetic near-random vectors (qualifying pairs ≈ none plus
+    * whatever genuinely co-clusters), where the old 0.25 admitted a
+    * 2.2%-dense adversarial pair graph that made q259 the suite's top
+    * cost while measuring a fixture regime, not the production one.
+    * The dense 0.25 chain stays measured as [[graft.ScaleProbe]]'s
+    * opt-in `q259d_emb_dense_chain` stress cell. The INDEX member is
+    * threshold-free (bucketing only), so q245/q255/q256 are
+    * untouched by the re-scope. */
   private[graft] def sharedEmbState(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = synchronized {
     val ip = scratch("embidx", d); val cp = scratch("embclusters", d)
@@ -412,7 +425,7 @@ private[graft] trait ExtQueriesShared {
       // stage) to get the identical rows back. Persist once, read
       // twice.
       val idx = s.read.parquet(ip)
-      SimSearch.cosinePairsFromIndex(idx, threshold = 0.25)
+      SimSearch.cosinePairsFromIndex(idx, threshold = 0.6)
         .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(pp)
       // corpus cluster table from the persisted pairs

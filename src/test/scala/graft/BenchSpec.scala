@@ -112,6 +112,41 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.PreflightRows == 64L * 1000 * 1000)
   }
 
+  test("two-band preflight provenance (round-17 verdict item 5): the " +
+    "anchor-grade band is strictly tighter than the stall-grade " +
+    "default, and bench_battery.sh reads its default from the " +
+    "Bench.AnchorPreflightBandSec constant rather than carrying its " +
+    "own figure") {
+    assert(Bench.AnchorPreflightBandSec > 0)
+    assert(Bench.AnchorPreflightBandSec < Bench.PreflightBandSec,
+      "anchor-grade must be stricter than stall-grade")
+    val p = java.nio.file.Paths.get("scripts/bench_battery.sh")
+    assume(java.nio.file.Files.exists(p),
+      "battery script not visible from the working directory")
+    val script = java.nio.file.Files.readString(p)
+    assert(script.contains("AnchorPreflightBandSec"),
+      "bench_battery.sh must source its default band from the " +
+        "named constant (one source of truth)")
+    // and the grep the script performs against Bench.scala actually
+    // resolves to the constant's value
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala"))
+    val m = """AnchorPreflightBandSec = ([0-9.]+)""".r
+      .findFirstMatchIn(src)
+    assert(m.exists(_.group(1).toDouble ==
+      Bench.AnchorPreflightBandSec))
+  }
+
+  test("rerun value provenance (round-17 verdict item 6): the " +
+    "committed per-query value after a stall re-run is min(first, " +
+    "retry), except a FAILED retry keeps the first sample — a crash " +
+    "must not read as a win") {
+    assert(Bench.committedValue(2.0, 1.0) == 1.0) // retry confirmed
+    assert(Bench.committedValue(1.0, 3.0) == 1.0) // first stands
+    assert(Bench.committedValue(2.0, -1.0) == 2.0) // failed retry
+    assert(Bench.committedValue(0.4, 0.4) == 0.4)
+  }
+
   test("isCleanRun is the stall-gate half of the emitted flag and " +
     "agrees with the anchorBasis gate at the boundary (round-15 item " +
     "4: a consumer of the JSON line must not need to know " +

@@ -1028,6 +1028,195 @@ abstract class StateStoreBattery extends SparkSpec {
     assert(removed.contains("manifest-000000002.txt"))
     assert(StateStore.current(spark, dir).version == 1L)
   }
+
+  test("WRITER LEASE / FENCING (round-17 verdict item 2): on a " +
+    "leased root a fenced-out stale writer's commit AND vacuum (and " +
+    "migrate, and rollback) refuse loudly; lease expiry recovers a " +
+    "crashed owner with the fencing epoch bumped; release returns " +
+    "the root to the conventional contract — under both guards " +
+    "(battery)") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_ss_lease")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    // UNLEASED root: the conventional contract — verbs just work
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    val lease = StateStore.acquireLease(spark, dir)
+    assert(lease.epoch == 1L)
+    // the HOLDER's verbs work on the leased root (and self-refresh)
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 100L)).toDF("pid", "fp"), "pid", nb) // v2
+    val atV2 = fpRows(StateStore.readAll(spark, dir))
+    StateStore.vacuum(spark, dir, retain = 2)
+    // a SECOND OWNER (another process — simulated by a holder
+    // registration this JVM doesn't have) cannot acquire while the
+    // lease is live...
+    StateStore.dropLeaseHolder(spark, dir)
+    val busy = intercept[RuntimeException] {
+      StateStore.acquireLease(spark, dir)
+    }
+    assert(busy.getMessage.contains("held by owner"))
+    // ...and with the holder registration gone, this process IS the
+    // stale writer: the live lease file carries a nonce it no longer
+    // holds, so every writer verb refuses loudly — the fencing the
+    // verdict asked for, with nothing destroyed
+    val fencedCommit = intercept[RuntimeException] {
+      Dedup.upsertIdKeyedStatePartitioned(dir,
+        Seq((2L, 200L)).toDF("pid", "fp"), "pid", nb)
+    }
+    assert(fencedCommit.getMessage.contains("FENCED OUT"))
+    val fencedVacuum = intercept[RuntimeException] {
+      StateStore.vacuum(spark, dir, retain = 1)
+    }
+    assert(fencedVacuum.getMessage.contains("FENCED OUT"))
+    val fencedMigrate = intercept[RuntimeException] {
+      StateStore.migrate(spark, dir)
+    }
+    assert(fencedMigrate.getMessage.contains("FENCED OUT"))
+    val fencedRollback = intercept[RuntimeException] {
+      StateStore.rollbackTo(spark, dir, 1L)
+    }
+    assert(fencedRollback.getMessage.contains("FENCED OUT"))
+    // nothing was destroyed by the refusals
+    assert(fpRows(StateStore.readAll(spark, dir)) == atV2)
+    // EXPIRY RECOVERY: the (crashed) owner's lease ages past the TTL;
+    // a new owner takes over with the fencing epoch bumped, and its
+    // verbs work
+    val prevTtl = StateStore.setLeaseTtl(50L)
+    val lease2 =
+      try {
+        Thread.sleep(80L)
+        StateStore.acquireLease(spark, dir)
+      } finally StateStore.setLeaseTtl(prevTtl) // back to a TTL that
+        // outlasts the Spark work below — expiry itself is proven
+    assert(lease2.epoch == 2L, "takeover must bump the fencing epoch")
+    assert(lease2.nonce != lease.nonce)
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((3L, 300L)).toDF("pid", "fp"), "pid", nb) // v3
+    assert(StateStore.current(spark, dir).version == 3L)
+    // RELEASE: the root returns to the conventional (unleased)
+    // contract — no lease file, verbs work for anyone
+    StateStore.releaseLease(spark, lease2)
+    assert(!Files.exists(Paths.get(dir, StateStore.LeaseFileName)))
+    StateStore.vacuum(spark, dir, retain = 1)
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      atV2 - (3L -> 3L) + (3L -> 300L))
+    // releasing again (or releasing a superseded lease) is a no-op
+    StateStore.releaseLease(spark, lease2)
+    StateStore.releaseLease(spark, lease)
+  }
+
+  test("VACUUM second pin listing (round-17 verdict item 3): a pin " +
+    "registered AFTER vacuum computed its victims — the documented " +
+    "in-flight race — is spared by the re-check before deletion: the " +
+    "pinned snapshot's manifest AND generation survive, its reads " +
+    "are exact, and only release() lets the next vacuum reclaim it") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_ss_latepin")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    val atV1 = fpRows(StateStore.readAll(spark, dir))
+    // v2 rewrites EVERY bucket, so gen-1 is referenced by v1 alone —
+    // without the late pin, retain=1 deletes manifest-1 and gen-1
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      (1L to 20L).map(i => (i, i * 10L)).toDF("pid", "fp"), "pid", nb)
+    var snap: StateStore.Snapshot = null
+    StateStore.FailPoints.beforeVacuumRecheckHook = () => {
+      // the reader pins v1 while the vacuum is mid-flight (victims
+      // already computed from the first pin listing)
+      snap = StateStore.readAt(spark, dir, 1L)
+    }
+    val removed =
+      try StateStore.vacuum(spark, dir, retain = 1)
+      finally StateStore.FailPoints.beforeVacuumRecheckHook = null
+    assert(!removed.contains("manifest-000000001.txt") &&
+      !removed.contains("gen-000000001"),
+      s"late-pinned v1's files were deleted: $removed")
+    assert(Files.exists(Paths.get(dir, "manifest-000000001.txt")))
+    assert(Files.exists(Paths.get(dir, "gen-000000001")))
+    // the late pin reads exactly v1 — never wrong data
+    assert(fpRows(snap.readAll(spark)) == atV1)
+    // released, the same depth reclaims it
+    snap.release(spark)
+    val removed2 = StateStore.vacuum(spark, dir, retain = 1)
+    assert(removed2.contains("manifest-000000001.txt"))
+    assert(!Files.exists(Paths.get(dir, "gen-000000001")))
+  }
+
+  test("ADVISORY (pinless) snapshot for read-only principals " +
+    "(round-17 advice): register=false writes NOTHING under the " +
+    "root, reads the same manifest-pinned files, release/refresh are " +
+    "no-ops, and protection is the retain window alone — reclaimed " +
+    "beneath it, reads fail loudly, never silently wrong") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val nb = 8
+    val dir = tmp("graft_ss_advisory")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    val atV1 = fpRows(StateStore.readAll(spark, dir))
+    def rootListing(): Set[String] = {
+      val ls = Files.list(Paths.get(dir))
+      try ls.iterator().asScala.map(_.getFileName.toString).toSet
+      finally ls.close()
+    }
+    val before = rootListing()
+    val adv = StateStore.readAt(spark, dir, 1L, register = false)
+    assert(adv.pinFile.isEmpty)
+    assert(rootListing() == before,
+      "advisory readAt must not create files (read-only principals)")
+    assert(fpRows(adv.readAll(spark)) == atV1)
+    adv.refresh(spark) // no-ops, must not throw
+    adv.release(spark)
+    assert(rootListing() == before)
+    // pin(register = false): same contract at the current version
+    val advCur = StateStore.pin(spark, dir, register = false)
+    assert(advCur.version == 1L && advCur.pinFile.isEmpty)
+    assert(rootListing() == before)
+    // the retain window is the ONLY protection: a full-rewrite commit
+    // plus a retain=1 vacuum reclaims v1 under the advisory reader,
+    // and its next read fails LOUDLY (files gone), never wrong
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      (1L to 20L).map(i => (i, i * 10L)).toDF("pid", "fp"), "pid", nb)
+    StateStore.vacuum(spark, dir, retain = 1)
+    intercept[Exception] { fpRows(adv.readAll(spark)) }
+  }
+
+  test("PIN REFRESH rewrites the pin file's bytes (round-17 advice, " +
+    "medium): liveness does not ride FileSystem.setTimes — a no-op " +
+    "on the Hadoop base class and object stores — so a refresh " +
+    "restores the canonical content AND advances the clock on every " +
+    "backend") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val nb = 8
+    val dir = tmp("graft_ss_refreshrw")
+    val fps0 = (1L to 8L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    val pinned = StateStore.pin(spark, dir)
+    val pinPath = Paths.get(dir, pinned.pinFile.get)
+    // simulate a backend whose setTimes is a no-op by checking the
+    // refresh path's observable effect: it REWRITES the bytes (an
+    // overwrite create — which advances mtime everywhere because it
+    // creates a new file/object), rather than touching metadata
+    Files.writeString(pinPath, "junk-not-a-version-line")
+    val aged = System.currentTimeMillis() - 23L * 3600 * 1000
+    Files.setLastModifiedTime(pinPath,
+      java.nio.file.attribute.FileTime.fromMillis(aged))
+    pinned.refresh(spark)
+    assert(Files.readString(pinPath) == "version=1\n",
+      "refresh must rewrite the canonical pin content")
+    assert(Files.getLastModifiedTime(pinPath).toMillis > aged,
+      "refresh must advance the liveness clock")
+    // and the refreshed pin still enforces
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      (1L to 8L).map(i => (i, i * 10L)).toDF("pid", "fp"), "pid", nb)
+    StateStore.vacuum(spark, dir, retain = 1)
+    assert(fpRows(pinned.readAll(spark)) ==
+      (1L to 8L).map(i => i -> i).toSet)
+    pinned.release(spark)
+  }
 }
 
 /** The battery under the default atomic-rename commit point. */
@@ -1548,5 +1737,51 @@ class StateStoreCasSpec extends StateStoreBattery {
     // and with the restore landed, the stale-intent sweep is garbage
     // again: nothing pending, vacuum reclaims dot-manifest leftovers
     assert(!Files.exists(Paths.get(dir, ".manifest-000000002.mig")))
+  }
+
+  test("COMMIT vs PENDING RESTORE (round-17 advice, high): with the " +
+    "NEWEST manifest torn mid-migrate (valid intent present), a " +
+    "commit — which would clear and rewrite the torn version's " +
+    "generation, the restore's referenced data — REFUSES loudly; " +
+    "migrate restores, then the retried commit lands on the next " +
+    "version with nothing lost") {
+    import java.nio.file.{Files, Paths}
+    val nb = 8
+    val dir = tmp("graft_cas_commitpend")
+    val fps0 = (1L to 20L).map(i => (i, i)).toDF("pid", "fp")
+    Dedup.writeIdKeyedStatePartitioned(fps0, dir, "pid", nb) // v1
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((1L, 100L)).toDF("pid", "fp"), "pid", nb) // v2 (newest)
+    val atV2 = fpRows(StateStore.readAll(spark, dir))
+    // v2 becomes format-1 history; migrate tears it mid-replace
+    val p2 = Paths.get(dir, "manifest-000000002.txt")
+    val content = manifestContentLines(p2)
+    Files.writeString(p2, ("format=1" +: content :+
+      s"eof=${content.size + 1}").mkString("", "\n", "\n"))
+    Files.deleteIfExists(Paths.get(dir, ".manifest-000000002.txt.crc"))
+    StateStore.CasCommitGuard.FailPoints.truncateBodyAt = 40L
+    try intercept[RuntimeException] { StateStore.migrate(spark, dir) }
+    finally StateStore.CasCommitGuard.FailPoints.truncateBodyAt = -1L
+    // current falls back to v1, so a commit would target v2 — and
+    // gen-2 is NOT a crashed-commit orphan: the pending restore's
+    // intent references it. The commit must refuse BEFORE clearing it.
+    assert(StateStore.current(spark, dir).version == 1L)
+    val refused = intercept[IllegalArgumentException] {
+      Dedup.upsertIdKeyedStatePartitioned(dir,
+        Seq((2L, 222L)).toDF("pid", "fp"), "pid", nb)
+    }
+    assert(refused.getMessage.contains("pending migrate restore"))
+    assert(Files.exists(Paths.get(dir, "gen-000000002")),
+      "the refused commit must not have touched the generation")
+    // recovery, as the refusal instructs: migrate restores v2 intact
+    assert(StateStore.migrate(spark, dir) == Seq(2L))
+    assert(StateStore.current(spark, dir).version == 2L)
+    assert(fpRows(StateStore.readAll(spark, dir)) == atV2)
+    // the retried commit lands at v3 — nothing lost, nothing torn
+    Dedup.upsertIdKeyedStatePartitioned(dir,
+      Seq((2L, 222L)).toDF("pid", "fp"), "pid", nb)
+    assert(StateStore.current(spark, dir).version == 3L)
+    assert(fpRows(StateStore.readAll(spark, dir)) ==
+      atV2 - (2L -> 2L) + (2L -> 222L))
   }
 }

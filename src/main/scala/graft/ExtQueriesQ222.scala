@@ -245,8 +245,14 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * completing the S-row source/sink breadth. */
   private[graft] val q234: Q = (s, d) => {
     val tmp = scratch("xml", d)
-    Tables.lineitem(s, d)
-      .select("l_orderkey", "l_quantity", "l_returnflag")
+    // fan out before the sink (round-18; guide §6 "output file
+    // sizing/partitioning for anything you write" + §2.5): a
+    // single-split scan would serialize the whole XML encode into ONE
+    // file on one core, and the read-back — the expensive half of the
+    // round-trip — would then parse that one file on one core too.
+    // Row order is irrelevant (the query aggregates per returnflag).
+    graft.engine.Skew.fanOut(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag"))
       .write.mode("overwrite").option("rowTag", "row")
       .format("xml").save(tmp)
     s.read.format("xml").option("rowTag", "row")

@@ -556,8 +556,12 @@ private[graft] trait ExtQueriesShared {
       if (sys.env.contains("SPARK_GRAFT_KNN_LSH")) mutualKnnLshFrame(s, d)
       else {
         val emb = Tables.embeddings(s, d)
-        val a = emb.select(col("vec_id").as("id_a"),
-          col("embedding").as("emb_a"))
+        // fan out the probe side of the exact all-pairs build (round-18;
+        // guide §2.5): the broadcast nested-loop scores |emb|²/2 cosines
+        // and a single-split scan would run them all on one core
+        val a = graft.engine.Skew.fanOut(
+          emb.select(col("vec_id").as("id_a"),
+            col("embedding").as("emb_a")))
         val b = emb.select(col("vec_id").as("id_b"),
           col("embedding").as("emb_b"))
         val pairs = a.crossJoin(broadcast(b))

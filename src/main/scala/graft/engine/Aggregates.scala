@@ -386,9 +386,13 @@ object Aggregates {
         Some(acc.fold(when(col("__u") < cut, k.toLong))(
           _.when(col("__u") < cut, k.toLong)))
       }.get.otherwise(PoissonCuts.size.toLong)
-    val repl = df
-      .select(col(groupCol), col(valCol).cast("double").as("__v"),
-        col(idCol).as(idCol))
+    val repl = Skew.fanOut(df
+        .select(col(groupCol), col(valCol).cast("double").as("__v"),
+          col(idCol).as(idCol)))
+      // fan out BEFORE the ×B replicate explode (round-18; guide §2.5):
+      // the explode multiplies rows by `reps` and the weight arithmetic
+      // runs per replicated row — on a single-split input the whole
+      // ×50 blow-up would execute on one core
       .withColumn("__h0", graft.functions.expressions.poly_hash(
         col(idCol).cast("string")))
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))

@@ -16,6 +16,38 @@ import org.apache.spark.sql.functions._
   * null-heavy or celebrity key at 100 TB). */
 object Skew {
 
+  /** Scale-adaptive map fan-out (round-18 optimization; guide §2.5
+    * "input skew — one huge unsplittable file: repartition immediately
+    * after the read", §2 "derive partitioning from input size"): when a
+    * frame's planned partition count is BELOW the session's default
+    * parallelism — the single-row-group/unsplittable-input case, where
+    * every downstream map operator (shingle explode, fingerprint
+    * codec, replicate explode, deletion-neighborhood generation) runs
+    * on one core regardless of cluster width — insert one round-robin
+    * repartition to the default parallelism. At production scale the
+    * scan has orders of magnitude more splits than cores, the
+    * condition is false, and this is a NO-OP (no exchange added): the
+    * knob derives from input shape at plan time, it is not a constant
+    * tuned for any one deployment. Callers project to the needed
+    * columns FIRST (guide §2.3: project before the exchange) so the
+    * fan-out shuffle carries only what the map work consumes.
+    * Row-level results are order-independent at every call site
+    * (grouped/sorted/exact-decimal downstream), so the repartition
+    * cannot move a hash. */
+  def fanOut(df: DataFrame): DataFrame = {
+    // dev A/B switch (also the production escape hatch the
+    // optimization-round contract asks for: scale-dependent behavior
+    // stays parameterised rather than hard-coded)
+    if (sys.env.contains("SPARK_GRAFT_FANOUT_DISABLE")) return df
+    // a streaming frame has no planned partition count to probe (.rdd
+    // is illegal on it) and its micro-batch parallelism is the source
+    // rate's concern — pass it through untouched so shared kernels
+    // (mediaTable, postings) stay usable from the streaming twins
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Inner equi-join `left ⋈ right` on `key` with the left side salted.
     * `right` must be the smaller side (it is replicated ×saltFactor). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,

@@ -67,8 +67,15 @@ object Dedup extends DedupMaintenance with DedupLinkage {
     // alias substitution re-evaluates the WHOLE shingle pipeline a
     // second time per row; outer infers no filter, and the null row an
     // empty doc emits drops on the generator OUTPUT column (cheap)
-    df.select(col(idCol).as("pid"),
-        explode_outer(shingleHashes(col(textCol), k)).as("sh"))
+    // fan out BEFORE the shingle explode (round-18; guide §2.5): the
+    // per-row work here — tokenization, k-gram hashing, array_distinct
+    // — is the heaviest map stage of every text-dedup pipeline, and on
+    // a single-split input it would otherwise run on one core; the
+    // projection to (pid, text) keeps the conditional exchange narrow
+    graft.engine.Skew.fanOut(
+        df.select(col(idCol).as("pid"), col(textCol).as("__fot")))
+      .select(col("pid"),
+        explode_outer(shingleHashes(col("__fot"), k)).as("sh"))
       .filter(col("sh").isNotNull)
 
   /** n-gram Jaccard near-duplicate pairs via a grouped inverted index:
@@ -1082,6 +1089,59 @@ object Dedup extends DedupMaintenance with DedupLinkage {
       : DataFrame =
     dupClustersWithRounds(pairs, allIds, idCol)._1
 
+  /** Pair-count bound under which [[dupClusters]] takes the SMALL-GRAPH
+    * path: exact min-label union-find over the whole edge list in ONE
+    * executor task instead of the distributed pointer-jumping iteration
+    * (round-18 optimization; guide §1.2 "the distributed algorithm" +
+    * §2.4 "remove shuffles outright"). Rationale: each propagation
+    * round costs three shuffles plus a count action, so converging a
+    * delta of a few thousand edges pays ~10–15 tiny shuffle stages for
+    * work one core finishes in milliseconds — the classic case for a
+    * runtime strategy dispatch (the same philosophy as AQE's
+    * sort-merge→broadcast rewrite, or this repo's own CMS-planned join
+    * q230). At 1M pairs the single task holds ≤ 2M (id → label) map
+    * entries (~tens of MB in a primitive-keyed map) — comfortably
+    * inside one task, far below what would justify a 3-shuffle round
+    * trip per iteration. At 100 TB the dup-subgraph delta exceeds the
+    * bound and the iterative path runs unchanged; both paths produce
+    * IDENTICAL labels (component min-id; DedupSpec equivalence test).
+    * Env override SPARK_GRAFT_LOCAL_CC_MAX_PAIRS (0 disables — the
+    * convergence spec forces the iterative path this way). */
+  private[ext] val LocalCcMaxPairs: Long =
+    sys.env.get("SPARK_GRAFT_LOCAL_CC_MAX_PAIRS").map(_.toLong)
+      .getOrElse(1000000L)
+
+  /** Exact min-label union-find over one partition's edge iterator —
+    * the small-graph kernel of [[dupClustersWithRounds]]. Union-by-min
+    * (the smaller root always wins) with path compression, so the final
+    * root of every node IS its component's minimum id — exactly the
+    * fixpoint the propagation iteration converges to. Emits one
+    * (id, cluster) row per edge-incident node. */
+  private def unionFindLabels(it: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        val p = parent(x); val gp = parent(p)
+        parent(x) = gp // path halving
+        x = gp
+      }
+      x
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    // keys snapshot first: find() compresses paths (mutates values),
+    // and mutating a LongMap while iterating it is undefined
+    val ids = parent.keys.toArray
+    ids.iterator.map(id => (id, find(id)))
+  }
+
   /** Symmetrize an (id_a, id_b) pair list into a (src, dst) edge list
     * with ONE evaluation of the (possibly expensive) pairs pipeline:
     * union(pairs, pairs.swapped) scans the upstream plan twice when the
@@ -1100,8 +1160,51 @@ object Dedup extends DedupMaintenance with DedupLinkage {
   }
 
   /** [[dupClusters]] + the number of rounds to fixpoint (exposed for the
-    * convergence-rate spec). */
+    * convergence-rate spec; the small-graph union-find path reports 0
+    * rounds). `localMaxPairs` parameterizes the strategy dispatch —
+    * [[LocalCcMaxPairs]] by default, 0 to force the iterative path
+    * (spec use). The dispatch count is one action over the (lazily
+    * checkpointed) pair frame; both paths then read the checkpointed
+    * blocks, so the possibly-expensive pairs pipeline still evaluates
+    * exactly once. Ids must be bigint for the local kernel (every
+    * production id here is); any other type falls through to the
+    * iterative path unchanged. */
   private[ext] def dupClustersWithRounds(pairs: DataFrame,
+      allIds: DataFrame, idCol: String,
+      localMaxPairs: Long = LocalCcMaxPairs): (DataFrame, Int) = {
+    import org.apache.spark.sql.types.LongType
+    val raw = pairs.select(col("id_a"), col("id_b"))
+    val longIds = raw.schema.fields.forall(_.dataType == LongType) &&
+      allIds.schema(idCol).dataType == LongType
+    if (localMaxPairs > 0 && longIds) {
+      // one evaluation of the pairs pipeline feeds the dispatch count
+      // AND whichever path wins
+      val rawCk = raw.localCheckpoint(eager = false)
+      if (rawCk.count() <= localMaxPairs) {
+        val spark = rawCk.sparkSession
+        import spark.implicits._
+        val labels = rawCk.as[(Long, Long)]
+          .coalesce(1) // single task over the checkpointed blocks —
+                       // bounded by localMaxPairs, never driver-side
+          .mapPartitions(unionFindLabels)
+          .toDF("id", "cluster")
+          .localCheckpoint(eager = false) // consumed by anti-join + union
+        val singletons = allIds.select(col(idCol).as("id"))
+          .join(labels.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("cluster"))
+        return (labels.union(singletons)
+          .select(col("id").as(idCol), col("cluster"))
+          .orderBy(idCol).localCheckpoint(eager = true), 0)
+      }
+      // over the bound: fall through, reusing the materialized blocks
+      return iterativeDupClusters(rawCk, allIds, idCol)
+    }
+    iterativeDupClusters(raw, allIds, idCol)
+  }
+
+  /** The distributed pointer-jumping iteration — the 100 TB path of
+    * [[dupClustersWithRounds]], unchanged semantics. */
+  private def iterativeDupClusters(pairs: DataFrame,
       allIds: DataFrame, idCol: String): (DataFrame, Int) = {
     val edges = symmetrized(pairs).cache()
     // Iterate ONLY over edge-incident nodes: a node with no near-dup edge

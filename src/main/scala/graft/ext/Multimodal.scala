@@ -79,13 +79,21 @@ object Multimodal {
     * reasons about), not the container size; the container adds its
     * 44-byte header + pad on top. */
   def mediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      wavEncode(encode(col("text"), "UTF-8")).as("payload"),
-      (when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video")).as("media_type"),
-      length(encode(col("text"), "UTF-8")).as("n_bytes"))
+    // fan out BEFORE the container encode (round-18; guide §2.5): the
+    // WAV framing is the payload family's heaviest per-row map work and
+    // a single-split doc scan would run it on one core; projecting to
+    // (doc_id, text) first keeps the conditional exchange narrow. Also
+    // fixes downstream SINK sizing (guide §6): the persisted
+    // fingerprint/payload scratch tables inherit this parallelism, so
+    // family consumers read many files instead of one
+    graft.engine.Skew.fanOut(docs.select(col("doc_id"), col("text")))
+      .select(
+        col("doc_id"),
+        wavEncode(encode(col("text"), "UTF-8")).as("payload"),
+        (when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video")).as("media_type"),
+        length(encode(col("text"), "UTF-8")).as("n_bytes"))
 
   /** Decode a media table's containers to raw samples in place —
     * payload becomes the `data` chunk's bytes via the real chunk-

@@ -274,9 +274,15 @@ object SimSearch {
     * the batch join the zero-exchange shape. */
   def corpusEmbeddingLshIndex(corpus: DataFrame, bits: Int,
       tables: Int): DataFrame =
-    corpus.select(col("vec_id"), col("embedding"),
-      explode(multiTableBuckets(col("embedding"), bits, tables))
-        .as("bucket"))
+    // fan out before the hyperplane projections (round-18; guide §2.5:
+    // bits×tables dot products per row on a possibly single-split
+    // scan); the persisted index also inherits the parallelism as its
+    // file count, so family consumers scan it in parallel (guide §6)
+    graft.engine.Skew.fanOut(
+        corpus.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        explode(multiTableBuckets(col("embedding"), bits, tables))
+          .as("bucket"))
 
   /** Full corpus near-dup pairs FROM the persisted
     * [[corpusEmbeddingLshIndex]] — the state-only form of
@@ -350,7 +356,11 @@ object SimSearch {
     * oracle and a SimSearchSpec assertion. */
   def incrementalCosinePairsLsh(index: DataFrame, batch: DataFrame,
       threshold: Double, bits: Int, tables: Int): DataFrame = {
-    val bb = batch.select(col("vec_id"), col("embedding"),
+    val bb = graft.engine.Skew.fanOut(
+        batch.select(col("vec_id"), col("embedding")))
+      // fan out before the bucket explode (round-18; guide §2.5) — the
+      // recrawl batch arrives as a possibly single-split scan
+      .select(col("vec_id"), col("embedding"),
         explode(multiTableBuckets(col("embedding"), bits, tables))
           .as("bucket"))
       .localCheckpoint(eager = false) // consumed by BOTH branches
@@ -741,21 +751,38 @@ object SimSearch {
     val d = emb.select(size(col(vecCol)).cast("int")).first().getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val len = d / m
-    val parts = (0 until m).map { s =>
-      val sliced = emb.select(col(idCol).as("id"),
-        slice(col(vecCol), s * len + 1, len).as("v"))
-        .localCheckpoint(eager = false) // Gonzalez + assignment reread
-      val sel = kCenterCoreset(sliced, "id", "v", k)
-      val cb = sel.select((col("sel") - 1).cast("int").as("cid"),
-          col("cid").as("pid"))
-        .join(sliced.select(col("id").as("pid"), col("v").as("cv")),
-          "pid")
-        .select(col("cid"), col("cv"))
-      val codes = assignCells(sliced, cb)
-        .select(col("id"), lit(s).as("sub"), col("cell").as("code"))
-      val books = cb.select(lit(s).as("sub"), col("cid"), col("cv"))
-      (codes, books)
-    }
+    // The m subspace builds are INDEPENDENT but each is internally
+    // sequential (Gonzalez picks k centers one action at a time), so a
+    // serial loop runs ~m·k tiny jobs back to back while most of the
+    // cluster idles. Submit the subspaces from a small thread pool
+    // (guide §2.6 "overlap independent jobs": actions are only
+    // sequential because driver code calls them sequentially) — wall
+    // time becomes ONE subspace's chain, and each subspace's jobs
+    // back-fill the others' stragglers. Results are deterministic:
+    // every part's content is independent of scheduling, and the union
+    // below keeps subspace order.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    val parts = try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      Await.result(Future.sequence((0 until m).map { s => Future {
+        val sliced = emb.select(col(idCol).as("id"),
+          slice(col(vecCol), s * len + 1, len).as("v"))
+          .localCheckpoint(eager = false) // Gonzalez + assignment reread
+        val sel = kCenterCoreset(sliced, "id", "v", k)
+        val cb = sel.select((col("sel") - 1).cast("int").as("cid"),
+            col("cid").as("pid"))
+          .join(sliced.select(col("id").as("pid"), col("v").as("cv")),
+            "pid")
+          .select(col("cid"), col("cv"))
+        val codes = assignCells(sliced, cb)
+          .select(col("id"), lit(s).as("sub"), col("cell").as("code"))
+        val books = cb.select(lit(s).as("sub"), col("cid"), col("cv"))
+        (codes, books)
+      }}), Duration.Inf)
+    } finally pool.shutdown()
     (parts.map(_._1).reduce(_.unionAll(_)),
       parts.map(_._2).reduce(_.unionAll(_)))
   }

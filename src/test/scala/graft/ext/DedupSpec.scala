@@ -314,11 +314,36 @@ class DedupSpec extends SparkSpec {
       .map(i => (i.toLong, (i + 1).toLong, 1.0))
       .toDF("id_a", "id_b", "jac")
     val ids = (0 to n).map(_.toLong).toDF("doc_id")
+    // localMaxPairs = 0 forces the distributed path: the 40-edge chain
+    // would otherwise take the small-graph union-find (rounds = 0) and
+    // the convergence-rate property under test would never execute
     val (labels, rounds) =
-      Dedup.dupClustersWithRounds(pairs, ids, "doc_id")
+      Dedup.dupClustersWithRounds(pairs, ids, "doc_id",
+        localMaxPairs = 0)
     val m = labels.as[(Long, Long)].collect().toMap
     assert(m.values.forall(_ == 0L), "chain must collapse to min id 0")
     assert(rounds <= 10, s"expected O(log n) rounds, got $rounds")
+  }
+
+  test("dupClusters: small-graph union-find path == distributed " +
+    "pointer-jumping path (round-18 strategy dispatch)") {
+    // deterministic pseudo-random graph: mixed components, chains,
+    // self-contained singletons — both paths must label identically
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val pairs = (0 until 300).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1.0)
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b", "jac")
+    val ids = (0 until n + 20).map(_.toLong).toDF("doc_id")
+    val (local, lr) =
+      Dedup.dupClustersWithRounds(pairs, ids, "doc_id")
+    val (dist, _) =
+      Dedup.dupClustersWithRounds(pairs, ids, "doc_id",
+        localMaxPairs = 0)
+    assert(lr == 0, "under the bound the dispatch must take the " +
+      "single-task union-find path")
+    assert(local.collect().toSeq == dist.collect().toSeq,
+      "strategy dispatch must not change a single label")
   }
 
   test("jaccardPairs maxDf: hot shingle cannot create quadratic candidates") {

@@ -222,7 +222,11 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     * operators; the schema string is pinned as the literal the
     * fixture's uniform `{"k": int}` payloads encode to. */
   private[graft] val q233: Q = (s, d) =>
-    Tables.events(s, d)
+    // fan out before the parse (round-18; guide §2.5): parse_json is
+    // the query's dominant per-row cost and a single-split events scan
+    // would run every parse on one core
+    graft.engine.Skew.fanOut(
+        Tables.events(s, d).select("event_type", "props"))
       .withColumn("v", parse_json(col("props")))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),

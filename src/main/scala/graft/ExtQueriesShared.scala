@@ -182,7 +182,8 @@ private[graft] trait ExtQueriesShared {
   private[graft] def sharedPairs(s: SparkSession, d: String): DataFrame =
     materialized(s, scratch("pairs", d)) {
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        k = 3, threshold = 0.1, maxDf = 100)
+        k = 3, threshold = 0.1, maxDf = 100,
+        ordered = false) // scratch write: consumers are order-free
     }
   private[graft] def sharedClusters(s: SparkSession, d: String): DataFrame =
     materialized(s, scratch("clusters", d)) {
@@ -299,7 +300,8 @@ private[graft] trait ExtQueriesShared {
       // lifecycle chain then re-ran the banded self-join to get the
       // identical rows back. Persist once, read twice.
       Dedup.minhashBandPairsFromIndex(s.read.parquet(bp),
-          s.read.parquet(pp), s.read.parquet(zp), threshold = 0.05)
+          s.read.parquet(pp), s.read.parquet(zp), threshold = 0.05,
+          ordered = false) // scratch write: consumers are order-free
         .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(rp)
       Dedup.dupClusters(s.read.parquet(rp),
@@ -334,7 +336,8 @@ private[graft] trait ExtQueriesShared {
       // pairs + clusters derive from the just-written index parquet
       // alone (jaccardPairsFromIndex) — corpus text is scanned exactly
       // ONCE, for the index build, matching the sharedLshState shape
-      Dedup.jaccardPairsFromIndex(s.read.parquet(ip), threshold = 0.1)
+      Dedup.jaccardPairsFromIndex(s.read.parquet(ip), threshold = 0.1,
+          ordered = false) // scratch write: consumers are order-free
         .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(pp)
       Dedup.dupClusters(s.read.parquet(pp), corpus.select("doc_id"),
@@ -372,7 +375,8 @@ private[graft] trait ExtQueriesShared {
       // (round 15, the q248/embpairs posture): q260's chain reads it
       // instead of re-running the Hamming slice self-join.
       Dedup.fingerprintPairsFromIndex(s.read.parquet(sp),
-          s.read.parquet(fp), maxHamming = 3)
+          s.read.parquet(fp), maxHamming = 3,
+          ordered = false) // scratch write: consumers are order-free
         .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(rp)
       Dedup.dupClusters(s.read.parquet(rp),
@@ -425,7 +429,8 @@ private[graft] trait ExtQueriesShared {
       // stage) to get the identical rows back. Persist once, read
       // twice.
       val idx = s.read.parquet(ip)
-      SimSearch.cosinePairsFromIndex(idx, threshold = 0.6)
+      SimSearch.cosinePairsFromIndex(idx, threshold = 0.6,
+          ordered = false) // scratch write: consumers are order-free
         .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(pp)
       // corpus cluster table from the persisted pairs

@@ -304,6 +304,33 @@ object Aggregates {
     * sharing the CDF cannot move a hash). */
   def percentilesFromCdf(cum: DataFrame, groupCol: String,
       ps: Seq[Double]): DataFrame = {
+    val bracket = bracketPercentiles(cum, groupCol, ps)
+    val aggs = ps.indices.map(i =>
+      max(when(col("pi") === i, col("__p"))).as(s"p$i"))
+    bracket.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** ROW-form percentile extraction over a precomputed [[rankedCdf]]:
+    * (groupCol, pi, __p) — one row per requested percentile, SAME
+    * bracket arithmetic as [[percentilesFromCdf]] (they share
+    * [[bracketPercentiles]], so the doubles are bit-identical), minus
+    * the p0…pN pivot. For a caller that immediately needs the
+    * percentiles as rows (q150's 101-point grid), the pivot into 101
+    * `max(when(pi = i))` aggregate columns followed by an explode back
+    * to rows is pure plan bloat — a 101-column aggregate + 101-struct
+    * generate that Catalyst must analyze/optimize per run (guide §7.3:
+    * very large expression trees make PLANNING itself the bottleneck)
+    * and an extra aggregation at execution. Round-18 optimization. */
+  def percentileRowsFromCdf(cum: DataFrame, groupCol: String,
+      ps: Seq[Double]): DataFrame =
+    bracketPercentiles(cum, groupCol, ps)
+      .select(col(groupCol), col("pi"), col("__p"))
+
+  /** The shared bracket computation of [[percentilesFromCdf]] /
+    * [[percentileRowsFromCdf]] — one (group, pi) row carrying the
+    * interpolated percentile `__p`. */
+  private def bracketPercentiles(cum: DataFrame, groupCol: String,
+      ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
     val totals = cum.groupBy(groupCol).agg(max(col("__hi")).as("__n"))
     val targets = totals.select(col(groupCol),
@@ -332,9 +359,7 @@ object Aggregates {
         when(col("rlo") === col("rhi"), col("vlo"))
           .otherwise((col("rhi") - 1 - col("pos")) * col("vlo") +
             (col("pos") - (col("rlo") - 1)) * col("vhi")))
-    val aggs = ps.indices.map(i =>
-      max(when(col("pi") === i, col("__p"))).as(s"p$i"))
-    bracket.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    bracket
   }
 
   /** Cumulative Poisson(1) CDF cut points e⁻¹·Σ 1/k! for k = 0..4 —

@@ -90,9 +90,10 @@ object Dedup extends DedupMaintenance with DedupLinkage {
     * candidates at |postings|·maxDf/2 pairs. The bound and the semantics
     * are spec-asserted (DedupSpec). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+      k: Int, threshold: Double, maxDf: Int = Int.MaxValue,
+      ordered: Boolean = true): DataFrame = {
     val (sizes, shared) = shingleCandidates(df, idCol, textCol, k, maxDf)
-    shared
+    val out = shared
       .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
         Seq("id_a"))
       .join(sizes.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
@@ -101,7 +102,13 @@ object Dedup extends DedupMaintenance with DedupLinkage {
         (col("n_a") + col("n_b") - col("n_shared")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
-      .orderBy("id_a", "id_b")
+    // `ordered = false` skips the deterministic output sort — for
+    // SCRATCH-table builds (round-18): a range sort costs an extra
+    // sampling pass plus a recompute of the plan's final stage, and a
+    // persisted pair table's consumers (cluster builds, joins,
+    // aggregates) never depend on its row order. The query-surface
+    // callers keep the default ordered form (oracle hash stability).
+    if (ordered) out.orderBy("id_a", "id_b") else out
   }
 
   /** Shingle-universe sizes and shared-shingle pair counts — the common
@@ -219,8 +226,8 @@ object Dedup extends DedupMaintenance with DedupLinkage {
     * id_a < id_b built in. Identical output to
     * `jaccardPairs(corpus, …, k, threshold, maxDf)` for the index's
     * own k/maxDf (DedupSpec equality, hot shingle included). */
-  def jaccardPairsFromIndex(index: DataFrame, threshold: Double)
-      : DataFrame = {
+  def jaccardPairsFromIndex(index: DataFrame, threshold: Double,
+      ordered: Boolean = true): DataFrame = {
     val lists = index.filter(col("cpids").isNotNull)
       .select(col("cpids").as("pids"))
       .localCheckpoint(eager = false) // consumed by sizes AND pairs
@@ -233,7 +240,8 @@ object Dedup extends DedupMaintenance with DedupLinkage {
           size(col("pids")))).as("b"))
       .groupBy(col("a").as("id_a"), col("b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
-    sh.join(sz.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
+    val out = sh
+      .join(sz.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
         Seq("id_a"))
       .join(sz.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
         Seq("id_b"))
@@ -241,7 +249,7 @@ object Dedup extends DedupMaintenance with DedupLinkage {
         (col("n_a") + col("n_b") - col("n_shared")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
-      .orderBy("id_a", "id_b")
+    if (ordered) out.orderBy("id_a", "id_b") else out
   }
 
   /** Batch-vs-corpus INCREMENTAL Jaccard near-dup — the recrawl shape
@@ -741,7 +749,8 @@ object Dedup extends DedupMaintenance with DedupLinkage {
     * its pre-refactor form (zero-intersection band collisions never
     * surfaced there either, the verify join being inner). */
   private def exactJaccardVerify(cands: DataFrame, post: DataFrame,
-      sizes: DataFrame, threshold: Double): DataFrame = {
+      sizes: DataFrame, threshold: Double, ordered: Boolean = true)
+      : DataFrame = {
     val shared = cands
       .join(post.select(col("pid").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
@@ -749,7 +758,7 @@ object Dedup extends DedupMaintenance with DedupLinkage {
         col("id_b") === col("pid_b") && col("sh_a") === col("sh_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
-    shared
+    val verified = shared
       .join(sizes.select(col("pid").as("id_a"), col("n_sh").as("n_a")),
         Seq("id_a"))
       .join(sizes.select(col("pid").as("id_b"), col("n_sh").as("n_b")),
@@ -758,7 +767,7 @@ object Dedup extends DedupMaintenance with DedupLinkage {
         (col("n_a") + col("n_b") - col("n_shared")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
-      .orderBy("id_a", "id_b")
+    if (ordered) verified.orderBy("id_a", "id_b") else verified
   }
 
   /** Full corpus near-dup pairs FROM the persisted [[corpusLshIndex]] —
@@ -772,8 +781,8 @@ object Dedup extends DedupMaintenance with DedupLinkage {
     * clusters costs exactly ONE corpus text scan. Same buckets, same
     * verify as minhashBandPairs ⇒ identical output (DedupSpec). */
   def minhashBandPairsFromIndex(bandIndex: DataFrame,
-      corpusPost: DataFrame, corpusSizes: DataFrame, threshold: Double)
-      : DataFrame = {
+      corpusPost: DataFrame, corpusSizes: DataFrame, threshold: Double,
+      ordered: Boolean = true): DataFrame = {
     require(threshold > 0,
       "zero-intersection band collisions never reach the verify join")
     val cands = bandIndex.filter(size(col("cpids")) >= 2)
@@ -782,7 +791,8 @@ object Dedup extends DedupMaintenance with DedupLinkage {
         explode(slice(col("cpids"), col("pos") + lit(2),
           size(col("cpids")))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    exactJaccardVerify(cands, corpusPost, corpusSizes, threshold)
+    exactJaccardVerify(cands, corpusPost, corpusSizes, threshold,
+      ordered)
   }
 
   /** Corpus-side LSH scratch for cross-run incremental near-dup on the
@@ -1406,14 +1416,14 @@ object Dedup extends DedupMaintenance with DedupLinkage {
     * alone. Same slice keys, same verify ⇒ identical output
     * (DedupSpec). */
   def fingerprintPairsFromIndex(sliceIndex: DataFrame, fps: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, ordered: Boolean = true): DataFrame = {
     val cands = sliceIndex.filter(size(col("cpids")) >= 2)
       .select(col("cpids"), posexplode(col("cpids")))
       .select(col("col").as("id_a"),
         explode(slice(col("cpids"), col("pos") + lit(2),
           size(col("cpids")))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cands
+    val out = cands
       .join(fps.select(col("pid").as("id_a"), col("fp").as("fa")),
         Seq("id_a"))
       .join(fps.select(col("pid").as("id_b"), col("fp").as("fb")),
@@ -1422,7 +1432,7 @@ object Dedup extends DedupMaintenance with DedupLinkage {
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy("id_a", "id_b")
+    if (ordered) out.orderBy("id_a", "id_b") else out
   }
 
   /** Batch-vs-corpus INCREMENTAL payload near-dup — q237's recrawl

@@ -559,11 +559,17 @@ object PipelineOps {
   def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
       idCol: String, grid: Int = 100): DataFrame = {
     val ps = (0 to grid).map(_.toDouble / grid)
-    val pcts = graft.engine.Aggregates.exactPercentiles(
-      df.withColumn("__g", lit(1)), "__g", valCol, ps)
-    val gridTab = pcts.select(explode(array(ps.indices.map(i =>
-        struct(lit(i).as("__idx"), col(s"p$i").as("__gv"))): _*)).as("e"))
-      .select(col("e.__idx"), col("e.__gv"))
+    // percentiles taken in ROW form (round-18): the old path pivoted
+    // the 101 grid points into p0…p100 aggregate columns and exploded
+    // them straight back to rows — a (grid+1)-column expression tree
+    // Catalyst re-analyzed per run plus an extra aggregation, for a
+    // frame whose only consumer wants rows. percentileRowsFromCdf
+    // shares the exact bracket arithmetic, so __gv is bit-identical.
+    val gridTab = graft.engine.Aggregates.percentileRowsFromCdf(
+        graft.engine.Aggregates.rankedCdf(
+            df.withColumn("__g", lit(1)), "__g", valCol)
+          .localCheckpoint(eager = false), "__g", ps)
+      .select(col("pi").as("__idx"), col("__p").as("__gv"))
     val w = Window.partitionBy(groupCol).orderBy(col(valCol), col(idCol))
     df.withColumn("__pr", percent_rank().over(w))
       .withColumn("__idx", floor(col("__pr") * grid).cast("int"))

@@ -293,16 +293,16 @@ object SimSearch {
     * state alone; corpus embeddings are never rescanned. Same buckets,
     * same native cosine verify before the pair-dedupe shuffle ⇒
     * identical output (SimSearchSpec). */
-  def cosinePairsFromIndex(index: DataFrame, threshold: Double)
-      : DataFrame = {
+  def cosinePairsFromIndex(index: DataFrame, threshold: Double,
+      ordered: Boolean = true): DataFrame = {
     val scored = index.as("x").join(index.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         cosine(col("x.embedding"), col("y.embedding")).as("sim"))
       .filter(col("sim") >= threshold)
-    scored.dropDuplicates("id_a", "id_b")
-      .orderBy("id_a", "id_b")
+    val out = scored.dropDuplicates("id_a", "id_b")
+    if (ordered) out.orderBy("id_a", "id_b") else out
   }
 
   /** Merge a new batch of vectors into a persisted
@@ -420,11 +420,19 @@ object SimSearch {
     * the two ≤ n·k halves on (a, b) — never touches vectors, never
     * quadratic beyond the input pair frame itself. */
   def mutualKnnPairs(pairs: DataFrame, k: Int): DataFrame = {
+    // map-side direction duplication (round-18; the Dedup.symmetrized
+    // pattern): the old two-branch union evaluated the (possibly
+    // expensive — q194 feeds the full |emb|²/2 cosine frame) pairs
+    // pipeline once per branch; one explode duplicates each row after
+    // a single evaluation. Same rows, same window, same output.
     val directed = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"), col("sim"))
-      .unionByName(pairs
-        .select(col("id_b").as("src"), col("id_a").as("dst"),
-          col("sim")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"),
+          col("sim")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"),
+          col("sim")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.sim").as("sim"))
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
     val top = directed.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -67,15 +67,15 @@ object Dedup extends DedupMaintenance with DedupLinkage {
     // alias substitution re-evaluates the WHOLE shingle pipeline a
     // second time per row; outer infers no filter, and the null row an
     // empty doc emits drops on the generator OUTPUT column (cheap)
-    // fan out BEFORE the shingle explode (round-18; guide §2.5): the
-    // per-row work here — tokenization, k-gram hashing, array_distinct
-    // — is the heaviest map stage of every text-dedup pipeline, and on
-    // a single-split input it would otherwise run on one core; the
-    // projection to (pid, text) keeps the conditional exchange narrow
-    graft.engine.Skew.fanOut(
-        df.select(col(idCol).as("pid"), col(textCol).as("__fot")))
-      .select(col("pid"),
-        explode_outer(shingleHashes(col("__fot"), k)).as("sh"))
+    // NO fan-out here (round-18, measured and reverted on a healthy
+    // host window): the shingle explode's map work is too light to
+    // amortize an extra AQE stage at this scale — interleaved A/B over
+    // the text families read OFF 17.3/18.9 s vs ON 20.0/20.9 s
+    // (q242 3.6 vs 5.5, q247 0.87 vs 1.26). The fan-out stays where
+    // the per-row map work measurably dominates (WAV container encode,
+    // ×B replicate explode, deletion neighborhoods, JSON parse).
+    df.select(col(idCol).as("pid"),
+        explode_outer(shingleHashes(col(textCol), k)).as("sh"))
       .filter(col("sh").isNotNull)
 
   /** n-gram Jaccard near-duplicate pairs via a grouped inverted index:

@@ -48,11 +48,7 @@ private[graft] trait DedupLinkage { this: Dedup.type =>
       maxDist: Int = 1): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2, got $maxDist")
-    // fan out (round-18; guide §2.5): the deletion-neighborhood keys
-    // below are O(L²) generated strings per row — the heaviest map
-    // stage of the fuzzy join, single-core on a single-split input
-    val named = graft.engine.Skew.fanOut(
-      df.select(col(idCol).as("eid"), col(strCol).as("s")))
+    val named = df.select(col(idCol).as("eid"), col(strCol).as("s"))
     // every single-deletion variant of an arbitrary string expression
     // (empty-string guard: sequence(1, 0) would flip descending)
     def delVariants(s: Column): Column =

@@ -79,21 +79,21 @@ object Multimodal {
     * reasons about), not the container size; the container adds its
     * 44-byte header + pad on top. */
   def mediaTable(docs: DataFrame): DataFrame =
-    // fan out BEFORE the container encode (round-18; guide §2.5): the
-    // WAV framing is the payload family's heaviest per-row map work and
-    // a single-split doc scan would run it on one core; projecting to
-    // (doc_id, text) first keeps the conditional exchange narrow. Also
-    // fixes downstream SINK sizing (guide §6): the persisted
-    // fingerprint/payload scratch tables inherit this parallelism, so
-    // family consumers read many files instead of one
-    graft.engine.Skew.fanOut(docs.select(col("doc_id"), col("text")))
-      .select(
-        col("doc_id"),
-        wavEncode(encode(col("text"), "UTF-8")).as("payload"),
-        (when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video")).as("media_type"),
-        length(encode(col("text"), "UTF-8")).as("n_bytes"))
+    // NO fan-out here (round-18, measured and reverted on a healthy
+    // host window): the container encode is too light to amortize an
+    // extra AQE stage at this payload size — interleaved A/B over the
+    // payload family read OFF faster on every consumer (q250 3.0 vs
+    // 4.5 s, q260 3.6 vs 5.5 s, q226/q237/q241/q251/q261 each
+    // +0.2–0.4 s with the fan-out ON). The fan-out stays only where
+    // per-row map work measurably dominates (×B replicate explode,
+    // |emb|² cosine probe side, JSON parse, XML sink).
+    docs.select(
+      col("doc_id"),
+      wavEncode(encode(col("text"), "UTF-8")).as("payload"),
+      (when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video")).as("media_type"),
+      length(encode(col("text"), "UTF-8")).as("n_bytes"))
 
   /** Decode a media table's containers to raw samples in place —
     * payload becomes the `data` chunk's bytes via the real chunk-

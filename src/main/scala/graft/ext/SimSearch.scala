@@ -274,15 +274,15 @@ object SimSearch {
     * the batch join the zero-exchange shape. */
   def corpusEmbeddingLshIndex(corpus: DataFrame, bits: Int,
       tables: Int): DataFrame =
-    // fan out before the hyperplane projections (round-18; guide §2.5:
-    // bits×tables dot products per row on a possibly single-split
-    // scan); the persisted index also inherits the parallelism as its
-    // file count, so family consumers scan it in parallel (guide §6)
-    graft.engine.Skew.fanOut(
-        corpus.select(col("vec_id"), col("embedding")))
-      .select(col("vec_id"), col("embedding"),
-        explode(multiTableBuckets(col("embedding"), bits, tables))
-          .as("bucket"))
+    // NO fan-out here (round-18, measured and reverted): the
+    // hyperplane projections are light relative to an extra AQE stage
+    // at this fixture's vector count — the family's index/upsert/
+    // retract queries read a net REGRESSION from the conditional
+    // exchange (q255 +0.48 s, q256 +0.19 s, group net +0.3 s), unlike
+    // the text/payload modalities whose per-row map work dominates
+    corpus.select(col("vec_id"), col("embedding"),
+      explode(multiTableBuckets(col("embedding"), bits, tables))
+        .as("bucket"))
 
   /** Full corpus near-dup pairs FROM the persisted
     * [[corpusEmbeddingLshIndex]] — the state-only form of
@@ -356,11 +356,7 @@ object SimSearch {
     * oracle and a SimSearchSpec assertion. */
   def incrementalCosinePairsLsh(index: DataFrame, batch: DataFrame,
       threshold: Double, bits: Int, tables: Int): DataFrame = {
-    val bb = graft.engine.Skew.fanOut(
-        batch.select(col("vec_id"), col("embedding")))
-      // fan out before the bucket explode (round-18; guide §2.5) — the
-      // recrawl batch arrives as a possibly single-split scan
-      .select(col("vec_id"), col("embedding"),
+    val bb = batch.select(col("vec_id"), col("embedding"),
         explode(multiTableBuckets(col("embedding"), bits, tables))
           .as("bucket"))
       .localCheckpoint(eager = false) // consumed by BOTH branches

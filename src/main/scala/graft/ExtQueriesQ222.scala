@@ -565,15 +565,22 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
       .localCheckpoint(eager = false) // consumed by clusters1 + pairs1
     val index1 = Dedup.upsertShingleIndex(index0, batch, "doc_id",
       "text", k, cap)
+    // unordered (round 19, guide §2.4): the mid-chain orderBy sorted
+    // rows the downstream joins immediately unsort. NOT checkpointed —
+    // measured and reverted: retractClusters' three passes over the
+    // merged table share exchanges within each materializing job, so a
+    // lazy localCheckpoint added a serialization pass without saving
+    // re-execution (interleaved A/B: q248 4.09→5.37 s min-of-3 WITH the
+    // checkpoint pair, i.e. +31%)
     val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
-      batch.select("doc_id"), "doc_id")
+      batch.select("doc_id"), "doc_id", ordered = false)
     val pairs1 = pairs0.unionByName(newPairs)
     // stage 3 — takedown
     val deleted = docs.filter(col("doc_id") % 7 === 2)
     val index2 = Dedup.retractShingleIndex(index1, deleted, "doc_id",
       "text", k, cap)
     val clusters2 = Dedup.retractClusters(clusters1, pairs1,
-      deleted.select("doc_id"), "doc_id")
+      deleted.select("doc_id"), "doc_id", ordered = false)
     // stage 4 — survivor report over BOTH final state tables
     val nLive = index2.select(explode(col("cpids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_live_sh"))
@@ -582,6 +589,10 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
       .join(nLive, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("cluster"),
         coalesce(col("n_live_sh"), lit(0L)).as("n_live_sh"))
+      // no pre-sort checkpoint (round 19, measured and reverted): under
+      // AQE the sort's sampling re-reads materialized shuffle output,
+      // not the deep lineage — the checkpoint's extra serialization
+      // pass cost more than the sampling it saved (A/B above)
       .orderBy("doc_id")
   }
 
@@ -778,8 +789,9 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
     val index1 = Dedup.upsertPostingsIndex(bandIndex0,
       Dedup.bandRowsFromPostings(batchPost, numHashes = 12,
         rowsPerBand = 3), Seq("bk"))
+    // unordered, not checkpointed (round 19): see q248
     val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
-      batch.select("doc_id"), "doc_id")
+      batch.select("doc_id"), "doc_id", ordered = false)
     // corpus pairs ride STATE (the owner's persisted lshpairs table —
     // round 15; the chain no longer re-runs the banded self-join)
     val pairs1 = pairs0
@@ -794,7 +806,7 @@ private[graft] trait ExtQueriesQ222 extends ExtQueriesShared {
           "left_semi"),
         numHashes = 12, rowsPerBand = 3), Seq("bk"))
     val clusters2 = Dedup.retractClusters(clusters1, pairs1, deleted,
-      "doc_id")
+      "doc_id", ordered = false)
     // stage 4 — survivor report over BOTH final state tables
     clusters2
       .join(docs.select("doc_id", "source"), Seq("doc_id"))

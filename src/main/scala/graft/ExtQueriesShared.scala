@@ -643,13 +643,21 @@ private[graft] trait ExtQueriesShared {
     * in the retracted index's lists, how many DISTINCT other retained
     * ids share at least one key with it (its candidate degree — a
     * content-sensitive digest of every list it appears in). Bounded
-    * by per-key occupancy; one pair-dedupe shuffle. */
+    * by per-key occupancy; one pair-dedupe shuffle.
+    *
+    * Round-19 (guide §2.3 shuffle fewer bytes): the pair dedupe runs
+    * on UNORDERED pairs (a < b) — half the rows of the old
+    * both-directions form through the expensive distinct shuffle —
+    * and each surviving pair then explodes to both endpoints for the
+    * count, since peer-ship is symmetric: n_peers(x) = #distinct
+    * unordered pairs containing x. Same rows out, bit for bit. */
   private[graft] def postingPeers(index: DataFrame, idName: String): DataFrame =
     index.filter(size(col("cpids")) >= 2)
       .select(explode(col("cpids")).as("a"), col("cpids"))
       .select(col("a"), explode(col("cpids")).as("b"))
-      .filter(col("a") =!= col("b"))
+      .filter(col("a") < col("b"))
       .dropDuplicates("a", "b")
+      .select(explode(array(col("a"), col("b"))).as("a"))
       .groupBy("a").agg(count(lit(1)).as("n_peers"))
       .select(col("a").as(idName), col("n_peers"))
 
@@ -685,8 +693,9 @@ private[graft] trait ExtQueriesShared {
       .localCheckpoint(eager = false) // consumed by clusters1 + pairs1
     val index1 = SimSearch.upsertEmbeddingIndex(index0, batch,
       bits, tables)
+    // unordered, not checkpointed (round 19): see q248
     val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
-      batch.select("vec_id"), "vec_id")
+      batch.select("vec_id"), "vec_id", ordered = false)
     // corpus pairs arrive AS STATE (q259 reads the owner's persisted
     // pair table; the probe's inline cell passes its own checkpointed
     // frame) — the chain must not re-run the corpus self-join the
@@ -699,7 +708,7 @@ private[graft] trait ExtQueriesShared {
     val index2 = SimSearch.retractEmbeddingIndex(index1, deleted,
       "vec_id")
     val clusters2 = Dedup.retractClusters(clusters1, pairs1, deleted,
-      "vec_id")
+      "vec_id", ordered = false)
     // stage 4 — survivor report over BOTH final state tables
     val peers = index2.as("x").join(index2.as("y"),
         col("x.bucket") === col("y.bucket") &&
@@ -741,8 +750,9 @@ private[graft] trait ExtQueriesShared {
       Dedup.fingerprintPostings(batchFps, bits = blocks,
         slices = slices),
       Seq("sl", "sv"))
+    // unordered, not checkpointed (round 19): see q248
     val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
-      batchFps.select("pid"), "pid")
+      batchFps.select("pid"), "pid", ordered = false)
     // corpus pairs arrive AS STATE (q260 reads the owner's persisted
     // pair table; the probe's inline cell passes its own checkpointed
     // frame) — the chain must not re-run the slice self-join the
@@ -759,7 +769,7 @@ private[graft] trait ExtQueriesShared {
         fps1.join(deleted, Seq("pid"), "left_semi"),
         bits = blocks, slices = slices), Seq("sl", "sv"))
     val clusters2 = Dedup.retractClusters(clusters1, pairs1, deleted,
-      "pid")
+      "pid", ordered = false)
     // stage 4 — survivor report over BOTH final state tables
     clusters2
       .join(Multimodal.mediaTable(docs)

@@ -39,6 +39,7 @@ object OptProbe {
     sys.env.getOrElse("SPARK_GRAFT_OPT_MODE", "plans") match {
       case "plans"  => dumpPlans(spark)
       case "stages" => stageTimes(spark)
+      case "tail"   => tailSplit(spark)
       case other => throw new IllegalArgumentException(
         s"unknown SPARK_GRAFT_OPT_MODE: $other")
     }
@@ -49,18 +50,73 @@ object OptProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_OPT_DIR",
       "/root/testdata/sf0.001")
     val suffix = sys.env.getOrElse("SPARK_GRAFT_OPT_SUFFIX", "before")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OPT_PLANDIR", "plans/r19")
     val names = sys.env.getOrElse("SPARK_GRAFT_OPT_PLANS", "")
       .split(",").map(_.trim).filter(_.nonEmpty)
-    Files.createDirectories(Paths.get("plans/r18"))
+    Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val short = name.takeWhile(_ != '_')
-      Files.writeString(Paths.get(s"plans/r18/${short}_$suffix.txt"),
+      Files.writeString(Paths.get(s"$outDir/${short}_$suffix.txt"),
         s"// $name — explain(\"formatted\") at $dir ($suffix)\n$plan")
-      println(s"[optprobe] wrote plans/r18/${short}_$suffix.txt")
+      println(s"[optprobe] wrote $outDir/${short}_$suffix.txt")
     }
+  }
+
+  /** Round-19 tail attribution (guide §1 measure first, §7.3 plan-size
+    * bottlenecks): for every query, in Bench's qNN order and with
+    * Bench's per-query cache/RDD cleanup, split wall time into
+    * PLAN (analyze + optimize + physical-plan, forced via
+    * `executedPlan`) and EXEC (the noop write — codegen compile + run),
+    * and count the jobs/stages/tasks the execution schedules. The
+    * sub-2 s tail is fixed-cost bound (r18 scaling block: 8-core ==
+    * 32-core); this attributes each query's floor to plan-tree size vs
+    * stage count so the round can target the right lever. */
+  private def tailSplit(spark: SparkSession): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_OPT_ONLY").map(_.split(",").toSet)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+        }
+      })
+    println("[optprobe] name plan_s exec_s jobs stages tasks")
+    SparkEntry.orderedQueries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => name != "q58_minhash_ml" }
+      .foreach { case (name, fn) =>
+        try {
+          val t0 = System.nanoTime()
+          val df = fn(spark, d)
+          df.queryExecution.executedPlan // force analyze+optimize+plan
+          val t1 = System.nanoTime()
+          jobs.set(0); stages.set(0); tasks.set(0)
+          df.write.format("noop").mode("overwrite").save()
+          val t2 = System.nanoTime()
+          // listener events are async (bus latency is ms-scale; the
+          // last JobStart was posted before its job completed, so a
+          // short drain is enough for counting purposes)
+          Thread.sleep(100)
+          println(f"[optprobe] $name%-44s ${(t1 - t0) / 1e9}%7.3f " +
+            f"${(t2 - t1) / 1e9}%7.3f ${jobs.get}%4d ${stages.get}%5d " +
+            f"${tasks.get}%6d")
+        } catch { case e: Throwable =>
+          println(s"[optprobe] $name FAILED: ${e.getMessage}")
+        } finally {
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+        }
+      }
   }
 
   private def stageTimes(spark: SparkSession): Unit = {
@@ -194,6 +250,93 @@ object OptProbe {
           .join(peers, Seq("doc_id"), "left")
           .select(col("doc_id"), col("source"), col("cluster"),
             coalesce(col("n_peers"), lit(0L)).as("n_peers"))
+          .orderBy("doc_id"))
+    }
+
+    if (cells("chain260")) {
+      // replicate q260's stages off the owner-probe state (run owners
+      // first in the same invocation, or reuse an earlier run's dirs)
+      val index0 = spark.read.parquet(p("fpslices"))
+      val cfps = spark.read.parquet(p("fptable"))
+      val pairs0 = spark.read.parquet(p("fppairs"))
+      val clusters0 = spark.read.parquet(p("fpclusters"))
+      val batchFps = Multimodal.blockhashFingerprints(
+          Multimodal.mediaTable(docs.filter(col("doc_id") % 5 === 3)),
+          "doc_id", blocks = 32)
+        .localCheckpoint(eager = false)
+      time("q260 s2: batchFps")(batchFps)
+      val newPairs = Dedup.incrementalFingerprintPairs(index0, cfps,
+          batchFps, bits = 32, slices = 4, maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(eager = false)
+      time("q260 s2: incrementalFingerprintPairs")(newPairs)
+      val index1 = Dedup.upsertPostingsIndex(index0,
+        Dedup.fingerprintPostings(batchFps, bits = 32, slices = 4),
+        Seq("sl", "sv"))
+      time("q260 s2: upsertPostingsIndex")(index1)
+      val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
+        batchFps.select("pid"), "pid")
+      time("q260 s2: upsertClusters")(clusters1)
+      val pairs1 = pairs0.select(col("id_a"), col("id_b"))
+        .unionByName(newPairs)
+      val deleted = docs.filter(col("doc_id") % 7 === 2)
+        .select(col("doc_id").as("pid"))
+      val fps1 = cfps.unionByName(batchFps.select("pid", "fp"))
+      val index2 = Dedup.retractPostingsIndex(index1,
+        Dedup.fingerprintPostings(
+          fps1.join(deleted, Seq("pid"), "left_semi"),
+          bits = 32, slices = 4), Seq("sl", "sv"))
+      time("q260 s3: retractPostingsIndex")(index2)
+      val clusters2 = Dedup.retractClusters(clusters1, pairs1, deleted,
+        "pid")
+      time("q260 s3: retractClusters")(clusters2)
+      val peers = ExtQueries.postingPeers(index2, "pid")
+      time("q260 s4: postingPeers")(peers)
+      time("q260 full: report join + orderBy")(
+        clusters2
+          .join(Multimodal.mediaTable(docs)
+            .select(col("doc_id").as("pid"), col("media_type")),
+            Seq("pid"))
+          .join(peers, Seq("pid"), "left")
+          .select(col("pid"), col("media_type"), col("cluster"),
+            coalesce(col("n_peers"), lit(0L)).as("n_peers"))
+          .orderBy("pid"))
+    }
+
+    if (cells("chain248")) {
+      val k = 3; val cap = 100; val thr = 0.1
+      val index0 = spark.read.parquet(p("exidx"))
+      val pairs0 = spark.read.parquet(p("expairs"))
+      val clusters0 = spark.read.parquet(p("exclusters"))
+      val batch = docs.filter(col("doc_id") % 5 === 3)
+      val newPairs = Dedup.incrementalJaccardPairs(index0, batch,
+          "doc_id", "text", k, thr, cap)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(eager = false)
+      time("q248 s2: incrementalJaccardPairs")(newPairs)
+      val index1 = Dedup.upsertShingleIndex(index0, batch, "doc_id",
+        "text", k, cap)
+      time("q248 s2: upsertShingleIndex")(index1)
+      val clusters1 = Dedup.upsertClusters(clusters0, newPairs,
+        batch.select("doc_id"), "doc_id")
+      time("q248 s2: upsertClusters")(clusters1)
+      val pairs1 = pairs0.unionByName(newPairs)
+      val deleted = docs.filter(col("doc_id") % 7 === 2)
+      val index2 = Dedup.retractShingleIndex(index1, deleted, "doc_id",
+        "text", k, cap)
+      time("q248 s3: retractShingleIndex")(index2)
+      val clusters2 = Dedup.retractClusters(clusters1, pairs1,
+        deleted.select("doc_id"), "doc_id")
+      time("q248 s3: retractClusters")(clusters2)
+      val nLive = index2.select(explode(col("cpids")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_live_sh"))
+      time("q248 s4: nLive")(nLive)
+      time("q248 full: report join + orderBy")(
+        clusters2
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .join(nLive, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("cluster"),
+            coalesce(col("n_live_sh"), lit(0L)).as("n_live_sh"))
           .orderBy("doc_id"))
     }
 

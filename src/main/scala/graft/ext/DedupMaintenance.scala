@@ -215,7 +215,8 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
     * anti-join so re-delivery is harmless); `newPairs` touch only
     * corpus ∪ `newIds` ids. */
   def upsertClusters(clusters: DataFrame, newPairs: DataFrame,
-      newIds: DataFrame, idCol: String): DataFrame = {
+      newIds: DataFrame, idCol: String,
+      ordered: Boolean = true): DataFrame = {
     val cur = clusters.select(col(idCol).as("id"), col("cluster"))
     val mapping = clusterMergeMapping(cur, newPairs)
     // ONE pass over the persisted table: relabel merged clusters
@@ -224,9 +225,15 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
       .select(col("id"), coalesce(col("new_lbl"), col("cluster"))
         .as("cluster"))
     val batchOut = batchClusterLabels(cur, mapping, newIds, idCol)
-    corpusOut.unionByName(batchOut)
+    val out = corpusOut.unionByName(batchOut)
       .select(col("id").as(idCol), col("cluster"))
-      .orderBy(idCol)
+    // ordered=false (round-19, guide §2.4 "an orderBy used only to make
+    // output deterministic"): mid-chain consumers (retractClusters, the
+    // lifecycle report joins) destroy row order immediately, so the
+    // range sort — and its sampling re-execution of this frame's
+    // lineage — is pure waste there. The query surface (q243) keeps the
+    // ordered default, so no declared output moves.
+    if (ordered) out.orderBy(idCol) else out
   }
 
   /** The label-space MERGE MAPPING at the heart of [[upsertClusters]],
@@ -320,7 +327,8 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
     * fabricates a merge, and the q246 oracle (fresh components over
     * the retained pair set) pins exactly that semantics. */
   def retractClusters(clusters: DataFrame, pairs: DataFrame,
-      deletedIds: DataFrame, idCol: String): DataFrame = {
+      deletedIds: DataFrame, idCol: String,
+      ordered: Boolean = true): DataFrame = {
     val del = deletedIds.select(col(idCol).as("id"))
       .localCheckpoint(eager = false) // consumed by affected + survivors
     val cur = clusters.select(col(idCol).as("id"), col("cluster"))
@@ -344,8 +352,12 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
       survivors.select(col("id").as(idCol)), idCol)
     val untouched = cur.join(affected, Seq("cluster"), "left_anti")
       .select(col("id").as(idCol), col("cluster"))
-    untouched.unionByName(relabeled.select(col(idCol), col("cluster")))
-      .orderBy(idCol)
+    val out = untouched
+      .unionByName(relabeled.select(col(idCol), col("cluster")))
+    // ordered=false: see upsertClusters — the lifecycle chains feed
+    // this straight into the report join, which destroys row order;
+    // q246 (the query surface) keeps the ordered default.
+    if (ordered) out.orderBy(idCol) else out
   }
 
   // ==================================================================

@@ -199,7 +199,13 @@ private[graft] trait ExtQueriesShared {
     * extraction arithmetic — and every hash — is unchanged. */
   private[graft] def sharedPriceCdf(s: SparkSession, d: String): DataFrame =
     materialized(s, scratch("cdf_li_price", d)) {
-      graft.engine.Aggregates.rankedCdf(Tables.lineitem(s, d),
+      // distributed two-level scan (round 19): this is the HEAVY CDF —
+      // near-continuous price values, materialized once as scratch —
+      // where the plain group-key window is a parallelism floor
+      // (3 returnflag values = 3 tasks at any cluster width). Row
+      // values identical; consumers extract/aggregate, so row order
+      // never mattered.
+      graft.engine.Aggregates.rankedCdfDistributed(Tables.lineitem(s, d),
         "l_returnflag", "l_extendedprice")
     }
 

@@ -264,6 +264,74 @@ object Aggregates {
       .withColumn("__lo", col("__hi") - col("__c") + 1)
   }
 
+  /** [[rankedCdf]] with the cumulative count computed as a DISTRIBUTED
+    * per-group prefix sum (round 19; guide §2 parallelism floor): the
+    * plain form's window is partitioned by the GROUP key, so a 3-value
+    * group column runs 3 tasks at any cluster width — fine for a
+    * |distinct values|-row extraction, a scale-killer when a heavy CDF
+    * over a near-continuous column is materialized as shared scratch
+    * (the q107/q113 price CDF). This form range-partitions the distinct
+    * values, cumulative-sums WITHIN each partition (parallel window on
+    * (__pid, group)), and bridges partitions by collecting one subtotal
+    * row per (partition, group) — ≤ shuffle.partitions·|groups| rows,
+    * the q134/EventOps.prefixSums documented KB-scale collect — and
+    * broadcasting exclusive per-group offsets back. Row values are
+    * IDENTICAL to [[rankedCdf]] (long sums; order of addition
+    * irrelevant); only the physical shape differs. The eager
+    * localCheckpoint pins partition ids, which both the subtotal pass
+    * and the output must agree on.
+    *
+    * Use where the CDF is big and reused (scratch builds); the plain
+    * window form stays right for one-shot |distinct|-small
+    * extractions — an extra range exchange + collect job per call
+    * costs more than a small window saves (measured, round 19). */
+  def rankedCdfDistributed(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType,
+      StructField, StructType}
+    val spark = df.sparkSession
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val ranged = counts
+      .repartitionByRange(col(groupCol), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true) // pid read by subtotals AND output
+    val subtotals = ranged.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col("__c")).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    // exclusive prefix per group across ascending partition id
+    val offsets = subtotals.sortBy(_._1)
+      .groupBy(_._2).valuesIterator.flatMap { rows =>
+        rows.scanLeft((0, rows.head._2, 0L)) {
+          case ((_, g, acc), (pid, _, s)) => (pid, g, acc + s)
+        }.init.zip(rows).map { case ((_, _, prefix), (pid, g, _)) =>
+          Row(pid, g, prefix)
+        }
+      }.toSeq
+    val gField = counts.schema(groupCol)
+    val offSchema = StructType(Seq(
+      StructField("__opid", IntegerType, nullable = false),
+      gField.copy(name = "__og"),
+      StructField("__off", LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets, 1), offSchema)
+    val inPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    ranged
+      // null-safe on the group (a null group is a legal partition in
+      // the window form); every (pid, group) pair has a subtotal row
+      .join(broadcast(offDf), col("__pid") === col("__opid") &&
+        col(groupCol) <=> col("__og"))
+      .withColumn("__hi", col("__off") + sum(col("__c")).over(inPart))
+      .select(col(groupCol), col("__v"), col("__c"), col("__hi"),
+        (col("__hi") - col("__c") + 1).as("__lo"))
+  }
+
   /** Per-(group, slice, distinct value) multiplicity counts — the
     * shareable PRE-CDF of the percentile family. One (group, flag,
     * value) hash-agg collapses the fact stream to its distinct values;
@@ -679,18 +747,37 @@ object Aggregates {
   def mannWhitneyU(df: DataFrame, groupCol: String, valCol: String,
       aFlag: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Round-19 (guide §2.3 aggregate before you shuffle / §1.2 the
+    // distributed algorithm): the statistic needs only per-(group,
+    // value) multiplicities, never per-row ranks — one hash-agg
+    // collapses the fact stream to its DISTINCT values (partial
+    // aggregation rides the scan), and the rank/tie windows then sort
+    // |distinct values| rows instead of |rows| (for the tie-heavy
+    // integer columns this operator exists for, orders of magnitude
+    // less sorted data; q174: 600k fact rows → 150 cells). Average
+    // rank of a distinct value = minrank + (t−1)/2 with minrank =
+    // cum count of smaller values + 1, so the A-side rank sum is
+    // Σ ca·avgrank — every sum below is the exact same decimal the
+    // per-row form accumulated (products are .5-granular and ≤ n²,
+    // exact in double before the decimal cast), so u1/z are
+    // bit-identical. */
     val w = Window.partitionBy(groupCol).orderBy(col("__v"))
-    val tw = w.rangeBetween(Window.currentRow, Window.currentRow)
-    val ranked = df.select(col(groupCol), col(valCol).as("__v"),
+    val cells = df.select(col(groupCol), col(valCol).as("__v"),
         aFlag.as("__a"))
-      .withColumn("__t", count(lit(1)).over(tw))
-      .withColumn("__ar", rank().over(w) + (col("__t") - 1) / 2.0)
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"))
+    val ranked = cells
+      .withColumn("__hi", sum(col("__t")).over(w))
+      .withColumn("__ar",
+        (col("__hi") - col("__t") + 1) + (col("__t") - 1) / 2.0)
     val sums = ranked.groupBy(groupCol).agg(
-      sum(when(col("__a"), 1L).otherwise(0L)).cast("double").as("n1"),
-      count(lit(1)).cast("double").as("n"),
-      sum(when(col("__a"), col("__ar")).cast("decimal(38,6)"))
+      sum(col("__ca")).cast("double").as("n1"),
+      sum(col("__t")).cast("double").as("n"),
+      sum((col("__ca") * col("__ar")).cast("decimal(38,6)"))
         .cast("double").as("r1"),
-      sum((col("__t") * col("__t") - 1).cast("decimal(38,6)"))
+      sum((col("__t") * col("__t") - 1).cast("decimal(38,6)") *
+          col("__t").cast("decimal(18,0)"))
         .cast("double").as("tsum"))
     val n2 = col("n") - col("n1")
     val u1 = col("r1") - col("n1") * (col("n1") + 1) / 2
@@ -716,6 +803,18 @@ object Aggregates {
   def spearman(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Round-19 note: TWO distinct-value rewrites of this operator were
+    // implemented, measured with interleaved A/B at sf0.1, and
+    // REVERTED — (a) full joint-(x,y)-cells with c-weighted exact
+    // corr sums: q175 4.01→4.88 s (+22%; the near-continuous y axis
+    // does not collapse, so the cells path added an aggregation +
+    // joins on top of the same data volume); (b) hybrid x-cells-
+    // broadcast + per-row y window: 3.42→3.79 s (+11%, within noise
+    // but no win — the saved x sort was repaid by a second fact scan
+    // and the broadcast build). The mannWhitneyU cells rewrite pays
+    // because BOTH its windows collapse; here the y rank window is
+    // irreducibly per-row, so the original one-exchange two-sort form
+    // stays.
     val wx = Window.partitionBy(groupCol).orderBy(col("__x"))
     val tx = wx.rangeBetween(Window.currentRow, Window.currentRow)
     val wy = Window.partitionBy(groupCol).orderBy(col("__y"))

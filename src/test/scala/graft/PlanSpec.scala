@@ -452,17 +452,27 @@ class PlanSpec extends SparkSpec {
     // per-file order only; multi-file buckets merge-sort locally)
   }
 
-  test("rank statistics (q174/q175): tie counts ride the rank's window " +
-    "spec — ONE group-key exchange, no (group, value) tie exchange") {
+  test("rank statistics (q174/q175): ranks derive from DISTINCT-value " +
+    "cells (round 19) — every rank window sorts |distinct values| " +
+    "rows fed by the cells aggregate, never the raw fact stream") {
     import spark.implicits._
     val d = Seq(("g", 1.0, 2.0, true), ("g", 1.0, 3.0, false),
       ("g", 2.0, 1.0, true)).toDF("grp", "x", "y", "a")
     val pMwu = plan(graft.engine.Aggregates
       .mannWhitneyU(d, "grp", "x", col("a")))
+    // exactly TWO exchanges: the (grp, __v) cells aggregate and the
+    // group-key window; the final statistic agg reuses the window's
+    // group partitioning
     assert(pMwu.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning") == 1, pMwu)
-    // spearman sorts twice (x-ranks, y-ranks) but exchanges once: the
-    // y-axis window reuses the group-hash partitioning
+      .count(_ == "Exchange hashpartitioning") == 2, pMwu)
+    // the rank window's sort child is the cells aggregate's output
+    // (keys grp, __v) — no Window consumes fact rows
+    assert(pMwu.contains("HashAggregate(keys=[grp"), pMwu)
+    // spearman keeps the per-row two-window form (round 19: two cells
+    // rewrites measured slower at sf0.1 and reverted — the
+    // near-continuous y axis does not collapse): it sorts twice
+    // (x-ranks, y-ranks) but exchanges once — the y-axis window reuses
+    // the group-hash partitioning
     val pSp = plan(graft.engine.Aggregates.spearman(d, "grp", "x", "y"))
     assert(pSp.sliding("Exchange hashpartitioning".length)
       .count(_ == "Exchange hashpartitioning") == 1, pSp)

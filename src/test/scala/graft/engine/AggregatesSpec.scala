@@ -49,6 +49,27 @@ class AggregatesSpec extends SparkSpec {
       "l_returnflag", "l_extendedprice")
   }
 
+  test("rankedCdfDistributed == rankedCdf row-for-row (the round-19 " +
+    "two-level prefix-sum form of the heavy-CDF scratch build)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "__v").collect().toSeq
+    val tiny = Seq(("a", 1.0), ("a", 1.0), ("a", 3.0), ("b", 2.0),
+      ("b", 10.0), ("b", 30.0), ("c", 5.0)).toDF("k", "v")
+    assert(rows(Aggregates.rankedCdfDistributed(tiny, "k", "v")) ==
+      rows(Aggregates.rankedCdf(tiny, "k", "v")))
+    // real fixture column — many distinct values spread over many
+    // range partitions, several groups per partition boundary
+    val li = graft.engine.Tables.lineitem(spark, sf0001)
+      .select("l_returnflag", "l_extendedprice")
+    def rowsLi(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("l_returnflag", "__v").collect().toSeq
+    assert(rowsLi(Aggregates.rankedCdfDistributed(li, "l_returnflag",
+        "l_extendedprice")) ==
+      rowsLi(Aggregates.rankedCdf(li, "l_returnflag",
+        "l_extendedprice")))
+  }
+
   test("percentilesFromCdf over a parquet-round-tripped rankedCdf is " +
     "bit-identical to exactPercentiles (the shared-scratch contract)") {
     val ps = Seq(0.05, 0.25, 0.5, 0.75, 0.95)

@@ -188,7 +188,8 @@ private[graft] trait ExtQueriesShared {
   private[graft] def sharedClusters(s: SparkSession, d: String): DataFrame =
     materialized(s, scratch("clusters", d)) {
       Dedup.dupClusters(sharedPairs(s, d),
-        Tables.documents(s, d).select("doc_id"), "doc_id")
+        Tables.documents(s, d).select("doc_id"), "doc_id",
+        ordered = false) // scratch write: consumers are order-free
     }
   /** Shared ranked CDF of lineitem.l_extendedprice per returnflag
     * ([[graft.engine.Aggregates.rankedCdf]]) — the percentile family's
@@ -311,7 +312,8 @@ private[graft] trait ExtQueriesShared {
         .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(rp)
       Dedup.dupClusters(s.read.parquet(rp),
-          corpus.select("doc_id"), "doc_id")
+          corpus.select("doc_id"), "doc_id",
+          ordered = false) // scratch write: consumers are order-free
         .write.mode("overwrite").parquet(cp)
       scratchDone += bp
     }
@@ -347,7 +349,7 @@ private[graft] trait ExtQueriesShared {
         .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(pp)
       Dedup.dupClusters(s.read.parquet(pp), corpus.select("doc_id"),
-          "doc_id")
+          "doc_id", ordered = false) // scratch: consumers order-free
         .write.mode("overwrite").parquet(cp)
       scratchDone += ip
     }
@@ -386,7 +388,8 @@ private[graft] trait ExtQueriesShared {
         .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(rp)
       Dedup.dupClusters(s.read.parquet(rp),
-          s.read.parquet(fp).select("pid"), "pid")
+          s.read.parquet(fp).select("pid"), "pid",
+          ordered = false) // scratch write: consumers are order-free
         .write.mode("overwrite").parquet(cp)
       scratchDone += sp
     }
@@ -442,7 +445,8 @@ private[graft] trait ExtQueriesShared {
       // corpus cluster table from the persisted pairs
       Dedup.dupClusters(
           s.read.parquet(pp),
-          idx.select(col("vec_id")).dropDuplicates("vec_id"), "vec_id")
+          idx.select(col("vec_id")).dropDuplicates("vec_id"), "vec_id",
+          ordered = false) // scratch write: consumers are order-free
         .write.mode("overwrite").parquet(cp)
       scratchDone += ip
     }

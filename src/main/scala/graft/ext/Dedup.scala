@@ -1095,9 +1095,9 @@ object Dedup extends DedupMaintenance with DedupLinkage {
     * rounds instead of O(diameter) — on an adversarial 100 TB near-dup
     * chain that is ~40 rounds → ~7 (spec-asserted on a path graph). The
     * extra |V|-row self-join per round is noise next to the edge join. */
-  def dupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String)
-      : DataFrame =
-    dupClustersWithRounds(pairs, allIds, idCol)._1
+  def dupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
+      ordered: Boolean = true): DataFrame =
+    dupClustersWithRounds(pairs, allIds, idCol, ordered = ordered)._1
 
   /** Pair-count bound under which [[dupClusters]] takes the SMALL-GRAPH
     * path: exact min-label union-find over the whole edge list in ONE
@@ -1181,7 +1181,8 @@ object Dedup extends DedupMaintenance with DedupLinkage {
     * iterative path unchanged. */
   private[ext] def dupClustersWithRounds(pairs: DataFrame,
       allIds: DataFrame, idCol: String,
-      localMaxPairs: Long = LocalCcMaxPairs): (DataFrame, Int) = {
+      localMaxPairs: Long = LocalCcMaxPairs,
+      ordered: Boolean = true): (DataFrame, Int) = {
     import org.apache.spark.sql.types.LongType
     val raw = pairs.select(col("id_a"), col("id_b"))
     val longIds = raw.schema.fields.forall(_.dataType == LongType) &&
@@ -1202,20 +1203,29 @@ object Dedup extends DedupMaintenance with DedupLinkage {
         val singletons = allIds.select(col(idCol).as("id"))
           .join(labels.select(col("id")), Seq("id"), "left_anti")
           .select(col("id"), col("id").as("cluster"))
-        return (labels.union(singletons)
+        val out = labels.union(singletons)
           .select(col("id").as(idCol), col("cluster"))
-          .orderBy(idCol).localCheckpoint(eager = true), 0)
+        // ordered=false (round 19): SCRATCH builds and the maintenance
+        // internals (merge mapping, affected-subgraph relabel) never
+        // read row order — skip the range sort. LAZY checkpoint (was
+        // eager): nothing here needs an early materialization barrier
+        // (unlike the iterative path, whose caches are unpersisted in
+        // its finally) — the blocks materialize inside the first
+        // consumer's job, one scheduler round-trip fewer per call.
+        return ((if (ordered) out.orderBy(idCol) else out)
+          .localCheckpoint(eager = false), 0)
       }
       // over the bound: fall through, reusing the materialized blocks
-      return iterativeDupClusters(rawCk, allIds, idCol)
+      return iterativeDupClusters(rawCk, allIds, idCol, ordered)
     }
-    iterativeDupClusters(raw, allIds, idCol)
+    iterativeDupClusters(raw, allIds, idCol, ordered)
   }
 
   /** The distributed pointer-jumping iteration — the 100 TB path of
     * [[dupClustersWithRounds]], unchanged semantics. */
   private def iterativeDupClusters(pairs: DataFrame,
-      allIds: DataFrame, idCol: String): (DataFrame, Int) = {
+      allIds: DataFrame, idCol: String,
+      ordered: Boolean = true): (DataFrame, Int) = {
     val edges = symmetrized(pairs).cache()
     // Iterate ONLY over edge-incident nodes: a node with no near-dup edge
     // is a singleton whose label (its own id) can never change, so keeping
@@ -1295,9 +1305,13 @@ object Dedup extends DedupMaintenance with DedupLinkage {
     val singletons = allIds.select(col(idCol).as("id"))
       .join(nodes, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster"))
-    (labels.select(col("id"), col("cluster")).union(singletons)
+    // EAGER checkpoint, deliberately: the finally below unpersists the
+    // caches this lineage references, so the result must materialize
+    // before this call returns
+    val out = labels.select(col("id"), col("cluster")).union(singletons)
       .select(col("id").as(idCol), col("cluster"))
-      .orderBy(idCol).localCheckpoint(eager = true), rounds)
+    ((if (ordered) out.orderBy(idCol) else out)
+      .localCheckpoint(eager = true), rounds)
     } finally { // caches must not outlive the call, even on failure
       if (cached != null) cached.unpersist()
       edges.unpersist()

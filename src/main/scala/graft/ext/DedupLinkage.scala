@@ -67,8 +67,17 @@ private[graft] trait DedupLinkage { this: Dedup.type =>
     // size(...) > 0 filter would re-build the whole L²-key deletion
     // neighborhood a second time per row — see
     // [[graft.ext.Multimodal.sampleFramesInContainer]] on the pattern
+    //
+    // round 19 (guide §2.3 shuffle keys-and-metadata, the
+    // repeatedSpanCoverage precedent): the variant STRINGS never leave
+    // the map side — an 8-byte xxhash64 shuffles, sorts and joins in
+    // their place. A hash collision can only ADD a candidate pair
+    // (recall is untouched), and the exact `levenshtein` verify below
+    // discards it — the same false-positive tolerance the banding
+    // operators already rely on.
     val keyed = named.select(col("eid"),
-        explode_outer(array_distinct(keys)).as("vkey"))
+        explode_outer(transform(array_distinct(keys),
+          v => xxhash64(v))).as("vkey"))
       .filter(col("vkey").isNotNull)
     val candidates = keyed.as("a").join(keyed.as("b"),
         col("a.vkey") === col("b.vkey") && col("a.eid") < col("b.eid"))

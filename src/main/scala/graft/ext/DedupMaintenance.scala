@@ -273,7 +273,7 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
     val labelNodes = labelEdges.select(col("id_a").as("lbl"))
       .unionByName(labelEdges.select(col("id_b").as("lbl")))
       .dropDuplicates("lbl")
-    dupClusters(labelEdges, labelNodes, "lbl")
+    dupClusters(labelEdges, labelNodes, "lbl", ordered = false)
       .select(col("lbl"), col("cluster").as("new_lbl"))
       .filter(col("new_lbl") =!= col("lbl"))
   }
@@ -349,7 +349,7 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
       .join(survivors.withColumnRenamed("id", "id_b"), Seq("id_b"),
         "left_semi")
     val relabeled = dupClusters(sub,
-      survivors.select(col("id").as(idCol)), idCol)
+      survivors.select(col("id").as(idCol)), idCol, ordered = false)
     val untouched = cur.join(affected, Seq("cluster"), "left_anti")
       .select(col("id").as(idCol), col("cluster"))
     val out = untouched
@@ -655,7 +655,7 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
         "left_semi")
     // dupClusters eagerly checkpoints its output — materialized here
     val relabeled = dupClusters(sub,
-      survivors.select(col("id").as(idCol)), idCol)
+      survivors.select(col("id").as(idCol)), idCol, ordered = false)
     // split parts can take labels hashing into buckets the delta never
     // listed — those join the write set and their unchanged rows are
     // carried through (a committed bucket is complete, so its

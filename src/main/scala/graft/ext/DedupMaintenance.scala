@@ -58,18 +58,31 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
     val bPost = postings(batch, idCol, textCol, k)
       .groupBy("sh")
       .agg(sort_array(collect_list(col("pid"))).as("bpids"))
-    // typed empty array: slice of whichever side is present (full-outer
-    // guarantees one is), so the merge stays generic over the id type
+      .localCheckpoint(eager = false) // consumed by merge AND new-keys
+    // typed empty array: slice of whichever side is present, so the
+    // merge stays generic over the id type
     def emptyLike = slice(coalesce(col("cpids"), col("bpids")),
       lit(1), lit(0))
-    val dfNew = coalesce(col("df_c"), lit(0L)) +
+    // round 19 (guide §3.1/§2.4, the upsertPostingsIndex decomposition):
+    // the old FULL-OUTER merge was broadcast-ineligible and re-sorted
+    // the whole index to absorb a small delta. Same rows as a LEFT
+    // merge (AQE broadcasts the grouped delta — the index payload never
+    // shuffles) plus a keys-only LEFT-ANTI for never-seen shingles
+    // (only the index's sh projection crosses that exchange).
+    val dfNew = col("df_c") +
       coalesce(size(col("bpids")).cast("long"), lit(0L))
-    index.join(bPost, Seq("sh"), "full_outer")
+    val merged = index.join(bPost, Seq("sh"), "left")
       .select(col("sh"), dfNew.as("df_c"),
         when(dfNew <= maxDf,
           sort_array(concat(coalesce(col("cpids"), emptyLike),
             coalesce(col("bpids"), emptyLike))))
           .as("cpids"))
+    val dfB = size(col("bpids")).cast("long")
+    val fresh = bPost
+      .join(index.select("sh"), Seq("sh"), "left_anti")
+      .select(col("sh"), dfB.as("df_c"),
+        when(dfB <= maxDf, sort_array(col("bpids"))).as("cpids"))
+    merged.unionByName(fresh)
   }
 
   /** Retract deleted documents from a persisted [[corpusShingleIndex]]
@@ -155,12 +168,27 @@ private[graft] trait DedupMaintenance { this: Dedup.type =>
     val bp = batchPostings
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_set(col("pid"))).as("bpids"))
-    index.join(bp, keyCols, "full_outer")
+      .localCheckpoint(eager = false) // consumed by merge AND new-keys
+    // round 19 (guide §3.1/§2.4): the old single FULL-OUTER join forced
+    // both sides through a key shuffle — a broadcast-ineligible join
+    // shape that re-sorted the ENTIRE index (lists included) to merge a
+    // small delta. Decomposed into the same rows: a LEFT join (the
+    // planner/AQE broadcasts the grouped delta when it is small, so the
+    // index payload never shuffles) plus a keys-only LEFT-ANTI for keys
+    // the corpus has never seen (only the index's narrow key projection
+    // crosses that exchange, never the posting lists). Per key the
+    // merge expression is unchanged, so the output rows are identical.
+    val merged = index.join(bp, keyCols, "left")
       .select(keyCols.map(col) :+
         sort_array(array_union(
           coalesce(col("cpids"), array().cast(ct)),
           coalesce(col("bpids"), array().cast(ct))))
           .as("cpids"): _*)
+    val fresh = bp
+      .join(index.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .select(keyCols.map(col) :+
+        sort_array(col("bpids")).as("cpids"): _*)
+    merged.unionByName(fresh)
   }
 
   /** Remove deleted docs' postings from a persisted BANDED posting

@@ -367,14 +367,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
-  test("fingerprint-index maintenance (q251/q252): ONE (sl, sv)-keyed " +
-    "join each — full-outer merge for upsert, left + map-side " +
+  test("fingerprint-index maintenance (q251/q252): (sl, sv)-keyed " +
+    "equi-joins only — left-merge + keys-only anti for upsert (round " +
+    "19: the old full-outer shape was broadcast-ineligible and " +
+    "re-sorted the whole index; the decomposition lets the delta " +
+    "broadcast so the posting lists never shuffle), left + map-side " +
     "array_except for retract — no cartesian/nested-loop, corpus " +
     "payloads never rescanned (the index side is the persisted scratch)") {
     val up = plan(ExtQueries.all("q251_fp_upsert")(spark, sf0001))
     assert(!up.contains("CartesianProduct"), up)
     assert(!up.contains("BroadcastNestedLoopJoin"), up)
-    assert(up.contains("FullOuter"), up)
+    assert(!up.contains("FullOuter"), up)
+    assert(up.contains("LeftAnti"), up)
     val ret = plan(ExtQueries.all("q252_fp_retract")(spark, sf0001))
     assert(!ret.contains("CartesianProduct"), ret)
     assert(!ret.contains("BroadcastNestedLoopJoin"), ret)
@@ -388,7 +392,8 @@ class PlanSpec extends SparkSpec {
     val up = plan(ExtQueries.all("q253_lsh_upsert")(spark, sf0001))
     assert(!up.contains("CartesianProduct"), up)
     assert(!up.contains("BroadcastNestedLoopJoin"), up)
-    assert(up.contains("FullOuter"), up)
+    assert(!up.contains("FullOuter"), up) // round 19: left + anti merge
+    assert(up.contains("LeftAnti"), up)
     val ret = plan(ExtQueries.all("q254_lsh_retract")(spark, sf0001))
     assert(!ret.contains("CartesianProduct"), ret)
     assert(!ret.contains("BroadcastNestedLoopJoin"), ret)
